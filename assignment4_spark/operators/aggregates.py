@@ -1,0 +1,300 @@
+"""Aggregation operators (SURVEY.md §2 B.4).
+
+Generalizes the reference's only aggregation-like behaviors — distinct
+title enumeration (ra/agent.py:69-77), first-occurrence dedup
+(ra/server.py:30-50) and list-append accumulation (ra/agent.py:33-41) —
+to a full groupBy/rollup/cube/grouping-sets surface.
+
+Scale notes: every agg here is a hash aggregate with map-side partial
+aggregation (Spark does this automatically for all built-in aggregates),
+so the shuffle carries one row per (partition × group), not per input
+row. Group cardinalities are tiny relative to input (returnflag ×
+linestatus = 6 groups; event_type ~ a handful), which is exactly the
+shape that scales to 100 TB: the shuffle is O(groups), not O(rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io_util import table
+from ..registry import register
+
+# Money-scale sums (magnitude ~1e9 at sf0.1) are rounded to 2dp: a double
+# holds ~15-16 significant digits, so partial-aggregation order noise
+# (~1e-6 absolute at that magnitude) sits safely below the rounding
+# boundary. Ratios/averages (magnitude ~1e0-1e5) get 6dp.
+SUM_DP = 2
+AVG_DP = 6
+
+
+@register(
+    "agg_groupby_basic",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           ROUND(AVG(l_quantity), 6)                                        AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6)                                   AS avg_price,
+           ROUND(AVG(l_discount), 6)                                        AS avg_disc,
+           COUNT(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def agg_groupby_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary — the flagship query (SURVEY §7 M0).
+
+    Plan shape: parquet scan (only 7 of 11 columns read; shipdate filter
+    pushed to the scan) → partial hash agg → shuffle on 6 groups → final
+    agg → sort. At 100 TB the shuffle is 6 rows × partitions.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), SUM_DP).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), SUM_DP).alias("sum_base_price"),
+            F.round(F.sum(disc_price), SUM_DP).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), SUM_DP).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), AVG_DP).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), AVG_DP).alias("avg_price"),
+            F.round(F.avg("l_discount"), AVG_DP).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*)                AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event_type (reference A16/A17 dedup intent).
+
+    Spark expands count(distinct) into a two-phase aggregate (expand +
+    partial) — no driver-side set(). Scales with #distinct keys.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register("agg_approx_distinct")  # approx ≠ oracle-exact → rows-only check
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct users per event_type — the 100 TB path for
+    cardinality estimation (constant memory per group vs exact distinct's
+    shuffle of every key). Error bound asserted in tests/test_aggregates.py.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_having_filterclause",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*)                                              AS n_orders,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F')           AS n_finished,
+           ROUND(SUM(o_totalprice) FILTER (WHERE o_totalprice > 100000), 2) AS big_revenue
+    FROM orders
+    GROUP BY o_orderpriority
+    HAVING COUNT(*) > 50
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_having_filterclause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING + FILTER(WHERE) conditional aggregates via when/otherwise."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+            F.round(
+                F.sum(F.when(F.col("o_totalprice") > 100000, F.col("o_totalprice"))), SUM_DP
+            ).alias("big_revenue"),
+        )
+        .filter(F.col("n_orders") > 50)
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT r_name, n_name, COUNT(c_custkey) AS n_customers
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup region → nation → grand total."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    # region/nation are tiny dims: broadcast them, stream customer.
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), SUM_DP).alias("total"))
+        .orderBy(
+            F.col("o_orderpriority").asc_nulls_first(), F.col("o_orderstatus").asc_nulls_first()
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via the SQL surface (same Catalyst Expand)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_extendedprice), 4) AS std_price,
+           ROUND(VAR_SAMP(l_discount), 6)         AS var_disc,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS covar_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates; rounded per FIXTURES §5 (4dp for stddev of
+    money-scale values — its sampling noise across partial-agg orders is
+    larger than a sum's)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+            F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), SUM_DP).alias(
+                "covar_qty_price"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(MEDIAN(o_totalprice), 6) AS median_price,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.9), 6) AS p90_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (Spark 4 `percentile`; interpolating, matches
+    DuckDB QUANTILE_CONT/MEDIAN). Exact percentile shuffles whole groups —
+    at 100 TB swap for approx_percentile; exact kept for oracle parity."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("median_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "agg_collect_ordered",
+    oracle="""
+    SELECT l_orderkey,
+           STRING_AGG(l_linenumber::VARCHAR, ',' ORDER BY l_linenumber) AS line_ids
+    FROM lineitem
+    WHERE l_orderkey <= 100
+    GROUP BY l_orderkey
+    ORDER BY l_orderkey
+    """,
+)
+def agg_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ordered accumulation (reference A22 intermediate_steps
+    append semantics): collect_list over a sorted array, joined to a string.
+    array_sort makes the result order-independent of partial-agg order."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") <= 100)
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("l_linenumber"))).cast("array<string>"), ","
+            ).alias("line_ids")
+        )
+        .orderBy("l_orderkey")
+    )

@@ -1,0 +1,54 @@
+"""SparkSession builder (SURVEY.md §7 layout: engine/session.py).
+
+Local-mode session tuned for the fixture scale; on a real cluster the
+same settings (AQE on, UTC, Arrow) remain correct — only master/memory
+change. Shuffle partitions default to the core count: the fixture data
+(≤600k rows) never needs 200 reducers, and AQE coalesces further.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs we also force onto sessions we did not build
+# (the driver passes its own SparkSession into queries()).
+RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def get_spark(app_name: str = "assignment4_spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an externally-built session.
+
+    The driver builds its own SparkSession; oracle parity requires UTC
+    timestamps (FIXTURES.md §5) and sane shuffle parallelism.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on this build — ignore
+    return spark
