@@ -13,12 +13,22 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from .schemas import SCHEMAS
 from .session import ensure_confs
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_confs(spark)
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) — illegal for Spark's parquet reader.
+        # Read nanos as long, truncate to µs (identical to DuckDB's view).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.schema(SCHEMAS[name]).parquet(
+            os.path.join(sf_dir, "events.parquet")
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return spark.read.schema(SCHEMAS[name]).parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

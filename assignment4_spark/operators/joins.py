@@ -1,1 +1,330 @@
-"""Placeholder — operators land in a later milestone (SURVEY.md §7)."""
+"""Join operators (SURVEY.md §2 B.3).
+
+The reference performs no relational joins — its only "matching" is the
+remote Pinecone top-k scan (ra/agent.py:115-119), which is a cross join
++ rank at heart. This module declares the full join surface the engine
+supports, each with its scale strategy stated.
+
+Scale notes:
+  * small dims (region/nation/part at dim-scale) → `F.broadcast`: no
+    shuffle of the fact side, the hash map ships to every executor;
+  * fact-fact equi-joins → shuffle on the key, AQE picks SMJ vs
+    shuffled-hash and splits skewed partitions at runtime;
+  * theta/as-of joins → never a blind cross join: an equi key prunes
+    first (user_id), the range predicate filters within the group, or a
+    window emulation avoids the join entirely (as-of).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..io_util import table
+from ..registry import register
+
+
+@register(
+    "join_inner_shuffle",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*)                      AS n_orders,
+           ROUND(SUM(o_totalprice), 2)   AS revenue,
+           COUNT(DISTINCT o_custkey)     AS n_customers
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def join_inner_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi-join: both sides shuffle on the key; AQE coalesces
+    post-shuffle partitions and handles skew."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*)                                              AS n_lines,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)     AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 20
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of the dim side: lineitem never shuffles — the
+    join is map-side. This is THE pattern for fact⨝dim at 100 TB."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") <= 20)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "inner")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "join_left_right_full",
+    oracle="""
+    WITH c AS (SELECT * FROM customer WHERE c_custkey < 100),
+         o AS (SELECT * FROM orders  WHERE o_custkey >= 50 AND o_custkey < 150)
+    SELECT 'left' AS join_kind, COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS n_unmatched_right,
+           COUNT(*) FILTER (WHERE c_custkey IS NULL)  AS n_unmatched_left
+    FROM c LEFT JOIN o ON o_custkey = c_custkey
+    UNION ALL
+    SELECT 'right', COUNT(*),
+           COUNT(*) FILTER (WHERE o_orderkey IS NULL),
+           COUNT(*) FILTER (WHERE c_custkey IS NULL)
+    FROM c RIGHT JOIN o ON o_custkey = c_custkey
+    UNION ALL
+    SELECT 'full', COUNT(*),
+           COUNT(*) FILTER (WHERE o_orderkey IS NULL),
+           COUNT(*) FILTER (WHERE c_custkey IS NULL)
+    FROM c FULL JOIN o ON o_custkey = c_custkey
+    ORDER BY join_kind
+    """,
+)
+def join_left_right_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer-join family over deliberately part-overlapping key ranges so
+    each side has unmatched rows; results tagged and unioned."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_custkey") >= 50) & (F.col("o_custkey") < 150)
+    )
+
+    def counted(kind: str) -> DataFrame:
+        j = c.join(o, c.c_custkey == o.o_custkey, kind)
+        return j.agg(
+            F.lit(kind if kind != "outer" else "full").alias("join_kind"),
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("n_unmatched_right"),
+            F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("n_unmatched_left"),
+        ).select("join_kind", "n", "n_unmatched_right", "n_unmatched_left")
+
+    return (
+        counted("left").unionByName(counted("right")).unionByName(counted("full"))
+        .orderBy("join_kind")
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+    ORDER BY c_custkey
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers WITH a big order — left-semi never duplicates the left
+    side and only ships the join key of the right side."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers WITHOUT orders (NOT EXISTS → left-anti)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_cross_limited",
+    oracle="""
+    SELECT r_name, n_name,
+           (r_regionkey * 100 + n_nationkey) AS pair_score
+    FROM region CROSS JOIN nation
+    ORDER BY pair_score
+    """,
+)
+def join_cross_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded cross join (5×25) — the shape underlying the reference's
+    query×corpus similarity scan (A18). Only ever sane when one side is
+    broadcast-small; the engine broadcasts region."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return (
+        F.broadcast(r)
+        .crossJoin(n)
+        .select(
+            "r_name",
+            "n_name",
+            (F.col("r_regionkey") * 100 + F.col("n_nationkey")).alias("pair_score"),
+        )
+        .orderBy("pair_score")
+    )
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+    SELECT e.user_id,
+           e.event_id AS left_id,
+           f.event_id AS right_id,
+           e.event_type AS left_type,
+           f.event_type AS right_type
+    FROM events e
+    JOIN events f
+      ON e.user_id = f.user_id
+     AND f.ts > e.ts
+     AND f.ts <= e.ts + INTERVAL 1 HOUR
+    ORDER BY left_id, right_id
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join with an equi prefix: Spark plans the user_id equality
+    as the join key (shuffle/broadcast hash), the ts range as a post-join
+    filter — so cost is per-user-group, never |events|². At 100 TB add
+    time-bucket keys to bound group size (the standard range-join
+    bucketing trick)."""
+    e = table(spark, sf_dir, "events").alias("e")
+    f = table(spark, sf_dir, "events").alias("f")
+    return (
+        e.join(
+            f,
+            (F.col("e.user_id") == F.col("f.user_id"))
+            & (F.col("f.ts") > F.col("e.ts"))
+            & (F.col("f.ts") <= F.col("e.ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            F.col("e.user_id").alias("user_id"),
+            F.col("e.event_id").alias("left_id"),
+            F.col("f.event_id").alias("right_id"),
+            F.col("e.event_type").alias("left_type"),
+            F.col("f.event_type").alias("right_type"),
+        )
+        .orderBy("left_id", "right_id")
+    )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, value,
+             (event_type = 'purchase') AS is_right
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ), enriched AS (
+      SELECT *,
+             LAST_VALUE(CASE WHEN is_right THEN value END IGNORE NULLS) OVER w AS asof_value,
+             LAST_VALUE(CASE WHEN is_right THEN ts END IGNORE NULLS)    OVER w AS asof_ts
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY ts, is_right DESC, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts, asof_value, asof_ts
+    FROM enriched
+    WHERE NOT is_right
+    ORDER BY event_id
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (click ← latest purchase at-or-before, per user) via the
+    union+window idiom: tag both sides, single sort per user, last
+    non-null carry-forward. No native as-of in Spark SQL — this emulation
+    is one shuffle + one sort, vs a naive range join's quadratic blow-up,
+    and it's exactly how trades/quotes as-of scales on a cluster."""
+    ev = table(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        (F.col("event_type") == "purchase").alias("is_right"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_right").desc(), F.col("event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    enriched = tagged.select(
+        "*",
+        F.last(F.when(F.col("is_right"), F.col("value")), ignorenulls=True)
+        .over(w)
+        .alias("asof_value"),
+        F.last(F.when(F.col("is_right"), F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("asof_ts"),
+    )
+    return (
+        enriched.filter(~F.col("is_right"))
+        .select("event_id", "user_id", "ts", "asof_value", "asof_ts")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "join_self_pairs",
+    oracle="""
+    SELECT n1.n_regionkey AS region_key,
+           n1.n_name      AS nation_a,
+           n2.n_name      AS nation_b
+    FROM nation n1
+    JOIN nation n2
+      ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+    ORDER BY region_key, nation_a, nation_b
+    """,
+)
+def join_self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join producing unordered pairs within a group (key< key
+    dedups mirror pairs) — the pairing idiom near-dup detection (B.8)
+    builds on."""
+    n1 = table(spark, sf_dir, "nation").alias("n1")
+    n2 = table(spark, sf_dir, "nation").alias("n2")
+    return (
+        n1.join(
+            n2,
+            (F.col("n1.n_regionkey") == F.col("n2.n_regionkey"))
+            & (F.col("n1.n_nationkey") < F.col("n2.n_nationkey")),
+        )
+        .select(
+            F.col("n1.n_regionkey").alias("region_key"),
+            F.col("n1.n_name").alias("nation_a"),
+            F.col("n2.n_name").alias("nation_b"),
+        )
+        .orderBy("region_key", "nation_a", "nation_b")
+    )

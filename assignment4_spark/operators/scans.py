@@ -1,1 +1,189 @@
-"""Placeholder — operators land in a later milestone (SURVEY.md §7)."""
+"""Sources & sinks (SURVEY.md §2 B.1).
+
+Re-expresses the reference's I/O surface — S3 PDF listing
+(parser_pinecone_storage.py:41-46), text/JSON/CSV/PNG sinks
+(parser_pinecone_storage.py:81-117) — as Spark readers/writers with
+explicit schemas. Roundtrip queries write to a local artifacts dir and
+read back through the matching source, proving both directions.
+
+Scale notes: all sinks write one file per partition in parallel (no
+driver-side collect); CSV/JSON/text sources read with explicit schemas
+so Catalyst can prune columns and push filters. On a cluster the same
+code targets an object store path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..io_util import table
+from ..registry import register
+
+ARTIFACT_ROOT = "/tmp/assignment4_spark_artifacts"
+
+
+def _adir(sf_dir: str, name: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return os.path.join(ARTIFACT_ROOT, base, name)
+
+
+@register(
+    "scan_parquet",
+    oracle="""
+    SELECT COUNT(*)                         AS n_rows,
+           COUNT(DISTINCT l_orderkey)       AS n_orders,
+           ROUND(SUM(l_quantity), 2)        AS sum_qty,
+           MIN(l_shipdate)                  AS first_ship,
+           MAX(l_shipdate)                  AS last_ship
+    FROM lineitem
+    """,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full parquet scan with projection — generalizes the S3 listing scan
+    (parser_pinecone_storage.py:41-46). Only 3 columns reach the reader
+    (ReadSchema pruning); counts aggregate map-side."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@register(
+    "scan_csv_roundtrip",
+    oracle="""
+    SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey
+    """,
+)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source roundtrip (reference table→CSV sink,
+    parser_pinecone_storage.py:91-103): write `region` with a header,
+    read back with an explicit schema (no inference on engine paths)."""
+    out = _adir(sf_dir, "region_csv")
+    table(spark, sf_dir, "region").write.mode("overwrite").option("header", True).csv(out)
+    schema = T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .csv(out)
+        .orderBy("r_regionkey")
+    )
+
+
+@register(
+    "scan_json_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+    """,
+)
+def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source roundtrip (reference layout-JSON sink,
+    parser_pinecone_storage.py:81-82)."""
+    out = _adir(sf_dir, "nation_json")
+    table(spark, sf_dir, "nation").write.mode("overwrite").json(out)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return spark.read.schema(schema).json(out).orderBy("n_nationkey")
+
+
+@register(
+    "scan_text_sink",
+    oracle="""
+    SELECT COUNT(*)                                                AS n_lines,
+           CAST(SUM(LENGTH(REGEXP_REPLACE(text, '[\\n\\r]', ' ', 'g'))) AS BIGINT) AS total_chars,
+           MIN(LENGTH(REGEXP_REPLACE(text, '[\\n\\r]', ' ', 'g'))) AS min_chars,
+           MAX(LENGTH(REGEXP_REPLACE(text, '[\\n\\r]', ' ', 'g'))) AS max_chars
+    FROM documents
+    """,
+)
+def scan_text_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text sink + source roundtrip (reference export_to_text sink,
+    parser_pinecone_storage.py:83-84). Newlines flattened before the
+    write so one document stays one line."""
+    out = _adir(sf_dir, "documents_text")
+    docs = table(spark, sf_dir, "documents").select(
+        F.regexp_replace("text", "[\\n\\r]", " ").alias("value")
+    )
+    docs.write.mode("overwrite").text(out)
+    lines = spark.read.text(out)
+    return lines.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.min(F.length("value")).alias("min_chars"),
+        F.max(F.length("value")).alias("max_chars"),
+    )
+
+
+@register("scan_binary_files")  # file layout (names/sizes) is engine-internal → rows-only
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile source — the multimodal-column entry point (reference
+    PDF fetch + PNG figures, parser_pinecone_storage.py:53-54,106-117).
+    Reads previously-written text artifacts as opaque binary blobs with
+    path/length/content, the same shape image/audio/video columns use."""
+    out = _adir(sf_dir, "documents_text")
+    # ensure the artifact exists (idempotent re-write)
+    table(spark, sf_dir, "documents").select(
+        F.regexp_replace("text", "[\\n\\r]", " ").alias("value")
+    ).write.mode("overwrite").text(out)
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "part-*")
+        .load(out)
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            F.col("length").alias("n_bytes"),
+            F.length("content").alias("content_len"),
+        )
+        .orderBy("file_name")
+    )
+
+
+@register(
+    "json_parse_props",
+    oracle="""
+    SELECT event_type,
+           COUNT(*)                                                   AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS INTEGER))    AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER))    AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def json_parse_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the JSON props column with an explicit schema (from_json) —
+    the engine's version of the reference's dynamic layout-JSON access
+    (parser_pinecone_storage.py:160-161). from_json with a fixed schema
+    stays JVM-side/codegen; no Python in the loop."""
+    ev = table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type", F.from_json("props", "k INT").getField("k").alias("k")
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

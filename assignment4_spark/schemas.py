@@ -75,10 +75,15 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
+    # events.ts is TIMESTAMP(NANOS) in the parquet footer, which Spark's
+    # reader rejects outright ([PARQUET_TYPE_ILLEGAL]). The loader reads it
+    # as raw nanos (spark.sql.legacy.parquet.nanosAsLong) and converts to a
+    # microsecond timestamp — the same ns→µs truncation DuckDB applies, so
+    # oracle parity holds.
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.TimestampType()),
+            T.StructField("ts", T.LongType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
