@@ -1,1 +1,279 @@
-"""Placeholder — operators land in a later milestone (SURVEY.md §7)."""
+"""Scalar function surface: string/regex/date/math/conditional/array/map
+(SURVEY.md §2 B.7).
+
+Direct generalizations of reference behaviors: title[:50]/content[:200]
+truncation (parser_pinecone_storage.py:149-153), the ArXiv abstract
+regex (ra/agent.py:84-88), default-on-missing (ra/agent.py:89),
+token splitting for chunking (A9), vector math over array<float> (A18),
+metadata maps (A12).
+
+All functions here are JVM expressions inside whole-stage codegen — no
+Python in the row path, which is what keeps them viable at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io_util import table
+from ..registry import register
+
+
+@register(
+    "str_funcs",
+    oracle="""
+    SELECT c_custkey,
+           SUBSTRING(c_name, 1, 50)                 AS title50,
+           LOWER(c_name)                            AS lname,
+           UPPER(c_mktsegment)                      AS useg,
+           TRIM('  ' || c_name || ' ')              AS trimmed,
+           LENGTH(c_name)                           AS name_len,
+           LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+           CONCAT_WS('|', c_name, c_mktsegment)     AS joined
+    FROM customer
+    WHERE c_custkey < 200
+    ORDER BY c_custkey
+    """,
+)
+def str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String surface incl. the reference's substring(x,1,50) truncation."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    return c.select(
+        "c_custkey",
+        F.substring("c_name", 1, 50).alias("title50"),
+        F.lower("c_name").alias("lname"),
+        F.upper("c_mktsegment").alias("useg"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit(" "))).alias("trimmed"),
+        F.length("c_name").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("joined"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "str_regexp",
+    oracle="""
+    SELECT doc_id,
+           REGEXP_EXTRACT(text, '^(\\w+)', 1)                    AS first_word,
+           REGEXP_EXTRACT(text, '(spark|hash|join)', 1)          AS first_kw,
+           LENGTH(REGEXP_REPLACE(text, '[aeiou]', '', 'g'))      AS no_vowel_len
+    FROM documents
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+)
+def str_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction with empty-string-on-miss — the ArXiv abstract
+    scrape pattern (ra/agent.py:84-88). Spark and DuckDB both return ''
+    when the pattern misses."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_extract("text", r"(spark|hash|join)", 1).alias("first_kw"),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).alias("no_vowel_len"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "str_split_tokens",
+    oracle="""
+    SELECT doc_id,
+           LEN(STRING_SPLIT(text, ' '))     AS n_tokens,
+           STRING_SPLIT(text, ' ')[1]       AS first_token,
+           STRING_SPLIT(text, ' ')[-1]      AS last_token
+    FROM documents
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+)
+def str_split_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenization substrate for chunking/embedding (A9)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.element_at(toks, -1).alias("last_token"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INTEGER)        AS yr,
+           CAST(MONTH(o_orderdate) AS INTEGER)       AS mo,
+           CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+           CAST(DATE_DIFF('day', TIMESTAMP '1995-01-01', o_orderdate) AS INTEGER) AS days_since,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS DATE) AS eom
+    FROM orders
+    WHERE o_orderkey < 500
+    ORDER BY o_orderkey
+    """,
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias("days_since"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.last_day("o_orderdate").alias("eom"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "math_funcs",
+    oracle="""
+    SELECT p_partkey,
+           ROUND(p_retailprice, 1)                     AS r1,
+           ABS(p_retailprice - 1000)                   AS dist_1000,
+           CAST(CEIL(p_retailprice) AS BIGINT)         AS c,
+           CAST(FLOOR(p_retailprice) AS BIGINT)        AS f,
+           ROUND(POW(p_retailprice, 0.5), 6)           AS root,
+           ROUND(LN(p_retailprice + 1), 6)             AS log_price,
+           ROUND(SQRT(CAST(p_size AS DOUBLE)), 6)      AS size_root,
+           MOD(p_partkey, 7)                           AS bucket
+    FROM part
+    ORDER BY p_partkey
+    """,
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math surface. pow/ln are libm-dependent (JVM vs C can differ in the
+    last ulp) → rounded to 6dp; abs/ceil/floor/mod are exact."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round("p_retailprice", 1).alias("r1"),
+        F.abs(F.col("p_retailprice") - 1000).alias("dist_1000"),
+        F.ceil("p_retailprice").alias("c"),
+        F.floor("p_retailprice").alias("f"),
+        F.round(F.pow("p_retailprice", F.lit(0.5)), 6).alias("root"),
+        F.round(F.log(F.col("p_retailprice") + 1), 6).alias("log_price"),
+        F.round(F.sqrt(F.col("p_size").cast("double")), 6).alias("size_root"),
+        (F.col("p_partkey") % 7).alias("bucket"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "cond_case_coalesce",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 3000 THEN 'low'
+                WHEN c_acctbal < 7000 THEN 'mid'
+                ELSE 'high' END                         AS tier,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'N/A') AS seg_or_na,
+           IF(c_acctbal > 5000, 1, 0)                   AS is_rich
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def cond_case_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE tiers + coalesce/nullif — the reference's default-on-missing
+    ('Abstract not found.', ra/agent.py:89)."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 3000, "low")
+        .when(F.col("c_acctbal") < 7000, "mid")
+        .otherwise("high")
+        .alias("tier"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("N/A")).alias(
+            "seg_or_na"
+        ),
+        F.when(F.col("c_acctbal") > 5000, 1).otherwise(0).alias("is_rich"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "array_funcs",
+    oracle="""
+    SELECT doc_id,
+           LEN(LIST_DISTINCT(STRING_SPLIT(text, ' ')))        AS n_unique_tokens,
+           LIST_CONTAINS(STRING_SPLIT(text, ' '), 'spark')    AS has_spark,
+           STRING_SPLIT(text, ' ')[1:3]                        AS first3,
+           LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' ')))[1] AS min_token
+    FROM documents
+    WHERE doc_id < 100
+    ORDER BY doc_id
+    """,
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.slice(toks, 1, 3).alias("first3"),
+        F.element_at(F.array_sort(F.array_distinct(toks)), 1).alias("min_token"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "array_higher_order",
+    oracle="""
+    SELECT vec_id,
+           ROUND(SQRT(LIST_AGGREGATE(LIST_TRANSFORM(embedding::DOUBLE[], x -> x * x), 'sum')), 6)
+             AS l2_norm,
+           ROUND(LIST_AGGREGATE(embedding::DOUBLE[], 'sum'), 6)  AS comp_sum,
+           LEN(LIST_FILTER(embedding::DOUBLE[], x -> x > 0))     AS n_positive
+    FROM embeddings
+    WHERE vec_id < 200
+    ORDER BY vec_id
+    """,
+)
+def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform/filter/aggregate over embedding vectors — the engine's
+    native (no-UDF) vector math substrate (A18). Floats are widened to
+    double BEFORE arithmetic on both sides so the sequential fold is
+    bit-compatible."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    dvec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.round(
+            F.sqrt(F.aggregate(dvec, F.lit(0.0), lambda acc, x: acc + x * x)), 6
+        ).alias("l2_norm"),
+        F.round(F.aggregate(dvec, F.lit(0.0), lambda acc, x: acc + x), 6).alias("comp_sum"),
+        F.size(F.filter(dvec, lambda x: x > 0)).alias("n_positive"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "map_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_from_map,
+           event_type                                         AS type_from_map,
+           2                                                  AS map_size
+    FROM events
+    WHERE event_id < 500
+    ORDER BY event_id
+    """,
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a metadata map (reference A12's Pinecone metadata dict) and
+    read it back via element_at; the oracle computes the same values
+    directly (DuckDB's MAP type isn't needed for parity)."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    m = F.create_map(
+        F.lit("k"),
+        F.get_json_object("props", "$.k"),
+        F.lit("type"),
+        F.col("event_type"),
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").cast("int").alias("k_from_map"),
+        F.element_at(m, "type").alias("type_from_map"),
+        F.size(m).alias("map_size"),
+    ).orderBy("event_id")

@@ -1,1 +1,240 @@
-"""Placeholder — operators land in a later milestone (SURVEY.md §7)."""
+"""Window-function operators (SURVEY.md §2 B.5).
+
+Window functions generalize the reference's two ranking behaviors:
+first-occurrence dedup (ra/server.py:39-43 → row_number=1) and Pinecone
+top-k score ordering (ra/agent.py:115-119 → rank ≤ k).
+
+Scale notes: a window = one shuffle on partitionBy + one sort per
+partition. All windows here partition on high-cardinality keys
+(custkey/user_id/brand) so partitions stay small; none uses a global
+(empty) partitionBy, which would serialize on one task. Spark 4's
+InferWindowGroupLimit pushes rank<=k filters below the sort (top-k per
+group never materializes full partitions).
+Determinism: every orderBy carries a full tie-breaking key (FIXTURES §5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..io_util import table
+from ..registry import register
+
+
+@register(
+    "win_rank_dense_rownum",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           RANK()       OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           ROW_NUMBER() OVER w AS rn
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_custkey, rn
+    """,
+)
+def win_rank_dense_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@register(
+    "win_topk_per_group",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice, rn AS price_rank
+    FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             ROW_NUMBER() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey) AS rn
+      FROM part
+    )
+    WHERE rn <= 3
+    ORDER BY p_brand, rn
+    """,
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per brand — the per-query top-k shape of the reference's
+    retrieval (A18, k=100 at ra/agent.py:117). The rn<=3 filter is pushed
+    below the sort by InferWindowGroupLimit (partial top-k per map task)."""
+    p = table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return (
+        p.select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.row_number().over(w).alias("price_rank"),
+        )
+        .filter(F.col("price_rank") <= 3)
+        .orderBy("p_brand", "price_rank")
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, value,
+           value - LAG(value)  OVER w AS delta_prev,
+           LEAD(value, 1, 0.0) OVER w - value AS delta_next
+    FROM events
+    WHERE user_id < 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event value deltas (lag/lead with a default)."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "value",
+            (F.col("value") - F.lag("value").over(w)).alias("delta_prev"),
+            (F.lead("value", 1, 0.0).over(w) - F.col("value")).alias("delta_next"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "win_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_revenue
+    FROM orders
+    WHERE o_custkey < 100
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per customer — the reference's append-accumulation
+    state (A22) as a window frame. Running sums over a fixed ROWS frame
+    are order-deterministic, but rounded anyway: Spark and DuckDB agree
+    on the prefix order so the partials are identical."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_revenue"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+@register(
+    "win_moving_avg_range",
+    oracle="""
+    SELECT o_orderkey, o_orderdate,
+           ROUND(AVG(o_totalprice) OVER (ORDER BY o_orderdate
+                                         RANGE BETWEEN INTERVAL 6 DAYS PRECEDING
+                                               AND CURRENT ROW), 6) AS mavg_7d
+    FROM orders
+    WHERE o_custkey < 50
+    ORDER BY o_orderkey
+    """,
+)
+def win_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average over a RANGE frame. Spark's rangeBetween
+    needs a numeric ordering key → order by epoch seconds with a
+    -6-days-in-seconds lower bound; same value window as DuckDB's
+    INTERVAL frame. Global (unpartitioned) window kept deliberately small
+    via the filter; at scale, partition by a coarse time bucket first."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = (
+        W.orderBy(F.col("o_orderdate").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.avg("o_totalprice").over(w), 6).alias("mavg_7d"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "win_ntile_cume",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           NTILE(4)       OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST()    OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def win_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select(
+            "c_custkey",
+            "c_acctbal",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "win_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           LAST_VALUE(o_totalprice)  OVER w AS last_price,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_totalprice").over(w).alias("first_price"),
+            F.last("o_totalprice").over(w).alias("last_price"),
+            F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
