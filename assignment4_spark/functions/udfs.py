@@ -1,1 +1,187 @@
-"""Placeholder — operators land in a later milestone (SURVEY.md §7)."""
+"""UDF / UDAF / UDTF surface (SURVEY.md §2 B.10).
+
+One operator per Python-extension mechanism, each with a note on when it
+is the WRONG tool (the reference ran everything row-at-a-time in Python;
+the engine treats Python as the escape hatch, not the path):
+
+  * plain Python UDF — row-at-a-time serde; kept ONLY as the
+    deterministic id-formatter (A11's replacement) to demonstrate the
+    API. Never in a hot loop.
+  * pandas UDF (Series→Series) — Arrow-vectorized, the acceptable path.
+  * applyInPandas grouped map — per-group pandas, shuffles the group.
+  * pandas UDAF (grouped agg) — partial-agg-free; whole group in memory.
+  * Python UDTF (Spark 4) — table function, lateral-joined.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import udtf
+
+from ..io_util import table
+from ..registry import register
+
+
+@register(
+    "udf_python_scalar",
+    oracle="""
+    SELECT doc_id,
+           doc_id || '_text_chunk_' || n_chars AS vec_id_str
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic vector-id formatter — replaces the reference's
+    wall-clock-salted f"{doc}_text_chunk_{timestamp}" (A11,
+    parser_pinecone_storage.py:147) with content-derived ids."""
+
+    @F.udf(T.StringType())
+    def make_id(doc_id, n_chars):
+        return f"{doc_id}_text_chunk_{n_chars}"
+
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", make_id("doc_id", "n_chars").alias("vec_id_str")).orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS discounted
+    FROM lineitem
+    WHERE l_orderkey < 2000
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar UDF: numpy does the same IEEE multiply the
+    SQL engine would, so no rounding is needed for parity."""
+
+    @F.pandas_udf(T.DoubleType())
+    def discounted(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price * (1 - disc)
+
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        discounted("l_extendedprice", "l_discount").alias("discounted"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "udf_grouped_map",
+    oracle="""
+    SELECT event_id, event_type,
+           ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+                 / STDDEV_SAMP(value) OVER (PARTITION BY event_type), 6) AS v_norm
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score via applyInPandas (grouped map): the whole group
+    arrives as one pandas frame. pandas std(ddof=1) == STDDEV_SAMP."""
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        pdf["v_norm"] = ((v - v.mean()) / v.std(ddof=1)).round(6)
+        return pdf[["event_id", "event_type", "v_norm"]]
+
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return (
+        ev.groupBy("event_type")
+        .applyInPandas(normalize, schema="event_id long, event_type string, v_norm double")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "udf_grouped_agg",
+    oracle="""
+    SELECT event_type,
+           ROUND(SUM(value * CAST(json_extract_string(props, '$.k') AS INTEGER))
+                 / SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6)
+             AS weighted_mean
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas UDAF (GROUPED_AGG): weighted mean of value by the JSON
+    props weight. Unlike built-in aggregates there is NO partial
+    aggregation — the whole group ships to one worker; fine for bounded
+    groups, a skew hazard otherwise (prefer sum(v*w)/sum(w) built-ins at
+    scale — which is exactly what the oracle does)."""
+
+    @F.pandas_udf(T.DoubleType())
+    def wmean(v: pd.Series, w: pd.Series) -> float:
+        return float((v * w).sum() / w.sum())
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(F.round(wmean("value", "k"), 6).alias("weighted_mean"))
+        .orderBy("event_type")
+    )
+
+
+@udtf(returnType="chunk_id int, chunk string")
+class SplitChunksUDTF:
+    """Python UDTF (Spark 4): emit fixed-size chunks of the input text —
+    the UDTF form of the A9 splitter. One process-side generator per row;
+    use the pure-SQL chunker (rag_chunk_text) when the logic fits
+    expressions."""
+
+    def eval(self, text: str):  # noqa: D102 — contract defined by Spark
+        if text is None:
+            return
+        size, overlap = 120, 20
+        stride = size - overlap
+        i, chunk_id = 0, 0
+        while i < max(len(text), 1):
+            yield chunk_id, text[i : i + size]
+            chunk_id += 1
+            i += stride
+
+
+@register(
+    "udtf_split_explode",
+    oracle="""
+    WITH starts AS (
+      SELECT doc_id, text,
+             UNNEST(generate_series(0, GREATEST(LENGTH(text) - 1, 0), 100)) AS start
+      FROM documents
+      WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           CAST(start // 100 AS INTEGER)                    AS chunk_id,
+           SUBSTRING(text, CAST(start AS INTEGER) + 1, 120) AS chunk
+    FROM starts
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def udtf_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF lateral join producing the same rows as the SQL chunker."""
+    spark.udtf.register("split_chunks", SplitChunksUDTF)
+    table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).createOrReplaceTempView(
+        "docs_for_udtf"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.chunk
+        FROM docs_for_udtf d, LATERAL split_chunks(d.text) c
+        ORDER BY d.doc_id, c.chunk_id
+        """
+    )

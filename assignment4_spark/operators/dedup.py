@@ -1,1 +1,278 @@
-"""Placeholder — operators land in a later milestone (SURVEY.md §7)."""
+"""Deduplication operators: exact, first-occurrence, n-gram Jaccard,
+MinHash+LSH, SimHash (SURVEY.md §2 B.8 + north-star dedup suite).
+
+Reference provenance: upsert-dedup on vector ids (A13), set()-based
+title dedup (A16, ra/agent.py:69-77), first-occurrence dedup (A17,
+ra/server.py:39-43). The near-dup family is the training-data-pipeline
+extension the north-star demands.
+
+Scale design (the part that matters at 100 TB):
+  * exact dedup = hash agg on a canonical key — one shuffle of (key) only;
+  * brute-force pair Jaccard is O(N²) and is deliberately BOUNDED here
+    (`dedup_near_jaccard` caps the id range); the unbounded path is
+    `dedup_minhash_lsh`: signatures are computed NARROW (per-row
+    higher-order expressions, zero shuffle), the only shuffle is the
+    band-bucket self-join whose output is ~|candidates|, then candidates
+    are verified with exact Jaccard. Recall at J≥0.5 with 128 hashes /
+    64 bands of 2 rows is 1-(1-J²)^64 ≈ 1-1e-8 — the oracle can therefore
+    be the brute-force SQL (any miss would show as a hash mismatch).
+  * SimHash is fully narrow per doc (32-bit signature from token
+    hashes); candidate pairing via Hamming distance. Engine-defined hash
+    → rows-only check + unit tests (tests/test_rag_ops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..io_util import table
+from ..registry import register
+
+MERSENNE_P = 2147483647  # 2^31 - 1
+N_HASHES = 128
+N_BANDS = 64  # rows per band = 2
+JACCARD_THRESHOLD = 0.5
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS keep_doc_id,
+           MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))) AS fp,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY fp
+    HAVING COUNT(*) >= 1
+    ORDER BY keep_doc_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a canonical content fingerprint; min doc_id wins
+    (deterministic, unlike the reference's set() enumeration, A16)."""
+    d = table(spark, sf_dir, "documents")
+    canon = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    return (
+        d.select("doc_id", canon.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_doc_id", "fp", "n_copies")
+        .orderBy("keep_doc_id")
+    )
+
+
+@register(
+    "dedup_first_occurrence",
+    oracle="""
+    SELECT doc_id, source
+    FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn = 1
+    ORDER BY source
+    """,
+)
+def dedup_first_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact A17 semantics (ra/server.py:39-43): first (id, title) per
+    title in id order — row_number()=1, not Python set()."""
+    d = table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("doc_id")
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source")
+        .orderBy("source")
+    )
+
+
+def _shingles(text_col: str = "text", n: int = 3) -> Column:
+    """Distinct n-token shingles of a text column (higher-order, narrow)."""
+    w = F.split(text_col, " ")
+    idx = F.sequence(F.lit(1), F.size(w) - F.lit(n - 1))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            "_", *[F.element_at(w, (i + k).cast("int")) for k in range(n)]
+        ),
+    )
+    # <n tokens → fall back to the whole text as one shingle (same rule
+    # in the oracle SQL) so short docs never produce an empty set.
+    return F.array_distinct(
+        F.when(F.size(w) >= n, sh).otherwise(F.array(F.col(text_col)))
+    )
+
+
+_SHINGLE_SQL = """
+      SELECT doc_id,
+             LIST_DISTINCT(
+               CASE WHEN LEN(STRING_SPLIT(text, ' ')) >= 3
+                    THEN [STRING_SPLIT(text, ' ')[i] || '_' ||
+                          STRING_SPLIT(text, ' ')[i+1] || '_' ||
+                          STRING_SPLIT(text, ' ')[i+2]
+                          FOR i IN GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')) - 2)]
+                    ELSE [text] END) AS sh
+      FROM documents
+"""
+
+
+@register(
+    "dedup_near_jaccard",
+    oracle=f"""
+    WITH s AS ({_SHINGLE_SQL}),
+    bounded AS (SELECT * FROM s WHERE doc_id < 200)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE
+                 / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 6) AS jaccard
+    FROM bounded a JOIN bounded b ON a.doc_id < b.doc_id
+    WHERE LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE
+          / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force 3-gram shingle Jaccard pairs ≥ 0.5 over a BOUNDED id
+    range (O(N²) by construction — the unbounded path is
+    dedup_minhash_lsh)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    s = d.select("doc_id", _shingles().alias("sh"))
+    a, b = s.alias("a"), s.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH s AS ({_SHINGLE_SQL})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE
+                 / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 6) AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE
+          / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup detection over the FULL corpus.
+
+    Pipeline: shingle (narrow) → 128 minhashes via universal hashing
+    (narrow higher-order: min over shingles of (a_i·h+b_i mod p)) →
+    64 bands of 2 → explode bands → self-join on band signature (the
+    ONLY shuffle) → exact-Jaccard verification of candidates ≥ 0.5.
+
+    The oracle is the brute-force pair SQL: with these parameters the
+    LSH miss probability at J=0.5 is (1-0.25)^64 ≈ 1e-8, so candidate
+    recall is effectively exact and verified output == brute force.
+    Replaces: Pinecone-delegated similarity dedup (A16/A18).
+    """
+    d = table(spark, sf_dir, "documents")
+    s = d.select("doc_id", _shingles().alias("sh"))
+
+    # Signatures: explode shingles, hash each ONCE, then 128 codegen'd
+    # MIN aggregates with map-side partial aggregation. (A per-row nested
+    # higher-order formulation re-evaluates the shingle/hash expression
+    # per hash function in the interpreted expression evaluator — ~100×
+    # slower; measured 110s → <2s at 500 docs.) The groupBy shuffles one
+    # 128-long row per document — negligible vs the corpus itself.
+    hashed = s.select(
+        "doc_id", F.explode("sh").alias("shingle")
+    ).select(
+        "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P)).alias("h")
+    )
+    # minhash_i = min_h ((2i+3)·h + 1000003·i + 12345 mod p)  — no overflow:
+    # (2·128+3)·2^31 ≪ 2^63, safe under ANSI mode.
+    sigs = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.pmod(
+                    F.col("h") * (2 * i + 3) + F.lit(i * 1000003 + 12345),
+                    F.lit(MERSENNE_P),
+                )
+            ).alias(f"m{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    bands = F.array(
+        *[
+            F.concat_ws(":", F.lit(b), F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}"))
+            for b in range(N_BANDS)
+        ]
+    )
+    banded = sigs.select("doc_id", F.explode(bands).alias("band_key"))
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), "band_key")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter.cast("double") / union
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register("dedup_simhash")  # engine-defined hash bits → rows-only; unit-tested
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: 32-bit signature per document from
+    token hashes (weighted bit voting, computed narrow with higher-order
+    aggregates), then pairs with Hamming distance ≤ 6.
+
+    The pair scan is O(N²) on a 1-long signature — cheap integer XOR +
+    popcount; at larger N, band the signature into 4 bytes and bucket-join
+    like LSH (same trick as dedup_minhash_lsh)."""
+    d = table(spark, sf_dir, "documents")
+    # Explode tokens, hash each once, and take 32 codegen'd SUM votes
+    # (map-side combined) — same explode→multi-agg shape as
+    # dedup_minhash_lsh, for the same reason: per-row higher-order
+    # aggregates run interpreted and re-scan the token array per bit.
+    hashed = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum((F.shiftrightunsigned("h", j) % 2) * 2 - 1).alias(f"v{j}")
+            for j in range(32)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for j in range(32):
+        sim = sim + F.when(
+            F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    sigs = votes.select("doc_id", sim.alias("simhash"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(ham <= 6)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,1 +1,197 @@
-"""Placeholder — operators land in a later milestone (SURVEY.md §7)."""
+"""Multimodal-column operators + report sink (SURVEY.md §2 B.8).
+
+Reference provenance: Docling layout JSON with tables/pictures arrays
+(parser_pinecone_storage.py:81-82,156-183), table/figure S3 keys with the
+1-based/0-based off-by-one (SURVEY Appendix A.2 — the engine standardizes
+1-BASED keys), PDF report sink (ra/agent.py:135-149; 5-section server
+schema ra/server.py:72-77 taken as canonical per Appendix A.1).
+
+Multimodal columns are opaque `binary` + typed metadata columns
+(SURVEY §1.3: no UDT). Real image/audio decode libraries are not in this
+container, so decode is a clearly-marked deterministic FAKE behind the
+same mapInPandas plumbing a real decoder would use — schema, batching and
+partitioning are the real, tested parts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io_util import table
+from ..registry import register
+
+
+@register(
+    "multimodal_table_explode",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, UNNEST(generate_series(1, CAST(doc_id % 4 AS INTEGER))) AS table_no
+      FROM documents
+      WHERE doc_id % 4 <> 0
+    )
+    SELECT doc_id,
+           CAST(table_no AS INTEGER)                                    AS table_no,
+           'doc_' || doc_id || '/table_' || table_no || '.csv'          AS s3_key,
+           CAST((doc_id * 7 + table_no) % 20 + 1 AS INTEGER)            AS n_rows
+    FROM t
+    ORDER BY doc_id, table_no
+    """,
+)
+def multimodal_table_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-JSON → exploded per-table references with 1-BASED keys
+    (fixes the reference's A6/A14 off-by-one: CSV uploads counted from 1,
+    Pinecone metadata from 0 — SURVEY Appendix A.2).
+
+    The layout JSON is synthesized deterministically per document (the
+    fixture corpus has no real Docling output), round-tripped through
+    to_json → from_json → posexplode to prove the JSON path."""
+    d = table(spark, sf_dir, "documents")
+    # build layout: tables = [{rows: (doc_id*7+n)%20+1} for n in 1..doc_id%4]
+    # NB: Spark's sequence(1, 0) counts DOWN ([1,0]) rather than returning
+    # an empty array — docs with doc_id%4==0 must be guarded explicitly.
+    n_tables = (F.col("doc_id") % 4).cast("int")
+    layout = F.to_json(
+        F.struct(
+            F.when(
+                n_tables > 0,
+                F.transform(
+                    F.sequence(F.lit(1), n_tables),
+                    lambda n: F.struct(
+                        ((F.col("doc_id") * 7 + n) % 20 + 1).cast("int").alias("rows")
+                    ),
+                ),
+            )
+            .otherwise(F.array().cast("array<struct<rows:int>>"))
+            .alias("tables")
+        )
+    )
+    parsed = d.select(
+        "doc_id",
+        F.from_json(layout, "tables array<struct<rows:int>>").alias("layout"),
+    ).filter(F.size("layout.tables") > 0)
+    exploded = parsed.select(
+        "doc_id", F.posexplode("layout.tables").alias("pos", "tbl")
+    )
+    return exploded.select(
+        "doc_id",
+        (F.col("pos") + 1).alias("table_no"),  # 1-based, by design
+        F.concat(
+            F.lit("doc_"),
+            F.col("doc_id"),
+            F.lit("/table_"),
+            (F.col("pos") + 1),
+            F.lit(".csv"),
+        ).alias("s3_key"),
+        F.col("tbl.rows").alias("n_rows"),
+    ).orderBy("doc_id", "table_no")
+
+
+def fake_decode_image(blob: bytes) -> tuple[int, int, str]:
+    """Deterministic FAKE image decode (image libs absent in this
+    container — SURVEY §7 non-goals). A real deployment swaps this one
+    function for PIL/libvips; everything around it (binary column in,
+    Arrow batches, typed metadata out) is the production plumbing."""
+    if not blob:
+        return (0, 0, "empty")
+    w = 64 + (blob[0] % 16) * 64
+    h = 64 + (len(blob) % 16) * 64
+    fmt = ["png", "jpeg", "webp"][blob[-1] % 3]
+    return (w, h, fmt)
+
+
+@register("multimodal_binary_meta")  # fake decoder is engine-defined → rows-only
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary multimodal column + mapInPandas feature extraction.
+
+    documents.text stands in for image bytes (binary column); decode runs
+    per Arrow batch — thousands of blobs per Python call, the batch shape
+    a real CV/audio decoder needs. Schema: (doc_id, n_bytes, width,
+    height, format)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("blob")
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pdf["blob"].map(fake_decode_image)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["blob"].map(len),
+                    "width": meta.map(lambda m: m[0]),
+                    "height": meta.map(lambda m: m[1]),
+                    "format": meta.map(lambda m: m[2]),
+                }
+            )
+
+    return d.mapInPandas(
+        decode_batches,
+        schema="doc_id long, n_bytes long, width int, height int, format string",
+    ).orderBy("doc_id")
+
+
+@register(
+    "report_compose",
+    oracle="""
+    SELECT
+      'Corpus Research Report'                                   AS title,
+      'Analyzed ' || (SELECT COUNT(*) FROM documents) || ' documents'   AS introduction,
+      'Top language: ' ||
+        (SELECT lang FROM documents GROUP BY lang ORDER BY COUNT(*) DESC, lang LIMIT 1)
+                                                                 AS key_findings,
+      'Average length: ' ||
+        CAST(ROUND((SELECT AVG(n_chars) FROM documents), 2) AS VARCHAR) AS analysis,
+      'Total characters: ' ||
+        CAST((SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents) AS VARCHAR) AS conclusion,
+      (SELECT STRING_AGG(source, '; ' ORDER BY source)
+       FROM (SELECT DISTINCT source FROM documents ORDER BY source LIMIT 3)) AS sources
+    """,
+)
+def report_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-row report with the server's 5-section schema
+    (ra/server.py:72-77; the 4-arg agent variant ra/agent.py:135-149 is
+    the buggy one — Appendix A.1). Sections are composed from aggregates
+    with concat — a driver-side-loop-free report sink; write.text/json
+    turns it into the reference's file artifact."""
+    d = table(spark, sf_dir, "documents")
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    top_lang = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("lang"))
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"))
+    )
+    sources = (
+        d.select("source")
+        .distinct()
+        .orderBy("source")
+        .limit(3)
+        .agg(F.array_join(F.array_sort(F.collect_list("source")), "; ").alias("src3"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(top_lang))
+        .crossJoin(F.broadcast(sources))
+        .select(
+            F.lit("Corpus Research Report").alias("title"),
+            F.concat(F.lit("Analyzed "), F.col("n_docs"), F.lit(" documents")).alias(
+                "introduction"
+            ),
+            F.concat(F.lit("Top language: "), F.col("top_lang")).alias("key_findings"),
+            F.concat(F.lit("Average length: "), F.col("avg_chars").cast("string")).alias(
+                "analysis"
+            ),
+            F.concat(
+                F.lit("Total characters: "), F.col("total_chars").cast("string")
+            ).alias("conclusion"),
+            F.col("src3").alias("sources"),
+        )
+    )

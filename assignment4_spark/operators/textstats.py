@@ -1,1 +1,281 @@
-"""Placeholder — operators land in a later milestone (SURVEY.md §7)."""
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2 B.8
+north-star: language-ID, quality scoring, token counting, fingerprinting,
+word stats, tf-idf).
+
+All pure Catalyst expressions — token work uses split/explode/
+higher-order functions, never a Python loop, so the same code runs over
+100 TB of documents as a narrow scan + one shuffle per aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..io_util import table
+from ..registry import register
+
+# Function-word lists for the n-gram/stopword language heuristic. Tiny on
+# purpose: they broadcast inside the expression tree as literals.
+EN_STOP = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
+DE_STOP = ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"]
+FR_STOP = ["le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"]
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+@register(
+    "text_word_count",
+    oracle="""
+    SELECT token, COUNT(*) AS cnt
+    FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY cnt DESC, token
+    LIMIT 20
+    """,
+)
+def text_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 token frequency — explode + hash agg; the shuffle
+    carries one row per distinct token (map-side partial counts)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+      FROM documents WHERE doc_id < 100
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * LN(n.n_docs / df.df), 6) AS tfidf,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf * LN(n.n_docs / df.df) DESC, tf.term) AS rn
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, rn AS term_rank
+    FROM scored WHERE rn <= 5
+    ORDER BY doc_id, term_rank
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tf-idf terms per document. df-side is a broadcast join (the
+    vocabulary is tiny next to the corpus); idf uses ln(N/df)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = tf.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("raw", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("raw").desc(), F.col("term"))
+    return (
+        scored.select(
+            "doc_id",
+            "term",
+            F.round("raw", 6).alias("tfidf"),
+            F.row_number().over(w).alias("term_rank"),
+        )
+        .filter(F.col("term_rank") <= 5)
+        .orderBy("doc_id", "term_rank")
+    )
+
+
+@register(
+    "text_lang_stats",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*)                 AS n_docs,
+           ROUND(AVG(n_chars), 6)   AS avg_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                             t -> LIST_CONTAINS({_sql_list(EN_STOP)}, t))) AS en_hits,
+             LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                             t -> LIST_CONTAINS({_sql_list(DE_STOP)}, t))) AS de_hits,
+             LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                             t -> LIST_CONTAINS({_sql_list(FR_STOP)}, t))) AS fr_hits
+      FROM documents
+    )
+    SELECT doc_id, en_hits, de_hits, fr_hits,
+           CASE WHEN en_hits = 0 AND de_hits = 0 AND fr_hits = 0 THEN 'und'
+                WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+                WHEN de_hits >= fr_hits THEN 'de'
+                ELSE 'fr' END AS pred_lang
+    FROM scored
+    ORDER BY doc_id
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID (the classic n-gram/function-word
+    heuristic). Deterministic tie order: en > de > fr; no hits → 'und'."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+
+    def hits(words: list[str]):
+        lits = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(lits, t)))
+
+    scored = d.select(
+        "doc_id",
+        hits(EN_STOP).alias("en_hits"),
+        hits(DE_STOP).alias("de_hits"),
+        hits(FR_STOP).alias("fr_hits"),
+    )
+    return scored.select(
+        "doc_id",
+        "en_hits",
+        "de_hits",
+        "fr_hits",
+        F.when(
+            (F.col("en_hits") == 0) & (F.col("de_hits") == 0) & (F.col("fr_hits") == 0),
+            "und",
+        )
+        .when(
+            (F.col("en_hits") >= F.col("de_hits")) & (F.col("en_hits") >= F.col("fr_hits")),
+            "en",
+        )
+        .when(F.col("de_hits") >= F.col("fr_hits"), "de")
+        .otherwise("fr")
+        .alias("pred_lang"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id,
+           LENGTH(text)                                       AS n_chars_m,
+           LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS n_tokens,
+           ROUND(LENGTH(text)::DOUBLE
+                 / GREATEST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')), 1), 6)
+                                                              AS avg_token_len,
+           LEN(REGEXP_EXTRACT_ALL(text, '[^a-zA-Z0-9 ]'))     AS n_punct,
+           ROUND(
+             LEAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) / 100.0, 1.0) * 0.5
+             + CASE WHEN LEN(REGEXP_EXTRACT_ALL(text, '[^a-zA-Z0-9 ]'))::DOUBLE
+                         / GREATEST(LENGTH(text), 1) < 0.1 THEN 0.5 ELSE 0.0 END, 6)
+                                                              AS quality
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length + token stats + punctuation
+    ratio composed into a [0,1] score — the shape of C4/Gopher-style
+    quality filters, as one codegen'd projection."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    n_tokens = F.size(toks)
+    n_punct = F.regexp_count("text", F.lit(r"[^a-zA-Z0-9 ]"))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_m"),
+        n_tokens.alias("n_tokens"),
+        F.round(F.length("text") / F.greatest(n_tokens, F.lit(1)), 6).alias("avg_token_len"),
+        n_punct.alias("n_punct"),
+        F.round(
+            F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
+            + F.when(n_punct / F.greatest(F.length("text"), F.lit(1)) < 0.1, 0.5).otherwise(
+                0.0
+            ),
+            6,
+        ).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> ''))  AS ws_tokens,
+           LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS bpe_ish_tokens,
+           CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT)                 AS byte_estimate
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, a BPE-ish regex (letter
+    runs / digits / punctuation — the GPT-2 pre-tokenizer shape), and the
+    chars/4 estimate used for budget planning."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias("ws_tokens"),
+        F.regexp_count("text", F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]")).alias(
+            "bpe_ish_tokens"
+        ),
+        F.ceil(F.length("text") / 4.0).alias("byte_estimate"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))) AS fp,
+           SUBSTRING(MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))), 1, 8) AS fp_short
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalizing content fingerprint: whitespace-collapse + lowercase
+    + md5 (md5 is identical across engines, unlike xxhash). This is the
+    exact-dedup key for A11's content-hash vector ids (SURVEY Appendix
+    A.4 replacement for wall-clock ids)."""
+    d = table(spark, sf_dir, "documents")
+    canon = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return d.select(
+        "doc_id",
+        F.md5(canon).alias("fp"),
+        F.substring(F.md5(canon), 1, 8).alias("fp_short"),
+    ).orderBy("doc_id")

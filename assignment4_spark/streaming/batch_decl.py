@@ -1,1 +1,217 @@
-"""Placeholder — operators land in a later milestone (SURVEY.md §7)."""
+"""Streaming operators, batch-declared (SURVEY.md §2 B.9).
+
+Each operator is a Structured-Streaming shape (tumbling/sliding/session
+windows, watermark late-data policy, streaming dedup, stateful running
+aggregation) declared to the driver as its batch-equivalent DataFrame so
+the DuckDB oracle applies. tests/test_streaming.py replays the same
+logic through a real readStream (file source, multiple micro-batches)
+and asserts end-of-stream equality — SURVEY §5.2.4.
+
+Reference provenance: the reference has no streaming at all (SURVEY §2
+"not present"); these model its pipeline batching (A15), session state
+(A26) and accumulating agent state (A22) as proper streaming semantics.
+
+Scale notes: windowed aggregations shuffle on (window × key) — bounded
+state per watermark; session windows merge per key; streaming dedup
+keeps only ids younger than the watermark. All of it is incremental at
+100 TB/day ingest rates, which is the reason to express these as
+Structured Streaming instead of periodic batch jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..io_util import table
+from ..registry import register
+
+
+@register(
+    "stream_tumbling_count",
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts) AS window_start,
+           event_type,
+           COUNT(*)               AS n,
+           ROUND(SUM(value), 2)   AS total_value
+    FROM events
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def stream_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows × event_type."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "stream_sliding_avg",
+    oracle="""
+    WITH expanded AS (
+      SELECT TIME_BUCKET(INTERVAL 15 MINUTES, ts) - TO_MINUTES(15 * k) AS window_start,
+             value
+      FROM events, UNNEST(generate_series(0, 3)) AS t(k)
+    )
+    SELECT window_start,
+           COUNT(*)               AS n,
+           ROUND(AVG(value), 6)   AS avg_value
+    FROM expanded
+    GROUP BY window_start
+    ORDER BY window_start
+    """,
+)
+def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1 hour length, 15 minute slide — every event lands
+    in 4 windows (the oracle expands them explicitly via generate_series)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "avg_value")
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTES OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts)  AS session_start,
+           COUNT(*) AS n_events,
+           CAST(DATE_DIFF('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_sec
+    FROM numbered
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_start
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user, 30-minute gap (strictly-greater starts a
+    new session — pinned in SURVEY §7 risk register). Spark's native
+    session_window merges state per key; the oracle is the classic
+    gaps-and-islands SQL. Duration = last-first event (not Spark's
+    +gap-padded window end, which is implementation-defined)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("_last"),
+        )
+        .select(
+            "user_id",
+            "session_start",
+            "n_events",
+            (F.unix_timestamp("_last") - F.unix_timestamp("session_start")).alias(
+                "duration_sec"
+            ),
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "stream_dedup_ids",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_unique
+    FROM (
+      SELECT DISTINCT event_id, event_type
+      FROM (SELECT event_id, event_type FROM events
+            UNION ALL
+            SELECT event_id, event_type FROM events)
+    )
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def stream_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on event_id (A13's idempotent-upsert intent): the
+    batch declaration doubles the input and deduplicates; the streaming
+    harness runs withWatermark().dropDuplicates() over replayed batches."""
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type")
+    return (
+        ev.unionByName(ev)
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "stream_late_data",
+    oracle="""
+    SELECT COUNT(*)                            AS n_late,
+           CAST((SELECT MAX(ts) FROM events) - INTERVAL 1 HOUR AS TIMESTAMP) AS watermark_ts
+    FROM events
+    WHERE ts < (SELECT MAX(ts) FROM events) - INTERVAL 1 HOUR
+    """,
+)
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark policy, batch proxy: rows older than max(ts)-1h are the
+    ones a 1-hour watermark would reject if they arrived last. The
+    behavioral (arrival-order) variant runs in the streaming harness."""
+    ev = table(spark, sf_dir, "events")
+    wm = ev.agg((F.max("ts") - F.expr("INTERVAL 1 HOUR")).alias("watermark_ts"))
+    return (
+        ev.crossJoin(F.broadcast(wm))
+        .filter(F.col("ts") < F.col("watermark_ts"))
+        .groupBy("watermark_ts")
+        .agg(F.count(F.lit(1)).alias("n_late"))
+        .select("n_late", "watermark_ts")
+    )
+
+
+@register(
+    "stream_stateful_running",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(COUNT(*) OVER w AS BIGINT)  AS running_count,
+           ROUND(SUM(value) OVER w, 2)      AS running_sum
+    FROM events
+    WHERE user_id < 10
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+)
+def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running count/sum — the reference's accumulating agent
+    state (A22) as keyed streaming state. Batch declaration = window
+    cumsum; the streaming form (applyInPandasWithState) lives in
+    tests/test_streaming.py and must agree at end-of-stream."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.count(F.lit(1)).over(w).alias("running_count"),
+            F.round(F.sum("value").over(w), 2).alias("running_sum"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -1,0 +1,155 @@
+"""Unit tests for the rows-only (non-oracle) RAG/dedup/vector operators
+(SURVEY.md §5.2.3/5.2.5): determinism, semantics the DuckDB oracle can't
+check, and recall/error bounds for approximate ops."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from assignment4_spark import registry
+from assignment4_spark.operators.rag import chunk_text
+
+registry.load_all()
+
+
+def test_chunk_reassembly_property(spark):
+    """Property (SURVEY §5.2.5): concatenating chunks with the overlap
+    removed reconstructs the original text exactly."""
+    texts = [
+        ("short", "tiny"),
+        ("exact", "x" * 120),
+        ("plus1", "y" * 121),
+        ("long", "the quick brown fox jumps over the lazy dog " * 20),
+        ("empty-ish", "a"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = chunk_text(df, size=120, overlap=20).orderBy("doc_id", "chunk_id").collect()
+    by_doc: dict[int, list[str]] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.chunk_text)
+    for i, (_, t) in enumerate(texts):
+        chunks = by_doc[i]
+        rebuilt = chunks[0] + "".join(c[20:] for c in chunks[1:])
+        assert rebuilt == t, f"doc {i}: reassembly mismatch"
+        # every chunk except the last is exactly `size` long
+        for c in chunks[:-1]:
+            assert len(c) == 120
+
+
+def test_hash_embedder_deterministic_and_normalized(spark, sf_small):
+    out1 = registry.QUERIES["rag_embed_hash"](spark, sf_small).limit(50).collect()
+    out2 = registry.QUERIES["rag_embed_hash"](spark, sf_small).limit(50).collect()
+    assert [r.embedding for r in out1] == [r.embedding for r in out2], "not deterministic"
+    for r in out1:
+        norm = sum(x * x for x in r.embedding) ** 0.5
+        assert abs(norm - 1.0) < 1e-5, f"not L2-normalized: {norm}"
+        assert len(r.embedding) == 64
+
+
+def test_approx_distinct_error_bound(spark, sf_oracle):
+    """approx_count_distinct rsd=0.01 must stay within 5% of exact
+    (FIXTURES §5: error bounds unit-tested since no oracle applies)."""
+    approx = {
+        r.event_type: r.approx_users
+        for r in registry.QUERIES["agg_approx_distinct"](spark, sf_oracle).collect()
+    }
+    exact = {
+        r.event_type: r.n_users
+        for r in registry.QUERIES["agg_count_distinct"](spark, sf_oracle).collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(1, 0.05 * exact[k])
+
+
+def test_simhash_finds_planted_near_dups(spark, sf_oracle):
+    """The fixture corpus plants near-dup pairs with shingle-Jaccard
+    ≥ 0.9 at sf0.01 (measured); SimHash at hamming ≤ 6 must recover a
+    solid majority of them and be deterministic."""
+    jac_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in registry.QUERIES["dedup_minhash_lsh"](spark, sf_oracle).collect()
+    }
+    sim_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in registry.QUERIES["dedup_simhash"](spark, sf_oracle).collect()
+    }
+    assert jac_pairs, "fixture should contain planted near-dups"
+    recall = len(jac_pairs & sim_pairs) / len(jac_pairs)
+    assert recall >= 0.6, f"simhash recall too low: {recall} ({len(sim_pairs)} pairs)"
+
+
+def test_ivf_ann_recall_vs_exact(spark, sf_oracle):
+    """IVF with nprobe=3 of 8 clusters: recall@5 vs the exact scan.
+    Fixture embeddings are uniform-random (no cluster structure), so the
+    floor is ~nprobe/K = 0.375 from probing alone; the coarse quantizer
+    correlation should lift it meaningfully above that."""
+    ann = registry.QUERIES["vec_ann_ivf_topk"](spark, sf_oracle).collect()
+    by_q: dict[int, set[int]] = {}
+    for r in ann:
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # exact top-5 for the same query ids, via the same cosine
+    from assignment4_spark.io_util import table
+    from assignment4_spark.operators.vectors import as_double, cosine
+    from pyspark.sql.window import Window as W
+
+    e = table(spark, sf_oracle, "embeddings")
+    q = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(as_double("embedding"), as_double("q_emb")).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5).collect()
+    )
+    exact_by_q: dict[int, set[int]] = {}
+    for r in exact:
+        exact_by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(by_q.get(qid, set()) & nbrs) / len(nbrs) for qid, nbrs in exact_by_q.items()
+    ]
+    assert sum(recalls) / len(recalls) >= 0.45, f"IVF recall too low: {recalls}"
+
+
+def test_multimodal_binary_meta_schema_and_batching(spark, sf_small):
+    df = registry.QUERIES["multimodal_binary_meta"](spark, sf_small)
+    assert [f.name for f in df.schema.fields] == [
+        "doc_id",
+        "n_bytes",
+        "width",
+        "height",
+        "format",
+    ]
+    rows = df.collect()
+    assert len(rows) == 500
+    assert all(r.width >= 64 and r.height >= 64 for r in rows)
+    assert all(r.format in ("png", "jpeg", "webp") for r in rows)
+    # deterministic across runs
+    again = registry.QUERIES["multimodal_binary_meta"](spark, sf_small).collect()
+    assert rows == again
+
+
+def test_report_compose_shape(spark, sf_small):
+    rows = registry.QUERIES["report_compose"](spark, sf_small).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.title == "Corpus Research Report"
+    for section in ("introduction", "key_findings", "analysis", "conclusion", "sources"):
+        assert getattr(r, section)
+
+
+def test_upsert_latest_wins(spark, sf_small):
+    rows = {r.vec_id: (r.ver, r.payload) for r in
+            registry.QUERIES["vec_upsert_dedup"](spark, sf_small).collect()}
+    assert rows == {1: (3, "a3"), 2: (2, "b2"), 3: (7, "c7"), 4: (1, "d1")}
