@@ -1,0 +1,275 @@
+"""Real Structured-Streaming implementations of the B.9 operators.
+
+`batch_decl.py` declares each streaming operator as its batch-equivalent
+DataFrame (that is what the driver's DuckDB oracle checks). This module
+is the streaming half of the contract (SURVEY §5.2.4): the same logic
+expressed over `readStream`, replayed from the fixture `events` table in
+ts-ordered micro-batches, with end-of-stream state asserted equal to the
+batch declaration in tests/test_streaming.py.
+
+Replay design: the fixture parquet is sliced into N files in (ts,
+event_id) order; a file-source stream with maxFilesPerTrigger=1 then
+yields N micro-batches in event-time order (each slice is a contiguous
+ts range, so watermarks advance monotonically like a healthy production
+feed). Out-of-order/late arrival is exercised separately with a
+hand-built two-batch feed (`late_feed`) because it needs a row that
+arrives *behind* the watermark.
+
+Scale notes (what changes on a cluster, none of which changes the code):
+the file source becomes Kafka, `maxFilesPerTrigger` becomes
+`maxOffsetsPerTrigger`, and the memory sink becomes a table/foreachBatch
+sink. State stores (window aggs, session merge, dedup set, per-key
+running state) are already keyed shuffles bounded by the watermark.
+
+Reference provenance: the reference has no streaming (SURVEY §2 "not
+present"); these model its pipeline batching (A15), session state (A26)
+and accumulating agent state (A22, ra/agent.py:33-41) as incremental
+computation.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..io_util import table
+
+SCRATCH = "/tmp/assignment4_spark_stream"
+
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def replay_dir(spark: SparkSession, sf_dir: str, n_slices: int = 6) -> str:
+    """Write `events` as n_slices single-file parquet slices in (ts,
+    event_id) order; returns the directory a file-source stream reads."""
+    out = os.path.join(SCRATCH, f"replay_{uuid.uuid4().hex[:8]}")
+    os.makedirs(out, exist_ok=True)
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("ts", "event_id")
+    )
+    pdf = ev.toPandas()
+    n = len(pdf)
+    step = (n + n_slices - 1) // n_slices
+    for i in range(n_slices):
+        part = pdf.iloc[i * step : (i + 1) * step]
+        if len(part):
+            p = os.path.join(out, f"slice_{i:04d}.parquet")
+            part.to_parquet(
+                p,
+                index=False,
+                coerce_timestamps="us",  # pandas default is ns → INT64 Spark can't read as timestamp
+                allow_truncated_timestamps=True,
+            )
+            # distinct mtimes → the file source actually delivers one
+            # micro-batch per slice instead of merging equal timestamps
+            os.utime(p, (1700000000 + i * 60, 1700000000 + i * 60))
+    return out
+
+
+def read_stream(spark: SparkSession, replay_path: str) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_path)
+    )
+
+
+def run_to_table(sdf: DataFrame, mode: str) -> DataFrame:
+    """Drain the stream with availableNow and return the memory-sink
+    table (one micro-batch per replay slice, then terminate)."""
+    name = f"sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(SCRATCH, f"ckpt_{name}"))
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+def cleanup() -> None:
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
+# ---------------------------------------------------------------- operators
+
+
+def tumbling_count(events: DataFrame) -> DataFrame:
+    """Streaming twin of stream_tumbling_count (complete mode)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+def sliding_avg(events: DataFrame) -> DataFrame:
+    """Streaming twin of stream_sliding_avg (complete mode)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "avg_value")
+    )
+
+
+def session_window(events: DataFrame) -> DataFrame:
+    """Streaming twin of stream_session_window: native session_window with
+    a watermark (session merge state requires one in streaming)."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("_last"),
+        )
+        .select(
+            "user_id",
+            "session_start",
+            "n_events",
+            (F.unix_timestamp("_last") - F.unix_timestamp("session_start")).alias(
+                "duration_sec"
+            ),
+        )
+    )
+
+
+def dedup_ids(events: DataFrame) -> DataFrame:
+    """Streaming twin of stream_dedup_ids: watermarked dropDuplicates.
+    Emits surviving rows (append); the per-type counts are taken on the
+    sink table (chaining dedup→agg in one streaming query is a multiple-
+    stateful-operator restriction)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "event_type")
+    )
+
+
+_RUNNING_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("running_count", LongType()),
+        StructField("running_sum", DoubleType()),
+    ]
+)
+_RUNNING_STATE = StructType(
+    [StructField("cnt", LongType()), StructField("acc", DoubleType())]
+)
+
+
+def _running(key, pdf_iter: Iterable[pd.DataFrame], state: GroupState):
+    """Per-user accumulator (A22 as keyed state): carries (count, sum)
+    across micro-batches, emits one row per event with the running value
+    at that event. Rows within a batch are sorted by (ts, event_id) —
+    the replay slices are ts-contiguous so global order is preserved."""
+    cnt, acc = state.get if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out_cnt = []
+        out_sum = []
+        for v in pdf["value"]:
+            cnt += 1
+            acc += float(v)
+            out_cnt.append(cnt)
+            out_sum.append(round(acc, 2))
+        yield pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "running_count": out_cnt,
+                "running_sum": out_sum,
+            }
+        )
+    state.update((cnt, acc))
+
+
+def stateful_running(events: DataFrame) -> DataFrame:
+    """Streaming twin of stream_stateful_running via applyInPandasWithState."""
+    return (
+        events.filter(F.col("user_id") < 10)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _running,
+            outputStructType=_RUNNING_OUT,
+            stateStructType=_RUNNING_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def late_feed(spark: SparkSession) -> str:
+    """Hand-built slices for the watermark-drop behavioral test.
+
+    Micro-batch watermark semantics: the watermark computed from batch
+    N's data takes effect for batch N+2's late-row filter (it is
+    committed at N's end and picked up one batch later — verified via
+    numRowsDroppedByWatermark). So: batch 0 advances event time to
+    12:00 (→ watermark 11:00), batch 1 is a spacer that lets it take
+    effect, batch 2 carries the late row 09:30 (< 11:00 → dropped) and
+    an on-time 11:45 (kept)."""
+    out = os.path.join(SCRATCH, f"late_{uuid.uuid4().hex[:8]}")
+    os.makedirs(out, exist_ok=True)
+    batches = [
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 12:00:00")],
+        [(3, "2024-01-01 12:10:00")],
+        [(4, "2024-01-01 09:30:00"), (5, "2024-01-01 11:45:00")],
+    ]
+    for i, rows in enumerate(batches):
+        b = pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": pd.to_datetime([r[1] for r in rows]),
+                "user_id": 1,
+                "event_type": "a",
+                "value": 1.0,
+            }
+        )
+        p = os.path.join(out, f"slice_{i:04d}.parquet")
+        b.to_parquet(
+            p, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        # the file source groups files with equal mtimes into one batch;
+        # distinct mtimes force one micro-batch per slice
+        os.utime(p, (1700000000 + i * 60, 1700000000 + i * 60))
+    return out
+
+
+def late_tumbling(events: DataFrame) -> DataFrame:
+    """Watermarked tumbling count in update mode for the late-drop test."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )

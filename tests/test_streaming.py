@@ -1,0 +1,90 @@
+"""Streaming-equivalence harness (SURVEY §5.2.4): every B.9 operator's
+real Structured-Streaming form, replayed from the fixture events table in
+micro-batches, must agree with its batch declaration at end-of-stream.
+
+Equality = exceptAll empty in both directions on the oracle-checked
+columns (the same frame the driver hashes)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from assignment4_spark import registry
+from assignment4_spark.streaming import stream_impl as si
+
+registry.load_all()
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def replay(spark):
+    path = si.replay_dir(spark, SF, n_slices=6)
+    yield path
+    si.cleanup()
+
+
+def assert_frames_equal(a: DataFrame, b: DataFrame) -> None:
+    cols = sorted(a.columns)
+    assert sorted(b.columns) == cols
+    a, b = a.select(*cols), b.select(*cols)
+    extra = a.exceptAll(b).count()
+    missing = b.exceptAll(a).count()
+    assert extra == 0 and missing == 0, f"stream≠batch: +{extra} / -{missing} rows"
+
+
+def test_stream_tumbling_count(spark, replay):
+    got = si.run_to_table(si.tumbling_count(si.read_stream(spark, replay)), "complete")
+    want = registry.QUERIES["stream_tumbling_count"](spark, SF)
+    assert_frames_equal(got, want)
+
+
+def test_stream_sliding_avg(spark, replay):
+    got = si.run_to_table(si.sliding_avg(si.read_stream(spark, replay)), "complete")
+    want = registry.QUERIES["stream_sliding_avg"](spark, SF)
+    assert_frames_equal(got, want)
+
+
+def test_stream_session_window(spark, replay):
+    got = si.run_to_table(si.session_window(si.read_stream(spark, replay)), "complete")
+    want = registry.QUERIES["stream_session_window"](spark, SF)
+    assert_frames_equal(got, want)
+
+
+def test_stream_dedup_ids(spark, replay):
+    deduped = si.run_to_table(si.dedup_ids(si.read_stream(spark, replay)), "append")
+    got = sorted(
+        (r.event_type, r.n_unique)
+        for r in deduped.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+        .collect()
+    )
+    want = sorted(
+        (r.event_type, r.n_unique)
+        for r in registry.QUERIES["stream_dedup_ids"](spark, SF).collect()
+    )
+    assert got == want
+
+
+def test_stream_stateful_running(spark, replay):
+    got = si.run_to_table(si.stateful_running(si.read_stream(spark, replay)), "append")
+    want = registry.QUERIES["stream_stateful_running"](spark, SF)
+    assert_frames_equal(got, want)
+
+
+def test_watermark_drops_late_row(spark):
+    """Behavioral watermark test: a row arriving behind the watermark is
+    excluded from its window's final count (the batch proxy for this is
+    stream_late_data)."""
+    path = si.late_feed(spark)
+    out = si.run_to_table(si.late_tumbling(si.read_stream(spark, path)), "update")
+    counts: dict[str, int] = {}
+    for r in out.collect():  # update mode re-emits windows; keep the max
+        k = r.window_start.strftime("%H:%M")
+        counts[k] = max(counts.get(k, 0), r.n)
+    # event_id=4 (09:30, behind the 11:00 watermark) must NOT appear
+    assert counts.get("09:00", 0) == 0
+    # event_id=5 (11:45, ahead of watermark) must be counted
+    assert counts.get("11:00") == 1
