@@ -76,11 +76,12 @@ def chunk_text(docs: DataFrame, size: int = CHUNK_SIZE, overlap: int = CHUNK_OVE
     """,
 )
 def rag_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixture-scale chunking (120/20 → stride 100)."""
+    """Fixture-scale chunking (120/20 → stride 100). No trailing sort:
+    the output is one row per chunk (~corpus-sized), the driver compares
+    order-insensitively, and a global sort of a 100 TB chunk set would
+    be the plan's only shuffle."""
     docs = table(spark, sf_dir, "documents")
-    return chunk_text(docs, FIXTURE_CHUNK_SIZE, FIXTURE_CHUNK_OVERLAP).orderBy(
-        "doc_id", "chunk_id"
-    )
+    return chunk_text(docs, FIXTURE_CHUNK_SIZE, FIXTURE_CHUNK_OVERLAP)
 
 
 @register(
@@ -103,19 +104,24 @@ def rag_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rag_metadata_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-metadata projection with the reference's truncations:
     title[:50], content[:200], content_type='text'
-    (parser_pinecone_storage.py:149-153)."""
+    (parser_pinecone_storage.py:149-153). The title is computed from the
+    document text carried through the explode — no join back to
+    documents, no shuffle, no trailing sort (order-insensitive compare)."""
     docs = table(spark, sf_dir, "documents")
-    chunks = chunk_text(docs, FIXTURE_CHUNK_SIZE, FIXTURE_CHUNK_OVERLAP)
-    titled = chunks.join(docs.select("doc_id", F.col("text").alias("_fulltext")), "doc_id")
-    return (
-        titled.select(
-            "doc_id",
-            "chunk_id",
-            F.substring("_fulltext", 1, 50).alias("title"),
-            F.substring("chunk_text", 1, 200).alias("snippet"),
-            F.lit("text").alias("content_type"),
-        )
-        .orderBy("doc_id", "chunk_id")
+    stride = FIXTURE_CHUNK_SIZE - FIXTURE_CHUNK_OVERLAP
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.length("text") - F.lit(1), F.lit(0)), F.lit(stride)
+    )
+    return docs.select(
+        "doc_id", "text", F.posexplode(starts).alias("chunk_id", "start")
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.substring("text", 1, 50).alias("title"),
+        F.substring(
+            F.expr(f"substring(text, start + 1, {FIXTURE_CHUNK_SIZE})"), 1, 200
+        ).alias("snippet"),
+        F.lit("text").alias("content_type"),
     )
 
 
@@ -147,9 +153,8 @@ def rag_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """chunks → L2-normalized array<float> embeddings (dim 64)."""
     docs = table(spark, sf_dir, "documents")
     chunks = chunk_text(docs, FIXTURE_CHUNK_SIZE, FIXTURE_CHUNK_OVERLAP)
-    return (
-        chunks.select("doc_id", "chunk_id", hash_embed_udf("chunk_text").alias("embedding"))
-        .orderBy("doc_id", "chunk_id")
+    return chunks.select(
+        "doc_id", "chunk_id", hash_embed_udf("chunk_text").alias("embedding")
     )
 
 

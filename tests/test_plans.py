@@ -1,0 +1,86 @@
+"""Physical-plan quality gates (SURVEY §4.2: "verify with df.explain()
+in tests").
+
+Correctness says what a query returns; these tests pin HOW it runs —
+the properties that decide whether the same plan survives a 1000×
+scale-up: filters reaching the parquet scan, column pruning, broadcast
+for small dims, rank-limit pushdown, and whole-stage codegen coverage.
+A regression here (e.g. a schema change breaking pushdown, or an
+accidental UDF wrapping a filter) would pass the oracle and silently
+become the bottleneck at scale."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from assignment4_spark import registry
+
+registry.load_all()
+
+
+def formatted_plan(spark, name: str, sf: str) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        registry.QUERIES[name](spark, sf).explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize(
+    "name,pushed_fragment",
+    [
+        ("agg_groupby_basic", "LessThanOrEqual(l_shipdate"),
+        ("filter_conjunct", "GreaterThan(l_quantity,30.0)"),
+        ("proj_select_alias", "LessThanOrEqual(l_orderkey,1000)"),
+        ("join_broadcast", "LessThanOrEqual(p_size,20)"),
+    ],
+)
+def test_filters_reach_parquet_scan(spark, sf_oracle, name, pushed_fragment):
+    plan = formatted_plan(spark, name, sf_oracle)
+    assert pushed_fragment in plan, f"{name}: predicate not pushed to scan"
+
+
+def test_column_pruning_q1(spark, sf_oracle):
+    """The flagship aggregation must read 7 of lineitem's 16 columns."""
+    plan = formatted_plan(spark, "agg_groupby_basic", sf_oracle)
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_comment" not in read and "l_shipinstruct" not in read
+    n_cols = read.count(":")  # struct<a:t,b:t,...> → one ':' per column
+    assert n_cols <= 8, f"scan reads too many columns: {read}"
+
+
+def test_small_dim_joins_broadcast(spark, sf_oracle):
+    for name in ("join_broadcast", "join_inner_shuffle"):
+        plan = formatted_plan(spark, name, sf_oracle)
+        assert "BroadcastHashJoin" in plan, f"{name}: expected broadcast join"
+        assert "SortMergeJoin" not in plan
+
+
+def test_topk_per_group_uses_window_group_limit(spark, sf_oracle):
+    """Spark 4's InferWindowGroupLimit must prune rank>k before the
+    shuffle — the difference between shuffling k rows per group and the
+    whole table."""
+    plan = formatted_plan(spark, "win_topk_per_group", sf_oracle)
+    assert "WindowGroupLimit" in plan
+
+
+def test_narrow_ops_do_not_shuffle(spark, sf_oracle):
+    """Pure per-row ops (chunking, embedding, metadata projection) must
+    stay narrow: no Exchange anywhere in the plan."""
+    for name in ("rag_chunk_text", "rag_embed_hash", "rag_metadata_project"):
+        plan = formatted_plan(spark, name, sf_oracle)
+        assert "Exchange" not in plan, f"{name}: unexpected shuffle"
+
+
+def test_whole_stage_codegen_covers_flagship(spark, sf_oracle):
+    """AQE hides codegen spans until the plan is final (and the engine's
+    ensure_confs keeps AQE on by design), so execute the query and
+    inspect the final adaptive plan for WholeStageCodegen spans."""
+    df = registry.QUERIES["agg_groupby_basic"](spark, sf_oracle)
+    df.collect()
+    final_plan = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark operators inside a WholeStageCodegen subtree
+    assert "*(" in final_plan, final_plan[:500]
+    assert "isFinalPlan=true" in final_plan
