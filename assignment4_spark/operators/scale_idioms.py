@@ -1,0 +1,160 @@
+"""Scale idioms as first-class, oracle-checked operators.
+
+The fixture tables are small; these operators exist to keep the
+100 TB-relevant physical techniques exercised and regression-tested:
+
+  * partition pruning — the dominant cost lever on a date-partitioned
+    lake: a filtered scan must touch only matching directories
+    (PartitionFilters in the plan, asserted in tests/test_plans.py);
+  * bucketed co-located joins — pre-shuffling both fact tables into the
+    same bucket layout makes every subsequent join on that key
+    exchange-free (the one-time shuffle is amortized across queries);
+  * salted skew aggregation — two-stage aggregation over a salted key
+    so one hot key spreads across reducers instead of stalling a
+    single task (AQE skew handling covers joins; salting is the
+    explicit idiom for pathological aggregation keys).
+
+The reference has no analogue (it has no joins or aggregations at all —
+SURVEY §2 Part A "not present"); these generalize its pipeline to the
+scale the north-star demands.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io_util import table
+from ..registry import register
+from .scans import _adir
+
+
+@register(
+    "scan_partition_pruning",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date,
+           event_type,
+           COUNT(*)              AS n,
+           ROUND(SUM(value), 2)  AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-03' AND DATE '2024-01-05'
+    GROUP BY event_date, event_type
+    ORDER BY event_date, event_type
+    """,
+)
+def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events date-partitioned (the large-scale layout from SURVEY
+    §4.2), then aggregate a 3-day slice. The date filter is satisfied by
+    directory pruning — the scan's PartitionFilters carry it and only 3
+    partitions' files are listed/read, which is the difference between
+    scanning 3 days and scanning 10 years."""
+    out = _adir(sf_dir, "events_by_date")
+    ev = table(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    part = spark.read.parquet(out).filter(
+        F.col("event_date").between("2024-01-03", "2024-01-05")
+    )
+    return (
+        part.groupBy("event_date", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("event_date", "event_type")
+    )
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*)                    AS n,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket both join sides into the same (custkey, 8-bucket) layout,
+    then join the bucketed tables: the join itself is exchange-free —
+    each task reads matching buckets from both sides (verified by plan
+    test: no Exchange between the bucketed scans and the join). The
+    write-side shuffle happens once; every later join on the key rides
+    the layout for free — the cluster answer to repeated fact⨝fact joins."""
+    base = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    o_tbl, c_tbl = f"orders_bkt_{base}", f"customer_bkt_{base}"
+    o_path, c_path = _adir(sf_dir, "orders_bkt"), _adir(sf_dir, "customer_bkt")
+    for tbl in (o_tbl, c_tbl):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+        .write.bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", o_path)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(o_tbl)
+    )
+    (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .write.bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .option("path", c_path)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(c_tbl)
+    )
+    o = spark.table(o_tbl)
+    c = spark.table(c_tbl).filter(F.col("c_mktsegment") == "BUILDING")
+    # force sort-merge: at fixture scale the filtered side fits the
+    # broadcast threshold, which would hide the point — the co-located
+    # SMJ with no exchange and no sort IS the artifact under test
+    return (
+        o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "agg_skew_salted",
+    oracle="""
+    SELECT event_type,
+           COUNT(*)              AS n,
+           ROUND(SUM(value), 2)  AS total_value,
+           ROUND(SUM(value) / COUNT(*), 6) AS avg_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation: stage 1 groups by (key, salt16) so a
+    hot key's rows split across 16 reducers; stage 2 combines the 16
+    partials per key. Identical result to the direct groupBy (the oracle
+    IS the direct groupBy) — the point is the shuffle shape: no single
+    reducer ever receives a whole hot key. Spark's map-side partial
+    aggregation makes this redundant for built-in aggregates; the salt
+    is the pattern for when it isn't (exact distinct structures,
+    collect-type aggregates, pandas UDAFs)."""
+    ev = table(spark, sf_dir, "events")
+    salted = ev.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum("value").alias("psum")
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.round(F.sum("psum"), 2).alias("total_value"),
+            F.round(F.sum("psum") / F.sum("pn"), 6).alias("avg_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,108 @@
+"""Fill BASELINE.md §2: DuckDB oracle vs Spark wall-clock at sf0.1.
+
+Protocol (BASELINE.md): both engines read the same local parquet; Spark
+timed after session warm-up; median of 3 runs per query; full
+materialization on both sides (fetchall / count). Rows-only queries
+(no oracle SQL) get a Spark time and '—' for DuckDB.
+
+Usage: python scripts/make_baseline.py [sf_dir]  (default sf0.1)
+Writes the markdown table between the BASELINE_TABLE markers in
+BASELINE.md (appends markers if absent) and prints a summary.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from assignment4_spark import registry
+from assignment4_spark.schemas import TABLES
+from assignment4_spark.session import get_spark
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+N_RUNS = 3
+
+
+def median_time(fn) -> float:
+    ts = []
+    for _ in range(N_RUNS):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return statistics.median(ts)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    registry.load_all()
+    spark = get_spark("baseline")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    # warm-up both engines
+    registry.QUERIES["agg_groupby_basic"](spark, sf_dir).count()
+    con.execute(registry.ORACLES["agg_groupby_basic"]).fetchall()
+
+    rows = []
+    spark_total = duck_total = 0.0
+    for name in sorted(registry.QUERIES):
+        fn = registry.QUERIES[name]
+        s = median_time(lambda: fn(spark, sf_dir).count())
+        spark_total += s
+        if name in registry.ORACLES:
+            sql = registry.ORACLES[name]
+            d = median_time(lambda: con.execute(sql).fetchall())
+            duck_total += d
+            ratio = f"{s / d:.1f}×" if d > 0 else "—"
+            rows.append((name, f"{d:.3f}", f"{s:.3f}", ratio, ""))
+        else:
+            rows.append((name, "—", f"{s:.3f}", "—", "rows-only (no oracle)"))
+        print(f"{name:28s} duck={rows[-1][1]:>7s} spark={rows[-1][2]:>7s}", flush=True)
+
+    ratio_total = spark_total / duck_total if duck_total else float("nan")
+    header = (
+        "| Query (queries() key) | DuckDB sf0.1 (s) | Spark sf0.1 (s) | Ratio | Notes |\n"
+        "|---|---|---|---|---|\n"
+    )
+    body = "\n".join(f"| `{n}` | {d} | {s} | {r} | {note} |" for n, d, s, r, note in rows)
+    totals = (
+        f"\n| **total (oracled queries)** | **{duck_total:.2f}** | "
+        f"**{spark_total:.2f}** | **{ratio_total:.1f}×** | per-query median of {N_RUNS}; "
+        f"Spark includes ~0.1-0.3 s/query fixed driver+scheduling overhead |"
+    )
+    table = header + body + totals
+
+    path = os.path.join(REPO, "BASELINE.md")
+    with open(path) as f:
+        text = f.read()
+    block = f"<!-- BASELINE_TABLE -->\n{table}\n<!-- /BASELINE_TABLE -->"
+    if "<!-- BASELINE_TABLE -->" in text:
+        text = re.sub(
+            r"<!-- BASELINE_TABLE -->.*?<!-- /BASELINE_TABLE -->",
+            block,
+            text,
+            flags=re.S,
+        )
+    else:
+        text = re.sub(
+            r"\| Query \(queries\(\) key\).*?\n\|---.*?\n\|.*?\n",
+            block + "\n",
+            text,
+            flags=re.S,
+        )
+    with open(path, "w") as f:
+        f.write(text)
+    print(f"\nTOTAL duckdb={duck_total:.2f}s spark={spark_total:.2f}s ratio={ratio_total:.2f}x")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -74,6 +74,25 @@ def test_narrow_ops_do_not_shuffle(spark, sf_oracle):
         assert "Exchange" not in plan, f"{name}: unexpected shuffle"
 
 
+def test_partition_pruning_reaches_scan(spark, sf_oracle):
+    """The date filter must land in PartitionFilters (directory pruning),
+    not as a row-level filter over every partition's files."""
+    plan = formatted_plan(spark, "scan_partition_pruning", sf_oracle)
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "event_date" in pf and "2024-01-03" in pf, pf
+
+
+def test_bucketed_join_is_colocated(spark, sf_oracle):
+    """Joining the two bucketed tables must be a sort-merge join with NO
+    exchange on the join keys — the buckets are the shuffle, paid once
+    at write time."""
+    plan = formatted_plan(spark, "join_bucketed_colocated", sf_oracle)
+    assert "SortMergeJoin" in plan
+    assert "hashpartitioning(o_custkey" not in plan
+    assert "hashpartitioning(c_custkey" not in plan
+    assert "SelectedBucketsCount: 8 out of 8" in plan
+
+
 def test_whole_stage_codegen_covers_flagship(spark, sf_oracle):
     """AQE hides codegen spans until the plan is final (and the engine's
     ensure_confs keeps AQE on by design), so execute the query and
