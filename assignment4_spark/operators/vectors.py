@@ -34,11 +34,18 @@ def as_double(col) -> Column:
 
 
 def cosine(a, b) -> Column:
-    """cos(a,b) over double arrays via zip_with+aggregate (no UDF)."""
+    """cos(a,b) over double arrays via zip_with+aggregate (no UDF).
+
+    Zero-norm input → NULL, not an error: cosine against the zero vector
+    is undefined (the reference's [0]*1536 enumeration probe, A16 /
+    ra/agent.py:72, leans on Pinecone's arbitrary behavior here — SURVEY
+    Appendix A.6 pins NULL instead), and under ANSI mode (Spark 4
+    default) a bare division would throw DIVIDE_BY_ZERO."""
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, x: s + x * x))
-    return dot / (na * nb)
+    denom = na * nb
+    return F.when(denom != 0.0, dot / denom)
 
 
 @register(
@@ -146,13 +153,18 @@ def vec_upsert_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's wall-clock-salted always-insert (A11/A13, SURVEY
     Appendix A.4). On a table format this is MERGE; engine form is the
     dedup window over the union of base+updates."""
-    rows = [
-        (1, 1, "a1"), (1, 2, "a2"), (1, 3, "a3"),
-        (2, 1, "b1"), (2, 2, "b2"),
-        (3, 7, "c7"),
-        (4, 1, "d1"), (4, 1, "d1-dup"),
-    ]
-    v = spark.createDataFrame(rows, "vec_id int, ver int, payload string")
+    # SQL VALUES, not createDataFrame: a literal inline relation plans
+    # as LocalRelation with no Python→JVM round-trip (~3 s saved per call)
+    v = spark.sql(
+        """
+        SELECT * FROM VALUES
+          (1, 1, 'a1'), (1, 2, 'a2'), (1, 3, 'a3'),
+          (2, 1, 'b1'), (2, 2, 'b2'),
+          (3, 7, 'c7'),
+          (4, 1, 'd1'), (4, 1, 'd1-dup')
+        AS v(vec_id, ver, payload)
+        """
+    )
     w = W.partitionBy("vec_id").orderBy(F.col("ver").desc(), F.col("payload"))
     return (
         v.select("vec_id", "ver", "payload", F.row_number().over(w).alias("rn"))

@@ -31,11 +31,16 @@ N_RUNS = 3
 
 
 def median_time(fn) -> float:
+    """Median of N_RUNS; a query whose first run exceeds 5 s is reported
+    from that single run (the brute-force O(N²) DuckDB oracles take
+    minutes at sf0.1 — repeating them 3× adds nothing)."""
     ts = []
     for _ in range(N_RUNS):
         t0 = time.perf_counter()
         fn()
         ts.append(time.perf_counter() - t0)
+        if ts[0] > 5.0:
+            break
     return statistics.median(ts)
 
 

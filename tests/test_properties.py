@@ -1,0 +1,96 @@
+"""Property-based tests (SURVEY §5.2.5) via hypothesis.
+
+Spark session startup dominates example runtime, so properties are
+tested by building ONE batch of hypothesis-generated rows per test and
+running the operator once over the whole batch — each generated row is
+still an independent example, the engine just evaluates them together
+(which is also the honest way to test a vectorized engine)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from assignment4_spark import registry
+from assignment4_spark.operators.rag import chunk_text
+from assignment4_spark.operators.vectors import as_double, cosine
+
+registry.load_all()
+
+texts_strategy = st.lists(
+    st.text(
+        alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"), whitelist_characters=" "),
+        min_size=1,
+        max_size=400,
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(texts=texts_strategy, size=st.integers(40, 200), overlap=st.integers(0, 39))
+def test_chunk_reassembly_roundtrip(spark, texts, size, overlap):
+    """concat(chunks with overlap stripped) == original text, for any
+    text/size/overlap with overlap < size."""
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    rows = chunk_text(df, size=size, overlap=overlap).collect()
+    by_doc: dict[int, dict[int, str]] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk_text
+    for i, t in enumerate(texts):
+        chunks = [c for _, c in sorted(by_doc[i].items())]
+        rebuilt = chunks[0] + "".join(c[overlap:] for c in chunks[1:])
+        assert rebuilt == t
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    vecs=st.lists(
+        st.lists(st.floats(-10, 10, allow_nan=False), min_size=8, max_size=8),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_cosine_symmetry_and_self_similarity(spark, vecs):
+    """sim(a,b) == sim(b,a) within 1e-9; sim(a,a) == 1 for nonzero a."""
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vid long, emb array<double>")
+    a = df.select(F.col("vid").alias("va"), F.col("emb").alias("ea"))
+    b = df.select(F.col("vid").alias("vb"), F.col("emb").alias("eb"))
+    sims = (
+        a.crossJoin(b)
+        .select("va", "vb", cosine(as_double("ea"), as_double("eb")).alias("s"))
+        .collect()
+    )
+    m = {(r.va, r.vb): r.s for r in sims}
+    for (x, y), s in m.items():
+        t = m[(y, x)]
+        if s is not None and t is not None:
+            assert abs(s - t) < 1e-9
+        else:
+            assert s is None and t is None  # zero-norm rows on both sides
+        if x == y and s is not None:
+            assert abs(s - 1.0) < 1e-9
+
+
+def test_dedup_exact_idempotent(spark, sf_oracle):
+    """Running exact dedup on its own survivors changes nothing."""
+    first = registry.QUERIES["dedup_exact"](spark, sf_oracle)
+    survivors = first.select(F.col("keep_doc_id").alias("doc_id"), "fp")
+    again = (
+        survivors.groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+    assert again.filter(F.col("n_copies") > 1).count() == 0
+    assert again.count() == first.count()
+
+
+def test_minhash_pairs_subset_of_bruteforce_threshold(spark, sf_oracle):
+    """Every LSH-verified pair must genuinely have Jaccard >= 0.5 (the
+    verification step guarantees no false positives by construction —
+    this guards the wiring, e.g. a band-key collision slipping through)."""
+    pairs = registry.QUERIES["dedup_minhash_lsh"](spark, sf_oracle).collect()
+    assert pairs, "fixture should contain planted near-dups"
+    assert all(r.jaccard >= 0.5 for r in pairs)
