@@ -1,0 +1,50 @@
+"""Public composable API — DataFrame-in / DataFrame-out.
+
+The registry surface (`queries()`) is fixture-bound for the driver's
+oracle harness; this module is the face a *user* of the reference would
+program against after switching engines: every pipeline capability as a
+function over their own DataFrames, composable into one lazy lineage.
+
+    from assignment4_spark import api
+
+    chunks  = api.chunk_text(docs, size=3000, overlap=200)   # A9 defaults
+    vectors = chunks.select("doc_id", "chunk_id",
+                            api.hash_embed_udf("chunk_text").alias("emb"))
+    hits    = api.knn_topk(corpus, queries, k=100)           # A18's top_k
+    dups    = api.minhash_lsh_pairs(docs)                    # near-dup pairs
+    sketchy = api.simhash_pairs(docs, max_hamming=6)
+
+Everything here is re-exported from the operator modules (single
+implementation, two faces); tests/test_api.py drives it over inline
+DataFrames with non-fixture column names.
+"""
+
+from __future__ import annotations
+
+from .operators.dedup import (  # noqa: F401
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from .operators.rag import (  # noqa: F401
+    CHUNK_OVERLAP,
+    CHUNK_SIZE,
+    chunk_text,
+    hash_embed_udf,
+)
+from .operators.vectors import (  # noqa: F401
+    as_double,
+    cosine,
+    knn_topk,
+)
+
+__all__ = [
+    "CHUNK_OVERLAP",
+    "CHUNK_SIZE",
+    "as_double",
+    "chunk_text",
+    "cosine",
+    "hash_embed_udf",
+    "knn_topk",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+]

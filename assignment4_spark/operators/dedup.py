@@ -157,33 +157,25 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH s AS ({_SHINGLE_SQL})
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND(LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE
-                 / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 6) AS jaccard
-    FROM s a JOIN s b ON a.doc_id < b.doc_id
-    WHERE LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE
-          / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= {JACCARD_THRESHOLD}
-    ORDER BY doc_a, doc_b
-    """,
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + banded LSH near-dup detection over the FULL corpus.
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs over any (id, text) DataFrame.
 
-    Pipeline: shingle (narrow) → 128 minhashes via universal hashing
-    (narrow higher-order: min over shingles of (a_i·h+b_i mod p)) →
-    64 bands of 2 → explode bands → self-join on band signature (the
-    ONLY shuffle) → exact-Jaccard verification of candidates ≥ 0.5.
+    Pipeline: shingle (narrow) → explode → hash once → 128 codegen'd MIN
+    aggregates (one 128-long row per doc shuffled) → 64 bands of 2 →
+    explode bands → self-join on band signature → exact-Jaccard
+    verification of candidates ≥ threshold.
 
-    The oracle is the brute-force pair SQL: with these parameters the
-    LSH miss probability at J=0.5 is (1-0.25)^64 ≈ 1e-8, so candidate
-    recall is effectively exact and verified output == brute force.
-    Replaces: Pinecone-delegated similarity dedup (A16/A18).
-    """
-    d = table(spark, sf_dir, "documents")
+    With these parameters the LSH miss probability at J=0.5 is
+    (1-0.25)^64 ≈ 1e-8 — candidate recall is effectively exact, so the
+    brute-force pair SQL doubles as the correctness oracle.
+    Returns (doc_a, doc_b, jaccard). Replaces Pinecone-delegated
+    similarity dedup (A16/A18)."""
+    d = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     s = d.select("doc_id", _shingles().alias("sh"))
 
     # Signatures: explode shingles, hash each ONCE, then 128 codegen'd
@@ -232,22 +224,46 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .filter(jac >= JACCARD_THRESHOLD)
+        .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 
 
-@register("dedup_simhash")  # engine-defined hash bits → rows-only; unit-tested
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates: 32-bit signature per document from
-    token hashes (weighted bit voting, computed narrow with higher-order
-    aggregates), then pairs with Hamming distance ≤ 6.
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH s AS ({_SHINGLE_SQL})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE
+                 / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 6) AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE
+          / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs over the full documents fixture — the
+    registered face of minhash_lsh_pairs (see its docstring for the
+    pipeline and recall math)."""
+    return minhash_lsh_pairs(table(spark, sf_dir, "documents"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """SimHash near-dup candidates over any (id, text) DataFrame: 32-bit
+    signature per document from token hashes (weighted bit voting), then
+    pairs with Hamming distance ≤ max_hamming.
 
     The pair scan is O(N²) on a 1-long signature — cheap integer XOR +
     popcount; at larger N, band the signature into 4 bytes and bucket-join
-    like LSH (same trick as dedup_minhash_lsh)."""
-    d = table(spark, sf_dir, "documents")
+    like LSH (same trick as minhash_lsh_pairs)."""
+    d = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     # Explode tokens, hash each once, and take 32 codegen'd SUM votes
     # (map-side combined) — same explode→multi-agg shape as
     # dedup_minhash_lsh, for the same reason: per-row higher-order
@@ -271,7 +287,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .filter(ham <= 6)
+        .filter(ham <= max_hamming)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -279,3 +295,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register("dedup_simhash")  # engine-defined hash bits → rows-only; unit-tested
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash pairs over the documents fixture — the registered face of
+    simhash_pairs."""
+    return simhash_pairs(table(spark, sf_dir, "documents"))

@@ -135,6 +135,83 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_resize_plan",
+    oracle="""
+    SELECT doc_id,
+           64 + (CAST(doc_id % 251 AS INTEGER) % 16) * 64  AS width,
+           64 + (CAST(n_chars AS INTEGER) % 16) * 64       AS height,
+           CAST(FLOOR(LEAST(
+             256.0 / (64 + (CAST(doc_id % 251 AS INTEGER) % 16) * 64),
+             256.0 / (64 + (CAST(n_chars AS INTEGER) % 16) * 64)
+           ) * (64 + (CAST(doc_id % 251 AS INTEGER) % 16) * 64)) AS INTEGER) AS out_w,
+           CAST(FLOOR(LEAST(
+             256.0 / (64 + (CAST(doc_id % 251 AS INTEGER) % 16) * 64),
+             256.0 / (64 + (CAST(n_chars AS INTEGER) % 16) * 64)
+           ) * (64 + (CAST(n_chars AS INTEGER) % 16) * 64)) AS INTEGER) AS out_h
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize planning (fit into 256×256): the geometry
+    is computed JVM-side from typed metadata; only the pixel transform
+    itself (absent here — no image libs in the container) would run in a
+    mapInPandas decode→resize→encode stage. Deterministic fake
+    dimensions are derived from doc_id/n_chars so the oracle can check
+    the arithmetic."""
+    d = table(spark, sf_dir, "documents")
+    w = (64 + ((F.col("doc_id") % 251).cast("int") % 16) * 64).cast("int")
+    h = (64 + (F.col("n_chars").cast("int") % 16) * 64).cast("int")
+    scale = F.least(F.lit(256.0) / w, F.lit(256.0) / h)
+    # FLOOR explicitly on both sides: DuckDB's float→int CAST rounds
+    # half-to-even while Spark's truncates — floor is the resize
+    # convention anyway (never exceed the bounding box)
+    return d.select(
+        "doc_id",
+        w.alias("width"),
+        h.alias("height"),
+        F.floor(scale * w).cast("int").alias("out_w"),
+        F.floor(scale * h).cast("int").alias("out_h"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id,
+             10.0 + CAST(doc_id % 113 AS INTEGER) AS duration_s
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT doc_id,
+           CAST(UNNEST(generate_series(0, CAST(FLOOR(duration_s / 2.5) AS INTEGER) - 1)) AS INTEGER) AS frame_no,
+           ROUND(UNNEST(generate_series(0, CAST(FLOOR(duration_s / 2.5) AS INTEGER) - 1)) * 2.5, 2) AS ts_sec
+    FROM v
+    ORDER BY doc_id, frame_no
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling plan: one row per sampled frame at a fixed
+    2.5 s stride over a (deterministic fake) duration. The explode is the
+    real operator — at scale each video row fans out to its frame rows
+    narrow, and a mapInPandas decoder fills in the actual frame bytes.
+    Models the reference's figure extraction loop (A7) generalized to
+    time-indexed media."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    duration = F.lit(10.0) + (F.col("doc_id") % 113).cast("int")
+    n_frames = F.floor(duration / 2.5).cast("int")  # FLOOR both sides (DuckDB CAST rounds)
+    return (
+        d.select("doc_id", F.posexplode(F.sequence(F.lit(1), n_frames)).alias("frame_no", "_x"))
+        .select(
+            "doc_id",
+            F.col("frame_no").cast("int").alias("frame_no"),
+            F.round(F.col("frame_no") * 2.5, 2).alias("ts_sec"),
+        )
+        .orderBy("doc_id", "frame_no")
+    )
+
+
+@register(
     "report_compose",
     oracle="""
     SELECT

@@ -79,6 +79,48 @@ def vec_cosine_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_emb_col: str = "q_embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors per query over any corpus DataFrame.
+
+    Query side is broadcast (queries ≪ corpus — the reference's shape:
+    one query, top_k=100, ra/agent.py:117), so the corpus is scanned
+    exactly once with no shuffle of corpus rows; per-query ranking is a
+    window with an id tie-break, pruned by WindowGroupLimit before the
+    shuffle. Returns (query_id, neighbor_id, sim_r, rank ≤ k)."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_emb_col).alias("q_embedding"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine(as_double(emb_col), as_double("q_embedding")).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            F.round("sim", 6).alias("sim_r"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 @register(
     "vec_knn_topk",
     oracle="""
@@ -100,33 +142,13 @@ def vec_cosine_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def vec_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-10 neighbors for 5 query vectors (reference top_k=100,
-    ra/agent.py:117; fixture k=10 per FIXTURES §3). Query side broadcast
-    → corpus scanned once; per-query rank via window with vec_id
-    tie-break, pruned by WindowGroupLimit."""
+    ra/agent.py:117; fixture k=10 per FIXTURES §3) — registered face of
+    knn_topk."""
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
     )
-    scored = (
-        e.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            cosine(as_double("embedding"), as_double("q_embedding")).alias("sim"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.select(
-            "query_id",
-            "neighbor_id",
-            F.round("sim", 6).alias("sim_r"),
-            F.row_number().over(w).alias("rank"),
-        )
-        .filter(F.col("rank") <= 10)
-        .orderBy("query_id", "rank")
-    )
+    return knn_topk(e, q, k=10)
 
 
 @register(

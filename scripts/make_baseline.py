@@ -56,13 +56,38 @@ def main() -> None:
     registry.QUERIES["agg_groupby_basic"](spark, sf_dir).count()
     con.execute(registry.ORACLES["agg_groupby_basic"]).fetchall()
 
+    # Oracles that are O(N²) brute-force SQL (the honest correctness twin
+    # of an LSH/matmul operator, not a sane way to execute it): DuckDB
+    # runs them for MINUTES at sf0.1. Timed once via SLOW_ORACLE_SECONDS
+    # (scripts/time_slow_oracles.py), injected here instead of re-run.
+    from scripts.time_slow_oracles import SLOW as slow_names
+
+    slow = {n: None for n in slow_names}
+    slow_path = os.path.join(REPO, "scripts", "slow_oracle_seconds.txt")
+    if os.path.exists(slow_path):
+        with open(slow_path) as f:
+            for line in f:
+                k, v = line.split()
+                slow[k] = float(v)
+
     rows = []
     spark_total = duck_total = 0.0
     for name in sorted(registry.QUERIES):
         fn = registry.QUERIES[name]
         s = median_time(lambda: fn(spark, sf_dir).count())
         spark_total += s
-        if name in registry.ORACLES:
+        if name in slow:
+            d = slow[name]
+            if d is None:
+                rows.append((name, "(pending)", f"{s:.3f}", "—",
+                             "DuckDB O(N²) brute-force oracle still being timed"))
+            else:
+                duck_total += d
+                rows.append(
+                    (name, f"{d:.1f}", f"{s:.3f}", f"{s / d:.3f}×",
+                     "DuckDB side is the O(N²) brute-force oracle, timed once")
+                )
+        elif name in registry.ORACLES:
             sql = registry.ORACLES[name]
             d = median_time(lambda: con.execute(sql).fetchall())
             duck_total += d

@@ -1,0 +1,45 @@
+"""Time the O(N²) brute-force DuckDB oracles once at sf0.1 and record
+the seconds into scripts/slow_oracle_seconds.txt for make_baseline.py.
+
+These oracles exist as correctness twins of the engine's LSH / BLAS
+operators; executing them IS quadratic (dedup_minhash_lsh's oracle
+compares all ~12.5M document pairs with list intersections). Run time
+is the point: it is the single-node brute-force cost the engine's
+algorithmic path avoids.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from assignment4_spark import registry
+from assignment4_spark.schemas import TABLES
+
+SLOW = ["dedup_minhash_lsh", "dedup_near_embedding"]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    registry.load_all()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "slow_oracle_seconds.txt")
+    with open(out, "w") as f:
+        for name in SLOW:
+            t0 = time.perf_counter()
+            n = len(con.execute(registry.ORACLES[name]).fetchall())
+            dt = time.perf_counter() - t0
+            print(f"{name}: {dt:.1f}s ({n} rows)", flush=True)
+            f.write(f"{name} {dt:.1f}\n")
+            f.flush()
+
+
+if __name__ == "__main__":
+    main()
