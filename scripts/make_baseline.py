@@ -105,7 +105,7 @@ def main() -> None:
     body = "\n".join(f"| `{n}` | {d} | {s} | {r} | {note} |" for n, d, s, r, note in rows)
     totals = (
         f"\n| **total (oracled queries)** | **{duck_total:.2f}** | "
-        f"**{spark_total:.2f}** | **{ratio_total:.1f}×** | per-query median of {N_RUNS}; "
+        f"**{spark_total:.2f}** | **{ratio_total:.3g}×** | per-query median of {N_RUNS}; "
         f"Spark includes ~0.1-0.3 s/query fixed driver+scheduling overhead |"
     )
     table = header + body + totals
