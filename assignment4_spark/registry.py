@@ -32,6 +32,7 @@ _OPERATOR_MODULES = [
     "assignment4_spark.operators.windows",
     "assignment4_spark.operators.setops",
     "assignment4_spark.operators.scale_idioms",
+    "assignment4_spark.operators.sql_suite",
     "assignment4_spark.functions.scalar",
     "assignment4_spark.operators.rag",
     "assignment4_spark.operators.vectors",
