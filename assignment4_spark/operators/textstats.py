@@ -258,6 +258,76 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_winnow_fingerprint",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id,
+             UNNEST(generate_series(1, GREATEST(LENGTH(text) - 4, 1))) AS pos,
+             text
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id, pos,
+             MD5(SUBSTRING(text, CAST(pos AS INTEGER), 5)) AS h
+      FROM grams
+    ), winnowed AS (
+      SELECT doc_id,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+      FROM hashed
+    )
+    SELECT doc_id,
+           COUNT(DISTINCT fp)  AS n_fp,
+           MIN(fp)             AS min_fp,
+           MAX(fp)             AS max_fp
+    FROM winnowed
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprint (MOSS-style rolling-hash scheme,
+    the north star's "document fingerprinting (rolling hash)"):
+    5-gram hashes → min per sliding window of 8 → distinct fingerprint
+    set per document. Two documents sharing text spans share fingerprint
+    values regardless of offset — the substring-plagiarism/dup sketch
+    that whole-document hashing (text_fingerprint) cannot give.
+
+    Shape: explode positions (narrow fan-out) → md5 per gram → window
+    min per doc (one shuffle, partitioned by doc) → per-doc aggregate.
+    Hashes compare as lowercase hex STRINGS (md5 is identical across
+    engines; lexicographic min avoids any hex→int dialect divergence).
+    The per-row lambda alternative (slice+array_min inside transform)
+    re-evaluates the hash array per window position in the interpreted
+    evaluator — same pitfall as the minhash signatures, avoided the
+    same way."""
+    d = table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        "text",
+        F.posexplode(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - 4, F.lit(1)))
+        ).alias("_i", "pos"),
+    ).select(
+        "doc_id", "pos", F.md5(F.expr("substring(text, pos, 5)")).alias("h")
+    )
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.currentRow, 7)
+    )
+    winnowed = grams.select("doc_id", F.min("h").over(w).alias("fp"))
+    return (
+        winnowed.groupBy("doc_id")
+        .agg(
+            F.countDistinct("fp").alias("n_fp"),
+            F.min("fp").alias("min_fp"),
+            F.max("fp").alias("max_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "text_fingerprint",
     oracle="""
     SELECT doc_id,
