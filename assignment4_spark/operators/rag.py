@@ -158,6 +158,64 @@ def rag_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rag_search_format",
+    oracle="""
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id,
+             LIST_COSINE_SIMILARITY(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0
+    ), topk AS (
+      SELECT vec_id, sim,
+             ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS rank
+      FROM scored QUALIFY rank <= 5
+    )
+    SELECT STRING_AGG(
+             '**Document Title**: ' || SUBSTRING(d.text, 1, 50) ||
+             chr(10) || '**Content**: ' || SUBSTRING(d.text, 1, 200),
+             chr(10) || chr(10) || '---' || chr(10) || chr(10)
+             ORDER BY t.rank
+           ) AS context
+    FROM topk t JOIN documents d ON d.doc_id = t.vec_id
+    """,
+)
+def rag_search_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's rag_search output shape end-to-end (A18,
+    ra/agent.py:122-129): top-5 cosine matches formatted as
+    '**Document Title**: {title}\\n**Content**: {content}' joined by
+    '\\n\\n---\\n\\n' — retrieval + metadata + presentation in one
+    single-row query. Title/content use the reference's A12 truncations
+    (50/200). Query vector = embeddings row 0; matches join documents
+    on id for their text."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    from .vectors import knn_topk
+
+    top = knn_topk(e.filter(F.col("vec_id") != 0), q, k=5)
+    d = table(spark, sf_dir, "documents")
+    joined = top.join(d, top.neighbor_id == d.doc_id).select(
+        "rank",
+        F.concat(
+            F.lit("**Document Title**: "),
+            F.substring("text", 1, 50),
+            F.lit("\n**Content**: "),
+            F.substring("text", 1, 200),
+        ).alias("block"),
+    )
+    return joined.agg(
+        F.array_join(
+            F.array_sort(
+                F.collect_list(F.struct("rank", "block"))
+            ).getField("block"),
+            "\n\n---\n\n",
+        ).alias("context")
+    )
+
+
 @register("rag_pipeline_ingest")  # composed lineage; embedder inside → rows-only
 def rag_pipeline_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's 3-task Airflow DAG (list → extract → chunk/embed/
