@@ -252,6 +252,113 @@ def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_a", "vec_b")
 
 
+def _rp_planes(n_tables: int, n_bits: int, dim: int) -> list:
+    """Deterministic pseudo-random hyperplanes: sha256-seeded uniform
+    [-1,1) components (no RNG state, no PYTHONHASHSEED dependence —
+    FIXTURES §5 determinism rule), shaped (tables·bits, dim)."""
+    import hashlib
+
+    import numpy as np
+
+    planes = np.empty((n_tables * n_bits, dim), dtype=np.float64)
+    for p in range(n_tables * n_bits):
+        for j in range(dim):
+            h = int.from_bytes(
+                hashlib.sha256(f"rp_{p}_{j}".encode()).digest()[:8], "big"
+            )
+            planes[p, j] = (h % 2000001) / 1000000.0 - 1.0
+    return planes
+
+
+@register("vec_ann_rp_lsh_topk")  # engine-defined hashing → rows-only; recall unit-tested
+def vec_ann_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN via random-hyperplane (SimHash-for-cosine) LSH —
+    the second scale path next to IVF (vec_ann_ivf_topk):
+
+      1. signature: sign bits of the embedding against 10 tables × 5
+         deterministic hyperplanes, computed as one numpy matmul per
+         Arrow batch (mapInPandas — the per-plane higher-order
+         formulation would re-walk the array per bit, the B.8 pitfall);
+      2. bucket: each vector lands in 10 (table_id, 5-bit bucket) keys —
+         explode → the bucket join is the ONLY shuffle;
+      3. candidates within shared buckets are exact-cosine re-ranked
+         per query, top-5.
+
+    P(bit match) = 1 - acos(cos θ)/π; the fixture's uniform-random
+    embeddings are LSH-adversarial (top-neighbor cos only ≈ 0.4), so
+    10×5 trades selectivity for recall ≈ 0.4-0.6 at ~30% of the corpus
+    scanned per query (floor asserted in tests). Clustered real-world
+    embeddings sit at higher cos where the same parameters both recall
+    more and scan less. Reference provenance: the Pinecone-delegated
+    ANN search (A18) brought in-engine."""
+    import numpy as np
+    import pandas as pd
+
+    N_TABLES, N_BITS, DIM = 10, 5, 64
+    planes = _rp_planes(N_TABLES, N_BITS, DIM)
+    bc = spark.sparkContext.broadcast(planes)
+
+    def bucketize(batches):
+        pl = bc.value
+        weights = (1 << np.arange(N_BITS, dtype=np.int64))
+        for pdf in batches:
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            bits = (mat @ pl.T) > 0  # (batch, tables·bits)
+            rows = []
+            for t in range(N_TABLES):
+                seg = bits[:, t * N_BITS : (t + 1) * N_BITS]
+                bucket = (seg * weights).sum(axis=1)
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"],
+                            "table_id": t,
+                            "bucket": bucket,
+                        }
+                    )
+                )
+            yield pd.concat(rows)
+
+    e = table(spark, sf_dir, "embeddings")
+    keys = e.select("vec_id", "embedding").mapInPandas(
+        bucketize, "vec_id long, table_id int, bucket long"
+    )
+    q_ids = (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
+    q_keys = keys.filter(q_ids).select(
+        F.col("vec_id").alias("query_id"), "table_id", "bucket"
+    )
+    cand = (
+        keys.join(F.broadcast(q_keys), ["table_id", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qe = e.filter(q_ids).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    ne = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb"))
+    scored = (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(ne, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(as_double("q_emb"), as_double("n_emb")).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            F.round("sim", 6).alias("sim_r"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )
+
+
 @register("vec_ann_ivf_topk")  # engine-defined clustering → rows-only; recall unit-tested
 def vec_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate k-NN, IVF-Flat layout — the 100 TB similarity-search

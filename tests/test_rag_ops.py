@@ -122,6 +122,37 @@ def test_ivf_ann_recall_vs_exact(spark, sf_oracle):
     assert sum(recalls) / len(recalls) >= 0.45, f"IVF recall too low: {recalls}"
 
 
+def test_rp_lsh_ann_recall_vs_exact(spark, sf_oracle):
+    """Random-hyperplane LSH with 8 tables × 6 bits: recall@5 vs the
+    exact scan must clear 0.25 on the uniform-random fixture (clustered
+    real embeddings collide far more; this floor guards the wiring —
+    bucketing, candidate join, re-rank — not LSH theory)."""
+    ann = registry.QUERIES["vec_ann_rp_lsh_topk"](spark, sf_oracle).collect()
+    by_q: dict[int, set[int]] = {}
+    for r in ann:
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    exact = registry.QUERIES["vec_knn_topk"](spark, sf_oracle)  # k=10, queries 0-4
+    # recompute exact top-5 for query ids 100-104 with the same cosine
+    from assignment4_spark.io_util import table
+    from assignment4_spark.operators.vectors import knn_topk
+
+    e = table(spark, sf_oracle, "embeddings")
+    import pyspark.sql.functions as FF
+
+    q = e.filter((FF.col("vec_id") >= 100) & (FF.col("vec_id") < 105)).select(
+        FF.col("vec_id").alias("query_id"), FF.col("embedding").alias("q_embedding")
+    )
+    exact_rows = knn_topk(e, q, k=5).collect()
+    exact_by_q: dict[int, set[int]] = {}
+    for r in exact_rows:
+        exact_by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(by_q.get(qid, set()) & nbrs) / len(nbrs)
+        for qid, nbrs in exact_by_q.items()
+    ]
+    assert sum(recalls) / len(recalls) >= 0.25, f"RP-LSH recall too low: {recalls}"
+
+
 def test_multimodal_binary_meta_schema_and_batching(spark, sf_small):
     df = registry.QUERIES["multimodal_binary_meta"](spark, sf_small)
     assert [f.name for f in df.schema.fields] == [
