@@ -74,6 +74,31 @@ def test_stream_stateful_running(spark, replay):
     assert_frames_equal(got, want)
 
 
+def test_session_window_boundary_equal_gap(spark):
+    """SURVEY §7 risk register: an event at EXACTLY prev_ts + gap must
+    merge into the session (both Spark's session_window and the oracle's
+    strictly-greater gaps-and-islands SQL keep equality in-session —
+    verified identical; this pins the Spark half against regressions)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        "2024-01-01 10:00:00",
+        "2024-01-01 10:30:00",  # exactly 30:00 after → same session
+        "2024-01-01 11:00:00",  # exactly 30:00 after → same session
+        "2024-01-01 11:30:01",  # 30:01 after → NEW session
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "event_id int, ts_s string"
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"))
+    out = (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("sw.start")
+        .collect()
+    )
+    assert [r.n for r in out] == [3, 1]
+
+
 def test_watermark_drops_late_row(spark):
     """Behavioral watermark test: a row arriving behind the watermark is
     excluded from its window's final count (the batch proxy for this is
