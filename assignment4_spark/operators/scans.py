@@ -156,6 +156,59 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_permissive_corrupt",
+    oracle="""
+    SELECT 7 AS n_good, 3 AS n_corrupt, 21 AS sum_good_vals
+    """,
+)
+def scan_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permissive-mode error isolation — the reference's per-item
+    try/except-and-skip (A28, parser_pinecone_storage.py:127-128,
+    ra/agent.py:75-77) as engine semantics: malformed records land in
+    `_corrupt_record` instead of failing the job, good rows flow on. A
+    known 10-line feed (3 broken) is written and read back PERMISSIVE;
+    the oracle pins the exact good/corrupt split and the sum over good
+    rows — i.e. corrupt rows provably neither crash nor contribute."""
+    out = _adir(sf_dir, "corrupt_json")
+    lines = [
+        '{"id": 1, "val": 1}',
+        '{"id": 2, "val": 2}',
+        'not json at all',
+        '{"id": 3, "val": 3}',
+        '{"id": 4, "val": 4',  # truncated
+        '{"id": 5, "val": 5}',
+        '{"id": 6, "val": 6}',
+        '[1, 2, 3]',  # wrong shape (array, not object)
+        '{"id": 7, "val": 4}',
+        '{"id": 8, "val": 0}',
+    ]
+    spark.createDataFrame([(l,) for l in lines], "value string").coalesce(
+        1
+    ).write.mode("overwrite").text(out)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("val", T.IntegerType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+        .cache()  # Spark requires materialization before filtering on _corrupt_record
+    )
+    good = parsed.filter(F.col("_corrupt_record").isNull())
+    bad = parsed.filter(F.col("_corrupt_record").isNotNull())
+    return good.agg(
+        F.count(F.lit(1)).alias("n_good"),
+        F.lit(bad.count()).cast("int").alias("n_corrupt"),
+        F.sum("val").cast("int").alias("sum_good_vals"),
+    )
+
+
+@register(
     "json_parse_props",
     oracle="""
     SELECT event_type,

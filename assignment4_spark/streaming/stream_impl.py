@@ -228,6 +228,40 @@ def stateful_running(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_stream_join(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Stream-stream inner join: clicks joined to the purchases that
+    follow within 1 hour, per user. Both sides carry watermarks and the
+    join condition bounds event time in both directions — that pair is
+    what lets Spark expire join state instead of buffering both streams
+    forever (the canonical watermarked interval-join shape). Batch twin:
+    the same join over the static frames (a bounded theta join like
+    join_theta_range)."""
+    l = (
+        left.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("l_ts"),
+            F.col("event_id").alias("l_id"),
+        )
+    )
+    r = (
+        right.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("r_ts"),
+            F.col("event_id").alias("r_id"),
+        )
+    )
+    return l.join(
+        r,
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("user_id", "l_id", "r_id", "l_ts", "r_ts")
+
+
 def late_feed(spark: SparkSession) -> str:
     """Hand-built slices for the watermark-drop behavioral test.
 

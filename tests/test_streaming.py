@@ -74,6 +74,22 @@ def test_stream_stateful_running(spark, replay):
     assert_frames_equal(got, want)
 
 
+def test_stream_stream_join(spark, replay):
+    """Watermarked stream-stream interval join must equal the same join
+    over the static frames at end-of-stream."""
+    got = si.run_to_table(
+        si.stream_stream_join(
+            si.read_stream(spark, replay), si.read_stream(spark, replay)
+        ),
+        "append",
+    )
+    from assignment4_spark.io_util import table
+
+    ev = table(spark, SF, "events")
+    want = si.stream_stream_join(ev, ev)
+    assert_frames_equal(got, want)
+
+
 def test_session_window_boundary_equal_gap(spark):
     """SURVEY §7 risk register: an event at EXACTLY prev_ts + gap must
     merge into the session (both Spark's session_window and the oracle's
