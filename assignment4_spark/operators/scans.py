@@ -182,7 +182,11 @@ def scan_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         '{"id": 7, "val": 4}',
         '{"id": 8, "val": 0}',
     ]
-    spark.createDataFrame([(l,) for l in lines], "value string").coalesce(
+    # SQL VALUES, not createDataFrame: coalescing a Python-built local
+    # relation spins up Python workers for a 10-row write (~5 s); the
+    # JVM literal relation writes in milliseconds
+    values = ", ".join("('" + l.replace("'", "''") + "')" for l in lines)
+    spark.sql(f"SELECT * FROM VALUES {values} AS t(value)").coalesce(
         1
     ).write.mode("overwrite").text(out)
     schema = T.StructType(
