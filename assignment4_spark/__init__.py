@@ -7,8 +7,9 @@ operators, RAG/LLM-data-pipeline operators (chunk/embed/similarity/dedup),
 streaming over events, and a UDF surface.
 
 Public API:
-    from assignment4_spark.registry import QUERIES, ORACLES
+    from assignment4_spark.registry import QUERIES, ORACLES   # named queries
     from assignment4_spark.session import get_spark
+    from assignment4_spark import api                          # composable ops
 """
 
 __version__ = "0.1.0"

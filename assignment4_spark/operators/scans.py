@@ -156,6 +156,38 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_python_datasource",
+    oracle="""
+    SELECT i AS doc_id,
+           ARRAY_TO_STRING([('doc_' || i) FOR _ IN GENERATE_SERIES(1, CAST(i % 5 + 1 AS INTEGER))], ' ') AS text,
+           CAST(i % 5 + 1 AS BIGINT) AS n_tokens
+    FROM (SELECT UNNEST(generate_series(0, 99)) AS i)
+    ORDER BY doc_id
+    """,
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source (Spark 4 DataSource API): the
+    `synthetic_docs` source plans its own partitions (each generates an
+    id range independently — the fan-out shape of a real custom feed)
+    and yields deterministic rows the oracle reproduces with
+    generate_series. Generalizes the reference's hand-rolled S3 listing
+    loop (A1) into a first-class pluggable source."""
+    from ..sources.synthetic import SyntheticDocsDataSource
+
+    try:
+        spark.dataSource.register(SyntheticDocsDataSource)
+    except Exception:
+        pass  # already registered in this session
+    return (
+        spark.read.format("synthetic_docs")
+        .option("rows", 100)
+        .option("partitions", 8)
+        .load()
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "scan_permissive_corrupt",
     oracle="""
     SELECT 7 AS n_good, 3 AS n_corrupt, 21 AS sum_good_vals
