@@ -131,27 +131,36 @@ def scan_text_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("scan_binary_files")  # file layout (names/sizes) is engine-internal → rows-only
+@register(
+    "scan_binary_files",
+    oracle="""
+    SELECT 1 AS n_files,
+           CAST(SUM(LENGTH(REGEXP_REPLACE(text, '[\\n\\r]', ' ', 'g')) + 1) AS BIGINT)
+             AS total_bytes
+    FROM documents
+    """,
+)
 def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """binaryFile source — the multimodal-column entry point (reference
     PDF fetch + PNG figures, parser_pinecone_storage.py:53-54,106-117).
-    Reads previously-written text artifacts as opaque binary blobs with
-    path/length/content, the same shape image/audio/video columns use."""
-    out = _adir(sf_dir, "documents_text")
-    # ensure the artifact exists (idempotent re-write)
+    Writes the corpus as ONE text file (coalesce(1) makes the layout
+    deterministic), reads it back as an opaque binary blob with
+    path/length/content — the shape image/audio/video columns use —
+    and aggregates so the oracle can pin it: total bytes = every line's
+    chars + its newline. Fixture text is ASCII, so chars == bytes."""
+    out = _adir(sf_dir, "documents_text_single")
     table(spark, sf_dir, "documents").select(
         F.regexp_replace("text", "[\\n\\r]", " ").alias("value")
-    ).write.mode("overwrite").text(out)
-    return (
+    ).coalesce(1).write.mode("overwrite").text(out)
+    blobs = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "part-*")
         .load(out)
-        .select(
-            F.element_at(F.split("path", "/"), -1).alias("file_name"),
-            F.col("length").alias("n_bytes"),
-            F.length("content").alias("content_len"),
-        )
-        .orderBy("file_name")
+        .select(F.col("length").alias("n_bytes"), F.length("content").alias("content_len"))
+    )
+    return blobs.agg(
+        F.count(F.lit(1)).cast("int").alias("n_files"),
+        F.sum("n_bytes").alias("total_bytes"),
     )
 
 
