@@ -103,7 +103,19 @@ def fake_decode_image(blob: bytes) -> tuple[int, int, str]:
     return (w, h, fmt)
 
 
-@register("multimodal_binary_meta")  # fake decoder is engine-defined → rows-only
+@register(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT)                     AS n_bytes,
+           CAST(64 + (ASCII(SUBSTRING(text, 1, 1)) % 16) * 64 AS INTEGER) AS width,
+           CAST(64 + (OCTET_LENGTH(ENCODE(text)) % 16) * 64 AS INTEGER)   AS height,
+           ['png', 'jpeg', 'webp'][ASCII(SUBSTRING(text, LENGTH(text), 1)) % 3 + 1]
+             AS format
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
 def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary multimodal column + mapInPandas feature extraction.
 

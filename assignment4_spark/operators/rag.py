@@ -216,7 +216,17 @@ def rag_search_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("rag_pipeline_ingest")  # composed lineage; embedder inside → rows-only
+@register(
+    "rag_pipeline_ingest",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(GENERATE_SERIES(0, GREATEST(LENGTH(text) - 1, 0), 100)) AS BIGINT)
+             AS n_chunks,
+           CAST(1.0 AS DOUBLE) AS avg_norm
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
 def rag_pipeline_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's 3-task Airflow DAG (list → extract → chunk/embed/
     store, parser_pinecone_storage.py:185-216) as ONE lazy Spark lineage:
@@ -224,6 +234,12 @@ def rag_pipeline_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     No XCom, no temp files: stage boundaries are Spark stages. The whole
     pipeline is narrow until the final per-doc aggregation (one shuffle).
     Cites: A1→A15 restatement, SURVEY §3.1.
+
+    Oracle-checkable because the pipeline's observable summary is
+    deterministic: n_chunks is the chunker arithmetic, and the embedder
+    L2-normalizes, so every non-empty chunk's norm is exactly 1.0 —
+    the oracle therefore ALSO verifies the normalization invariant
+    end-to-end through the real pandas-UDF path.
     """
     docs = table(spark, sf_dir, "documents")
     chunks = chunk_text(docs, FIXTURE_CHUNK_SIZE, FIXTURE_CHUNK_OVERLAP)
