@@ -266,7 +266,13 @@ def simhash_pairs(
 
     The pair scan is O(N²) on a 1-long signature — cheap integer XOR +
     popcount; at larger N, band the signature into 4 bytes and bucket-join
-    like LSH (same trick as minhash_lsh_pairs)."""
+    like LSH (same trick as minhash_lsh_pairs).
+
+    Token hash is the first 60 bits of md5 (not xxhash64): md5 is the one
+    hash DuckDB and Spark compute identically, which is what lets the
+    brute-force SQL below act as a value-level oracle. At 100 TB you'd
+    swap in xxhash64 (cheaper per token); the signature algebra is
+    hash-agnostic."""
     d = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     # Explode tokens, hash each once, and take 32 codegen'd SUM votes
     # (map-side combined) — same explode→multi-agg shape as
@@ -274,7 +280,10 @@ def simhash_pairs(
     # aggregates run interpreted and re-scan the token array per bit.
     hashed = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
     votes = hashed.groupBy("doc_id").agg(
         *[
             F.sum((F.shiftrightunsigned("h", j) % 2) * 2 - 1).alias(f"v{j}")
@@ -301,8 +310,33 @@ def simhash_pairs(
     )
 
 
-@register("dedup_simhash")  # engine-defined hash bits → rows-only; unit-tested
+@register(
+    "dedup_simhash",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 15))::BIGINT AS h
+      FROM documents
+    ),
+    votes AS (
+      SELECT doc_id, j, SUM(((h >> j) & 1) * 2 - 1) AS v
+      FROM hashed CROSS JOIN generate_series(0, 31) t(j)
+      GROUP BY doc_id, j
+    ),
+    sigs AS (
+      SELECT doc_id,
+             SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+      FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    ORDER BY doc_a, doc_b
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash pairs over the documents fixture — the registered face of
-    simhash_pairs."""
+    simhash_pairs. md5-based token bits make the signature bit-identical
+    across engines, so the brute-force SQL is a full value oracle."""
     return simhash_pairs(table(spark, sf_dir, "documents"))
