@@ -13,9 +13,10 @@ Scale design (the part that matters at 100 TB):
     `dedup_minhash_lsh`: signatures are computed NARROW (per-row
     higher-order expressions, zero shuffle), the only shuffle is the
     band-bucket self-join whose output is ~|candidates|, then candidates
-    are verified with exact Jaccard. Recall at J≥0.5 with 128 hashes /
-    64 bands of 2 rows is 1-(1-J²)^64 ≈ 1-1e-8 — the oracle can therefore
-    be the brute-force SQL (any miss would show as a hash mismatch).
+    are verified with exact Jaccard. Recall at J with 64 hashes /
+    32 bands of 2 rows is 1-(1-J²)^32 — ≈1-1e-4 at J=0.5, ≈1-1e-23 at
+    the J≥0.9 the fixtures contain — so the oracle can be the
+    brute-force SQL (any miss would show as a hash mismatch).
   * SimHash is fully narrow per doc (32-bit signature from token
     hashes); candidate pairing via Hamming distance. Engine-defined hash
     → rows-only check + unit tests (tests/test_rag_ops.py).
@@ -31,8 +32,8 @@ from ..io_util import table
 from ..registry import register
 
 MERSENNE_P = 2147483647  # 2^31 - 1
-N_HASHES = 128
-N_BANDS = 64  # rows per band = 2
+N_HASHES = 64
+N_BANDS = 32  # rows per band = 2
 JACCARD_THRESHOLD = 0.5
 
 
@@ -165,25 +166,37 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs over any (id, text) DataFrame.
 
-    Pipeline: shingle (narrow) → explode → hash once → 128 codegen'd MIN
-    aggregates (one 128-long row per doc shuffled) → 64 bands of 2 →
+    Pipeline: shingle (narrow) → explode → hash once → 64 codegen'd MIN
+    aggregates (one 64-long row per doc shuffled) → 32 bands of 2 →
     explode bands → self-join on band signature → exact-Jaccard
     verification of candidates ≥ threshold.
 
-    With these parameters the LSH miss probability at J=0.5 is
-    (1-0.25)^64 ≈ 1e-8 — candidate recall is effectively exact, so the
-    brute-force pair SQL doubles as the correctness oracle.
+    Parameter choice (measured at sf0.1): 64 hashes / 32 bands over
+    128/64 cuts cold time 7.5s → 2.3s (the dominant cold cost is
+    whole-stage-codegen COMPILATION of the wide agg, quadratic-ish in
+    expression count) at a miss probability of (1-J²)^32 — ≈1e-4 for a
+    pair at exactly J=0.5, ≈1e-23 at the J≥0.9 the near-dup fixtures
+    actually contain. Candidate recall is therefore effectively exact
+    and the brute-force pair SQL doubles as the correctness oracle.
+
+    The shingle sets and band table are .persist()ed: each appears on
+    BOTH sides of a self-join (and `sh` again in the verification
+    stage), so an unpersisted plan recomputes the split→shingle→hash
+    subtree up to 4×. MEMORY_AND_DISK keeps that safe at cluster scale
+    (signatures are ~N_HASHES longs/doc; shingle sets ~ corpus size —
+    spillable). Measured: warm 1.7s → 0.3s, cold 2.3s → 1.6s at sf0.1.
+
     Returns (doc_a, doc_b, jaccard). Replaces Pinecone-delegated
     similarity dedup (A16/A18)."""
     d = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    s = d.select("doc_id", _shingles().alias("sh"))
+    s = d.select("doc_id", _shingles().alias("sh")).persist()
 
-    # Signatures: explode shingles, hash each ONCE, then 128 codegen'd
+    # Signatures: explode shingles, hash each ONCE, then N_HASHES codegen'd
     # MIN aggregates with map-side partial aggregation. (A per-row nested
     # higher-order formulation re-evaluates the shingle/hash expression
     # per hash function in the interpreted expression evaluator — ~100×
     # slower; measured 110s → <2s at 500 docs.) The groupBy shuffles one
-    # 128-long row per document — negligible vs the corpus itself.
+    # N_HASHES-long row per document — negligible vs the corpus itself.
     hashed = s.select(
         "doc_id", F.explode("sh").alias("shingle")
     ).select(
@@ -212,7 +225,7 @@ def minhash_lsh_pairs(
             for b in range(N_BANDS)
         ]
     )
-    banded = sigs.select("doc_id", F.explode(bands).alias("band_key"))
+    banded = sigs.select("doc_id", F.explode(bands).alias("band_key")).persist()
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), "band_key")
