@@ -15,6 +15,12 @@ the engine treats Python as the escape hatch, not the path):
 
 from __future__ import annotations
 
+# typing.Iterator/Tuple (not collections.abc / PEP 585): with postponed
+# annotations Spark resolves UDF type hints from MODULE globals via
+# typing.get_type_hints, and its signature matcher wants typing generics.
+from typing import Iterator, Tuple  # noqa: UP035
+
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -134,6 +140,77 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type")
         .agg(F.round(wmean("value", "k"), 6).alias("weighted_mean"))
         .orderBy("event_type")
+    )
+
+
+@register(
+    "udf_pandas_iter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(SQRT(l_extendedprice) * (1 - l_discount), 6) AS scored
+    FROM lineitem
+    WHERE l_orderkey < 2000
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator pandas UDF (Iterator[Series]→Iterator[Series]): the
+    shape for per-worker one-time init (model/tokenizer load) amortized
+    across every Arrow batch of the partition — the init here is a
+    stand-in constant, the point is it runs once per partition, not once
+    per batch or row. numpy sqrt/multiply are the same IEEE ops the SQL
+    engine does; rounded like the rest of the float surface."""
+    @F.pandas_udf(T.DoubleType())
+    def scored_iter(it: Iterator[Tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        weight = 1.0  # one-time per-partition init point
+        for price, disc in it:
+            # unrounded: pandas .round is half-even, F.round below is SQL's
+            yield np.sqrt(price) * (1 - disc) * weight
+
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(scored_iter("l_extendedprice", "l_discount"), 6).alias("scored"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "udf_map_in_pandas",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           l_extendedprice * (1 + l_tax) AS gross
+    FROM lineitem
+    WHERE l_quantity > 45
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas (Iterator[DataFrame]→Iterator[DataFrame]): whole-row
+    batch transform that can change cardinality — the per-partition
+    filter+derive here is what the multimodal decode path uses for real
+    work. Filtering inside the UDF means the parquet scan can NOT push
+    the quantity predicate down — acceptable only when the predicate
+    genuinely needs Python; the oracle's WHERE shows the pushdown-able
+    equivalent."""
+    def gross_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf[pdf["l_quantity"] > 45].copy()
+            # unrounded on purpose: numpy does the identical IEEE ops, so
+            # raw doubles match the oracle exactly; ROUND here would trip
+            # the Spark-rounds-shortest-repr vs DuckDB-rounds-binary trap
+            out["gross"] = out["l_extendedprice"] * (1 + out["l_tax"])
+            yield out[["l_orderkey", "l_linenumber", "l_quantity", "gross"]]
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_tax"
+    )
+    return (
+        li.mapInPandas(
+            gross_batches,
+            schema="l_orderkey long, l_linenumber int, l_quantity double, gross double",
+        )
+        .orderBy("l_orderkey", "l_linenumber")
     )
 
 

@@ -104,6 +104,26 @@ def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_orc_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+    """,
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source roundtrip — the columnar-format alternative to
+    parquet (same reference export surface, parser_pinecone_storage.py:
+    81-117). ORC is JVM-native in Spark (predicate pushdown + column
+    pruning like parquet); DuckDB cannot read ORC, so the oracle reads
+    the source-of-truth parquet view — any roundtrip corruption shows as
+    a value mismatch."""
+    out = _adir(sf_dir, "nation_orc")
+    table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).write.mode("overwrite").orc(out)
+    return spark.read.orc(out).orderBy("n_nationkey")
+
+
+@register(
     "scan_text_sink",
     oracle="""
     SELECT COUNT(*)                                                AS n_lines,
