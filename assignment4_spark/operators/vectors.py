@@ -270,27 +270,10 @@ def _rp_planes(n_tables: int, n_bits: int, dim: int) -> list:
     return planes
 
 
-@register("vec_ann_rp_lsh_topk")  # engine-defined hashing → rows-only; recall unit-tested
-def vec_ann_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate k-NN via random-hyperplane (SimHash-for-cosine) LSH —
-    the second scale path next to IVF (vec_ann_ivf_topk):
-
-      1. signature: sign bits of the embedding against 10 tables × 5
-         deterministic hyperplanes, computed as one numpy matmul per
-         Arrow batch (mapInPandas — the per-plane higher-order
-         formulation would re-walk the array per bit, the B.8 pitfall);
-      2. bucket: each vector lands in 10 (table_id, 5-bit bucket) keys —
-         explode → the bucket join is the ONLY shuffle;
-      3. candidates within shared buckets are exact-cosine re-ranked
-         per query, top-5.
-
-    P(bit match) = 1 - acos(cos θ)/π; the fixture's uniform-random
-    embeddings are LSH-adversarial (top-neighbor cos only ≈ 0.4), so
-    10×5 trades selectivity for recall ≈ 0.4-0.6 at ~30% of the corpus
-    scanned per query (floor asserted in tests). Clustered real-world
-    embeddings sit at higher cos where the same parameters both recall
-    more and scan less. Reference provenance: the Pinecone-delegated
-    ANN search (A18) brought in-engine."""
+def _rp_lsh_topk(spark: SparkSession, sf_dir: str, n_probes: int = 1) -> DataFrame:
+    """Shared RP-LSH pipeline; n_probes=1 is classic LSH, n_probes>1 is
+    multi-probe (query also searches the buckets at Hamming distance 1 —
+    flip one sign bit per probe). See the registered ops' docstrings."""
     import numpy as np
     import pandas as pd
 
@@ -327,6 +310,22 @@ def vec_ann_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_keys = keys.filter(q_ids).select(
         F.col("vec_id").alias("query_id"), "table_id", "bucket"
     )
+    if n_probes > 1:
+        # Multi-probe: expand the QUERY side only — the corpus keeps one
+        # key per table, so index size is unchanged; each extra probe is
+        # the bucket with one sign bit flipped (Hamming-1 neighbors are
+        # where a near-miss lands). Candidates are a strict superset of
+        # the single-probe set → recall is monotonically ≥.
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << b))
+                for b in range(min(n_probes - 1, N_BITS))
+            ],
+        )
+        q_keys = q_keys.select(
+            "query_id", "table_id", F.explode(probes).alias("bucket")
+        )
     cand = (
         keys.join(F.broadcast(q_keys), ["table_id", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -357,6 +356,42 @@ def vec_ann_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .orderBy("query_id", "rank")
     )
+
+
+@register("vec_ann_rp_lsh_topk")  # engine-defined hashing → rows-only; recall unit-tested
+def vec_ann_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN via random-hyperplane (SimHash-for-cosine) LSH —
+    the second scale path next to IVF (vec_ann_ivf_topk):
+
+      1. signature: sign bits of the embedding against 10 tables × 5
+         deterministic hyperplanes, computed as one numpy matmul per
+         Arrow batch (mapInPandas — the per-plane higher-order
+         formulation would re-walk the array per bit, the B.8 pitfall);
+      2. bucket: each vector lands in 10 (table_id, 5-bit bucket) keys —
+         explode → the bucket join is the ONLY shuffle;
+      3. candidates within shared buckets are exact-cosine re-ranked
+         per query, top-5.
+
+    P(bit match) = 1 - acos(cos θ)/π; the fixture's uniform-random
+    embeddings are LSH-adversarial (top-neighbor cos only ≈ 0.4), so
+    10×5 trades selectivity for recall ≈ 0.4-0.6 at ~30% of the corpus
+    scanned per query (floor asserted in tests). Clustered real-world
+    embeddings sit at higher cos where the same parameters both recall
+    more and scan less. Reference provenance: the Pinecone-delegated
+    ANN search (A18) brought in-engine."""
+    return _rp_lsh_topk(spark, sf_dir, n_probes=1)
+
+
+@register("vec_ann_rp_lsh_multiprobe")  # engine-defined hashing → rows-only
+def vec_ann_rp_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe RP-LSH (Lv et al., VLDB'07): each query additionally
+    probes every Hamming-1 bucket in each table (6 probes × 10 tables),
+    recovering the near-misses where ONE sign bit flipped. Same index
+    (corpus keys unchanged — this is the point: recall of ~2× the tables
+    without 2× the index size or build shuffle); only the broadcast query
+    key-set grows 6×. Candidates are a strict superset of the
+    single-probe op's, so recall is provably ≥ (asserted in tests)."""
+    return _rp_lsh_topk(spark, sf_dir, n_probes=6)
 
 
 @register("vec_ann_ivf_topk")  # engine-defined clustering → rows-only; recall unit-tested

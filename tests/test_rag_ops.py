@@ -153,6 +153,27 @@ def test_rp_lsh_ann_recall_vs_exact(spark, sf_oracle):
     assert sum(recalls) / len(recalls) >= 0.25, f"RP-LSH recall too low: {recalls}"
 
 
+def test_rp_lsh_multiprobe_dominates_single_probe(spark, sf_oracle):
+    """Multi-probe candidates are a strict superset of single-probe's, so
+    per-query top-5 similarity sums must be ≥ — and on the adversarial
+    uniform fixture the Hamming-1 probes should also find strictly more
+    candidate mass for at least one query (sum strictly greater)."""
+    single = registry.QUERIES["vec_ann_rp_lsh_topk"](spark, sf_oracle).collect()
+    multi = registry.QUERIES["vec_ann_rp_lsh_multiprobe"](spark, sf_oracle).collect()
+
+    def sim_sum_by_q(rows):
+        acc: dict[int, float] = {}
+        for r in rows:
+            acc[r.query_id] = acc.get(r.query_id, 0.0) + r.sim_r
+        return acc
+
+    s, m = sim_sum_by_q(single), sim_sum_by_q(multi)
+    assert set(m) >= set(s)
+    for qid in s:
+        assert m[qid] >= s[qid] - 1e-9, f"q{qid}: multiprobe {m[qid]} < single {s[qid]}"
+    assert sum(m.values()) > sum(s.values()), "multiprobe found nothing extra"
+
+
 def test_multimodal_binary_meta_schema_and_batching(spark, sf_small):
     df = registry.QUERIES["multimodal_binary_meta"](spark, sf_small)
     assert [f.name for f in df.schema.fields] == [
