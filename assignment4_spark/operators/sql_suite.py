@@ -1,15 +1,31 @@
-"""SQL-surface suite: multi-join analytical queries through spark.sql().
+"""SQL-surface suite: the full TPC-H-shaped workload through spark.sql().
 
 Everything else in the engine uses the DataFrame API; these operators
-pin the other public face — ANSI SQL over registered views — with
-TPC-H-shaped workloads (Q3/Q5/Q10 pricing-summary family, adapted to
-the fixture star schema). The same text (modulo dialect) runs on the
-DuckDB side, so the oracle also proves dialect compatibility of the
-engine's SQL entry point.
+pin the other public face — ANSI SQL over registered views — with all
+22 TPC-H query *shapes* adapted to the fixture star schema. The same
+text (modulo dialect) runs on the DuckDB side, so the oracle also
+proves dialect compatibility of the engine's SQL entry point.
+
+Adaptation rules (the fixture schema is a reduced TPC-H — no partsupp,
+no l_shipmode/l_commitdate/l_receiptdate/c_phone/p_container):
+  * every query keeps its defining PLAN SHAPE — correlated scalar
+    subquery (Q2/Q17), EXISTS/NOT EXISTS (Q4/Q21/Q22), HAVING against a
+    scalar subquery (Q11), CTE + max-over-CTE (Q15), left-join with an
+    ON-clause filter + re-aggregation (Q13), disjunctive multi-column
+    predicate groups (Q19), nested IN-with-HAVING (Q18/Q20);
+  * missing columns map to available ones with the same role:
+    commit/receipt lateness → `l_shipdate > o_orderdate + INTERVAL n DAY`,
+    ps_supplycost → a `p_retailprice` cost proxy, c_phone country code →
+    the `c_name` digit suffix, partsupp supply edges → observed
+    supplier↔part edges in `lineitem`;
+  * every float aggregate is ROUND()ed on both sides, every ORDER BY
+    carries a full tie-break (FIXTURES.md §5).
 
 Scale notes: these are the canonical multi-join + agg shapes Catalyst
 exists for — dims broadcast under the 32 MB threshold, fact joins
-shuffle on keys, AQE reorders/coalesces at runtime. No hints needed;
+shuffle on keys, AQE reorders/coalesces at runtime; subqueries
+decorrelate into joins (Spark's DecorrelateInnerQuery), so Q2/Q17/Q21
+become one extra aggregate + join, not per-row probes. No hints needed;
 the plans are asserted healthy in tests/test_plans.py for the DataFrame
 twins and spot-checked here via the shared optimizer.
 """
@@ -72,6 +88,319 @@ LIMIT 20
 """
 
 
+_Q1 = """
+SELECT l_returnflag,
+       l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 6) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+# Q2 shape: multi-join + correlated scalar MIN subquery over the same join
+# tree (partsupp → observed lineitem supply edges; ps_supplycost → s_acctbal).
+_Q2 = """
+SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name
+FROM part, supplier, lineitem, nation, region
+WHERE p_partkey = l_partkey
+  AND s_suppkey = l_suppkey
+  AND p_size <= 10
+  AND p_type = 'LARGE'
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+  AND s_acctbal = (SELECT MIN(s2.s_acctbal)
+                   FROM supplier s2, lineitem l2, nation n2, region r2
+                   WHERE l2.l_partkey = p_partkey
+                     AND s2.s_suppkey = l2.l_suppkey
+                     AND s2.s_nationkey = n2.n_nationkey
+                     AND n2.n_regionkey = r2.r_regionkey
+                     AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+# Q4 shape: EXISTS semi-join with a correlated range predicate
+# (commit<receipt lateness → shipped >30 days after order date).
+_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01'
+  AND o_orderdate <  DATE '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+_Q6 = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01'
+  AND l_shipdate <  DATE '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+_Q7 = """
+SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+FROM (SELECT n1.n_name AS supp_nation,
+             n2.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey
+        AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey
+        AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31') shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+_Q8 = """
+SELECT o_year,
+       ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) / SUM(volume), 6)
+         AS mkt_share
+FROM (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+      WHERE p_partkey = l_partkey
+        AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey
+        AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey
+        AND n1.n_regionkey = r_regionkey
+        AND r_name = 'AMERICA'
+        AND s_nationkey = n2.n_nationkey
+        AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+        AND p_type = 'ECONOMY') all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+# Q9 shape: LIKE-filtered part join with a derived profit expression
+# (ps_supplycost → 5% of retail price as the unit-cost proxy). The per-row
+# amount is fixed-point DECIMAL so the SUM is exact in both engines —
+# double partial-sums here land within 1e-9 of a half-cent boundary and
+# ROUND alone flips the last digit between engines.
+_Q9 = """
+SELECT nation, o_year, ROUND(CAST(SUM(amount) AS DOUBLE), 2) AS sum_profit
+FROM (SELECT n_name AS nation,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.05
+                  AS DECIMAL(18, 4)) AS amount
+      FROM part, supplier, lineitem, orders, nation
+      WHERE s_suppkey = l_suppkey
+        AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey
+        AND s_nationkey = n_nationkey
+        AND p_name LIKE '%red%') profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+# Q11 shape: group-by with HAVING against an uncorrelated scalar subquery
+# over the same join (partsupp value → lineitem extendedprice*quantity).
+_Q11 = """
+SELECT l_partkey AS ps_partkey,
+       ROUND(SUM(l_extendedprice * l_quantity), 2) AS part_value
+FROM lineitem, supplier, nation
+WHERE l_suppkey = s_suppkey
+  AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_0'
+GROUP BY l_partkey
+HAVING SUM(l_extendedprice * l_quantity) > (SELECT SUM(l_extendedprice * l_quantity) * 0.005
+                                            FROM lineitem, supplier, nation
+                                            WHERE l_suppkey = s_suppkey
+                                              AND s_nationkey = n_nationkey
+                                              AND n_name = 'NATION_0')
+ORDER BY part_value DESC, ps_partkey
+"""
+
+# Q12 shape: join + CASE-bucketed conditional counts
+# (l_shipmode classes → order-priority classes; lateness as in Q4).
+_Q12 = """
+SELECT l_returnflag,
+       COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END)
+         AS high_line_count,
+       COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END)
+         AS low_line_count
+FROM orders, lineitem
+WHERE o_orderkey = l_orderkey
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND l_shipdate >= DATE '1996-01-01'
+  AND l_shipdate <  DATE '1997-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+# Q13 shape: left join with an ON-clause filter, then re-aggregate the counts
+# (o_comment NOT LIKE → an order-priority exclusion).
+_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+_Q14 = """
+SELECT ROUND(100.00 * SUM(CASE WHEN p_type = 'PROMO'
+                               THEN l_extendedprice * (1 - l_discount)
+                               ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= DATE '1996-09-01'
+  AND l_shipdate <  DATE '1996-10-01'
+"""
+
+# Q15 shape: CTE revenue view + equality against MAX over the same CTE.
+_Q15 = """
+WITH revenue AS (SELECT l_suppkey AS supplier_no,
+                        ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                 FROM lineitem
+                 WHERE l_shipdate >= DATE '1996-01-01'
+                   AND l_shipdate <  DATE '1996-04-01'
+                 GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier, revenue
+WHERE s_suppkey = supplier_no
+  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+# Q16 shape: COUNT(DISTINCT supplier) by part attributes with NOT IN
+# (supplier complaint comment → negative account balance).
+_Q16 = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand <> 'Brand#1'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+# Q17 shape: correlated scalar AVG subquery per part.
+_Q17 = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand = 'Brand#1'
+  AND p_type = 'SMALL'
+  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                    FROM lineitem l2
+                    WHERE l2.l_partkey = p_partkey)
+"""
+
+# Q18 shape: IN against a grouped-HAVING subquery on the fact table.
+_Q18 = """
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS o_orderdate,
+       o_totalprice,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (SELECT l_orderkey
+                     FROM lineitem
+                     GROUP BY l_orderkey
+                     HAVING SUM(l_quantity) > 300)
+  AND c_custkey = o_custkey
+  AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+# Q19 shape: disjunctive (OR-ed) multi-column predicate groups over a join —
+# the classic case for predicate normalization + common-filter extraction
+# (p_container/l_shipmode → p_size/l_quantity bands).
+_Q19 = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+    OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))
+"""
+
+# Q20 shape: nested IN → grouped HAVING over a LIKE-filtered join
+# (availqty threshold → shipped-quantity threshold).
+_Q20 = """
+SELECT s_suppkey, s_name
+FROM supplier, nation
+WHERE s_nationkey = n_nationkey
+  AND n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+  AND s_suppkey IN (SELECT l_suppkey
+                    FROM lineitem, part
+                    WHERE l_partkey = p_partkey
+                      AND p_name LIKE 'red%'
+                      AND l_shipdate >= DATE '1996-01-01'
+                      AND l_shipdate <  DATE '1997-01-01'
+                    GROUP BY l_suppkey
+                    HAVING SUM(l_quantity) > 50)
+ORDER BY s_suppkey
+"""
+
+# Q21 shape: EXISTS + NOT EXISTS against self-joined fact rows
+# (receipt/commit lateness → shipped >60 days after order date; the inner
+# NOT EXISTS re-joins orders so every correlation predicate stays equi).
+_Q21 = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND s_nationkey = n_nationkey
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3, orders o3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND o3.o_orderkey = l3.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+# Q22 shape: substring-derived country code + scalar AVG subquery +
+# NOT EXISTS anti-join (c_phone prefix → c_name digit suffix; "customers
+# with no orders" → "with no URGENT orders", since at fixture scale every
+# customer has ≥1 order and an always-empty result would gut the check).
+_Q22 = """
+SELECT cntrycode, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM (SELECT SUBSTRING(c_name, 17, 2) AS cntrycode, c_custkey, c_acctbal
+      FROM customer
+      WHERE SUBSTRING(c_name, 17, 2) IN ('01', '12', '23', '34', '45', '56', '67')
+        AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.00)) custsale
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
 def _sql_op(name: str, sql: str):
     @register(name, oracle=sql)
     def run(spark: SparkSession, sf_dir: str, _sql: str = sql) -> DataFrame:
@@ -83,6 +412,25 @@ def _sql_op(name: str, sql: str):
     return run
 
 
+sql_q1_pricing_summary = _sql_op("sql_q1_pricing_summary", _Q1)
+sql_q2_min_acctbal_supplier = _sql_op("sql_q2_min_acctbal_supplier", _Q2)
 sql_q3_shipping_priority = _sql_op("sql_q3_shipping_priority", _Q3)
+sql_q4_order_priority = _sql_op("sql_q4_order_priority", _Q4)
 sql_q5_local_supplier = _sql_op("sql_q5_local_supplier", _Q5)
+sql_q6_forecast_revenue = _sql_op("sql_q6_forecast_revenue", _Q6)
+sql_q7_volume_shipping = _sql_op("sql_q7_volume_shipping", _Q7)
+sql_q8_market_share = _sql_op("sql_q8_market_share", _Q8)
+sql_q9_product_profit = _sql_op("sql_q9_product_profit", _Q9)
 sql_q10_returned_items = _sql_op("sql_q10_returned_items", _Q10)
+sql_q11_important_parts = _sql_op("sql_q11_important_parts", _Q11)
+sql_q12_priority_shipping = _sql_op("sql_q12_priority_shipping", _Q12)
+sql_q13_customer_distribution = _sql_op("sql_q13_customer_distribution", _Q13)
+sql_q14_promo_effect = _sql_op("sql_q14_promo_effect", _Q14)
+sql_q15_top_supplier = _sql_op("sql_q15_top_supplier", _Q15)
+sql_q16_supplier_cnt = _sql_op("sql_q16_supplier_cnt", _Q16)
+sql_q17_small_qty_avg = _sql_op("sql_q17_small_qty_avg", _Q17)
+sql_q18_large_volume = _sql_op("sql_q18_large_volume", _Q18)
+sql_q19_disjunctive_rev = _sql_op("sql_q19_disjunctive_rev", _Q19)
+sql_q20_parts_suppliers = _sql_op("sql_q20_parts_suppliers", _Q20)
+sql_q21_waiting_supplier = _sql_op("sql_q21_waiting_supplier", _Q21)
+sql_q22_global_sales = _sql_op("sql_q22_global_sales", _Q22)
