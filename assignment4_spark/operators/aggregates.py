@@ -298,3 +298,85 @@ def agg_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey")
     )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT DATE_TRUNC('day', ts) AS day,
+           COUNT(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+           COUNT(CASE WHEN event_type = 'error'    THEN 1 END) AS error,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+           COUNT(CASE WHEN event_type = 'view'     THEN 1 END) AS view
+    FROM events
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): daily counts per event_type as columns.
+
+    The value list is EXPLICIT — with it, Spark pivots in a single
+    aggregation pass; without it, it must first run a distinct() job to
+    discover the columns (a full extra scan at 100 TB). Missing cells
+    coalesce to 0 to match SQL's COUNT(CASE...) semantics."""
+    ev = table(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    piv = (
+        # cast to DATE: DuckDB's DATE_TRUNC('day', ts) yields DATE, Spark's a timestamp
+        ev.withColumn("day", F.date_trunc("day", F.col("ts")).cast("date"))
+        .groupBy("day")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "day", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
+    ).orderBy("day")
+
+
+@register(
+    "agg_argminmax",
+    oracle="""
+    WITH j AS (SELECT c_mktsegment, o_orderkey, o_totalprice
+               FROM orders JOIN customer ON o_custkey = c_custkey),
+    r AS (SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn_max,
+                 ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn_min
+          FROM j)
+    SELECT c_mktsegment,
+           MAX(CASE WHEN rn_max = 1 THEN o_orderkey END) AS top_orderkey,
+           ROUND(MAX(o_totalprice), 2) AS top_price,
+           MAX(CASE WHEN rn_min = 1 THEN o_orderkey END) AS bottom_orderkey,
+           ROUND(MIN(o_totalprice), 2) AS bottom_price
+    FROM r
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argument-extremes per group via max_by/min_by with a STRUCT
+    ordering key — the struct's second field is the tie-break, so the
+    result is deterministic even on duplicate prices (DuckDB 1.0's
+    arg_max has no tie-break, hence the oracle's row_number form)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.max_by("o_orderkey", F.struct("o_totalprice", "o_orderkey")).alias(
+                "top_orderkey"
+            ),
+            F.round(F.max("o_totalprice"), 2).alias("top_price"),
+            F.min_by("o_orderkey", F.struct("o_totalprice", "o_orderkey")).alias(
+                "bottom_orderkey"
+            ),
+            F.round(F.min("o_totalprice"), 2).alias("bottom_price"),
+        )
+        .orderBy("c_mktsegment")
+    )

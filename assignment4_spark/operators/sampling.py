@@ -1,0 +1,121 @@
+"""Deterministic sampling / dataset-splitting operators.
+
+A training-data pipeline needs reproducible subsets: train/valid/test
+splits that never move between runs, and stratified downsampling to
+rebalance skewed strata (e.g. a dominant language). Random sampling
+(`df.sample`) is seed- and partitioning-dependent and differs between
+engines, so these operators derive the sample from a CONTENT HASH:
+`md5(key)` is identical in Spark and DuckDB, making the exact same rows
+land in the exact same split everywhere — which is also what makes the
+split stable when the corpus is re-partitioned or incrementally grown
+at 100 TB (a new file never reshuffles old rows between splits).
+
+Reference provenance: the reference has no sampling at all; this
+generalizes its corpus handling (SURVEY §1.1) to the dataset-curation
+surface the north-star asks for. Hash-based splitting is the published
+standard for dataset dedup/splits (e.g. C4/The Pile preprocessing).
+
+Scale notes: both ops are a narrow projection (md5 + substring) feeding
+a partial aggregation — no shuffle beyond the final tiny group-by. At
+100 TB the hash evaluates inside whole-stage codegen next to the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io_util import table
+from ..registry import register
+
+_TRAIN = [str(d) for d in range(10)]  # 10/16 of hash space
+_VALID = ["a", "b", "c"]  # 3/16
+# remaining d/e/f → test
+
+
+@register(
+    "sample_split_hash",
+    oracle="""
+    WITH t AS (SELECT CASE
+                        WHEN SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                             IN ('0','1','2','3','4','5','6','7','8','9') THEN 'train'
+                        WHEN SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                             IN ('a','b','c') THEN 'valid'
+                        ELSE 'test'
+                      END AS split,
+                      n_chars
+               FROM documents)
+    SELECT split,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 6) AS avg_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM t
+    GROUP BY split
+    ORDER BY split
+    """,
+)
+def sample_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split (10/3/3 sixteenths) keyed on
+    md5(doc_id): reproducible across engines, runs, and repartitions."""
+    d = table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(h.isin(_TRAIN), F.lit("train"))
+        .when(h.isin(_VALID), F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "sample_stratified_hash",
+    oracle="""
+    WITH t AS (SELECT lang,
+                      SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                        IN ('0','1','2','3','4','5','6','7') AS wide,
+                      SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                        IN ('0','1') AS narrow
+               FROM documents)
+    SELECT lang,
+           COUNT(*) AS n_total,
+           COUNT(CASE WHEN (lang = 'en' AND narrow) OR (lang <> 'en' AND wide)
+                      THEN 1 END) AS n_sampled,
+           ROUND(COUNT(CASE WHEN (lang = 'en' AND narrow) OR (lang <> 'en' AND wide)
+                            THEN 1 END) * 1.0 / COUNT(*), 6) AS frac
+    FROM t
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing stratified downsample: the dominant stratum
+    ('en') keeps 2/16 hash buckets, every other language keeps 8/16 —
+    the standard move to flatten a skewed language mix in a training
+    corpus, done deterministically so the sample is stable under
+    incremental ingest."""
+    d = table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    wide = h.isin([str(x) for x in range(8)])
+    narrow = h.isin(["0", "1"])
+    keep = ((F.col("lang") == "en") & narrow) | ((F.col("lang") != "en") & wide)
+    return (
+        d.select("lang", keep.alias("keep"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(F.col("keep"), 1)).alias("n_sampled"),
+            F.round(
+                F.count(F.when(F.col("keep"), 1)) * F.lit(1.0) / F.count(F.lit(1)), 6
+            ).alias("frac"),
+        )
+        .orderBy("lang")
+    )

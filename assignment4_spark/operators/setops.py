@@ -125,3 +125,28 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = c.filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")).select("c_custkey")
     b = c.filter(F.col("c_acctbal") > 2000).select("c_custkey")
     return a.subtract(b).orderBy("c_custkey")  # subtract = EXCEPT DISTINCT
+
+
+@register(
+    "set_unpivot",
+    oracle="""
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value
+    FROM part WHERE p_partkey < 50
+    UNION ALL
+    SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE)
+    FROM part WHERE p_partkey < 50
+    ORDER BY p_partkey, metric
+    """,
+)
+def set_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long, a.k.a. melt): per-part metrics become
+    (metric, value) rows. Narrow per-row fan-out — no shuffle; the
+    orderBy here is only for the deterministic comparison."""
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 50)
+        .select("p_partkey", "p_retailprice", F.col("p_size").cast("double").alias("p_size"))
+    )
+    return p.unpivot(
+        "p_partkey", ["p_retailprice", "p_size"], "metric", "value"
+    ).orderBy("p_partkey", "metric")

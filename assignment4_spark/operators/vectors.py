@@ -463,3 +463,54 @@ def vec_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "vec_kmeans_assign",
+    oracle="""
+    WITH c AS (SELECT vec_id AS centroid_id, embedding AS cemb
+               FROM embeddings WHERE vec_id < 8),
+    sims AS (SELECT e.vec_id, c.centroid_id,
+                    ROUND(LIST_COSINE_SIMILARITY(e.embedding::DOUBLE[], c.cemb::DOUBLE[]), 6)
+                      AS sim
+             FROM embeddings e CROSS JOIN c),
+    assigned AS (SELECT *,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY sim DESC NULLS LAST, centroid_id) AS rn
+                 FROM sims)
+    SELECT centroid_id,
+           COUNT(*) AS n_members,
+           ROUND(AVG(sim), 6) AS avg_sim
+    FROM assigned
+    WHERE rn = 1
+    GROUP BY centroid_id
+    ORDER BY centroid_id
+    """,
+)
+def vec_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means assignment step (the E-step every iterative clustering
+    / IVF index build runs): nearest-of-8 fixed centroids by cosine,
+    then per-cluster size + mean similarity. Centroids broadcast — the
+    corpus never shuffles for the assignment, which is what makes the
+    iteration viable over 100 TB of vectors (the M-step is a tiny
+    groupBy(centroid) average). Ties broken by centroid_id; sims rounded
+    to 6 dp BEFORE the argmax so both engines break identically."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
+    )
+    sims = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "centroid_id",
+        F.round(cosine(F.col("emb"), F.col("cemb")), 6).alias("sim"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc_nulls_last(), F.col("centroid_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n_members"), F.round(F.avg("sim"), 6).alias("avg_sim"))
+        .orderBy("centroid_id")
+    )

@@ -215,3 +215,48 @@ def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT l.user_id,
+           l.event_id AS l_id,
+           r.event_id AS r_id,
+           l.ts AS l_ts,
+           r.ts AS r_ts
+    FROM events l
+    JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'click'
+     AND r.event_type = 'purchase'
+     AND r.ts > l.ts
+     AND r.ts <= l.ts + INTERVAL 1 HOUR
+    ORDER BY l_id, r_id
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch-declared: clicks joined to the
+    purchases that follow within 1 hour per user. The streaming twin
+    (streaming/stream_impl.py:stream_stream_join) carries watermarks on
+    BOTH sides plus this two-sided time bound — the pair that lets Spark
+    expire join state instead of buffering both streams forever."""
+    ev = table(spark, sf_dir, "events")
+    l = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("l_id")
+    )
+    r = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_id"),
+    )
+    return (
+        l.join(
+            r,
+            (F.col("user_id") == F.col("r_user"))
+            & (F.col("r_ts") > F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("user_id", "l_id", "r_id", "l_ts", "r_ts")
+        .orderBy("l_id", "r_id")
+    )
