@@ -214,26 +214,45 @@ def join_cross_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range join with an equi prefix: Spark plans the user_id equality
-    as the join key (shuffle/broadcast hash), the ts range as a post-join
-    filter — so cost is per-user-group, never |events|². At 100 TB add
-    time-bucket keys to bound group size (the standard range-join
-    bucketing trick)."""
-    e = table(spark, sf_dir, "events").alias("e")
-    f = table(spark, sf_dir, "events").alias("f")
+    """Range join via time-bucketing (the standard scale rewrite): the
+    equi key is (user_id, 1-hour epoch bucket) — the right side lives in
+    exactly one bucket, the left probes its own bucket and the next, the
+    range predicate is the residual filter. Join-group size is bounded
+    by events-per-user-per-hour instead of events-per-user, so the plan
+    is a plain hash join at any corpus size, never a per-user quadratic
+    blow-up. Every qualifying pair appears exactly once (bucket(f) ∈
+    {bucket(e), bucket(e)+1} always holds when 0 < f.ts−e.ts ≤ 1 h), so
+    no dedup pass is needed."""
+    ev = table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("ts").cast("double") / 3600).cast("long")
+    f = ev.select(
+        F.col("user_id").alias("f_user"),
+        F.col("ts").alias("f_ts"),
+        F.col("event_id").alias("f_id"),
+        F.col("event_type").alias("f_type"),
+        bucket.alias("f_bucket"),
+    )
+    e = ev.select(
+        "user_id",
+        F.col("ts").alias("e_ts"),
+        F.col("event_id").alias("e_id"),
+        F.col("event_type").alias("e_type"),
+        F.explode(F.array(bucket, bucket + 1)).alias("e_bucket"),
+    )
     return (
         e.join(
             f,
-            (F.col("e.user_id") == F.col("f.user_id"))
-            & (F.col("f.ts") > F.col("e.ts"))
-            & (F.col("f.ts") <= F.col("e.ts") + F.expr("INTERVAL 1 HOUR")),
+            (F.col("user_id") == F.col("f_user"))
+            & (F.col("e_bucket") == F.col("f_bucket"))
+            & (F.col("f_ts") > F.col("e_ts"))
+            & (F.col("f_ts") <= F.col("e_ts") + F.expr("INTERVAL 1 HOUR")),
         )
         .select(
-            F.col("e.user_id").alias("user_id"),
-            F.col("e.event_id").alias("left_id"),
-            F.col("f.event_id").alias("right_id"),
-            F.col("e.event_type").alias("left_type"),
-            F.col("f.event_type").alias("right_type"),
+            "user_id",
+            F.col("e_id").alias("left_id"),
+            F.col("f_id").alias("right_id"),
+            F.col("e_type").alias("left_type"),
+            F.col("f_type").alias("right_type"),
         )
         .orderBy("left_id", "right_id")
     )

@@ -119,3 +119,74 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "text_curate_pipeline",
+    oracle="""
+    WITH canon AS (SELECT doc_id, lang, n_chars,
+                          MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))) AS fp,
+                          LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS n_tokens
+                   FROM documents),
+    kept AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY fp
+                                                         ORDER BY doc_id) AS rn
+                            FROM canon)
+             WHERE rn = 1),
+    quality AS (SELECT * FROM kept WHERE n_chars >= 80 AND n_tokens >= 10),
+    tagged AS (SELECT *, CASE
+                           WHEN SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                                IN ('0','1','2','3','4','5','6','7','8','9') THEN 'train'
+                           WHEN SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                                IN ('a','b','c') THEN 'valid'
+                           ELSE 'test'
+                         END AS split
+               FROM quality)
+    SELECT lang, split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           ROUND(AVG(n_chars), 6) AS avg_chars
+    FROM tagged
+    GROUP BY lang, split
+    ORDER BY lang, split
+    """,
+)
+def text_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-curation pass as ONE lazy lineage — canonicalize →
+    exact-dedup (first doc_id per fingerprint wins) → quality gate
+    (length + token floor) → deterministic hash split → per-(lang,split)
+    summary. This is the batch shape of a training-data curation job:
+    every step before the final summary is narrow except the dedup
+    shuffle on the 16-byte fingerprint (never on the document text)."""
+    from pyspark.sql.window import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    canon = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("fp"),
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias("n_tokens"),
+    )
+    kept = (
+        canon.withColumn(
+            "rn", F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .filter((F.col("n_chars") >= 80) & (F.col("n_tokens") >= 10))
+    )
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(h.isin(_TRAIN), F.lit("train"))
+        .when(h.isin(_VALID), F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        kept.select("lang", split.alias("split"), "n_tokens", "n_chars")
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .orderBy("lang", "split")
+    )

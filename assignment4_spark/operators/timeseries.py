@@ -1,0 +1,144 @@
+"""Time-series analytics operators over the `events` stream table.
+
+Two shapes every telemetry/metrics pipeline needs that plain group-bys
+don't give:
+
+  * gap filling — a date spine × dimension grid left-joined to the
+    actual aggregates, so silent days show as explicit zeros instead of
+    missing rows (downstream charts/models need the dense grid);
+  * funnel staging — ordered multi-step conversion (signup → click →
+    purchase), where each step must happen strictly AFTER the previous
+    one; expressed as a cascade of per-user conditional MIN aggregates,
+    one hash aggregation per step, no window over the raw stream.
+
+Reference provenance: generalizes the reference's event-less telemetry
+gap (SURVEY §2 Part A "not present") over the fixture `events` table —
+the same per-user sequencing its session state (A26) implies.
+
+Scale notes: the spine is tiny (days × types) and broadcast; the only
+big-data shuffles are per-user/per-day partial aggregations that
+map-side combine. Nothing here carries raw rows through a window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io_util import table
+from ..registry import register
+
+
+@register(
+    "ts_gap_fill",
+    oracle="""
+    WITH bounds AS (SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+                    FROM events),
+    days AS (SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+             FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    actual AS (SELECT CAST(ts AS DATE) AS day, event_type,
+                      COUNT(*) AS n, SUM(value) AS total_value
+               FROM events
+               GROUP BY day, event_type)
+    SELECT d.day AS day, t.event_type,
+           COALESCE(a.n, 0) AS n,
+           ROUND(COALESCE(a.total_value, 0), 2) AS total_value
+    FROM days d
+    CROSS JOIN types t
+    LEFT JOIN actual a ON a.day = d.day AND a.event_type = t.event_type
+    ORDER BY d.day, t.event_type
+    """,
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily grid per event_type with zero-filled gaps: date spine
+    (sequence over min..max day) × distinct types, left-joined to the
+    actual daily aggregates."""
+    ev = table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    days = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1")).select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    actual = ev.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).alias("a_n"), F.sum("value").alias("a_total")
+    )
+    return (
+        days.crossJoin(types)
+        .join(actual, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce(F.col("a_n"), F.lit(0)).alias("n"),
+            F.round(F.coalesce(F.col("a_total"), F.lit(0.0)), 2).alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+@register(
+    "ts_funnel_stages",
+    oracle="""
+    WITH t1 AS (SELECT user_id,
+                       MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+                FROM events GROUP BY user_id),
+    t2 AS (SELECT e.user_id, MIN(e.ts) AS t_click
+           FROM events e JOIN t1 ON e.user_id = t1.user_id
+           WHERE e.event_type = 'click' AND t1.t_signup IS NOT NULL
+             AND e.ts > t1.t_signup
+             AND e.ts <= t1.t_signup + INTERVAL 1 DAY
+           GROUP BY e.user_id),
+    t3 AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+           FROM events e JOIN t2 ON e.user_id = t2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > t2.t_click
+             AND e.ts <= t2.t_click + INTERVAL 1 DAY
+           GROUP BY e.user_id)
+    SELECT CASE WHEN t3.user_id IS NOT NULL THEN 'purchase'
+                WHEN t2.user_id IS NOT NULL THEN 'click'
+                WHEN t1.t_signup IS NOT NULL THEN 'signup'
+                ELSE 'none' END AS stage,
+           COUNT(*) AS n_users
+    FROM t1
+    LEFT JOIN t2 ON t1.user_id = t2.user_id
+    LEFT JOIN t3 ON t1.user_id = t3.user_id
+    GROUP BY stage
+    ORDER BY stage
+    """,
+)
+def ts_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users counted by the furthest stage
+    reached, each stage's event required strictly after the previous
+    stage's first event AND within 24 h of it (mere presence of the
+    event type anywhere in the stream doesn't convert)."""
+    ev = table(spark, sf_dir, "events")
+    t1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup")
+    )
+    day = F.expr("INTERVAL 1 DAY")
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1.filter(F.col("t_signup").isNotNull()), "user_id")
+        .filter((F.col("ts") > F.col("t_signup")) & (F.col("ts") <= F.col("t_signup") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter((F.col("ts") > F.col("t_click")) & (F.col("ts") <= F.col("t_click") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    stage = (
+        F.when(F.col("t_purchase").isNotNull(), "purchase")
+        .when(F.col("t_click").isNotNull(), "click")
+        .when(F.col("t_signup").isNotNull(), "signup")
+        .otherwise("none")
+    )
+    return (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(stage.alias("stage"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("stage")
+    )

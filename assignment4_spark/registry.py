@@ -38,6 +38,7 @@ _OPERATOR_MODULES = [
     "assignment4_spark.operators.vectors",
     "assignment4_spark.operators.dedup",
     "assignment4_spark.operators.sampling",
+    "assignment4_spark.operators.timeseries",
     "assignment4_spark.operators.textstats",
     "assignment4_spark.operators.multimodal",
     "assignment4_spark.streaming.batch_decl",

@@ -32,12 +32,23 @@ def main() -> None:
     registry.load_all()
     spark = get_spark("assignment4_spark-bench")
 
-    # Warm up the JVM + parquet footers once so per-query numbers measure
-    # execution, not first-touch class loading.
-    try:
-        registry.QUERIES["agg_groupby_basic"](spark, sf_dir).count()
-    except Exception as e:
-        print(f"bench: warm-up failed (bad sf_dir?): {e}", file=sys.stderr)
+    # Warm up the JVM + parquet footers, plus each Python-worker pool the
+    # suite touches (plain UDF, Arrow/pandas, Python DataSource planning)
+    # so per-query numbers measure execution, not first-touch process
+    # spawning (~5-7 s the first time a pool is used in a fresh session).
+    warm_sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_sf):
+        warm_sf = sf_dir
+    for warm in (
+        ("agg_groupby_basic", sf_dir),
+        ("udf_python_scalar", warm_sf),
+        ("udf_pandas_scalar", warm_sf),
+        ("scan_python_datasource", warm_sf),
+    ):
+        try:
+            registry.QUERIES[warm[0]](spark, warm[1]).count()
+        except Exception as e:
+            print(f"bench: warm-up {warm[0]} failed: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in sorted(registry.QUERIES):
