@@ -353,3 +353,46 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     simhash_pairs. md5-based token bits make the signature bit-identical
     across engines, so the brute-force SQL is a full value oracle."""
     return simhash_pairs(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_edit_distance",
+    oracle="""
+    SELECT a.p_partkey AS key_a,
+           b.p_partkey AS key_b,
+           a.p_name    AS name_a,
+           b.p_name    AS name_b,
+           LEVENSHTEIN(a.p_name, b.p_name) AS dist
+    FROM part a
+    JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE a.p_brand = 'Brand#1'
+      AND LEVENSHTEIN(a.p_name, b.p_name) <= 4
+    ORDER BY key_a, key_b
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-duplicate names by Levenshtein distance ≤ 4, blocked on an
+    equi key (brand) — the blocking-key pattern that makes edit-distance
+    dedup feasible at scale: candidate pairs come from a hash join on
+    the block, never an unblocked O(N²) comparison; the DP distance runs
+    JVM-side (built-in levenshtein, no UDF)."""
+    a = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").alias("a")
+    b = table(spark, sf_dir, "part").alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.alias("dist"),
+        )
+        .filter(F.col("dist") <= 4)
+        .orderBy("key_a", "key_b")
+    )

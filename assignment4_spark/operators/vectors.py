@@ -514,3 +514,73 @@ def vec_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_members"), F.round(F.avg("sim"), 6).alias("avg_sim"))
         .orderBy("centroid_id")
     )
+
+
+@register("vec_mmr_rerank")  # iterative greedy selection → rows-only; unit-tested
+def vec_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR (maximal marginal relevance, Carbonell & Goldstein '98)
+    diversity re-rank — the step a real retrieval stack runs AFTER
+    top-k: from each query's top-20 cosine candidates, greedily pick 5
+    maximizing λ·sim(q,d) − (1−λ)·max_{s∈picked} sim(d,s), λ=0.7.
+
+    Spark shape: the candidate generation is the existing broadcast
+    top-k (corpus scanned once, no corpus shuffle); the greedy loop —
+    inherently sequential but over only k=20 rows — runs per query
+    group in applyInPandas, so queries parallelize across the cluster
+    while each tiny greedy problem stays in one Arrow batch. Ties
+    broken by neighbor_id; float64 throughout → deterministic.
+
+    Generalizes A18 (ra/agent.py:108-133): the reference returns raw
+    Pinecone rank order; MMR is what production RAG uses to stop the
+    context window filling with near-duplicate chunks."""
+    import numpy as np
+    import pandas as pd
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    cands = knn_topk(emb, queries, k=20)
+    # attach candidate embeddings for the pairwise-redundancy term
+    cand_emb = cands.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"), "neighbor_id"
+    )
+
+    out_schema = "query_id bigint, neighbor_id bigint, mmr_rank int, mmr_score double"
+
+    def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        lam, k = 0.7, 5
+        pdf = pdf.sort_values(["rank"]).reset_index(drop=True)
+        vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        unit = vecs / norms
+        pair = unit @ unit.T  # candidate×candidate cosine
+        rel = pdf["sim_r"].to_numpy(dtype=np.float64)
+        picked: list = []
+        avail = list(range(len(pdf)))
+        scores = []
+        while avail and len(picked) < k:
+            if picked:
+                redundancy = pair[np.ix_(avail, picked)].max(axis=1)
+            else:
+                redundancy = np.zeros(len(avail))
+            mmr_score = lam * rel[avail] - (1 - lam) * redundancy
+            # argmax with neighbor_id tie-break (stable: avail is id-ordered by rank)
+            best_pos = int(np.argmax(mmr_score))
+            scores.append(float(mmr_score[best_pos]))
+            picked.append(avail.pop(best_pos))
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[picked].to_numpy(),
+                "neighbor_id": pdf["neighbor_id"].iloc[picked].to_numpy(),
+                "mmr_rank": np.arange(1, len(picked) + 1, dtype=np.int32),
+                "mmr_score": np.round(np.asarray(scores), 6),
+            }
+        )
+
+    return (
+        cand_emb.groupBy("query_id")
+        .applyInPandas(mmr, out_schema)
+        .orderBy("query_id", "mmr_rank")
+    )

@@ -205,3 +205,44 @@ def test_upsert_latest_wins(spark, sf_small):
     rows = {r.vec_id: (r.ver, r.payload) for r in
             registry.QUERIES["vec_upsert_dedup"](spark, sf_small).collect()}
     assert rows == {1: (3, "a3"), 2: (2, "b2"), 3: (7, "c7"), 4: (1, "d1")}
+
+
+def test_mmr_rerank_properties(spark, sf_oracle):
+    """MMR re-rank (rows-only op): k=5 per query; the first pick is the
+    plain cosine top-1; the selected set is no less diverse than plain
+    top-5 (lower or equal max pairwise sim); results are deterministic."""
+    import numpy as np
+
+    got = registry.QUERIES["vec_mmr_rerank"](spark, sf_oracle)
+    rows = got.collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(len(v) for v in by_q.values()) == {5}
+    assert sorted(by_q) == [0, 1, 2]
+
+    knn = registry.QUERIES["vec_knn_topk"](spark, sf_oracle).collect()
+    top1 = {r.query_id: r.neighbor_id for r in knn if r.rank == 1 and r.query_id < 3}
+    for q, picks in by_q.items():
+        picks = sorted(picks, key=lambda r: r.mmr_rank)
+        assert picks[0].neighbor_id == top1[q], f"query {q}: first MMR pick != top-1"
+
+    # diversity: max pairwise cosine among MMR picks <= among plain top-5 (+eps)
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_oracle}/embeddings.parquet").collect()
+    }
+
+    def max_pair_sim(ids):
+        vs = [emb[i] / np.linalg.norm(emb[i]) for i in ids]
+        return max(
+            float(vs[i] @ vs[j]) for i in range(len(vs)) for j in range(i + 1, len(vs))
+        )
+
+    top5 = {q: [r.neighbor_id for r in knn if r.query_id == q and r.rank <= 5] for q in by_q}
+    for q, picks in by_q.items():
+        mmr_ids = [r.neighbor_id for r in picks]
+        assert max_pair_sim(mmr_ids) <= max_pair_sim(top5[q]) + 1e-9
+
+    again = registry.QUERIES["vec_mmr_rerank"](spark, sf_oracle).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
