@@ -103,3 +103,68 @@ def test_whole_stage_codegen_covers_flagship(spark, sf_oracle):
     # '*(n)' prefixes mark operators inside a WholeStageCodegen subtree
     assert "*(" in final_plan, final_plan[:500]
     assert "isFinalPlan=true" in final_plan
+
+
+def test_theta_range_join_is_hash_not_nested_loop(spark, sf_oracle):
+    """The time-bucketed rewrite must plan as a hash/sort-merge equi join
+    on (user, bucket) — a BroadcastNestedLoopJoin or CartesianProduct
+    here means the rewrite regressed to the quadratic form."""
+    plan = formatted_plan(spark, "join_theta_range", sf_oracle)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_sql_pushdown_and_pruning(spark, sf_oracle):
+    """The SQL face goes through the same Catalyst pipeline: Q6's three
+    filters must reach the lineitem scan, and Q1 must prune to the 7
+    needed columns."""
+    plan = formatted_plan(spark, "sql_q6_forecast_revenue", sf_oracle)
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1]
+    plan = formatted_plan(spark, "sql_q1_pricing_summary", sf_oracle)
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read and "l_partkey" not in read
+
+
+def test_pivot_plan_shape(spark, sf_oracle):
+    """Catalyst's pivot rewrite is two chained aggregations
+    (groupBy(day,type) → pivot_first over day) plus the orderBy
+    exchange — exactly 3 Exchanges. More would mean the rewrite
+    regressed (the other pivot hazard — a missing value list triggering
+    an eager distinct() job — happens at DataFrame build time and is
+    excluded by construction: the operator passes explicit values)."""
+    import re
+
+    plan = formatted_plan(spark, "agg_pivot", sf_oracle)
+    # formatted output repeats each node in tree + detail; count details
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 3, plan
+
+
+def test_sampling_is_single_pass(spark, sf_oracle):
+    """Hash-split ops are a narrow projection + one partial aggregation:
+    a single shuffle for the final tiny group-by and nothing else."""
+    import re
+
+    for name in ("sample_split_hash", "sample_stratified_hash"):
+        plan = formatted_plan(spark, name, sf_oracle)
+        # one Exchange for the group-by, one for the orderBy (detail
+        # entries counted once; formatted output repeats tree + detail)
+        n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n_exchanges <= 2, f"{name}: extra shuffle\n{plan}"
+
+
+def test_kmeans_assign_broadcasts_centroids(spark, sf_oracle):
+    """The corpus side must never shuffle for the assignment: centroids
+    arrive via BroadcastExchange and the join is a broadcast join."""
+    plan = formatted_plan(spark, "vec_kmeans_assign", sf_oracle)
+    assert "BroadcastExchange" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_edit_distance_dedup_is_blocked_join(spark, sf_oracle):
+    """The blocking key must make the self-join an equi join (hash or
+    SMJ) — a nested-loop plan would mean the brand key fell out of the
+    join condition and the comparison went O(N²)."""
+    plan = formatted_plan(spark, "dedup_edit_distance", sf_oracle)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
