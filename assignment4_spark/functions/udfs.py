@@ -262,3 +262,49 @@ def udtf_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, c.chunk_id
         """
     )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net
+    FROM lineitem
+    WHERE l_discount >= 0.08
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow (Iterator[RecordBatch]→Iterator[RecordBatch]): the
+    zero-copy sibling of mapInPandas — batches stay columnar Arrow end
+    to end, no pandas materialization, which matters when the Python
+    step is itself vectorized (pyarrow.compute here) and the columns are
+    wide binary/multimodal payloads pandas would copy. Same caveat as
+    mapInPandas: the in-UDF filter forgoes parquet pushdown, justified
+    only when the logic genuinely needs Python."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def net_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            t = pa.Table.from_batches([batch])
+            t = t.filter(pc.greater_equal(t["l_discount"], pa.scalar(0.08)))
+            net = pc.multiply(
+                t["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), t["l_discount"]),
+            )
+            out = pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "l_linenumber": t["l_linenumber"],
+                    "net": net,
+                }
+            )
+            yield from out.to_batches()
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    return li.mapInArrow(
+        net_batches, schema="l_orderkey long, l_linenumber int, net double"
+    ).orderBy("l_orderkey", "l_linenumber")
