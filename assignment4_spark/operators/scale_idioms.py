@@ -12,7 +12,11 @@ The fixture tables are small; these operators exist to keep the
   * salted skew aggregation — two-stage aggregation over a salted key
     so one hot key spreads across reducers instead of stalling a
     single task (AQE skew handling covers joins; salting is the
-    explicit idiom for pathological aggregation keys).
+    explicit idiom for pathological aggregation keys);
+  * salted skew join — the big side salted, the small side replicated
+    per salt value, join key widened to (key, salt): the explicit form
+    that also survives when the join feeds a same-key aggregation AQE
+    cannot split.
 
 The reference has no analogue (it has no joins or aggregations at all —
 SURVEY §2 Part A "not present"); these generalize its pipeline to the
@@ -181,4 +185,51 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("psum") / F.sum("pn"), 6).alias("avg_value"),
         )
         .orderBy("event_type")
+    )
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join — the explicit fix when one join key is hot enough to
+    pin a single reducer: the big (skewed) side gets a deterministic
+    salt (l_linenumber % 8), the small side is replicated once per salt
+    value (posexplode of a 0..7 sequence), and the join key becomes
+    (key, salt) so the hot key's rows spread over 8 reducers. AQE's
+    skew-join split handles sort-merge cases adaptively; the salt idiom
+    is the version that also survives when the join feeds a same-key
+    aggregation (AQE cannot split that) — and this plan's result is
+    byte-identical to the plain join, which is exactly what the oracle
+    checks."""
+    n_salt = 8
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "salt", (F.col("l_linenumber") % n_salt).cast("int")
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .select(
+            "*", F.posexplode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("pos", "salt")
+        )
+        .drop("pos")
+    )
+    return (
+        li.join(o, (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("o_orderpriority")
     )
