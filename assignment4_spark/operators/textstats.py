@@ -349,3 +349,68 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(canon).alias("fp"),
         F.substring(F.md5(canon), 1, 8).alias("fp_short"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_pii_redact",
+    oracle="""
+    WITH enriched AS (
+      SELECT doc_id,
+             text || ' contact: user' || doc_id || '@mail-' || (doc_id % 7) ||
+               '.example or +1-555-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               AS text
+      FROM documents
+    ), redacted AS (
+      SELECT doc_id,
+             REGEXP_REPLACE(
+               REGEXP_REPLACE(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean
+      FROM enriched
+    )
+    SELECT doc_id,
+           LENGTH(clean) AS n_chars_clean,
+           CAST((LENGTH(clean) - LENGTH(REPLACE(clean, '<EMAIL>', '')))
+                / LENGTH('<EMAIL>') AS BIGINT) AS n_emails,
+           CAST((LENGTH(clean) - LENGTH(REPLACE(clean, '<PHONE>', '')))
+                / LENGTH('<PHONE>') AS BIGINT) AS n_phones
+    FROM redacted
+    ORDER BY doc_id
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the standard pre-training redaction pass: email
+    and phone patterns replaced by typed placeholder tokens, with
+    per-doc redaction counts. The fixture corpus carries no real PII,
+    so a deterministic synthetic contact line (derived from doc_id
+    only) is appended first; the patterns and the count-by-placeholder
+    accounting are the real operator. Narrow projection, no shuffle —
+    at 100 TB this runs inside codegen next to the scan."""
+    d = table(spark, sf_dir, "documents")
+    enriched = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail-"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            enriched, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+        ),
+        r"\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}",
+        "<PHONE>",
+    )
+    placeholder_count = lambda col, tok: (
+        (F.length(col) - F.length(F.replace(col, F.lit(tok), F.lit(""))))
+        / F.length(F.lit(tok))
+    ).cast("bigint")
+    out = d.select("doc_id", clean.alias("clean"))
+    return out.select(
+        "doc_id",
+        F.length("clean").alias("n_chars_clean"),
+        placeholder_count(F.col("clean"), "<EMAIL>").alias("n_emails"),
+        placeholder_count(F.col("clean"), "<PHONE>").alias("n_phones"),
+    ).orderBy("doc_id")

@@ -52,8 +52,17 @@ def main() -> None:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    # warm-up both engines
-    registry.QUERIES["agg_groupby_basic"](spark, sf_dir).count()
+    # warm-up both engines, incl. each Python-worker pool (same set as
+    # bench.py: plain UDF, Arrow/pandas, Python DataSource planning) so
+    # first-touch process spawning doesn't land on one query's median
+    warm_sf = "/root/testdata/sf0.001" if os.path.isdir("/root/testdata/sf0.001") else sf_dir
+    for wname, wsf in (
+        ("agg_groupby_basic", sf_dir),
+        ("udf_python_scalar", warm_sf),
+        ("udf_pandas_scalar", warm_sf),
+        ("scan_python_datasource", warm_sf),
+    ):
+        registry.QUERIES[wname](spark, wsf).count()
     con.execute(registry.ORACLES["agg_groupby_basic"]).fetchall()
 
     # Oracles that are O(N²) brute-force SQL (the honest correctness twin
