@@ -396,3 +396,94 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 4)
         .orderBy("key_a", "key_b")
     )
+
+
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE s AS ({_SHINGLE_SQL}),
+    bounded AS (SELECT * FROM s WHERE doc_id < 200),
+    edges AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM bounded a JOIN bounded b ON a.doc_id < b.doc_id
+      WHERE LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE
+            / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= {JACCARD_THRESHOLD}
+    ),
+    undirected AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
+    reach(node, root) AS (
+      SELECT DISTINCT a AS node, a AS root FROM undirected
+      UNION
+      SELECT u.b AS node, r.root FROM reach r JOIN undirected u ON u.a = r.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(root) AS comp_id FROM reach GROUP BY node)
+    SELECT c.doc_id, c.comp_id, cnt.comp_size
+    FROM comp c
+    JOIN (SELECT comp_id, COUNT(*) AS comp_size FROM comp GROUP BY comp_id) cnt
+      USING (comp_id)
+    ORDER BY comp_id, doc_id
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from pairwise matches — the step after any
+    pair generator (LSH/SimHash/Jaccard): connected components over the
+    match graph, component id = min doc_id (the canonical survivor).
+
+    Spark shape: iterative min-label propagation — each round joins
+    labels to the undirected edge list, takes the min over neighbors,
+    and stops at the fixpoint (unique, hence deterministic; the loop is
+    driver-side control flow over lazy joins, localCheckpointed per
+    round to keep lineage flat). Rounds = graph diameter; near-dup
+    components are tiny clusters, so this converges in 2-3 rounds. At
+    web scale the same fixpoint is reached in O(log n) rounds with the
+    alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce"), which this loop structure
+    accommodates without changing the contract. The DuckDB oracle is
+    the same fixpoint via a recursive CTE."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    s = d.select("doc_id", _shingles().alias("sh"))
+    a, b = s.alias("a"), s.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    edges = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(inter.cast("double") / union >= JACCARD_THRESHOLD)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+
+    labels = (
+        und.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint(eager=True)
+    while True:
+        nbr = (
+            und.join(labels, und.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    comp = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("comp_id"))
+    sizes = comp.groupBy("comp_id").agg(F.count(F.lit(1)).alias("comp_size"))
+    return (
+        comp.join(sizes, "comp_id")
+        .select("doc_id", "comp_id", "comp_size")
+        .orderBy("comp_id", "doc_id")
+    )

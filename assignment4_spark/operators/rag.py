@@ -261,3 +261,113 @@ def rag_pipeline_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "rag_hybrid_bm25_cosine",
+    oracle="""
+    WITH tok AS (SELECT doc_id,
+                        LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS toks
+                 FROM documents),
+    tf AS (SELECT doc_id,
+                  LEN(toks) AS dl,
+                  LEN(LIST_FILTER(toks, x -> x = 'vector')) AS tf1,
+                  LEN(LIST_FILTER(toks, x -> x = 'join'))   AS tf2,
+                  LEN(LIST_FILTER(toks, x -> x = 'scan'))   AS tf3
+           FROM tok),
+    stats AS (SELECT COUNT(*) AS n,
+                     AVG(dl)  AS avglen,
+                     COUNT(CASE WHEN tf1 > 0 THEN 1 END) AS df1,
+                     COUNT(CASE WHEN tf2 > 0 THEN 1 END) AS df2,
+                     COUNT(CASE WHEN tf3 > 0 THEN 1 END) AS df3
+              FROM tf),
+    scored AS (SELECT doc_id,
+                      LN(1 + (n - df1 + 0.5) / (df1 + 0.5))
+                        * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avglen))
+                    + LN(1 + (n - df2 + 0.5) / (df2 + 0.5))
+                        * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avglen))
+                    + LN(1 + (n - df3 + 0.5) / (df3 + 0.5))
+                        * tf3 * 2.2 / (tf3 + 1.2 * (0.25 + 0.75 * dl / avglen)) AS bm25
+               FROM tf, stats),
+    mx AS (SELECT MAX(bm25) AS mb FROM scored),
+    vec AS (SELECT e.vec_id,
+                   LIST_COSINE_SIMILARITY(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cos
+            FROM embeddings e
+            CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q)
+    SELECT s.doc_id,
+           ROUND(s.bm25 / mx.mb, 6)                           AS bm25_norm,
+           ROUND(v.cos, 6)                                    AS cos_sim,
+           ROUND(0.5 * s.bm25 / mx.mb + 0.5 * v.cos, 6)       AS hybrid_score
+    FROM scored s, mx, vec v
+    WHERE v.vec_id = s.doc_id
+    ORDER BY hybrid_score DESC, s.doc_id
+    LIMIT 10
+    """,
+)
+def rag_hybrid_bm25_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — BM25 keyword relevance fused 50/50 with vector
+    cosine, the ranking production RAG actually serves (pure-vector
+    search misses exact-term matches; pure-BM25 misses paraphrase).
+
+    Spark shape: BM25 as per-term tf COLUMNS over the token array (no
+    explode — 3 query terms → 3 `size(filter(...))` expressions inside
+    codegen), corpus statistics (N, avg length, per-term df, max score)
+    as two tiny scalar aggregates broadcast back via crossJoin, vector
+    side joined on id with the broadcast query vector. The corpus is
+    scanned narrow, shuffles only for the two scalar aggregates and the
+    final top-10 — at 100 TB the stats come from a metadata pass and
+    everything else stays next to the scan. BM25: k1=1.2, b=0.75,
+    idf=ln(1+(N-df+0.5)/(df+0.5)) (Robertson-Sparck Jones form)."""
+    from .vectors import as_double, cosine
+
+    terms = ["vector", "join", "scan"]
+    k1, b = 1.2, 0.75
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias("toks"),
+    )
+    def tf_of(term):
+        # NB: a 2-arg lambda would be treated as (element, index) by
+        # F.filter — close over the term instead
+        return F.size(F.filter(F.col("toks"), lambda x: x == term))
+
+    tf_cols = [tf_of(t).alias(f"tf{i + 1}") for i, t in enumerate(terms)]
+    tf = d.select("doc_id", F.size("toks").alias("dl"), *tf_cols)
+    stats = tf.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avglen"),
+        *[
+            F.count(F.when(F.col(f"tf{i + 1}") > 0, 1)).alias(f"df{i + 1}")
+            for i in range(len(terms))
+        ],
+    )
+    joined = tf.crossJoin(F.broadcast(stats))
+    bm25 = None
+    for i in range(len(terms)):
+        tf_i, df_i = F.col(f"tf{i + 1}"), F.col(f"df{i + 1}")
+        idf = F.log(1 + (F.col("n") - df_i + 0.5) / (df_i + 0.5))
+        part = idf * tf_i * (k1 + 1) / (tf_i + k1 * (1 - b + b * F.col("dl") / F.col("avglen")))
+        bm25 = part if bm25 is None else bm25 + part
+    scored = joined.select("doc_id", bm25.alias("bm25"))
+    mx = scored.agg(F.max("bm25").alias("mb"))
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    vec = emb.crossJoin(F.broadcast(q)).select(
+        F.col("vec_id"), cosine(as_double("embedding"), as_double("q_emb")).alias("cos")
+    )
+    return (
+        scored.crossJoin(F.broadcast(mx))
+        .join(vec, scored.doc_id == vec.vec_id)
+        .select(
+            "doc_id",
+            F.round(F.col("bm25") / F.col("mb"), 6).alias("bm25_norm"),
+            F.round("cos", 6).alias("cos_sim"),
+            F.round(0.5 * F.col("bm25") / F.col("mb") + 0.5 * F.col("cos"), 6).alias(
+                "hybrid_score"
+            ),
+        )
+        .orderBy(F.col("hybrid_score").desc(), "doc_id")
+        .limit(10)
+    )
