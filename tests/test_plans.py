@@ -168,3 +168,21 @@ def test_edit_distance_dedup_is_blocked_join(spark, sf_oracle):
     plan = formatted_plan(spark, "dedup_edit_distance", sf_oracle)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hybrid_bm25_has_no_explode(spark, sf_oracle):
+    """BM25 term frequencies must stay per-term COLUMNS over the token
+    array (size(filter(...)) inside codegen) — a Generate (explode) node
+    would mean the corpus fans out |tokens|× before aggregating."""
+    plan = formatted_plan(spark, "rag_hybrid_bm25_cosine", sf_oracle)
+    assert "Generate" not in plan
+
+
+def test_pii_redact_is_narrow_scan(spark, sf_oracle):
+    """Redaction is a pure projection: the only Exchange allowed is the
+    deterministic orderBy at the end."""
+    import re
+
+    plan = formatted_plan(spark, "text_pii_redact", sf_oracle)
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 1, plan
