@@ -308,6 +308,8 @@ def rag_hybrid_bm25_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval — BM25 keyword relevance fused 50/50 with vector
     cosine, the ranking production RAG actually serves (pure-vector
     search misses exact-term matches; pure-BM25 misses paraphrase).
+    Generalizes the reference's pure-cosine rag_search
+    (ra/agent.py:108-133, top_k at :117, cosine metric at :25).
 
     Spark shape: BM25 as per-term tf COLUMNS over the token array (no
     explode — 3 query terms → 3 `size(filter(...))` expressions inside
