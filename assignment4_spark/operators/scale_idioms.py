@@ -35,6 +35,19 @@ from ..registry import register
 from .scans import _adir
 
 
+def _events_by_date(spark: SparkSession, sf_dir: str) -> str:
+    """Date-partitioned copy of events (the large-scale lake layout).
+
+    Build-once: the partitioned copy derives deterministically from the
+    read-only fixture, so a completed write (_SUCCESS) is reused —
+    exactly how a real lake amortizes its layout cost."""
+    out = _adir(sf_dir, "events_by_date")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        ev = table(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+        ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    return out
+
+
 @register(
     "scan_partition_pruning",
     oracle="""
@@ -49,18 +62,12 @@ from .scans import _adir
     """,
 )
 def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Write events date-partitioned (the large-scale layout from SURVEY
-    §4.2), then aggregate a 3-day slice. The date filter is satisfied by
-    directory pruning — the scan's PartitionFilters carry it and only 3
-    partitions' files are listed/read, which is the difference between
-    scanning 3 days and scanning 10 years."""
-    out = _adir(sf_dir, "events_by_date")
-    # Build-once layout: the partitioned copy derives deterministically
-    # from the read-only fixture, so a completed write (_SUCCESS) is
-    # reused — exactly how a real lake amortizes its layout cost.
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        ev = table(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
-        ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    """Aggregate a 3-day slice of the date-partitioned events layout.
+    The date filter is satisfied by directory pruning — the scan's
+    PartitionFilters carry it and only 3 partitions' files are
+    listed/read, which is the difference between scanning 3 days and
+    scanning 10 years."""
+    out = _events_by_date(spark, sf_dir)
     part = spark.read.parquet(out).filter(
         F.col("event_date").between("2024-01-03", "2024-01-05")
     )
@@ -232,4 +239,51 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "scan_dynamic_partition_prune",
+    oracle="""
+    SELECT event_type,
+           COUNT(*)             AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-07'
+       OR CAST(ts AS DATE) = DATE '2024-01-14'
+       OR CAST(ts AS DATE) = DATE '2024-01-21'
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def scan_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (DPP): the fact side is the
+    date-partitioned events layout, the filter arrives via a JOIN to a
+    small dim whose surviving keys are only known after its own filter
+    runs — so no static PartitionFilter is possible. Spark plans a
+    dynamicpruningexpression subquery: the dim's dates are computed
+    first and broadcast INTO the fact scan's partition pruning, so only
+    3 of ~30 directories are read (plan-gated in tests/test_plans.py).
+    On a date-partitioned 100 TB lake joined to filtered dims, DPP is
+    the difference between scanning everything and scanning the slice
+    the dim selects."""
+    import datetime
+
+    out = _events_by_date(spark, sf_dir)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [
+            (datetime.date(2024, 1, 7), "peak"),
+            (datetime.date(2024, 1, 14), "peak"),
+            (datetime.date(2024, 1, 21), "peak"),
+            (datetime.date(2024, 1, 2), "quiet"),
+            (datetime.date(2024, 1, 9), "quiet"),
+        ],
+        "d date, day_kind string",
+    ).filter(F.col("day_kind") == "peak")
+    return (
+        fact.join(F.broadcast(dim), fact.event_date == dim.d)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("event_type")
     )

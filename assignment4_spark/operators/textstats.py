@@ -414,3 +414,52 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         placeholder_count(F.col("clean"), "<EMAIL>").alias("n_emails"),
         placeholder_count(F.col("clean"), "<PHONE>").alias("n_phones"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS (SELECT doc_id,
+                        UNNEST(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> ''))
+                          AS token
+                 FROM documents),
+    vocab AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token),
+    total AS (SELECT SUM(freq) AS tot FROM vocab)
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(AVG(LN(v.freq / total.tot)), 6) AS avg_logprob
+    FROM tok t, vocab v, total
+    WHERE t.token = v.token
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring — the CCNet-style quality signal:
+    per-document mean log-probability under the corpus's own unigram
+    distribution (low = token mix unlike the corpus → filter/bucket
+    candidate). Two aggregation passes: the vocabulary (token → freq,
+    tiny for any natural corpus relative to the data) is built once and
+    broadcast back onto the exploded tokens, so the big side shuffles
+    only for the final per-doc aggregation. At 100 TB the vocab pass is
+    the classic map-side-combinable count; the scoring join is
+    broadcast — no corpus×vocab shuffle."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower("text"), " "), lambda x: x != "")).alias(
+            "token"
+        ),
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    total = vocab.agg(F.sum("freq").alias("tot"))
+    scored = (
+        tok.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("freq") / F.col("tot"))), 6).alias("avg_logprob"),
+        )
+    )
+    return scored.orderBy("doc_id")

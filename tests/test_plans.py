@@ -186,3 +186,12 @@ def test_pii_redact_is_narrow_scan(spark, sf_oracle):
     plan = formatted_plan(spark, "text_pii_redact", sf_oracle)
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges <= 1, plan
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_oracle):
+    """The dim-join filter must reach the partitioned fact scan at
+    RUNTIME via a dynamicpruningexpression subquery — static
+    PartitionFilters are impossible here (the surviving dates are only
+    known after the dim's own filter runs)."""
+    plan = formatted_plan(spark, "scan_dynamic_partition_prune", sf_oracle)
+    assert "dynamicpruning" in plan.lower(), plan[:800]
