@@ -380,3 +380,46 @@ def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    WITH b AS (SELECT CASE WHEN o_totalprice < 0 THEN 0
+                           WHEN o_totalprice >= 500000 THEN 21
+                           ELSE CAST(FLOOR((o_totalprice - 0) / (500000.0 / 20)) AS INT) + 1
+                      END AS bucket,
+                      o_totalprice
+               FROM orders)
+    SELECT bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM b
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram via width_bucket (20 equal bins over
+    [0, 500000), bucket 0/21 = under/overflow) — the single-pass
+    distributed histogram shape: one narrow bucket projection + one
+    partial-aggregated groupBy; no sorting, no per-bin scans. (DuckDB
+    1.0 has no width_bucket; the oracle emulates it with the same
+    floor arithmetic.)"""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.width_bucket("o_totalprice", F.lit(0.0), F.lit(500000.0), F.lit(20))
+            .cast("int")
+            .alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )

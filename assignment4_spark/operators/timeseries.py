@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..io_util import table
 from ..registry import register
@@ -141,4 +142,51 @@ def ts_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("stage")
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("stage")
+    )
+
+
+@register(
+    "ts_anomaly_zscore",
+    oracle="""
+    WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+                   FROM events GROUP BY day, event_type),
+    stats AS (SELECT day, event_type, n,
+                     AVG(n)         OVER w AS mu,
+                     STDDEV_SAMP(n) OVER w AS sd
+              FROM daily
+              WINDOW w AS (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+    SELECT day, event_type, n, ROUND((n - mu) / sd, 6) AS z
+    FROM stats
+    WHERE sd IS NOT NULL AND sd > 0 AND ABS((n - mu) / sd) > 2
+    ORDER BY day, event_type
+    """,
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: each day's count scored
+    against the mean/stddev of the PREVIOUS 7 days (current row
+    excluded — the baseline must not contain the point under test),
+    flagged at |z| > 2. One daily pre-aggregation then a bounded
+    ROWS window per series — state is 7 rows per (event_type), which
+    is what makes the same query incremental under streaming at
+    100 TB/day arrival rates."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.withColumn("day", F.to_date("ts"))
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    stats = daily.select(
+        "day",
+        "event_type",
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sd"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    return (
+        stats.filter(F.col("sd").isNotNull() & (F.col("sd") > 0) & (F.abs(z) > 2))
+        .select("day", "event_type", "n", F.round(z, 6).alias("z"))
+        .orderBy("day", "event_type")
     )
