@@ -487,3 +487,77 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "comp_id", "comp_size")
         .orderBy("comp_id", "doc_id")
     )
+
+
+# 0.1 on 3-gram shingles ≈ the published 8-13-gram/0.6 settings scaled to
+# this corpus's short synthetic docs (background shingle collisions sit
+# below 0.1 here; true partial-overlap pairs land 0.1-1.0).
+CONTAIN_THRESHOLD = 0.1
+EVAL_MOD = 25  # doc_id % 25 == 0 → held-out benchmark/eval doc
+
+
+@register(
+    "dedup_contamination",
+    oracle=f"""
+    WITH s AS ({_SHINGLE_SQL}),
+    ev AS (SELECT doc_id AS eval_id, sh FROM s WHERE doc_id % {EVAL_MOD} = 0),
+    tr AS (SELECT doc_id AS train_id, sh FROM s WHERE doc_id % {EVAL_MOD} <> 0)
+    SELECT t.train_id, e.eval_id,
+           ROUND(LEN(LIST_INTERSECT(t.sh, e.sh))::DOUBLE / LEN(e.sh), 6) AS containment
+    FROM tr t JOIN ev e
+      ON LEN(LIST_INTERSECT(t.sh, e.sh))::DOUBLE / LEN(e.sh) >= {CONTAIN_THRESHOLD}
+    ORDER BY train_id, eval_id
+    """,
+)
+def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose 3-gram
+    shingle CONTAINMENT of a held-out eval doc crosses the threshold —
+    the published
+    train/test-overlap scrub every serious pre-training corpus runs
+    (GPT-3 App. C / The Pile use exactly this n-gram containment form;
+    asymmetric on |eval| so a training doc that swallowed a whole eval
+    doc scores 1.0 regardless of how much else it contains).
+
+    Generalizes the reference's dedup surface (A16/A17) to the
+    cross-corpus direction the north-star's curation pipeline needs.
+
+    Spark shape — inverted index, NOT a cross join: the (small) eval
+    side is exploded to (shingle → eval_id) postings and broadcast; the
+    training corpus is exploded narrow and hash-joined on the shingle
+    value, so each training shingle meets only the eval docs that
+    actually share it. Matched-posting counts groupBy(train_id,
+    eval_id), then divide by the broadcast per-eval shingle count. At
+    100 TB the training side never shuffles its text — only exploded
+    (train_id, shingle) pairs that HIT an eval posting survive the
+    broadcast join, and the candidate pair space is bounded by real
+    overlap, not N×M. The brute-force DuckDB oracle verifies recall
+    exactly (any missed pair would hash-mismatch)."""
+    d = table(spark, sf_dir, "documents")
+    s = d.select("doc_id", _shingles().alias("sh"))
+    ev = s.filter(F.col("doc_id") % EVAL_MOD == 0)
+    tr = s.filter(F.col("doc_id") % EVAL_MOD != 0)
+    ev_sizes = ev.select(
+        F.col("doc_id").alias("eval_id"), F.size("sh").alias("n_eval_sh")
+    )
+    ev_post = ev.select(
+        F.col("doc_id").alias("eval_id"), F.explode("sh").alias("shingle")
+    )
+    tr_post = tr.select(
+        F.col("doc_id").alias("train_id"), F.explode("sh").alias("shingle")
+    )
+    matched = (
+        tr_post.join(F.broadcast(ev_post), "shingle")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    contain = F.col("n_matched").cast("double") / F.col("n_eval_sh")
+    return (
+        matched.join(F.broadcast(ev_sizes), "eval_id")
+        .filter(contain >= CONTAIN_THRESHOLD)
+        .select(
+            "train_id",
+            "eval_id",
+            F.round(contain, 6).alias("containment"),
+        )
+        .orderBy("train_id", "eval_id")
+    )

@@ -263,10 +263,63 @@ def rag_pipeline_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "rag_hybrid_bm25_cosine",
-    oracle="""
-    WITH tok AS (SELECT doc_id,
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25) for the fixed 3-term query over `documents` —
+    per-term tf COLUMNS over the token array (no explode; each term is a
+    `size(filter(toks))` expression inside codegen), corpus stats
+    (N, avglen, per-term df) as one tiny scalar aggregate broadcast
+    back. BM25 k1=1.2, b=0.75, RSJ idf. Shared by
+    rag_hybrid_bm25_cosine and rag_rrf_fusion."""
+    terms = ["vector", "join", "scan"]
+    k1, b = 1.2, 0.75
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias("toks"),
+    )
+
+    def tf_of(term):
+        # NB: a 2-arg lambda would be treated as (element, index) by
+        # F.filter — close over the term instead
+        return F.size(F.filter(F.col("toks"), lambda x: x == term))
+
+    tf_cols = [tf_of(t).alias(f"tf{i + 1}") for i, t in enumerate(terms)]
+    tf = d.select("doc_id", F.size("toks").alias("dl"), *tf_cols)
+    stats = tf.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avglen"),
+        *[
+            F.count(F.when(F.col(f"tf{i + 1}") > 0, 1)).alias(f"df{i + 1}")
+            for i in range(len(terms))
+        ],
+    )
+    joined = tf.crossJoin(F.broadcast(stats))
+    bm25 = None
+    for i in range(len(terms)):
+        tf_i, df_i = F.col(f"tf{i + 1}"), F.col(f"df{i + 1}")
+        idf = F.log(1 + (F.col("n") - df_i + 0.5) / (df_i + 0.5))
+        part = idf * tf_i * (k1 + 1) / (tf_i + k1 * (1 - b + b * F.col("dl") / F.col("avglen")))
+        bm25 = part if bm25 is None else bm25 + part
+    return joined.select("doc_id", bm25.alias("bm25"))
+
+
+def _cosine_to_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cos) — cosine of every corpus vector against the query
+    vector (vec_id=0), query broadcast (A18's scoring, in-engine)."""
+    from .vectors import as_double, cosine
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    return emb.crossJoin(F.broadcast(q)).select(
+        F.col("vec_id"), cosine(as_double("embedding"), as_double("q_emb")).alias("cos")
+    )
+
+
+# Shared oracle CTE fragments for the retrieval-fusion family: BM25
+# (fixed 3-term query) and cosine-to-query-vector scores. Kept as one
+# source of truth so rag_hybrid_bm25_cosine and rag_rrf_fusion can't
+# drift apart on the scoring definition.
+_BM25_CTES = """tok AS (SELECT doc_id,
                         LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS toks
                  FROM documents),
     tf AS (SELECT doc_id,
@@ -289,11 +342,17 @@ def rag_pipeline_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + LN(1 + (n - df3 + 0.5) / (df3 + 0.5))
                         * tf3 * 2.2 / (tf3 + 1.2 * (0.25 + 0.75 * dl / avglen)) AS bm25
                FROM tf, stats),
-    mx AS (SELECT MAX(bm25) AS mb FROM scored),
     vec AS (SELECT e.vec_id,
                    LIST_COSINE_SIMILARITY(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cos
             FROM embeddings e
-            CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q)
+            CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q)"""
+
+
+@register(
+    "rag_hybrid_bm25_cosine",
+    oracle=f"""
+    WITH {_BM25_CTES},
+    mx AS (SELECT MAX(bm25) AS mb FROM scored)
     SELECT s.doc_id,
            ROUND(s.bm25 / mx.mb, 6)                           AS bm25_norm,
            ROUND(v.cos, 6)                                    AS cos_sim,
@@ -320,45 +379,9 @@ def rag_hybrid_bm25_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     final top-10 — at 100 TB the stats come from a metadata pass and
     everything else stays next to the scan. BM25: k1=1.2, b=0.75,
     idf=ln(1+(N-df+0.5)/(df+0.5)) (Robertson-Sparck Jones form)."""
-    from .vectors import as_double, cosine
-
-    terms = ["vector", "join", "scan"]
-    k1, b = 1.2, 0.75
-
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias("toks"),
-    )
-    def tf_of(term):
-        # NB: a 2-arg lambda would be treated as (element, index) by
-        # F.filter — close over the term instead
-        return F.size(F.filter(F.col("toks"), lambda x: x == term))
-
-    tf_cols = [tf_of(t).alias(f"tf{i + 1}") for i, t in enumerate(terms)]
-    tf = d.select("doc_id", F.size("toks").alias("dl"), *tf_cols)
-    stats = tf.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.avg("dl").alias("avglen"),
-        *[
-            F.count(F.when(F.col(f"tf{i + 1}") > 0, 1)).alias(f"df{i + 1}")
-            for i in range(len(terms))
-        ],
-    )
-    joined = tf.crossJoin(F.broadcast(stats))
-    bm25 = None
-    for i in range(len(terms)):
-        tf_i, df_i = F.col(f"tf{i + 1}"), F.col(f"df{i + 1}")
-        idf = F.log(1 + (F.col("n") - df_i + 0.5) / (df_i + 0.5))
-        part = idf * tf_i * (k1 + 1) / (tf_i + k1 * (1 - b + b * F.col("dl") / F.col("avglen")))
-        bm25 = part if bm25 is None else bm25 + part
-    scored = joined.select("doc_id", bm25.alias("bm25"))
+    scored = _bm25_scores(spark, sf_dir)
     mx = scored.agg(F.max("bm25").alias("mb"))
-
-    emb = table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
-    vec = emb.crossJoin(F.broadcast(q)).select(
-        F.col("vec_id"), cosine(as_double("embedding"), as_double("q_emb")).alias("cos")
-    )
+    vec = _cosine_to_query(spark, sf_dir)
     return (
         scored.crossJoin(F.broadcast(mx))
         .join(vec, scored.doc_id == vec.vec_id)
@@ -371,5 +394,68 @@ def rag_hybrid_bm25_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy(F.col("hybrid_score").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+@register(
+    "rag_rrf_fusion",
+    oracle=f"""
+    WITH {_BM25_CTES},
+    rb AS (SELECT doc_id,
+                  ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm25
+           FROM scored),
+    rc AS (SELECT vec_id,
+                  ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS r_cos
+           FROM vec)
+    SELECT rb.doc_id,
+           CAST(rb.r_bm25 AS BIGINT) AS r_bm25,
+           CAST(rc.r_cos  AS BIGINT) AS r_cos,
+           ROUND(1.0 / (60 + rb.r_bm25) + 1.0 / (60 + rc.r_cos), 6) AS rrf_score
+    FROM rb JOIN rc ON rc.vec_id = rb.doc_id
+    ORDER BY rrf_score DESC, rb.doc_id
+    LIMIT 10
+    """,
+)
+def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al., SIGIR'09; k=60) of the
+    BM25 ranking and the vector-cosine ranking — the OTHER standard
+    hybrid-retrieval combiner (rag_hybrid_bm25_cosine is the linear
+    score fusion; RRF is what Elasticsearch/Vespa/Weaviate default to
+    because it needs no score normalization, only ranks).
+
+    Spark shape: both score frames come from the shared helpers
+    (_bm25_scores / _cosine_to_query — narrow, codegen'd), each ranked
+    with a row_number window; ranks are INTEGERS so the fused score is
+    exactly reproducible across engines (float score ties are broken by
+    id before ranking). The two global rank windows are single-partition
+    at fixture scale; in production each query ranks only its own
+    candidate pool (top-k per retriever, exactly how RRF is served), so
+    the window is per-query-partition, never corpus-global.
+    Reference provenance: generalizes A18's single-ranker top-k
+    (ra/agent.py:115-119) to multi-ranker fusion."""
+    from pyspark.sql.window import Window as W
+
+    scored = _bm25_scores(spark, sf_dir)
+    vec = _cosine_to_query(spark, sf_dir)
+    rb = scored.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("bm25").desc(), "doc_id"))
+        .cast("bigint")
+        .alias("r_bm25"),
+    )
+    rc = vec.select(
+        "vec_id",
+        F.row_number()
+        .over(W.orderBy(F.col("cos").desc(), "vec_id"))
+        .cast("bigint")
+        .alias("r_cos"),
+    )
+    rrf = 1.0 / (F.lit(60) + F.col("r_bm25")) + 1.0 / (F.lit(60) + F.col("r_cos"))
+    return (
+        rb.join(rc, rb.doc_id == rc.vec_id)
+        .select("doc_id", "r_bm25", "r_cos", F.round(rrf, 6).alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
         .limit(10)
     )

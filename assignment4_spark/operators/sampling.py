@@ -190,3 +190,62 @@ def text_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "split")
     )
+
+
+@register(
+    "sample_temperature",
+    oracle="""
+    WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    tot AS (SELECT SUM(n_docs) AS n_total,
+                   SUM(POW(n_docs * 1.0 / (SELECT SUM(n_docs) FROM counts), 0.3)) AS z
+            FROM counts)
+    SELECT c.lang,
+           c.n_docs,
+           ROUND(c.n_docs * 1.0 / t.n_total, 6) AS p_raw,
+           ROUND(POW(c.n_docs * 1.0 / t.n_total, 0.3) / t.z, 6) AS p_resampled,
+           CAST(FLOOR(POW(c.n_docs * 1.0 / t.n_total, 0.3) / t.z * t.n_total)
+                AS BIGINT) AS n_target
+    FROM counts c CROSS JOIN tot t
+    ORDER BY c.lang
+    """,
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based (exponential-smoothing) language re-weighting,
+    α=0.3 — the multilingual-corpus sampling rule published with
+    mBERT/XLM-R/mT5: raw language shares p_l are flattened to
+    p_l^α / Σ p_l^α so low-resource languages are upsampled without
+    letting any single language dominate. Output: per-language raw
+    share, resampled share, and the integer document target the sampler
+    would draw.
+
+    Spark shape: one tiny hash aggregation (languages ≪ rows, fully
+    map-side combinable), the normalizer Σ p^α as a second scalar
+    aggregate over the per-lang frame, broadcast back via crossJoin —
+    the corpus itself is scanned exactly once no matter the scale.
+    Complements sample_stratified_hash (which applies a fixed bucket
+    rule; this op DERIVES the per-language rates from the data)."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_total = counts.agg(F.sum("n_docs").alias("n_total"))
+    tot = (
+        counts.crossJoin(F.broadcast(n_total))
+        .agg(
+            F.max("n_total").alias("n_total"),
+            F.sum(F.pow(F.col("n_docs") * F.lit(1.0) / F.col("n_total"), 0.3)).alias(
+                "z"
+            ),
+        )
+    )
+    p = F.col("n_docs") * F.lit(1.0) / F.col("n_total")
+    w = F.pow(p, 0.3) / F.col("z")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(p, 6).alias("p_raw"),
+            F.round(w, 6).alias("p_resampled"),
+            F.floor(w * F.col("n_total")).cast("bigint").alias("n_target"),
+        )
+        .orderBy("lang")
+    )

@@ -190,3 +190,76 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "event_type", "n", F.round(z, 6).alias("z"))
         .orderBy("day", "event_type")
     )
+
+
+@register(
+    "ts_retention_cohort",
+    oracle="""
+    WITH first_seen AS (SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id),
+    cohort AS (SELECT user_id, CAST(DATE_TRUNC('week', first_ts) AS DATE) AS cohort_week
+               FROM first_seen),
+    activity AS (SELECT DISTINCT user_id, CAST(DATE_TRUNC('week', ts) AS DATE) AS week
+                 FROM events),
+    joined AS (SELECT c.cohort_week,
+                      CAST(DATE_DIFF('day', c.cohort_week, a.week) // 7 AS INTEGER)
+                        AS week_offset,
+                      a.user_id
+               FROM activity a JOIN cohort c ON a.user_id = c.user_id),
+    sizes AS (SELECT cohort_week, COUNT(*) AS n_cohort FROM cohort GROUP BY cohort_week)
+    SELECT j.cohort_week,
+           j.week_offset,
+           COUNT(DISTINCT j.user_id) AS n_active,
+           s.n_cohort,
+           ROUND(COUNT(DISTINCT j.user_id) * 1.0 / s.n_cohort, 6) AS retention
+    FROM joined j JOIN sizes s ON s.cohort_week = j.cohort_week
+    GROUP BY j.cohort_week, j.week_offset, s.n_cohort
+    ORDER BY j.cohort_week, j.week_offset
+    """,
+)
+def ts_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix — the canonical product-analytics
+    triangle: users grouped by first-seen ISO week (their cohort), then
+    for each later week the share of the cohort still active. Both
+    engines truncate to Monday-start ISO weeks, so offsets are exact
+    multiples of 7 days and the division is lossless.
+
+    Spark shape: per-user MIN(ts) is one map-side-combinable hash
+    aggregation; (user, week) activity is a distinct over the same
+    user-keyed shuffle; the cohort join is user_id-equi (co-partitioned
+    with the aggregates, no extra exchange under AQE); cohort sizes are
+    a tiny frame broadcast onto the final group-by. Nothing windows over
+    raw events — at 100 TB the only big shuffles are the two user-keyed
+    partial aggs. Provenance: A26 session state generalized to the
+    retention surface every telemetry pipeline ships."""
+    e = table(spark, sf_dir, "events")
+    cohort = (
+        e.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .select(
+            "user_id", F.to_date(F.date_trunc("week", "first_ts")).alias("cohort_week")
+        )
+    )
+    activity = e.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("week")
+    ).distinct()
+    joined = activity.join(cohort, "user_id").select(
+        "cohort_week",
+        (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        "user_id",
+    )
+    sizes = cohort.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_cohort"))
+    return (
+        joined.groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "n_cohort",
+            F.round(F.col("n_active") * F.lit(1.0) / F.col("n_cohort"), 6).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

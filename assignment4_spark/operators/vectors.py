@@ -584,3 +584,92 @@ def vec_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(mmr, out_schema)
         .orderBy("query_id", "mmr_rank")
     )
+
+
+@register("vec_kmeans_train")  # iterative float averaging → rows-only; unit-tested
+def vec_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full spherical k-means training (Lloyd's, k=8, 3 iterations, cosine)
+    — the codebook-build step that turns vec_ann_ivf_topk's fixed seed
+    centroids into a real IVF index (vec_kmeans_assign is one E-step of
+    exactly this loop).
+
+    Scale shape, per iteration:
+      * E-step: centroids (k×dim, tiny) broadcast; every corpus vector
+        scores k cosines NARROW and keeps its argmax — the corpus never
+        shuffles for assignment;
+      * M-step: per-dimension means via posexplode(embedding) →
+        groupBy(centroid, pos) partial-avg — map-side combinable, so the
+        shuffle is k×dim partial aggregates per executor, not the
+        corpus; the k×dim result is re-assembled into unit-normalized
+        array centroids (spherical k-means keeps cosine and dot product
+        equivalent) and localCheckpoint()ed — 8 rows — so the lineage
+        does not grow with iterations (same driver-loop discipline as
+        dedup_connected_components).
+    Empty clusters keep their previous centroid (coalesce on the left
+    join), the standard Lloyd fallback. Ties in the argmax break by
+    centroid_id with sims pre-rounded to 6 dp, so the trajectory is
+    deterministic run-to-run. Output: per-cluster size + mean cosine.
+    Monotone non-decreasing mean similarity over iterations is asserted
+    in tests/test_rag_ops.py. Provenance: north-star "IVF build";
+    generalizes A18's externally-built ANN index to an in-engine build.
+    """
+    k, n_iter = 8, 3
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    cent = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
+    )
+
+    def assign(cent_df: DataFrame) -> DataFrame:
+        sims = emb.crossJoin(F.broadcast(cent_df)).select(
+            "vec_id",
+            "emb",
+            "centroid_id",
+            F.round(cosine(F.col("emb"), F.col("cemb")), 6).alias("sim"),
+        )
+        w = W.partitionBy("vec_id").orderBy(
+            F.col("sim").desc_nulls_last(), F.col("centroid_id")
+        )
+        return (
+            sims.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    for _ in range(n_iter):
+        assigned = assign(cent)
+        dim_means = (
+            assigned.select(
+                "centroid_id", F.posexplode("emb").alias("pos", "v")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("v").alias("m"))
+        )
+        new_cent = dim_means.groupBy("centroid_id").agg(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+        )
+        raw = F.transform(F.col("pm"), lambda s: s["m"])
+        norm = F.sqrt(F.aggregate(raw, F.lit(0.0), lambda a, x: a + x * x))
+        new_cent = new_cent.select(
+            "centroid_id",
+            F.transform(raw, lambda x: x / norm).alias("new_cemb"),
+        )
+        cent = (
+            cent.join(new_cent, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("new_cemb"), F.col("cemb")).alias("cemb"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    return (
+        assign(cent)
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("sim"), 6).alias("avg_sim"),
+        )
+        .orderBy("centroid_id")
+    )

@@ -246,3 +246,29 @@ def test_mmr_rerank_properties(spark, sf_oracle):
 
     again = registry.QUERIES["vec_mmr_rerank"](spark, sf_oracle).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_kmeans_train_improves_on_seed_assignment(spark, sf_oracle):
+    """vec_kmeans_train (rows-only op): 3 Lloyd iterations over the seed
+    codebook. Every vector stays assigned (sizes sum to the corpus), at
+    most k clusters survive, and the trained codebook's mean cosine is
+    no worse than the untrained seed assignment (vec_kmeans_assign) —
+    Lloyd's never degrades the objective."""
+    trained = registry.QUERIES["vec_kmeans_train"](spark, sf_oracle).collect()
+    seed = registry.QUERIES["vec_kmeans_assign"](spark, sf_oracle).collect()
+
+    n_corpus = sum(r.n_members for r in seed)
+    assert sum(r.n_members for r in trained) == n_corpus
+    assert 0 < len(trained) <= 8
+
+    def mean_sim(rows):
+        return sum(r.avg_sim * r.n_members for r in rows) / sum(
+            r.n_members for r in rows
+        )
+
+    assert mean_sim(trained) >= mean_sim(seed) - 1e-9, (
+        f"training degraded the objective: {mean_sim(trained)} < {mean_sim(seed)}"
+    )
+
+    again = registry.QUERIES["vec_kmeans_train"](spark, sf_oracle).collect()
+    assert [tuple(r) for r in trained] == [tuple(r) for r in again]
