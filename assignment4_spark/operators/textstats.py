@@ -463,3 +463,44 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy("doc_id")
+
+
+@register(
+    "text_ngram_freq",
+    oracle="""
+    WITH tok AS (SELECT LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS toks
+                 FROM documents),
+    bg AS (SELECT UNNEST([toks[i] || ' ' || toks[i+1]
+                          FOR i IN GENERATE_SERIES(1, LEN(toks) - 1)]) AS bigram
+           FROM tok WHERE LEN(toks) >= 2)
+    SELECT bigram, COUNT(*) AS n
+    FROM bg
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+)
+def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide bigram frequency, top-20 — the n-gram generalization
+    of text_word_count (unigrams): the substrate for collocation
+    mining, n-gram LM training, and the shingle statistics the dedup
+    family consumes. Bigrams are built NARROW from two shifted slices
+    zipped together (no index-lambda re-evaluation — same trick as
+    dedup._shingles), so the only shuffle is the map-side-combinable
+    count; ordering is fully deterministic (count desc, bigram asc)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    t = d.select(toks.alias("toks")).filter(F.size("toks") >= 2)
+    m = F.size("toks") - F.lit(1)
+    bigrams = F.zip_with(
+        F.slice("toks", 1, m),
+        F.slice("toks", 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        t.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )

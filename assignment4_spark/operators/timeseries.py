@@ -263,3 +263,63 @@ def ts_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+_EWMA_LAGS = 8  # current day + 7 trailing
+_EWMA_DECAY = 0.5  # exact power of two → bit-identical weights cross-engine
+
+_ewma_num_sql = " + ".join(
+    f"{_EWMA_DECAY**i!r} * COALESCE(LAG(cnt, {i}) OVER w, 0)"
+    for i in range(_EWMA_LAGS)
+)
+_ewma_den_sql = " + ".join(
+    f"{_EWMA_DECAY**i!r} * (CASE WHEN LAG(cnt, {i}) OVER w IS NOT NULL THEN 1 ELSE 0 END)"
+    for i in range(_EWMA_LAGS)
+)
+
+
+@register(
+    "ts_ewma",
+    oracle=f"""
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+                   FROM events GROUP BY event_type, CAST(ts AS DATE))
+    SELECT event_type, day, cnt,
+           ROUND(({_ewma_num_sql}) / ({_ewma_den_sql}), 6) AS ewma
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ORDER BY event_type, day
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily event counts per
+    series (decay 0.5, truncated at 8 terms — by which point the tail
+    weight is 2⁻⁸ ≈ 0.4%), the standard smoothing signal for
+    monitoring/trend features. The recursive EWMA definition is not
+    expressible as a closed-form window in either engine, so both run
+    the SAME truncated form: explicit weighted lags normalized by the
+    weights actually present (so the series ramps correctly at its
+    start instead of biasing toward zero).
+
+    Scale shape: one map-side-combinable daily pre-aggregation shrinks
+    the stream to days×series rows; the window then holds 8 rows of
+    state per series — identical to ts_anomaly_zscore's bounded-window
+    discipline, never a window over raw events. Lags are ROW-based over
+    observed days; compose with ts_gap_fill first if a dense calendar
+    is required."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    num = None
+    den = None
+    for i in range(_EWMA_LAGS):
+        lag_i = F.lag("cnt", i).over(w)
+        wt = F.lit(_EWMA_DECAY**i)
+        n_term = wt * F.coalesce(lag_i, F.lit(0))
+        d_term = wt * F.when(lag_i.isNotNull(), 1).otherwise(0)
+        num = n_term if num is None else num + n_term
+        den = d_term if den is None else den + d_term
+    return daily.select(
+        "event_type", "day", "cnt", F.round(num / den, 6).alias("ewma")
+    ).orderBy("event_type", "day")

@@ -195,3 +195,31 @@ def test_dynamic_partition_pruning_fires(spark, sf_oracle):
     known after the dim's own filter runs)."""
     plan = formatted_plan(spark, "scan_dynamic_partition_prune", sf_oracle)
     assert "dynamicpruning" in plan.lower(), plan[:800]
+
+
+def test_contamination_join_is_broadcast(spark, sf_oracle):
+    """dedup_contamination: the eval-posting side must reach the training
+    side as a BroadcastHashJoin (inverted index), never a cross join —
+    the property that keeps decontamination linear in the train corpus."""
+    plan = formatted_plan(spark, "dedup_contamination", sf_oracle)
+    assert "BroadcastHashJoin" in plan, plan[:800]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_retention_cohort_sizes_join_broadcast(spark, sf_oracle):
+    """ts_retention_cohort: the cohort-sizes frame (≤ #weeks rows) joins
+    the retention aggregate via broadcast, and the plan contains no
+    cartesian fallback."""
+    plan = formatted_plan(spark, "ts_retention_cohort", sf_oracle)
+    assert "BroadcastHashJoin" in plan, plan[:800]
+    assert "CartesianProduct" not in plan
+
+
+def test_rrf_windows_are_rank_only(spark, sf_oracle):
+    """rag_rrf_fusion: exactly the two ranking Window nodes and no
+    explode — BM25 tf columns stay as codegen'd array expressions (the
+    same gate rag_hybrid_bm25_cosine carries)."""
+    plan = formatted_plan(spark, "rag_rrf_fusion", sf_oracle)
+    assert plan.count("Window") >= 2
+    assert "Generate" not in plan, plan[:800]
