@@ -323,3 +323,65 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "event_type", "day", "cnt", F.round(num / den, 6).alias("ewma")
     ).orderBy("event_type", "day")
+
+
+@register(
+    "ts_scd2_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id,
+           event_type AS state,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             AS is_current
+    FROM changes
+    ORDER BY user_id, valid_from, state
+    """,
+)
+def ts_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history build from a CDC-style
+    feed: per user, consecutive duplicate states are collapsed (no-op
+    updates dropped), each surviving change opens a validity interval
+    [valid_from, valid_to) closed by the next change; the open interval
+    is flagged current. This is the canonical lakehouse MERGE-into-
+    history pattern — vec_upsert_dedup keeps only latest-wins; this op
+    keeps the full audit trail with interval semantics.
+
+    Scale shape: both windows partition by user_id over the SAME sort
+    key (ts, event_id — event_id breaks timestamp ties so the history
+    is total-ordered and engine-exact), so Catalyst plans ONE shuffle +
+    ONE sort and evaluates lag and lead in consecutive Window nodes
+    without re-exchanging. State per partition is one row. Provenance:
+    A13's upsert generalized to temporal-validity history; A26 session
+    state."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = ordered.filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    valid_to = F.lead("ts").over(w)
+    return (
+        changes.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            valid_to.alias("valid_to"),
+            valid_to.isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from", "state")
+    )

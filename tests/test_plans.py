@@ -223,3 +223,12 @@ def test_rrf_windows_are_rank_only(spark, sf_oracle):
     plan = formatted_plan(spark, "rag_rrf_fusion", sf_oracle)
     assert plan.count("Window") >= 2
     assert "Generate" not in plan, plan[:800]
+
+
+def test_scd2_windows_share_one_exchange(spark, sf_oracle):
+    """ts_scd2_history: lag and lead partition by the same key over the
+    same sort, so the plan carries exactly ONE hash-partitioning
+    exchange (the final presentation orderBy adds a range exchange, not
+    a second hash shuffle)."""
+    plan = formatted_plan(spark, "ts_scd2_history", sf_oracle)
+    assert plan.count("hashpartitioning(user_id") == 1, plan[:1200]
