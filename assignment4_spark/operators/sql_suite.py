@@ -434,3 +434,34 @@ sql_q19_disjunctive_rev = _sql_op("sql_q19_disjunctive_rev", _Q19)
 sql_q20_parts_suppliers = _sql_op("sql_q20_parts_suppliers", _Q20)
 sql_q21_waiting_supplier = _sql_op("sql_q21_waiting_supplier", _Q21)
 sql_q22_global_sales = _sql_op("sql_q22_global_sales", _Q22)
+
+# Recursive CTE (Spark 4.x WITH RECURSIVE): transitive hierarchy walk.
+# A deterministic supplier "org tree" is derived from the key itself
+# (parent = suppkey div 10 — children are strictly larger than parents,
+# so the recursion provably terminates and deepens with scale factor:
+# 2 levels at sf0.01, 3 at sf0.1). Same text runs on DuckDB. The
+# engine's iterative-driver-loop twin for this shape is
+# dedup_connected_components (whose ORACLE is a recursive CTE); this op
+# pins the in-SQL form of recursion itself.
+_RECURSIVE_BOM = """
+WITH RECURSIVE chain AS (
+  SELECT s_suppkey AS node, 0 AS depth
+  FROM supplier
+  WHERE s_suppkey < 10
+  UNION ALL
+  SELECT s.s_suppkey AS node, c.depth + 1 AS depth
+  FROM supplier s
+  JOIN chain c ON CAST(FLOOR(s.s_suppkey / 10.0) AS BIGINT) = c.node
+  WHERE s.s_suppkey >= 10
+)
+SELECT depth,
+       COUNT(*)                        AS n_nodes,
+       CAST(MIN(node) AS BIGINT)       AS min_node,
+       CAST(MAX(node) AS BIGINT)       AS max_node,
+       CAST(SUM(node) AS BIGINT)       AS sum_nodes
+FROM chain
+GROUP BY depth
+ORDER BY depth
+"""
+
+sql_recursive_bom = _sql_op("sql_recursive_bom", _RECURSIVE_BOM)
