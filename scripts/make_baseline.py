@@ -30,16 +30,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_RUNS = 3
 
 
-def median_time(fn) -> float:
-    """Median of N_RUNS; a query whose first run exceeds 5 s is reported
-    from that single run (the brute-force O(N²) DuckDB oracles take
-    minutes at sf0.1 — repeating them 3× adds nothing)."""
+def median_time(fn, always_full: bool = False) -> float:
+    """Median of N_RUNS. Unless always_full, a first run over 5 s is
+    reported from that single run — that early-out exists for the
+    brute-force O(N²) DuckDB oracles (minutes at sf0.1), but it must
+    NOT apply to the Spark side: a one-off cold first touch (worker
+    spawn, code cache) would then be recorded as the steady state."""
     ts = []
     for _ in range(N_RUNS):
         t0 = time.perf_counter()
         fn()
         ts.append(time.perf_counter() - t0)
-        if ts[0] > 5.0:
+        if not always_full and ts[0] > 5.0:
             break
     return statistics.median(ts)
 
@@ -83,7 +85,7 @@ def main() -> None:
     spark_total = duck_total = 0.0
     for name in sorted(registry.QUERIES):
         fn = registry.QUERIES[name]
-        s = median_time(lambda: fn(spark, sf_dir).count())
+        s = median_time(lambda: fn(spark, sf_dir).count(), always_full=True)
         spark_total += s
         if name in slow:
             d = slow[name]
