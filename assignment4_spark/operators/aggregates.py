@@ -423,3 +423,46 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "agg_decimal_money",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2)))  AS gross,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 AS DECIMAL(5,2))
+               - CAST(l_discount AS DECIMAL(18,2)))     AS adj,
+           COUNT(*)                                     AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-DECIMAL money aggregation — the financial-correctness twin
+    of the double-typed aggregates everywhere else in the suite: cast to
+    DECIMAL(18,2) BEFORE summing, so the result is exact and
+    ASSOCIATIVE — no partial-aggregation-order jitter, no ROUND()
+    mitigation needed on either engine (this op intentionally carries no
+    rounding). At 100 TB this is the difference between a ledger that
+    reconciles and one that drifts: double partial sums differ by
+    reduction order across executors; decimal sums cannot. The reference
+    has no decimal semantics at all (SURVEY §1.2); this pins the
+    engine's.
+
+    Plan: identical to any hash aggregate — map-side partial decimal
+    sums, one shuffle of (flag, partial), Spark's Decimal128 codegen
+    path throughout."""
+    li = table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(price).alias("gross"),
+            F.sum(price * F.lit(1).cast("decimal(5,2)") - disc).alias("adj"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -358,3 +358,48 @@ def scan_files_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT CASE WHEN event_id % 2 = 0 THEN NULL ELSE event_type END AS event_type,
+           COUNT(*)                AS n_rows,
+           ROUND(SUM(value), 6)    AS sum_value
+    FROM events
+    GROUP BY CASE WHEN event_id % 2 = 0 THEN NULL ELSE event_type END
+    ORDER BY event_type NULLS FIRST
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet batches — the lake reality that a
+    100 TB table is written over months by evolving jobs: an old batch
+    lacks a column a new batch has. Batch 1 (even event_ids) is written
+    WITHOUT event_type; batch 2 (odd ids) with it; the read merges the
+    footers (`mergeSchema`) and legacy rows surface the new column as
+    NULL — the exact union-by-name widening a long-lived table needs.
+    The oracle derives the same view from the unevolved truth, so the
+    merge semantics (not just the counts) are what's verified.
+
+    Scale note: mergeSchema reconciles FOOTERS, not data — cost scales
+    with file count, not bytes; production tables pin the merged schema
+    in a metastore so the read doesn't re-derive it per query (the
+    explicit-schema discipline every other scan here follows)."""
+    b1 = _adir(sf_dir, "events_evo_b1")
+    b2 = _adir(sf_dir, "events_evo_b2")
+    ev = table(spark, sf_dir, "events")
+    ev.filter(F.col("event_id") % 2 == 0).select("event_id", "value").write.mode(
+        "overwrite"
+    ).parquet(b1)
+    ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "value", "event_type"
+    ).write.mode("overwrite").parquet(b2)
+    merged = spark.read.option("mergeSchema", True).parquet(b1, b2)
+    return (
+        merged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy(F.col("event_type").asc_nulls_first())
+    )
