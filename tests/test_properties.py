@@ -94,3 +94,38 @@ def test_minhash_pairs_subset_of_bruteforce_threshold(spark, sf_oracle):
     pairs = registry.QUERIES["dedup_minhash_lsh"](spark, sf_oracle).collect()
     assert pairs, "fixture should contain planted near-dups"
     assert all(r.jaccard >= 0.5 for r in pairs)
+
+
+def test_temperature_weights_normalize_and_flatten(spark, sf_oracle):
+    """sample_temperature: resampled shares sum to 1, and flattening is
+    real — every below-average language gains share, every dominant one
+    loses it (α<1 exponential smoothing's defining property)."""
+    from assignment4_spark import registry
+
+    rows = registry.QUERIES["sample_temperature"](spark, sf_oracle).collect()
+    assert abs(sum(r.p_resampled for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        if r.p_raw > 1.0 / len(rows):
+            assert r.p_resampled < r.p_raw, f"{r.lang} should be downweighted"
+        else:
+            assert r.p_resampled >= r.p_raw, f"{r.lang} should be upweighted"
+
+
+def test_ewma_ramp_equals_first_observation(spark, sf_oracle):
+    """ts_ewma: on each series' first row the normalized truncated EWMA
+    has exactly one present term, so ewma == cnt (the ramp correction);
+    and every ewma lies within [min, max] of its series' counts so far
+    (convexity of the normalized weights)."""
+    from collections import defaultdict
+
+    from assignment4_spark import registry
+
+    rows = registry.QUERIES["ts_ewma"](spark, sf_oracle).collect()
+    seen = defaultdict(list)
+    for r in rows:  # rows arrive ordered (event_type, day)
+        prior = seen[r.event_type]
+        if not prior:
+            assert abs(r.ewma - r.cnt) < 1e-9, f"{r.event_type} first-row ramp"
+        window = (prior + [r.cnt])[-8:]
+        assert min(window) - 1e-9 <= r.ewma <= max(window) + 1e-9
+        prior.append(r.cnt)
