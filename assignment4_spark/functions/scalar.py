@@ -277,3 +277,52 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "type").alias("type_from_map"),
         F.size(m).alias("map_size"),
     ).orderBy("event_id")
+
+
+@register(
+    "cond_try_cast",
+    oracle="""
+    WITH dirty AS (
+      SELECT event_id,
+             CASE WHEN event_id % 3 = 0 THEN CAST(value AS VARCHAR)
+                  WHEN event_id % 3 = 1 THEN event_type
+                  ELSE CAST(value AS VARCHAR) || 'x' END AS raw
+      FROM events
+    )
+    SELECT COUNT(*)                                          AS n_rows,
+           COUNT(TRY_CAST(raw AS DOUBLE))                    AS n_parsed,
+           COUNT(*) - COUNT(TRY_CAST(raw AS DOUBLE))         AS n_rejected,
+           ROUND(SUM(COALESCE(TRY_CAST(raw AS DOUBLE), 0)), 6) AS sum_parsed
+    FROM dirty
+    """,
+)
+def cond_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe casting over a dirty feed: TRY_CAST turns unparseable
+    strings into NULL instead of failing the job — the error-tolerant
+    ingestion primitive (A28's per-item error isolation as an
+    EXPRESSION, not a try/except loop). A deterministically dirty
+    column (numeric / word / malformed, by event_id mod 3) is built
+    identically on both engines, so the parse-accept and parse-reject
+    sets — not just counts — are pinned by the value hash.
+
+    At 100 TB this is the difference between one poisoned row killing a
+    stage under ANSI mode and the row degrading to NULL inside codegen;
+    pair with a `WHERE parsed IS NULL` side-channel to quarantine
+    rejects (scan_permissive_corrupt is the source-level twin)."""
+    e = table(spark, sf_dir, "events")
+    raw = (
+        F.when(F.col("event_id") % 3 == 0, F.col("value").cast("string"))
+        .when(F.col("event_id") % 3 == 1, F.col("event_type"))
+        .otherwise(F.concat(F.col("value").cast("string"), F.lit("x")))
+    )
+    parsed = F.expr("try_cast(raw AS double)")
+    return (
+        e.select(F.col("event_id"), raw.alias("raw"))
+        .select("raw", parsed.alias("parsed"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("parsed").alias("n_parsed"),
+            (F.count(F.lit(1)) - F.count("parsed")).alias("n_rejected"),
+            F.round(F.sum(F.coalesce("parsed", F.lit(0.0))), 6).alias("sum_parsed"),
+        )
+    )
