@@ -429,10 +429,12 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_decimal_money",
     oracle="""
     SELECT l_returnflag,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2)))  AS gross,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                AS DECIMAL(38,2))                        AS gross,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                * CAST(1 AS DECIMAL(5,2))
-               - CAST(l_discount AS DECIMAL(18,2)))     AS adj,
+               - CAST(l_discount AS DECIMAL(18,2)))
+                AS DECIMAL(38,4))                        AS adj,
            COUNT(*)                                     AS n
     FROM lineitem
     GROUP BY l_returnflag
@@ -443,25 +445,31 @@ def agg_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-DECIMAL money aggregation — the financial-correctness twin
     of the double-typed aggregates everywhere else in the suite: cast to
     DECIMAL(18,2) BEFORE summing, so the result is exact and
-    ASSOCIATIVE — no partial-aggregation-order jitter, no ROUND()
-    mitigation needed on either engine (this op intentionally carries no
-    rounding). At 100 TB this is the difference between a ledger that
-    reconciles and one that drifts: double partial sums differ by
-    reduction order across executors; decimal sums cannot. The reference
-    has no decimal semantics at all (SURVEY §1.2); this pins the
-    engine's.
+    ASSOCIATIVE — no partial-aggregation-order jitter across executors.
+    At 100 TB this is the difference between a ledger that reconciles
+    and one that drifts: double partial sums differ by reduction order;
+    decimal sums cannot. The reference has no decimal semantics at all
+    (SURVEY §1.2); this pins the engine's.
+
+    The OUTPUT type is pinned to an explicit common decimal on BOTH
+    engines (Spark would otherwise say decimal(28,2)/decimal(35,4),
+    DuckDB DECIMAL(38,2)/DECIMAL(38,4)) so a stringified value-hash sees
+    the same scale — the values were already numerically identical, but
+    '…​.55' vs '…​.5500' hashes differently (ADVICE r1, high).
 
     Plan: identical to any hash aggregate — map-side partial decimal
     sums, one shuffle of (flag, partial), Spark's Decimal128 codegen
-    path throughout."""
+    path throughout; the final cast is a free projection."""
     li = table(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(18,2)")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.sum(price).alias("gross"),
-            F.sum(price * F.lit(1).cast("decimal(5,2)") - disc).alias("adj"),
+            F.sum(price).cast("decimal(38,2)").alias("gross"),
+            F.sum(price * F.lit(1).cast("decimal(5,2)") - disc)
+            .cast("decimal(38,4)")
+            .alias("adj"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("l_returnflag")

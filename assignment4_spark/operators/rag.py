@@ -403,10 +403,10 @@ def rag_hybrid_bm25_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_BM25_CTES},
     rb AS (SELECT doc_id,
-                  ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm25
+                  ROW_NUMBER() OVER (ORDER BY ROUND(bm25, 6) DESC, doc_id) AS r_bm25
            FROM scored),
     rc AS (SELECT vec_id,
-                  ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS r_cos
+                  ROW_NUMBER() OVER (ORDER BY ROUND(cos, 6) DESC, vec_id) AS r_cos
            FROM vec)
     SELECT rb.doc_id,
            CAST(rb.r_bm25 AS BIGINT) AS r_bm25,
@@ -427,8 +427,11 @@ def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark shape: both score frames come from the shared helpers
     (_bm25_scores / _cosine_to_query — narrow, codegen'd), each ranked
     with a row_number window; ranks are INTEGERS so the fused score is
-    exactly reproducible across engines (float score ties are broken by
-    id before ranking). The two global rank windows are single-partition
+    exactly reproducible across engines. Both rankings order on
+    ROUND(score, 6) with doc_id as tie-break — near-equal scores whose
+    last ulp differs between DuckDB's LN and the JVM's Math.log would
+    otherwise flip adjacent ranks cross-engine (ADVICE r1, low); after
+    rounding, rank order is fully deterministic on both sides. The two global rank windows are single-partition
     at fixture scale; in production each query ranks only its own
     candidate pool (top-k per retriever, exactly how RRF is served), so
     the window is per-query-partition, never corpus-global.
@@ -441,14 +444,14 @@ def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     rb = scored.select(
         "doc_id",
         F.row_number()
-        .over(W.orderBy(F.col("bm25").desc(), "doc_id"))
+        .over(W.orderBy(F.round(F.col("bm25"), 6).desc(), "doc_id"))
         .cast("bigint")
         .alias("r_bm25"),
     )
     rc = vec.select(
         "vec_id",
         F.row_number()
-        .over(W.orderBy(F.col("cos").desc(), "vec_id"))
+        .over(W.orderBy(F.round(F.col("cos"), 6).desc(), "vec_id"))
         .cast("bigint")
         .alias("r_cos"),
     )

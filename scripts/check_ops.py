@@ -8,15 +8,16 @@ iterating on a new operator.
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from assignment4_spark import registry  # noqa: E402
 from assignment4_spark.session import get_spark  # noqa: E402
 from tests.oracle_harness import assert_match, duckdb_connect  # noqa: E402
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
 def main() -> None:

@@ -98,17 +98,28 @@ def test_minhash_pairs_subset_of_bruteforce_threshold(spark, sf_oracle):
 
 def test_temperature_weights_normalize_and_flatten(spark, sf_oracle):
     """sample_temperature: resampled shares sum to 1, and flattening is
-    real — every below-average language gains share, every dominant one
-    loses it (α<1 exponential smoothing's defining property)."""
+    real. The true up/down-weight crossover for p^α/Z is p* = Z^(-1/(1-α))
+    (≥ 1/L, strictly so for non-uniform distributions) — NOT the mean
+    share 1/L: a language slightly above the mean can legitimately be
+    upweighted (ADVICE r1, low). Assert only the guaranteed directions:
+    below-mean languages gain share, languages above the true crossover
+    lose it, and the argmax language strictly loses share."""
     from assignment4_spark import registry
 
+    alpha = 0.3
     rows = registry.QUERIES["sample_temperature"](spark, sf_oracle).collect()
     assert abs(sum(r.p_resampled for r in rows) - 1.0) < 1e-4
+    z = sum(r.p_raw**alpha for r in rows)
+    crossover = z ** (-1.0 / (1.0 - alpha))
+    top = max(rows, key=lambda r: r.p_raw)
+    non_uniform = any(abs(r.p_raw - 1.0 / len(rows)) > 1e-9 for r in rows)
+    if non_uniform:
+        assert top.p_resampled < top.p_raw, f"{top.lang} (argmax) should be downweighted"
     for r in rows:
-        if r.p_raw > 1.0 / len(rows):
-            assert r.p_resampled < r.p_raw, f"{r.lang} should be downweighted"
-        else:
-            assert r.p_resampled >= r.p_raw, f"{r.lang} should be upweighted"
+        if r.p_raw <= 1.0 / len(rows):
+            assert r.p_resampled >= r.p_raw - 1e-9, f"{r.lang} should be upweighted"
+        elif r.p_raw > crossover + 1e-9:
+            assert r.p_resampled < r.p_raw, f"{r.lang} above crossover should be downweighted"
 
 
 def test_ewma_ramp_equals_first_observation(spark, sf_oracle):
