@@ -14,21 +14,52 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .schemas import SCHEMAS
 from .session import ensure_confs
+
+# events.ts physical unit per parquet file path ('ns' or 'us'), sniffed
+# once from the footer. The fixture generator has shipped both
+# TIMESTAMP(NANOS) (round 1) and TIMESTAMP(MICROS) (round 3) footers, so
+# the loader adapts instead of hard-coding a unit. One footer read per
+# path per process — negligible even with thousands of files, since only
+# the first file's footer is consulted (the generator writes one unit per
+# dataset).
+_TS_UNIT_CACHE: dict[str, str] = {}
+
+
+def _events_ts_unit(path: str) -> str:
+    unit = _TS_UNIT_CACHE.get(path)
+    if unit is None:
+        import pyarrow.parquet as pq
+
+        unit = pq.read_schema(path).field("ts").type.unit  # 'ns' | 'us' | 'ms'
+        _TS_UNIT_CACHE[path] = unit
+    return unit
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_confs(spark)
     if name == "events":
-        # ts is TIMESTAMP(NANOS) — illegal for Spark's parquet reader.
-        # Read nanos as long, truncate to µs (identical to DuckDB's view).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.schema(SCHEMAS[name]).parquet(
-            os.path.join(sf_dir, "events.parquet")
+        path = os.path.join(sf_dir, "events.parquet")
+        if _events_ts_unit(path) == "ns":
+            # TIMESTAMP(NANOS) is illegal for Spark's parquet reader. Read
+            # nanos as long, truncate to µs (identical to DuckDB's view).
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            raw = spark.read.schema(SCHEMAS[name]).parquet(path)
+            return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        # MICROS (NTZ) reads natively; cast NTZ→TIMESTAMP under the UTC
+        # session timezone (ensure_confs) is value-identical to DuckDB's
+        # naive reading, and keeps one ts type across both fixture eras.
+        schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.TimestampNTZType())
+                for f in SCHEMAS[name]
+            ]
         )
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        raw = spark.read.schema(schema).parquet(path)
+        return raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return spark.read.schema(SCHEMAS[name]).parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

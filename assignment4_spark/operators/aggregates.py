@@ -15,7 +15,7 @@ shape that scales to 100 TB: the shuffle is O(groups), not O(rows).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io_util import table
@@ -101,16 +101,69 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")  # approx ≠ oracle-exact → rows-only check
+_KMV_K = 256
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+        FROM events
+    ), r AS (
+        SELECT event_type, hv,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+               COUNT(*)    OVER (PARTITION BY event_type)              AS n
+        FROM h
+    )
+    SELECT event_type,
+           CASE WHEN n < {_KMV_K} THEN CAST(n AS DOUBLE)
+                ELSE ROUND(({_KMV_K - 1} * 4294967296.0) / hv, 2)
+           END AS approx_users
+    FROM r
+    WHERE rn = CASE WHEN n < {_KMV_K} THEN n ELSE {_KMV_K} END
+    ORDER BY event_type
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ distinct users per event_type — the 100 TB path for
-    cardinality estimation (constant memory per group vs exact distinct's
-    shuffle of every key). Error bound asserted in tests/test_aggregates.py.
+    """KMV (k-minimum-values) approximate distinct users per event_type.
+
+    The estimator keeps only the k=256 smallest 32-bit hashes per group —
+    constant memory per group at 100 TB, same shape as HLL — and estimates
+    |D| = (k-1) / h_(k) with h_(k) normalized to [0,1). Unlike HLL++
+    (whose sketch bytes are engine-specific), KMV over md5 is bit-for-bit
+    reproducible in any engine, so the DuckDB oracle checks the exact
+    estimate, not just an error band. Groups with fewer than k distinct
+    hashes fall back to the exact count (standard KMV behavior). The hash
+    shuffle is a distinct on (event_type, hv) then a per-group top-k —
+    both map-side combinable. See also agg_hll_distinct for Spark's
+    native HLL++ path.
     """
     ev = table(spark, sf_dir, "events")
+    h = (
+        ev.select(
+            "event_type",
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            .alias("hv"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("hv")
+    wn = Window.partitionBy("event_type")
+    r = h.withColumn("rn", F.row_number().over(w)).withColumn("n", F.count(F.lit(1)).over(wn))
+    k = F.lit(_KMV_K)
     return (
-        ev.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+        r.filter(
+            F.col("rn") == F.when(F.col("n") < k, F.col("n")).otherwise(k)
+        )
+        .select(
+            "event_type",
+            F.when(F.col("n") < k, F.col("n").cast("double"))
+            .otherwise(F.round(F.lit(float((_KMV_K - 1) * 4294967296)) / F.col("hv"), 2))
+            .alias("approx_users"),
+        )
         .orderBy("event_type")
     )
 
@@ -473,4 +526,23 @@ def agg_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+@register("agg_hll_distinct")  # engine-specific sketch → rows-only check
+def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native HLL++ distinct users per event_type (rsd=1%).
+
+    The production 100 TB cardinality path: constant ~KB sketch per
+    group, map-side mergeable, no shuffle of raw keys. HLL sketch bytes
+    are engine-specific so there is no exact cross-engine oracle — the
+    deterministic twin (same semantics, checkable estimate) is
+    agg_approx_distinct's KMV; the ±3·rsd error band vs exact count is
+    asserted in tests/test_aggregates.py.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+        .orderBy("event_type")
     )

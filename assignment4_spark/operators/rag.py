@@ -430,11 +430,15 @@ def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly reproducible across engines. Both rankings order on
     ROUND(score, 6) with doc_id as tie-break — near-equal scores whose
     last ulp differs between DuckDB's LN and the JVM's Math.log would
-    otherwise flip adjacent ranks cross-engine (ADVICE r1, low); after
-    rounding, rank order is fully deterministic on both sides. The two global rank windows are single-partition
-    at fixture scale; in production each query ranks only its own
-    candidate pool (top-k per retriever, exactly how RRF is served), so
-    the window is per-query-partition, never corpus-global.
+    otherwise flip adjacent ranks cross-engine (ADVICE r1, low).
+    Rounding shrinks that flip window from every-ulp-boundary to the
+    rare pair straddling a 1e-6 boundary (ADVICE r2: not fully
+    eliminated; parity holds at fixture scale and the tie-break keeps
+    any residual flip deterministic per engine). The two global rank
+    windows are single-partition at fixture scale; in production each
+    query ranks only its own candidate pool (top-k per retriever,
+    exactly how RRF is served), so the window is per-query-partition,
+    never corpus-global.
     Reference provenance: generalizes A18's single-ranker top-k
     (ra/agent.py:115-119) to multi-ranker fusion."""
     from pyspark.sql.window import Window as W

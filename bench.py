@@ -6,8 +6,16 @@ materialized via a count of the result (the driver's smoke does
 collect(); count() forces the same plan without shipping rows through
 Arrow, keeping the number an engine-time, not serialization-time).
 
+Output contract: the driver keeps only the LAST 2000 characters of
+stdout and parses the JSON line out of that tail (BENCH_r01/r02 both
+recorded "parsed": null because the full 156-query dict blew past the
+buffer). So stdout gets ONE compact line — headline total, per-category
+subtotals, failure list — guaranteed to fit, and the full per-query
+timing map is written to BENCH_FULL.json next to this file.
+
 Prints: {"metric": "total_query_sec", "value": N, "unit": "sec",
-         "queries": {name: sec, ...}, "sf": 0.1}
+         "queries": {category: sec, ...}, "n_queries": N, "sf": ...,
+         "detail": "BENCH_FULL.json"}
 """
 
 from __future__ import annotations
@@ -17,10 +25,15 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 from assignment4_spark import registry
 from assignment4_spark.session import get_spark
+
+# The driver's stdout tail buffer (observed in BENCH_r01/r02) minus slack
+# for the trailing newline and anything Spark might emit after us.
+TAIL_BUDGET = 1800
 
 
 def main() -> None:
@@ -62,17 +75,50 @@ def main() -> None:
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
+    failed = sorted(n for n, t in timings.items() if t < 0)
+
+    # Per-category subtotals (prefix before the first '_'): small enough
+    # to always fit the driver's tail buffer, still meaningful vs
+    # BASELINE.md's per-query table (full map in BENCH_FULL.json).
+    groups: dict[str, float] = {}
+    for name, t in timings.items():
+        if t < 0:
+            continue
+        cat = name.split("_", 1)[0]
+        groups[cat] = round(groups.get(cat, 0.0) + t, 3)
+
+    with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
+        json.dump(
             {
                 "metric": "total_query_sec",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-            }
+            },
+            f,
+            indent=1,
+            sort_keys=True,
         )
-    )
+
+    line_obj = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": dict(sorted(groups.items())),
+        "n_queries": len(timings),
+        "failed": failed,
+        "sf": sf,
+        "detail": "BENCH_FULL.json",
+    }
+    line = json.dumps(line_obj)
+    if len(line) > TAIL_BUDGET:  # belt-and-braces: shrink until it fits
+        line_obj.pop("queries", None)
+        line = json.dumps(line_obj)
+    if len(line) > TAIL_BUDGET:
+        line_obj["failed"] = len(failed)
+        line = json.dumps(line_obj)
+    print(line)
     spark.stop()
 
 

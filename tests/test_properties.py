@@ -112,13 +112,22 @@ def test_temperature_weights_normalize_and_flatten(spark, sf_oracle):
     z = sum(r.p_raw**alpha for r in rows)
     crossover = z ** (-1.0 / (1.0 - alpha))
     top = max(rows, key=lambda r: r.p_raw)
-    non_uniform = any(abs(r.p_raw - 1.0 / len(rows)) > 1e-9 for r in rows)
-    if non_uniform:
+    # The operator rounds p_raw/p_resampled to 6 decimals, so p* computed
+    # from rounded inputs carries up to ~5e-7 error per language amplified
+    # through p^α and Z^(-1/(1-α)); guards below use a 1e-5 dead zone to
+    # match (ADVICE r2) — a 1e-9 epsilon would make the classification
+    # data-sensitive near the crossover.
+    ROUND_EPS = 1e-5
+    # argmax's true shift can round to equality on near-uniform data;
+    # assert strictly only when its share clears the mean by > ROUND_EPS.
+    if top.p_raw - 1.0 / len(rows) > ROUND_EPS:
         assert top.p_resampled < top.p_raw, f"{top.lang} (argmax) should be downweighted"
+    else:
+        assert top.p_resampled <= top.p_raw, f"{top.lang} (argmax) must not gain share"
     for r in rows:
         if r.p_raw <= 1.0 / len(rows):
             assert r.p_resampled >= r.p_raw - 1e-9, f"{r.lang} should be upweighted"
-        elif r.p_raw > crossover + 1e-9:
+        elif r.p_raw > crossover + ROUND_EPS:
             assert r.p_resampled < r.p_raw, f"{r.lang} above crossover should be downweighted"
 
 
