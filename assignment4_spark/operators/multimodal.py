@@ -18,7 +18,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io_util import table
@@ -284,3 +284,70 @@ def report_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("src3").alias("sources"),
         )
     )
+
+
+@register(
+    "multimodal_image_phash",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, md5(text) || md5(text || 'x') AS digits FROM documents
+    ), n AS (
+        SELECT doc_id,
+               list_transform(range(1, 65),
+                   j -> ascii(substr(digits, CAST(j AS INTEGER), 1))
+                        - CASE WHEN substr(digits, CAST(j AS INTEGER), 1) <= '9'
+                               THEN 48 ELSE 87 END) AS nibs
+        FROM d
+    ), p AS (
+        SELECT doc_id,
+               array_to_string(
+                   list_transform(nibs,
+                       v -> CASE WHEN v * 64 > list_sum(nibs) THEN '1' ELSE '0' END),
+                   '') AS phash
+        FROM n
+    )
+    SELECT doc_id, phash,
+           COUNT(*) OVER (PARTITION BY phash) AS n_bucket
+    FROM p
+    ORDER BY doc_id
+    """,
+)
+def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup plumbing: fake-decode each "image"
+    (documents.text standing in for the blob, as in multimodal_binary_meta)
+    into an 8×8 luma grid, threshold each cell against the grid mean
+    (classic aHash), and bucket the corpus by the 64-bit signature to
+    surface duplicate groups.
+
+    The decode is the clearly-marked deterministic fake (64 luma nibbles
+    derived from md5 of the bytes — a real deployment swaps in
+    PIL → grayscale → resize(8,8)); everything downstream is the real
+    production shape: per-row signature computed scan-side with NO
+    shuffle and NO UDF (substr/ascii/transform stay in codegen), then
+    ONE exchange on the 8-byte signature — never the image bytes — to
+    group duplicates. At 100 TB the heavy blobs stay put; only hashes
+    move, which is what makes pHash dedup tractable where byte-level
+    dedup is not. Threshold compare is integer (n·64 > Σnibs), so the
+    oracle pins every signature exactly.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.md5(F.col("text")), F.md5(F.concat(F.col("text"), F.lit("x")))
+        ).alias("digits"),
+    )
+    ch = lambda j: F.substr(F.col("digits"), j, F.lit(1))  # noqa: E731
+    nibs = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda j: F.ascii(ch(j)) - F.when(ch(j) <= "9", 48).otherwise(87),
+    )
+    total = F.aggregate(nibs, F.lit(0), lambda acc, v: acc + v)
+    n = d.select("doc_id", nibs.alias("nibs"), total.alias("s"))
+    phash = F.concat_ws(
+        "",
+        F.transform("nibs", lambda v: F.when(v * 64 > F.col("s"), "1").otherwise("0")),
+    )
+    p = n.select("doc_id", phash.alias("phash"))
+    return p.withColumn(
+        "n_bucket", F.count(F.lit(1)).over(Window.partitionBy("phash"))
+    ).orderBy("doc_id")

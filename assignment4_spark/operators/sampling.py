@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..io_util import table
 from ..registry import register
@@ -248,4 +249,45 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(w * F.col("n_total")).cast("bigint").alias("n_target"),
         )
         .orderBy("lang")
+    )
+
+
+@register(
+    "sample_reservoir_hash",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                AS BIGINT) AS rk
+    FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    LIMIT 100
+    """,
+)
+def sample_reservoir_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform k-sample (k=100): the reservoir-sampling
+    replacement for distributed engines. A true reservoir is
+    order-dependent (useless across retries/repartitions); ranking every
+    row by md5(doc_id) and keeping the k smallest gives the SAME uniform
+    marginal distribution but is reproducible across engines, runs, and
+    partitionings — and composes with incremental data (a doc's rank
+    never changes, so the sample under growth is a proper bottom-k
+    sketch, mergeable across shards).
+
+    Plan: orderBy+limit compiles to TakeOrderedAndProject — each
+    partition keeps its local top-k (O(n) scan, k-size heap), the driver
+    merges p×k candidates; the full corpus is never sorted or shuffled.
+    That is exactly the 100 TB shape: bottom-k by hash is a one-pass,
+    mergeable sketch.
+    """
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    return (
+        d.select("doc_id", "lang", h.alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(100)
+        .select(
+            "doc_id",
+            "lang",
+            F.row_number().over(W.orderBy("h", "doc_id")).cast("bigint").alias("rk"),
+        )
     )

@@ -385,3 +385,80 @@ def ts_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from", "state")
     )
+
+
+@register(
+    "ts_sessionize",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) AS us,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                     OR LAG(epoch_us(ts)) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, us,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+    ), per_session AS (
+        SELECT user_id, session_id,
+               COUNT(*)              AS n_events,
+               MAX(us) - MIN(us)     AS duration_us
+        FROM sess
+        GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT)                          AS n_sessions,
+           CAST(COUNT(*) FILTER (WHERE n_events = 1) AS BIGINT) AS n_singleton,
+           CAST(MAX(n_events) AS BIGINT)                     AS longest_events,
+           CAST(SUM(duration_us) AS BIGINT)                  AS active_us
+    FROM per_session
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: a user's events belong to one session while
+    consecutive gaps stay ≤ 30 min; a larger gap opens a new session —
+    the canonical clickstream operator (web analytics, retention, abuse
+    detection all start here).
+
+    Spark shape: ONE exchange on user_id feeds both same-key windows
+    (lag to flag gap-breaks, running sum to number sessions) — Spark
+    reuses the partitioning, so the raw stream is shuffled exactly once;
+    the per-session and per-user rollups that follow are map-side
+    combinable hash aggregates. Gap math is integer microseconds
+    (unix_micros / epoch_us) on both engines — no float time anywhere.
+    At 100 TB the cost is the one user_id exchange; state per task is
+    one lag row, so no skew blowup unless a single user dominates (that
+    user's window is still streamed, not materialized).
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id", F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.count(F.when(F.col("n_events") == 1, 1)).alias("n_singleton"),
+            F.max("n_events").alias("longest_events"),
+            F.sum("duration_us").alias("active_us"),
+        )
+        .orderBy("user_id")
+    )

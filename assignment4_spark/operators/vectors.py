@@ -673,3 +673,71 @@ def vec_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("centroid_id")
     )
+
+
+@register(
+    "vec_quantize_int8",
+    oracle="""
+    WITH scaled AS (
+        SELECT vec_id,
+               len(embedding) AS n_dims,
+               127.0 / CAST(list_max(list_transform(embedding, x -> abs(x)))
+                            AS DOUBLE) AS scale,
+               embedding
+        FROM embeddings
+        WHERE list_max(list_transform(embedding, x -> abs(x))) > 0
+    )
+    SELECT vec_id,
+           CAST(n_dims AS INTEGER) AS n_dims,
+           ROUND(scale, 6)         AS scale_r,
+           CAST(list_sum(list_transform(embedding,
+                x -> CAST(FLOOR(CAST(x AS DOUBLE) * scale) AS BIGINT))) AS BIGINT)
+             AS q_sum,
+           ROUND(list_max(list_transform(embedding,
+                x -> abs(CAST(x AS DOUBLE)
+                         - FLOOR(CAST(x AS DOUBLE) * scale) / scale))), 6)
+             AS max_abs_err
+    FROM scaled
+    ORDER BY vec_id
+    """,
+)
+def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column — the
+    4× storage/bandwidth cut every large ANN deployment takes before
+    indexing (FAISS SQ8, Milvus/pgvector int8). Per vector: scale =
+    127/max|x|, q_i = floor(x_i·scale) ∈ [-128,127]; emitted here as
+    the per-vector audit (dims, scale, quantized checksum, max
+    dequantization error) rather than 60k-wide rows.
+
+    Everything is float→double IEEE arithmetic (identical on JVM and
+    DuckDB) plus FLOOR — so the oracle pins exact values, not bands.
+    Plan: one narrow projection over the parquet scan, no shuffle, no
+    UDF — transform/aggregate higher-order functions stay codegen'd;
+    at 100 TB this runs at scan speed and the quantized vectors would
+    be written back columnar (int8 array = 1/4 the bytes).
+
+    Zero vectors (max|x| = 0) are excluded on both sides: scale is
+    undefined (the serving-layer convention is to store them unscaled).
+    """
+    e = table(spark, sf_dir, "embeddings")
+    absmax = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    scaled = e.filter(absmax > 0).select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        (F.lit(127.0) / absmax.cast("double")).alias("scale"),
+        "embedding",
+    )
+    x = lambda v: v.cast("double")  # noqa: E731
+    q = lambda v: F.floor(x(v) * F.col("scale"))  # noqa: E731
+    return scaled.select(
+        "vec_id",
+        "n_dims",
+        F.round(F.col("scale"), 6).alias("scale_r"),
+        F.aggregate(
+            "embedding", F.lit(0).cast("bigint"), lambda acc, v: acc + q(v).cast("bigint")
+        ).alias("q_sum"),
+        F.round(
+            F.array_max(F.transform("embedding", lambda v: F.abs(x(v) - q(v) / F.col("scale")))),
+            6,
+        ).alias("max_abs_err"),
+    ).orderBy("vec_id")
