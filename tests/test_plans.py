@@ -232,3 +232,63 @@ def test_scd2_windows_share_one_exchange(spark, sf_oracle):
     a second hash shuffle)."""
     plan = formatted_plan(spark, "ts_scd2_history", sf_oracle)
     assert plan.count("hashpartitioning(user_id") == 1, plan[:1200]
+
+
+def _hash_exchange_specs(plan: str) -> list[str]:
+    """Partitioning specs of every hash Exchange in a formatted plan
+    (the spec lives on an Arguments: line, not the tree line)."""
+    import re
+
+    return re.findall(r"hashpartitioning\([^)]*\)", plan)
+
+
+def test_sessionize_single_exchange(spark, sf_oracle):
+    """Both sessionize windows and BOTH rollups (per-session, per-user)
+    must ride ONE user_id exchange — the grouping keys are co-located
+    within the window partitioning, and a second hashpartitioning would
+    mean the raw stream shuffles twice at 100 TB."""
+    plan = formatted_plan(spark, "ts_sessionize", sf_oracle)
+    specs = _hash_exchange_specs(plan)
+    assert len(specs) == 1 and "user_id" in specs[0], specs
+
+
+def test_reservoir_sample_is_topk_not_sort(spark, sf_oracle):
+    """Bottom-k-by-hash must compile to TakeOrderedAndProject (per-
+    partition heaps + driver merge), never a full global Sort."""
+    plan = formatted_plan(spark, "sample_reservoir_hash", sf_oracle)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_quantize_int8_no_shuffle_no_python(spark, sf_oracle):
+    """The quantization audit is a pure scan-side projection: any
+    Exchange or Python worker in this plan is a scale bug."""
+    import re
+
+    plan = formatted_plan(spark, "vec_quantize_int8", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    # the final orderBy is presentation; everything before it must be
+    # exchange-free and JVM-side
+    assert "ArrowEvalPython" not in body and "BatchEvalPython" not in body
+    exchanges = re.findall(r"\(\d+\) Exchange", body)
+    assert len(exchanges) <= 1, body  # only the final sort's range exchange
+    assert not _hash_exchange_specs(body), body  # and it is never a hash shuffle
+
+
+def test_phash_single_signature_exchange(spark, sf_oracle):
+    """Image-dedup bucketing may shuffle the 64-bit signature once; the
+    blobs (text col) must not appear in any exchanged schema."""
+    plan = formatted_plan(spark, "multimodal_image_phash", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    specs = _hash_exchange_specs(body)
+    assert len(specs) == 1 and "phash" in specs[0] and "text" not in specs[0], specs
+
+
+def test_bloom_prefilter_before_exchange(spark, sf_oracle):
+    """The bloom bit-test must run scan-side (below the join's
+    exchanges), and the fact side must still merge-join after it."""
+    plan = formatted_plan(spark, "join_bloom_prefilter", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "SortMergeJoin" in body
+    # the literal-bitset probe shows up as shiftright(...) in a Filter
+    filter_lines = [l for l in body.splitlines() if "shiftright" in l]
+    assert filter_lines, "bloom bit-test missing from plan"
