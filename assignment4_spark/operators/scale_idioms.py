@@ -297,7 +297,7 @@ def scan_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
-    WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 300000
+    WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 480000
     GROUP BY l_returnflag
     ORDER BY l_returnflag
     """,
@@ -310,53 +310,59 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's runtime row-group filters inject adaptively; written out, it
     works on any join shape and survives plan changes.
 
-    Build: k=3 positions per dim key via xxhash64(key, seed_i) mod 2^16;
-    the dim's set bits are OR-ed into a 1024-word (8 KB) bitset on the
+    Build: k=3 positions per dim key via xxhash64(key, seed_i) mod 2^14;
+    the dim's set bits are OR-ed into a 256-word (2 KB) bitset on the
     driver — the build side is the already-filtered dim (small by
-    construction; collecting its bit positions is the same cost class as
-    a broadcast-hash-join build). Probe: the 8 KB word array rides into
-    the fact filter as a LITERAL (constant-folded, codegen'd bit test —
-    no UDF, no extra join, no shuffle). False positives are removed by
-    the real join that follows, so the result is EXACTLY the plain
-    join's (the oracle is that plain join); the bloom only sheds
-    ~(1-fpp) of non-matching fact rows before the exchange. At 100 TB
-    with a 0.1%-selective dim, that is the difference between shuffling
-    the whole fact table and shuffling ~0.1% of it.
+    construction; Arrow-collecting its bit positions is the same cost
+    class as a broadcast-hash-join build). Probe: the word array appears
+    ONLY inside the filter predicate as a single Literal — never as a
+    projected column, which would memcpy the whole bitset onto every
+    fact row (the first cut of this operator did exactly that: ~2 s of
+    pure array copying at sf0.1). element_at + shiftright on the
+    literal stay in codegen; shiftright takes its per-row shift amount
+    via call_function (the Python wrapper only accepts int literals),
+    and the bitset is sized so the generated filter compiles fast —
+    2^16 bits measured ~3× slower on a cold first run purely from
+    codegen compilation. False positives are removed by the real join
+    that follows, so the result is EXACTLY the plain join's (the oracle
+    is that plain join); the bloom only sheds ~(1-fpp) of non-matching
+    fact rows before the exchange. At 100 TB with a 0.1%-selective dim,
+    that is the difference between shuffling the whole fact table and
+    shuffling ~0.1% of it — with the bitset sized ~10 bits/key, not the
+    fixture's demo 2 KB.
     """
-    m_bits, n_words, seeds = 1 << 16, 1 << 10, (1, 2, 3)
+    m_bits, n_words, seeds = 1 << 14, 1 << 8, (1, 2, 3)
     dim = (
         table(spark, sf_dir, "orders")
-        .filter((F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 300000))
+        .filter((F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 480000))
         .select("o_orderkey")
     )
-    pos_rows = (
+    import numpy as np
+
+    pos = (
         dim.select(
             F.explode(
                 F.array(*[F.pmod(F.xxhash64("o_orderkey", F.lit(s)), m_bits) for s in seeds])
             ).alias("p")
         )
-        .distinct()
-        .collect()
+        .toPandas()["p"]  # Arrow transfer: ~10× faster than row collect()
+        .to_numpy()
     )
-    words = [0] * n_words
-    for r in pos_rows:
-        words[r.p >> 6] |= 1 << (r.p & 63)
-    # two's-complement wrap: bit 63 set would overflow a signed JVM long
-    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
-    # literal 8 KB bitset; element_at/shiftright stay inside codegen
-    fact = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
-        .withColumn("bloom", F.array(*[F.lit(w).cast("long") for w in words]))
+    w = np.zeros(n_words, dtype=np.uint64)
+    np.bitwise_or.at(w, pos >> 6, np.uint64(1) << (pos.astype(np.uint64) & np.uint64(63)))
+    # view as signed: bit 63 set would overflow a JVM long otherwise
+    words = [int(x) for x in w.view(np.int64)]
+    bloom = F.lit(words)
+    fact = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
     )
-    for i, s in enumerate(seeds):
-        fact = fact.withColumn(f"p{i}", F.pmod(F.xxhash64("l_orderkey", F.lit(s)), m_bits))
-        fact = fact.filter(
-            F.expr(
-                f"(shiftright(element_at(bloom, CAST(p{i} DIV 64 AS INT) + 1),"
-                f" CAST(p{i} % 64 AS INT)) & 1) = 1"
-            )
-        )
+    cond = None
+    for s in seeds:
+        p = F.pmod(F.xxhash64("l_orderkey", F.lit(s)), m_bits)
+        word = F.element_at(bloom, (p / 64).cast("int") + 1)
+        bit = F.call_function("shiftright", word, (p % 64).cast("int")).bitwiseAND(F.lit(1))
+        cond = (bit == 1) if cond is None else cond & (bit == 1)
+    fact = fact.filter(cond)
     return (
         fact.join(dim.hint("merge"), fact.l_orderkey == dim.o_orderkey)
         .groupBy("l_returnflag")
