@@ -229,8 +229,12 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("pos")
     )
+    # merge hint: without it Spark broadcast-hashes the REPLICATED side
+    # (1.2M rows — slow to build/broadcast, and a broadcast join is
+    # exactly the case where salting is pointless); the idiom under test
+    # is the shuffle join on the widened (key, salt)
     return (
-        li.join(o, (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt))
+        li.join(o.hint("merge"), (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt))
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),

@@ -292,3 +292,13 @@ def test_bloom_prefilter_before_exchange(spark, sf_oracle):
     # the literal-bitset probe shows up as shiftright(...) in a Filter
     filter_lines = [l for l in body.splitlines() if "shiftright" in l]
     assert filter_lines, "bloom bit-test missing from plan"
+
+
+def test_skew_salted_join_is_shuffle_not_broadcast(spark, sf_oracle):
+    """Salting only means anything on a SHUFFLE join: Spark's stats
+    estimate happily broadcast-hashes the 8×-replicated dim (slow build,
+    and a broadcast join has no per-reducer hot key to split), so the
+    plan must hold to SortMergeJoin on the widened (key, salt)."""
+    plan = formatted_plan(spark, "join_skew_salted", sf_oracle)
+    assert "SortMergeJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
