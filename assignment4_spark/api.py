@@ -25,26 +25,44 @@ from .operators.dedup import (  # noqa: F401
     minhash_lsh_pairs,
     simhash_pairs,
 )
+from .operators.multimodal import (  # noqa: F401
+    phash_buckets,
+)
 from .operators.rag import (  # noqa: F401
     CHUNK_OVERLAP,
     CHUNK_SIZE,
     chunk_text,
     hash_embed_udf,
 )
+from .operators.sampling import (  # noqa: F401
+    bottomk_by_hash,
+)
+from .operators.scale_idioms import (  # noqa: F401
+    bloom_prefilter,
+)
+from .operators.timeseries import (  # noqa: F401
+    sessionize,
+)
 from .operators.vectors import (  # noqa: F401
     as_double,
     cosine,
     knn_topk,
+    quantize_int8_audit,
 )
 
 __all__ = [
     "CHUNK_OVERLAP",
     "CHUNK_SIZE",
     "as_double",
+    "bloom_prefilter",
+    "bottomk_by_hash",
     "chunk_text",
     "cosine",
     "hash_embed_udf",
     "knn_topk",
     "minhash_lsh_pairs",
+    "phash_buckets",
+    "quantize_int8_audit",
+    "sessionize",
     "simhash_pairs",
 ]

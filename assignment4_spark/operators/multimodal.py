@@ -330,10 +330,20 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup is not. Threshold compare is integer (n·64 > Σnibs), so the
     oracle pins every signature exactly.
     """
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id",
+    d = table(spark, sf_dir, "documents")
+    return phash_buckets(d, id_col="doc_id", blob_col="text").orderBy("doc_id")
+
+
+def phash_buckets(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
+    """Composable aHash dedup bucketing (api.phash_buckets): per row —
+    64-bit signature string from the fake 8×8 luma decode (md5 nibbles;
+    swap in a real decoder by replacing `digits`) plus the count of rows
+    sharing the signature. The only exchange moves signatures, never
+    blobs."""
+    d = df.select(
+        id_col,
         F.concat(
-            F.md5(F.col("text")), F.md5(F.concat(F.col("text"), F.lit("x")))
+            F.md5(F.col(blob_col)), F.md5(F.concat(F.col(blob_col), F.lit("x")))
         ).alias("digits"),
     )
     ch = lambda j: F.substr(F.col("digits"), j, F.lit(1))  # noqa: E731
@@ -342,12 +352,12 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda j: F.ascii(ch(j)) - F.when(ch(j) <= "9", 48).otherwise(87),
     )
     total = F.aggregate(nibs, F.lit(0), lambda acc, v: acc + v)
-    n = d.select("doc_id", nibs.alias("nibs"), total.alias("s"))
+    n = d.select(id_col, nibs.alias("nibs"), total.alias("s"))
     phash = F.concat_ws(
         "",
         F.transform("nibs", lambda v: F.when(v * 64 > F.col("s"), "1").otherwise("0")),
     )
-    p = n.select("doc_id", phash.alias("phash"))
+    p = n.select(id_col, phash.alias("phash"))
     return p.withColumn(
         "n_bucket", F.count(F.lit(1)).over(Window.partitionBy("phash"))
-    ).orderBy("doc_id")
+    )

@@ -280,14 +280,27 @@ def sample_reservoir_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable sketch.
     """
     d = table(spark, sf_dir, "documents")
-    h = F.md5(F.col("doc_id").cast("string"))
+    return bottomk_by_hash(d, key_col="doc_id", k=100, keep_cols=["lang"]).select(
+        "doc_id", "lang", "rk"
+    )
+
+
+def bottomk_by_hash(
+    df: DataFrame, key_col: str, k: int, keep_cols: list | None = None
+) -> DataFrame:
+    """Composable deterministic uniform k-sample (api.bottomk_by_hash):
+    the k rows whose md5(key) ranks smallest, with a 1-based `rk`
+    column. Reproducible across engines/runs/partitionings, and a
+    proper mergeable bottom-k sketch under data growth. Compiles to
+    TakeOrderedAndProject — no global sort, no shuffle of the corpus."""
+    h = F.md5(F.col(key_col).cast("string"))
     return (
-        d.select("doc_id", "lang", h.alias("h"))
-        .orderBy("h", "doc_id")
-        .limit(100)
+        df.select(key_col, *(keep_cols or []), h.alias("h"))
+        .orderBy("h", key_col)
+        .limit(k)
         .select(
-            "doc_id",
-            "lang",
-            F.row_number().over(W.orderBy("h", "doc_id")).cast("bigint").alias("rk"),
+            key_col,
+            *(keep_cols or []),
+            F.row_number().over(W.orderBy("h", key_col)).cast("bigint").alias("rk"),
         )
     )

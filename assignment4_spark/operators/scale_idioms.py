@@ -335,38 +335,15 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffling ~0.1% of it — with the bitset sized ~10 bits/key, not the
     fixture's demo 2 KB.
     """
-    m_bits, n_words, seeds = 1 << 14, 1 << 8, (1, 2, 3)
     dim = (
         table(spark, sf_dir, "orders")
         .filter((F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 480000))
         .select("o_orderkey")
     )
-    import numpy as np
-
-    pos = (
-        dim.select(
-            F.explode(
-                F.array(*[F.pmod(F.xxhash64("o_orderkey", F.lit(s)), m_bits) for s in seeds])
-            ).alias("p")
-        )
-        .toPandas()["p"]  # Arrow transfer: ~10× faster than row collect()
-        .to_numpy()
-    )
-    w = np.zeros(n_words, dtype=np.uint64)
-    np.bitwise_or.at(w, pos >> 6, np.uint64(1) << (pos.astype(np.uint64) & np.uint64(63)))
-    # view as signed: bit 63 set would overflow a JVM long otherwise
-    words = [int(x) for x in w.view(np.int64)]
-    bloom = F.lit(words)
     fact = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
     )
-    cond = None
-    for s in seeds:
-        p = F.pmod(F.xxhash64("l_orderkey", F.lit(s)), m_bits)
-        word = F.element_at(bloom, (p / 64).cast("int") + 1)
-        bit = F.call_function("shiftright", word, (p % 64).cast("int")).bitwiseAND(F.lit(1))
-        cond = (bit == 1) if cond is None else cond & (bit == 1)
-    fact = fact.filter(cond)
+    fact = bloom_prefilter(fact, "l_orderkey", dim, "o_orderkey")
     return (
         fact.join(dim.hint("merge"), fact.l_orderkey == dim.o_orderkey)
         .groupBy("l_returnflag")
@@ -378,3 +355,44 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+def bloom_prefilter(
+    fact: DataFrame,
+    fact_key: str,
+    dim: DataFrame,
+    dim_key: str,
+    m_bits: int = 1 << 14,
+    seeds: tuple = (1, 2, 3),
+) -> DataFrame:
+    """Composable Bloom prefilter (api.bloom_prefilter): returns `fact`
+    filtered to rows whose key MIGHT appear in `dim[dim_key]` (no false
+    negatives; fpp set by m_bits vs dim cardinality). Build: dim's k
+    bit positions Arrow-collected and OR-ed into an m_bits/64-word
+    bitset; probe: codegen-side bit test against the bitset LITERAL —
+    no UDF, no join, no shuffle, and the literal never becomes a
+    projected column (that would memcpy it onto every row)."""
+    import numpy as np
+
+    n_words = m_bits // 64
+    pos = (
+        dim.select(
+            F.explode(
+                F.array(*[F.pmod(F.xxhash64(dim_key, F.lit(s)), m_bits) for s in seeds])
+            ).alias("p")
+        )
+        .toPandas()["p"]  # Arrow transfer: ~10× faster than row collect()
+        .to_numpy()
+    )
+    w = np.zeros(n_words, dtype=np.uint64)
+    np.bitwise_or.at(w, pos >> 6, np.uint64(1) << (pos.astype(np.uint64) & np.uint64(63)))
+    # view as signed: bit 63 set would overflow a JVM long otherwise
+    words = [int(x) for x in w.view(np.int64)]
+    bloom = F.lit(words)
+    cond = None
+    for s in seeds:
+        p = F.pmod(F.xxhash64(fact_key, F.lit(s)), m_bits)
+        word = F.element_at(bloom, (p / 64).cast("int") + 1)
+        bit = F.call_function("shiftright", word, (p % 64).cast("int")).bitwiseAND(F.lit(1))
+        cond = (bit == 1) if cond is None else cond & (bit == 1)
+    return fact.filter(cond)

@@ -439,18 +439,8 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
         "user_id", "event_id", F.unix_micros("ts").alias("us")
     )
-    w = W.partitionBy("user_id").orderBy("us", "event_id")
-    gap = F.col("us") - F.lag("us").over(w)
-    flagged = ev.withColumn(
-        "new_session",
-        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
-    )
-    sess = flagged.withColumn(
-        "session_id", F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0))
-    )
-    per_session = sess.groupBy("user_id", "session_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        (F.max("us") - F.min("us")).alias("duration_us"),
+    per_session = sessionize(
+        ev, key_col="user_id", ts_us_col="us", order_cols=["event_id"]
     )
     return (
         per_session.groupBy("user_id")
@@ -461,4 +451,31 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("duration_us").alias("active_us"),
         )
         .orderBy("user_id")
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_us_col: str,
+    order_cols: list | None = None,
+    gap_us: int = 30 * 60 * 1_000_000,
+) -> DataFrame:
+    """Composable sessionization (api.sessionize): group `df`'s rows into
+    sessions per `key_col` wherever consecutive `ts_us_col` gaps exceed
+    `gap_us`; returns one row per (key, session_id) with n_events and
+    duration_us. `order_cols` break timestamp ties deterministically.
+    Both windows and the rollup share ONE exchange on the key."""
+    order = [ts_us_col, *(order_cols or [])]
+    w = W.partitionBy(key_col).orderBy(*order)
+    gap = F.col(ts_us_col) - F.lag(ts_us_col).over(w)
+    flagged = df.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
+    )
+    sess = flagged.withColumn(
+        "session_id", F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return sess.groupBy(key_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(ts_us_col) - F.min(ts_us_col)).alias("duration_us"),
     )

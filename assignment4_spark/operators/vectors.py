@@ -720,24 +720,32 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     undefined (the serving-layer convention is to store them unscaled).
     """
     e = table(spark, sf_dir, "embeddings")
-    absmax = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
-    scaled = e.filter(absmax > 0).select(
-        "vec_id",
-        F.size("embedding").alias("n_dims"),
+    return quantize_int8_audit(e, id_col="vec_id", vec_col="embedding").orderBy("vec_id")
+
+
+def quantize_int8_audit(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Composable int8 symmetric quantization audit (api.quantize_int8_audit):
+    per vector — dims, 6-dp scale (127/max|x|), quantized-value checksum,
+    max dequantization error. Zero vectors are excluded (scale undefined).
+    Pure codegen projection: no shuffle, no UDF."""
+    absmax = F.array_max(F.transform(vec_col, lambda x: F.abs(x)))
+    scaled = df.filter(absmax > 0).select(
+        id_col,
+        F.size(vec_col).alias("n_dims"),
         (F.lit(127.0) / absmax.cast("double")).alias("scale"),
-        "embedding",
+        vec_col,
     )
     x = lambda v: v.cast("double")  # noqa: E731
     q = lambda v: F.floor(x(v) * F.col("scale"))  # noqa: E731
     return scaled.select(
-        "vec_id",
+        id_col,
         "n_dims",
         F.round(F.col("scale"), 6).alias("scale_r"),
         F.aggregate(
-            "embedding", F.lit(0).cast("bigint"), lambda acc, v: acc + q(v).cast("bigint")
+            vec_col, F.lit(0).cast("bigint"), lambda acc, v: acc + q(v).cast("bigint")
         ).alias("q_sum"),
         F.round(
-            F.array_max(F.transform("embedding", lambda v: F.abs(x(v) - q(v) / F.col("scale")))),
+            F.array_max(F.transform(vec_col, lambda v: F.abs(x(v) - q(v) / F.col("scale")))),
             6,
         ).alias("max_abs_err"),
-    ).orderBy("vec_id")
+    )

@@ -74,3 +74,60 @@ def test_cosine_reusable_expression(spark):
     assert abs(got[0].s - 1.0) < 1e-9
     assert abs(got[1].s) < 1e-9
     assert got[2].s is None  # zero vector → NULL, never DIVIDE_BY_ZERO
+
+
+def test_sessionize_composable(spark):
+    MIN = 60 * 1_000_000  # µs
+    rows = [
+        ("u1", 0 * MIN), ("u1", 10 * MIN), ("u1", 50 * MIN),  # gap>30m → 2 sessions
+        ("u2", 5 * MIN),
+    ]
+    df = spark.createDataFrame(rows, "uid string, t long")
+    got = {
+        (r.uid, r.session_id): (r.n_events, r.duration_us)
+        for r in api.sessionize(df, key_col="uid", ts_us_col="t").collect()
+    }
+    assert got == {
+        ("u1", 1): (2, 10 * MIN),
+        ("u1", 2): (1, 0),
+        ("u2", 1): (1, 0),
+    }
+
+
+def test_bottomk_by_hash_deterministic(spark):
+    df = spark.createDataFrame([(i, f"g{i % 3}") for i in range(500)], "k long, grp string")
+    a = api.bottomk_by_hash(df, key_col="k", k=10, keep_cols=["grp"]).collect()
+    b = api.bottomk_by_hash(df.repartition(13), key_col="k", k=10, keep_cols=["grp"]).collect()
+    assert [r.k for r in a] == [r.k for r in b]  # partitioning-invariant
+    assert [r.rk for r in a] == list(range(1, 11))
+
+
+def test_quantize_int8_audit_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0, 0.0]), (3, [10.0])],
+        "vid long, v array<float>",
+    )
+    rows = {r.vid: r for r in api.quantize_int8_audit(df, id_col="vid", vec_col="v").collect()}
+    assert 2 not in rows  # zero vector excluded
+    assert rows[3].q_sum == 127 and rows[3].max_abs_err == 0.0
+    assert rows[1].n_dims == 3
+    # dequantization error bounded by one quantization step = 1/scale
+    assert rows[1].max_abs_err <= 2.0 / 127 + 1e-9
+
+
+def test_phash_buckets_duplicates_share_hash(spark):
+    df = spark.createDataFrame(
+        [(1, "same bytes"), (2, "same bytes"), (3, "different bytes")],
+        "pid long, blob string",
+    )
+    rows = {r.pid: r for r in api.phash_buckets(df, id_col="pid", blob_col="blob").collect()}
+    assert rows[1].phash == rows[2].phash and rows[1].n_bucket == 2
+    assert len(rows[1].phash) == 64 and set(rows[1].phash) <= {"0", "1"}
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    fact = spark.createDataFrame([(i,) for i in range(2000)], "fk long")
+    dim = spark.createDataFrame([(i,) for i in range(0, 2000, 100)], "dk long")
+    kept = {r.fk for r in api.bloom_prefilter(fact, "fk", dim, "dk").collect()}
+    assert set(range(0, 2000, 100)) <= kept  # every true match survives
+    assert len(kept) < 2000  # and the filter actually sheds rows
