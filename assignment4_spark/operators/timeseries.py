@@ -479,3 +479,50 @@ def sessionize(
         F.count(F.lit(1)).alias("n_events"),
         (F.max(ts_us_col) - F.min(ts_us_col)).alias("duration_us"),
     )
+
+
+@register(
+    "ts_ohlc_bars",
+    oracle="""
+    SELECT event_type,
+           date_trunc('hour', ts)                   AS bar_ts,
+           CAST(COUNT(*) AS BIGINT)                 AS n,
+           ROUND(arg_min(value, epoch_ms(ts) * 1000000 + event_id % 1000000), 2) AS open,
+           ROUND(MAX(value), 2)                     AS high,
+           ROUND(MIN(value), 2)                     AS low,
+           ROUND(arg_max(value, epoch_ms(ts) * 1000000 + event_id % 1000000), 2) AS close
+    FROM events
+    WHERE CAST(ts AS DATE) < DATE '2024-01-08'
+    GROUP BY event_type, date_trunc('hour', ts)
+    ORDER BY event_type, bar_ts
+    """,
+)
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC downsampling per series — the standard time-series
+    compaction (metrics dashboards, tick data, sensor rollups): open =
+    first value in the bar, close = last, plus high/low/count. first/
+    last are argument-extremes (min_by/max_by) on an integer
+    (epoch_ms·1e6 + event_id) order key, so ties are deterministic and
+    the whole bar is ONE map-side-combinable hash aggregate — no window,
+    no sort of the raw stream, shuffle carries one row per (series,
+    hour). At 100 TB this is the rollup that turns a raw firehose into
+    a queryable hypertable; composing bars-of-bars (hour→day→month)
+    reuses the same shape because first/last compose through argmin/max.
+    """
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("ts").cast("date") < F.lit("2024-01-08").cast("date")
+    )
+    # ms·1e6 + id stays under 2^63 (µs-scaled keys overflow); id breaks
+    # any same-millisecond tie with the SAME key on both engines
+    okey = F.unix_millis("ts") * 1000000 + F.col("event_id") % 1000000
+    return (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bar_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min_by("value", okey), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", okey), 2).alias("close"),
+        )
+        .orderBy("event_type", "bar_ts")
+    )
