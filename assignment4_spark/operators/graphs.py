@@ -1,0 +1,222 @@
+"""Graph operators over relational fixtures (SURVEY.md §2 B.10).
+
+The reference's agent traverses a tiny hand-wired LangGraph StateGraph
+(ra/agent.py:151-199) — the only "graph" in the repo. These operators
+generalize graph computation to data-scale graphs derived from the
+relational tables, using the two standard DataFrame-native patterns:
+
+  * **iterative message passing** (PageRank) — a fixed number of
+    join + groupBy rounds with each iteration localCheckpointed, the
+    same loop shape as dedup_connected_components (dedup.py) and
+    vec_kmeans_train (vectors.py);
+  * **degree-ordered wedge closing** (triangle counting, the
+    Schank-Wagner "forward" algorithm) — orient every edge from its
+    lower-degree endpoint so the wedge join fans out per vertex by its
+    *oriented* out-degree (O(sqrt(m)) on any graph) instead of its raw
+    degree; this is what keeps the join quadratic-proof on power-law
+    graphs at 100 TB, where the naive id-ordered triple join does
+    degree² work on every hub vertex.
+
+Graph substrate: the part↔supplier bipartite graph of lineitem
+(vertex id = 2*partkey for parts, 2*suppkey+1 for suppliers — disjoint
+id spaces without a union of tables), and the part co-purchase graph
+(parts appearing in the same order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io_util import table
+from ..registry import register
+
+# Damping literals appear verbatim on BOTH engines: Python's 1 - 0.85
+# and the SQL literal 0.15 are DIFFERENT doubles (last-ulp), which
+# compounds over iterations — so both sides use the same parsed
+# literals 0.15 / 0.85, never derived arithmetic.
+_ITERS = 3
+
+
+def _bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected part↔supplier edges as a directed edge list (both
+    orientations), deduplicated. One narrow scan of lineitem's two key
+    columns; the DISTINCT is one hash-aggregate shuffle."""
+    li = table(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") * 2).alias("p_v"),
+        (F.col("l_suppkey") * 2 + 1).alias("s_v"),
+    )
+    pairs = li.distinct()
+    return pairs.select(F.col("p_v").alias("src"), F.col("s_v").alias("dst")).unionAll(
+        pairs.select(F.col("s_v").alias("src"), F.col("p_v").alias("dst"))
+    )
+
+
+@register(
+    "graph_pagerank",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT l_partkey * 2 AS p_v, l_suppkey * 2 + 1 AS s_v
+      FROM lineitem
+    ), edges AS (
+      SELECT p_v AS src, s_v AS dst FROM pairs
+      UNION ALL
+      SELECT s_v AS src, p_v AS dst FROM pairs
+    ), deg AS (
+      SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+    ), r0 AS (
+      SELECT src AS v, 1.0 AS rank FROM deg
+    ), r1 AS (
+      SELECT e.dst AS v, 0.15 + 0.85 * SUM(r.rank / d.deg) AS rank
+      FROM edges e JOIN r0 r ON r.v = e.src JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ), r2 AS (
+      SELECT e.dst AS v, 0.15 + 0.85 * SUM(r.rank / d.deg) AS rank
+      FROM edges e JOIN r1 r ON r.v = e.src JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ), r3 AS (
+      SELECT e.dst AS v, 0.15 + 0.85 * SUM(r.rank / d.deg) AS rank
+      FROM edges e JOIN r2 r ON r.v = e.src JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    )
+    SELECT v, ROUND(rank, 6) AS rank
+    FROM r3
+    ORDER BY ROUND(rank, 6) DESC, v
+    LIMIT 20
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 fixed iterations, d=0.85, rank_0=1) on the
+    part↔supplier bipartite graph; top-20 vertices.
+
+    Spark shape: edges and out-degrees are computed once and
+    localCheckpointed (the loop in dedup_connected_components sets the
+    pattern — without the checkpoint each iteration's plan re-derives
+    the DISTINCT subtree and lineage triples). Each iteration is one
+    shuffle join rank⋈edges on src plus one groupBy(dst) — partial
+    aggregation makes the message combine map-side, so the shuffle
+    carries one row per (reducer, dst), not one per edge. Undirected
+    degrees ≥ 1 everywhere: no dangling-mass term needed. In
+    production the rank frame is also repartitioned by v once so every
+    iteration's join reuses the same hash partitioning.
+
+    Ordering ties are broken on v; ranks are compared ROUNDed to 1e-6
+    on both engines (registry determinism rules).
+    Reference provenance: generalizes the LangGraph node-hop loop
+    (ra/agent.py:151-199) from a 4-node control graph to a data-scale
+    graph computation.
+    """
+    edges = _bipartite_edges(spark, sf_dir).localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
+        eager=True
+    )
+    ranks = deg.select(F.col("src").alias("v"), F.lit(1.0).alias("rank"))
+    for _ in range(_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.v)
+            .join(deg, "src")
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg((F.lit(0.15) + F.lit(0.85) * F.sum("c")).alias("rank"))
+            .select(F.col("dst").alias("v"), "rank")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ranks.select("v", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "v")
+        .limit(20)
+    )
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH small AS (
+      SELECT p_partkey FROM part WHERE p_size <= 10
+    ), items AS (
+      SELECT DISTINCT l_orderkey, l_partkey
+      FROM lineitem JOIN small ON p_partkey = l_partkey
+    ), edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM edges e1
+    JOIN edges e2 ON e2.u = e1.v
+    JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the part co-purchase graph (parts bought in the
+    same order; restricted to p_size ≤ 10 — the size predicate is pushed
+    to the part scan and the restriction applied as a broadcast join).
+
+    Degree-ordered "forward" counting (Schank & Wagner 2005): orient
+    each undirected edge from its lower-(degree, id) endpoint, build
+    wedges by joining oriented edges on their source, and close each
+    wedge against the oriented edge set normalized to id order (so the
+    closure is a plain equi-join, never an OR-condition nested loop).
+    The orientation is an acyclic tournament on every triangle — exactly
+    one vertex out-points to both others — so each triangle is produced
+    by exactly one wedge and the count needs no /3 correction. The scale
+    property: wedge fan-out per vertex is its ORIENTED out-degree,
+    O(sqrt(m)) even for power-law hubs, where the naive id-ordered
+    triple join does degree² work on every hub vertex.
+
+    The oracle counts the same triangles with the naive a<b<c triple
+    join (fine at fixture scale, and independent of the orientation
+    trick — a genuine cross-check of the algorithm, not an echo of it).
+    Reference provenance: no graph analytics exist in the reference;
+    declared in SURVEY §2 Part B as part of the dedup/similarity
+    cluster-analysis surface (pair graphs from dedup_minhash_lsh feed
+    exactly this edge-list shape).
+    """
+    small = table(spark, sf_dir, "part").filter(F.col("p_size") <= 10).select(
+        "p_partkey"
+    )
+    items = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .join(F.broadcast(small), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    b = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pk2"))
+    edges = (
+        items.join(b, (items.l_orderkey == b.o) & (items.l_partkey < b.pk2))
+        .select(F.col("l_partkey").alias("u"), F.col("pk2").alias("v"))
+        .distinct()
+    )
+    und = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    du = deg.select(F.col("u").alias("du_v"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("u").alias("dv_v"), F.col("deg").alias("dv"))
+    with_deg = (
+        und.join(du, und.u == F.col("du_v"))
+        .join(dv, und.v == F.col("dv_v"))
+        .select("u", "v", "du", "dv")
+    )
+    oriented = (
+        with_deg.filter(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    w2 = oriented.select(F.col("u").alias("w_u"), F.col("v").alias("w_v"))
+    wedges = oriented.join(
+        w2, (oriented.u == F.col("w_u")) & (oriented.v < F.col("w_v"))
+    ).select(F.col("v").alias("a"), F.col("w_v").alias("b"))
+    # Wedge endpoints are emitted in id order (a < b); normalizing the
+    # oriented edges to id order turns the closure into an equi-join.
+    closer = oriented.select(
+        F.least("u", "v").alias("c_u"), F.greatest("u", "v").alias("c_v")
+    )
+    tri = wedges.join(
+        closer, (wedges.a == F.col("c_u")) & (wedges.b == F.col("c_v"))
+    )
+    return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))

@@ -347,3 +347,82 @@ def join_self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region_key", "nation_a", "nation_b")
     )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    WITH activity AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, MIN(ts) AS a_start, MAX(ts) AS a_end
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ), incidents AS (
+      SELECT ts AS i_start, ts + INTERVAL 30 MINUTE AS i_end
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT a.user_id, a.day,
+           CAST(COUNT(*) AS BIGINT) AS n_incidents,
+           ROUND(SUM(epoch(LEAST(a.a_end, i.i_end))
+                     - epoch(GREATEST(a.a_start, i.i_start))), 3) AS overlap_s
+    FROM activity a JOIN incidents i
+      ON a.a_start <= i.i_end AND i.i_start <= a.a_end
+    GROUP BY a.user_id, a.day
+    ORDER BY a.user_id, a.day
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (the second classic range-join shape next
+    to join_theta_range's band join): per-user daily activity intervals
+    [min ts, max ts] x global 30-minute incident windows around error
+    events; returns per (user, day) the overlapping-incident count and
+    total overlap seconds.
+
+    Scale rewrite: both interval sets are bucketed to the calendar-day
+    grid — activity intervals live in exactly one day bucket by
+    construction, incident windows explode to the 1-2 days they touch
+    (sequence over to_date bounds, distinct by construction since
+    sequence steps by whole days) — so the join is a plain equi-join on
+    day with the overlap predicate as residual filter. Join-group size
+    is bounded by incidents-per-day, never incidents-total, and no
+    dedup pass is needed because the non-exploded side occupies a
+    single bucket. This is the same grid decomposition GeoSpark/Sedona
+    uses for spatial joins, specialized to 1-D time.
+    Reference provenance: none (no joins in the reference); declared in
+    SURVEY §2 Part B with join_theta_range as the range-join family.
+    """
+    ev = table(spark, sf_dir, "events")
+    activity = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.min("ts").alias("a_start"), F.max("ts").alias("a_end")
+    )
+    incidents = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("ts").alias("i_start"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("i_end"),
+        )
+        .select(
+            "i_start",
+            "i_end",
+            F.explode(
+                F.sequence(F.to_date("i_start"), F.to_date("i_end"))
+            ).alias("day"),
+        )
+    )
+    return (
+        activity.join(incidents, ["day"])
+        .filter(
+            (F.col("a_start") <= F.col("i_end"))
+            & (F.col("i_start") <= F.col("a_end"))
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_incidents"),
+            F.round(
+                F.sum(
+                    F.least("a_end", "i_end").cast("double")
+                    - F.greatest("a_start", "i_start").cast("double")
+                ),
+                3,
+            ).alias("overlap_s"),
+        )
+        .orderBy("user_id", "day")
+    )

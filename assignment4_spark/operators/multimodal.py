@@ -361,3 +361,86 @@ def phash_buckets(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
     return p.withColumn(
         "n_bucket", F.count(F.lit(1)).over(Window.partitionBy("phash"))
     )
+
+
+@register(
+    "multimodal_audio_windows",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id, CAST((doc_id * 31) % 300 + 5 AS BIGINT) AS duration_s
+      FROM documents WHERE doc_id % 3 = 0
+    ), w AS (
+      SELECT doc_id, duration_s,
+             UNNEST(generate_series(1, CAST(CEIL(duration_s / 10.0) AS BIGINT)))
+               AS win_no
+      FROM a
+    )
+    SELECT doc_id,
+           CAST(win_no AS INTEGER)                                AS win_no,
+           CAST((win_no - 1) * 10 AS BIGINT)                      AS start_s,
+           LEAST(win_no * 10, duration_s)                         AS end_s,
+           ROUND(((doc_id * 7 + win_no) % 1000) / 1000.0, 3)      AS rms
+    FROM w
+    ORDER BY doc_id, win_no
+    """,
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio windowing plan: fixed 10 s analysis windows (hop = size)
+    over per-file durations, each window carrying a decoder feature
+    (RMS energy). Docs with doc_id % 3 == 0 stand in for audio rows;
+    duration and RMS are deterministic FAKES (no audio libs in this
+    container — module docstring) while the Spark plumbing is the real
+    part under test: an Arrow-batched mapInPandas with an explicit
+    output schema, one input row fanning out to its window rows inside
+    the Python worker exactly as a streaming PCM decoder would emit
+    them (the decode swaps in per-batch; schema, batching and fan-out
+    shape stay fixed).
+
+    At scale this is the audio twin of multimodal_frame_sample: the
+    binary column never leaves the executor, each task decodes its own
+    files, and the per-window feature rows are narrow. mapInPandas
+    (not explode) because a real decoder needs the bytes in Python —
+    the fan-out happens Arrow-side, not in Catalyst.
+    Reference provenance: extends the reference's figure-extraction
+    loop (parser_pinecone_storage.py:106-117) from page images to
+    time-windowed media, same opaque-binary + typed-metadata model
+    (SURVEY §1.3).
+    """
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select(
+            "doc_id",
+            ((F.col("doc_id") * 31) % 300 + 5).cast("bigint").alias("duration_s"),
+        )
+    )
+
+    out_schema = (
+        "doc_id bigint, win_no int, start_s bigint, end_s bigint, rms double"
+    )
+
+    def decode_windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            reps = (pdf["duration_s"] + 9) // 10  # ceil(d/10), ints
+            doc_id = pdf["doc_id"].repeat(reps).reset_index(drop=True)
+            duration = pdf["duration_s"].repeat(reps).reset_index(drop=True)
+            win_no = doc_id.groupby(doc_id).cumcount() + 1
+            start = (win_no - 1) * 10
+            end = (win_no * 10).clip(upper=duration)
+            rms = ((doc_id * 7 + win_no) % 1000) / 1000.0
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_id,
+                    "win_no": win_no.astype("int32"),
+                    "start_s": start,
+                    "end_s": end,
+                    "rms": rms.round(3),
+                }
+            )
+
+    return (
+        d.mapInPandas(decode_windows, schema=out_schema)
+        .orderBy("doc_id", "win_no")
+    )

@@ -526,3 +526,138 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bar_ts")
     )
+
+
+@register(
+    "ts_interpolate_linear",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, ts, AVG(value) AS value
+      FROM events GROUP BY user_id, ts
+    ), bounds AS (
+      SELECT user_id, MIN(ts) AS t0, MAX(ts) AS t1 FROM obs GROUP BY user_id
+    ), grid AS (
+      SELECT user_id,
+             UNNEST(generate_series(
+               CASE WHEN date_trunc('hour', t0) = t0 THEN t0
+                    ELSE date_trunc('hour', t0) + INTERVAL 1 HOUR END,
+               t1, INTERVAL 1 HOUR)) AS gts
+      FROM bounds
+    ), u AS (
+      SELECT user_id, ts, value, ts AS obs_ts, 0 AS is_grid FROM obs
+      UNION ALL
+      SELECT user_id, gts, NULL, NULL, 1 FROM grid
+    ), w AS (
+      SELECT user_id, ts, is_grid,
+             LAST_VALUE(value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, is_grid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             LAST_VALUE(obs_ts IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, is_grid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             FIRST_VALUE(value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, is_grid
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(obs_ts IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, is_grid
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM u
+    )
+    SELECT user_id, ts AS grid_ts,
+           ROUND(CASE WHEN nt IS NULL THEN pv
+                      ELSE pv + (nv - pv) * (epoch(ts) - epoch(pt))
+                                / (epoch(nt) - epoch(pt))
+                 END, 6) AS value_interp
+    FROM w WHERE is_grid = 1
+    ORDER BY user_id, grid_ts
+    """,
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's irregular value series onto an hourly grid
+    by linear interpolation between the bracketing observations — the
+    standard irregular→regular alignment primitive (ffill's continuous
+    cousin; ts_gap_fill is the categorical/zero-fill variant).
+
+    Spark shape: the union-spine trick — observations and grid points
+    go through ONE union and ONE window pass per direction
+    (last(ignorenulls) looking back, first(ignorenulls) looking
+    forward), so interpolation costs two window sorts per user
+    partition, never a per-grid-point range join. Duplicate timestamps
+    are pre-aggregated (AVG) so the window order (ts, is_grid) is a
+    total order and both engines see identical neighbor values. Grid
+    points lie in [ceil_hour(min ts), max ts], so a backward and a
+    forward neighbor always exist; the only NULL-next case is a grid
+    point exactly at the series end, which degenerates to the endpoint
+    value. At scale the window partitions by user — no global sort,
+    and the grid explode is narrow (two timestamp bounds per user in,
+    one row per grid point out).
+    Reference provenance: none (no timeseries ops in the reference);
+    SURVEY §2 Part B timeseries family.
+    """
+    obs = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.avg("value").alias("value"))
+    )
+    bounds = obs.groupBy("user_id").agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1")
+    )
+    trunc = F.date_trunc("hour", F.col("t0"))
+    start = F.when(trunc == F.col("t0"), F.col("t0")).otherwise(
+        trunc + F.expr("INTERVAL 1 HOUR")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(start, F.col("t1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("gts"),
+    )
+    u = obs.select(
+        "user_id",
+        "ts",
+        "value",
+        F.col("ts").alias("obs_ts"),
+        F.lit(0).alias("is_grid"),
+    ).unionAll(
+        grid.select(
+            "user_id",
+            F.col("gts").alias("ts"),
+            F.lit(None).cast("double").alias("value"),
+            F.lit(None).cast("timestamp").alias("obs_ts"),
+            F.lit(1).alias("is_grid"),
+        )
+    )
+    back = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_grid")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fwd = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_grid")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    w = u.select(
+        "user_id",
+        "ts",
+        "is_grid",
+        F.last("value", ignorenulls=True).over(back).alias("pv"),
+        F.last("obs_ts", ignorenulls=True).over(back).alias("pt"),
+        F.first("value", ignorenulls=True).over(fwd).alias("nv"),
+        F.first("obs_ts", ignorenulls=True).over(fwd).alias("nt"),
+    )
+    interp = F.when(F.col("nt").isNull(), F.col("pv")).otherwise(
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * (F.col("ts").cast("double") - F.col("pt").cast("double"))
+        / (F.col("nt").cast("double") - F.col("pt").cast("double"))
+    )
+    return (
+        w.filter(F.col("is_grid") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("grid_ts"),
+            F.round(interp, 6).alias("value_interp"),
+        )
+        .orderBy("user_id", "grid_ts")
+    )

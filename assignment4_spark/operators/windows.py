@@ -238,3 +238,74 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@register(
+    "win_regr_slope",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_id, ts, value,
+             (epoch(ts) - 1704067200) / 3600.0 AS x
+      FROM events
+    ), w AS (
+      SELECT user_id, event_id, ts,
+             COUNT(*) OVER win          AS n,
+             SUM(x) OVER win            AS sx,
+             SUM(value) OVER win        AS sy,
+             SUM(x * value) OVER win    AS sxy,
+             SUM(x * x) OVER win        AS sxx
+      FROM t
+      WINDOW win AS (PARTITION BY user_id ORDER BY x
+                     RANGE BETWEEN 24.0 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, ts,
+           ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 6)
+             AS slope_24h
+    FROM w
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def win_regr_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h least-squares slope of value-vs-time per user — the
+    online trend detector (regr_slope over a moving RANGE frame),
+    computed from the five streaming-friendly sufficient statistics
+    (n, Σx, Σy, Σxy, Σx²) so one window pass yields the slope with no
+    per-row refit.
+
+    Numerical hygiene that decides cross-engine parity: x is hours
+    since 2024-01-01 (epoch seconds would put Σx² near 1e19 where
+    doubles carry ~1e3 absolute error and the n·Σx²−(Σx)² cancellation
+    destroys the slope); with hour units the cancellation keeps ~10
+    significant digits and both engines agree to the 1e-6 ROUND. The
+    n=1 denominator is exactly 0.0 in IEEE on both engines (fl(x·x) −
+    fl(x·x)), so NULLIF yields NULL, not a noise slope. RANGE frames
+    make timestamp ties peers — tie order cannot change the sums.
+    At scale: one shuffle on user_id, one sort per partition; the
+    range frame is evaluated incrementally, never re-scanned.
+    Reference provenance: none; SURVEY §2 Part B window family.
+    """
+    x = (F.col("ts").cast("double") - F.lit(1704067200)) / F.lit(3600.0)
+    t = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value", x.alias("x")
+    )
+    win = (
+        W.partitionBy("user_id").orderBy("x").rangeBetween(-24, 0)
+    )
+    w = t.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("x").over(win).alias("sx"),
+        F.sum("value").over(win).alias("sy"),
+        F.sum(F.col("x") * F.col("value")).over(win).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(win).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return w.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("slope_24h"),
+    ).orderBy("user_id", "ts", "event_id")

@@ -41,6 +41,7 @@ _OPERATOR_MODULES = [
     "assignment4_spark.operators.timeseries",
     "assignment4_spark.operators.textstats",
     "assignment4_spark.operators.multimodal",
+    "assignment4_spark.operators.graphs",
     "assignment4_spark.streaming.batch_decl",
     "assignment4_spark.functions.udfs",
 ]

@@ -108,7 +108,11 @@ def main() -> None:
         cat = name.split("_", 1)[0]
         groups[cat] = round(groups.get(cat, 0.0) + t, 3)
 
-    with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
+    # The canonical BENCH_FULL.json (committed, read against BASELINE.md)
+    # is only ever the default sf0.1 run; smoke runs at other scale
+    # factors write a suffixed file so they can't clobber it.
+    detail = "BENCH_FULL.json" if sf == 0.1 else f"BENCH_FULL_sf{sf}.json"
+    with open(os.path.join(REPO, detail), "w") as f:
         json.dump(
             {
                 "metric": "total_query_sec",
@@ -130,7 +134,7 @@ def main() -> None:
         "n_queries": len(timings),
         "failed": failed,
         "sf": sf,
-        "detail": "BENCH_FULL.json",
+        "detail": detail,
     }
     line = json.dumps(line_obj)
     if len(line) > TAIL_BUDGET:  # belt-and-braces: shrink until it fits

@@ -302,3 +302,59 @@ def test_skew_salted_join_is_shuffle_not_broadcast(spark, sf_oracle):
     plan = formatted_plan(spark, "join_skew_salted", sf_oracle)
     assert "SortMergeJoin" in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_regr_slope_single_window_pass(spark, sf_oracle):
+    """All five sufficient statistics (n, Σx, Σy, Σxy, Σx²) must fuse
+    into ONE Window operator over one hash exchange — a second window
+    pass would double the sort cost for zero semantic gain."""
+    import re
+
+    plan = formatted_plan(spark, "win_regr_slope", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert len(re.findall(r"\(\d+\) Window", body)) == 1, body
+    assert len(re.findall(r"\(\d+\) Exchange", body)) == 2, body  # window + sort
+
+
+def test_interval_overlap_pushdown_and_pruning(spark, sf_oracle):
+    """The incident side's event_type filter must reach its parquet
+    scan, and neither scan may read the wide props column."""
+    plan = formatted_plan(spark, "join_interval_overlap", sf_oracle)
+    assert "EqualTo(event_type,error)" in plan, plan
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert reads and all("props" not in l for l in reads), reads
+
+
+def test_interpolate_shares_one_window_sort(spark, sf_oracle):
+    """Backward and forward neighbor lookups use the same (user_id;
+    ts, is_grid) ordering with different frames: Spark must evaluate
+    all four ignore-nulls lookups over ONE sorted window pass (they
+    fuse into a single Window operator — frames are per-function), so
+    the union is exchanged and sorted exactly once before it."""
+    import re
+
+    plan = formatted_plan(spark, "ts_interpolate_linear", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert 1 <= len(re.findall(r"\(\d+\) Window", body)) <= 2, body
+    sorts = re.findall(r"\(\d+\) Sort", body)
+    assert len(sorts) <= 2, body  # the window sort + the final orderBy
+
+
+def test_triangle_closure_is_equi_join(spark, sf_oracle):
+    """The wedge-closing join is normalized to id order so it stays an
+    equi-join — an OR-of-orientations condition would silently become a
+    BroadcastNestedLoopJoin and go quadratic on the wedge count."""
+    plan = formatted_plan(spark, "graph_triangle_count", sf_oracle)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_audio_windows_arrow_fanout(spark, sf_oracle):
+    """The audio decoder stub must run as ONE Arrow-batched python
+    stage (MapInPandas) over a doc_id-only scan — the fan-out happens
+    inside the worker, never as a Catalyst explode of decoded rows."""
+    plan = formatted_plan(spark, "multimodal_audio_windows", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "MapInPandas" in body, body
+    read = next(l for l in body.splitlines() if "ReadSchema" in l)
+    assert "text" not in read and "lang" not in read, read
