@@ -22,6 +22,7 @@ DataFrames with non-fixture column names.
 from __future__ import annotations
 
 from .operators.dedup import (  # noqa: F401
+    canonical_url,
     minhash_lsh_pairs,
     simhash_pairs,
 )
@@ -34,13 +35,19 @@ from .operators.rag import (  # noqa: F401
     chunk_text,
     hash_embed_udf,
 )
+from .operators.graphs import (  # noqa: F401
+    pagerank,
+    triangle_count,
+)
 from .operators.sampling import (  # noqa: F401
     bottomk_by_hash,
+    weighted_sample_ares,
 )
 from .operators.scale_idioms import (  # noqa: F401
     bloom_prefilter,
 )
 from .operators.timeseries import (  # noqa: F401
+    interpolate_linear,
     sessionize,
 )
 from .operators.vectors import (  # noqa: F401
@@ -56,13 +63,18 @@ __all__ = [
     "as_double",
     "bloom_prefilter",
     "bottomk_by_hash",
+    "canonical_url",
     "chunk_text",
     "cosine",
     "hash_embed_udf",
+    "interpolate_linear",
     "knn_topk",
     "minhash_lsh_pairs",
+    "pagerank",
     "phash_buckets",
     "quantize_int8_audit",
     "sessionize",
     "simhash_pairs",
+    "triangle_count",
+    "weighted_sample_ares",
 ]

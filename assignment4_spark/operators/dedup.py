@@ -561,3 +561,72 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("train_id", "eval_id")
     )
+
+
+def canonical_url(col) -> Column:
+    """Composable URL canonicalization (api.canonical_url): strip the
+    query string and fragment, lowercase — the normalize half of
+    dedup_url_normalize, usable as a plain column expression over any
+    URL column before an exact-dedup groupBy."""
+    return F.lower(F.regexp_replace(col, r"[?#].*$", ""))
+
+
+@register(
+    "dedup_url_normalize",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://Ex' || (doc_id % 7) || '.COM/p/' || (doc_id % 500)
+               || '?utm_source=x&id=' || doc_id AS url
+      FROM documents
+    ), canon AS (
+      SELECT doc_id,
+             LOWER(regexp_replace(url, '[?#].*$', '')) AS canon_url
+      FROM u
+    )
+    SELECT canon_url,
+           CAST(COUNT(*) AS BIGINT) AS n_dups,
+           MIN(doc_id)              AS keep_doc_id
+    FROM canon
+    GROUP BY canon_url
+    HAVING COUNT(*) > 1
+    ORDER BY canon_url
+    """,
+)
+def dedup_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the first pass every web-crawl
+    curation pipeline runs before any content hashing: strip the query
+    string and fragment, lowercase, then exact-group on the canonical
+    form (CCNet/RefinedWeb normalize-then-dedup shape). Keeps the
+    minimum doc_id per canonical URL as the surviving representative,
+    reporting only groups that actually collapsed.
+
+    URLs are synthesized deterministically from doc_id (the fixture
+    corpus has no URL column — same convention as the multimodal fake
+    decodes); the operator under test is the normalize + exact-group
+    plan: pure codegen string expressions into one hash aggregate whose
+    shuffle carries one row per canonical URL, so at crawl scale the
+    exchange is bounded by distinct URLs, not raw rows.
+    Reference provenance: generalizes the reference's duplicate-upsert
+    defect fix (A11/A13, wall-clock-salted vector ids — SURVEY Appendix
+    A.4) from ids to the URL column proper.
+    """
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://Ex"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM/p/"),
+        (F.col("doc_id") % 500).cast("string"),
+        F.lit("?utm_source=x&id="),
+        F.col("doc_id").cast("string"),
+    )
+    canon = d.select("doc_id", canonical_url(url).alias("canon_url"))
+    return (
+        canon.groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+        .orderBy("canon_url")
+    )

@@ -38,6 +38,80 @@ from ..registry import register
 _ITERS = 3
 
 
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    teleport: float | None = None,
+) -> DataFrame:
+    """Composable PageRank: `edges` is a directed edge list (src, dst)
+    — for an undirected graph pass both orientations. Returns (v, rank)
+    for every vertex with out-edges, after `iters` message-passing
+    rounds with rank_0 = 1. Edges and degrees are localCheckpointed
+    once; each round is one src join + one map-side-combinable dst
+    aggregation. Vertices with no out-edges contribute no mass
+    (dangling mass is not redistributed — undirected inputs never have
+    any). `teleport` defaults to 1−damping; pass it explicitly when a
+    cross-engine oracle needs literal-identical doubles (module
+    docstring: 1−0.85 ≠ 0.15 in IEEE)."""
+    if teleport is None:
+        teleport = 1.0 - damping
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
+        eager=True
+    )
+    ranks = deg.select(F.col("src").alias("v"), F.lit(1.0).alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.v)
+            .join(deg, "src")
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg((F.lit(teleport) + F.lit(damping) * F.sum("c")).alias("rank"))
+            .select(F.col("dst").alias("v"), "rank")
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Composable triangle count: `edges` holds each undirected edge
+    exactly once as (u, v) with u < v. Degree-ordered wedge closing
+    (docstring of graph_triangle_count); returns a single-row DataFrame
+    (n_triangles bigint)."""
+    edges = edges.select("u", "v")
+    und = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    du = deg.select(F.col("u").alias("du_v"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("u").alias("dv_v"), F.col("deg").alias("dv"))
+    with_deg = (
+        und.join(du, und.u == F.col("du_v"))
+        .join(dv, und.v == F.col("dv_v"))
+        .select("u", "v", "du", "dv")
+    )
+    oriented = (
+        with_deg.filter(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    w2 = oriented.select(F.col("u").alias("w_u"), F.col("v").alias("w_v"))
+    wedges = oriented.join(
+        w2, (oriented.u == F.col("w_u")) & (oriented.v < F.col("w_v"))
+    ).select(F.col("v").alias("a"), F.col("w_v").alias("b"))
+    closer = oriented.select(
+        F.least("u", "v").alias("c_u"), F.greatest("u", "v").alias("c_v")
+    )
+    tri = wedges.join(
+        closer, (wedges.a == F.col("c_u")) & (wedges.b == F.col("c_v"))
+    )
+    return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+
+
 def _bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected part↔supplier edges as a directed edge list (both
     orientations), deduplicated. One narrow scan of lineitem's two key
@@ -106,23 +180,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ra/agent.py:151-199) from a 4-node control graph to a data-scale
     graph computation.
     """
-    edges = _bipartite_edges(spark, sf_dir).localCheckpoint(eager=True)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
-        eager=True
+    ranks = pagerank(
+        _bipartite_edges(spark, sf_dir), iters=_ITERS, damping=0.85, teleport=0.15
     )
-    ranks = deg.select(F.col("src").alias("v"), F.lit(1.0).alias("rank"))
-    for _ in range(_ITERS):
-        contrib = (
-            edges.join(ranks, edges.src == ranks.v)
-            .join(deg, "src")
-            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
-        )
-        ranks = (
-            contrib.groupBy("dst")
-            .agg((F.lit(0.15) + F.lit(0.85) * F.sum("c")).alias("rank"))
-            .select(F.col("dst").alias("v"), "rank")
-            .localCheckpoint(eager=True)
-        )
     return (
         ranks.select("v", F.round("rank", 6).alias("rank"))
         .orderBy(F.col("rank").desc(), "v")
@@ -190,33 +250,4 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_partkey").alias("u"), F.col("pk2").alias("v"))
         .distinct()
     )
-    und = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    du = deg.select(F.col("u").alias("du_v"), F.col("deg").alias("du"))
-    dv = deg.select(F.col("u").alias("dv_v"), F.col("deg").alias("dv"))
-    with_deg = (
-        und.join(du, und.u == F.col("du_v"))
-        .join(dv, und.v == F.col("dv_v"))
-        .select("u", "v", "du", "dv")
-    )
-    oriented = (
-        with_deg.filter(
-            (F.col("du") < F.col("dv"))
-            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
-        )
-        .select("u", "v")
-        .localCheckpoint(eager=True)
-    )
-    w2 = oriented.select(F.col("u").alias("w_u"), F.col("v").alias("w_v"))
-    wedges = oriented.join(
-        w2, (oriented.u == F.col("w_u")) & (oriented.v < F.col("w_v"))
-    ).select(F.col("v").alias("a"), F.col("w_v").alias("b"))
-    # Wedge endpoints are emitted in id order (a < b); normalizing the
-    # oriented edges to id order turns the closure into an equi-join.
-    closer = oriented.select(
-        F.least("u", "v").alias("c_u"), F.greatest("u", "v").alias("c_v")
-    )
-    tri = wedges.join(
-        closer, (wedges.a == F.col("c_u")) & (wedges.b == F.col("c_v"))
-    )
-    return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    return triangle_count(edges)

@@ -304,3 +304,76 @@ def bottomk_by_hash(
             F.row_number().over(W.orderBy("h", key_col)).cast("bigint").alias("rk"),
         )
     )
+
+
+def weighted_sample_ares(
+    df, id_col: str = "doc_id", weight_col: str = "n_chars", k: int = 100
+):
+    """Composable Efraimidis-Spirakis A-ES weighted sample w/o
+    replacement (api.weighted_sample_ares): keeps the k rows with the
+    largest r = ln(u)/w, u a deterministic md5-derived uniform of
+    `id_col` — reproducible across engines/runs and mergeable across
+    partitions (TakeOrdered, never a full sort). Appends the 1e-9-
+    rounded priority key as `_ares_r`; see sample_weighted_ares for the
+    determinism rationale."""
+    h32 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    r = F.round(F.log((h32 + 1) / F.lit(4294967296.0)) / F.col(weight_col), 9)
+    return (
+        df.withColumn("_ares_r", r)
+        .orderBy(F.col("_ares_r").desc(), id_col)
+        .limit(k)
+    )
+
+
+@register(
+    "sample_weighted_ares",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               AS h32
+      FROM documents
+    ), keyed AS (
+      SELECT doc_id, lang, n_chars,
+             ROUND(LN((h32 + 1) / 4294967296.0) / n_chars, 9) AS r
+      FROM h
+    ), top AS (
+      SELECT doc_id, lang, n_chars, r,
+             ROW_NUMBER() OVER (ORDER BY r DESC, doc_id) AS rk
+      FROM keyed
+    )
+    SELECT doc_id, lang, n_chars, ROUND(r, 6) AS priority
+    FROM top WHERE rk <= 100
+    ORDER BY doc_id
+    """,
+)
+def sample_weighted_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, k=100, weight = n_chars —
+    the Efraimidis-Spirakis A-ES scheme (key = u^(1/w), ranked here in
+    log space r = ln(u)/w, same order, better conditioning). Longer
+    documents are proportionally likelier to be kept: the byte-budget
+    sampler a curation pipeline runs, where sampling documents uniformly
+    would bias the token mix toward short docs.
+
+    u is a DETERMINISTIC uniform from the first 32 md5 bits of doc_id
+    ((h+1)/2^32 ∈ (0,1] — never 0, so LN is safe), which makes the
+    sample reproducible across engines and runs — same rationale as
+    sample_reservoir_hash's bottom-k, generalized to weights. The rank
+    key is rounded to 1e-9 with a doc_id tie-break so the top-100
+    membership boundary is engine-stable; output is the sample SET
+    (sorted by doc_id), not the rank order, which keeps parity immune
+    to adjacent-rank flips entirely. One TakeOrdered (top-k by r),
+    never a full sort — mergeable across partitions like any bottom-k
+    sketch, so the 100 TB plan is scan → per-partition top-k → driver
+    merge.
+    Reference provenance: none; north-star training-data sampling
+    surface next to sample_temperature's language reweighting.
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return (
+        weighted_sample_ares(d, id_col="doc_id", weight_col="n_chars", k=100)
+        .select("doc_id", "lang", "n_chars", F.round("_ares_r", 6).alias("priority"))
+        .orderBy("doc_id")
+    )

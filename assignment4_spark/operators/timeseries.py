@@ -528,6 +528,81 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def interpolate_linear(
+    obs,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    trunc_unit: str = "hour",
+    step: str = "INTERVAL 1 HOUR",
+):
+    """Composable union-spine linear interpolation
+    (api.interpolate_linear): `obs` must hold one row per (key, ts) —
+    pre-aggregate duplicates first. Returns (key_col, grid_ts,
+    value_interp) on the regular grid [ceil_unit(min ts), max ts] per
+    key; value_interp is UNROUNDED. Plan shape and parity rationale:
+    ts_interpolate_linear's docstring."""
+    obs = obs.select(
+        F.col(key_col).alias("_k"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).alias("value"),
+    )
+    bounds = obs.groupBy("_k").agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    trunc = F.date_trunc(trunc_unit, F.col("t0"))
+    start = F.when(trunc == F.col("t0"), F.col("t0")).otherwise(
+        trunc + F.expr(step)
+    )
+    grid = bounds.select(
+        "_k",
+        F.explode(F.sequence(start, F.col("t1"), F.expr(step))).alias("gts"),
+    )
+    u = obs.select(
+        "_k",
+        "ts",
+        "value",
+        F.col("ts").alias("obs_ts"),
+        F.lit(0).alias("is_grid"),
+    ).unionAll(
+        grid.select(
+            "_k",
+            F.col("gts").alias("ts"),
+            F.lit(None).cast("double").alias("value"),
+            F.lit(None).cast("timestamp").alias("obs_ts"),
+            F.lit(1).alias("is_grid"),
+        )
+    )
+    back = (
+        W.partitionBy("_k")
+        .orderBy("ts", "is_grid")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fwd = (
+        W.partitionBy("_k")
+        .orderBy("ts", "is_grid")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    w = u.select(
+        "_k",
+        "ts",
+        "is_grid",
+        F.last("value", ignorenulls=True).over(back).alias("pv"),
+        F.last("obs_ts", ignorenulls=True).over(back).alias("pt"),
+        F.first("value", ignorenulls=True).over(fwd).alias("nv"),
+        F.first("obs_ts", ignorenulls=True).over(fwd).alias("nt"),
+    )
+    interp = F.when(F.col("nt").isNull(), F.col("pv")).otherwise(
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * (F.col("ts").cast("double") - F.col("pt").cast("double"))
+        / (F.col("nt").cast("double") - F.col("pt").cast("double"))
+    )
+    return w.filter(F.col("is_grid") == 1).select(
+        F.col("_k").alias(key_col),
+        F.col("ts").alias("grid_ts"),
+        interp.alias("value_interp"),
+    )
+
+
 @register(
     "ts_interpolate_linear",
     oracle="""
@@ -599,65 +674,12 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "ts")
         .agg(F.avg("value").alias("value"))
     )
-    bounds = obs.groupBy("user_id").agg(
-        F.min("ts").alias("t0"), F.max("ts").alias("t1")
-    )
-    trunc = F.date_trunc("hour", F.col("t0"))
-    start = F.when(trunc == F.col("t0"), F.col("t0")).otherwise(
-        trunc + F.expr("INTERVAL 1 HOUR")
-    )
-    grid = bounds.select(
-        "user_id",
-        F.explode(
-            F.sequence(start, F.col("t1"), F.expr("INTERVAL 1 HOUR"))
-        ).alias("gts"),
-    )
-    u = obs.select(
-        "user_id",
-        "ts",
-        "value",
-        F.col("ts").alias("obs_ts"),
-        F.lit(0).alias("is_grid"),
-    ).unionAll(
-        grid.select(
-            "user_id",
-            F.col("gts").alias("ts"),
-            F.lit(None).cast("double").alias("value"),
-            F.lit(None).cast("timestamp").alias("obs_ts"),
-            F.lit(1).alias("is_grid"),
-        )
-    )
-    back = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "is_grid")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    fwd = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "is_grid")
-        .rowsBetween(W.currentRow, W.unboundedFollowing)
-    )
-    w = u.select(
-        "user_id",
-        "ts",
-        "is_grid",
-        F.last("value", ignorenulls=True).over(back).alias("pv"),
-        F.last("obs_ts", ignorenulls=True).over(back).alias("pt"),
-        F.first("value", ignorenulls=True).over(fwd).alias("nv"),
-        F.first("obs_ts", ignorenulls=True).over(fwd).alias("nt"),
-    )
-    interp = F.when(F.col("nt").isNull(), F.col("pv")).otherwise(
-        F.col("pv")
-        + (F.col("nv") - F.col("pv"))
-        * (F.col("ts").cast("double") - F.col("pt").cast("double"))
-        / (F.col("nt").cast("double") - F.col("pt").cast("double"))
-    )
     return (
-        w.filter(F.col("is_grid") == 1)
+        interpolate_linear(obs, key_col="user_id")
         .select(
             "user_id",
-            F.col("ts").alias("grid_ts"),
-            F.round(interp, 6).alias("value_interp"),
+            "grid_ts",
+            F.round("value_interp", 6).alias("value_interp"),
         )
         .orderBy("user_id", "grid_ts")
     )

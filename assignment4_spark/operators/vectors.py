@@ -490,27 +490,54 @@ def vec_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def vec_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One k-means assignment step (the E-step every iterative clustering
     / IVF index build runs): nearest-of-8 fixed centroids by cosine,
-    then per-cluster size + mean similarity. Centroids broadcast — the
-    corpus never shuffles for the assignment, which is what makes the
-    iteration viable over 100 TB of vectors (the M-step is a tiny
-    groupBy(centroid) average). Ties broken by centroid_id; sims rounded
-    to 6 dp BEFORE the argmax so both engines break identically."""
+    then per-cluster size + mean similarity. Centroids collapse to ONE
+    broadcast array row and the argmax-of-8 happens inside the row
+    (transform → array_sort on (−sim, centroid_id) structs), so the
+    corpus is scanned once and NEVER expands or shuffles — the earlier
+    form exploded 8× rows through a per-vec_id window sort, an entire
+    exchange of corpus×k rows that an argmax doesn't need. That
+    row-local E-step is what makes the iteration viable over 100 TB of
+    vectors (the M-step is a tiny groupBy(centroid) average). Ties
+    broken by centroid_id; sims rounded to 6 dp BEFORE the argmax so
+    both engines break identically; NULL sims (zero-norm guard in
+    cosine()) sort last via a +inf sentinel, matching desc_nulls_last."""
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("emb")
     )
-    cent = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
+    cents = (
+        emb.filter(F.col("vec_id") < 8)
+        .groupBy()
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
+                )
+            ).alias("cents")
+        )
     )
-    sims = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "centroid_id",
-        F.round(cosine(F.col("emb"), F.col("cemb")), 6).alias("sim"),
+    ranked = F.array_sort(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                F.coalesce(
+                    -F.round(cosine(F.col("emb"), c["cemb"]), 6),
+                    F.lit(float("inf")),
+                ).alias("negsim"),
+                c["cid"].alias("cid"),
+            ),
+        )
     )
-    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc_nulls_last(), F.col("centroid_id"))
+    best = (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", ranked[0].alias("b"))
+        .select(
+            "vec_id",
+            F.col("b.cid").alias("centroid_id"),
+            F.when(F.col("b.negsim") != float("inf"), -F.col("b.negsim")).alias("sim"),
+        )
+    )
     return (
-        sims.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .groupBy("centroid_id")
+        best.groupBy("centroid_id")
         .agg(F.count(F.lit(1)).alias("n_members"), F.round(F.avg("sim"), 6).alias("avg_sim"))
         .orderBy("centroid_id")
     )

@@ -131,3 +131,62 @@ def test_bloom_prefilter_no_false_negatives(spark):
     kept = {r.fk for r in api.bloom_prefilter(fact, "fk", dim, "dk").collect()}
     assert set(range(0, 2000, 100)) <= kept  # every true match survives
     assert len(kept) < 2000  # and the filter actually sheds rows
+
+
+def test_pagerank_known_graph(spark):
+    """Star graph a-b, a-c, a-d (undirected): the hub must outrank the
+    leaves, all ranks positive, and by symmetry the three leaves tie."""
+    und = [("a", "b"), ("a", "c"), ("a", "d")]
+    edges = spark.createDataFrame(
+        und + [(d, s) for s, d in und], "src string, dst string"
+    )
+    ranks = {r.v: r.rank for r in api.pagerank(edges, iters=3).collect()}
+    assert set(ranks) == {"a", "b", "c", "d"}
+    assert all(v > 0 for v in ranks.values())
+    assert ranks["a"] > ranks["b"]
+    assert abs(ranks["b"] - ranks["c"]) < 1e-12 and abs(ranks["c"] - ranks["d"]) < 1e-12
+
+
+def test_triangle_count_known_graphs(spark):
+    """K4 has exactly 4 triangles; adding a pendant edge changes nothing."""
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(k4, "u long, v long")
+    assert api.triangle_count(edges).collect()[0].n_triangles == 4
+    edges2 = spark.createDataFrame(k4 + [(3, 9)], "u long, v long")
+    assert api.triangle_count(edges2).collect()[0].n_triangles == 4
+
+
+def test_weighted_sample_ares_biased_and_custom_columns(spark):
+    """With weights 1000 vs 1, heavy rows must dominate the sample; the
+    function must work over non-fixture column names."""
+    rows = [(i, 1000 if i % 2 == 0 else 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "item long, wt long")
+    got = api.weighted_sample_ares(df, id_col="item", weight_col="wt", k=50).collect()
+    assert len(got) == 50
+    heavy = sum(1 for r in got if r.wt == 1000)
+    assert heavy >= 45, f"expected heavy rows to dominate, got {heavy}/50"
+
+
+def test_canonical_url_expression(spark):
+    df = spark.createDataFrame(
+        [("https://EX.com/A/b?q=1#frag",), ("https://ex.com/a/b",)], "u string"
+    )
+    got = [r.c for r in df.select(api.canonical_url(F.col("u")).alias("c")).collect()]
+    assert got == ["https://ex.com/a/b", "https://ex.com/a/b"]
+
+
+def test_interpolate_linear_midpoint(spark):
+    """Two observations one hour apart, value 0→10: grid points at the
+    endpoints reproduce the observations exactly (the ceil-hour grid
+    starts at the first obs when it is already on the hour)."""
+    df = spark.createDataFrame(
+        [("s1", "2024-01-01 00:00:00", 0.0), ("s1", "2024-01-01 01:00:00", 10.0)],
+        "series string, at string, reading double",
+    ).select("series", F.col("at").cast("timestamp").alias("at"), "reading")
+    out = api.interpolate_linear(
+        df, key_col="series", ts_col="at", value_col="reading"
+    ).collect()
+    vals = {str(r.grid_ts): r.value_interp for r in out}
+    assert vals["2024-01-01 00:00:00"] == 0.0
+    assert vals["2024-01-01 01:00:00"] == 10.0
+    assert len(out) == 2
