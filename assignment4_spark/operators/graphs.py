@@ -56,16 +56,17 @@ def pagerank(
     docstring: 1−0.85 ≠ 0.15 in IEEE)."""
     if teleport is None:
         teleport = 1.0 - damping
-    edges = edges.select("src", "dst").localCheckpoint(eager=True)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
-        eager=True
-    )
+    edges = edges.select("src", "dst")
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # Degree is static across iterations: fuse it into the checkpointed
+    # edge list once, so each round is ONE join + one aggregation
+    # instead of two joins (at scale: one fewer shuffle of the edge
+    # set per iteration).
+    edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
     ranks = deg.select(F.col("src").alias("v"), F.lit(1.0).alias("rank"))
     for _ in range(iters):
-        contrib = (
-            edges.join(ranks, edges.src == ranks.v)
-            .join(deg, "src")
-            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+        contrib = edges_deg.join(ranks, edges_deg.src == ranks.v).select(
+            "dst", (F.col("rank") / F.col("deg")).alias("c")
         )
         ranks = (
             contrib.groupBy("dst")
