@@ -252,3 +252,49 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_count(edges)
+
+
+@register(
+    "graph_degree_hist",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT l_partkey * 2 AS p_v, l_suppkey * 2 + 1 AS s_v
+      FROM lineitem
+    ), edges AS (
+      SELECT p_v AS src, s_v AS dst FROM pairs
+      UNION ALL
+      SELECT s_v AS src, p_v AS dst FROM pairs
+    ), deg AS (
+      SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+    )
+    SELECT deg AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_vertices
+    FROM deg
+    GROUP BY deg
+    ORDER BY deg
+    """,
+)
+def graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part↔supplier bipartite graph — the
+    first diagnostic run on any data-scale graph (it decides whether
+    the naive triangle join or PageRank partitioning will blow up on
+    hub vertices; graph_triangle_count's orientation trick exists
+    precisely because of this histogram's tail).
+
+    Two cascaded map-side-combinable aggregations: shuffle 1 carries
+    one row per distinct edge (the DISTINCT), shuffle 2 one row per
+    vertex, shuffle 3 one row per distinct degree — each exchange
+    strictly smaller than the last, the canonical telescoping-agg
+    shape.
+    Reference provenance: none; SURVEY §2 Part B graph family
+    (round 3).
+    """
+    deg = _bipartite_edges(spark, sf_dir).groupBy("src").agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    return (
+        deg.groupBy("deg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vertices"))
+        .select(F.col("deg").alias("degree"), "n_vertices")
+        .orderBy("degree")
+    )

@@ -309,3 +309,84 @@ def win_regr_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("slope_24h"),
     ).orderBy("user_id", "ts", "event_id")
+
+
+@register(
+    "win_streaks_islands",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id, value,
+             LAG(value) OVER w AS prev_value
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN prev_value IS NULL OR value <= prev_value
+                  THEN 1 ELSE 0 END AS brk
+      FROM o
+    ), islands AS (
+      SELECT user_id, value,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island_id
+      FROM flagged
+    ), runs AS (
+      SELECT user_id, island_id, CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM islands GROUP BY user_id, island_id
+    )
+    SELECT user_id,
+           MAX(run_len)                    AS longest_streak,
+           CAST(COUNT(*) AS BIGINT)        AS n_runs
+    FROM runs
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def win_streaks_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest strictly-increasing run of event values
+    per user — the classic streak/run-length idiom (lag to flag breaks,
+    running sum of flags to number islands, then two rollups).
+    ts_sessionize is its time-gap cousin; this is the value-ordered
+    form.
+
+    Spark shape: the lag window and the running-sum window share the
+    SAME (user_id; ts, event_id) partitioning and ordering, so both
+    stack on one exchange + one sort (same single-shuffle property the
+    sessionize plan gate pins). The island aggregation then shuffles
+    one row per run, and the final per-user rollup one row per user.
+    Full tie-break (ts, event_id) makes island numbering identical on
+    both engines even under timestamp collisions.
+    Reference provenance: none; SURVEY §2 Part B window family
+    (round 3).
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    wlag = W.partitionBy("user_id").orderBy(*order)
+    wsum = wlag.rowsBetween(W.unboundedPreceding, W.currentRow)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(
+            F.lag("value").over(wlag).isNull()
+            | (F.col("value") <= F.lag("value").over(wlag)),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    islands = flagged.select(
+        "user_id", "value", F.sum("brk").over(wsum).alias("island_id")
+    )
+    runs = islands.groupBy("user_id", "island_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("run_len")
+    )
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.max("run_len").alias("longest_streak"),
+            F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        )
+        .orderBy("user_id")
+    )

@@ -358,3 +358,16 @@ def test_audio_windows_arrow_fanout(spark, sf_oracle):
     assert "MapInPandas" in body, body
     read = next(l for l in body.splitlines() if "ReadSchema" in l)
     assert "text" not in read and "lang" not in read, read
+
+
+def test_streaks_single_data_exchange(spark, sf_oracle):
+    """Gaps-and-islands: the lag window, the running-sum window, the
+    per-island aggregation AND the per-user rollup must all ride ONE
+    user_id exchange (the aggs reuse the window's partitioning) — only
+    the presentation sort may add a second exchange."""
+    import re
+
+    plan = formatted_plan(spark, "win_streaks_islands", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert len(re.findall(r"\(\d+\) Window", body)) == 2, body
+    assert len(re.findall(r"\(\d+\) Exchange", body)) == 2, body
