@@ -552,3 +552,56 @@ def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+      FROM lineitem
+      GROUP BY l_returnflag, l_quantity
+    ), r AS (
+      SELECT l_returnflag, l_quantity, cnt,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY cnt DESC, l_quantity) AS rn
+      FROM c
+    )
+    SELECT l_returnflag,
+           l_quantity AS modal_qty,
+           cnt        AS modal_cnt
+    FROM r WHERE rn = 1
+    ORDER BY l_returnflag
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group (most frequent l_quantity per return
+    flag) via the two-level count + argmax idiom — deterministic where
+    the built-in `mode()` aggregate leaves ties unspecified (lowest
+    value wins here, on both engines).
+
+    Scale shape: shuffle 1 carries one row per (group, value) — the
+    partial counts combine map-side — and the argmax window runs over
+    the tiny distinct-value set per group, pruned by WindowGroupLimit
+    before its exchange. Never a per-row window over raw data.
+    Reference provenance: none (the reference computes no statistics);
+    SURVEY §2 Part B aggregation family (round 3).
+    """
+    c = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("cnt").desc(), F.col("l_quantity").asc()
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("modal_qty"),
+            F.col("cnt").alias("modal_cnt"),
+        )
+        .orderBy("l_returnflag")
+    )
