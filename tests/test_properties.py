@@ -149,3 +149,30 @@ def test_ewma_ramp_equals_first_observation(spark, sf_oracle):
         window = (prior + [r.cnt])[-8:]
         assert min(window) - 1e-9 <= r.ewma <= max(window) + 1e-9
         prior.append(r.cnt)
+
+
+def test_interval_overlap_bounded_by_incident_window(spark, sf_oracle):
+    """Each overlapping incident contributes at most its own 30-min
+    window; total overlap seconds per (user, day) is therefore bounded
+    by n_incidents * 1800 (and is non-negative)."""
+    from assignment4_spark import registry
+
+    rows = registry.QUERIES["join_interval_overlap"](spark, sf_oracle).collect()
+    assert rows, "fixture should produce overlaps"
+    for r in rows:
+        assert 0.0 <= r.overlap_s <= r.n_incidents * 1800.0 + 1e-6, r
+
+
+def test_weighted_sample_biased_toward_long_docs(spark, sf_oracle):
+    """A-ES with weight = n_chars must pull the sample's mean length
+    above the corpus mean (deterministic fixture ⇒ stable fact)."""
+    from assignment4_spark import registry
+    from assignment4_spark.io_util import table
+    from pyspark.sql import functions as F
+
+    sample = registry.QUERIES["sample_weighted_ares"](spark, sf_oracle).collect()
+    corpus_mean = (
+        table(spark, sf_oracle, "documents").agg(F.avg("n_chars")).collect()[0][0]
+    )
+    sample_mean = sum(r.n_chars for r in sample) / len(sample)
+    assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
