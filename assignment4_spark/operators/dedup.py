@@ -18,8 +18,10 @@ Scale design (the part that matters at 100 TB):
     the J≥0.9 the fixtures contain — so the oracle can be the
     brute-force SQL (any miss would show as a hash mismatch).
   * SimHash is fully narrow per doc (32-bit signature from token
-    hashes); candidate pairing via Hamming distance. Engine-defined hash
-    → rows-only check + unit tests (tests/test_rag_ops.py).
+    hashes); candidate pairing is a banded bucket self-join (pigeonhole
+    over max_hamming+1 bands — exact, never all-pairs), popcount-verified;
+    md5 token bits keep the signature engine-identical so the brute-force
+    SQL is a full value oracle.
 """
 
 from __future__ import annotations
@@ -267,30 +269,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(table(spark, sf_dir, "documents"))
 
 
-def simhash_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    max_hamming: int = 6,
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """SimHash near-dup candidates over any (id, text) DataFrame: 32-bit
-    signature per document from token hashes (weighted bit voting), then
-    pairs with Hamming distance ≤ max_hamming.
+    """32-bit SimHash signature per document from token hashes (weighted
+    bit voting), as (doc_id, simhash).
 
-    The pair scan is O(N²) on a 1-long signature — cheap integer XOR +
-    popcount; at larger N, band the signature into 4 bytes and bucket-join
-    like LSH (same trick as minhash_lsh_pairs).
+    Explodes tokens, hashes each once, and takes 32 codegen'd SUM votes
+    (map-side combined) — same explode→multi-agg shape as
+    dedup_minhash_lsh, for the same reason: per-row higher-order
+    aggregates run interpreted and re-scan the token array per bit.
 
     Token hash is the first 60 bits of md5 (not xxhash64): md5 is the one
     hash DuckDB and Spark compute identically, which is what lets the
-    brute-force SQL below act as a value-level oracle. At 100 TB you'd
-    swap in xxhash64 (cheaper per token); the signature algebra is
-    hash-agnostic."""
+    brute-force SQL oracle act as a value-level check. At 100 TB you'd
+    swap in xxhash64 (cheaper per token) and widen the signature to 64
+    bits; the signature algebra is hash-agnostic."""
     d = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    # Explode tokens, hash each once, and take 32 codegen'd SUM votes
-    # (map-side combined) — same explode→multi-agg shape as
-    # dedup_minhash_lsh, for the same reason: per-row higher-order
-    # aggregates run interpreted and re-scan the token array per bit.
     hashed = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).select(
@@ -308,7 +303,83 @@ def simhash_pairs(
         sim = sim + F.when(
             F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")
         ).otherwise(F.lit(0).cast("long"))
-    sigs = votes.select("doc_id", sim.alias("simhash"))
+    return votes.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance ≤ max_hamming via a
+    BANDED bucket join — exact, never all-pairs.
+
+    Pigeonhole: split the 32-bit signature into max_hamming+1 disjoint
+    bit bands; any pair within Hamming ≤ max_hamming differs in at most
+    max_hamming bands, so at least one band is bit-identical. Candidate
+    pairs therefore come from an EQUI self-join on (band_index,
+    band_bits) — a hash join whose output is bounded by real bucket
+    co-occupancy, not N² — and are verified with an exact XOR/popcount
+    filter before dedup. Same shape as minhash_lsh_pairs' band join, and
+    provably the same result set as the brute-force scan (kept as
+    simhash_pairs_bruteforce for the oracle-twin role).
+
+    Scale note: h=6 over 32 bits forces 7 bands of 4-5 bits (≤32 values
+    per band), so bucket sizes are ~N/32 per band — a ~150× candidate
+    cut, but still quadratic in the limit. The production configuration
+    is the Manku et al. (WWW'07) one: a 64-bit signature with h=3 → 4
+    bands of 16 bits → buckets of ~N/65536. The band algebra below is
+    parameterized only by signature width and h, so that upgrade is a
+    constant change; 32 bits is kept here because the DuckDB oracle
+    computes the identical signature."""
+    sig_bits = 32
+    n_bands = max_hamming + 1
+    if n_bands > sig_bits:
+        raise ValueError(f"max_hamming={max_hamming} needs more bands than bits")
+    base, extra = divmod(sig_bits, n_bands)
+    widths = [base + 1] * extra + [base] * (n_bands - extra)
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+    # band key = band_index * 2^width + band bits — disjoint across bands.
+    band_keys = F.array(
+        *[
+            F.lit(i * (1 << widths[i]))
+            + F.shiftrightunsigned("simhash", offsets[i]).bitwiseAND(
+                F.lit((1 << widths[i]) - 1)
+            )
+            for i in range(n_bands)
+        ]
+    )
+    sigs = simhash_signatures(df, id_col, text_col)
+    banded = sigs.select(
+        "doc_id", "simhash", F.explode(band_keys).alias("band_key")
+    ).persist()
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"), "band_key")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(ham <= max_hamming)  # popcount verify BEFORE the distinct
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_pairs_bruteforce(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """All-pairs XOR/popcount scan — O(N²) by construction, kept ONLY as
+    the verification twin of the banded simhash_pairs (tests assert both
+    return identical pair sets). Not registered as a query."""
+    sigs = simhash_signatures(df, id_col, text_col)
     a, b = sigs.alias("a"), sigs.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
@@ -350,7 +421,8 @@ def simhash_pairs(
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash pairs over the documents fixture — the registered face of
-    simhash_pairs. md5-based token bits make the signature bit-identical
+    the BANDED simhash_pairs (7-band pigeonhole bucket join, exact for
+    Hamming ≤ 6). md5-based token bits make the signature bit-identical
     across engines, so the brute-force SQL is a full value oracle."""
     return simhash_pairs(table(spark, sf_dir, "documents"))
 

@@ -371,3 +371,12 @@ def test_streaks_single_data_exchange(spark, sf_oracle):
     body = plan.split("== Physical Plan ==")[-1]
     assert len(re.findall(r"\(\d+\) Window", body)) == 2, body
     assert len(re.findall(r"\(\d+\) Exchange", body)) == 2, body
+
+
+def test_simhash_banded_join_not_all_pairs(spark, sf_oracle):
+    """The banded simhash candidate join must plan as an equi join on
+    band_key — a BroadcastNestedLoopJoin or CartesianProduct means the
+    pair scan regressed to the O(N²) theta form."""
+    plan = formatted_plan(spark, "dedup_simhash", sf_oracle)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

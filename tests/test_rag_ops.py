@@ -82,6 +82,24 @@ def test_simhash_finds_planted_near_dups(spark, sf_oracle):
     assert recall >= 0.6, f"simhash recall too low: {recall} ({len(sim_pairs)} pairs)"
 
 
+def test_simhash_banded_equals_bruteforce(spark, sf_oracle):
+    """The pigeonhole band join is EXACT: over max_hamming+1 disjoint
+    bands, any pair within the Hamming budget shares at least one band,
+    so the banded candidate set must reproduce the all-pairs scan
+    verbatim (ids AND distances)."""
+    from assignment4_spark.io_util import table
+    from assignment4_spark.operators.dedup import (
+        simhash_pairs,
+        simhash_pairs_bruteforce,
+    )
+
+    docs = table(spark, sf_oracle, "documents")
+    banded = {tuple(r) for r in simhash_pairs(docs).collect()}
+    brute = {tuple(r) for r in simhash_pairs_bruteforce(docs).collect()}
+    assert banded == brute
+    assert banded, "fixture should contain simhash pairs"
+
+
 def test_ivf_ann_recall_vs_exact(spark, sf_oracle):
     """IVF with nprobe=3 of 8 clusters: recall@5 vs the exact scan.
     Fixture embeddings are uniform-random (no cluster structure), so the
