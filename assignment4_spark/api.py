@@ -54,6 +54,8 @@ from .operators.vectors import (  # noqa: F401
     as_double,
     cosine,
     knn_topk,
+    near_dup_pairs_exact,
+    near_dup_pairs_lsh,
     quantize_int8_audit,
 )
 
@@ -70,6 +72,8 @@ __all__ = [
     "interpolate_linear",
     "knn_topk",
     "minhash_lsh_pairs",
+    "near_dup_pairs_exact",
+    "near_dup_pairs_lsh",
     "pagerank",
     "phash_buckets",
     "quantize_int8_audit",

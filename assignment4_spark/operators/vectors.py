@@ -209,47 +209,158 @@ def vec_upsert_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.4, chosen from
-    the fixture similarity distribution — max pairwise cos ≈ 0.51).
+    the fixture similarity distribution — max pairwise cos ≈ 0.51) —
+    registered face of near_dup_pairs_exact (distributed block-pair
+    scan, no driver materialization). The approximate production path
+    is near_dup_pairs_lsh (bucketed candidates, recall-tested)."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return near_dup_pairs_exact(e, threshold=0.4)
 
-    Exact O(N²) scan done the Arrow way: the corpus matrix (normalized
-    float64, N×d — ~1 MB at sf0.1) is broadcast once; `mapInPandas`
-    streams row-batches of the other side through a BLAS matmul against
-    it. Each executor core scores its slice of rows against the full
-    corpus — ~100× faster than per-pair interpreted higher-order
-    expressions (measured 90s → <2s at N=2000), and the same shape you
-    would run on a cluster whenever one side fits in executor memory.
-    Past that, pre-bucket with LSH/IVF (vec_ann_ivf_topk) so each block
-    pairs only within a bucket."""
+
+def near_dup_pairs_exact(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """EXACT cosine near-dup pairs via a distributed block-pair matmul —
+    O(N²) compute (inherent to exactness) but fully cluster-parallel and
+    driver-free: nothing is collect()ed or broadcast.
+
+    Shape: hash every vector into one of n_blocks blocks, enumerate the
+    n_blocks·(n_blocks+1)/2 unordered block pairs as a literal relation,
+    route each block to the pairs it participates in (two broadcast-hash
+    joins — replication factor ~n_blocks/2 per side), then cogrouped
+    applyInPandas runs one BLAS matmul per block pair. Each task holds
+    2·N/n_blocks vectors, so n_blocks tunes task memory independently of
+    N — at 100 TB you'd size n_blocks ≈ N·d·8 / executor_mem and get
+    ~n_blocks²/2 evenly-sized tasks. The earlier form collect()ed the
+    corpus to the driver; this keeps the same float64 BLAS arithmetic
+    (deterministic, oracle-exact) with no driver bottleneck."""
     import numpy as np
     import pandas as pd
 
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    rows = e.collect()  # small side of the pair join — same role as a broadcast dim
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    mat = np.array([r.embedding for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat))
+    spark = df.sparkSession
+    pair_rows = ", ".join(
+        f"({i * n_blocks + j}, {i}, {j})"
+        for i in range(n_blocks)
+        for j in range(i, n_blocks)
+    )
 
-    def score(batches):
-        b_ids, b_mat = bc.value
-        for pdf in batches:
-            block = np.array(list(pdf["embedding"]), dtype=np.float64)
-            block /= np.linalg.norm(block, axis=1, keepdims=True)
-            sims = block @ b_mat.T  # (batch × N) in BLAS
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            keep = (sims >= 0.4) & (a_ids[:, None] < b_ids[None, :])
-            ai, bj = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "vec_a": a_ids[ai],
-                    "vec_b": b_ids[bj],
-                    "cos_sim": np.round(sims[ai, bj], 6),
-                }
+    def side(which: str) -> DataFrame:
+        # each side built from its OWN scan + VALUES instance: cogroup's
+        # self-join disambiguation rejects two inputs with shared lineage
+        v = df.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(emb_col).alias("embedding"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+        )
+        pairs = spark.sql(f"SELECT * FROM VALUES {pair_rows} AS p(pair_id, pa, pb)")
+        return v.join(F.broadcast(pairs), v.blk == pairs[which]).select(
+            "pair_id", "vec_id", "embedding"
+        )
+
+    a_side, b_side = side("pa"), side("pb")
+
+    def score(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []}).astype(
+                {"vec_a": np.int64, "vec_b": np.int64, "cos_sim": np.float64}
             )
+        a_ids = left["vec_id"].to_numpy(dtype=np.int64)
+        b_ids = right["vec_id"].to_numpy(dtype=np.int64)
+        a_mat = np.array(list(left["embedding"]), dtype=np.float64)
+        b_mat = np.array(list(right["embedding"]), dtype=np.float64)
+        a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
+        b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
+        sims = a_mat @ b_mat.T
+        diagonal = key[0] % (n_blocks + 1) == 0  # pair_id = i·n+j, diag ⇔ i == j
+        if diagonal:
+            # left == right here: id order picks each unordered pair once
+            keep = (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
+        else:
+            # distinct blocks meet in exactly ONE block pair — keep all
+            # matches, normalize id order on output
+            keep = sims >= threshold
+        ai, bj = np.nonzero(keep)
+        lo, hi = a_ids[ai], b_ids[bj]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(lo, hi),
+                "vec_b": np.maximum(lo, hi),
+                "cos_sim": np.round(sims[ai, bj], 6),
+            }
+        )
 
-    return e.mapInPandas(
-        score, "vec_a bigint, vec_b bigint, cos_sim double"
-    ).orderBy("vec_a", "vec_b")
+    return (
+        a_side.groupBy("pair_id")
+        .cogroup(b_side.groupBy("pair_id"))
+        .applyInPandas(score, "vec_a bigint, vec_b bigint, cos_sim double")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def near_dup_pairs_lsh(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_tables: int = 10,
+    n_bits: int = 5,
+) -> DataFrame:
+    """APPROXIMATE cosine near-dup pairs — the production path past the
+    exact scan's O(N²) wall: random-hyperplane LSH buckets (same
+    signature family as _rp_lsh_topk) generate candidates, and only
+    bucket-cohabiting pairs get the exact JVM cosine re-score. Compute
+    is Σ_bucket |bucket|² ≪ N² whenever buckets are balanced; recall at
+    cos=θ is 1-(1-p^n_bits)^n_tables with p = 1-acos(θ)/π (recall floor
+    vs near_dup_pairs_exact asserted in tests/test_rag_ops.py). The only
+    shuffle is the bucket self-join; no driver materialization."""
+    import numpy as np
+    import pandas as pd
+
+    dim = 64
+    planes = _rp_planes(n_tables, n_bits, dim)
+    bc = df.sparkSession.sparkContext.broadcast(planes)
+
+    def bucketize(batches):
+        pl = bc.value
+        weights = 1 << np.arange(n_bits, dtype=np.int64)
+        for pdf in batches:
+            mat = np.array(list(pdf[emb_col]), dtype=np.float64)
+            bits = (mat @ pl.T) > 0
+            for t in range(n_tables):
+                seg = bits[:, t * n_bits : (t + 1) * n_bits]
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf[id_col],
+                        "table_id": t,
+                        "bucket": (seg * weights).sum(axis=1),
+                    }
+                )
+
+    v = df.select(F.col(id_col).alias(id_col), F.col(emb_col).alias(emb_col))
+    keys = v.mapInPandas(bucketize, f"{id_col} long, table_id int, bucket long")
+    cand = (
+        keys.alias("x")
+        .join(keys.alias("y"), ["table_id", "bucket"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("vec_a"), F.col(f"y.{id_col}").alias("vec_b")
+        )
+        .distinct()
+    )
+    ea = v.select(F.col(id_col).alias("vec_a"), F.col(emb_col).alias("emb_a"))
+    eb = v.select(F.col(id_col).alias("vec_b"), F.col(emb_col).alias("emb_b"))
+    sim = cosine(as_double("emb_a"), as_double("emb_b"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .filter(sim >= threshold)
+        .select("vec_a", "vec_b", F.round(sim, 6).alias("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    )
 
 
 def _rp_planes(n_tables: int, n_bits: int, dim: int) -> list:
