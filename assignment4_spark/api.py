@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from .operators.dedup import (  # noqa: F401
     canonical_url,
+    connected_components,
     minhash_lsh_pairs,
     simhash_pairs,
 )
@@ -67,6 +68,7 @@ __all__ = [
     "bottomk_by_hash",
     "canonical_url",
     "chunk_text",
+    "connected_components",
     "cosine",
     "hash_embed_udf",
     "interpolate_linear",

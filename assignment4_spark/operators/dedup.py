@@ -499,18 +499,9 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS from pairwise matches — the step after any
     pair generator (LSH/SimHash/Jaccard): connected components over the
     match graph, component id = min doc_id (the canonical survivor).
-
-    Spark shape: iterative min-label propagation — each round joins
-    labels to the undirected edge list, takes the min over neighbors,
-    and stops at the fixpoint (unique, hence deterministic; the loop is
-    driver-side control flow over lazy joins, localCheckpointed per
-    round to keep lineage flat). Rounds = graph diameter; near-dup
-    components are tiny clusters, so this converges in 2-3 rounds. At
-    web scale the same fixpoint is reached in O(log n) rounds with the
-    alternating large-star/small-star contraction (Kiveris et al.,
-    "Connected Components in MapReduce"), which this loop structure
-    accommodates without changing the contract. The DuckDB oracle is
-    the same fixpoint via a recursive CTE."""
+    Registered face of connected_components (alternating large-star /
+    small-star, see its docstring); the DuckDB oracle is the same
+    fixpoint via a recursive CTE."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     s = d.select("doc_id", _shingles().alias("sh"))
     a, b = s.alias("a"), s.alias("b")
@@ -521,43 +512,106 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(inter.cast("double") / union >= JACCARD_THRESHOLD)
         .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
     )
-    und = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
-
-    labels = (
-        und.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
-    ).localCheckpoint(eager=True)
-    while True:
-        nbr = (
-            und.join(labels, und.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(nbr, labels.node == nbr.src, "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-
-    comp = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("comp_id"))
+    comp = connected_components(edges)
     sizes = comp.groupBy("comp_id").agg(F.count(F.lit(1)).alias("comp_size"))
     return (
         comp.join(sizes, "comp_id")
-        .select("doc_id", "comp_id", "comp_size")
+        .select(F.col("node").alias("doc_id"), "comp_id", "comp_size")
         .orderBy("comp_id", "doc_id")
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+    _rounds_out: list | None = None,
+) -> DataFrame:
+    """Connected components over an undirected edge list via alternating
+    large-star / small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — (node, comp_id) with
+    comp_id = the component's minimum node id.
+
+    Per round (each a groupBy(min) + join, all map-side combinable):
+      * large-star: every node links its LARGER neighbors to its
+        minimum neighbor-or-self — long tails collapse toward minima;
+      * small-star: every node links its smaller-or-equal neighbors and
+        itself to that minimum — stars flatten.
+    The edge set converges to a disjoint union of stars rooted at
+    component minima in O(log² n) rounds on ANY graph — unlike min-label
+    propagation, whose round count is the graph DIAMETER (a 10⁶-hop
+    chain in a web-scale crawl graph would need 10⁶ rounds; this needs
+    ~40). Each round localCheckpoint()s the (usually shrinking) edge
+    list so lineage stays flat; convergence = edge multiset unchanged
+    (checked with one count + one anti-join count per round — a
+    long-chain fixture pins the round bound in tests/test_rag_ops.py).
+
+    Deterministic: min() everywhere, no randomness. Isolated nodes never
+    appear in an edge list, so (as with any edge-list CC) they emerge as
+    singleton components only if self-loops (u,u) are included."""
+    e = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    # normalize: drop self-loops, undirect, dedup
+    e = (
+        e.filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def large_star(ed: DataFrame) -> DataFrame:
+        und = ed.unionByName(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = und.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        return (
+            und.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(ed: DataFrame) -> DataFrame:
+        # orient every edge (greater → smaller); each node u then links
+        # its smaller neighbors AND itself to its minimum neighbor
+        oriented = ed.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        m = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        linked = oriented.join(m, "u")
+        out = linked.select(F.col("v").alias("u"), F.col("m").alias("v")).unionByName(
+            m.select(F.col("u"), F.col("m").alias("v"))
+        )
+        return (
+            out.filter(F.col("u") != F.col("v"))
+            .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+            .distinct()
+        )
+
+    for r in range(max_rounds):
+        new_e = small_star(large_star(e)).localCheckpoint(eager=True)
+        # converged when the canonical edge sets match (both are distinct
+        # normalized (min,max) pairs, so two anti-join counts decide it)
+        if (
+            new_e.count() == e.count()
+            and new_e.join(e, ["u", "v"], "left_anti").count() == 0
+        ):
+            e = new_e
+            if _rounds_out is not None:
+                _rounds_out.append(r + 1)
+            break
+        e = new_e
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
+
+    # converged stars: every edge is (child, root) with root = component
+    # min; roots get their own id back via the union-with-self
+    und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return (
+        und.groupBy("u")
+        .agg(F.least(F.min("v"), F.first("u")).alias("comp_id"))
+        .select(F.col("u").alias("node"), "comp_id")
     )
 
 

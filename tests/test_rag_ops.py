@@ -82,6 +82,31 @@ def test_simhash_finds_planted_near_dups(spark, sf_oracle):
     assert recall >= 0.6, f"simhash recall too low: {recall} ({len(sim_pairs)} pairs)"
 
 
+def test_connected_components_long_chain_log_rounds(spark):
+    """large-star/small-star must converge in O(log^2 n) rounds on a
+    long chain — the structure where min-label propagation degrades to
+    diameter rounds (127 here). Also checks disjoint components keep
+    separate minima as their ids."""
+    import pyspark.sql.functions as F
+
+    from assignment4_spark.operators.dedup import connected_components
+
+    chain = spark.range(127).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    tri = spark.createDataFrame(
+        [(200, 201), (201, 202), (202, 200)], "src long, dst long"
+    )
+    rounds: list = []
+    comp = connected_components(chain.union(tri), _rounds_out=rounds)
+    groups: dict = {}
+    for r in comp.collect():
+        groups.setdefault(r.comp_id, set()).add(r.node)
+    assert groups[0] == set(range(128))
+    assert groups[200] == {200, 201, 202}
+    assert rounds and rounds[0] <= 12, rounds
+
+
 def test_simhash_banded_equals_bruteforce(spark, sf_oracle):
     """The pigeonhole band join is EXACT: over max_hamming+1 disjoint
     bands, any pair within the Hamming budget shares at least one band,
