@@ -46,32 +46,48 @@ def pagerank(
 ) -> DataFrame:
     """Composable PageRank: `edges` is a directed edge list (src, dst)
     — for an undirected graph pass both orientations. Returns (v, rank)
-    for every vertex with out-edges, after `iters` message-passing
-    rounds with rank_0 = 1. Edges and degrees are localCheckpointed
-    once; each round is one src join + one map-side-combinable dst
-    aggregation. Vertices with no out-edges contribute no mass
-    (dangling mass is not redistributed — undirected inputs never have
-    any). `teleport` defaults to 1−damping; pass it explicitly when a
-    cross-engine oracle needs literal-identical doubles (module
-    docstring: 1−0.85 ≠ 0.15 in IEEE)."""
+    for EVERY vertex appearing in the edge list (source-only vertices
+    included — they receive the teleport term each round), after `iters`
+    message-passing rounds with rank_0 = 1. Edges and degrees are
+    localCheckpointed once; each round is one src join + one
+    map-side-combinable dst aggregation + a left join back onto the
+    static vertex set (so no-in-edge vertices keep their teleport mass
+    instead of silently dropping out of the inner join). Vertices with
+    no out-edges contribute no mass (dangling mass is not redistributed
+    — undirected inputs never have any). `teleport` defaults to
+    1−damping; pass it explicitly when a cross-engine oracle needs
+    literal-identical doubles (module docstring: 1−0.85 ≠ 0.15 in
+    IEEE)."""
     if teleport is None:
         teleport = 1.0 - damping
     edges = edges.select("src", "dst")
+    verts = (
+        edges.select(F.col("src").alias("v"))
+        .unionAll(edges.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # Degree is static across iterations: fuse it into the checkpointed
     # edge list once, so each round is ONE join + one aggregation
     # instead of two joins (at scale: one fewer shuffle of the edge
     # set per iteration).
     edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
-    ranks = deg.select(F.col("src").alias("v"), F.lit(1.0).alias("rank"))
+    ranks = verts.select("v", F.lit(1.0).alias("rank"))
     for _ in range(iters):
         contrib = edges_deg.join(ranks, edges_deg.src == ranks.v).select(
             "dst", (F.col("rank") / F.col("deg")).alias("c")
         )
+        incoming = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
         ranks = (
-            contrib.groupBy("dst")
-            .agg((F.lit(teleport) + F.lit(damping) * F.sum("c")).alias("rank"))
-            .select(F.col("dst").alias("v"), "rank")
+            verts.join(incoming, verts.v == incoming.dst, "left")
+            .select(
+                "v",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
             .localCheckpoint(eager=True)
         )
     return ranks

@@ -426,15 +426,16 @@ def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark shape: both score frames come from the shared helpers
     (_bm25_scores / _cosine_to_query — narrow, codegen'd), each ranked
-    with a row_number window; ranks are INTEGERS so the fused score is
-    exactly reproducible across engines. Both rankings order on
-    ROUND(score, 6) with doc_id as tie-break — near-equal scores whose
-    last ulp differs between DuckDB's LN and the JVM's Math.log would
-    otherwise flip adjacent ranks cross-engine (ADVICE r1, low).
-    Rounding shrinks that flip window from every-ulp-boundary to the
-    rare pair straddling a 1e-6 boundary (ADVICE r2: not fully
-    eliminated; parity holds at fixture scale and the tie-break keeps
-    any residual flip deterministic per engine). The two global rank
+    with a row_number window; given identical rankings, integer ranks
+    make the fused score bit-identical across engines — so cross-engine
+    agreement reduces to the rankings themselves. Both rankings order
+    on ROUND(score, 6) with doc_id as tie-break: near-equal scores
+    whose last ulp differs between DuckDB's LN and the JVM's Math.log
+    could flip adjacent ranks cross-engine (ADVICE r1, low); rounding
+    shrinks that flip window from every-ulp-boundary to the rare pair
+    straddling a 1e-6 boundary. NOT fully eliminated — parity holds at
+    fixture scale, and the tie-break keeps any residual flip
+    deterministic within each engine. The two global rank
     windows are single-partition at fixture scale; in production each
     query ranks only its own candidate pool (top-k per retriever,
     exactly how RRF is served), so the window is per-query-partition,

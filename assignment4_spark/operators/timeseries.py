@@ -487,10 +487,12 @@ def sessionize(
     SELECT event_type,
            date_trunc('hour', ts)                   AS bar_ts,
            CAST(COUNT(*) AS BIGINT)                 AS n,
-           ROUND(arg_min(value, epoch_ms(ts) * 1000000 + event_id % 1000000), 2) AS open,
+           ROUND(arg_min(value, lpad(epoch_ms(ts)::VARCHAR, 13, '0')
+                                || lpad(event_id::VARCHAR, 19, '0')), 2) AS open,
            ROUND(MAX(value), 2)                     AS high,
            ROUND(MIN(value), 2)                     AS low,
-           ROUND(arg_max(value, epoch_ms(ts) * 1000000 + event_id % 1000000), 2) AS close
+           ROUND(arg_max(value, lpad(epoch_ms(ts)::VARCHAR, 13, '0')
+                                || lpad(event_id::VARCHAR, 19, '0')), 2) AS close
     FROM events
     WHERE CAST(ts AS DATE) < DATE '2024-01-08'
     GROUP BY event_type, date_trunc('hour', ts)
@@ -512,9 +514,15 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").filter(
         F.col("ts").cast("date") < F.lit("2024-01-08").cast("date")
     )
-    # ms·1e6 + id stays under 2^63 (µs-scaled keys overflow); id breaks
-    # any same-millisecond tie with the SAME key on both engines
-    okey = F.unix_millis("ts") * 1000000 + F.col("event_id") % 1000000
+    # order key = zero-padded (ms, event_id) string: lexicographic order
+    # equals numeric order for fixed-width non-negative digits, compares
+    # identically on both engines, and has no overflow/collision window
+    # (an integer ms·1e6+id key would collide whenever two same-ms events
+    # have ids 1e6 apart)
+    okey = F.concat(
+        F.lpad(F.unix_millis("ts").cast("string"), 13, "0"),
+        F.lpad(F.col("event_id").cast("string"), 19, "0"),
+    )
     return (
         ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bar_ts"))
         .agg(
@@ -552,9 +560,15 @@ def interpolate_linear(
     start = F.when(trunc == F.col("t0"), F.col("t0")).otherwise(
         trunc + F.expr(step)
     )
+    # a key whose observations all precede the first grid point (e.g.
+    # everything inside one hour, first obs off the hour) has start > t1;
+    # Spark's sequence() throws on inverted bounds (DuckDB generate_series
+    # returns empty), so gate it — the NULL branch explodes to no rows.
     grid = bounds.select(
         "_k",
-        F.explode(F.sequence(start, F.col("t1"), F.expr(step))).alias("gts"),
+        F.explode(
+            F.when(start <= F.col("t1"), F.sequence(start, F.col("t1"), F.expr(step)))
+        ).alias("gts"),
     )
     u = obs.select(
         "_k",

@@ -55,6 +55,34 @@ def test_minhash_pairs_custom_columns(spark):
     assert pairs[0].jaccard > 0.6
 
 
+def test_interpolate_single_hour_key_no_crash(spark):
+    """A key whose observations all fall inside one hour (first not on
+    the hour) has ceil_hour(t0) > t1; Spark's sequence() throws on
+    inverted bounds, so the grid must gate it and return an empty grid
+    for that key instead of raising (ADVICE r3, medium). Keys spanning
+    hours are unaffected."""
+    from assignment4_spark import api
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:15:00", 1.0),
+            (1, "2024-01-01 10:45:00", 3.0),
+            (2, "2024-01-01 10:30:00", 2.0),
+            (2, "2024-01-01 12:30:00", 6.0),
+        ],
+        "user_id int, ts string, value double",
+    ).selectExpr("user_id", "cast(ts as timestamp) as ts", "value")
+    rows = api.interpolate_linear(df).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.user_id, []).append(r)
+    assert 1 not in by_key  # no on-grid instants exist for key 1
+    assert len(by_key[2]) == 2  # 11:00 and 12:00
+    interp = {str(r.grid_ts): r.value_interp for r in by_key[2]}
+    assert abs(interp["2024-01-01 11:00:00"] - 3.0) < 1e-9
+    assert abs(interp["2024-01-01 12:00:00"] - 5.0) < 1e-9
+
+
 def test_simhash_pairs_custom_columns(spark):
     base = "one two three four five six seven eight nine ten " * 6
     df = spark.createDataFrame(

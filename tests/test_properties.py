@@ -125,8 +125,9 @@ def test_temperature_weights_normalize_and_flatten(spark, sf_oracle):
     else:
         assert top.p_resampled <= top.p_raw, f"{top.lang} (argmax) must not gain share"
     for r in rows:
-        if r.p_raw <= 1.0 / len(rows):
-            assert r.p_resampled >= r.p_raw - 1e-9, f"{r.lang} should be upweighted"
+        if r.p_raw <= 1.0 / len(rows) - ROUND_EPS:
+            # clearly below the mean → guaranteed gain, up to rounding
+            assert r.p_resampled >= r.p_raw - ROUND_EPS, f"{r.lang} should be upweighted"
         elif r.p_raw > crossover + ROUND_EPS:
             assert r.p_resampled < r.p_raw, f"{r.lang} above crossover should be downweighted"
 
