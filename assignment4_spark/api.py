@@ -29,6 +29,7 @@ from .operators.dedup import (  # noqa: F401
 )
 from .operators.multimodal import (  # noqa: F401
     phash_buckets,
+    pil_luma_decoder,
 )
 from .operators.rag import (  # noqa: F401
     CHUNK_OVERLAP,
@@ -78,6 +79,7 @@ __all__ = [
     "near_dup_pairs_lsh",
     "pagerank",
     "phash_buckets",
+    "pil_luma_decoder",
     "quantize_int8_audit",
     "sessionize",
     "simhash_pairs",

@@ -334,25 +334,79 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_buckets(d, id_col="doc_id", blob_col="text").orderBy("doc_id")
 
 
-def phash_buckets(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
+def pil_luma_decoder(data: bytes) -> list:
+    """Real image decode hook: PIL → grayscale → resize(8×8) → 64 luma
+    bytes, the standard aHash front end. Gated behind import-try (PIL is
+    not in the CI container — tests importorskip it); any deployment
+    with Pillow installed passes decoder=pil_luma_decoder to
+    phash_buckets and gets true perceptual hashing with the identical
+    downstream plan. Replaces the reference's delegated image parsing
+    (Docling/PIL, parser_pinecone_storage.py:106-117) with an in-engine
+    decode."""
+    import io
+
+    try:
+        from PIL import Image
+    except ImportError as ex:  # pragma: no cover - exercised only sans PIL
+        raise ImportError(
+            "pil_luma_decoder requires Pillow; pass a custom decoder or "
+            "use the deterministic fake (decoder=None)"
+        ) from ex
+    img = Image.open(io.BytesIO(data)).convert("L").resize((8, 8))
+    return list(img.getdata())
+
+
+def phash_buckets(
+    df: DataFrame, id_col: str, blob_col: str, decoder=None
+) -> DataFrame:
     """Composable aHash dedup bucketing (api.phash_buckets): per row —
-    64-bit signature string from the fake 8×8 luma decode (md5 nibbles;
-    swap in a real decoder by replacing `digits`) plus the count of rows
-    sharing the signature. The only exchange moves signatures, never
-    blobs."""
-    d = df.select(
-        id_col,
-        F.concat(
-            F.md5(F.col(blob_col)), F.md5(F.concat(F.col(blob_col), F.lit("x")))
-        ).alias("digits"),
-    )
-    ch = lambda j: F.substr(F.col("digits"), j, F.lit(1))  # noqa: E731
-    nibs = F.transform(
-        F.sequence(F.lit(1), F.lit(64)),
-        lambda j: F.ascii(ch(j)) - F.when(ch(j) <= "9", 48).otherwise(87),
-    )
-    total = F.aggregate(nibs, F.lit(0), lambda acc, v: acc + v)
-    n = d.select(id_col, nibs.alias("nibs"), total.alias("s"))
+    64-bit signature string (each cell thresholded against the grid
+    mean) plus the count of rows sharing the signature. The only
+    exchange moves signatures, never blobs.
+
+    decoder=None (default): deterministic fake decode — 64 luma nibbles
+    from md5 of the blob, pure codegen (no UDF, oracle-exact). Pass a
+    callable bytes→64 luma ints (e.g. pil_luma_decoder) to decode real
+    image bytes: the decode runs as ONE Arrow-batched mapInPandas stage
+    emitting (id, 64 lumas) — blobs die in the worker, signatures are
+    all that ever moves — and the threshold/bucket stages are shared
+    verbatim with the fake path."""
+    if decoder is None:
+        d = df.select(
+            id_col,
+            F.concat(
+                F.md5(F.col(blob_col)), F.md5(F.concat(F.col(blob_col), F.lit("x")))
+            ).alias("digits"),
+        )
+        ch = lambda j: F.substr(F.col("digits"), j, F.lit(1))  # noqa: E731
+        nibs = F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda j: F.ascii(ch(j)) - F.when(ch(j) <= "9", 48).otherwise(87),
+        )
+        n = d.select(id_col, nibs.alias("nibs"))
+    else:
+
+        def decode(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "_id": pdf[id_col],
+                        "nibs": [
+                            [int(x) for x in decoder(bytes(b))]
+                            for b in pdf[blob_col]
+                        ],
+                    }
+                )
+
+        n = (
+            df.select(id_col, blob_col)
+            .mapInPandas(decode, f"_id {df.schema[id_col].dataType.simpleString()}, nibs array<int>")
+            .withColumnRenamed("_id", id_col)
+        )
+    total = F.aggregate("nibs", F.lit(0), lambda acc, v: acc + v)
+    n = n.select(id_col, "nibs", total.alias("s"))
     phash = F.concat_ws(
         "",
         F.transform("nibs", lambda v: F.when(v * 64 > F.col("s"), "1").otherwise("0")),
