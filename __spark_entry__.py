@@ -70,6 +70,8 @@ _PRIORITY = [
     "stream_stream_join", "udf_python_scalar", "udf_pandas_scalar",
     "udf_grouped_map", "udf_grouped_agg", "udf_pandas_iter",
     "udf_map_in_pandas", "udtf_split_explode", "udf_map_in_arrow",
+    # added in round 4 — never driver-checked
+    "vec_upsert_merge",
 ]
 
 

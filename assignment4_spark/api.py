@@ -59,6 +59,7 @@ from .operators.vectors import (  # noqa: F401
     near_dup_pairs_exact,
     near_dup_pairs_lsh,
     quantize_int8_audit,
+    upsert_merge_parquet,
 )
 
 __all__ = [
@@ -84,5 +85,6 @@ __all__ = [
     "sessionize",
     "simhash_pairs",
     "triangle_count",
+    "upsert_merge_parquet",
     "weighted_sample_ares",
 ]

@@ -196,6 +196,116 @@ def vec_upsert_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def upsert_merge_parquet(
+    target_path: str,
+    updates: DataFrame,
+    key_col: str,
+    ver_col: str,
+    tiebreak_col: str,
+    n_buckets: int = 16,
+) -> None:
+    """Write-side MERGE (upsert) onto a bucket-partitioned parquet
+    target — the pre-ACID warehouse pattern this sandbox's plain-parquet
+    catalog supports (no Delta/Iceberg here; Spark's MERGE INTO needs a
+    row-level-operation v2 table and fails with UNSUPPORTED_FEATURE on
+    parquet — probed, not assumed). On a lakehouse table the call site
+    swaps this for `MERGE INTO t USING u ON t.key = u.key WHEN MATCHED
+    UPDATE SET * WHEN NOT MATCHED INSERT *`; semantics here are
+    identical: latest (ver, tiebreak) per key wins.
+
+    Scale shape: the target is partitioned by pmod(xxhash64(key),
+    n_buckets); the merge (1) computes the update batch's touched
+    buckets, (2) reads ONLY those partitions back (partition-pruned
+    scan — at 100 TB the unmatched 99% of the table is never read or
+    written), (3) latest-wins windows base∪updates, and (4) rewrites
+    just the touched partitions via dynamic partition overwrite. The
+    merged frame is localCheckpoint()ed before the write because a
+    path cannot be overwritten while its files are still in the read
+    lineage — a staging-dir swap (or the ACID format) lifts that at
+    real scale."""
+    spark = updates.sparkSession
+    bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+    upd = updates.withColumn("bucket", bucket)
+    touched = [r.bucket for r in upd.select("bucket").distinct().collect()]
+    base = spark.read.parquet(target_path).filter(F.col("bucket").isin(touched))
+    w = W.partitionBy(key_col).orderBy(
+        F.col(ver_col).desc(), F.col(tiebreak_col)
+    )
+    merged = (
+        base.unionByName(upd)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .localCheckpoint(eager=True)
+    )
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(target_path)
+    )
+
+
+@register(
+    "vec_upsert_merge",
+    oracle="""
+    WITH base(vec_id, ver, payload) AS (VALUES
+      (1, 1, 'a1'), (2, 1, 'b1'), (3, 7, 'c7'), (4, 1, 'd1')
+    ), upd(vec_id, ver, payload) AS (VALUES
+      (1, 3, 'a3'), (2, 2, 'b2'), (4, 1, 'd1-dup'), (5, 1, 'e1')
+    ), u AS (
+      SELECT * FROM base UNION ALL SELECT * FROM upd
+    )
+    SELECT vec_id, ver, payload
+    FROM (SELECT vec_id, ver, payload,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY ver DESC, payload) AS rn
+          FROM u)
+    WHERE rn = 1
+    ORDER BY vec_id
+    """,
+)
+def vec_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13's upsert on the WRITE path (vec_upsert_dedup is the read-side
+    emulation): seed a bucket-partitioned parquet target with the base
+    batch, merge an update batch through upsert_merge_parquet (partition-
+    pruned read + dynamic-partition-overwrite write — only buckets
+    containing updated keys are rewritten; the untouched-bucket
+    invariant is asserted file-level in tests/test_api.py), and return
+    the post-merge table. Oracle = the same latest-wins window over
+    base ∪ updates."""
+    from .scans import _adir
+
+    out = _adir(sf_dir, "upsert_merge_target")
+    base = spark.sql(
+        """
+        SELECT * FROM VALUES
+          (1, 1, 'a1'), (2, 1, 'b1'), (3, 7, 'c7'), (4, 1, 'd1')
+        AS v(vec_id, ver, payload)
+        """
+    )
+    n_buckets = 4
+    base.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_buckets))
+    ).write.mode("overwrite").partitionBy("bucket").parquet(out)
+    updates = spark.sql(
+        """
+        SELECT * FROM VALUES
+          (1, 3, 'a3'), (2, 2, 'b2'), (4, 1, 'd1-dup'), (5, 1, 'e1')
+        AS v(vec_id, ver, payload)
+        """
+    )
+    upsert_merge_parquet(
+        out, updates, key_col="vec_id", ver_col="ver", tiebreak_col="payload",
+        n_buckets=n_buckets,
+    )
+    return (
+        spark.read.parquet(out)
+        .select("vec_id", "ver", "payload")
+        .orderBy("vec_id")
+    )
+
+
 @register(
     "dedup_near_embedding",
     oracle="""

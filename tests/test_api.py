@@ -210,6 +210,56 @@ def test_phash_buckets_pil_decoder(spark):
     assert rows[2].phash == "0" * 64
 
 
+def test_upsert_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """upsert_merge_parquet must leave parquet files in buckets with no
+    updated keys byte-for-byte untouched (mtime+size), rewrite the
+    touched buckets, and produce latest-wins contents."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from assignment4_spark.operators.vectors import upsert_merge_parquet
+
+    out = str(tmp_path / "target")
+    n_buckets = 4
+    base = spark.createDataFrame(
+        [(k, 1, f"v{k}") for k in range(1, 9)], "k long, ver long, payload string"
+    )
+    base.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("k")), F.lit(n_buckets))
+    ).write.partitionBy("bucket").parquet(out)
+
+    updates = spark.createDataFrame([(3, 2, "v3-new")], "k long, ver long, payload string")
+    touched = {
+        r[0]
+        for r in updates.select(
+            F.pmod(F.xxhash64(F.col("k")), F.lit(n_buckets))
+        ).collect()
+    }
+
+    def snapshot():
+        snap = {}
+        for root, _, files in os.walk(out):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    st = os.stat(p)
+                    snap[p] = (st.st_mtime_ns, st.st_size)
+        return snap
+
+    before = snapshot()
+    upsert_merge_parquet(out, updates, "k", "ver", "payload", n_buckets=n_buckets)
+    after = snapshot()
+
+    for p, meta in before.items():
+        bucket = int(p.split("bucket=")[1].split("/")[0])
+        if bucket not in touched:
+            assert after.get(p) == meta, f"untouched bucket {bucket} was rewritten: {p}"
+    rows = {r.k: r for r in spark.read.parquet(out).collect()}
+    assert rows[3].payload == "v3-new" and rows[3].ver == 2
+    assert len(rows) == 8 and rows[1].payload == "v1"
+
+
 def test_bloom_prefilter_no_false_negatives(spark):
     fact = spark.createDataFrame([(i,) for i in range(2000)], "fk long")
     dim = spark.createDataFrame([(i,) for i in range(0, 2000, 100)], "dk long")
