@@ -143,6 +143,13 @@ def main() -> None:
     if len(line) > TAIL_BUDGET:
         line_obj["failed"] = len(failed)
         line = json.dumps(line_obj)
+    # Also persist the headline line itself: the committed BENCH_r{N}
+    # artifacts historically carried only a 2000-char stdout tail, which
+    # made round-over-round comparison require digging totals out of git
+    # history — this file is the stable, parseable record per round.
+    line_name = "BENCH_LINE.json" if sf == 0.1 else f"BENCH_LINE_sf{sf}.json"
+    with open(os.path.join(REPO, line_name), "w") as f:
+        f.write(line + "\n")
     print(line)
     spark.stop()
 

@@ -81,6 +81,14 @@ def main() -> None:
                 k, v = line.split()
                 slow[k] = float(v)
 
+    # Tripwire inputs: a single sf0.001 Spark timing per query separates
+    # DATA-PROPORTIONAL queries (sf0.1 >= 3x sf0.001 — real compute) from
+    # queries sitting on Spark's fixed ~0.1-0.3 s scheduling floor, where
+    # a big DuckDB ratio is meaningless (BASELINE.md §3).
+    tiny_sf = "/root/testdata/sf0.001"
+    tiny_ok = os.path.isdir(tiny_sf)
+    tripped: list[str] = []
+
     rows = []
     spark_total = duck_total = 0.0
     for name in sorted(registry.QUERIES):
@@ -91,6 +99,14 @@ def main() -> None:
         fn(spark, sf_dir).count()
         s = median_time(lambda: fn(spark, sf_dir).count(), always_full=True)
         spark_total += s
+        s_tiny = None
+        if tiny_ok:
+            try:
+                t0 = time.perf_counter()
+                fn(spark, tiny_sf).count()
+                s_tiny = time.perf_counter() - t0
+            except Exception:
+                s_tiny = None
         if name in slow:
             d = slow[name]
             if d is None:
@@ -107,7 +123,20 @@ def main() -> None:
             d = median_time(lambda: con.execute(sql).fetchall())
             duck_total += d
             ratio = f"{s / d:.1f}×" if d > 0 else "—"
-            rows.append((name, f"{d:.3f}", f"{s:.3f}", ratio, ""))
+            note = ""
+            # >2x tripwire, but only for data-proportional queries — a
+            # scheduling-floor query at sf0.1 has ratio noise, not a
+            # compute regression
+            if (
+                d > 0
+                and s / d > 2.0
+                and s_tiny is not None
+                and s_tiny > 0
+                and s >= 3.0 * s_tiny
+            ):
+                tripped.append(name)
+                note = f"TRIPWIRE: data-proportional (sf0.1 = {s / s_tiny:.1f}x sf0.001) and >2x DuckDB"
+            rows.append((name, f"{d:.3f}", f"{s:.3f}", ratio, note))
         else:
             rows.append((name, "—", f"{s:.3f}", "—", "rows-only (no oracle)"))
         print(f"{name:28s} duck={rows[-1][1]:>7s} spark={rows[-1][2]:>7s}", flush=True)
@@ -146,6 +175,10 @@ def main() -> None:
     with open(path, "w") as f:
         f.write(text)
     print(f"\nTOTAL duckdb={duck_total:.2f}s spark={spark_total:.2f}s ratio={ratio_total:.2f}x")
+    if tripped:
+        print("TRIPWIRE (>2x DuckDB on data-proportional queries):", ", ".join(tripped))
+    else:
+        print("TRIPWIRE: none — no data-proportional query exceeds 2x DuckDB")
     spark.stop()
 
 
