@@ -589,18 +589,29 @@ def connected_components(
             .distinct()
         )
 
+    prev_count = e.count()
     for r in range(max_rounds):
         new_e = small_star(large_star(e)).localCheckpoint(eager=True)
-        # converged when the canonical edge sets match (both are distinct
-        # normalized (min,max) pairs, so two anti-join counts decide it)
-        if (
-            new_e.count() == e.count()
-            and new_e.join(e, ["u", "v"], "left_anti").count() == 0
-        ):
+        # converged when the canonical edge sets match: both sides are
+        # distinct normalized (min,max) pairs, so ONE left-join pass
+        # yields |new| and |new ∩ old| together — equal to each other and
+        # to |old| ⇔ set equality (2 jobs/round incl. the checkpoint,
+        # vs 3 with a separate count + anti-join)
+        marked = e.select("u", "v", F.lit(1).alias("_old"))
+        stats = (
+            new_e.join(marked, ["u", "v"], "left")
+            .agg(
+                F.count(F.lit(1)).alias("total"),
+                F.count("_old").alias("matched"),
+            )
+            .head()
+        )
+        if stats.total == prev_count and stats.matched == stats.total:
             e = new_e
             if _rounds_out is not None:
                 _rounds_out.append(r + 1)
             break
+        prev_count = stats.total
         e = new_e
     else:
         raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
