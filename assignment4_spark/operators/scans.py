@@ -244,6 +244,41 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_rest_datasource",
+    oracle="""
+    SELECT i AS rec_id,
+           CASE WHEN i % 7 = 3 THEN NULL ELSE 'Item ' || i END AS title,
+           CAST(i // 10 AS BIGINT) AS page,
+           CASE WHEN i % 7 = 3 THEN 'malformed item' ELSE NULL END AS error
+    FROM (SELECT UNNEST(generate_series(0, 99)) AS i)
+    ORDER BY rec_id
+    """,
+)
+def scan_rest_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paginated REST-feed adapter (A20 arXiv / A21 SerpAPI shape) as a
+    pluggable Python Data Source: page-ranged partitions, per-worker
+    rate pacing, bounded 429 retry, and two-level error isolation
+    (page-level and record-level error ROWS instead of job failure —
+    A28). The deterministic fake endpoint makes every good row,
+    malformed row, and transient retry oracle-reproducible; retry and
+    pacing behavior is unit-tested reader-direct in
+    tests/test_api.py."""
+    from ..sources.rest_feed import RestFeedDataSource
+
+    try:
+        spark.dataSource.register(RestFeedDataSource)
+    except Exception:
+        pass  # already registered in this session
+    return (
+        spark.read.format("rest_feed")
+        .option("pages", 10)
+        .option("partitions", 4)
+        .load()
+        .orderBy("rec_id")
+    )
+
+
+@register(
     "scan_permissive_corrupt",
     oracle="""
     SELECT 7 AS n_good, 3 AS n_corrupt, 21 AS sum_good_vals

@@ -272,6 +272,45 @@ def test_pagerank_source_only_vertex_keeps_teleport(spark):
     assert ranks[20] > ranks[30] > ranks[10]
 
 
+def test_rest_feed_reader_retry_pacing_and_isolation():
+    """Reader-direct (no Spark): 429 pages are retried exactly once and
+    succeed; calls within a reader respect the min-interval pacer; a
+    permanently-failing page yields one error row instead of raising."""
+    import time as _time
+
+    from assignment4_spark.sources.rest_feed import (
+        RestFeedReader,
+        _PageRange,
+        fake_fetch,
+    )
+
+    r = RestFeedReader({"pages": "10", "rate_per_sec": "200", "max_retries": "2"})
+    rows = list(r.read(_PageRange(0, 10)))
+    # 100 records total, ids 0..99; malformed where id % 7 == 3
+    assert len(rows) == 100
+    good = [x for x in rows if x[3] is None]
+    bad = [x for x in rows if x[3] == "malformed item"]
+    assert len(bad) == len([i for i in range(100) if i % 7 == 3])
+    assert all(x[1] == f"Item {x[0]}" for x in good)
+    # retry: pages 0 and 5 rate-limit their first attempt -> 12 calls
+    assert len(r.call_log) == 12
+    assert [(p, a) for p, a, _ in r.call_log if a == 1] == [(0, 1), (5, 1)]
+    # pacing: consecutive calls at least ~1/rate apart (scheduler slack down)
+    gaps = [b[2] - a[2] for a, b in zip(r.call_log, r.call_log[1:])]
+    assert min(gaps) >= (1.0 / 200) * 0.8, gaps
+
+    def dead_fetch(page, attempt):
+        return 503, ""
+
+    r2 = RestFeedReader({"pages": "1", "max_retries": "2"}, fetch=dead_fetch)
+    rows2 = list(r2.read(_PageRange(0, 1)))
+    assert rows2 == [(None, None, 0, "fetch failed: status 503")]
+    assert len(r2.call_log) == 3  # initial + 2 retries, then isolation
+
+    # default fetcher is deterministic: same page, same attempt, same body
+    assert fake_fetch(2, 0) == fake_fetch(2, 0)
+
+
 def test_bloom_prefilter_no_false_negatives(spark):
     fact = spark.createDataFrame([(i,) for i in range(2000)], "fk long")
     dim = spark.createDataFrame([(i,) for i in range(0, 2000, 100)], "dk long")
