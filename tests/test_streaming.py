@@ -168,3 +168,58 @@ def test_watermark_drops_late_row(spark):
     assert counts.get("09:00", 0) == 0
     # event_id=5 (11:45, ahead of watermark) must be counted
     assert counts.get("11:00") == 1
+
+
+def test_rate_micro_batch_continuous_source_resume(spark, tmp_path):
+    """Continuous (non-file) source demo: the deterministic
+    rate-micro-batch source drained one micro-batch per availableNow
+    run across THREE restarts sharing a checkpoint — the exactly-once
+    resume contract a Kafka deployment relies on, exercised without a
+    broker. Values continue globally across restarts and the windowed
+    aggregation state survives the checkpoint: batch b contributes
+    values b*30..b*30+29 to window [b s, b+1 s), 10 per key."""
+    import uuid
+
+    ckpt = str(tmp_path / "ckpt")
+    tables = []
+
+    def run_once() -> str:
+        name = f"rate_demo_{uuid.uuid4().hex[:8]}"
+        sdf = (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", 30)
+            .option("numPartitions", 3)
+            .option("startTimestamp", 0)
+            .option("advanceMillisPerBatch", 1000)
+            .load()
+        )
+        agg = (
+            sdf.withColumn("k", F.col("value") % 3)
+            .groupBy(F.window("timestamp", "1 second").alias("w"), "k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        tables.append(name)
+        return name
+
+    for _ in range(3):
+        run_once()
+    rows = spark.table(tables[-1]).collect()
+    got = {
+        (r.w.start.second, r.k): (r.n, r.sv) for r in rows
+    }
+    want = {}
+    for b in range(3):
+        vals = range(b * 30, b * 30 + 30)
+        for k in range(3):
+            ks = [v for v in vals if v % 3 == k]
+            want[(b, k)] = (len(ks), sum(ks))
+    assert got == want
