@@ -71,7 +71,7 @@ _PRIORITY = [
     "udf_grouped_map", "udf_grouped_agg", "udf_pandas_iter",
     "udf_map_in_pandas", "udtf_split_explode", "udf_map_in_arrow",
     # added in round 4 — never driver-checked
-    "vec_upsert_merge", "scan_rest_datasource",
+    "vec_upsert_merge", "scan_rest_datasource", "text_pack_sequences",
 ]
 
 

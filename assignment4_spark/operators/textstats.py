@@ -504,3 +504,82 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "bigram")
         .limit(20)
     )
+
+
+PACK_BUDGET = 256  # tokens per training sequence (fixture-scaled; 2k-8k real)
+PACK_SHARDS = 8
+
+
+@register(
+    "text_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             doc_id % {PACK_SHARDS} AS shard,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT shard, doc_id, n_tokens,
+             CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) - n_tokens)
+                        / {PACK_BUDGET}) AS BIGINT) AS pack_id
+      FROM toks
+    )
+    SELECT shard, pack_id,
+           CAST(COUNT(*) AS BIGINT)      AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+           MIN(doc_id)                   AS first_doc
+    FROM packed
+    GROUP BY shard, pack_id
+    ORDER BY shard, pack_id
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the step that turns a curated corpus into
+    fixed-budget training sequences (T5/GPT "example packing"), as
+    budget-aligned segmentation of the concatenated token stream:
+    pack_id = floor(start_offset / budget), i.e. each document joins
+    the pack its first token falls into. A pack's SPAN overflows by at
+    most its last document (a pack downstream of a long overflow can be
+    light — the rule aligns boundaries to the stream, it does not reset
+    a counter). The reset-based greedy packer is a sequential
+    recurrence no window function expresses; this offset rule is its
+    standard parallelizable stand-in (bin-perfect packing is NP-hard
+    and never used at corpus scale).
+
+    Scale shape: packing is SHARDED (doc_id % shards) so the running-sum
+    window partitions by shard — shards pack independently on different
+    executors, no global sort, no driver state; the rollup reuses the
+    window's (shard) partitioning. At 100 TB shards = O(cores) and the
+    only exchange carries (shard, doc_id, n_tokens) — never text.
+    Deterministic: doc_id order within shard, integer arithmetic only.
+    Provenance: north-star training-data pipeline (packing is the step
+    between text_token_count's budgets and the trainer)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = toks.select(
+        "shard",
+        "doc_id",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET
+        ).alias("pack_id"),
+    )
+    return (
+        packed.groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("shard", "pack_id")
+    )
