@@ -78,6 +78,14 @@ def main() -> None:
                 fn(spark, sf_dir).count()
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
+            if best > 1.0:
+                # expensive queries dominate both the total and the
+                # host-noise variance (this box is shared; identical
+                # suites have measured 2-3x apart) — buy one extra
+                # sample where it actually changes the headline
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 3)
         except Exception as e:  # a failing query must not kill the bench
             timings[name] = -1.0
