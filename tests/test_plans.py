@@ -380,3 +380,16 @@ def test_simhash_banded_join_not_all_pairs(spark, sf_oracle):
     plan = formatted_plan(spark, "dedup_simhash", sf_oracle)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_pack_sequences_single_data_exchange(spark, sf_oracle):
+    """Sequence packing: the per-shard running-sum window and the
+    (shard, pack_id) rollup must ride ONE shard exchange — partitioning
+    by shard already clusters (shard, pack_id), so only the
+    presentation sort may add a second exchange."""
+    import re
+
+    plan = formatted_plan(spark, "text_pack_sequences", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert len(re.findall(r"\(\d+\) Window", body)) == 1, body
+    assert len(re.findall(r"\(\d+\) Exchange", body)) == 2, body
