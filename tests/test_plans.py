@@ -393,3 +393,16 @@ def test_pack_sequences_single_data_exchange(spark, sf_oracle):
     body = plan.split("== Physical Plan ==")[-1]
     assert len(re.findall(r"\(\d+\) Window", body)) == 1, body
     assert len(re.findall(r"\(\d+\) Exchange", body)) == 2, body
+
+
+def test_near_embedding_blockpair_plan(spark, sf_oracle):
+    """The exact near-dup scan must be the distributed block-pair shape:
+    broadcast-routed sides into ONE cogrouped Arrow stage — never a
+    cartesian/nested-loop pair join, never a driver-side collect (the
+    plan has no LocalTableScan of the corpus)."""
+    plan = formatted_plan(spark, "dedup_near_embedding", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body
+    assert "BroadcastNestedLoopJoin" not in body
+    assert "FlatMapCoGroupsInPandas" in body
+    assert "BroadcastHashJoin" in body

@@ -107,6 +107,85 @@ def test_connected_components_long_chain_log_rounds(spark):
     assert rounds and rounds[0] <= 12, rounds
 
 
+def test_connected_components_random_vs_union_find(spark):
+    """Seeded random graphs cross-checked against a plain Python
+    union-find — independent evidence the star contraction computes the
+    same partition (the chain test pins rounds; this pins correctness
+    over denser shapes: multi-component, cycles, self-dups)."""
+    import random
+
+    from assignment4_spark.operators.dedup import connected_components
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n, m = 40, 55
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        touched = set()
+        for a, b in edges:
+            if a != b:
+                touched.add(a)
+                touched.add(b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: find(x) for x in touched}
+        # canonical min-id per component
+        mins: dict = {}
+        for x, r in want.items():
+            mins[r] = min(mins.get(r, x), x)
+        want = {x: mins[r] for x, r in want.items()}
+
+        df = spark.createDataFrame(
+            [(a, b) for a, b in edges if a != b], "src long, dst long"
+        )
+        got = {r.node: r.comp_id for r in connected_components(df).collect()}
+        assert got == want, f"seed {seed}"
+
+
+def test_upsert_merge_sequential_batches(spark, tmp_path):
+    """Three update batches merged sequentially must equal one
+    latest-wins pass over base + all updates (merge is associative for
+    version-ordered upserts), and re-merging the last batch must be
+    idempotent."""
+    from pyspark.sql import functions as F
+
+    from assignment4_spark.operators.vectors import upsert_merge_parquet
+
+    out = str(tmp_path / "t")
+    base = [(k, 0, f"base{k}") for k in range(10)]
+    batches = [
+        [(1, 1, "a"), (11, 1, "new11")],
+        [(1, 2, "b"), (2, 1, "c")],
+        [(2, 2, "d"), (11, 1, "new11-dup")],
+    ]
+    spark.createDataFrame(base, "k long, ver long, p string").withColumn(
+        "bucket", F.pmod(F.xxhash64("k"), F.lit(4))
+    ).write.partitionBy("bucket").parquet(out)
+    for b in batches + [batches[-1]]:  # replay last batch: idempotence
+        upsert_merge_parquet(
+            out,
+            spark.createDataFrame(b, "k long, ver long, p string"),
+            "k", "ver", "p", n_buckets=4,
+        )
+    got = {r.k: (r.ver, r.p) for r in spark.read.parquet(out).collect()}
+    allrows = base + [r for b in batches for r in b]
+    want: dict = {}
+    for k, ver, p in allrows:
+        cur = want.get(k)
+        # latest ver wins; ties broken by payload ASC (window orderBy)
+        if cur is None or ver > cur[0] or (ver == cur[0] and p < cur[1]):
+            want[k] = (ver, p)
+    assert got == want
+
+
 def test_simhash_banded_equals_bruteforce(spark, sf_oracle):
     """The pigeonhole band join is EXACT: over max_hamming+1 disjoint
     bands, any pair within the Hamming budget shares at least one band,
