@@ -340,10 +340,16 @@ def simhash_pairs(
     base, extra = divmod(sig_bits, n_bands)
     widths = [base + 1] * extra + [base] * (n_bands - extra)
     offsets = [sum(widths[:i]) for i in range(n_bands)]
-    # band key = band_index * 2^width + band bits — disjoint across bands.
+    # band key = band_index · 2^max_width + band bits — the stride uses
+    # the WIDEST band so key ranges are disjoint across bands (a
+    # per-band stride of 2^width_i overlaps when widths differ, which
+    # silently inflated the candidate join with cross-band collisions;
+    # exactness was unaffected — the popcount filter removed them — but
+    # the candidate cut is the whole point of banding)
+    stride = 1 << max(widths)
     band_keys = F.array(
         *[
-            F.lit(i * (1 << widths[i]))
+            F.lit(i * stride)
             + F.shiftrightunsigned("simhash", offsets[i]).bitwiseAND(
                 F.lit((1 << widths[i]) - 1)
             )

@@ -389,14 +389,23 @@ def phash_buckets(
         def decode(batches):
             import pandas as pd
 
+            def one(b):
+                # per-record isolation: a NULL blob or a decoder that
+                # raises (truncated image, wrong codec) yields a NULL
+                # signature row, never a dead task — same A28 rule as
+                # the REST source
+                if b is None:
+                    return None
+                try:
+                    return [int(x) for x in decoder(bytes(b))]
+                except Exception:
+                    return None
+
             for pdf in batches:
                 yield pd.DataFrame(
                     {
                         "_id": pdf[id_col],
-                        "nibs": [
-                            [int(x) for x in decoder(bytes(b))]
-                            for b in pdf[blob_col]
-                        ],
+                        "nibs": [one(b) for b in pdf[blob_col]],
                     }
                 )
 
@@ -407,10 +416,15 @@ def phash_buckets(
         )
     total = F.aggregate("nibs", F.lit(0), lambda acc, v: acc + v)
     n = n.select(id_col, "nibs", total.alias("s"))
-    phash = F.concat_ws(
-        "",
-        F.transform("nibs", lambda v: F.when(v * 64 > F.col("s"), "1").otherwise("0")),
-    )
+    phash = F.when(
+        F.col("nibs").isNotNull(),
+        F.concat_ws(
+            "",
+            F.transform(
+                "nibs", lambda v: F.when(v * 64 > F.col("s"), "1").otherwise("0")
+            ),
+        ),
+    )  # undecodable rows keep a NULL phash (grouped apart by the window)
     p = n.select(id_col, phash.alias("phash"))
     return p.withColumn(
         "n_bucket", F.count(F.lit(1)).over(Window.partitionBy("phash"))

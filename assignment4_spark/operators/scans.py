@@ -232,8 +232,12 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     try:
         spark.dataSource.register(SyntheticDocsDataSource)
-    except Exception:
-        pass  # already registered in this session
+    except Exception as ex:
+        # only a duplicate registration is benign; anything else (API
+        # missing, pickling failure) must surface here, not as a
+        # misleading DATA_SOURCE_NOT_FOUND at load() time
+        if "exists" not in str(ex).lower() and "registered" not in str(ex).lower():
+            raise
     return (
         spark.read.format("synthetic_docs")
         .option("rows", 100)
@@ -267,8 +271,10 @@ def scan_rest_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     try:
         spark.dataSource.register(RestFeedDataSource)
-    except Exception:
-        pass  # already registered in this session
+    except Exception as ex:
+        # see scan_python_datasource: only duplicate registration is benign
+        if "exists" not in str(ex).lower() and "registered" not in str(ex).lower():
+            raise
     return (
         spark.read.format("rest_feed")
         .option("pages", 10)

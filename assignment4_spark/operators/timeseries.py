@@ -487,11 +487,11 @@ def sessionize(
     SELECT event_type,
            date_trunc('hour', ts)                   AS bar_ts,
            CAST(COUNT(*) AS BIGINT)                 AS n,
-           ROUND(arg_min(value, lpad(epoch_ms(ts)::VARCHAR, 13, '0')
+           ROUND(arg_min(value, lpad((epoch_ms(ts) + 8796093022208)::VARCHAR, 14, '0')
                                 || lpad(event_id::VARCHAR, 19, '0')), 2) AS open,
            ROUND(MAX(value), 2)                     AS high,
            ROUND(MIN(value), 2)                     AS low,
-           ROUND(arg_max(value, lpad(epoch_ms(ts)::VARCHAR, 13, '0')
+           ROUND(arg_max(value, lpad((epoch_ms(ts) + 8796093022208)::VARCHAR, 14, '0')
                                 || lpad(event_id::VARCHAR, 19, '0')), 2) AS close
     FROM events
     WHERE CAST(ts AS DATE) < DATE '2024-01-08'
@@ -503,8 +503,8 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC downsampling per series — the standard time-series
     compaction (metrics dashboards, tick data, sensor rollups): open =
     first value in the bar, close = last, plus high/low/count. first/
-    last are argument-extremes (min_by/max_by) on an integer
-    (epoch_ms·1e6 + event_id) order key, so ties are deterministic and
+    last are argument-extremes (min_by/max_by) on a zero-padded
+    (epoch_ms, event_id) STRING order key, so ties are deterministic and
     the whole bar is ONE map-side-combinable hash aggregate — no window,
     no sort of the raw stream, shuffle carries one row per (series,
     hour). At 100 TB this is the rollup that turns a raw firehose into
@@ -518,9 +518,12 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     # equals numeric order for fixed-width non-negative digits, compares
     # identically on both engines, and has no overflow/collision window
     # (an integer ms·1e6+id key would collide whenever two same-ms events
-    # have ids 1e6 apart)
+    # have ids 1e6 apart). epoch_ms is offset by 2^43 (~278 years) so
+    # pre-1970 timestamps stay non-negative — a bare negative epoch
+    # would break the lexicographic=numeric equivalence ('-' sorts below
+    # digits, larger negatives after smaller). event_id must be ≥ 0.
     okey = F.concat(
-        F.lpad(F.unix_millis("ts").cast("string"), 13, "0"),
+        F.lpad((F.unix_millis("ts") + F.lit(8796093022208)).cast("string"), 14, "0"),
         F.lpad(F.col("event_id").cast("string"), 19, "0"),
     )
     return (

@@ -426,32 +426,10 @@ def near_dup_pairs_lsh(
     is Σ_bucket |bucket|² ≪ N² whenever buckets are balanced; recall at
     cos=θ is 1-(1-p^n_bits)^n_tables with p = 1-acos(θ)/π (recall floor
     vs near_dup_pairs_exact asserted in tests/test_rag_ops.py). The only
-    shuffle is the bucket self-join; no driver materialization."""
-    import numpy as np
-    import pandas as pd
-
-    dim = 64
-    planes = _rp_planes(n_tables, n_bits, dim)
-    bc = df.sparkSession.sparkContext.broadcast(planes)
-
-    def bucketize(batches):
-        pl = bc.value
-        weights = 1 << np.arange(n_bits, dtype=np.int64)
-        for pdf in batches:
-            mat = np.array(list(pdf[emb_col]), dtype=np.float64)
-            bits = (mat @ pl.T) > 0
-            for t in range(n_tables):
-                seg = bits[:, t * n_bits : (t + 1) * n_bits]
-                yield pd.DataFrame(
-                    {
-                        "vec_id": pdf[id_col],
-                        "table_id": t,
-                        "bucket": (seg * weights).sum(axis=1),
-                    }
-                )
-
+    shuffle is the bucket self-join; no driver materialization beyond
+    one head() to infer the embedding dimensionality."""
     v = df.select(F.col(id_col).alias(id_col), F.col(emb_col).alias(emb_col))
-    keys = v.mapInPandas(bucketize, f"{id_col} long, table_id int, bucket long")
+    keys = rp_bucket_keys(v, id_col, emb_col, n_tables, n_bits)
     cand = (
         keys.alias("x")
         .join(keys.alias("y"), ["table_id", "bucket"])
@@ -491,41 +469,59 @@ def _rp_planes(n_tables: int, n_bits: int, dim: int) -> list:
     return planes
 
 
+def rp_bucket_keys(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    n_tables: int,
+    n_bits: int,
+    dim: int | None = None,
+) -> DataFrame:
+    """(id, table_id, bucket) random-hyperplane LSH keys — the ONE
+    signature implementation shared by the ANN query path
+    (_rp_lsh_topk) and the near-dup pair path (near_dup_pairs_lsh), so
+    the bucket algebra cannot drift between them. One numpy sign-matmul
+    per Arrow batch; each vector emits n_tables keys. `dim` is inferred
+    from the data with a single head() when not given."""
+    import numpy as np
+    import pandas as pd
+
+    if dim is None:
+        row = df.select(F.size(emb_col)).head()
+        dim = int(row[0]) if row and row[0] is not None else 1
+    planes = _rp_planes(n_tables, n_bits, dim)
+    bc = df.sparkSession.sparkContext.broadcast(planes)
+
+    def bucketize(batches):
+        pl = bc.value
+        weights = 1 << np.arange(n_bits, dtype=np.int64)
+        for pdf in batches:
+            mat = np.array(list(pdf[emb_col]), dtype=np.float64)
+            bits = (mat @ pl.T) > 0  # (batch, tables·bits)
+            for t in range(n_tables):
+                seg = bits[:, t * n_bits : (t + 1) * n_bits]
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "table_id": t,
+                        "bucket": (seg * weights).sum(axis=1),
+                    }
+                )
+
+    return df.select(id_col, emb_col).mapInPandas(
+        bucketize, f"{id_col} long, table_id int, bucket long"
+    )
+
+
 def _rp_lsh_topk(spark: SparkSession, sf_dir: str, n_probes: int = 1) -> DataFrame:
     """Shared RP-LSH pipeline; n_probes=1 is classic LSH, n_probes>1 is
     multi-probe (query also searches the buckets at Hamming distance 1 —
     flip one sign bit per probe). See the registered ops' docstrings."""
-    import numpy as np
-    import pandas as pd
-
     N_TABLES, N_BITS, DIM = 10, 5, 64
-    planes = _rp_planes(N_TABLES, N_BITS, DIM)
-    bc = spark.sparkContext.broadcast(planes)
-
-    def bucketize(batches):
-        pl = bc.value
-        weights = (1 << np.arange(N_BITS, dtype=np.int64))
-        for pdf in batches:
-            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            bits = (mat @ pl.T) > 0  # (batch, tables·bits)
-            rows = []
-            for t in range(N_TABLES):
-                seg = bits[:, t * N_BITS : (t + 1) * N_BITS]
-                bucket = (seg * weights).sum(axis=1)
-                rows.append(
-                    pd.DataFrame(
-                        {
-                            "vec_id": pdf["vec_id"],
-                            "table_id": t,
-                            "bucket": bucket,
-                        }
-                    )
-                )
-            yield pd.concat(rows)
-
     e = table(spark, sf_dir, "embeddings")
-    keys = e.select("vec_id", "embedding").mapInPandas(
-        bucketize, "vec_id long, table_id int, bucket long"
+    keys = rp_bucket_keys(
+        e.select("vec_id", "embedding"), "vec_id", "embedding", N_TABLES, N_BITS,
+        dim=DIM,
     )
     q_ids = (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
     q_keys = keys.filter(q_ids).select(

@@ -122,10 +122,18 @@ class RestFeedReader(DataSourceReader):
                 continue
             try:
                 items = json.loads(body)["items"]
-            except (ValueError, KeyError) as ex:
+                if not isinstance(items, list):
+                    raise TypeError(f"items is {type(items).__name__}, not list")
+            # broad by design: a real fetcher can hand back ANY shape
+            # (list body -> TypeError on ['items'], string items, etc.)
+            # and the A28 contract is error ROW, never task death
+            except Exception as ex:
                 yield (None, None, page, f"bad payload: {ex}")
                 continue
             for item in items:
+                if not isinstance(item, dict):
+                    yield (None, None, page, "malformed item")
+                    continue
                 rec_id = item.get("id")
                 title = item.get("title")
                 if not isinstance(rec_id, int) or not isinstance(title, str):

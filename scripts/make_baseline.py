@@ -102,6 +102,7 @@ def main() -> None:
         s_tiny = None
         if tiny_ok:
             try:
+                fn(spark, tiny_sf).count()  # warm: plan compile/codegen
                 t0 = time.perf_counter()
                 fn(spark, tiny_sf).count()
                 s_tiny = time.perf_counter() - t0

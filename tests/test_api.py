@@ -311,6 +311,51 @@ def test_rest_feed_reader_retry_pacing_and_isolation():
     assert fake_fetch(2, 0) == fake_fetch(2, 0)
 
 
+def test_rest_feed_reader_isolates_weird_payload_shapes():
+    """A fetcher handing back a list body, a string items field, or
+    non-dict items must produce error ROWS — never an uncaught
+    TypeError/AttributeError killing the task."""
+    import json
+
+    from assignment4_spark.sources.rest_feed import RestFeedReader, _PageRange
+
+    def weird_fetch(page, attempt):
+        bodies = {
+            0: json.dumps([1, 2, 3]),  # list body -> ['items'] TypeError
+            1: json.dumps({"items": "oops"}),  # items not a list
+            2: json.dumps({"items": ["str-item", {"id": 20, "title": "T"}]}),
+        }
+        return 200, bodies[page]
+
+    r = RestFeedReader({"pages": "3"}, fetch=weird_fetch)
+    rows = list(r.read(_PageRange(0, 3)))
+    assert [x[3] is not None for x in rows[:2]] == [True, True]  # pages 0,1 -> payload errors
+    assert rows[2] == (None, None, 2, "malformed item")
+    assert rows[3] == (20, "T", 2, None)
+
+
+def test_phash_buckets_decoder_isolates_bad_blobs(spark):
+    """NULL blobs and decoder exceptions become NULL-phash rows, not
+    task failures; healthy rows in the same batch are unaffected."""
+    def decoder(b):
+        if len(b) < 64:
+            raise ValueError("truncated image")
+        return list(b[:64])
+
+    df = spark.createDataFrame(
+        [(1, bytes([9] * 64)), (2, None), (3, b"tiny")],
+        "pid long, blob binary",
+    )
+    rows = {
+        r.pid: r
+        for r in api.phash_buckets(
+            df, id_col="pid", blob_col="blob", decoder=decoder
+        ).collect()
+    }
+    assert rows[1].phash == "0" * 64
+    assert rows[2].phash is None and rows[3].phash is None
+
+
 def test_bloom_prefilter_no_false_negatives(spark):
     fact = spark.createDataFrame([(i,) for i in range(2000)], "fk long")
     dim = spark.createDataFrame([(i,) for i in range(0, 2000, 100)], "dk long")
