@@ -72,6 +72,7 @@ _PRIORITY = [
     "udf_map_in_pandas", "udtf_split_explode", "udf_map_in_arrow",
     # added in round 4 — never driver-checked
     "vec_upsert_merge", "scan_rest_datasource", "text_pack_sequences",
+    "text_bpe_pair_counts", "sample_shuffle_hash",
 ]
 
 

@@ -377,3 +377,49 @@ def sample_weighted_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_chars", F.round("_ares_r", 6).alias("priority"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "sample_shuffle_hash",
+    oracle="""
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY MD5('shuffle_e1:' || doc_id)) AS BIGINT)
+             AS position,
+           doc_id,
+           lang
+    FROM documents
+    QUALIFY position <= 20
+    ORDER BY position
+    """,
+)
+def sample_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle — the order-randomization
+    every dataset pipeline runs before sharding to trainers, done the
+    reproducible way: sort key = md5(epoch_salt || id). Same salt →
+    identical order on any cluster size or engine (md5 is the one hash
+    both engines compute identically — FIXTURES §5); a new epoch is a
+    new salt, no RNG state anywhere.
+
+    Scale shape: the registered query takes the first 20 of the
+    shuffled order, which plans as TakeOrderedAndProject — per-partition
+    top-k then driver merge of k·partitions rows, NEVER a global sort.
+    The full-shuffle write path is the same expression as a sort column
+    feeding a partitioned writer (each output shard = one contiguous
+    hash range), still one exchange. Provenance: north-star training
+    pipeline (shuffle-before-shard); generalizes sample_split_hash's
+    hash-determinism from membership to ORDER."""
+    d = table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("shuffle_e1:"), F.col("doc_id").cast("string")))
+    # orderBy+limit FIRST (plans as TakeOrderedAndProject, plan-gated) —
+    # a row_number-then-filter formulation would drag the whole corpus
+    # through one window partition; the position window here only ever
+    # sees the k survivors
+    top = d.select("doc_id", "lang", key.alias("_k")).orderBy("_k").limit(20)
+    w = W.orderBy("_k")
+    return (
+        top.select(
+            F.row_number().over(w).cast("bigint").alias("position"),
+            "doc_id",
+            "lang",
+        )
+        .orderBy("position")
+    )

@@ -583,3 +583,59 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "pack_id")
     )
+
+
+@register(
+    "text_bpe_pair_counts",
+    oracle="""
+    WITH words AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS wc
+      FROM (SELECT UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS w
+            FROM documents)
+      GROUP BY w
+    ), pairs AS (
+      SELECT SUBSTR(w, CAST(i AS INTEGER), 2) AS pair, wc
+      FROM words, UNNEST(GENERATE_SERIES(1, LENGTH(w) - 1)) t(i)
+      WHERE LENGTH(w) >= 2
+    )
+    SELECT pair, CAST(SUM(wc) AS BIGINT) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 20
+    """,
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first merge step of BPE tokenizer training: count adjacent
+    symbol pairs, weighted by word frequency — the argmax pair is the
+    first merge rule (Sennrich et al., ACL'16). Returns the top-20
+    character pairs.
+
+    Scale shape — the real BPE training trick, applied Spark-side:
+    aggregate the corpus to its DISTINCT-WORD vocabulary first (one
+    hash agg; the vocab is orders of magnitude smaller than the token
+    stream), then explode character pairs over vocab entries only,
+    weighting by the word count. The expensive explode runs on |vocab|
+    rows, not |corpus| tokens — exactly how production BPE trainers
+    (HuggingFace tokenizers, SentencePiece) structure the count. Pair
+    extraction is two shifted substring slices zipped per word (narrow,
+    codegen); both aggregations are map-side combinable."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    words = (
+        d.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length("w") - 1),
+        lambda i: F.substring(F.col("w"), i, F.lit(2)),
+    )
+    return (
+        words.select(F.explode(pairs).alias("pair"), "wc")
+        .groupBy("pair")
+        .agg(F.sum("wc").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )

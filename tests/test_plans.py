@@ -406,3 +406,13 @@ def test_near_embedding_blockpair_plan(spark, sf_oracle):
     assert "BroadcastNestedLoopJoin" not in body
     assert "FlatMapCoGroupsInPandas" in body
     assert "BroadcastHashJoin" in body
+
+
+def test_shuffle_hash_is_takeordered(spark, sf_oracle):
+    """The deterministic global shuffle's top-k must plan as
+    TakeOrderedAndProject (per-partition top-k + driver merge) — a
+    row_number-over-global-order formulation would single-partition the
+    whole corpus."""
+    plan = formatted_plan(spark, "sample_shuffle_hash", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "TakeOrderedAndProject" in body, body
