@@ -43,6 +43,7 @@ def pagerank(
     iters: int = 3,
     damping: float = 0.85,
     teleport: float | None = None,
+    has_source_only: bool | None = None,
 ) -> DataFrame:
     """Composable PageRank: `edges` is a directed edge list (src, dst)
     — for an undirected graph pass both orientations. Returns (v, rank)
@@ -60,7 +61,14 @@ def pagerank(
     contribute no mass (dangling mass is not redistributed — undirected
     inputs never have any). `teleport` defaults to 1−damping; pass it
     explicitly when a cross-engine oracle needs literal-identical
-    doubles (module docstring: 1−0.85 ≠ 0.15 in IEEE)."""
+    doubles (module docstring: 1−0.85 ≠ 0.15 in IEEE).
+
+    `has_source_only`: None (default) detects the no-in-edge vertex set
+    with a one-off distinct + anti-join over the checkpointed edge
+    list; pass False when the input provably has none (any undirected /
+    both-orientations edge list — the registered bipartite query does)
+    to skip that build entirely (~20% of the query at sf0.1), or True
+    to force the union path without the emptiness probe."""
     if teleport is None:
         teleport = 1.0 - damping
     edges = edges.select("src", "dst")
@@ -70,22 +78,26 @@ def pagerank(
     # instead of two joins (at scale: one fewer shuffle of the edge
     # set per iteration).
     edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
-    # the no-in-edge set, built FROM THE CHECKPOINT (building it from the
-    # raw `edges`/`deg` lineage would re-run the upstream scan+distinct —
-    # measured ~2 s at sf0.1); one distinct + one anti-join, both over
-    # the materialized edge list
-    src_only = (
-        edges_deg.select(F.col("src").alias("v"))
-        .distinct()
-        .join(edges_deg.select(F.col("dst").alias("v")), "v", "left_anti")
-        .localCheckpoint(eager=True)
-    )
-    # undirected inputs (and this module's registered bipartite graph)
-    # have NO source-only vertices: skip the per-round union entirely so
-    # the loop keeps the aggregation's hash partitioning intact (the
-    # union erases outputPartitioning and re-shuffles the rank frame
-    # every round — measured ~0.3 s/round at sf0.1 for nothing)
-    has_src_only = bool(src_only.head(1))
+    if has_source_only is False:
+        src_only = None
+        has_src_only = False
+    else:
+        # the no-in-edge set, built FROM THE CHECKPOINT (building it
+        # from the raw `edges`/`deg` lineage would re-run the upstream
+        # scan+distinct — measured ~2 s at sf0.1); one distinct + one
+        # anti-join, both over the materialized edge list
+        src_only = (
+            edges_deg.select(F.col("src").alias("v"))
+            .distinct()
+            .join(edges_deg.select(F.col("dst").alias("v")), "v", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        # undirected inputs have NO source-only vertices: skip the
+        # per-round union entirely so the loop keeps the aggregation's
+        # hash partitioning intact (the union erases outputPartitioning
+        # and re-shuffles the rank frame every round — measured
+        # ~0.3 s/round at sf0.1 for nothing)
+        has_src_only = True if has_source_only else bool(src_only.head(1))
     # seed only needs the CONTRIBUTING vertices (contributions inner-join
     # on src): in-only vertices enter the rank frame via the first
     # round's aggregation
@@ -210,7 +222,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph computation.
     """
     ranks = pagerank(
-        _bipartite_edges(spark, sf_dir), iters=_ITERS, damping=0.85, teleport=0.15
+        _bipartite_edges(spark, sf_dir),
+        iters=_ITERS,
+        damping=0.85,
+        teleport=0.15,
+        # both orientations are unioned, so every vertex has out-edges —
+        # skip the source-only probe (docstring of pagerank())
+        has_source_only=False,
     )
     return (
         ranks.select("v", F.round("rank", 6).alias("rank"))
