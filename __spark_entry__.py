@@ -45,8 +45,11 @@ _PRIORITY = [
     "join_theta_range", "join_asof_nearest", "agg_pivot", "agg_decimal_money",
     # oracle reworked r3 (rows-only before) — first hash check
     "agg_approx_distinct",
-    # never driver-checked as of r3 (CORRECTNESS_r01-r03 set difference)
-    "join_interval_overlap", "agg_hll_distinct", "agg_mode", "win_regr_slope",
+    # never driver-checked as of r3 (CORRECTNESS_r01-r03 set difference).
+    # agg_hll_distinct (rows-only by design) is deferred to the tail of
+    # this list so it doesn't spend one of the driver's 50 hash-check
+    # slots on a rows-only row.
+    "join_interval_overlap", "agg_mode", "win_regr_slope",
     "win_streaks_islands", "set_except", "set_unpivot", "scan_partition_pruning",
     "join_bucketed_colocated", "agg_skew_salted", "join_skew_salted",
     "scan_dynamic_partition_prune", "join_bloom_prefilter",
@@ -72,7 +75,11 @@ _PRIORITY = [
     "udf_map_in_pandas", "udtf_split_explode", "udf_map_in_arrow",
     # added in round 4 — never driver-checked
     "vec_upsert_merge", "scan_rest_datasource", "text_pack_sequences",
-    "text_bpe_pair_counts", "sample_shuffle_hash",
+    "text_bpe_pair_counts", "sample_shuffle_hash", "dedup_pipeline_survivors",
+    "text_quality_bucket", "text_repetition_filter", "sample_class_balance",
+    "sample_mix_proportions",
+    # rows-only by design — a driver row adds no hash check; keep last
+    "agg_hll_distinct",
 ]
 
 

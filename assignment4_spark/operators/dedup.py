@@ -773,3 +773,74 @@ def dedup_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_dups") > 1)
         .orderBy("canon_url")
     )
+
+
+@register(
+    "dedup_pipeline_survivors",
+    oracle=f"""
+    WITH RECURSIVE s AS ({_SHINGLE_SQL}),
+    edges AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE
+            / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= {JACCARD_THRESHOLD}
+    ),
+    undirected AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
+    reach(node, root) AS (
+      SELECT DISTINCT a AS node, a AS root FROM undirected
+      UNION
+      SELECT u.b AS node, r.root FROM reach r JOIN undirected u ON u.a = r.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(root) AS comp_id FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           COALESCE(c.comp_id, d.doc_id) AS comp_id,
+           (COALESCE(c.comp_id, d.doc_id) = d.doc_id) AS keep
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production near-dup dedup pipeline, end-to-end in one
+    plan: MinHash+LSH candidate pairs (minhash_lsh_pairs — banded
+    bucket join, never all-pairs) → connected components over the match
+    graph (connected_components — alternating large-star/small-star,
+    O(log² n) rounds) → survivor selection: each cluster keeps its
+    minimum doc_id, every unclustered doc keeps itself. Emits the full
+    corpus as (doc_id, comp_id, keep) — the keep column IS the dedup
+    filter a curation run applies before training.
+
+    This is the composition every large-scale text pipeline actually
+    runs (pair generation alone is not a dedup decision; clustering
+    without canonical selection is not either). Scale shape: the three
+    stages are individually bucketed/bounded (see their docstrings);
+    the final survivor join is a left join of the corpus against the
+    component map — comp map rows ≤ clustered docs ≪ corpus, so it
+    broadcasts at any realistic dup rate.
+
+    The oracle replays the same composition in SQL: brute-force exact
+    Jaccard pairs (the LSH recall argument in minhash_lsh_pairs makes
+    the candidate sets identical at fixture scale) + recursive-CTE
+    reachability + the same left join.
+    Reference provenance: A16/A18's Pinecone-delegated similarity
+    dedup, composed into the end-to-end curation decision the reference
+    app never materializes.
+    """
+    d = table(spark, sf_dir, "documents")
+    edges = minhash_lsh_pairs(d).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(edges)
+    return (
+        d.select("doc_id")
+        .join(
+            F.broadcast(comp.select(F.col("node").alias("doc_id"), "comp_id")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("comp_id", "doc_id").alias("comp_id"),
+            (F.coalesce("comp_id", "doc_id") == F.col("doc_id")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -423,3 +423,125 @@ def sample_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("position")
     )
+
+
+@register(
+    "sample_class_balance",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang, rk
+    FROM ranked WHERE rk <= 60
+    ORDER BY doc_id
+    """,
+)
+def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: cap every language at 60 documents,
+    chosen by deterministic md5 rank within the class — the
+    majority-class capping step of any balanced training mix (keep all
+    of the rare classes, hash-sample the overrepresented ones).
+
+    Spark shape: ONE window (partitionBy lang, orderBy md5 hash with
+    doc_id tie-break) filtered on rn ≤ cap — Spark rewrites this to
+    WindowGroupLimit, so each partition keeps a 60-row heap and the
+    exchange carries only survivors per class; no global sort, no
+    per-class collect. Same plan family as win_topk_per_group
+    (plan-gated there); the hash ranking makes the kept set
+    reproducible across engines, runs, and partitionings — and under
+    corpus GROWTH the kept set only changes where the hash boundary
+    moves, like every bottom-k sketch in this module.
+    Reference provenance: none; north-star sampling surface next to
+    sample_stratified_hash (which samples a FRACTION per stratum —
+    this op enforces an absolute per-class budget).
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    rk = F.row_number().over(
+        W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", rk.cast("bigint").alias("rk"))
+        .filter(F.col("rk") <= 60)
+        .orderBy("doc_id")
+    )
+
+
+# Target language mix for sample_mix_proportions. DYADIC weights (exact
+# binary doubles) so w*T and n/w hit no cross-engine float-boundary
+# ambiguity in the floor()s below.
+_MIX_WEIGHTS = {"en": 0.25, "de": 0.25, "es": 0.25, "fr": 0.125, "zh": 0.125}
+_MIX_SQL_VALUES = ", ".join(f"('{k}', {v})" for k, v in _MIX_WEIGHTS.items())
+
+
+@register(
+    "sample_mix_proportions",
+    oracle=f"""
+    WITH tgt(lang, w) AS (VALUES {_MIX_SQL_VALUES}),
+    cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    budget AS (
+      SELECT CAST(MIN(FLOOR(c.n / CAST(t.w AS DOUBLE))) AS BIGINT) AS t_total
+      FROM cnt c JOIN tgt t USING (lang)
+    ),
+    quota AS (
+      SELECT t.lang,
+             CAST(FLOOR(CAST(t.w AS DOUBLE) * b.t_total) AS BIGINT) AS k
+      FROM tgt t, budget b
+    ),
+    ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang, r.rk, q.k AS quota
+    FROM ranked r JOIN quota q USING (lang)
+    WHERE r.rk <= q.k
+    ORDER BY r.doc_id
+    """,
+)
+def sample_mix_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/language mixing to target proportions — the 'data mixture'
+    step of LLM training-set assembly: given target weights per
+    language (here 25/25/25/12.5/12.5%), find the LARGEST total budget
+    T the corpus supports without oversampling any class
+    (T = min_c floor(n_c / w_c)), then keep k_c = floor(w_c · T)
+    documents per class by deterministic md5 rank.
+
+    Spark shape: the class histogram is one map-side-combinable count;
+    the budget is a single-row aggregate over ≤|classes| rows; quotas
+    broadcast back onto the per-class hash ranking (WindowGroupLimit
+    family, see sample_class_balance) — the corpus is scanned once and
+    only survivors cross the final exchange. Weights are DYADIC
+    rationals (exact doubles), so the two floor()s are boundary-exact
+    across engines — the reason the target mix isn't 20% × 5.
+    Reference provenance: none; public recipe = the domain-weight
+    mixtures of GPT-3/Pile/LLaMA training-set papers.
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    tgt = spark.createDataFrame(
+        [(k, float(v)) for k, v in _MIX_WEIGHTS.items()], "lang string, w double"
+    )
+    cnt = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    budget = (
+        cnt.join(tgt, "lang")
+        .agg(F.min(F.floor(F.col("n") / F.col("w"))).cast("bigint").alias("t_total"))
+    )
+    quota = tgt.crossJoin(F.broadcast(budget)).select(
+        "lang",
+        F.floor(F.col("w") * F.col("t_total")).cast("bigint").alias("k"),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    )
+    ranked = d.select("doc_id", "lang", rk.cast("bigint").alias("rk"))
+    return (
+        ranked.join(F.broadcast(quota), "lang")
+        .filter(F.col("rk") <= F.col("k"))
+        .select("doc_id", "lang", "rk", F.col("k").alias("quota"))
+        .orderBy("doc_id")
+    )

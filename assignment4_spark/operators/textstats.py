@@ -639,3 +639,184 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(20)
     )
+
+
+@register(
+    "text_quality_bucket",
+    oracle="""
+    WITH tok AS (SELECT doc_id, lang,
+                        UNNEST(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> ''))
+                          AS token
+                 FROM documents),
+    vocab AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token),
+    total AS (SELECT SUM(freq) AS tot FROM vocab),
+    scored AS (
+      SELECT t.doc_id, t.lang, ROUND(AVG(LN(v.freq / total.tot)), 6) AS avg_logprob
+      FROM tok t, vocab v, total
+      WHERE t.token = v.token
+      GROUP BY t.doc_id, t.lang
+    )
+    SELECT doc_id, lang, avg_logprob,
+           CASE NTILE(3) OVER (PARTITION BY lang
+                               ORDER BY avg_logprob DESC, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM scored
+    ORDER BY doc_id
+    """,
+)
+def text_quality_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing: score every document by mean
+    unigram log-probability under the corpus's own distribution
+    (text_unigram_logprob's signal), then split each LANGUAGE into
+    head / middle / tail terciles — the exact shape CCNet uses to keep
+    'head' web text for LM training and to stratify the rest.
+
+    Spark shape: the scoring pass is the broadcast-vocab plan of
+    text_unigram_logprob (map-side-combinable vocab count, broadcast
+    scoring join, one per-doc aggregation). The tercile split is an
+    ntile(3) window PARTITIONED BY lang — no corpus-global window; each
+    language ranks independently, which is both the CCNet semantics and
+    the scale story (per-language partitions; a skew-heavy language mix
+    at 100 TB would sub-salt by shard and merge tercile boundaries via
+    approximate thresholds, at the cost of exactness this registered
+    face keeps). Ordering ties on 6-dp-rounded score break on doc_id,
+    so bucket assignment is engine-stable.
+    Reference provenance: none in the reference app; the north-star
+    curation surface next to text_unigram_logprob (CCNet, Wenzek et
+    al. 2020, is the public recipe).
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.filter(F.split(F.lower("text"), " "), lambda x: x != "")).alias(
+            "token"
+        ),
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    total = vocab.agg(F.sum("freq").alias("tot"))
+    scored = (
+        tok.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg(F.round(F.avg(F.log(F.col("freq") / F.col("tot"))), 6).alias("avg_logprob"))
+    )
+    tri = F.ntile(3).over(
+        W.partitionBy("lang").orderBy(F.col("avg_logprob").desc(), "doc_id")
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "avg_logprob",
+        F.when(tri == 1, "head").when(tri == 2, "middle").otherwise("tail").alias(
+            "bucket"
+        ),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_repetition_filter",
+    oracle="""
+    WITH tok AS (SELECT doc_id,
+                        LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS toks
+                 FROM documents),
+    words AS (SELECT doc_id, UNNEST(toks) AS token FROM tok),
+    wf AS (SELECT doc_id, token, COUNT(*) AS freq, COUNT(*) * LEN(token) AS wchars
+           FROM words GROUP BY doc_id, token),
+    wordstat AS (
+      SELECT doc_id,
+             ROUND(MAX(wchars)::DOUBLE / SUM(wchars), 6) AS top_word_frac
+      FROM wf GROUP BY doc_id
+    ),
+    tri AS (
+      SELECT doc_id,
+             CASE WHEN LEN(toks) >= 3 THEN
+               ROUND(1.0 - LEN(LIST_DISTINCT(
+                         [toks[i] || '_' || toks[i+1] || '_' || toks[i+2]
+                          FOR i IN GENERATE_SERIES(1, LEN(toks) - 2)]))::DOUBLE
+                     / (LEN(toks) - 2), 6)
+             ELSE 0.0 END AS dup_trigram_frac
+      FROM tok
+    )
+    SELECT w.doc_id, w.top_word_frac, t.dup_trigram_frac,
+           (w.top_word_frac <= 0.2 AND t.dup_trigram_frac <= 0.3) AS keep
+    FROM wordstat w JOIN tri t USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filtering (Rae et al. 2021, §A1.1): flag
+    documents dominated by repeated content. Two signals per document:
+
+      * top_word_frac — the largest character mass any single word
+        accounts for (max over words of freq·len / Σ freq·len); the
+        'fraction of characters in the most common word' family of
+        rules. Computed by exploding tokens into a map-side-combinable
+        (doc, token) count and taking max/sum per doc — two hash
+        aggregations, no window, no corpus-global state.
+      * dup_trigram_frac — the fraction of a doc's word trigrams that
+        are duplicates (1 − distinct/total), computed entirely NARROW:
+        the trigram array is built per-row from shifted slices
+        (dedup._shingles trick) and reduced with array_distinct/size,
+        so this signal costs zero shuffles.
+
+    keep = top_word_frac ≤ 0.2 AND dup_trigram_frac ≤ 0.3 (Gopher's
+    published cutoffs for the analogous rules). The corpus-scan cost at
+    100 TB is one explode+agg for the word signal; a production run
+    fuses both signals into the same single pass over text it already
+    makes for quality scoring (text_quality_score).
+    Reference provenance: none in the reference (no curation at all);
+    north-star training-data surface, public recipe = Gopher appendix.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    base = d.select("doc_id", toks.alias("toks"))
+
+    words = base.select("doc_id", F.explode("toks").alias("token"))
+    wf = words.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("freq"),
+        (F.count(F.lit(1)) * F.length("token")).alias("wchars"),
+    )
+    wordstat = wf.groupBy("doc_id").agg(
+        F.round(F.max("wchars").cast("double") / F.sum("wchars"), 6).alias(
+            "top_word_frac"
+        )
+    )
+
+    m = F.size("toks") - F.lit(2)
+    tri_arr = F.zip_with(
+        F.zip_with(
+            F.slice("toks", 1, m),
+            F.slice("toks", 2, m),
+            lambda a, b: F.concat(a, F.lit("_"), b),
+        ),
+        F.slice("toks", 3, m),
+        lambda ab, c: F.concat(ab, F.lit("_"), c),
+    )
+    tri = base.select(
+        "doc_id",
+        F.when(
+            F.size("toks") >= 3,
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct(tri_arr)).cast("double")
+                / (F.size("toks") - F.lit(2)),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_trigram_frac"),
+    )
+
+    return (
+        wordstat.join(tri, "doc_id")
+        .select(
+            "doc_id",
+            "top_word_frac",
+            "dup_trigram_frac",
+            (
+                (F.col("top_word_frac") <= 0.2) & (F.col("dup_trigram_frac") <= 0.3)
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

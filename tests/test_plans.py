@@ -416,3 +416,47 @@ def test_shuffle_hash_is_takeordered(spark, sf_oracle):
     plan = formatted_plan(spark, "sample_shuffle_hash", sf_oracle)
     body = plan.split("== Physical Plan ==")[-1]
     assert "TakeOrderedAndProject" in body, body
+
+
+def test_dedup_pipeline_no_allpairs_and_broadcast_compmap(spark, sf_oracle):
+    """The end-to-end dedup pipeline must keep the LSH candidate
+    generation bucketed (no cartesian / nested-loop anywhere in the
+    composed plan) and join the component map back onto the corpus as a
+    BROADCAST join — the map is bounded by clustered docs, never the
+    corpus."""
+    plan = formatted_plan(spark, "dedup_pipeline_survivors", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body, body
+    assert "BroadcastNestedLoopJoin" not in body, body
+    assert "BroadcastHashJoin" in body, body
+
+
+def test_class_balance_is_window_group_limit(spark, sf_oracle):
+    """Per-class capping must plan as WindowGroupLimit (per-partition
+    top-60 heap before the rank filter), not a full per-class sort +
+    post-filter."""
+    plan = formatted_plan(spark, "sample_class_balance", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "WindowGroupLimit" in body, body
+
+
+def test_mix_proportions_quota_broadcast(spark, sf_oracle):
+    """The quota frame (one row per class) must broadcast onto the
+    ranked corpus; the rank itself must be group-limited."""
+    plan = formatted_plan(spark, "sample_mix_proportions", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in body, body
+    assert "CartesianProduct" not in body, body
+
+
+def test_repetition_filter_trigram_narrow(spark, sf_oracle):
+    """The trigram dup-fraction side is a narrow per-row expression:
+    the whole query may shuffle only for the (doc,token) count, the
+    per-doc rollup, and the doc_id join — no window, no extra explode
+    exchange on the trigram side."""
+    import re
+
+    plan = formatted_plan(spark, "text_repetition_filter", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert len(re.findall(r"\(\d+\) Window", body)) == 0, body
+    assert "CartesianProduct" not in body, body
