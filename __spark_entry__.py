@@ -79,7 +79,7 @@ _PRIORITY = [
     "text_quality_bucket", "text_repetition_filter", "sample_class_balance",
     "sample_mix_proportions",
     # rows-only by design — a driver row adds no hash check; keep last
-    "agg_hll_distinct",
+    "agg_hll_distinct", "text_bpe_train",
 ]
 
 

@@ -820,3 +820,105 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def bpe_merge_expr(sym_col, left: str, right: str, merged: str):
+    """One BPE merge rule applied to an array<string> symbol column as a
+    greedy left-to-right fold (leftmost occurrence first, like every
+    production BPE implementation): F.aggregate with an array
+    accumulator — if the accumulator's last symbol is `left` and the
+    current is `right`, the pair collapses to `merged`, else append.
+    Interpreted (lambda) evaluation, but only ever run over the
+    DISTINCT-WORD vocabulary (see bpe_train), never the corpus."""
+    return F.aggregate(
+        sym_col,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(words: DataFrame, num_merges: int = 8) -> list[tuple[str, str, int]]:
+    """BPE tokenizer training (Sennrich et al., ACL'16) over a
+    (w: string, wc: bigint) word-frequency frame: `num_merges` rounds,
+    each = ONE pair-count aggregation over the symbolized vocabulary +
+    a deterministic argmax (count desc, then left/right asc), then the
+    winning rule merged into every vocab entry. Returns the merge table
+    [(left, right, count), ...] in rank order — the tokenizer artifact.
+
+    Scale shape: the corpus appears only in the caller's word-count
+    aggregation; every training round runs on the DISTINCT-WORD vocab
+    (HuggingFace tokenizers / SentencePiece structure the count the
+    same way), so round cost is |vocab|, map-side combinable, with the
+    vocab localCheckpointed per round to keep lineage flat. The argmax
+    is a 1-row driver fetch per round — a scalar training decision,
+    same pattern as vec_kmeans_train's centroid step, NOT a corpus
+    collect. Deterministic: ties break on (left, right)
+    lexicographically."""
+    sym = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.substring(F.col("w"), i, F.lit(1)),
+    )
+    vocab = words.select(sym.alias("sym"), F.col("wc")).localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        m = F.size("sym") - F.lit(1)
+        pairs = F.zip_with(
+            F.slice("sym", 1, m),
+            F.slice("sym", 2, m),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        )
+        best = (
+            vocab.filter(F.size("sym") >= 2)
+            .select(F.explode(pairs).alias("p"), "wc")
+            .groupBy("p")
+            .agg(F.sum("wc").cast("bigint").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("p.l"), F.col("p.r"))
+            .head(1)
+        )
+        if not best:
+            break
+        left, right, n = best[0]["p"]["l"], best[0]["p"]["r"], best[0]["n"]
+        merges.append((left, right, int(n)))
+        vocab = vocab.select(
+            bpe_merge_expr(F.col("sym"), left, right, left + right).alias("sym"),
+            "wc",
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+@register("text_bpe_train")  # rows-only: iterative argmax loop, no SQL twin
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training on the documents corpus: 8 merge rules
+    learned from the word-frequency table (registered face of
+    bpe_train — see its docstring for the vocab-sized round cost and
+    determinism). Output: (rank, left, right, merged, n) — the ordered
+    merge table a tokenizer ships as its model artifact.
+
+    Rows-only by design (like vec_kmeans_train): the training loop's
+    argmax-per-round is not expressible as one SQL query; correctness
+    is pinned instead by a pure-Python reference implementation over
+    the same word counts in tests/test_rag_ops.py.
+    Reference provenance: none in the reference app; north-star
+    tokenizer-training surface, one step past text_bpe_pair_counts
+    (whose top-1 row equals this op's rank-1 rule by construction).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    words = (
+        d.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    merges = bpe_train(words, num_merges=8)
+    return spark.createDataFrame(
+        [
+            (i + 1, left, right, left + right, n)
+            for i, (left, right, n) in enumerate(merges)
+        ],
+        "rank int, left string, right string, merged string, n bigint",
+    )

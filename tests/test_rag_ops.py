@@ -415,3 +415,57 @@ def test_kmeans_train_improves_on_seed_assignment(spark, sf_oracle):
 
     again = registry.QUERIES["vec_kmeans_train"](spark, sf_oracle).collect()
     assert [tuple(r) for r in trained] == [tuple(r) for r in again]
+
+
+def _bpe_reference(word_counts: dict, num_merges: int):
+    """Pure-Python BPE trainer (Sennrich ACL'16): max-count pair per
+    round, ties lexicographically smallest (left, right), greedy
+    leftmost-first merge — the spec text_bpe_train must match."""
+    v = {tuple(w): c for w, c in word_counts.items()}
+    out = []
+    for _ in range(num_merges):
+        pc = {}
+        for sym, c in v.items():
+            for i in range(len(sym) - 1):
+                pc[(sym[i], sym[i + 1])] = pc.get((sym[i], sym[i + 1]), 0) + c
+        if not pc:
+            break
+        mx = max(pc.values())
+        left, right = sorted(p for p, n in pc.items() if n == mx)[0]
+        out.append((left, right, mx))
+        nv = {}
+        for sym, c in v.items():
+            merged = []
+            for s in sym:
+                if merged and merged[-1] == left and s == right:
+                    merged[-1] = left + right
+                else:
+                    merged.append(s)
+            nv[tuple(merged)] = nv.get(tuple(merged), 0) + c
+        v = nv
+    return out
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """bpe_train on a hand-built word-count frame must reproduce the
+    reference trainer exactly, including the multi-char-symbol rounds
+    (rule 3 merges 'ab'+'c' — a pair only expressible AFTER rule 1)."""
+    from assignment4_spark.operators.textstats import bpe_train
+
+    counts = {"abcabc": 10, "abcd": 7, "bcd": 5, "xy": 3, "x": 2}
+    words = spark.createDataFrame(list(counts.items()), "w string, wc bigint")
+    got = bpe_train(words, num_merges=5)
+    assert got == _bpe_reference(counts, 5)
+
+
+def test_bpe_train_registered_head_is_pair_counts_top1(spark, sf_oracle):
+    """The rank-1 merge rule must equal text_bpe_pair_counts' top row —
+    the two ops are the same count by construction (pair_counts weights
+    by distinct-word frequency; train's round 1 runs on unmerged
+    single-char symbols, where a symbol pair IS a 2-char substring)."""
+    from assignment4_spark import registry
+
+    top = registry.QUERIES["text_bpe_pair_counts"](spark, sf_oracle).head(1)[0]
+    r1 = registry.QUERIES["text_bpe_train"](spark, sf_oracle).head(1)[0]
+    assert r1.rank == 1
+    assert r1.left + r1.right == top.pair
