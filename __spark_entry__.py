@@ -78,6 +78,9 @@ _PRIORITY = [
     "text_bpe_pair_counts", "sample_shuffle_hash", "dedup_pipeline_survivors",
     "text_quality_bucket", "text_repetition_filter", "sample_class_balance",
     "sample_mix_proportions",
+    # added later in round 4 — never driver-checked
+    "agg_cms_heavy_hitters", "text_dsir_importance", "dedup_exact_substring",
+    "dedup_semantic_cluster", "vec_pq_quantize",
     # rows-only by design — a driver row adds no hash check; keep last
     "agg_hll_distinct", "text_bpe_train",
 ]

@@ -844,3 +844,90 @@ def dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_exact_substring",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id,
+             UNNEST(generate_series(1, LENGTH(text) - 39)) AS pos,
+             text
+      FROM documents
+      WHERE LENGTH(text) >= 40
+    ), hashed AS (
+      SELECT doc_id, pos,
+             MD5(SUBSTRING(text, CAST(pos AS INTEGER), 40)) AS h
+      FROM grams
+    ), dup AS (
+      SELECT h FROM hashed GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ), per_doc AS (
+      SELECT hashed.doc_id,
+             COUNT(*) AS n_grams,
+             COUNT(dup.h) AS n_dup_grams
+      FROM hashed LEFT JOIN dup ON dup.h = hashed.h
+      GROUP BY hashed.doc_id
+    )
+    SELECT doc_id, n_grams, n_dup_grams,
+           ROUND(n_dup_grams / CAST(n_grams AS DOUBLE), 6) AS dup_frac
+    FROM per_doc
+    WHERE n_dup_grams > 0
+    ORDER BY dup_frac DESC, doc_id
+    """,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication profile (the Lee et al. 2022
+    "Deduplicating Training Data" signal, fixed-gram form): every
+    40-char window is hashed; windows whose hash occurs in ≥2 distinct
+    documents are duplicated spans, and each document reports how much
+    of it is covered by such spans. Docs with any duplicated span,
+    most-duplicated first.
+
+    Unlike the suffix-array original (which needs a global sort of all
+    suffixes), the fixed-gram form is pure explode + hash-agg: position
+    fan-out is narrow, the only exchanges carry (hash) and (doc_id) —
+    never text — and both aggregations are map-side combinable. The
+    distinct-doc count per gram uses the two-level (h, doc_id) →
+    (h) aggregation so a gram repeated a million times within ONE
+    document (boilerplate) still contributes one row to the second
+    shuffle. 40 chars ≈ the 50-token threshold of the paper scaled to
+    the fixture's ~300-char docs. The same hash-join shape at 100 TB:
+    the `dup` side (grams seen in ≥2 docs) is orders of magnitude
+    smaller than the gram stream; Spark's AQE picks a broadcast for it
+    when its post-agg size permits — the plan degrades to a shuffle
+    join, never a nested loop, when it does not.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.length("text") >= 40)
+    hashed = d.select(
+        "doc_id",
+        "text",
+        F.posexplode(F.sequence(F.lit(1), F.length("text") - 39)).alias("_i", "pos"),
+    ).select("doc_id", "pos", F.md5(F.expr("substring(text, pos, 40)")).alias("h"))
+    dup = (
+        hashed.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    per_doc = (
+        hashed.join(dup.withColumn("dup_hit", F.lit(1)), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("dup_hit").alias("n_dup_grams"),
+        )
+    )
+    return (
+        per_doc.filter(F.col("n_dup_grams") > 0)
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup_grams",
+            F.round(F.col("n_dup_grams") / F.col("n_grams").cast("double"), 6).alias(
+                "dup_frac"
+            ),
+        )
+        .orderBy(F.col("dup_frac").desc(), "doc_id")
+    )

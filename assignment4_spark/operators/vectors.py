@@ -993,3 +993,217 @@ def quantize_int8_audit(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
             6,
         ).alias("max_abs_err"),
     )
+
+
+@register(
+    "dedup_semantic_cluster",
+    oracle="""
+    WITH c AS (SELECT vec_id AS centroid_id, embedding AS cemb
+               FROM embeddings WHERE vec_id < 8),
+    sims AS (SELECT e.vec_id, c.centroid_id,
+                    ROUND(LIST_COSINE_SIMILARITY(e.embedding::DOUBLE[], c.cemb::DOUBLE[]), 6)
+                      AS sim
+             FROM embeddings e CROSS JOIN c),
+    assigned AS (SELECT vec_id, centroid_id
+                 FROM (SELECT *,
+                              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                                 ORDER BY sim DESC NULLS LAST,
+                                                          centroid_id) AS rn
+                       FROM sims)
+                 WHERE rn = 1),
+    pairs AS (SELECT aa.centroid_id, aa.vec_id AS vec_a, bb.vec_id AS vec_b
+              FROM assigned aa
+              JOIN assigned bb
+                ON aa.centroid_id = bb.centroid_id AND aa.vec_id < bb.vec_id
+              JOIN embeddings ea ON ea.vec_id = aa.vec_id
+              JOIN embeddings eb ON eb.vec_id = bb.vec_id
+              WHERE LIST_COSINE_SIMILARITY(ea.embedding::DOUBLE[],
+                                           eb.embedding::DOUBLE[]) >= 0.4),
+    dropped AS (SELECT centroid_id, COUNT(DISTINCT vec_b) AS n_dropped
+                FROM pairs GROUP BY centroid_id)
+    SELECT a.centroid_id,
+           COUNT(*) AS n_members,
+           COALESCE(MAX(d.n_dropped), 0) AS n_dropped,
+           COUNT(*) - COALESCE(MAX(d.n_dropped), 0) AS n_kept
+    FROM assigned a LEFT JOIN dropped d ON d.centroid_id = a.centroid_id
+    GROUP BY a.centroid_id
+    ORDER BY a.centroid_id
+    """,
+)
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space, then
+    search for semantic duplicates ONLY within each cluster — the
+    clustering is what turns the O(N²) all-pairs scan into a sum of
+    per-cluster quadratics with bounded cluster size. Per cluster:
+    member count, how many members are semantic duplicates of an
+    earlier member (cos ≥ 0.4 — the near_dup_pairs_exact threshold),
+    and the surviving count.
+
+    Shape: the 8-centroid assignment is the row-local broadcast argmax
+    of vec_kmeans_assign (corpus scanned once, never expands); the
+    within-cluster pair join shuffles on centroid_id, so each task's
+    candidate set is one cluster — at 100 TB you raise k so clusters
+    stay task-sized (SemDeDup used k=50k over 5B embeddings) and the
+    per-cluster matmul runs through near_dup_pairs_exact's block-pair
+    kernel instead of an expression join. Keep-rule: lowest vec_id per
+    duplicate group survives (first-occurrence convention,
+    dedup_first_occurrence).
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    cents = (
+        emb.filter(F.col("vec_id") < 8)
+        .groupBy()
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
+                )
+            ).alias("cents")
+        )
+    )
+    ranked = F.array_sort(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                F.coalesce(
+                    -F.round(cosine(F.col("emb"), c["cemb"]), 6), F.lit(float("inf"))
+                ).alias("negsim"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "emb", ranked[0]["cid"].alias("centroid_id"))
+    )
+    a = assigned.select(
+        F.col("centroid_id"), F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a")
+    )
+    b = assigned.select(
+        F.col("centroid_id").alias("c_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("emb_b"),
+    )
+    pairs = a.join(
+        b, (a.centroid_id == b.c_b) & (a.vec_a < b.vec_b)
+    ).filter(cosine(F.col("emb_a"), F.col("emb_b")) >= 0.4)
+    dropped = pairs.groupBy("centroid_id").agg(
+        F.countDistinct("vec_b").alias("n_dropped")
+    )
+    members = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        members.join(dropped, "centroid_id", "left")
+        .select(
+            "centroid_id",
+            "n_members",
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            (F.col("n_members") - F.coalesce("n_dropped", F.lit(0))).alias("n_kept"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+_PQ_M = 4       # subspaces
+_PQ_SUB = 16    # dims per subspace (64-dim fixture vectors)
+_PQ_K = 16      # codebook entries per subspace
+
+
+@register(
+    "vec_pq_quantize",
+    oracle=f"""
+    WITH cb AS (SELECT vec_id AS cid, embedding FROM embeddings
+                WHERE vec_id < {_PQ_K}),
+    sub AS (SELECT e.vec_id, cb.cid, j.j,
+                   ROUND(LIST_DISTANCE(
+                     (e.embedding[j.j*{_PQ_SUB}+1 : j.j*{_PQ_SUB}+{_PQ_SUB}])::DOUBLE[],
+                     (cb.embedding[j.j*{_PQ_SUB}+1 : j.j*{_PQ_SUB}+{_PQ_SUB}])::DOUBLE[]), 6)
+                     AS dist
+            FROM embeddings e
+            CROSS JOIN cb
+            CROSS JOIN (SELECT UNNEST(generate_series(0, {_PQ_M - 1})) AS j) j),
+    best AS (SELECT vec_id, j, cid, dist
+             FROM (SELECT *,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                             ORDER BY dist, cid) AS rn
+                   FROM sub)
+             WHERE rn = 1)
+    SELECT vec_id,
+           MAX(CASE WHEN j = 0 THEN cid END) AS code0,
+           MAX(CASE WHEN j = 1 THEN cid END) AS code1,
+           MAX(CASE WHEN j = 2 THEN cid END) AS code2,
+           MAX(CASE WHEN j = 3 THEN cid END) AS code3,
+           ROUND(SUM(dist), 6) AS recon_err
+    FROM best
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """,
+)
+def vec_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization encode (Jégou et al. 2011 — the memory
+    layout every billion-scale ANN index uses): the 64-dim vector is
+    split into 4 subspaces of 16 dims; each sub-vector is replaced by
+    the id of its nearest codebook entry (16 entries per subspace =
+    4 bits each, so the whole vector compresses to 4 small codes).
+    Emits the 4 codes + the summed sub-space quantization distance.
+
+    The codebook (here: sub-slices of the first 16 vectors — production
+    trains it with vec_kmeans_train per subspace) collapses to ONE
+    broadcast row, and each subspace argmin is the row-local
+    transform→array_sort idiom of vec_kmeans_assign: corpus scanned
+    once, no explode, no shuffle at all before the final orderBy —
+    encode throughput is the Tungsten expression pipeline. Distances
+    are rounded to 6 dp BEFORE the argmin, ties break on codebook id
+    (registry determinism rules).
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    cb = (
+        emb.filter(F.col("vec_id") < _PQ_K)
+        .groupBy()
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
+                )
+            ).alias("cb")
+        )
+    )
+
+    def sub_dist(a, c, j: int):
+        sa = F.slice(a, j * _PQ_SUB + 1, _PQ_SUB)
+        sc = F.slice(c, j * _PQ_SUB + 1, _PQ_SUB)
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(sa, sc, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+        )
+
+    # NB: the transform lambda must be SINGLE-parameter — a `lambda c, j=j`
+    # default-arg binding makes PySpark pick transform's (element, index)
+    # two-argument form and silently rebinds j to the array index.
+    def ranked_for(j: int):
+        def entry(c):
+            return F.struct(
+                F.round(sub_dist(F.col("emb"), c["cemb"], j), 6).alias("dist"),
+                c["cid"].alias("cid"),
+            )
+
+        return F.array_sort(F.transform(F.col("cb"), entry))[0]
+
+    out = emb.crossJoin(F.broadcast(cb))
+    for j in range(_PQ_M):
+        out = out.withColumn(f"_b{j}", ranked_for(j))
+    return out.select(
+        "vec_id",
+        *[F.col(f"_b{j}")["cid"].alias(f"code{j}") for j in range(_PQ_M)],
+        F.round(
+            sum(F.col(f"_b{j}")["dist"] for j in range(_PQ_M)), 6
+        ).alias("recon_err"),
+    ).orderBy("vec_id")
