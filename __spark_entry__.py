@@ -80,7 +80,8 @@ _PRIORITY = [
     "sample_mix_proportions",
     # added later in round 4 — never driver-checked
     "agg_cms_heavy_hitters", "text_dsir_importance", "dedup_exact_substring",
-    "dedup_semantic_cluster", "vec_pq_quantize",
+    "dedup_semantic_cluster", "vec_pq_quantize", "ts_downsample_ltob",
+    "scan_snapshot_time_travel", "vec_ann_ivf_pq_topk", "text_bigram_logprob",
     # rows-only by design — a driver row adds no hash check; keep last
     "agg_hll_distinct", "text_bpe_train",
 ]

@@ -479,3 +479,83 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("event_type").asc_nulls_first())
     )
+
+
+@register(
+    "scan_snapshot_time_travel",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*)                  AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    WHERE o_orderkey % 3 = 0
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def scan_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-isolated time travel over a manifest-tracked table — the
+    lakehouse mechanism (Iceberg/Delta snapshot + manifest list) built
+    from first principles on plain parquet: each commit writes NEW data
+    files plus an immutable manifest JSON naming the complete file set
+    of that version; a reader pins a version by reading exactly the
+    manifest's files, so later appends can never tear or contaminate an
+    in-flight query.
+
+    Two commits happen here: v1 = orders with o_orderkey%3=0, v2 =
+    append of the %3=1 slice (manifest v2 = v1's files + the new ones —
+    appends never rewrite data). The registered read is **AS OF v1**:
+    its file list comes from v1.json, and the op asserts the v2 read
+    sees strictly more rows before returning the v1 aggregate (the
+    oracle is the %3=0 slice of the truth table — byte-equality of the
+    snapshot with the data as of commit 1).
+
+    At 100 TB this IS how isolation scales: commits are O(new files) +
+    one manifest write; readers plan from a manifest listing (no
+    directory listing race), and pruning/compaction produce new
+    manifests without touching readers pinned to old ones. The format
+    here omits only what the sandbox can't exercise (concurrent-writer
+    CAS on the manifest pointer, column stats in the manifest for file
+    skipping — both noted, not simulated).
+    Reference provenance: A13's Pinecone index has no version pinning
+    at all (every read sees whatever the last upsert left) — this op is
+    the correctness property the reference silently lacks; write-side
+    MERGE lives in vec_upsert_merge (vectors.py).
+    """
+    import json as _json
+
+    base = _adir(sf_dir, "orders_snapshots")
+    orders = table(spark, sf_dir, "orders")
+
+    def commit(version: int, df, prior_files: list[str]) -> list[str]:
+        data_dir = os.path.join(base, f"batch{version}")
+        df.write.mode("overwrite").parquet(data_dir)
+        files = sorted(
+            os.path.join(data_dir, f)
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        )
+        manifest = {"version": version, "files": prior_files + files}
+        with open(os.path.join(base, f"v{version}.json"), "w") as fh:
+            _json.dump(manifest, fh)
+        return manifest["files"]
+
+    os.makedirs(base, exist_ok=True)
+    v1_files = commit(1, orders.filter(F.col("o_orderkey") % 3 == 0), [])
+    v2_files = commit(2, orders.filter(F.col("o_orderkey") % 3 == 1), v1_files)
+
+    with open(os.path.join(base, "v1.json")) as fh:
+        pinned = _json.load(fh)["files"]
+    snap_v1 = spark.read.parquet(*pinned)
+    snap_v2 = spark.read.parquet(*v2_files)
+    if snap_v2.count() <= snap_v1.count():
+        raise AssertionError("append commit must grow the snapshot")
+
+    return (
+        snap_v1.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

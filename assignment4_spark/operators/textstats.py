@@ -922,3 +922,87 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "rank int, left string, right string, merged string, n bigint",
     )
+
+
+@register(
+    "text_bigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, pos, token FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+               token
+        FROM (SELECT doc_id,
+                     UNNEST(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                                        x -> x <> '')) AS token,
+                     UNNEST(generate_series(1, LEN(LIST_FILTER(
+                       STRING_SPLIT(LOWER(text), ' '), x -> x <> '')))) AS pos
+              FROM documents))
+    ), big AS (
+      SELECT doc_id, token AS w1,
+             LEAD(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM tok
+    ), bigrams AS (SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL),
+    uni AS (SELECT token AS w1, COUNT(*) AS c1 FROM tok GROUP BY token),
+    bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM bigrams GROUP BY w1, w2),
+    v AS (SELECT COUNT(*) AS vsize FROM uni)
+    SELECT b.doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(AVG(LN((bi.c2 + 1.0) / (uni.c1 + v.vsize))), 6) AS avg_logprob
+    FROM bigrams b
+    JOIN bi ON bi.w1 = b.w1 AND bi.w2 = b.w2
+    JOIN uni ON uni.w1 = b.w1
+    CROSS JOIN v
+    GROUP BY b.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring with add-one smoothing — one order
+    up from text_unigram_logprob, the cheap proxy for the "perplexity
+    under a small LM" filter (CCNet's KenLM step) a curation pipeline
+    applies after the unigram pass: per-document mean
+    ln P(w_i | w_{i-1}) where P = (c(w1,w2)+1) / (c(w1)+|V|).
+
+    Shape: one tokenize pass with positions (narrow), adjacent pairs
+    via a per-doc lead() window (one shuffle, partitioned by doc —
+    never a positional self-join of the token stream), then the bigram
+    and unigram count tables (vocabulary-bounded, map-side combinable)
+    broadcast back onto the bigram stream for scoring, and one per-doc
+    aggregation. The count tables are what a 100 TB run materializes
+    once and reuses across every scoring pass; the corpus-sized frames
+    only ever shuffle on doc_id. AVG + 6-dp round absorbs summation
+    order (idiom: text_unigram_logprob).
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("pos", "token"),
+    )
+    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        tok.select(
+            "doc_id",
+            F.col("token").alias("w1"),
+            F.lead("token").over(wdoc).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    uni = tok.groupBy(F.col("token").alias("w1")).agg(F.count(F.lit(1)).alias("c1"))
+    bi = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    v = uni.agg(F.count(F.lit(1)).alias("vsize"))
+    return (
+        bigrams.join(F.broadcast(bi), ["w1", "w2"])
+        .join(F.broadcast(uni), "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("vsize")))), 6
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

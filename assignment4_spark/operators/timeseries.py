@@ -700,3 +700,95 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "grid_ts")
     )
+
+
+@register(
+    "ts_downsample_ltob",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type, ts, event_id, value,
+             NTILE(40) OVER (PARTITION BY event_type
+                             ORDER BY ts, event_id) AS bucket
+      FROM events
+    ), tri AS (
+      SELECT event_type, bucket, ts, event_id, value,
+             ABS( (EPOCH_US(LAG(ts)  OVER w) - EPOCH_US(LEAD(ts) OVER w))
+                    * (value - LAG(value) OVER w)
+                - (EPOCH_US(LAG(ts)  OVER w) - EPOCH_US(ts))
+                    * (LEAD(value) OVER w - LAG(value) OVER w) ) AS area2
+      FROM pts
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), picked AS (
+      SELECT event_type, bucket, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                                ORDER BY area2 DESC NULLS LAST, ts, event_id)
+               AS rn
+      FROM tri
+    )
+    SELECT event_type, bucket, ts, event_id, ROUND(value, 6) AS val_r
+    FROM picked
+    WHERE rn = 1
+    ORDER BY event_type, bucket
+    """,
+)
+def ts_downsample_ltob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-One-Bucket downsampling (Steinarsson 2013 — the
+    chart-rendering reduction): each event_type's series is cut into 40
+    equal-count buckets and each bucket keeps the single point forming
+    the largest triangle with its immediate neighbors — the point whose
+    removal would deform the line most. 40 points out per series
+    regardless of input length.
+
+    LTOB rather than LTTB deliberately: LTTB's triangle uses the
+    PREVIOUSLY SELECTED point, a sequential dependency that cannot be
+    a window expression (it would need applyInPandas per series); LTOB
+    is lag/lead-local, so the whole operator is two window passes over
+    the same (event_type | ts, event_id) sort order — ntile and the
+    neighbor triangle share one exchange, the bucket argmax adds a
+    partial WindowGroupLimit. Area is the doubled unsigned triangle
+    area in (epoch-µs × value) units, written with IDENTICAL operation
+    order on both engines (products of small differences — exact
+    integer µs deltas times value deltas — so the doubles agree
+    bit-for-bit); series endpoints have NULL neighbors → NULL area →
+    sort last, so an endpoint is kept only when its bucket holds
+    nothing else. Ties break on (ts, event_id) — the fixture's shared
+    millisecond timestamps make a bare ts tie-break nondeterministic
+    (ts_ohlc_bars lesson).
+
+    At 100 TB: one shuffle per series partition (event_type), both
+    windows ride it; no cross-series traffic, buckets never
+    materialize more than their own rows.
+    Reference provenance: none; SURVEY §2 Part B timeseries family
+    (round 4) — the read-side reduction every dashboard on top of this
+    engine runs.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    pts = ev.select(
+        "event_type", "ts", "event_id", "value", F.ntile(40).over(w).alias("bucket")
+    )
+    x = F.unix_micros(F.col("ts")).cast("double")
+    x_prev = F.unix_micros(F.lag("ts").over(w)).cast("double")
+    x_next = F.unix_micros(F.lead("ts").over(w)).cast("double")
+    tri = pts.select(
+        "event_type",
+        "bucket",
+        "ts",
+        "event_id",
+        "value",
+        F.abs(
+            (x_prev - x_next) * (F.col("value") - F.lag("value").over(w))
+            - (x_prev - x) * (F.lead("value").over(w) - F.lag("value").over(w))
+        ).alias("area2"),
+    )
+    pick = W.partitionBy("event_type", "bucket").orderBy(
+        F.col("area2").desc_nulls_last(), "ts", "event_id"
+    )
+    return (
+        tri.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type", "bucket", "ts", "event_id", F.round("value", 6).alias("val_r")
+        )
+        .orderBy("event_type", "bucket")
+    )

@@ -1162,7 +1162,21 @@ def vec_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("emb")
     )
-    cb = (
+    out = pq_encode(emb, _pq_codebook(emb))
+    return out.select(
+        "vec_id",
+        *[F.col(f"_b{j}")["cid"].alias(f"code{j}") for j in range(_PQ_M)],
+        F.round(
+            sum(F.col(f"_b{j}")["dist"] for j in range(_PQ_M)), 6
+        ).alias("recon_err"),
+    ).orderBy("vec_id")
+
+
+def _pq_codebook(emb: DataFrame) -> DataFrame:
+    """One-row codebook frame: the _PQ_K lowest-id vectors as a sorted
+    (cid, cemb) struct array (production swaps in per-subspace
+    vec_kmeans_train output — the shape downstream is identical)."""
+    return (
         emb.filter(F.col("vec_id") < _PQ_K)
         .groupBy()
         .agg(
@@ -1174,16 +1188,26 @@ def vec_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def sub_dist(a, c, j: int):
-        sa = F.slice(a, j * _PQ_SUB + 1, _PQ_SUB)
-        sc = F.slice(c, j * _PQ_SUB + 1, _PQ_SUB)
-        return F.sqrt(
-            F.aggregate(
-                F.zip_with(sa, sc, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda s, x: s + x,
-            )
+
+def pq_sub_dist(a, c, j: int):
+    """L2 distance between subspace j of vectors a and c — sequential
+    left-to-right fold, so DuckDB's LIST_DISTANCE over the same slices
+    produces the identical double."""
+    sa = F.slice(a, j * _PQ_SUB + 1, _PQ_SUB)
+    sc = F.slice(c, j * _PQ_SUB + 1, _PQ_SUB)
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(sa, sc, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda s, x: s + x,
         )
+    )
+
+
+def pq_encode(emb: DataFrame, cb: DataFrame) -> DataFrame:
+    """Attach per-subspace best-codebook-entry structs _b0.._b{M-1}
+    (fields: dist rounded 6dp, cid) to every row of `emb` — the
+    row-local broadcast argmin described in vec_pq_quantize."""
 
     # NB: the transform lambda must be SINGLE-parameter — a `lambda c, j=j`
     # default-arg binding makes PySpark pick transform's (element, index)
@@ -1191,7 +1215,7 @@ def vec_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     def ranked_for(j: int):
         def entry(c):
             return F.struct(
-                F.round(sub_dist(F.col("emb"), c["cemb"], j), 6).alias("dist"),
+                F.round(pq_sub_dist(F.col("emb"), c["cemb"], j), 6).alias("dist"),
                 c["cid"].alias("cid"),
             )
 
@@ -1200,10 +1224,189 @@ def vec_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = emb.crossJoin(F.broadcast(cb))
     for j in range(_PQ_M):
         out = out.withColumn(f"_b{j}", ranked_for(j))
-    return out.select(
+    return out
+
+
+@register(
+    "vec_ann_ivf_pq_topk",
+    oracle=f"""
+    WITH coarse AS (SELECT vec_id AS centroid_id, embedding AS cemb
+                    FROM embeddings WHERE vec_id < 8),
+    cb AS (SELECT vec_id AS cid, embedding FROM embeddings
+           WHERE vec_id < {_PQ_K}),
+    assigned AS (
+      SELECT vec_id, centroid_id
+      FROM (SELECT e.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY ROUND(LIST_COSINE_SIMILARITY(
+                                e.embedding::DOUBLE[], c.cemb::DOUBLE[]), 6)
+                              DESC NULLS LAST, c.centroid_id) AS rn
+            FROM embeddings e CROSS JOIN coarse c)
+      WHERE rn = 1),
+    codes_long AS (
+      SELECT vec_id, j, cid
+      FROM (SELECT e.vec_id, j.j, cb.cid,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id, j.j
+                     ORDER BY ROUND(LIST_DISTANCE(
+                       (e.embedding[j.j*{_PQ_SUB}+1 : j.j*{_PQ_SUB}+{_PQ_SUB}])::DOUBLE[],
+                       (cb.embedding[j.j*{_PQ_SUB}+1 : j.j*{_PQ_SUB}+{_PQ_SUB}])::DOUBLE[]), 6),
+                       cb.cid) AS rn
+            FROM embeddings e CROSS JOIN cb
+            CROSS JOIN (SELECT UNNEST(generate_series(0, {_PQ_M - 1})) AS j) j)
+      WHERE rn = 1),
+    codes AS (
+      SELECT vec_id,
+             MAX(CASE WHEN j = 0 THEN cid END) AS c0,
+             MAX(CASE WHEN j = 1 THEN cid END) AS c1,
+             MAX(CASE WHEN j = 2 THEN cid END) AS c2,
+             MAX(CASE WHEN j = 3 THEN cid END) AS c3
+      FROM codes_long GROUP BY vec_id),
+    probes AS (
+      SELECT vec_id AS query_id, centroid_id
+      FROM (SELECT e.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY ROUND(LIST_COSINE_SIMILARITY(
+                                e.embedding::DOUBLE[], c.cemb::DOUBLE[]), 6)
+                              DESC NULLS LAST, c.centroid_id) AS rn
+            FROM embeddings e CROSS JOIN coarse c
+            WHERE e.vec_id >= 100 AND e.vec_id < 105)
+      WHERE rn <= 3),
+    lut AS (
+      SELECT q.vec_id AS query_id, j.j, cb.cid,
+             ROUND(LIST_DISTANCE(
+               (q.embedding[j.j*{_PQ_SUB}+1 : j.j*{_PQ_SUB}+{_PQ_SUB}])::DOUBLE[],
+               (cb.embedding[j.j*{_PQ_SUB}+1 : j.j*{_PQ_SUB}+{_PQ_SUB}])::DOUBLE[]), 6)
+               AS d
+      FROM embeddings q CROSS JOIN cb
+      CROSS JOIN (SELECT UNNEST(generate_series(0, {_PQ_M - 1})) AS j) j
+      WHERE q.vec_id >= 100 AND q.vec_id < 105),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             ROUND(SQRT(((l0.d*l0.d + l1.d*l1.d) + l2.d*l2.d) + l3.d*l3.d), 6)
+               AS est_dist
+      FROM probes p
+      JOIN assigned a ON a.centroid_id = p.centroid_id
+      JOIN codes k ON k.vec_id = a.vec_id
+      JOIN lut l0 ON l0.query_id = p.query_id AND l0.j = 0 AND l0.cid = k.c0
+      JOIN lut l1 ON l1.query_id = p.query_id AND l1.j = 1 AND l1.cid = k.c1
+      JOIN lut l2 ON l2.query_id = p.query_id AND l2.j = 2 AND l2.cid = k.c2
+      JOIN lut l3 ON l3.query_id = p.query_id AND l3.j = 3 AND l3.cid = k.c3
+      WHERE a.vec_id <> p.query_id)
+    SELECT query_id, neighbor_id, est_dist,
+           CAST(rnk AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY est_dist, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def vec_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate k-NN with asymmetric distance computation —
+    the full billion-scale ANN read path (Jégou et al. 2011 / FAISS
+    IVFPQ): coarse-quantize the corpus into 8 inverted lists, PQ-encode
+    every vector to 4 codes, and answer each query by (1) probing its
+    3 nearest coarse lists and (2) scoring candidates WITHOUT touching
+    their full vectors — each query precomputes a 4×16 lookup table of
+    subspace distances to the shared codebook, and a candidate's
+    estimated distance is four table lookups. Unlike vec_ann_ivf_topk /
+    the RP-LSH ops (engine-defined → rows-only), every step here is
+    md5-free deterministic arithmetic, so this one carries a full
+    value oracle.
+
+    Scale shape: the corpus is scanned once for assignment+encoding
+    (row-local broadcast argmins — no explode, no shuffle); the probe
+    relation (queries × 3) and the per-query LUTs (5 rows of 4 arrays)
+    broadcast; the only corpus-sized exchange is the inverted-list
+    bucket join on centroid_id, whose output is |probed lists| — the
+    ADC scan never moves an original embedding. That is precisely why
+    IVFPQ wins at 10⁹ vectors: candidate scoring is memory-bandwidth
+    on 4-byte codes, not 256-byte floats. Distances rounded to 6 dp at
+    the LUT (both engines), est formula written in identical
+    operation order; ties break on neighbor_id.
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    coarse = (
+        emb.filter(F.col("vec_id") < 8)
+        .groupBy()
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
+                )
+            ).alias("cents")
+        )
+    )
+    ranked_cos = F.array_sort(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                F.coalesce(
+                    -F.round(cosine(F.col("emb"), c["cemb"]), 6), F.lit(float("inf"))
+                ).alias("negsim"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    cb = _pq_codebook(emb)
+    # corpus: coarse list id + PQ codes, one scan, all row-local
+    corpus = pq_encode(
+        emb.crossJoin(F.broadcast(coarse)).select(
+            "vec_id", "emb", ranked_cos[0]["cid"].alias("centroid_id")
+        ),
+        cb,
+    ).select(
         "vec_id",
-        *[F.col(f"_b{j}")["cid"].alias(f"code{j}") for j in range(_PQ_M)],
-        F.round(
-            sum(F.col(f"_b{j}")["dist"] for j in range(_PQ_M)), 6
-        ).alias("recon_err"),
-    ).orderBy("vec_id")
+        "centroid_id",
+        *[F.col(f"_b{j}")["cid"].alias(f"c{j}") for j in range(_PQ_M)],
+    )
+    q = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+    probes = (
+        q.crossJoin(F.broadcast(coarse))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode(F.slice(ranked_cos, 1, 3)).alias("_p", "probe"),
+        )
+        .select("query_id", F.col("probe")["cid"].alias("centroid_id"))
+    )
+    # per-query LUT: for each subspace j an array where entry cid+1 is
+    # the (rounded) distance from the query's sub-vector j to codebook
+    # entry cid — the cb array is cid-sorted and cids are contiguous.
+    luts = q.crossJoin(F.broadcast(cb)).select(
+        F.col("vec_id").alias("query_id"),
+        *[
+            F.transform(
+                F.col("cb"),
+                (lambda j: lambda c: F.round(pq_sub_dist(F.col("emb"), c["cemb"], j), 6))(j),
+            ).alias(f"lut{j}")
+            for j in range(_PQ_M)
+        ],
+    )
+    d = [
+        F.element_at(F.col(f"lut{j}"), F.col(f"c{j}").cast("int") + 1)
+        for j in range(_PQ_M)
+    ]
+    scored = (
+        F.broadcast(probes)
+        .join(corpus, "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(luts), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                F.sqrt(((d[0] * d[0] + d[1] * d[1]) + d[2] * d[2]) + d[3] * d[3]), 6
+            ).alias("est_dist"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("est_dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )
