@@ -931,3 +931,89 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("dup_frac").desc(), "doc_id")
     )
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH s AS ({_SHINGLE_SQL}),
+    postings AS (
+      SELECT doc_id, UNNEST(sh) AS sh FROM s
+    ), rare AS (
+      SELECT sh FROM postings GROUP BY sh HAVING COUNT(*) <= 50
+    ), p AS (
+      SELECT postings.doc_id, postings.sh
+      FROM postings JOIN rare USING (sh)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM p GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM p a JOIN p b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT sh.doc_a, sh.doc_b, sh.n_shared,
+           ROUND(sh.n_shared / CAST(sa.n_sh AS DOUBLE), 6) AS containment
+    FROM shared sh JOIN sizes sa ON sa.doc_id = sh.doc_a
+    WHERE sa.n_sh >= 5
+      AND sh.n_shared / CAST(sa.n_sh AS DOUBLE) >= 0.6
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs — C(A,B) = |shingles(A) ∩
+    shingles(B)| / |shingles(A)| ≥ 0.6: A is (nearly) contained in B.
+    Jaccard misses exactly this case (a paragraph quoted inside a much
+    longer document scores near-zero Jaccard but containment ≈ 1) —
+    it is the quote/boilerplate/benchmark-leakage detector, the
+    pairwise generalization of dedup_contamination's one-sided check.
+
+    Inverted-index shape, never all-pairs: postings (shingle → doc)
+    self-join on the shingle, grouped to shared-counts. The
+    document-frequency cap (df ≤ 50) is what makes the postings join
+    scale-safe: a stopword-ish shingle appearing in k docs would emit
+    k² pair rows, so the metric is DEFINED over discriminative
+    shingles only (standard practice — hot shingles carry no
+    containment signal anyway) and the join fan-out is bounded by
+    df_cap² per shingle. Docs need ≥5 discriminative shingles to
+    score, killing trivial 1-shingle full-containments. Both
+    directions emerge naturally (C(A,B) and C(B,A) differ by the
+    denominator).
+    """
+    d = table(spark, sf_dir, "documents")
+    postings = d.select(
+        "doc_id", F.explode(_shingles()).alias("sh")
+    )
+    rare = (
+        postings.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 50)
+        .select("sh")
+    )
+    p = postings.join(rare, "sh")
+    sizes = p.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = p.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = p.select(F.col("doc_id").alias("doc_b"), "sh")
+    shared = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), "n_sh")), "doc_a"
+        )
+        .filter(
+            (F.col("n_sh") >= 5)
+            & (F.col("n_shared") / F.col("n_sh").cast("double") >= 0.6)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_sh").cast("double"), 6).alias(
+                "containment"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

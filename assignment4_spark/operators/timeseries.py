@@ -792,3 +792,150 @@ def ts_downsample_ltob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+@register(
+    "ts_changepoint_cusum",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, e.ts, e.event_id,
+             (e.value - s.mu) / s.sigma AS z
+      FROM events e JOIN stats s USING (event_type)
+    ), cusum AS (
+      SELECT event_type, ts, event_id,
+             SUM(z) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS s
+      FROM dev
+    )
+    SELECT event_type, ts, event_id, ROUND(s, 6) AS cusum_r,
+           CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY ROUND(ABS(s), 6) DESC, ts, event_id)
+                      AS rn
+          FROM cusum)
+    WHERE rn <= 3
+    ORDER BY event_type, rank
+    """,
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection (Page 1954): per series, standardize
+    each value against the series mean/stddev and accumulate the
+    deviations in time order — where |CUSUM| peaks is where the mean
+    most plausibly shifted. Emits the top-3 candidate points per
+    event_type.
+
+    Shape: one per-series aggregation for (μ, σ) broadcast back onto
+    the stream, then ONE per-series window sort shared by the running
+    sum and the peak-rank (same (event_type | ts, event_id) order;
+    ranking partitions by the same key, so no second exchange), with
+    WindowGroupLimit pruning the rank. The running sum is sequential
+    per series — the one genuinely order-dependent float in the engine;
+    both ranks and values compare on 6-dp rounds so the engines'
+    different accumulation trees (Spark running-frame vs DuckDB
+    segment tree) agree (same tolerance argument as win_running_sum).
+    At 100 TB: series partition by key, no cross-series traffic; a
+    single series too long for one task is the documented limit (the
+    standard fix — chunked prefix-sum scan — is not needed at any
+    realistic per-key cardinality).
+    Reference provenance: none; SURVEY §2 Part B timeseries family
+    (round 4) — the drift monitor a curation pipeline points at its
+    own quality metrics.
+    """
+    ev = table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    dev = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "ts",
+        "event_id",
+        ((F.col("value") - F.col("mu")) / F.col("sigma")).alias("z"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cusum = dev.select(
+        "event_type", "ts", "event_id", F.sum("z").over(w).alias("s")
+    )
+    rank_w = W.partitionBy("event_type").orderBy(
+        F.round(F.abs(F.col("s")), 6).desc(), "ts", "event_id"
+    )
+    return (
+        cusum.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "ts", "event_id", F.round("s", 6).alias("cusum_r"), "rank")
+        .orderBy("event_type", "rank")
+    )
+
+
+@register(
+    "ts_cdc_apply",
+    oracle="""
+    WITH changes AS (
+      SELECT user_id,
+             ts, event_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             value
+      FROM events
+    ), latest AS (
+      SELECT user_id, op, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+      FROM changes
+    )
+    SELECT user_id, ROUND(value, 6) AS final_value, n_changes
+    FROM latest
+    WHERE rn = 1 AND op <> 'D'
+    ORDER BY user_id
+    """,
+)
+def ts_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC (change-data-capture) apply — the read-side materialization
+    of a change stream into current table state, with DELETE
+    tombstones: each event is an upsert of (user_id → value) unless it
+    is an 'error' event, which acts as a delete of that key. A key's
+    final state is its LATEST change by (ts, event_id); keys whose
+    latest change is a tombstone vanish from the result.
+
+    This is one level past vec_upsert_dedup (latest-wins without
+    deletes) and the read-side dual of vec_upsert_merge (write-side
+    MERGE): together the three cover the ingest surface a Delta/Hudi
+    CDF consumer needs. Shape: one window over (user_id | seq desc)
+    shared by the latest-pick and the change count (same partition
+    key, one exchange) — the change-count window needs every row, so
+    the rank filter prunes after it, not below it — shuffle volume is
+    the change stream, state is one row per key. At 100 TB the same plan applies partition-wise;
+    compaction of the applied state is scan_files_compaction's job.
+    Reference provenance: A13's upsert loop (SURVEY §4.1) — the delete
+    path its Pinecone calls have but the reference never exercises.
+    """
+    ev = table(spark, sf_dir, "events")
+    changes = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "value",
+    )
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    wc = W.partitionBy("user_id")
+    latest = changes.select(
+        "user_id",
+        "op",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_changes"),
+    )
+    return (
+        latest.filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("user_id", F.round("value", 6).alias("final_value"), "n_changes")
+        .orderBy("user_id")
+    )

@@ -460,3 +460,144 @@ def test_repetition_filter_trigram_narrow(spark, sf_oracle):
     body = plan.split("== Physical Plan ==")[-1]
     assert len(re.findall(r"\(\d+\) Window", body)) == 0, body
     assert "CartesianProduct" not in body, body
+
+
+def test_cms_sketch_joins_broadcast(spark, sf_oracle):
+    """The 3 CMS sketch frames (≤512 rows each) must broadcast back onto
+    the vocabulary, and the top-20 must be a TakeOrderedAndProject —
+    never a global sort of the vocab."""
+    plan = formatted_plan(spark, "agg_cms_heavy_hitters", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert body.count("BroadcastHashJoin") >= 3, body
+    assert "TakeOrderedAndProject" in body, body
+    assert "SortMergeJoin" not in body, body
+
+
+def test_dsir_ratio_table_broadcasts(spark, sf_oracle):
+    """The 1024-row log-ratio table must broadcast onto the token
+    stream (the corpus-sized side never shuffles for the scoring join);
+    top-50 is a TakeOrdered."""
+    plan = formatted_plan(spark, "text_dsir_importance", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in body, body
+    assert "TakeOrderedAndProject" in body, body
+    assert "SortMergeJoin" not in body, body
+
+
+def test_exact_substring_no_allpairs(spark, sf_oracle):
+    """The duplicated-gram join must stay an equi hash join on the gram
+    hash — never a cartesian/nested-loop — and both aggregation levels
+    must be hash aggregates (map-side combinable)."""
+    plan = formatted_plan(spark, "dedup_exact_substring", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body, body
+    assert "BroadcastNestedLoopJoin" not in body, body
+    assert "HashAggregate" in body, body
+
+
+def test_semantic_cluster_pair_join_is_equi(spark, sf_oracle):
+    """SemDeDup's within-cluster pair scan must join on centroid_id as
+    an equi join (SortMergeJoin/ShuffledHashJoin/BroadcastHashJoin) —
+    the only nested-loop joins allowed are the single-row centroid-array
+    broadcasts; a CartesianProduct means the cluster bucketing died."""
+    plan = formatted_plan(spark, "dedup_semantic_cluster", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body, body
+    assert ("SortMergeJoin" in body) or ("ShuffledHashJoin" in body) or (
+        body.count("BroadcastHashJoin") >= 1
+    ), body
+
+
+def test_pq_encode_rowlocal_no_shuffle(spark, sf_oracle):
+    """PQ encode is a pure row-local expression pipeline over one scan:
+    the only exchanges are the single-row codebook broadcast and the
+    presentation sort — no data shuffle, no Python worker."""
+    import re
+
+    plan = formatted_plan(spark, "vec_pq_quantize", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert len(re.findall(r"\(\d+\) Exchange", body)) <= 2, body
+    assert "EvalPython" not in body, body
+    assert "Generate" not in body, body  # no explode — argmin is in-row
+
+
+def test_ivf_pq_inverted_list_join_shape(spark, sf_oracle):
+    """IVF-PQ: probes and LUTs broadcast (BroadcastHashJoin), the rank
+    is WindowGroupLimit-pruned, and the corpus side never enters a
+    cartesian — its only exchange is the inverted-list equi join."""
+    plan = formatted_plan(spark, "vec_ann_ivf_pq_topk", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert body.count("BroadcastHashJoin") >= 2, body
+    assert "WindowGroupLimit" in body, body
+    assert "CartesianProduct" not in body, body
+
+
+def test_ltob_windows_share_one_exchange(spark, sf_oracle):
+    """LTOB: ntile + the neighbor triangle ride ONE per-series sort, and
+    the bucket argmax reuses the event_type hash partitioning (hash on
+    event_type clusters (event_type, bucket)) — so the whole operator
+    has exactly one data exchange plus the presentation sort, and the
+    argmax is WindowGroupLimit-pruned."""
+    import re
+
+    plan = formatted_plan(spark, "ts_downsample_ltob", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert len(re.findall(r"\(\d+\) Exchange", body)) == 2, body
+    assert "WindowGroupLimit" in body, body
+
+
+def test_bigram_count_tables_broadcast(spark, sf_oracle):
+    """Bigram LM scoring: the bigram/unigram count tables broadcast onto
+    the bigram stream; adjacent pairs come from a window (one per-doc
+    exchange), never a positional self-join of the token stream."""
+    plan = formatted_plan(spark, "text_bigram_logprob", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert body.count("BroadcastHashJoin") >= 2, body
+    assert "SortMergeJoin" not in body, body
+
+
+def test_snapshot_read_pins_v1_files(spark, sf_oracle):
+    """The AS-OF-v1 read must scan only commit 1's data files — if the
+    v2 batch directory appears in the scan, snapshot isolation is
+    broken."""
+    plan = formatted_plan(spark, "scan_snapshot_time_travel", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "batch2" not in body, body
+
+
+def test_cusum_shares_one_series_exchange(spark, sf_oracle):
+    """CUSUM: the running sum and the peak rank partition by the same
+    key, so they ride one per-series exchange (plus the stats broadcast
+    and the presentation sort); the rank is WindowGroupLimit-pruned."""
+    import re
+
+    plan = formatted_plan(spark, "ts_changepoint_cusum", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "WindowGroupLimit" in body, body
+    assert "BroadcastHashJoin" in body, body
+    # stats agg + one data exchange (event_type) + presentation sort
+    assert len(re.findall(r"\(\d+\) Exchange", body)) <= 3, body
+
+
+def test_cdc_apply_single_window_exchange(spark, sf_oracle):
+    """CDC apply: latest-pick and change-count share one (user_id)
+    exchange — the whole operator is that exchange plus the
+    presentation sort. (No WindowGroupLimit: the change-count window
+    legitimately needs every row before the rank filter may prune.)"""
+    import re
+
+    plan = formatted_plan(spark, "ts_cdc_apply", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert len(re.findall(r"\(\d+\) Exchange", body)) <= 2, body
+    assert len(re.findall(r"\(\d+\) Window", body)) == 2, body
+
+
+def test_containment_is_postings_join(spark, sf_oracle):
+    """Containment pairs: the pair generation must be the inverted-index
+    equi join on the shingle — never a cartesian/nested-loop document
+    pair scan — and the size frame broadcasts."""
+    plan = formatted_plan(spark, "dedup_containment_pairs", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body, body
+    assert "BroadcastNestedLoopJoin" not in body, body
+    assert "BroadcastHashJoin" in body, body

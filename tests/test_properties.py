@@ -177,3 +177,140 @@ def test_weighted_sample_biased_toward_long_docs(spark, sf_oracle):
     )
     sample_mean = sum(r.n_chars for r in sample) / len(sample)
     assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
+
+
+def test_cms_never_underestimates(spark, sf_oracle):
+    """Count-min is one-sided by construction: the estimate is a sum of
+    the true count plus colliding mass, so est >= exact for EVERY
+    token — an estimator regression (wrong bucket width, min over the
+    wrong axis) breaks this before it breaks the oracle."""
+    rows = registry.QUERIES["agg_cms_heavy_hitters"](spark, sf_oracle).collect()
+    assert rows, "heavy hitters must be non-empty on the fixture"
+    for r in rows:
+        assert r.est_cnt >= r.exact_cnt, f"{r.token}: CMS underestimated"
+
+
+def test_containment_bounds_and_direction(spark, sf_oracle):
+    """Containment is a ratio of shared to |A|'s shingles: 0 < c <= 1,
+    and n_shared can never exceed the pair's reported numerator base."""
+    rows = registry.QUERIES["dedup_containment_pairs"](spark, sf_oracle).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.containment <= 1.0 + 1e-9, r
+        assert r.n_shared >= 1, r
+
+
+def test_ivf_pq_matches_numpy_reference(spark, sf_oracle):
+    """Replay the ENTIRE IVF-PQ pipeline (coarse assignment, PQ codes,
+    3-probe candidate generation, LUT-based ADC scoring, top-5 rank) in
+    plain numpy from the parquet fixture and require exact agreement
+    with the registered op — an independent implementation check in the
+    spirit of the BPE trainer's pure-Python pin. (Recall-vs-exact is
+    NOT asserted: the fixture's embedding space is near-uniform, where
+    coarse pruning + 4×16 quantization legitimately has low recall —
+    the oracle already pins the output values.)"""
+    import numpy as np
+
+    rows = (
+        spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows])
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    assert list(ids) == list(range(len(ids))), "reference assumes dense ids"
+
+    cents, cb = M[:8], M[:16]
+    norms = np.linalg.norm(M, axis=1)
+
+    def coarse_sorted(i):
+        sims = np.round((cents @ M[i]) / (np.linalg.norm(cents, axis=1) * norms[i]), 6)
+        return np.lexsort((np.arange(8), -sims))  # sim desc, cid asc
+
+    def sub_d(v, c, j):
+        return round(np.sqrt(np.sum((v[j * 16 : j * 16 + 16] - c[j * 16 : j * 16 + 16]) ** 2)), 6)
+
+    assigned = np.array([coarse_sorted(i)[0] for i in range(len(M))])
+    codes = [
+        [min(range(16), key=lambda cc: (sub_d(M[i], cb[cc], j), cc)) for j in range(4)]
+        for i in range(len(M))
+    ]
+    expect = []
+    for q in range(100, 105):
+        probes = set(coarse_sorted(q)[:3])
+        lut = [[sub_d(M[q], cb[c], j) for c in range(16)] for j in range(4)]
+        est = {
+            i: round(
+                np.sqrt(
+                    ((lut[0][codes[i][0]] ** 2 + lut[1][codes[i][1]] ** 2)
+                     + lut[2][codes[i][2]] ** 2) + lut[3][codes[i][3]] ** 2
+                ),
+                6,
+            )
+            for i in range(len(M))
+            if assigned[i] in probes and i != q
+        }
+        for rank, i in enumerate(sorted(est, key=lambda i: (est[i], i))[:5], 1):
+            expect.append((q, int(ids[i]), est[i], rank))
+    got = [
+        (r.query_id, r.neighbor_id, r.est_dist, r.rank)
+        for r in registry.QUERIES["vec_ann_ivf_pq_topk"](spark, sf_oracle).collect()
+    ]
+    assert got == expect, f"IVF-PQ diverges from numpy reference:\n{got}\nvs\n{expect}"
+
+
+def test_dsir_target_docs_score_higher(spark, sf_oracle):
+    """The DSIR score is a log-likelihood ratio toward the lang='en'
+    target: the top-50 must be dominated by en documents (the signal
+    the resampler exists to produce)."""
+    rows = registry.QUERIES["text_dsir_importance"](spark, sf_oracle).collect()
+    docs = {
+        r.doc_id: r.lang
+        for r in spark.read.parquet(f"{sf_oracle}/documents.parquet")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    en = sum(1 for r in rows if docs[r.doc_id] == "en")
+    base = sum(1 for v in docs.values() if v == "en") / len(docs)
+    # hashed 1024-bucket features mix languages, so the lift is real but
+    # modest: require the top-50 en share to clear the corpus base rate
+    # (~0.44 at sf0.01) by 8 points, not dominance
+    assert en / len(rows) >= base + 0.08, (
+        f"{en}/{len(rows)} en in top-50 vs base rate {base:.2f} — no lift"
+    )
+
+
+def test_exact_substring_profile_consistency(spark, sf_oracle):
+    """dup_frac must equal n_dup_grams/n_grams and duplicated spans are
+    symmetric: every reported doc shares each counted gram with some
+    OTHER doc, so no doc can have dup_frac > 0 alone."""
+    rows = registry.QUERIES["dedup_exact_substring"](spark, sf_oracle).collect()
+    assert len(rows) >= 2, "fixture contains near-identical docs; expect >= 2"
+    for r in rows:
+        assert abs(r.dup_frac - r.n_dup_grams / r.n_grams) < 1e-6, r
+        assert 0 < r.n_dup_grams <= r.n_grams, r
+
+
+def test_cdc_apply_tombstoned_keys_absent(spark, sf_oracle):
+    """A key whose LATEST change is a tombstone must not appear in the
+    applied state; a key that appears must carry its latest value."""
+    from assignment4_spark.io_util import table as _table
+
+    state = {
+        r.user_id: r.final_value
+        for r in registry.QUERIES["ts_cdc_apply"](spark, sf_oracle).collect()
+    }
+    ev = (
+        _table(spark, sf_oracle, "events")
+        .orderBy("ts", "event_id")
+        .select("user_id", "event_type", "value")
+        .collect()
+    )
+    last = {}
+    for r in ev:
+        last[r.user_id] = r
+    for uid, r in last.items():
+        if r.event_type == "error":
+            assert uid not in state, f"tombstoned key {uid} survived"
+        else:
+            assert uid in state and abs(state[uid] - round(r.value, 6)) < 1e-6, uid
