@@ -352,3 +352,87 @@ def graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("deg").alias("degree"), "n_vertices")
         .orderBy("degree")
     )
+
+
+@register(
+    "graph_bfs_layers",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT l_partkey * 2 AS p_v, l_suppkey * 2 + 1 AS s_v
+      FROM lineitem
+    ), edges AS (
+      SELECT p_v AS src, s_v AS dst FROM pairs
+      UNION ALL
+      SELECT s_v AS src, p_v AS dst FROM pairs
+    ), sources AS (
+      SELECT DISTINCT s_suppkey * 2 + 1 AS v FROM supplier WHERE s_nationkey = 0
+    ), bfs(v, layer) AS (
+      SELECT v, 0 FROM sources
+      UNION
+      SELECT e.dst, b.layer + 1
+      FROM bfs b JOIN edges e ON e.src = b.v
+      WHERE b.layer < 4
+    ), levels AS (
+      SELECT v, MIN(layer) AS layer FROM bfs GROUP BY v
+    )
+    SELECT layer, CAST(COUNT(*) AS BIGINT) AS n_vertices,
+           MIN(v) AS min_v, MAX(v) AS max_v
+    FROM levels
+    GROUP BY layer
+    ORDER BY layer
+    """,
+)
+def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS to depth 4 on the part↔supplier graph, sources =
+    suppliers of nation 0: per layer (min hops from any source), the
+    vertex count and id range — the reachability/neighborhood-growth
+    diagnostic run before any propagation algorithm (how many rounds
+    until the frontier saturates decides every iterative-job budget
+    here, dedup_connected_components included).
+
+    Frontier form, NOT the recursive-CTE form the oracle uses: each
+    round joins the CURRENT FRONTIER (vertices first reached last
+    round) against the edge list and anti-joins the visited set — so
+    per-round work is |frontier ⋈ edges|, shrinking as the graph
+    saturates, where the naive all-paths expansion (what the CTE does)
+    grows combinatorially with path count. Visited and frontier are
+    localCheckpointed per round (the CC loop's pattern — lineage would
+    otherwise double per round). At 100 TB both joins shuffle on vertex
+    id and the visited set stays partitioned once; 4 rounds = 4 bounded
+    shuffle rounds, no driver-side data.
+
+    The oracle's UNION-dedup recursion is exponential-path-safe only at
+    fixture scale — which is exactly the brute-force-twin pattern
+    (dedup_near_jaccard) this suite uses everywhere.
+    Reference provenance: generalizes the LangGraph hop traversal
+    (ra/agent.py:151-199) to data-scale reachability.
+    """
+    edges = _bipartite_edges(spark, sf_dir).localCheckpoint(eager=True)
+    sources = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 0)
+        .select((F.col("s_suppkey") * 2 + 1).alias("v"))
+        .distinct()
+    )
+    visited = sources.select("v", F.lit(0).alias("layer")).localCheckpoint(eager=True)
+    frontier = visited.select("v")
+    for depth in range(1, 5):
+        reached = (
+            edges.join(frontier, edges.src == frontier.v)
+            .select(F.col("dst").alias("v"))
+            .distinct()
+        )
+        new = reached.join(visited.select("v"), "v", "left_anti").select(
+            "v", F.lit(depth).alias("layer")
+        )
+        visited = visited.unionAll(new).localCheckpoint(eager=True)
+        frontier = visited.filter(F.col("layer") == depth).select("v")
+    return (
+        visited.groupBy("layer")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vertices"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+        .orderBy("layer")
+    )

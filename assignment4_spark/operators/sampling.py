@@ -545,3 +545,57 @@ def sample_mix_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "rk", F.col("k").alias("quota"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "sample_group_holdout",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id, source,
+             CASE WHEN SUBSTRING(md5(source), 1, 1) IN ('c', 'd') THEN 'val'
+                  WHEN SUBSTRING(md5(source), 1, 1) IN ('e', 'f') THEN 'test'
+                  ELSE 'train' END AS split
+      FROM documents
+    )
+    SELECT split,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM assigned
+    GROUP BY split
+    ORDER BY split
+    """,
+)
+def sample_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware holdout split (GroupKFold semantics): the split key
+    is md5(source), not md5(doc_id) — every document of a source lands
+    in the SAME split by construction, so near-duplicate documents
+    within one source (the dominant intra-source leakage mode) can
+    never straddle the train/eval boundary. sample_split_hash is the
+    per-row form; this is the leak-free form an eval pipeline actually
+    needs. 12/2/2 sixteenths via the first hex digit, same algebra as
+    split_hash so the two ops are directly comparable.
+
+    Shape: one narrow projection (md5 of an already-present column) +
+    one aggregation; the shuffle carries (split, source) — grouping
+    stays map-side-combinable and no data moves to assign splits. At
+    100 TB the assignment column is computed at scan time and the
+    split filter pushes into every downstream read.
+    """
+    d = table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("source")), 1, 1)
+    assigned = d.select(
+        "doc_id",
+        "source",
+        F.when(h.isin("c", "d"), F.lit("val"))
+        .when(h.isin("e", "f"), F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+        .orderBy("split")
+    )

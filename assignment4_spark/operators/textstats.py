@@ -1006,3 +1006,133 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, pos,
+             REGEXP_REPLACE(token, '[^a-z0-9]', '', 'g') AS w
+      FROM (SELECT doc_id,
+                   UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS token,
+                   UNNEST(generate_series(1, LEN(STRING_SPLIT(LOWER(text), ' ')))) AS pos
+            FROM documents)
+    ), marked AS (
+      SELECT doc_id, pos, w,
+             (w = '' OR w IN ({', '.join(f"'{s}'" for s in EN_STOP)})) AS is_break
+      FROM tok
+    ), phrased AS (
+      SELECT doc_id, pos, w, is_break,
+             SUM(CASE WHEN is_break THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS phrase_id
+      FROM marked
+    ), words AS (
+      SELECT doc_id, phrase_id, pos, w FROM phrased WHERE NOT is_break
+    ), plen AS (
+      SELECT doc_id, phrase_id, COUNT(*) AS n_words FROM words
+      GROUP BY doc_id, phrase_id
+    ), wstat AS (
+      SELECT w.w, COUNT(*) AS freq, SUM(p.n_words) AS degree
+      FROM words w JOIN plen p USING (doc_id, phrase_id)
+      GROUP BY w.w
+    ), phrases AS (
+      SELECT w.doc_id, w.phrase_id,
+             STRING_AGG(w.w, ' ' ORDER BY w.pos) AS phrase,
+             COUNT(*) AS n_words,
+             ROUND(SUM(s.degree / CAST(s.freq AS DOUBLE)), 6) AS score
+      FROM words w JOIN wstat s ON s.w = w.w
+      GROUP BY w.doc_id, w.phrase_id
+    )
+    SELECT phrase, MAX(n_words) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_occur,
+           MAX(score) AS score
+    FROM phrases
+    WHERE n_words >= 2
+    GROUP BY phrase
+    ORDER BY MAX(score) DESC, phrase
+    LIMIT 20
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal runs of non-stopword tokens; each word scores
+    degree/frequency over the phrase co-occurrence graph; a phrase
+    scores the sum of its word scores. Top-20 multi-word phrases.
+
+    Phrase segmentation is the GAPS-AND-ISLANDS window
+    (win_streaks_islands applied to NLP): punctuation-stripped empty
+    tokens and stopwords mark breaks, a running break-count labels
+    each run — no regex phrase-splitter, so both engines segment with
+    byte-identical rules (a regexp_split dialect difference would
+    silently shift every boundary). One per-doc window, then three
+    vocabulary-bounded aggregations (phrase length, word stats, phrase
+    assembly) — the word-stat table broadcasts at any corpus size; the
+    corpus-sized frames shuffle only on (doc_id). Phrase text is
+    reassembled with an ordered aggregation on both engines.
+    Reference provenance: the reference asks an LLM for document
+    keywords (ra/agent.py summarize step); this is the deterministic
+    in-engine form.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "raw"),
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).alias("pos"),
+        F.regexp_replace("raw", "[^a-z0-9]", "").alias("w"),
+    )
+    marked = tok.withColumn(
+        "is_break", (F.col("w") == "") | F.col("w").isin(*EN_STOP)
+    )
+    wp = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    phrased = marked.withColumn(
+        "phrase_id", F.sum(F.col("is_break").cast("int")).over(wp)
+    )
+    words = phrased.filter(~F.col("is_break")).select(
+        "doc_id", "phrase_id", "pos", "w"
+    )
+    plen = words.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).alias("n_words")
+    )
+    wstat = (
+        words.join(plen, ["doc_id", "phrase_id"])
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("n_words").alias("degree"))
+    )
+    phrases = (
+        words.join(F.broadcast(wstat), "w")
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("w")))
+                    ),
+                    lambda s: s["w"],
+                ),
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(
+                F.sum(F.col("degree") / F.col("freq").cast("double")), 6
+            ).alias("score"),
+        )
+    )
+    return (
+        phrases.filter(F.col("n_words") >= 2)
+        .groupBy("phrase")
+        .agg(
+            F.max("n_words").alias("n_words"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occur"),
+            F.max("score").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "phrase")
+        .limit(20)
+    )

@@ -21,7 +21,7 @@ import duckdb
 from assignment4_spark import registry
 from assignment4_spark.schemas import TABLES
 
-SLOW = ["dedup_minhash_lsh", "dedup_near_embedding"]
+SLOW = ["dedup_minhash_lsh", "dedup_near_embedding", "dedup_pipeline_survivors"]
 
 
 def main() -> None:

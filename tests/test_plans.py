@@ -601,3 +601,24 @@ def test_containment_is_postings_join(spark, sf_oracle):
     assert "CartesianProduct" not in body, body
     assert "BroadcastNestedLoopJoin" not in body, body
     assert "BroadcastHashJoin" in body, body
+
+
+def test_rake_topk_and_broadcast_wordstats(spark, sf_oracle):
+    """RAKE: the word-stat and phrase-length joins broadcast (vocab- and
+    phrase-bounded sides), the top-20 is a TakeOrderedAndProject, and
+    nothing degenerates to a nested loop."""
+    plan = formatted_plan(spark, "text_rake_keywords", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "TakeOrderedAndProject" in body, body
+    assert body.count("BroadcastHashJoin") >= 2, body
+    assert "CartesianProduct" not in body, body
+    assert "SortMergeJoin" not in body, body
+
+
+def test_group_holdout_is_pure_aggregation(spark, sf_oracle):
+    """Group holdout: split assignment is a narrow projection — the
+    whole op must plan as scan + aggregates, no join of any kind."""
+    plan = formatted_plan(spark, "sample_group_holdout", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "Join" not in body, body
+    assert "HashAggregate" in body, body

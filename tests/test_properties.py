@@ -314,3 +314,29 @@ def test_cdc_apply_tombstoned_keys_absent(spark, sf_oracle):
             assert uid not in state, f"tombstoned key {uid} survived"
         else:
             assert uid in state and abs(state[uid] - round(r.value, 6)) < 1e-6, uid
+
+
+def test_bfs_layers_structure(spark, sf_oracle):
+    """BFS layer invariants: layer 0 equals the source-set size, layers
+    are contiguous from 0, and every layer is non-empty (a gap would
+    mean the frontier loop dropped a round)."""
+    from assignment4_spark.io_util import table as _table
+
+    rows = registry.QUERIES["graph_bfs_layers"](spark, sf_oracle).collect()
+    layers = [r.layer for r in rows]
+    assert layers == list(range(len(layers))), f"non-contiguous layers {layers}"
+    n_sources = (
+        _table(spark, sf_oracle, "supplier")
+        .filter(F.col("s_nationkey") == 0)
+        .select("s_suppkey")
+        .distinct()
+        .count()
+    )
+    assert rows[0].n_vertices == n_sources, "layer 0 must be exactly the sources"
+    assert all(r.n_vertices > 0 for r in rows)
+    # bipartite parity: even layers are suppliers (odd ids), odd layers parts
+    for r in rows:
+        if r.layer % 2 == 0:
+            assert r.min_v % 2 == 1 and r.max_v % 2 == 1, r
+        else:
+            assert r.min_v % 2 == 0 and r.max_v % 2 == 0, r
