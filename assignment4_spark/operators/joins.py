@@ -426,3 +426,80 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+@register(
+    "join_spatial_epsilon",
+    oracle="""
+    WITH pts AS (
+      SELECT event_id AS pid,
+             value AS x,
+             CAST(event_id % 1000 AS DOUBLE) / 10.0 AS y
+      FROM events
+      WHERE event_type = 'click' AND event_id < 2000
+    )
+    SELECT a.pid AS pid_a, b.pid AS pid_b,
+           ROUND(SQRT((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)), 6) AS dist
+    FROM pts a JOIN pts b ON a.pid < b.pid
+    WHERE SQRT((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) <= 5.0
+    ORDER BY pid_a, pid_b
+    """,
+)
+def join_spatial_epsilon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-distance spatial self-join (all point pairs within ε = 5.0) via
+    uniform grid decomposition — the 2-D generalization of
+    join_interval_overlap's day-bucket trick and the core of every
+    distributed spatial engine (Sedona/GeoSpark partitioning): bucket
+    points into ε-sized grid cells, replicate ONE side to its 3×3
+    neighbor cells, equi-join on the cell key, then apply the exact
+    distance as a residual filter. Any pair within ε is guaranteed to
+    meet in at least one cell (cell size = ε ⇒ neighbors can only be in
+    adjacent cells), and each unordered pair meets exactly once under
+    the (pid_a < pid_b) + replicate-left convention. Join-group size is
+    bounded by points-per-cell — density, not dataset size — so the
+    plan survives any scale-up at constant ε; the naive form (the
+    oracle) is the O(N²) theta join. Points are synthesized
+    deterministically from events (x = value, y = event_id‰/10).
+    """
+    eps = 5.0
+    pts = (
+        table(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "click") & (F.col("event_id") < 2000))
+        .select(
+            F.col("event_id").alias("pid"),
+            F.col("value").alias("x"),
+            ((F.col("event_id") % 1000).cast("double") / 10.0).alias("y"),
+        )
+    )
+    cx = F.floor(F.col("x") / eps)
+    cy = F.floor(F.col("y") / eps)
+    # left side replicated to its 3x3 cell neighborhood
+    a = pts.select(
+        F.col("pid").alias("pid_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(
+            F.array(*[
+                F.struct((cx + dx).alias("gx"), (cy + dy).alias("gy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ])
+        ).alias("cell"),
+    ).select("pid_a", "xa", "ya", F.col("cell.gx").alias("gx"), F.col("cell.gy").alias("gy"))
+    b = pts.select(
+        F.col("pid").alias("pid_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        cx.alias("gx"),
+        cy.alias("gy"),
+    )
+    dist = F.sqrt(
+        (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+        + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+    )
+    return (
+        a.join(b, ["gx", "gy"])
+        .filter((F.col("pid_a") < F.col("pid_b")) & (dist <= eps))
+        .select("pid_a", "pid_b", F.round(dist, 6).alias("dist"))
+        .orderBy("pid_a", "pid_b")
+    )

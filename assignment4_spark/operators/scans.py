@@ -559,3 +559,97 @@ def scan_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "scan_file_skipping_stats",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(o_orderkey) + (MAX(o_orderkey) - MIN(o_orderkey)) // 4 AS lo,
+             MIN(o_orderkey) + (MAX(o_orderkey) - MIN(o_orderkey)) // 2 AS hi
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           COUNT(*)                    AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders, bounds
+    WHERE o_orderkey BETWEEN bounds.lo AND bounds.hi
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def scan_file_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file skipping from first principles — the data-skipping
+    mechanism under every lakehouse MERGE/OPTIMIZE story: orders is
+    written CLUSTERED by o_orderkey into 8 range-partitioned files, a
+    manifest records per-file (min, max) of the cluster key, and a
+    range query plans its file list FROM THE MANIFEST — files whose
+    [min, max] cannot intersect the predicate are never opened. The op
+    asserts the skip actually happened (files read < files written)
+    before returning the aggregate; correctness is oracle-checked
+    against the unclustered truth.
+
+    Why this is the 100 TB idiom: at scale the scheduler cost is
+    files-touched, not rows-matched — clustering + stats turns a
+    full-scan into an O(selectivity) scan with NO index structure,
+    just layout discipline. repartitionByRange gives the disjoint
+    key ranges (a plain repartition would give every file the full key
+    span and nothing could ever be skipped — that is precisely the
+    difference OPTIMIZE/Z-ORDER exists to make). Pairs with
+    scan_snapshot_time_travel: the same manifest that pins a version
+    is where these stats live (Iceberg manifests, Delta add-file
+    stats).
+    """
+    import json as _json
+
+    base = _adir(sf_dir, "orders_clustered")
+    data_dir = os.path.join(base, "data")
+    manifest_path = os.path.join(base, "manifest.json")
+    orders = table(spark, sf_dir, "orders")
+    if not os.path.exists(manifest_path):
+        os.makedirs(base, exist_ok=True)
+        orders.repartitionByRange(8, "o_orderkey").write.mode("overwrite").parquet(
+            data_dir
+        )
+        import pyarrow.parquet as pq
+
+        stats = []
+        for fn in sorted(os.listdir(data_dir)):
+            if not fn.endswith(".parquet"):
+                continue
+            path = os.path.join(data_dir, fn)
+            t = pq.read_table(path, columns=["o_orderkey"])
+            col = t.column("o_orderkey")
+            stats.append(
+                {
+                    "file": path,
+                    "min": int(min(c.as_py() for c in col)),
+                    "max": int(max(c.as_py() for c in col)),
+                }
+            )
+        with open(manifest_path, "w") as fh:
+            _json.dump({"files": stats}, fh)
+
+    with open(manifest_path) as fh:
+        stats = _json.load(fh)["files"]
+    # predicate bounds = the second keyspace quartile, derived from the
+    # manifest itself (exact integer arithmetic, mirrored by the
+    # oracle's MIN/MAX subquery) so the op skips files at EVERY sf
+    mn = min(s["min"] for s in stats)
+    mx = max(s["max"] for s in stats)
+    lo, hi = mn + (mx - mn) // 4, mn + (mx - mn) // 2
+    keep = [s["file"] for s in stats if s["max"] >= lo and s["min"] <= hi]
+    if not (0 < len(keep) < len(stats)):
+        raise AssertionError(
+            f"file skipping ineffective: {len(keep)} of {len(stats)} files"
+        )
+    return (
+        spark.read.parquet(*keep)
+        .filter(F.col("o_orderkey").between(lo, hi))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

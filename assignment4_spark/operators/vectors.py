@@ -1410,3 +1410,83 @@ def vec_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "vec_ivf_build_stats",
+    oracle="""
+    WITH c AS (SELECT vec_id AS centroid_id, embedding AS cemb
+               FROM embeddings WHERE vec_id < 8),
+    sims AS (SELECT e.vec_id, c.centroid_id,
+                    ROUND(LIST_COSINE_SIMILARITY(e.embedding::DOUBLE[], c.cemb::DOUBLE[]), 6)
+                      AS sim
+             FROM embeddings e CROSS JOIN c),
+    assigned AS (SELECT vec_id, centroid_id
+                 FROM (SELECT *,
+                              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                                 ORDER BY sim DESC NULLS LAST,
+                                                          centroid_id) AS rn
+                       FROM sims)
+                 WHERE rn = 1),
+    occ AS (SELECT centroid_id, COUNT(*) AS n FROM assigned GROUP BY centroid_id)
+    SELECT CAST(COUNT(*) AS BIGINT)  AS n_lists,
+           MIN(n)                    AS min_occ,
+           MAX(n)                    AS max_occ,
+           ROUND(AVG(n), 2)          AS avg_occ,
+           ROUND(MAX(n) / AVG(n), 4) AS imbalance
+    FROM occ
+    """,
+)
+def vec_ivf_build_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index build health: inverted-list occupancy spread and the
+    imbalance factor max/avg — THE number that decides whether an IVF
+    index needs re-training or more lists before it ships (a hot list
+    makes every probe touching it scan avg×imbalance candidates; probe
+    latency is linear in it). Pairs with vec_ann_ivf_pq_topk (read
+    path) and vec_kmeans_train (codebook build) as the build-side
+    observability step every billion-vector index pipeline runs.
+
+    Shape: the row-local broadcast-argmax assignment (vec_kmeans_assign
+    idiom — corpus scanned once, never expands), one map-side-
+    combinable occupancy count whose key cardinality = n_lists, and a
+    single-row rollup. Nothing here grows with corpus size except the
+    one scan.
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    cents = (
+        emb.filter(F.col("vec_id") < 8)
+        .groupBy()
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
+                )
+            ).alias("cents")
+        )
+    )
+    ranked = F.array_sort(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                F.coalesce(
+                    -F.round(cosine(F.col("emb"), c["cemb"]), 6), F.lit(float("inf"))
+                ).alias("negsim"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    occ = (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", ranked[0]["cid"].alias("centroid_id"))
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return occ.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+        F.min("n").alias("min_occ"),
+        F.max("n").alias("max_occ"),
+        F.round(F.avg("n"), 2).alias("avg_occ"),
+        F.round(F.max("n") / F.avg("n"), 4).alias("imbalance"),
+    )

@@ -622,3 +622,23 @@ def test_group_holdout_is_pure_aggregation(spark, sf_oracle):
     body = plan.split("== Physical Plan ==")[-1]
     assert "Join" not in body, body
     assert "HashAggregate" in body, body
+
+
+def test_spatial_epsilon_is_grid_equi_join(spark, sf_oracle):
+    """The ε-join must be an equi join on the grid cell (the 3×3
+    replication is a 9-element explode, not a join) — a nested loop or
+    cartesian means the grid decomposition regressed to O(N²)."""
+    plan = formatted_plan(spark, "join_spatial_epsilon", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body, body
+    assert "BroadcastNestedLoopJoin" not in body, body
+    assert "Generate" in body, body  # the cell-neighborhood explode
+
+
+def test_ivf_build_stats_rowlocal_assignment(spark, sf_oracle):
+    """Build stats: assignment must stay the broadcast row-local argmax
+    (no explode of corpus×k, no shuffle before the occupancy agg)."""
+    plan = formatted_plan(spark, "vec_ivf_build_stats", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "Generate" not in body, body
+    assert "BroadcastExchange" in body, body
