@@ -512,3 +512,106 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.mapInPandas(decode_windows, schema=out_schema)
         .orderBy("doc_id", "win_no")
     )
+
+
+@register(
+    "multimodal_scene_cuts",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id, 10.0 + CAST(doc_id % 113 AS INTEGER) AS duration_s
+      FROM documents WHERE doc_id % 5 = 0
+    ), frames AS (
+      SELECT doc_id,
+             UNNEST(generate_series(1, CAST(FLOOR(duration_s / 2.5) AS INTEGER)))
+               AS frame_no
+      FROM v
+    ), sigs AS (
+      SELECT doc_id, frame_no,
+             CAST(concat('0x', substr(md5(doc_id || '#' || frame_no), 1, 8)) AS BIGINT)
+               % 1000 AS sig
+      FROM frames
+    ), cuts AS (
+      SELECT doc_id, frame_no, sig,
+             CASE WHEN ABS(sig - LAG(sig) OVER w) > 600 THEN 1 ELSE 0 END AS is_cut
+      FROM sigs
+      WINDOW w AS (PARTITION BY doc_id ORDER BY frame_no)
+    ), scenes AS (
+      SELECT doc_id, frame_no,
+             SUM(is_cut) OVER (PARTITION BY doc_id ORDER BY frame_no
+                               ROWS UNBOUNDED PRECEDING) AS scene_id
+      FROM cuts
+    ), scene_len AS (
+      SELECT doc_id, scene_id, COUNT(*) AS n FROM scenes GROUP BY doc_id, scene_id
+    )
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT)    AS n_frames,
+           CAST(COUNT(*) AS BIGINT)  AS n_scenes,
+           CAST(MAX(n) AS BIGINT)    AS longest_scene
+    FROM scene_len
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot/scene segmentation over sampled video frames — the cut
+    detector every video-curation pipeline runs before captioning or
+    frame dedup (scene boundaries decide which frames are redundant):
+    frame-to-frame signature distance over a per-video lag window, a
+    cut where the jump exceeds threshold, then scene ids via the
+    gaps-and-islands running sum and per-video scene stats.
+
+    Decode is simulated (md5 frame signature standing in for a
+    perceptual frame hash — container has no video libs, same
+    convention as the rest of B.10's multimodal family and
+    multimodal_image_phash's pluggable real-decoder hook), but the
+    plumbing is the production shape: the frame explode is narrow, the
+    lag + scene-id windows share ONE per-video sort, and the scene
+    rollup re-uses the same partitioning — one exchange total for the
+    whole segmentation, blobs never move.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    duration = F.lit(10.0) + (F.col("doc_id") % 113).cast("int")
+    n_frames = F.floor(duration / 2.5).cast("int")
+    frames = d.select(
+        "doc_id", F.posexplode(F.sequence(F.lit(1), n_frames)).alias("_i", "frame_no")
+    ).select("doc_id", "frame_no")
+    sig = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.col("doc_id"), F.col("frame_no"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_no")
+    cuts = frames.select(
+        "doc_id",
+        "frame_no",
+        sig.alias("sig"),
+    ).select(
+        "doc_id",
+        "frame_no",
+        F.when(
+            F.abs(F.col("sig") - F.lag("sig").over(w)) > 600, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("is_cut"),
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scenes = cuts.select(
+        "doc_id", "frame_no", F.sum("is_cut").over(wrun).alias("scene_id")
+    )
+    scene_len = scenes.groupBy("doc_id", "scene_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        scene_len.groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_frames"),
+            F.count(F.lit(1)).cast("bigint").alias("n_scenes"),
+            F.max("n").cast("bigint").alias("longest_scene"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1136,3 +1136,79 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "phrase")
         .limit(20)
     )
+
+
+@register(
+    "text_lang_id_eval",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                             t -> LIST_CONTAINS({_sql_list(EN_STOP)}, t))) AS en_hits,
+             LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                             t -> LIST_CONTAINS({_sql_list(DE_STOP)}, t))) AS de_hits,
+             LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                             t -> LIST_CONTAINS({_sql_list(FR_STOP)}, t))) AS fr_hits
+      FROM documents
+    ), pred AS (
+      SELECT lang AS true_lang,
+             CASE WHEN en_hits = 0 AND de_hits = 0 AND fr_hits = 0 THEN 'und'
+                  WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+                  WHEN de_hits >= fr_hits THEN 'de'
+                  ELSE 'fr' END AS pred_lang
+      FROM scored
+    )
+    SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred
+    GROUP BY true_lang, pred_lang
+    ORDER BY true_lang, pred_lang
+    """,
+)
+def text_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword language classifier against the
+    fixture's ground-truth lang label — the eval step that belongs next
+    to every heuristic filter in a curation pipeline (a quality filter
+    whose error structure is unmeasured is a silent data bias; the
+    matrix shows WHERE misclassifications go, which per-class accuracy
+    hides — e.g. zh has no stopword list here, so its row lands on
+    whatever list collides with its tokens).
+
+    Shape: the scorer is text_lang_id's narrow per-row expression; the
+    matrix is one map-side-combinable count whose key cardinality is
+    |langs|² at most. Classifier and eval run in ONE scan — no join
+    between predictions and labels because the label rides the same
+    row (the usual eval-join disappears when eval data is columnar).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+
+    def hits(words: list[str]):
+        lits = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(lits, t)))
+
+    scored = d.select(
+        F.col("lang").alias("true_lang"),
+        hits(EN_STOP).alias("en_hits"),
+        hits(DE_STOP).alias("de_hits"),
+        hits(FR_STOP).alias("fr_hits"),
+    )
+    pred = scored.select(
+        "true_lang",
+        F.when(
+            (F.col("en_hits") == 0) & (F.col("de_hits") == 0) & (F.col("fr_hits") == 0),
+            "und",
+        )
+        .when(
+            (F.col("en_hits") >= F.col("de_hits"))
+            & (F.col("en_hits") >= F.col("fr_hits")),
+            "en",
+        )
+        .when(F.col("de_hits") >= F.col("fr_hits"), "de")
+        .otherwise("fr")
+        .alias("pred_lang"),
+    )
+    return (
+        pred.groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("true_lang", "pred_lang")
+    )

@@ -260,3 +260,48 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "l_id", "r_id", "l_ts", "r_ts")
         .orderBy("l_id", "r_id")
     )
+
+
+@register(
+    "stream_tumbling_topk",
+    oracle="""
+    WITH counts AS (
+      SELECT DATE_TRUNC('hour', ts) AS window_start,
+             user_id,
+             COUNT(*) AS n
+      FROM events
+      GROUP BY window_start, user_id
+    )
+    SELECT window_start, user_id, n, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                                       ORDER BY n DESC, user_id) AS rn
+          FROM counts)
+    WHERE rn <= 3
+    ORDER BY window_start, rank
+    """,
+)
+def stream_tumbling_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most active users per tumbling hour — the trending/leader-
+    board query every event stream runs. Streaming form: the windowed
+    count is a standard watermarked tumbling aggregation
+    (stream_tumbling_count's state shape); the per-window rank runs on
+    the COMPLETE/emitted windows downstream of the watermark (rank
+    inside an open window is not incrementally maintainable — the
+    correct streaming decomposition is agg-in-stream, rank-on-emit,
+    which is exactly how this batch declaration is layered). Batch
+    plan: the count shuffles on (window × user) with map-side combine,
+    the rank re-shuffles only the per-window count table (≤ users per
+    hour, not events) with WindowGroupLimit pruning to 3 rows per
+    window before the exchange completes."""
+    ev = table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "n")
+    )
+    rank_w = W.partitionBy("window_start").orderBy(F.col("n").desc(), "user_id")
+    return (
+        counts.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= 3)
+        .orderBy("window_start", "rank")
+    )

@@ -307,3 +307,28 @@ def late_tumbling(events: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), "n")
     )
+
+
+def tumbling_user_counts(events: DataFrame) -> DataFrame:
+    """Streaming half of stream_tumbling_topk: the incrementally-
+    maintainable windowed count (complete mode). The rank half runs on
+    the emitted table — see rank_topk_on_emit."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "n")
+    )
+
+
+def rank_topk_on_emit(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Emit-side rank of stream_tumbling_topk: row_number over each
+    emitted window's count table — a per-window rank is not
+    incrementally maintainable inside the stream, so the correct
+    streaming decomposition is agg-in-stream, rank-on-emit."""
+    from pyspark.sql.window import Window
+
+    rank_w = Window.partitionBy("window_start").orderBy(F.col("n").desc(), "user_id")
+    return (
+        counts.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+    )

@@ -642,3 +642,31 @@ def test_ivf_build_stats_rowlocal_assignment(spark, sf_oracle):
     body = plan.split("== Physical Plan ==")[-1]
     assert "Generate" not in body, body
     assert "BroadcastExchange" in body, body
+
+
+def test_tumbling_topk_rank_is_group_limited(spark, sf_oracle):
+    """Windowed top-k: the rank must be WindowGroupLimit-pruned and the
+    rank exchange must carry the per-window count table, not events
+    (two data exchanges: window×user agg, then window rank)."""
+    plan = formatted_plan(spark, "stream_tumbling_topk", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "WindowGroupLimit" in body, body
+
+
+def test_lang_id_eval_single_scan_no_join(spark, sf_oracle):
+    """Classifier + eval in one scan: the label rides the row, so the
+    plan must contain no join at all."""
+    plan = formatted_plan(spark, "text_lang_id_eval", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "Join" not in body, body
+
+
+def test_scene_cuts_single_video_exchange(spark, sf_oracle):
+    """Scene segmentation: lag + scene-id windows and the scene rollup
+    share the per-video partitioning — one data exchange plus the
+    presentation sort."""
+    import re
+
+    plan = formatted_plan(spark, "multimodal_scene_cuts", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert len(re.findall(r"\(\d+\) Exchange", body)) <= 2, body

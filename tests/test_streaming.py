@@ -223,3 +223,14 @@ def test_rate_micro_batch_continuous_source_resume(spark, tmp_path):
             ks = [v for v in vals if v % 3 == k]
             want[(b, k)] = (len(ks), sum(ks))
     assert got == want
+
+
+def test_stream_tumbling_topk(spark, replay):
+    """agg runs IN the stream (complete mode), rank on the emitted
+    table — end-of-stream result must equal the batch declaration."""
+    counts = si.run_to_table(
+        si.tumbling_user_counts(si.read_stream(spark, replay)), "complete"
+    )
+    got = si.rank_topk_on_emit(counts)
+    want = registry.QUERIES["stream_tumbling_topk"](spark, SF)
+    assert_frames_equal(got, want)
