@@ -86,6 +86,7 @@ _PRIORITY = [
     "graph_bfs_layers", "text_rake_keywords", "sample_group_holdout",
     "join_spatial_epsilon", "scan_file_skipping_stats", "vec_ivf_build_stats",
     "stream_tumbling_topk", "text_lang_id_eval", "multimodal_scene_cuts",
+    "report_pdf_sink",
     # rows-only by design — a driver row adds no hash check; keep last
     "agg_hll_distinct", "text_bpe_train",
 ]

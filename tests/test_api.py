@@ -421,3 +421,23 @@ def test_interpolate_linear_midpoint(spark):
     assert vals["2024-01-01 00:00:00"] == 0.0
     assert vals["2024-01-01 01:00:00"] == 10.0
     assert len(out) == 2
+
+
+def test_compose_pdf_structure():
+    """compose_pdf emits a structurally valid PDF: every xref offset
+    lands exactly on its 'N 0 obj' header, the trailer points at the
+    xref table, and the declared stream length matches the stream."""
+    from assignment4_spark.operators.multimodal import compose_pdf
+
+    pdf = compose_pdf([("Title", ""), ("Section", "Body text (with parens)")])
+    assert pdf.startswith(b"%PDF-1.4") and pdf.rstrip().endswith(b"%%EOF")
+    xref_at = int(pdf.rsplit(b"startxref\n", 1)[1].split(b"\n", 1)[0])
+    assert pdf[xref_at:].startswith(b"xref")
+    entries = pdf[xref_at:].split(b"\n")[3:8]  # 5 object entries
+    for i, ent in enumerate(entries, 1):
+        off = int(ent.split(b" ")[0])
+        assert pdf[off:].startswith(f"{i} 0 obj".encode()), (i, ent)
+    length = int(pdf.split(b"/Length ", 1)[1].split(b" ", 1)[0].split(b">>")[0])
+    stream = pdf.split(b"stream\n", 1)[1].rsplit(b"\nendstream", 1)[0]
+    assert len(stream) == length
+    assert rb"\(with parens\)" in pdf  # escaping applied
