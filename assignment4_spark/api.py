@@ -28,6 +28,7 @@ from .operators.dedup import (  # noqa: F401
     simhash_pairs,
 )
 from .operators.multimodal import (  # noqa: F401
+    compose_pdf,
     phash_buckets,
     pil_luma_decoder,
 )
@@ -52,13 +53,19 @@ from .operators.timeseries import (  # noqa: F401
     interpolate_linear,
     sessionize,
 )
+from .operators.textstats import (  # noqa: F401
+    bpe_train,
+)
 from .operators.vectors import (  # noqa: F401
     as_double,
     cosine,
     knn_topk,
     near_dup_pairs_exact,
     near_dup_pairs_lsh,
+    pq_encode,
+    pq_sub_dist,
     quantize_int8_audit,
+    rp_bucket_keys,
     upsert_merge_parquet,
 )
 
@@ -68,8 +75,10 @@ __all__ = [
     "as_double",
     "bloom_prefilter",
     "bottomk_by_hash",
+    "bpe_train",
     "canonical_url",
     "chunk_text",
+    "compose_pdf",
     "connected_components",
     "cosine",
     "hash_embed_udf",
@@ -81,7 +90,10 @@ __all__ = [
     "pagerank",
     "phash_buckets",
     "pil_luma_decoder",
+    "pq_encode",
+    "pq_sub_dist",
     "quantize_int8_audit",
+    "rp_bucket_keys",
     "sessionize",
     "simhash_pairs",
     "triangle_count",

@@ -884,41 +884,47 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     most-duplicated first.
 
     Unlike the suffix-array original (which needs a global sort of all
-    suffixes), the fixed-gram form is pure explode + hash-agg: position
-    fan-out is narrow, the only exchanges carry (hash) and (doc_id) —
-    never text — and both aggregations are map-side combinable. The
-    distinct-doc count per gram uses the two-level (h, doc_id) →
-    (h) aggregation so a gram repeated a million times within ONE
-    document (boilerplate) still contributes one row to the second
-    shuffle. 40 chars ≈ the 50-token threshold of the paper scaled to
-    the fixture's ~300-char docs. The same hash-join shape at 100 TB:
-    the `dup` side (grams seen in ≥2 docs) is orders of magnitude
-    smaller than the gram stream; Spark's AQE picks a broadcast for it
-    when its post-agg size permits — the plan degrades to a shuffle
-    join, never a nested loop, when it does not.
+    suffixes), the fixed-gram form is pure explode + hash-agg, and the
+    gram stream is touched EXACTLY ONCE: it collapses immediately into
+    the (h, doc_id) → cnt aggregate (map-side combinable, so within-doc
+    boilerplate repeats never reach the exchange), a count-over-h
+    window on that aggregate marks grams seen in ≥2 docs, and the
+    per-doc duplicated-position count is a second tiny aggregation of
+    the flagged rows. n_grams needs no gram data at all — it is
+    length(text) − 39 straight off the scan — so the earlier form's
+    re-shuffle-and-join of the full gram stream (measured: over half
+    the operator at sf0.1) is gone entirely. Exchanges carry 8-byte
+    xxhash64 keys, never text — the hash never crosses the oracle
+    boundary (the output is counts; the oracle groups raw substrings),
+    so Spark's native hash replaces md5's hex materialization
+    (measured 2×). 40 chars ≈ the 50-token threshold of the paper
+    scaled to the fixture's ~300-char docs.
     """
     d = table(spark, sf_dir, "documents").filter(F.length("text") >= 40)
-    hashed = d.select(
-        "doc_id",
-        "text",
-        F.posexplode(F.sequence(F.lit(1), F.length("text") - 39)).alias("_i", "pos"),
-    ).select("doc_id", "pos", F.md5(F.expr("substring(text, pos, 40)")).alias("h"))
-    dup = (
-        hashed.select("h", "doc_id")
-        .distinct()
-        .groupBy("h")
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h")
-    )
-    per_doc = (
-        hashed.join(dup.withColumn("dup_hit", F.lit(1)), "h", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.count("dup_hit").alias("n_dup_grams"),
+    g = (
+        d.select(
+            "doc_id",
+            "text",
+            F.posexplode(F.sequence(F.lit(1), F.length("text") - 39)).alias(
+                "_i", "pos"
+            ),
         )
+        .select(
+            "doc_id", F.xxhash64(F.expr("substring(text, pos, 40)")).alias("h")
+        )
+        .groupBy("h", "doc_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    wh = W.partitionBy("h")
+    dup_per_doc = (
+        g.withColumn("n_docs", F.count(F.lit(1)).over(wh))
+        .filter(F.col("n_docs") >= 2)
+        .groupBy("doc_id")
+        .agg(F.sum("cnt").alias("n_dup_grams"))
+    )
+    per_doc = d.select(
+        "doc_id", (F.length("text") - 39).cast("bigint").alias("n_grams")
+    ).join(dup_per_doc, "doc_id")
     return (
         per_doc.filter(F.col("n_dup_grams") > 0)
         .select(
