@@ -605,3 +605,71 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag, l_extendedprice AS price,
+             CAST(l_quantity AS DOUBLE) AS w
+      FROM lineitem
+    ), cum AS (
+      SELECT l_returnflag, price, w,
+             SUM(w) OVER (PARTITION BY l_returnflag
+                          ORDER BY price, w
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM v
+    )
+    SELECT l_returnflag,
+           ROUND(MIN(price), 2) AS weighted_median,
+           ROUND(MAX(tw), 2)    AS total_weight
+    FROM cum
+    WHERE cw >= tw / 2
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median price per return flag (weight = quantity): the
+    smallest price whose cumulative weight reaches half the group total
+    — the robust center the plain median misses when rows carry very
+    different weights (a core training-mix statistic: "the median
+    token-weighted document quality", not the median document).
+
+    Engine shape: ONE sorted window pass computes the running weight,
+    a scalar window carries the group total alongside (same partition,
+    no extra exchange), and a min-aggregate picks the crossing point —
+    never a collect, never a per-group sort on the driver. At 100 TB
+    the cost is one exchange on the group key plus an in-partition
+    sort, identical asymptotics to any exact percentile; the
+    deterministic (price, weight) order key makes the crossing row
+    unique so both engines agree exactly.
+    Reference provenance: none (the reference computes no statistics);
+    SURVEY §2 Part B aggregation family (round 4).
+    """
+    v = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("double").alias("w"),
+    )
+    wp = Window.partitionBy("l_returnflag")
+    cum = v.select(
+        "l_returnflag",
+        "price",
+        F.sum("w")
+        .over(wp.orderBy("price", "w").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cw"),
+        F.sum("w").over(wp).alias("tw"),
+    )
+    return (
+        cum.filter(F.col("cw") >= F.col("tw") / 2)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("price"), 2).alias("weighted_median"),
+            F.round(F.max("tw"), 2).alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -395,11 +395,20 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     round) against the edge list and anti-joins the visited set — so
     per-round work is |frontier ⋈ edges|, shrinking as the graph
     saturates, where the naive all-paths expansion (what the CTE does)
-    grows combinatorially with path count. Visited and frontier are
-    localCheckpointed per round (the CC loop's pattern — lineage would
-    otherwise double per round). At 100 TB both joins shuffle on vertex
-    id and the visited set stays partitioned once; 4 rounds = 4 bounded
-    shuffle rounds, no driver-side data.
+    grows combinatorially with path count. Only the per-round NEW
+    frontier is localCheckpointed (it is the small, shrinking frame);
+    the visited set is the lazy union of those materialized layer
+    frames, never re-materialized as a whole — r4 rework: the previous
+    form checkpointed the GROWING visited union every round, paying
+    O(|V|) materialization × depth. The frontier's row count is free
+    after the eager checkpoint, which buys two scale adaptations the
+    CTE can't express: EARLY EXIT the moment a round adds nothing
+    (saturation — on this graph depth 4 is empty), and a
+    frontier-size-adaptive join strategy (broadcast the frontier into
+    the edge join while it fits, shuffle join once it doesn't — the
+    decision AQE would make, taken with an exact count). At 100 TB the
+    joins shuffle on vertex id and 4 rounds = ≤4 bounded shuffle
+    rounds, no driver-side data beyond one count per round.
 
     The oracle's UNION-dedup recursion is exponential-path-safe only at
     fixture scale — which is exactly the brute-force-twin pattern
@@ -414,25 +423,150 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("s_suppkey") * 2 + 1).alias("v"))
         .distinct()
     )
-    visited = sources.select("v", F.lit(0).alias("layer")).localCheckpoint(eager=True)
-    frontier = visited.select("v")
+    frontier = sources.select(
+        "v", F.lit(0).alias("layer")
+    ).localCheckpoint(eager=True)
+    layers = [frontier]
+    visited = frontier.select("v")
+    n_frontier = frontier.count()
     for depth in range(1, 5):
+        if n_frontier == 0:
+            break
+        fr = frontier.select("v")
+        if n_frontier <= 1_000_000:
+            fr = F.broadcast(fr)
         reached = (
-            edges.join(frontier, edges.src == frontier.v)
+            edges.join(fr, edges.src == fr.v)
             .select(F.col("dst").alias("v"))
             .distinct()
         )
-        new = reached.join(visited.select("v"), "v", "left_anti").select(
-            "v", F.lit(depth).alias("layer")
+        frontier = (
+            reached.join(visited, "v", "left_anti")
+            .select("v", F.lit(depth).alias("layer"))
+            .localCheckpoint(eager=True)
         )
-        visited = visited.unionAll(new).localCheckpoint(eager=True)
-        frontier = visited.filter(F.col("layer") == depth).select("v")
+        n_frontier = frontier.count()
+        if n_frontier:
+            layers.append(frontier)
+            visited = visited.unionAll(frontier.select("v"))
+    out = layers[0]
+    for extra in layers[1:]:
+        out = out.unionAll(extra)
     return (
-        visited.groupBy("layer")
+        out.groupBy("layer")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_vertices"),
             F.min("v").alias("min_v"),
             F.max("v").alias("max_v"),
         )
         .orderBy("layer")
+    )
+
+
+@register(
+    "graph_jaccard_neighbors",
+    oracle="""
+    WITH postings AS (
+      SELECT DISTINCT l_partkey AS part, l_suppkey AS supp FROM lineitem
+    ), rare AS (
+      SELECT part FROM postings GROUP BY part HAVING COUNT(*) <= 64
+    ), p AS (
+      SELECT postings.part, postings.supp
+      FROM postings JOIN rare USING (part)
+    ), sizes AS (
+      SELECT supp, COUNT(*) AS n FROM p GROUP BY supp
+    ), shared AS (
+      SELECT a.supp AS supp_a, b.supp AS supp_b, COUNT(*) AS n_shared
+      FROM p a JOIN p b ON a.part = b.part AND a.supp < b.supp
+      GROUP BY a.supp, b.supp
+    )
+    SELECT supp_a, supp_b, n_shared, jaccard
+    FROM (
+      SELECT sh.supp_a, sh.supp_b, sh.n_shared,
+             ROUND(sh.n_shared / CAST(sa.n + sb.n - sh.n_shared AS DOUBLE), 6)
+               AS jaccard
+      FROM shared sh
+      JOIN sizes sa ON sa.supp = sh.supp_a
+      JOIN sizes sb ON sb.supp = sh.supp_b
+    )
+    ORDER BY jaccard DESC, supp_a, supp_b
+    LIMIT 20
+    """,
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighborhood similarity: the top-20 supplier
+    pairs by part-neighborhood Jaccard — "these two suppliers serve
+    the most similar catalogs" — the structural-equivalence signal
+    behind recommend-a-supplier / collapse-duplicate-vendor tasks, and
+    the graph-native sibling of dedup_near_jaccard (token sets →
+    neighbor sets). Global top-k, not a threshold: the fixture's
+    uniform-random graph puts every pair's Jaccard in a narrow band
+    (~0.14), so a fixed threshold either returns everything or
+    nothing; ranking is the form that carries signal on ANY degree
+    distribution. Ties are impossible to mis-order — (jaccard desc,
+    supp_a, supp_b) is a total key on both engines.
+
+    Inverted-index wedge shape, never all-pairs: postings (part →
+    supplier) self-join on the part, so a pair is generated once per
+    SHARED part and only pairs with ≥1 common part exist. The
+    hub-guard cap (parts with ≤ 64 suppliers — 64 > the fixture's max
+    part degree of 52, so nothing is dropped at test scale, stated
+    per the no-silent-caps rule) bounds the wedge fan-out at cap² per
+    part: a hub part served by thousands of suppliers would emit
+    degree² pairs while carrying no similarity signal (everyone
+    shares it) — the same discriminative-posting rule as
+    dedup_containment_pairs' df-cap, with sizes computed over the
+    SAME capped postings so the metric stays internally consistent.
+    a.supp < b.supp halves the join output; both size lookups ride
+    broadcast joins (one row per supplier); the global top-20 is a
+    TakeOrdered (per-partition top-k then a 20-row driver merge),
+    never a full sort. At 100 TB: one shuffle on part (wedge), one on
+    the pair (count), bounded fan-out — the plan survives power-law
+    degree distributions by construction.
+    Reference provenance: none; SURVEY §2 Part B graph family
+    (round 4).
+    """
+    postings = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    rare = (
+        postings.groupBy("part")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 64)
+        .select("part")
+    )
+    p = postings.join(rare, "part")
+    sizes = p.groupBy("supp").agg(F.count(F.lit(1)).alias("n"))
+    a = p.select("part", F.col("supp").alias("supp_a"))
+    b = p.select("part", F.col("supp").alias("supp_b"))
+    shared = (
+        a.join(b, "part")
+        .filter(F.col("supp_a") < F.col("supp_b"))
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    out = (
+        shared.join(
+            F.broadcast(sizes.select(F.col("supp").alias("supp_a"), F.col("n").alias("na"))),
+            "supp_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("supp").alias("supp_b"), F.col("n").alias("nb"))),
+            "supp_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")).cast("double"),
+                6,
+            ),
+        )
+    )
+    return (
+        out.select("supp_a", "supp_b", "n_shared", "jaccard")
+        .orderBy(F.col("jaccard").desc(), "supp_a", "supp_b")
+        .limit(20)
     )

@@ -1490,3 +1490,75 @@ def vec_ivf_build_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n"), 2).alias("avg_occ"),
         F.round(F.max("n") / F.avg("n"), 4).alias("imbalance"),
     )
+
+
+@register(
+    "vec_sign_binary_hamming",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             CAST(len(list_filter(range(64),
+                  i -> (e.embedding[i+1] > 0) <> (q.embedding[i+1] > 0)))
+                  AS BIGINT) AS hamming
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, hamming,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY hamming, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, hamming, rank
+    FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+)
+def vec_sign_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary sign quantization ANN: every 64-dim vector compresses to
+    ONE bigint of sign bits (32× smaller than float32), and neighbor
+    search becomes popcount(xor) — the cheapest vector-search primitive
+    there is, the standard first-stage filter in front of exact
+    re-ranking (vec_knn_topk is the exact twin; the sign-Hamming order
+    approximates cosine order for mean-centered embeddings).
+
+    Engine shape: the signature column is computed by a JVM-side
+    `aggregate(sequence(0,63), ...)` fold — one pass, whole-stage
+    codegen, no Python — and the search is a 3-row broadcast against
+    the packed corpus: per row ONE xor + ONE bit_count on a long,
+    then the rank window prunes to top-10 under WindowGroupLimit. At
+    100 TB the packed corpus is the ONLY thing scanned (8 bytes/vector
+    + id), which is the entire point of the quantization: a 100 TB
+    float corpus becomes a ~3 TB bit corpus that fits hot storage.
+    The oracle computes the identical Hamming metric directly on the
+    float signs (bit-packing is an engine detail, not a semantic).
+    Reference provenance: Pinecone similarity search (A10,
+    ra/agent.py:115-119) under the cheapest quantization; SURVEY §2
+    B.11 vector family (round 4).
+    """
+    e = table(spark, sf_dir, "embeddings")
+    sig = F.expr(
+        "aggregate(sequence(0, 63), 0L, (acc, i) -> "
+        "acc | IF(element_at(embedding, i + 1) > 0, shiftleft(1L, i), 0L))"
+    )
+    packed = e.select(F.col("vec_id"), sig.alias("sig"))
+    q = packed.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("sig").alias("q_sig")
+    )
+    scored = (
+        packed.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr("bit_count(sig ^ q_sig)").cast("bigint").alias("hamming"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        scored.select(
+            "query_id", "neighbor_id", "hamming", F.row_number().over(w).alias("rank")
+        )
+        .filter(F.col("rank") <= 10)
+        .orderBy("query_id", "rank")
+    )
