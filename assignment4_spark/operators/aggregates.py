@@ -673,3 +673,88 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_binned_quantile_sketch",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS bin,
+             COUNT(*) AS c
+      FROM lineitem GROUP BY 1
+    ), w AS (
+      SELECT bin, c,
+             SUM(c) OVER (ORDER BY bin) AS cum,
+             SUM(c) OVER () AS total
+      FROM b
+    ), q AS (
+      SELECT CAST(x AS DOUBLE) AS q
+      FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(x)
+    ), hit AS (
+      SELECT q.q, w.bin, w.c, w.cum, w.total,
+             ROW_NUMBER() OVER (PARTITION BY q.q ORDER BY w.bin) AS rn
+      FROM q JOIN w ON w.cum >= q.q * w.total
+    )
+    SELECT q, bin, CAST(total AS BIGINT) AS total,
+           ROUND(bin * 1000 + 1000 * (q * total - (cum - c)) / c, 6)
+             AS est_price
+    FROM hit WHERE rn = 1
+    ORDER BY q
+    """,
+)
+def agg_binned_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimates from a fixed-width histogram sketch (bin =
+    1000 currency units), the mergeable-sketch pattern behind every
+    distributed percentile system: the sketch is ONE map-side-
+    combinable count per bin, so the shuffle carries O(bins) rows —
+    ~105 here, invariant in row count — and sketches from different
+    partitions / days / clusters merge by adding counts. Estimates
+    are linear interpolation inside the crossing bin (error ≤ bin
+    width), against agg_percentile's exact-but-full-sort twin.
+
+    Plan shape: hash agg collapses 100 TB to ~105 rows BEFORE the
+    single-partition cumulative window (safe by construction — the
+    windowed frame is the sketch, not the data) and the 5 quantile
+    probes ride one broadcast join; the crossing bin per probe is a
+    min(struct) argmin, no second window. Both engines compute the
+    identical integer-count arithmetic, so parity is exact at 6 dp.
+    Reference provenance: none (the reference computes no statistics);
+    SURVEY §2 Part B aggregation family (round 4).
+    """
+    b = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.floor(F.col("l_extendedprice") / 1000).cast("bigint").alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    sk = b.select(
+        "bin",
+        "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("total"),
+    )
+    q = spark.sql(
+        "SELECT CAST(x AS DOUBLE) AS q FROM VALUES (0.25), (0.5), (0.75), (0.9), (0.99) t(x)"
+    )
+    hit = (
+        sk.crossJoin(F.broadcast(q))
+        .filter(F.col("cum") >= F.col("q") * F.col("total"))
+        .groupBy("q")
+        .agg(F.min(F.struct("bin", "c", "cum", "total")).alias("s"))
+        .select("q", "s.bin", "s.c", "s.cum", "s.total")
+    )
+    return hit.select(
+        "q",
+        "bin",
+        F.col("total").cast("bigint").alias("total"),
+        F.round(
+            F.col("bin") * 1000
+            + 1000
+            * (F.col("q") * F.col("total") - (F.col("cum") - F.col("c")))
+            / F.col("c"),
+            6,
+        ).alias("est_price"),
+    ).orderBy("q")

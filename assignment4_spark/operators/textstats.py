@@ -1212,3 +1212,88 @@ def text_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .orderBy("true_lang", "pred_lang")
     )
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, '')) AS ch
+      FROM documents
+    ), freq AS (
+      SELECT doc_id, ch, COUNT(*) AS c
+      FROM chars GROUP BY doc_id, ch
+    ), tot AS (
+      SELECT doc_id, SUM(c) AS n FROM freq GROUP BY doc_id
+    ), ent AS (
+      SELECT f.doc_id,
+             CAST(t.n AS BIGINT) AS n_chars,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             -SUM((f.c / CAST(t.n AS DOUBLE))
+                  * LN(f.c / CAST(t.n AS DOUBLE))) / LN(2) AS h
+      FROM freq f JOIN tot t USING (doc_id)
+      GROUP BY f.doc_id, t.n
+    )
+    SELECT doc_id, n_chars, n_distinct, ROUND(h, 6) AS entropy_bits,
+           CASE WHEN h < 3.9 THEN 'low' WHEN h < 4.1 THEN 'mid'
+                ELSE 'high' END AS bucket
+    FROM ent
+    ORDER BY doc_id
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document, bucketed — the
+    classic gibberish/boilerplate screen (near-zero entropy = repeated
+    filler, ~4.1 bits = natural English, ≥5 = random/encoded garbage)
+    that complements the token-ratio signals of text_quality_score:
+    entropy catches degenerate text whose token statistics look normal.
+    Bucket boundaries (3.9 / 4.1 bits) sit inside the fixture's
+    observed 3.67-4.23 band — the synthetic corpus is homogeneous
+    natural-ish text, so production-style cutoffs (≈3.5 gibberish,
+    ≈4.5 encoded) would put every row in one bucket; real corpora
+    re-tune the constants, the plan is unchanged.
+
+    Shape: per-char explode → (doc, char) count — the explode is narrow
+    and the FIRST aggregation collapses it to ≤ |alphabet| rows per doc
+    before any exchange (map-side partial agg), so the shuffle carries
+    O(docs × distinct-chars), not O(total characters). The entropy fold
+    is then a second map-side-combinable agg per doc: Σ c·ln c and
+    Σ c fused via the identity H = ln(n)/ln 2 − (Σ c·ln c)/(n·ln 2),
+    which needs NO per-term p_i division and therefore no window for
+    the doc total — one fewer pass than the textbook formula (the
+    oracle keeps the textbook window form as the independent twin).
+    At 100 TB: two telescoping aggregations, each exchange strictly
+    smaller than its input — the same cascade shape as
+    graph_degree_hist.
+    Reference provenance: none (the reference never measures text
+    quality); SURVEY §2 B.11 curation family (round 4).
+    """
+    d = table(spark, sf_dir, "documents")
+    freq = (
+        d.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ln2 = F.lit(2.0)
+    ent = freq.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_chars"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        (
+            (
+                F.log(F.sum("c").cast("double"))
+                - F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+                / F.sum("c").cast("double")
+            )
+            / F.log(ln2)
+        ).alias("h"),
+    )
+    return ent.select(
+        "doc_id",
+        "n_chars",
+        "n_distinct",
+        F.round("h", 6).alias("entropy_bits"),
+        F.when(F.col("h") < 3.9, "low")
+        .when(F.col("h") < 4.1, "mid")
+        .otherwise("high")
+        .alias("bucket"),
+    ).orderBy("doc_id")
