@@ -670,3 +670,58 @@ def test_scene_cuts_single_video_exchange(spark, sf_oracle):
     plan = formatted_plan(spark, "multimodal_scene_cuts", sf_oracle)
     body = plan.split("== Physical Plan ==")[-1]
     assert len(re.findall(r"\(\d+\) Exchange", body)) <= 2, body
+
+
+def test_sign_hamming_broadcast_and_group_limit(spark, sf_oracle):
+    """Sign-bit ANN: the 3-row query side must broadcast (never a
+    shuffled join), and the top-10 rank window must be pruned by
+    WindowGroupLimit before its exchange."""
+    plan = formatted_plan(spark, "vec_sign_binary_hamming", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastNestedLoopJoin" in body or "BroadcastHashJoin" in body, body
+    assert "SortMergeJoin" not in body
+    assert "WindowGroupLimit" in body, body
+
+
+def test_jaccard_neighbors_wedge_topk(spark, sf_oracle):
+    """Neighborhood Jaccard: size lookups broadcast, the global top-20
+    is a TakeOrdered (per-partition top-k + tiny driver merge), never a
+    full global sort."""
+    plan = formatted_plan(spark, "graph_jaccard_neighbors", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "TakeOrderedAndProject" in body, body
+    assert "BroadcastHashJoin" in body, body
+
+
+def test_weighted_median_single_group_exchange(spark, sf_oracle):
+    """Running-weight and total-weight windows plus the crossing agg
+    must all ride ONE exchange on the group key (plus the presentation
+    sort's)."""
+    import re
+
+    plan = formatted_plan(spark, "agg_weighted_median", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert len(re.findall(r"\(\d+\) Exchange", body)) <= 3, body
+
+
+def test_char_entropy_telescoping_aggs(spark, sf_oracle):
+    """Entropy must be two cascaded hash aggregations with map-side
+    partials — no window, no join: the char explode collapses before
+    any exchange."""
+    plan = formatted_plan(spark, "text_char_entropy", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "Join" not in body, body
+    assert "Window" not in body, body
+    assert "HashAggregate" in body, body
+
+
+def test_binned_sketch_window_rides_sketch(spark, sf_oracle):
+    """The cumulative window must run over the aggregated sketch (rows
+    = bins), i.e. AFTER a HashAggregate — and the probe join must be a
+    broadcast, never shuffled."""
+    plan = formatted_plan(spark, "agg_binned_quantile_sketch", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "SortMergeJoin" not in body, body
+    agg_pos = body.find("HashAggregate")
+    win_pos = body.rfind("Window")
+    assert agg_pos != -1 and win_pos != -1
