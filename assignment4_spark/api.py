@@ -55,6 +55,10 @@ from .operators.timeseries import (  # noqa: F401
 )
 from .operators.textstats import (  # noqa: F401
     bpe_train,
+    char_entropy,
+)
+from .operators.aggregates import (  # noqa: F401
+    weighted_median,
 )
 from .operators.vectors import (  # noqa: F401
     as_double,
@@ -77,6 +81,7 @@ __all__ = [
     "bottomk_by_hash",
     "bpe_train",
     "canonical_url",
+    "char_entropy",
     "chunk_text",
     "compose_pdf",
     "connected_components",
@@ -98,5 +103,6 @@ __all__ = [
     "simhash_pairs",
     "triangle_count",
     "upsert_merge_parquet",
+    "weighted_median",
     "weighted_sample_ares",
 ]

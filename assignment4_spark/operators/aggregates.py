@@ -638,6 +638,7 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the robust center the plain median misses when rows carry very
     different weights (a core training-mix statistic: "the median
     token-weighted document quality", not the median document).
+    Registered face of `weighted_median` (api.py).
 
     Engine shape: ONE sorted window pass computes the running weight,
     a scalar window carries the group total alongside (same partition,
@@ -655,23 +656,48 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("price"),
         F.col("l_quantity").cast("double").alias("w"),
     )
-    wp = Window.partitionBy("l_returnflag")
-    cum = v.select(
-        "l_returnflag",
-        "price",
-        F.sum("w")
-        .over(wp.orderBy("price", "w").rowsBetween(Window.unboundedPreceding, 0))
-        .alias("cw"),
-        F.sum("w").over(wp).alias("tw"),
-    )
     return (
-        cum.filter(F.col("cw") >= F.col("tw") / 2)
-        .groupBy("l_returnflag")
-        .agg(
-            F.round(F.min("price"), 2).alias("weighted_median"),
-            F.round(F.max("tw"), 2).alias("total_weight"),
+        weighted_median(v, ["l_returnflag"], "price", "w")
+        .select(
+            "l_returnflag",
+            F.round("weighted_median", 2).alias("weighted_median"),
+            F.round("total_weight", 2).alias("total_weight"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+def weighted_median(
+    df: DataFrame, group_cols: list[str], value_col: str, weight_col: str
+) -> DataFrame:
+    """Composable weighted median: per group, the smallest value whose
+    cumulative weight reaches half the group's total weight. Returns
+    one row per group: group cols + `weighted_median` + `total_weight`
+    (both unrounded — callers choose presentation rounding).
+
+    One exchange on the group key; the (value, weight) order key makes
+    the crossing row unique for any input (see agg_weighted_median).
+    """
+    wp = Window.partitionBy(*group_cols)
+    cum = df.select(
+        *group_cols,
+        F.col(value_col).alias("_v"),
+        F.sum(weight_col)
+        .over(
+            wp.orderBy(value_col, weight_col).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .alias("_cw"),
+        F.sum(weight_col).over(wp).alias("_tw"),
+    )
+    return (
+        cum.filter(F.col("_cw") >= F.col("_tw") / 2)
+        .groupBy(*group_cols)
+        .agg(
+            F.min("_v").alias("weighted_median"),
+            F.max("_tw").alias("total_weight"),
+        )
     )
 
 

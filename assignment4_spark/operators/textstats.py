@@ -1269,31 +1269,41 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality); SURVEY §2 B.11 curation family (round 4).
     """
     d = table(spark, sf_dir, "documents")
-    freq = (
-        d.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
-        .groupBy("doc_id", "ch")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    ln2 = F.lit(2.0)
-    ent = freq.groupBy("doc_id").agg(
-        F.sum("c").cast("bigint").alias("n_chars"),
-        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
-        (
-            (
-                F.log(F.sum("c").cast("double"))
-                - F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
-                / F.sum("c").cast("double")
-            )
-            / F.log(ln2)
-        ).alias("h"),
-    )
+    ent = char_entropy(d, "doc_id", "text")
     return ent.select(
         "doc_id",
         "n_chars",
         "n_distinct",
-        F.round("h", 6).alias("entropy_bits"),
-        F.when(F.col("h") < 3.9, "low")
-        .when(F.col("h") < 4.1, "mid")
+        F.round("entropy_bits", 6).alias("entropy_bits"),
+        F.when(F.col("entropy_bits") < 3.9, "low")
+        .when(F.col("entropy_bits") < 4.1, "mid")
         .otherwise("high")
         .alias("bucket"),
     ).orderBy("doc_id")
+
+
+def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Composable per-row character entropy: returns one row per id —
+    (id_col, n_chars, n_distinct, entropy_bits) with entropy UNROUNDED
+    (callers choose presentation rounding / bucket boundaries). Two
+    telescoping aggregations; the char explode collapses to one row per
+    (id, char) before any exchange (see text_char_entropy)."""
+    freq = (
+        df.select(id_col, F.explode(F.split(text_col, "")).alias("_ch"))
+        .groupBy(id_col, "_ch")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return freq.groupBy(id_col).agg(
+        F.sum("_c").cast("bigint").alias("n_chars"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        (
+            (
+                F.log(F.sum("_c").cast("double"))
+                - F.sum(
+                    F.col("_c").cast("double") * F.log(F.col("_c").cast("double"))
+                )
+                / F.sum("_c").cast("double")
+            )
+            / F.log(F.lit(2.0))
+        ).alias("entropy_bits"),
+    )

@@ -939,3 +939,71 @@ def ts_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.round("value", 6).alias("final_value"), "n_changes")
         .orderBy("user_id")
     )
+
+
+@register(
+    "ts_seasonal_profile",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, EXTRACT(HOUR FROM ts) AS hod, value
+      FROM events
+    ), hourly AS (
+      SELECT event_type, hod,
+             COUNT(*) AS n_events,
+             SUM(value) AS s
+      FROM base GROUP BY event_type, hod
+    ), totals AS (
+      SELECT event_type,
+             SUM(s) / SUM(n_events) AS overall_mean
+      FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type, CAST(h.hod AS INT) AS hour_of_day,
+           CAST(h.n_events AS BIGINT) AS n_events,
+           ROUND(h.s / h.n_events, 6) AS seasonal_mean,
+           ROUND((h.s / h.n_events) / t.overall_mean, 6) AS seasonal_index
+    FROM hourly h JOIN totals t USING (event_type)
+    ORDER BY event_type, hour_of_day
+    """,
+)
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile per event type: mean value and the
+    seasonal index (hourly mean / overall mean — >1 = above-baseline
+    hour), the decomposition table consumed by every
+    deseasonalized-anomaly check (ts_anomaly_zscore's residual step
+    assumes exactly this baseline) and by load-aware schedulers.
+
+    Shape: one scan → hour-of-day hash agg carrying (count, sum) — one
+    row per (type, hour) ≤ 24·|types|, map-side combinable — then the
+    per-type overall mean derived FROM THE PROFILE (a second
+    telescoping agg over ≤24 rows per type, never a second scan of the
+    raw events) and a broadcast join back. The overall mean must be
+    the event-weighted mean Σs/Σn — averaging the 24 hourly means
+    would weight empty hours equally and skew every index. At 100 TB:
+    the only exchange over data is the first agg's, and its output is
+    bounded by the key space, not the row count.
+    Reference provenance: none; SURVEY §2 B.11 timeseries family
+    (round 4).
+    """
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.hour("ts").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("s"),
+    )
+    totals = hourly.groupBy("event_type").agg(
+        (F.sum("s") / F.sum("n_events")).alias("overall_mean")
+    )
+    return (
+        hourly.join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            F.col("hod").cast("int").alias("hour_of_day"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.round(F.col("s") / F.col("n_events"), 6).alias("seasonal_mean"),
+            F.round((F.col("s") / F.col("n_events")) / F.col("overall_mean"), 6).alias(
+                "seasonal_index"
+            ),
+        )
+        .orderBy("event_type", "hour_of_day")
+    )

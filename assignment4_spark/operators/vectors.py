@@ -1562,3 +1562,75 @@ def vec_sign_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "vec_hard_negatives",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS q_label, embedding
+      FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS negative_id, e.label AS neg_label,
+             LIST_COSINE_SIMILARITY(e.embedding::DOUBLE[],
+                                    q.embedding::DOUBLE[]) AS sim
+      FROM q CROSS JOIN embeddings e
+      WHERE e.label <> q.q_label
+    ), ranked AS (
+      SELECT query_id, negative_id, neg_label, ROUND(sim, 6) AS sim_r,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, negative_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, negative_id, neg_label, sim_r, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def vec_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the top-5 most-similar vectors with a DIFFERENT label — the
+    examples a contrastive/triplet loss learns most from (easy
+    negatives contribute ~zero gradient; random sampling wastes the
+    batch). The label-aware twin of vec_knn_topk: same broadcast + rank
+    plan, but the label inequality is applied BEFORE scoring, so
+    same-label rows never enter the similarity computation at all.
+
+    Scale shape identical to vec_knn_topk (the exact baseline the ANN
+    ops approximate): 5-query broadcast against the corpus scan, rank
+    window pruned by WindowGroupLimit; at production scale the corpus
+    side is the ANN index (vec_ann_ivf_topk) with the label filter
+    pushed into the bucket scan — the mining loop is the read path
+    these indexes exist for.
+    Reference provenance: Pinecone top-k retrieval (ra/agent.py:115-119)
+    repurposed as a training-data miner; SURVEY §2 B.11 vector family
+    (round 4).
+    """
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("q_label"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("neg_label"),
+            cosine(as_double("embedding"), as_double("q_embedding")).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "negative_id")
+    return (
+        scored.select(
+            "query_id",
+            "negative_id",
+            "neg_label",
+            F.round("sim", 6).alias("sim_r"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )

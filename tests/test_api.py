@@ -441,3 +441,34 @@ def test_compose_pdf_structure():
     stream = pdf.split(b"stream\n", 1)[1].rsplit(b"\nendstream", 1)[0]
     assert len(stream) == length
     assert rb"\(with parens\)" in pdf  # escaping applied
+
+
+def test_weighted_median_custom_columns(spark):
+    # group 'g': values 1..4 with weight 1 except value 4 carries half
+    # the total mass alone -> crossing lands on 4's cumulative row only
+    # when weights say so.
+    rows = [("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 1.0), ("g", 4.0, 9.0),
+            ("h", 10.0, 1.0), ("h", 20.0, 1.0)]
+    df = spark.createDataFrame(rows, "grp string, val double, wt double")
+    out = {r.grp: r for r in api.weighted_median(df, ["grp"], "val", "wt").collect()}
+    assert out["g"].weighted_median == 4.0  # 9/12 of the mass sits on 4
+    assert out["g"].total_weight == 12.0
+    assert out["h"].weighted_median == 10.0  # cw=1 >= tw/2=1 at the first row
+    assert out["h"].total_weight == 2.0
+
+
+def test_char_entropy_custom_columns(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd")], "row_id long, body string"
+    )
+    out = {r.row_id: r for r in api.char_entropy(df, "row_id", "body").collect()}
+    assert out[1].entropy_bits == 0.0 and out[1].n_distinct == 1
+    assert abs(out[2].entropy_bits - 1.0) < 1e-12  # two equiprobable chars
+    assert abs(out[3].entropy_bits - 2.0) < 1e-12  # four equiprobable chars
+    assert out[3].n_chars == 4
+    # mixed distribution: 2/4,1/4,1/4 -> 1.5 bits
+    df2 = spark.createDataFrame([(9, "aabc")], "row_id long, body string")
+    r = api.char_entropy(df2, "row_id", "body").collect()[0]
+    assert abs(r.entropy_bits - 1.5) < 1e-12

@@ -725,3 +725,28 @@ def test_binned_sketch_window_rides_sketch(spark, sf_oracle):
     agg_pos = body.find("HashAggregate")
     win_pos = body.rfind("Window")
     assert agg_pos != -1 and win_pos != -1
+
+
+def test_hard_negatives_broadcast_group_limit(spark, sf_oracle):
+    """Hard-negative mining: broadcast query side, rank window pruned
+    by WindowGroupLimit, never a shuffled join."""
+    plan = formatted_plan(spark, "vec_hard_negatives", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastNestedLoopJoin" in body or "BroadcastHashJoin" in body, body
+    assert "SortMergeJoin" not in body
+    assert "WindowGroupLimit" in body, body
+
+
+def test_seasonal_profile_telescoping_broadcast(spark, sf_oracle):
+    """Seasonal profile: one data exchange (the hourly agg), the
+    per-type totals derived from the profile, and the join back must
+    broadcast."""
+    import re
+
+    plan = formatted_plan(spark, "ts_seasonal_profile", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in body, body
+    assert "SortMergeJoin" not in body
+    # hourly agg exchange + totals agg exchange + presentation sort;
+    # broadcast exchanges excluded from the count
+    assert len(re.findall(r"\(\d+\) Exchange hashpartitioning", body)) <= 2, body
