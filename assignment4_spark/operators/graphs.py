@@ -433,7 +433,13 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         if n_frontier == 0:
             break
         fr = frontier.select("v")
-        if n_frontier <= 1_000_000:
+        # hint broadcast only while the frontier is BYTES-small: 100k
+        # longs ≈ 0.8 MB raw / a few MB as a HashedRelation, safely
+        # inside the 10 MB autoBroadcastJoinThreshold. F.broadcast is a
+        # hard hint AQE cannot demote, so the cutoff must stay below
+        # the byte limit the planner would apply — beyond it, leave the
+        # join to AQE, which can still promote at runtime.
+        if n_frontier <= 100_000:
             fr = F.broadcast(fr)
         reached = (
             edges.join(fr, edges.src == fr.v)

@@ -1222,7 +1222,7 @@ def text_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), freq AS (
       SELECT doc_id, ch, COUNT(*) AS c
-      FROM chars GROUP BY doc_id, ch
+      FROM chars WHERE ch <> '' GROUP BY doc_id, ch
     ), tot AS (
       SELECT doc_id, SUM(c) AS n FROM freq GROUP BY doc_id
     ), ent AS (
@@ -1288,8 +1288,13 @@ def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     (callers choose presentation rounding / bucket boundaries). Two
     telescoping aggregations; the char explode collapses to one row per
     (id, char) before any exchange (see text_char_entropy)."""
+    # split('', '') yields [''] on both engines — without the filter an
+    # EMPTY document would count one phantom character (n_chars=1,
+    # entropy 0) instead of dropping out; with it, empty rows simply
+    # produce no output row (entropy of zero characters is undefined).
     freq = (
         df.select(id_col, F.explode(F.split(text_col, "")).alias("_ch"))
+        .filter(F.col("_ch") != "")
         .groupBy(id_col, "_ch")
         .agg(F.count(F.lit(1)).alias("_c"))
     )

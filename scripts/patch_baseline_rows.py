@@ -1,0 +1,136 @@
+"""Append/refresh individual query rows in BASELINE.md §2 without
+re-running the full sweep — same timing protocol as make_baseline.py
+(one untimed warm run, median of N_RUNS full materializations per
+engine, sf0.001 tripwire probe). Use after adding operators late in a
+round, when the full table was regenerated before they existed.
+
+Usage: python scripts/patch_baseline_rows.py name1 [name2 ...] [sf_dir]
+Recomputes the totals line from the patched table.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from assignment4_spark import registry
+from assignment4_spark.schemas import TABLES
+from assignment4_spark.session import get_spark
+from scripts.make_baseline import N_RUNS, median_time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.1"
+    if args and os.path.isdir(args[-1]):
+        sf_dir = args.pop()
+    names = args
+    if not names:
+        raise SystemExit("pass at least one queries() key")
+    registry.load_all()
+    spark = get_spark("baseline-patch")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    registry.QUERIES["agg_groupby_basic"](spark, sf_dir).count()  # warm
+
+    # same slow-oracle protocol as make_baseline.py: O(N²) brute-force
+    # DuckDB oracles are never re-timed here — reuse the cached seconds
+    # (scripts/time_slow_oracles.py) or mark the row pending.
+    from scripts.time_slow_oracles import SLOW as slow_names
+
+    slow_secs: dict[str, float] = {}
+    slow_path = os.path.join(REPO, "scripts", "slow_oracle_seconds.txt")
+    if os.path.exists(slow_path):
+        with open(slow_path) as f:
+            for line in f:
+                k, v = line.split()
+                slow_secs[k] = float(v)
+
+    tiny_sf = "/root/testdata/sf0.001"
+    new_rows: dict[str, tuple[str, str, str, str]] = {}
+    for name in names:
+        fn = registry.QUERIES[name]
+        fn(spark, sf_dir).count()
+        s = median_time(lambda: fn(spark, sf_dir).count(), always_full=True)
+        s_tiny = None
+        if os.path.isdir(tiny_sf):
+            fn(spark, tiny_sf).count()
+            t0 = time.perf_counter()
+            fn(spark, tiny_sf).count()
+            s_tiny = time.perf_counter() - t0
+        if name in slow_names:
+            d = slow_secs.get(name)
+            if d is None:
+                new_rows[name] = (
+                    "(pending)", f"{s:.3f}", "—",
+                    "DuckDB O(N²) brute-force oracle still being timed",
+                )
+            else:
+                new_rows[name] = (
+                    f"{d:.1f}", f"{s:.3f}", f"{s / d:.3f}×",
+                    "DuckDB side is the O(N²) brute-force oracle, timed once",
+                )
+        elif name in registry.ORACLES:
+            sql = registry.ORACLES[name]
+            d = median_time(lambda: con.execute(sql).fetchall())
+            ratio = f"{s / d:.1f}×" if d > 0 else "—"
+            note = ""
+            if d > 0 and s / d > 2.0 and s_tiny and s >= 3.0 * s_tiny:
+                note = (
+                    f"TRIPWIRE: data-proportional (sf0.1 = {s / s_tiny:.1f}x "
+                    "sf0.001) and >2x DuckDB"
+                )
+            new_rows[name] = (f"{d:.3f}", f"{s:.3f}", ratio, note)
+        else:
+            new_rows[name] = ("—", f"{s:.3f}", "—", "rows-only (no oracle)")
+        print(f"{name:28s} duck={new_rows[name][0]:>7s} spark={new_rows[name][1]:>7s}")
+    spark.stop()
+
+    path = os.path.join(REPO, "BASELINE.md")
+    text = open(path).read()
+    m = re.search(r"<!-- BASELINE_TABLE -->\n(.*?)\n<!-- /BASELINE_TABLE -->", text, re.S)
+    assert m, "BASELINE_TABLE markers missing"
+    lines = m.group(1).splitlines()
+    header, sep = lines[0], lines[1]
+    data = [l for l in lines[2:] if l.startswith("| `")]
+    kept = {}
+    for l in data:
+        key = l.split("`")[1]
+        kept[key] = l
+    for name, (d, s, r, note) in new_rows.items():
+        kept[name] = f"| `{name}` | {d} | {s} | {r} | {note} |"
+    body = [kept[k] for k in sorted(kept)]
+    duck_total = spark_total = 0.0
+    for l in body:
+        cells = [c.strip() for c in l.split("|")[1:-1]]
+        try:
+            duck_total += float(cells[1])
+        except ValueError:
+            pass
+        try:
+            spark_total += float(cells[2])
+        except ValueError:
+            pass
+    totals = (
+        f"| **total (oracled queries)** | **{duck_total:.2f}** | "
+        f"**{spark_total:.2f}** | **{spark_total / duck_total:.3g}×** | "
+        f"per-query median of {N_RUNS}; "
+        "Spark includes ~0.1-0.3 s/query fixed driver+scheduling overhead |"
+    )
+    table = "\n".join([header, sep] + body + [totals])
+    text = text[: m.start()] + f"<!-- BASELINE_TABLE -->\n{table}\n<!-- /BASELINE_TABLE -->" + text[m.end():]
+    open(path, "w").write(text)
+    print(f"patched {len(new_rows)} rows; totals duck={duck_total:.2f} spark={spark_total:.2f}")
+
+
+if __name__ == "__main__":
+    main()

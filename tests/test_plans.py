@@ -725,6 +725,11 @@ def test_binned_sketch_window_rides_sketch(spark, sf_oracle):
     agg_pos = body.find("HashAggregate")
     win_pos = body.rfind("Window")
     assert agg_pos != -1 and win_pos != -1
+    # formatted explain numbers operators leaf-first: the bin aggregate
+    # must appear BEFORE the cumulative window — a window over raw rows
+    # (the O(N) single-partition blowup this gate exists for) would
+    # print the other way around
+    assert agg_pos < win_pos, body
 
 
 def test_hard_negatives_broadcast_group_limit(spark, sf_oracle):
