@@ -638,16 +638,20 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the robust center the plain median misses when rows carry very
     different weights (a core training-mix statistic: "the median
     token-weighted document quality", not the median document).
-    Registered face of `weighted_median` (api.py).
+    Registered face of `weighted_median` (api.py), on its binned path.
 
-    Engine shape: ONE sorted window pass computes the running weight,
-    a scalar window carries the group total alongside (same partition,
-    no extra exchange), and a min-aggregate picks the crossing point —
-    never a collect, never a per-group sort on the driver. At 100 TB
-    the cost is one exchange on the group key plus an in-partition
-    sort, identical asymptotics to any exact percentile; the
-    deterministic (price, weight) order key makes the crossing row
-    unique so both engines agree exactly.
+    Engine shape (bin_width=1000): the full data is reduced by ONE
+    map-side-combinable agg to a per-(group, bin) weight sketch; the
+    cumulative window runs over the SKETCH (~105 rows), never the
+    data; a broadcast join then slices out only each group's crossing
+    bin (~1/bins of the group) for the exact in-bin window. With 3
+    groups holding all rows, the naive single-window form would sort
+    600 k rows in 3 tasks — the low-cardinality window smell — while
+    here the only per-group sort touches one bin's slice. Exact, not
+    approximate: bin membership is a pure function of the value, and
+    the deterministic (price, weight) in-bin order key makes the
+    crossing row unique so both engines agree exactly (the oracle
+    keeps the textbook full-window form as the independent twin).
     Reference provenance: none (the reference computes no statistics);
     SURVEY §2 Part B aggregation family (round 4).
     """
@@ -657,7 +661,7 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("double").alias("w"),
     )
     return (
-        weighted_median(v, ["l_returnflag"], "price", "w")
+        weighted_median(v, ["l_returnflag"], "price", "w", bin_width=1000.0)
         .select(
             "l_returnflag",
             F.round("weighted_median", 2).alias("weighted_median"),
@@ -668,31 +672,106 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def weighted_median(
-    df: DataFrame, group_cols: list[str], value_col: str, weight_col: str
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    bin_width: float | None = None,
 ) -> DataFrame:
     """Composable weighted median: per group, the smallest value whose
     cumulative weight reaches half the group's total weight. Returns
     one row per group: group cols + `weighted_median` + `total_weight`
-    (both unrounded — callers choose presentation rounding).
+    (both unrounded — callers choose presentation rounding). Exact on
+    BOTH paths:
 
-    One exchange on the group key; the (value, weight) order key makes
-    the crossing row unique for any input (see agg_weighted_median).
+    * ``bin_width=None`` — one running-weight window per group. Correct
+      everywhere, but each group's rows sort inside ONE task (the
+      low-cardinality-partition window smell): fine for many groups /
+      modest rows-per-group, the bottleneck when a handful of groups
+      hold 100 TB.
+    * ``bin_width=w`` — sketch-to-narrow, then exact inside the bin:
+      (1) ONE map-side-combinable agg of weight per (group, value bin)
+      — the same O(bins) sketch as agg_binned_quantile_sketch; (2) the
+      cumulative window runs over the SKETCH (rows = bins, trivially
+      small) to find each group's crossing bin, its preceding-bins
+      offset, and the group total; (3) a broadcast join filters the
+      raw rows to the crossing bin only (~rows/bins of each group) and
+      a window over that small slice finds the exact crossing value.
+      Bin membership is a pure function of the value — deterministic,
+      no sampling, no checkpoint — so this is the selection-by-partial-
+      sums plan: the full data is scanned and pre-aggregated, but only
+      one bin's slice per group is ever sorted.
     """
-    wp = Window.partitionBy(*group_cols)
-    cum = df.select(
-        *group_cols,
-        F.col(value_col).alias("_v"),
-        F.sum(weight_col)
-        .over(
-            wp.orderBy(value_col, weight_col).rowsBetween(
-                Window.unboundedPreceding, 0
+    if bin_width is None:
+        wp = Window.partitionBy(*group_cols)
+        cum = df.select(
+            *group_cols,
+            F.col(value_col).alias("_v"),
+            F.sum(weight_col)
+            .over(
+                wp.orderBy(value_col, weight_col).rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            )
+            .alias("_cw"),
+            F.sum(weight_col).over(wp).alias("_tw"),
+        )
+        return (
+            cum.filter(F.col("_cw") >= F.col("_tw") / 2)
+            .groupBy(*group_cols)
+            .agg(
+                F.min("_v").alias("weighted_median"),
+                F.max("_tw").alias("total_weight"),
             )
         )
-        .alias("_cw"),
-        F.sum(weight_col).over(wp).alias("_tw"),
+
+    binned = F.floor(F.col(value_col) / F.lit(bin_width)).cast("bigint")
+    sketch = df.groupBy(*group_cols, binned.alias("_bin")).agg(
+        F.sum(weight_col).alias("_bw")
+    )
+    wp = Window.partitionBy(*group_cols)
+    sk = sketch.select(
+        *group_cols,
+        "_bin",
+        F.sum("_bw")
+        .over(wp.orderBy("_bin").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_cum"),
+        F.col("_bw"),
+        F.sum("_bw").over(wp).alias("_tw"),
+    )
+    crossing = (
+        sk.filter(F.col("_cum") >= F.col("_tw") / 2)
+        .groupBy(*group_cols)
+        .agg(F.min(F.struct("_bin", "_cum", "_bw", "_tw")).alias("_s"))
+        .select(
+            *group_cols,
+            F.col("_s._bin").alias("_bin"),
+            (F.col("_s._cum") - F.col("_s._bw")).alias("_before"),
+            F.col("_s._tw").alias("_tw"),
+        )
+    )
+    slice_ = (
+        df.select(
+            *group_cols, F.col(value_col).alias("_v"), F.col(weight_col).alias("_w")
+        )
+        .join(F.broadcast(crossing), group_cols)
+        .filter(
+            F.floor(F.col("_v") / F.lit(bin_width)).cast("bigint") == F.col("_bin")
+        )
+    )
+    cum2 = slice_.select(
+        *group_cols,
+        "_v",
+        "_tw",
+        (
+            F.col("_before")
+            + F.sum("_w").over(
+                wp.orderBy("_v", "_w").rowsBetween(Window.unboundedPreceding, 0)
+            )
+        ).alias("_cw"),
     )
     return (
-        cum.filter(F.col("_cw") >= F.col("_tw") / 2)
+        cum2.filter(F.col("_cw") >= F.col("_tw") / 2)
         .groupBy(*group_cols)
         .agg(
             F.min("_v").alias("weighted_median"),

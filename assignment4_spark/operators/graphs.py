@@ -543,7 +543,10 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= 64)
         .select("part")
     )
-    p = postings.join(rare, "part")
+    # p feeds THREE consumers (sizes, both wedge sides) — materialize it
+    # once or the scan+distinct+cap lineage re-runs three times
+    # (measured 5.0 s → ~2 s at sf0.1)
+    p = postings.join(rare, "part").localCheckpoint(eager=True)
     sizes = p.groupBy("supp").agg(F.count(F.lit(1)).alias("n"))
     a = p.select("part", F.col("supp").alias("supp_a"))
     b = p.select("part", F.col("supp").alias("supp_b"))

@@ -472,3 +472,28 @@ def test_char_entropy_custom_columns(spark):
     df2 = spark.createDataFrame([(9, "aabc")], "row_id long, body string")
     r = api.char_entropy(df2, "row_id", "body").collect()[0]
     assert abs(r.entropy_bits - 1.5) < 1e-12
+
+
+def test_weighted_median_binned_path_matches_simple(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (f"g{i % 4}", round(rnd.uniform(0, 5000), 2), float(rnd.randint(1, 9)))
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "grp string, val double, wt double")
+    simple = {
+        r.grp: (r.weighted_median, r.total_weight)
+        for r in api.weighted_median(df, ["grp"], "val", "wt").collect()
+    }
+    binned = {
+        r.grp: (r.weighted_median, r.total_weight)
+        for r in api.weighted_median(
+            df, ["grp"], "val", "wt", bin_width=250.0
+        ).collect()
+    }
+    assert simple.keys() == binned.keys()
+    for g in simple:
+        assert simple[g][0] == binned[g][0], g  # identical crossing value
+        assert abs(simple[g][1] - binned[g][1]) < 1e-9, g

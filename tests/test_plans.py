@@ -693,15 +693,19 @@ def test_jaccard_neighbors_wedge_topk(spark, sf_oracle):
     assert "BroadcastHashJoin" in body, body
 
 
-def test_weighted_median_single_group_exchange(spark, sf_oracle):
-    """Running-weight and total-weight windows plus the crossing agg
-    must all ride ONE exchange on the group key (plus the presentation
-    sort's)."""
-    import re
-
+def test_weighted_median_sketch_narrows_before_sort(spark, sf_oracle):
+    """Binned path: the cumulative window must run over the per-bin
+    sketch (HashAggregate BEFORE the first Window), the crossing-bin
+    lookup must broadcast, and no sort-merge join may appear — the
+    full-data per-group sort is exactly what this plan avoids."""
     plan = formatted_plan(spark, "agg_weighted_median", sf_oracle)
     body = plan.split("== Physical Plan ==")[-1]
-    assert len(re.findall(r"\(\d+\) Exchange", body)) <= 3, body
+    assert "BroadcastHashJoin" in body, body
+    assert "SortMergeJoin" not in body, body
+    agg_pos = body.find("HashAggregate")
+    win_pos = body.find("Window")
+    assert agg_pos != -1 and win_pos != -1
+    assert agg_pos < win_pos, body
 
 
 def test_char_entropy_telescoping_aggs(spark, sf_oracle):
