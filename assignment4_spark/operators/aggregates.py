@@ -863,3 +863,71 @@ def agg_binned_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("est_price"),
     ).orderBy("q")
+
+
+@register(
+    "agg_corr_matrix",
+    oracle="""
+    WITH c AS (
+      SELECT CORR(l_quantity, l_extendedprice) AS qp,
+             CORR(l_quantity, l_discount)      AS qd,
+             CORR(l_quantity, l_tax)           AS qt,
+             CORR(l_extendedprice, l_discount) AS pd,
+             CORR(l_extendedprice, l_tax)      AS pt,
+             CORR(l_discount, l_tax)           AS dt
+      FROM lineitem
+    )
+    SELECT col_a, col_b, corr FROM (
+      SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, ROUND(qp, 6) AS corr FROM c
+      UNION ALL SELECT 'l_quantity', 'l_discount', ROUND(qd, 6) FROM c
+      UNION ALL SELECT 'l_quantity', 'l_tax', ROUND(qt, 6) FROM c
+      UNION ALL SELECT 'l_extendedprice', 'l_discount', ROUND(pd, 6) FROM c
+      UNION ALL SELECT 'l_extendedprice', 'l_tax', ROUND(pt, 6) FROM c
+      UNION ALL SELECT 'l_discount', 'l_tax', ROUND(dt, 6) FROM c
+    )
+    ORDER BY col_a, col_b
+    """,
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the four lineitem measures in
+    ONE pass — the feature-redundancy screen run before any model or
+    sampling-weight design (highly-correlated features double-count in
+    quality scores; the matrix says what to drop).
+
+    All six correlations are computed by a single aggregation over one
+    scan: Spark's corr() is a streaming one-pass sufficient-statistics
+    aggregate (count/means/co-moments) that combines map-side, so the
+    shuffle is ONE row of 6 doubles regardless of input size — the
+    same mergeable-statistics shape as agg_stats. The 6-row tidy
+    (col_a, col_b, corr) layout comes from unpivoting that single row
+    driver-side-free (stack over the aggregated frame, not a loop of
+    six jobs — the naive form pays 6 scans). Co-moment merge order
+    differs between engines; ~1e-12 relative noise sits far below the
+    6 dp rounding.
+    Reference provenance: none (the reference computes no statistics);
+    SURVEY §2 Part B aggregation family (round 4).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    one = li.agg(
+        F.corr("l_quantity", "l_extendedprice").alias("qp"),
+        F.corr("l_quantity", "l_discount").alias("qd"),
+        F.corr("l_quantity", "l_tax").alias("qt"),
+        F.corr("l_extendedprice", "l_discount").alias("pd"),
+        F.corr("l_extendedprice", "l_tax").alias("pt"),
+        F.corr("l_discount", "l_tax").alias("dt"),
+    )
+    return (
+        one.select(
+            F.expr(
+                "stack(6, "
+                "'l_quantity', 'l_extendedprice', qp, "
+                "'l_quantity', 'l_discount', qd, "
+                "'l_quantity', 'l_tax', qt, "
+                "'l_extendedprice', 'l_discount', pd, "
+                "'l_extendedprice', 'l_tax', pt, "
+                "'l_discount', 'l_tax', dt) AS (col_a, col_b, raw)"
+            )
+        )
+        .select("col_a", "col_b", F.round("raw", 6).alias("corr"))
+        .orderBy("col_a", "col_b")
+    )
