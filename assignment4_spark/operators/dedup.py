@@ -995,7 +995,10 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= 50)
         .select("sh")
     )
-    p = postings.join(rare, "sh")
+    # p feeds THREE consumers (sizes, both postings-join sides) —
+    # materialize once or the shingle-explode + df-cap lineage re-runs
+    # three times (same fix as graph_jaccard_neighbors, round 4)
+    p = postings.join(rare, "sh").localCheckpoint(eager=True)
     sizes = p.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = p.select(F.col("doc_id").alias("doc_a"), "sh")
     b = p.select(F.col("doc_id").alias("doc_b"), "sh")
