@@ -199,7 +199,7 @@ def cond_case_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            LEN(LIST_DISTINCT(STRING_SPLIT(text, ' ')))        AS n_unique_tokens,
            LIST_CONTAINS(STRING_SPLIT(text, ' '), 'spark')    AS has_spark,
-           STRING_SPLIT(text, ' ')[1:3]                        AS first3,
+           ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:3], ' ')  AS first3,
            LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' ')))[1] AS min_token
     FROM documents
     WHERE doc_id < 100
@@ -213,7 +213,7 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
         F.array_contains(toks, "spark").alias("has_spark"),
-        F.slice(toks, 1, 3).alias("first3"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
         F.element_at(F.array_sort(F.array_distinct(toks)), 1).alias("min_token"),
     ).orderBy("doc_id")
 
