@@ -28,9 +28,13 @@ from .operators.dedup import (  # noqa: F401
     simhash_pairs,
 )
 from .operators.multimodal import (  # noqa: F401
+    binary_extract_text,
+    compose_markdown,
     compose_pdf,
     phash_buckets,
     pil_luma_decoder,
+    pypdf_text_parser,
+    utf8_text_parser,
 )
 from .operators.rag import (  # noqa: F401
     CHUNK_OVERLAP,
@@ -78,11 +82,13 @@ __all__ = [
     "CHUNK_SIZE",
     "as_double",
     "bloom_prefilter",
+    "binary_extract_text",
     "bottomk_by_hash",
     "bpe_train",
     "canonical_url",
     "char_entropy",
     "chunk_text",
+    "compose_markdown",
     "compose_pdf",
     "connected_components",
     "cosine",
@@ -97,12 +103,14 @@ __all__ = [
     "pil_luma_decoder",
     "pq_encode",
     "pq_sub_dist",
+    "pypdf_text_parser",
     "quantize_int8_audit",
     "rp_bucket_keys",
     "sessionize",
     "simhash_pairs",
     "triangle_count",
     "upsert_merge_parquet",
+    "utf8_text_parser",
     "weighted_median",
     "weighted_sample_ares",
 ]

@@ -10,6 +10,7 @@ cluster where the catalog, not inference, defines types.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -39,8 +40,29 @@ def _events_ts_unit(path: str) -> str:
     return unit
 
 
+# Analyzed-plan cache per live session: the fixture files are immutable
+# (read-only /root/testdata), so the DataFrame built for a (sf_dir, table)
+# pair can be handed out again instead of re-running file listing + py4j
+# relation setup on every operator call. At 200+ queries × 2-4 tables each
+# this shaves seconds of pure fixed overhead off a bench suite without
+# changing any plan (DataFrames are immutable; derived layouts under
+# spark-warehouse never go through table()). WeakKey so a stopped session
+# doesn't pin its plans.
+_TABLE_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_confs(spark)
+    cache = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    cached = cache.get(key)
+    if cached is None:
+        cached = _load_table(spark, sf_dir, name)
+        cache[key] = cached
+    return cached
+
+
+def _load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         path = os.path.join(sf_dir, "events.parquet")
         if _events_ts_unit(path) == "ns":

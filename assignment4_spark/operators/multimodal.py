@@ -725,3 +725,149 @@ def report_pdf_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(_os.path.join(out_dir, "corpus_report.pdf"), "wb") as fh:
         fh.write(pdf)
     return df
+
+
+def utf8_text_parser(data: bytes) -> str:
+    """Plain-text `bytes→text` parser: UTF-8 decode with replacement.
+    Deterministic and dependency-free — the default hook for
+    binary_extract_text and the test oracle for the pluggable-parser
+    plumbing (the pypdf twin below is the import-guarded real-document
+    path)."""
+    return bytes(data).decode("utf-8", "replace")
+
+
+def pypdf_text_parser(data: bytes) -> str:
+    """Real document-text extraction hook: pypdf → per-page
+    extract_text, newline-joined. Import-guarded (pypdf is not in the
+    CI container — tests importorskip it, same convention as
+    pil_luma_decoder); a deployment with pypdf installed passes
+    parser=pypdf_text_parser to binary_extract_text and gets true PDF
+    parsing through the identical mapInPandas stage. Replaces the
+    reference's delegated Docling OCR/convert step
+    (parser_pinecone_storage.py:59-84) with an in-engine parse."""
+    import io
+
+    try:
+        from pypdf import PdfReader
+    except ImportError as ex:  # pragma: no cover - exercised only sans pypdf
+        raise ImportError(
+            "pypdf_text_parser requires pypdf; pass a custom parser or "
+            "use utf8_text_parser for plain-text blobs"
+        ) from ex
+    reader = PdfReader(io.BytesIO(data))
+    return "\n".join(page.extract_text() or "" for page in reader.pages)
+
+
+def binary_extract_text(
+    df: DataFrame, id_col: str, blob_col: str, parser=None
+) -> DataFrame:
+    """Composable document-text extraction (api.binary_extract_text):
+    binary blobs in, (id, text, n_chars) out — the A3 ingest front end
+    (parser_pinecone_storage.py:59-84 runs Docling over each S3 PDF)
+    as ONE Arrow-batched mapInPandas stage, the same plumbing shape as
+    phash_buckets' image-decoder hook.
+
+    parser=None defaults to utf8_text_parser (plain-text blobs); pass
+    pypdf_text_parser (or any bytes→str callable) for real document
+    formats. Per-record isolation: a NULL blob or a parser that raises
+    (corrupt file, wrong codec) yields a NULL text row, never a dead
+    task — the A28 rule. Blobs die in the worker; only extracted text
+    (and at scale, usually just its derived features) moves."""
+    if parser is None:
+        parser = utf8_text_parser
+
+    def extract(batches):
+        import pandas as pd
+
+        def one(b):
+            if b is None:
+                return None
+            try:
+                return parser(bytes(b))
+            except Exception:
+                return None
+
+        for pdf in batches:
+            texts = [one(b) for b in pdf[blob_col]]
+            yield pd.DataFrame(
+                {
+                    "_id": pdf[id_col],
+                    "text": texts,
+                    "n_chars": [len(t) if t is not None else None for t in texts],
+                }
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return (
+        df.select(id_col, blob_col)
+        .mapInPandas(extract, f"_id {id_type}, text string, n_chars long")
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+def compose_markdown(sections: list[tuple[str, str]]) -> str:
+    """Assemble the markdown/codelabs export (ExportOptions.tsx:20,31
+    declares 'Export as PDF' and 'Export as Codelabs'; the codelabs
+    toolchain consumes exactly this shape — an H1 title followed by H2
+    step sections). Deterministic for fixed input; headings are the
+    section names, bodies verbatim."""
+    (title, _), *rest = sections
+    out = [f"# {title}", ""]
+    for head, body in rest:
+        out += [f"## {head}", "", body, ""]
+    return "\n".join(out)
+
+
+@register(
+    "report_markdown_sink",
+    oracle="""
+    SELECT
+      'Corpus Research Report'                                   AS title,
+      'Analyzed ' || (SELECT COUNT(*) FROM documents) || ' documents'   AS introduction,
+      'Top language: ' ||
+        (SELECT lang FROM documents GROUP BY lang ORDER BY COUNT(*) DESC, lang LIMIT 1)
+                                                                 AS key_findings,
+      'Average length: ' ||
+        CAST(ROUND((SELECT AVG(n_chars) FROM documents), 2) AS VARCHAR) AS analysis,
+      'Total characters: ' ||
+        CAST((SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents) AS VARCHAR) AS conclusion,
+      (SELECT STRING_AGG(source, '; ' ORDER BY source)
+       FROM (SELECT DISTINCT source FROM documents ORDER BY source LIMIT 3)) AS sources
+    """,
+)
+def report_markdown_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's codelabs/markdown export (ExportOptions.tsx:31
+    'Export as Codelabs' — declared in the frontend, absent in the
+    backend, same gap the engine models for report_pdf_sink's PDF twin
+    at :20): report_compose's five sections rendered to a markdown
+    document (H1 title + H2 steps, the codelabs input shape) and
+    written next to the other sinks; structure asserted in-op (heading
+    count, section bodies present) before the oracle-checked report
+    frame is returned. Like the PDF sink, the data work is the
+    broadcast-joined aggregation plan; the sink adds no distributed
+    step."""
+    import os as _os
+
+    from .scans import ARTIFACT_ROOT
+
+    df = report_compose(spark, sf_dir)
+    row = df.first()
+    sections = [
+        (row.title, ""),
+        ("Introduction", row.introduction),
+        ("Key Findings", row.key_findings),
+        ("Analysis", row.analysis),
+        ("Conclusion", row.conclusion),
+        ("Sources", row.sources),
+    ]
+    md = compose_markdown(sections)
+    if md.count("\n## ") != 5 or not md.startswith("# Corpus Research Report"):
+        raise AssertionError("malformed markdown structure")
+    for _, body in sections[1:]:
+        if body not in md:
+            raise AssertionError("report section missing from markdown body")
+    out_dir = _os.path.join(ARTIFACT_ROOT, "reports")
+    _os.makedirs(out_dir, exist_ok=True)
+    with open(_os.path.join(out_dir, "corpus_report.md"), "w") as fh:
+        fh.write(md + "\n")
+    return df

@@ -467,3 +467,111 @@ def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_score").desc(), "doc_id")
         .limit(10)
     )
+
+
+@register(
+    "rag_answer_select",
+    oracle=f"""
+    WITH {_BM25_CTES},
+    top5 AS (
+      SELECT doc_id, doc_rank FROM (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY ROUND(bm25, 6) DESC, doc_id)
+                    AS INTEGER) AS doc_rank
+        FROM scored)
+      WHERE doc_rank <= 5
+    ),
+    starts AS (
+      SELECT d.doc_id, t.doc_rank, d.text,
+             UNNEST(generate_series(0, GREATEST(LENGTH(d.text) - 1, 0), 100)) AS start
+      FROM documents d JOIN top5 t USING (doc_id)
+    ),
+    chunks AS (
+      SELECT doc_id, doc_rank,
+             CAST(start // 100 AS INTEGER)                    AS chunk_id,
+             SUBSTRING(text, CAST(start AS INTEGER) + 1, 120) AS chunk_text
+      FROM starts
+    ),
+    cscore AS (
+      SELECT doc_id, doc_rank, chunk_id, chunk_text,
+             CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(chunk_text), ' '),
+                                  x -> x IN ('vector', 'join', 'scan')))
+                  AS INTEGER) AS n_match
+      FROM chunks
+    )
+    SELECT doc_rank, doc_id, chunk_id AS answer_chunk, chunk_text AS answer, n_match
+    FROM (SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY n_match DESC, chunk_id) AS rn
+          FROM cscore)
+    WHERE rn = 1
+    ORDER BY doc_rank
+    """,
+)
+def rag_answer_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extractive Q&A over retrieved chunks — the reference frontend's
+    Q&A panel posts to /ask_question
+    (copilot-app/app/components/QandAInteraction/QandAInteraction.tsx:23)
+    but no backend implements it (SURVEY §0: the missing second
+    backend); this op models it deterministically: retrieve the top-5
+    documents by BM25 (the shared _bm25_scores helper — fixed 3-term
+    query), chunk each with the fixture RAG chunker (120/20, same
+    stride as rag_chunk_text), score every chunk by lexical overlap
+    with the query terms, and return the best chunk per document as
+    the extractive answer span.
+
+    Spark shape: the corpus-wide work is exactly the BM25 scoring scan
+    (narrow, codegen); the global top-5 rank window is the same
+    candidate-pool-sized window as rag_rrf_fusion (per-query in
+    production, never corpus-global); everything after it touches FIVE
+    documents — broadcast-joined back to `documents`, chunk-exploded
+    in place (no shuffle), and the best-chunk window partitions by
+    doc_id over ≤5 × ~4 chunks. n_match is an integer, so the pick is
+    bit-identical cross-engine; ties break on chunk_id.
+    """
+    from pyspark.sql.window import Window as W
+
+    terms = ["vector", "join", "scan"]
+    scored = _bm25_scores(spark, sf_dir)
+    top5 = scored.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.round(F.col("bm25"), 6).desc(), "doc_id"))
+        .alias("doc_rank"),
+    ).filter(F.col("doc_rank") <= 5)
+    docs = table(spark, sf_dir, "documents").join(
+        F.broadcast(top5), "doc_id"
+    )
+    stride = FIXTURE_CHUNK_SIZE - FIXTURE_CHUNK_OVERLAP
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.length("text") - F.lit(1), F.lit(0)), F.lit(stride)
+    )
+    chunks = docs.select(
+        "doc_id", "doc_rank", F.posexplode(starts).alias("chunk_id", "start"), "text"
+    ).select(
+        "doc_id",
+        "doc_rank",
+        "chunk_id",
+        F.expr(f"substring(text, start + 1, {FIXTURE_CHUNK_SIZE})").alias("chunk_text"),
+    )
+    n_match = F.size(
+        F.filter(
+            F.split(F.lower("chunk_text"), " "), lambda x: x.isin(terms)
+        )
+    )
+    cscore = chunks.select(
+        "doc_id", "doc_rank", "chunk_id", "chunk_text", n_match.alias("n_match")
+    )
+    best = W.partitionBy("doc_id").orderBy(F.col("n_match").desc(), "chunk_id")
+    return (
+        cscore.withColumn("rn", F.row_number().over(best))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_rank",
+            "doc_id",
+            F.col("chunk_id").alias("answer_chunk"),
+            F.col("chunk_text").alias("answer"),
+            "n_match",
+        )
+        .orderBy("doc_rank")
+    )

@@ -33,6 +33,7 @@ twins and spot-checked here via the shared optimizer.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..io_util import register_views
 from ..registry import register
@@ -432,8 +433,69 @@ sql_q17_small_qty_avg = _sql_op("sql_q17_small_qty_avg", _Q17)
 sql_q18_large_volume = _sql_op("sql_q18_large_volume", _Q18)
 sql_q19_disjunctive_rev = _sql_op("sql_q19_disjunctive_rev", _Q19)
 sql_q20_parts_suppliers = _sql_op("sql_q20_parts_suppliers", _Q20)
-sql_q21_waiting_supplier = _sql_op("sql_q21_waiting_supplier", _Q21)
 sql_q22_global_sales = _sql_op("sql_q22_global_sales", _Q22)
+
+
+@register("sql_q21_waiting_supplier", oracle=_Q21)
+def sql_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 (waiting supplier), DataFrame form. The spark.sql() text of
+    _Q21 planned each correlated probe as its own lineitem shuffle —
+    three exchanges of the fact table (the round-4 tripwire,
+    BASELINE.md: 3.4×). The EXISTS/NOT EXISTS pair is really two
+    per-order distinct-supplier counts, so this form joins
+    lineitem⋈orders('F') ONCE on l_orderkey and answers both probes
+    with window aggregates over that same l_orderkey partitioning
+    (Catalyst reuses the join's hash partitioning — zero extra
+    exchanges of the fact table):
+
+      EXISTS  other-supplier row      ≡ count(distinct supp) over order ≥ 2
+      NOT EXISTS other LATE supplier  ≡ count(distinct late supp) == 1
+
+    supplier and nation ride broadcast joins after the row set has
+    collapsed to late rows only. At 100 TB this is the difference
+    between 1× and 3× full-fact shuffles; everything else (window
+    distinct via collect_set over a bounded per-order supplier set,
+    ≤7 lineitems/order in TPC-H) is map-local.
+    """
+    from pyspark.sql import Window
+
+    from ..io_util import table as _t
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "late", F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+    )
+    w = Window.partitionBy("l_orderkey")
+    j = j.withColumn(
+        "n_supp_all", F.size(F.collect_set("l_suppkey").over(w))
+    ).withColumn(
+        "n_supp_late",
+        F.size(
+            F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)
+        ),
+    )
+    waiting = j.filter(
+        F.col("late") & (F.col("n_supp_all") >= 2) & (F.col("n_supp_late") == 1)
+    ).select("l_suppkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        waiting.join(F.broadcast(sn), waiting.l_suppkey == sn.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
 
 # Recursive CTE (Spark 4.x WITH RECURSIVE): transitive hierarchy walk.
 # A deterministic supplier "org tree" is derived from the key itself

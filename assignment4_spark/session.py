@@ -9,6 +9,7 @@ change. Shuffle partitions default to the core count: the fixture data
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -44,15 +45,26 @@ def get_spark(app_name: str = "assignment4_spark", cpus: int | None = None) -> S
     return spark
 
 
+# Sessions already configured: ensure_confs is called from every table()
+# read, and each conf.set is a py4j round-trip — thousands of no-op
+# round-trips per bench suite otherwise. Nothing in this codebase unsets
+# these confs, so once-per-session is sufficient. WeakSet so a stopped
+# session doesn't leak.
+_CONFS_APPLIED: weakref.WeakSet = weakref.WeakSet()
+
+
 def ensure_confs(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an externally-built session.
 
     The driver builds its own SparkSession; oracle parity requires UTC
     timestamps (FIXTURES.md §5) and sane shuffle parallelism.
     """
+    if spark in _CONFS_APPLIED:
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on this build — ignore
+    _CONFS_APPLIED.add(spark)
     return spark

@@ -497,3 +497,61 @@ def test_weighted_median_binned_path_matches_simple(spark):
     for g in simple:
         assert simple[g][0] == binned[g][0], g  # identical crossing value
         assert abs(simple[g][1] - binned[g][1]) < 1e-9, g
+
+
+def test_binary_extract_text_utf8_roundtrip(spark):
+    """Default (plain-text) parser round-trips blobs; NULL and
+    undecodable-parser rows isolate to NULL instead of killing the
+    task (the A28 per-record rule)."""
+    df = spark.createDataFrame(
+        [(1, "hello spark".encode()), (2, "".encode()), (3, None)],
+        "bid long, payload binary",
+    )
+    rows = {
+        r.bid: r
+        for r in api.binary_extract_text(df, id_col="bid", blob_col="payload").collect()
+    }
+    assert rows[1].text == "hello spark" and rows[1].n_chars == 11
+    assert rows[2].text == "" and rows[2].n_chars == 0
+    assert rows[3].text is None and rows[3].n_chars is None
+
+
+def test_binary_extract_text_raising_parser_isolates(spark):
+    def explode_on_two(b: bytes) -> str:
+        if b == b"two":
+            raise ValueError("corrupt document")
+        return b.decode()
+
+    df = spark.createDataFrame(
+        [(1, b"one"), (2, b"two")], "bid long, payload binary"
+    )
+    rows = {
+        r.bid: r
+        for r in api.binary_extract_text(
+            df, id_col="bid", blob_col="payload", parser=explode_on_two
+        ).collect()
+    }
+    assert rows[1].text == "one"
+    assert rows[2].text is None and rows[2].n_chars is None
+
+
+def test_binary_extract_text_pypdf_parser(spark):
+    """True PDF parse through the same mapInPandas stage — the PDF is
+    generated by compose_pdf (the engine's own sink), so the test is
+    a full write→parse round trip. Skipped where pypdf is absent
+    (this CI container), same convention as the PIL decoder test."""
+    pytest.importorskip("pypdf")
+    pdf_bytes = api.compose_pdf([("Title", ""), ("Findings", "spark wins")])
+    df = spark.createDataFrame([(1, pdf_bytes)], "bid long, payload binary")
+    out = api.binary_extract_text(
+        df, id_col="bid", blob_col="payload", parser=api.pypdf_text_parser
+    ).collect()[0]
+    assert "spark wins" in out.text
+
+
+def test_compose_markdown_structure():
+    md = api.compose_markdown(
+        [("Report", ""), ("Intro", "body a"), ("End", "body b")]
+    )
+    assert md.startswith("# Report")
+    assert "## Intro\n\nbody a" in md and "## End\n\nbody b" in md

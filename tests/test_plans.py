@@ -759,3 +759,21 @@ def test_seasonal_profile_telescoping_broadcast(spark, sf_oracle):
     # hourly agg exchange + totals agg exchange + presentation sort;
     # broadcast exchanges excluded from the count
     assert len(re.findall(r"\(\d+\) Exchange hashpartitioning", body)) <= 2, body
+
+
+def test_q21_single_lineitem_scan_and_exchange(spark, sf_oracle):
+    """Q21 (DataFrame form): the EXISTS / NOT EXISTS probes must ride
+    window aggregates over the lineitem⋈orders join's own l_orderkey
+    partitioning — one scan of the fact table, one hash exchange of it,
+    supplier/nation broadcast. The spark.sql() text planned THREE
+    lineitem exchanges (round-4 tripwire, BASELINE.md 3.4×)."""
+    import re
+
+    plan = formatted_plan(spark, "sql_q21_waiting_supplier", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert body.count("lineitem.parquet") == 1, body
+    assert "BroadcastHashJoin" in body, body
+    # lineitem side: the orderkey join exchange; orders side: its own;
+    # plus the final groupBy(s_name) agg exchange. No more.
+    assert len(re.findall(r"\(\d+\) Exchange hashpartitioning", body)) <= 3, body
+    assert "TakeOrderedAndProject" in body, body
