@@ -543,8 +543,9 @@ def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     group, map-side mergeable, no shuffle of raw keys. HLL sketch bytes
     are engine-specific so there is no exact cross-engine oracle — the
     deterministic twin (same semantics, checkable estimate) is
-    agg_approx_distinct's KMV; the ±3·rsd error band vs exact count is
-    asserted in tests/test_aggregates.py.
+    agg_approx_distinct's KMV; the error band vs exact count is
+    asserted in tests/test_rag_ops.py::test_hll_distinct_error_bound
+    (the SURVEY §5.2.6 independent pin for this rows-only op).
     """
     ev = table(spark, sf_dir, "events")
     return (

@@ -150,7 +150,9 @@ def hash_embed_udf(texts: pd.Series) -> pd.Series:
 
 @register("rag_embed_hash")  # embedder output is engine-defined → rows-only; unit-tested
 def rag_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """chunks → L2-normalized array<float> embeddings (dim 64)."""
+    """chunks → L2-normalized array<float> embeddings (dim 64).
+    SURVEY §5.2.6 pin: determinism + unit norm + dim asserted in
+    tests/test_rag_ops.py::test_hash_embedder_deterministic_and_normalized."""
     docs = table(spark, sf_dir, "documents")
     chunks = chunk_text(docs, FIXTURE_CHUNK_SIZE, FIXTURE_CHUNK_OVERLAP)
     return chunks.select(

@@ -902,7 +902,9 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only by design (like vec_kmeans_train): the training loop's
     argmax-per-round is not expressible as one SQL query; correctness
     is pinned instead by a pure-Python reference implementation over
-    the same word counts in tests/test_rag_ops.py.
+    the same word counts (SURVEY §5.2.6 pin:
+    tests/test_rag_ops.py::test_bpe_train_matches_python_reference and
+    ::test_bpe_train_registered_head_is_pair_counts_top1).
     Reference provenance: none in the reference app; north-star
     tokenizer-training surface, one step past text_bpe_pair_counts
     (whose top-1 row equals this op's rank-1 rule by construction).

@@ -592,7 +592,9 @@ def vec_ann_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     P(bit match) = 1 - acos(cos θ)/π; the fixture's uniform-random
     embeddings are LSH-adversarial (top-neighbor cos only ≈ 0.4), so
     10×5 trades selectivity for recall ≈ 0.4-0.6 at ~30% of the corpus
-    scanned per query (floor asserted in tests). Clustered real-world
+    scanned per query (floor asserted in tests/test_rag_ops.py::
+    test_rp_lsh_ann_recall_vs_exact — the SURVEY §5.2.6 pin for this
+    rows-only op). Clustered real-world
     embeddings sit at higher cos where the same parameters both recall
     more and scan less. Reference provenance: the Pinecone-delegated
     ANN search (A18) brought in-engine."""
@@ -607,7 +609,8 @@ def vec_ann_rp_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (corpus keys unchanged — this is the point: recall of ~2× the tables
     without 2× the index size or build shuffle); only the broadcast query
     key-set grows 6×. Candidates are a strict superset of the
-    single-probe op's, so recall is provably ≥ (asserted in tests)."""
+    single-probe op's, so recall is provably ≥ (SURVEY §5.2.6 pin:
+    tests/test_rag_ops.py::test_rp_lsh_multiprobe_dominates_single_probe)."""
     return _rp_lsh_topk(spark, sf_dir, n_probes=6)
 
 
@@ -625,8 +628,9 @@ def vec_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       3. probe: each query searches only its nprobe=2 nearest clusters —
          ~N·nprobe/K distance computations instead of N.
 
-    Returns (query_id, neighbor_id, sim_r, rank ≤ 5). Recall vs the
-    exact scan is asserted in tests/test_rag_ops.py."""
+    Returns (query_id, neighbor_id, sim_r, rank ≤ 5). SURVEY §5.2.6
+    pin: recall vs the exact scan asserted in
+    tests/test_rag_ops.py::test_ivf_ann_recall_vs_exact."""
     e = table(spark, sf_dir, "embeddings")
     cent = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
@@ -776,7 +780,10 @@ def vec_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Generalizes A18 (ra/agent.py:108-133): the reference returns raw
     Pinecone rank order; MMR is what production RAG uses to stop the
-    context window filling with near-duplicate chunks."""
+    context window filling with near-duplicate chunks. SURVEY §5.2.6
+    pin: greedy-invariant properties (first pick = top cosine, picked
+    set diversity, determinism) asserted in
+    tests/test_rag_ops.py::test_mmr_rerank_properties."""
     import numpy as np
     import pandas as pd
 
@@ -853,8 +860,10 @@ def vec_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     join), the standard Lloyd fallback. Ties in the argmax break by
     centroid_id with sims pre-rounded to 6 dp, so the trajectory is
     deterministic run-to-run. Output: per-cluster size + mean cosine.
-    Monotone non-decreasing mean similarity over iterations is asserted
-    in tests/test_rag_ops.py. Provenance: north-star "IVF build";
+    SURVEY §5.2.6 pin: monotone non-decreasing mean similarity over
+    iterations asserted in
+    tests/test_rag_ops.py::test_kmeans_train_improves_on_seed_assignment.
+    Provenance: north-star "IVF build";
     generalizes A18's externally-built ANN index to an in-engine build.
     """
     k, n_iter = 8, 3

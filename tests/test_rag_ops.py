@@ -65,6 +65,23 @@ def test_approx_distinct_error_bound(spark, sf_oracle):
         assert abs(approx[k] - exact[k]) <= max(1, 0.05 * exact[k])
 
 
+def test_hll_distinct_error_bound(spark, sf_oracle):
+    """agg_hll_distinct (HLL++, rsd=0.01) must stay within 5% of exact —
+    the independent-reimplementation pin for this rows-only op (sketch
+    bytes are engine-specific, so no cross-engine oracle applies)."""
+    approx = {
+        r.event_type: r.approx_users
+        for r in registry.QUERIES["agg_hll_distinct"](spark, sf_oracle).collect()
+    }
+    exact = {
+        r.event_type: r.n_users
+        for r in registry.QUERIES["agg_count_distinct"](spark, sf_oracle).collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(1, 0.05 * exact[k])
+
+
 def test_simhash_finds_planted_near_dups(spark, sf_oracle):
     """The fixture corpus plants near-dup pairs with shingle-Jaccard
     ≥ 0.9 at sf0.01 (measured); SimHash at hamming ≤ 6 must recover a
