@@ -777,3 +777,15 @@ def test_q21_single_lineitem_scan_and_exchange(spark, sf_oracle):
     # plus the final groupBy(s_name) agg exchange. No more.
     assert len(re.findall(r"\(\d+\) Exchange hashpartitioning", body)) <= 3, body
     assert "TakeOrderedAndProject" in body, body
+
+
+def test_answer_select_broadcast_and_narrow_tail(spark, sf_oracle):
+    """Extractive Q&A: after the top-5 rank window, the document join
+    must broadcast the 5-row candidate frame (never shuffle documents
+    against it) and the best-chunk pick must stay a plain window — no
+    sort-merge join, no cartesian product anywhere."""
+    plan = formatted_plan(spark, "rag_answer_select", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in body, body
+    assert "SortMergeJoin" not in body, body
+    assert "CartesianProduct" not in body, body
