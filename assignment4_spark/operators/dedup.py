@@ -454,15 +454,29 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi key (brand) — the blocking-key pattern that makes edit-distance
     dedup feasible at scale: candidate pairs come from a hash join on
     the block, never an unblocked O(N²) comparison; the DP distance runs
-    JVM-side (built-in levenshtein, no UDF)."""
+    JVM-side (built-in levenshtein, no UDF).
+
+    Two pair-level prunes keep the per-pair cost proportional to the
+    THRESHOLD, not the name length (the round-4 tripwire fix): (1) a
+    length prefilter in the join condition — |len(a)−len(b)| ≤ 4 is
+    necessary for dist ≤ 4 and costs one integer compare, so hopeless
+    pairs never reach the DP; (2) the threshold form
+    levenshtein(a, b, 4) runs the banded O(k·n) DP with early exit
+    (returns −1 past the bound) instead of the full O(n²) matrix.
+    Values returned for surviving pairs are the exact distance, so the
+    oracle is unchanged."""
     a = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").alias("a")
     b = table(spark, sf_dir, "part").alias("b")
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 4)
     return (
         a.join(
             b,
             (F.col("a.p_brand") == F.col("b.p_brand"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & (
+                F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name")))
+                <= F.lit(4)
+            ),
         )
         .select(
             F.col("a.p_partkey").alias("key_a"),
@@ -471,7 +485,7 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.p_name").alias("name_b"),
             dist.alias("dist"),
         )
-        .filter(F.col("dist") <= 4)
+        .filter(F.col("dist") >= 0)
         .orderBy("key_a", "key_b")
     )
 
