@@ -1314,3 +1314,96 @@ def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             / F.log(F.lit(2.0))
         ).alias("entropy_bits"),
     )
+
+
+# The shipped tokenizer model for text_bpe_apply: the 8-merge table
+# text_bpe_train learns from the sf0.01 fixture corpus, frozen as a
+# constant the way a production tokenizer ships its trained merges.
+# Applying a FIXED model (rather than re-training per corpus) is what
+# makes the encode a pure per-row map — and what makes it exactly
+# SQL-expressible for the oracle.
+_BPE_APPLY_MODEL: list[tuple[str, str]] = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+    ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u"),
+]
+# Symbol delimiters: every symbol is wrapped as US+sym+RS, so a merge
+# rule (l, r) is the literal string US+l+RS+US+r+RS and REPLACE's
+# leftmost-first, resume-after-replacement scan is EXACTLY the greedy
+# BPE fold (validated against the pure-Python fold over the whole
+# fixture vocabulary in tests). Control characters never occur in the
+# fixture text (and any real corpus would strip them at ingest).
+_US, _RS = "\x1f", "\x1e"
+
+
+def _bpe_apply_oracle() -> str:
+    e = "regexp_replace(text, '([^ ])', chr(31) || '\\1' || chr(30), 'g')"
+    for left, right in _BPE_APPLY_MODEL:
+        pat = f"chr(31) || '{left}' || chr(30) || chr(31) || '{right}' || chr(30)"
+        rep = f"chr(31) || '{left}{right}' || chr(30)"
+        e = f"REPLACE({e}, {pat}, {rep})"
+    return f"""
+    WITH enc AS (
+      SELECT doc_id,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS n_words,
+             LENGTH(REPLACE(text, ' ', ''))                          AS n_chars_ns,
+             {e} AS e
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS INTEGER)                                  AS n_words,
+           CAST(LENGTH(e) - LENGTH(REPLACE(e, CHR(31), '')) AS INTEGER) AS n_tokens,
+           ROUND(CAST(n_chars_ns AS DOUBLE)
+                 / NULLIF(LENGTH(e) - LENGTH(REPLACE(e, CHR(31), '')), 0), 6)
+             AS chars_per_token
+    FROM enc
+    ORDER BY doc_id
+    """
+
+
+@register("text_bpe_apply", oracle=_bpe_apply_oracle())
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a shipped BPE tokenizer model to the corpus — the third
+    leg of the tokenizer story (text_bpe_train learns the merges,
+    text_pack_sequences packs the budgets; this op ENCODES, which is
+    what actually runs over 100 TB of training text).
+
+    Plan shape: the whole encode is ONE narrow projection — each
+    document's text is rewritten to delimiter-wrapped symbols
+    (regexp_replace) and the 8 merge rules apply as a chain of literal
+    REPLACEs (module constant _BPE_APPLY_MODEL), all JVM string
+    builtins inside whole-stage codegen. No explode, no vocab join, no
+    shuffle, no UDF: at 100 TB this costs exactly one pass over the
+    text column. Word boundaries need no special casing — a space
+    interrupts the delimiter pattern, so merges can never cross words.
+    REPLACE's leftmost-first scan = the greedy BPE fold (validated
+    symbol-by-symbol against the pure-Python reference over the whole
+    fixture vocabulary in tests/test_rag_ops.py::
+    test_bpe_apply_replace_chain_matches_fold). Per doc: word count,
+    encoded token count, chars-per-token compression — the number a
+    data-budget plan is written in.
+    Reference provenance: none (the reference delegates tokenization
+    to OpenAI's server side); north-star tokenizer surface.
+    """
+    d = table(spark, sf_dir, "documents")
+    enc = F.regexp_replace(F.col("text"), "([^ ])", _US + "$1" + _RS)
+    for left, right in _BPE_APPLY_MODEL:
+        enc = F.replace(
+            enc,
+            F.lit(_US + left + _RS + _US + right + _RS),
+            F.lit(_US + left + right + _RS),
+        )
+    n_tokens = F.length(enc) - F.length(F.replace(enc, F.lit(_US), F.lit("")))
+    n_words = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    n_chars_ns = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    return (
+        d.select(
+            "doc_id",
+            n_words.alias("n_words"),
+            n_tokens.alias("n_tokens"),
+            F.when(
+                n_tokens > 0,
+                F.round(n_chars_ns.cast("double") / n_tokens, 6),
+            ).alias("chars_per_token"),
+        )
+        .orderBy("doc_id")
+    )

@@ -82,6 +82,48 @@ def test_hll_distinct_error_bound(spark, sf_oracle):
         assert abs(approx[k] - exact[k]) <= max(1, 0.05 * exact[k])
 
 
+def test_bpe_apply_replace_chain_matches_fold(spark, sf_oracle):
+    """text_bpe_apply's chained-REPLACE encode must equal the greedy
+    leftmost BPE fold symbol-for-symbol over the ENTIRE fixture
+    vocabulary — the independent pure-Python pin for the delimiter
+    trick (module constant _BPE_APPLY_MODEL)."""
+    from assignment4_spark.operators.textstats import (
+        _BPE_APPLY_MODEL,
+        _RS,
+        _US,
+    )
+
+    words = {
+        r.w
+        for r in spark.read.parquet(f"{sf_oracle}/documents.parquet")
+        .selectExpr("explode(filter(split(text, ' '), t -> t != '')) AS w")
+        .distinct()
+        .collect()
+    }
+
+    def fold(w):
+        sym = list(w)
+        for left, right in _BPE_APPLY_MODEL:
+            out = []
+            for c in sym:
+                if out and out[-1] == left and c == right:
+                    out[-1] = left + right
+                else:
+                    out.append(c)
+            sym = out
+        return sym
+
+    def replace_chain(w):
+        s = "".join(_US + c + _RS for c in w)
+        for left, right in _BPE_APPLY_MODEL:
+            s = s.replace(_US + left + _RS + _US + right + _RS, _US + left + right + _RS)
+        return [t[:-1] for t in s.split(_US)[1:]]
+
+    assert words, "empty vocabulary"
+    for w in words:
+        assert fold(w) == replace_chain(w), w
+
+
 def test_simhash_finds_planted_near_dups(spark, sf_oracle):
     """The fixture corpus plants near-dup pairs with shingle-Jaccard
     ≥ 0.9 at sf0.01 (measured); SimHash at hamming ≤ 6 must recover a
