@@ -65,9 +65,10 @@ _PRIORITY = [
     "graph_triangle_count", "graph_degree_hist", "graph_bfs_layers",
     "graph_jaccard_neighbors",
     # never driver-checked, DuckDB-oracled — r6 window leads
-    # (rag_answer_select / report_markdown_sink / text_bpe_apply are
-    # new in round 5)
+    # (rag_answer_select / report_markdown_sink / text_bpe_apply /
+    # vec_centroid_outliers are new in round 5)
     "rag_answer_select", "report_markdown_sink", "text_bpe_apply",
+    "vec_centroid_outliers",
     "agg_cms_heavy_hitters", "text_dsir_importance", "stream_tumbling_count",
     "stream_sliding_avg", "stream_session_window", "stream_dedup_ids",
     "stream_late_data", "stream_stateful_running", "stream_stream_join",

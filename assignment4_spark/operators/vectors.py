@@ -1643,3 +1643,82 @@ def vec_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .orderBy("query_id", "rank")
     )
+
+
+_CENTROID_DIM = 64  # fixture embedding dim (FIXTURES.md §3); a real
+# deployment derives it from the table schema/catalog, never the data.
+
+
+def _centroid_outliers_oracle() -> str:
+    cent = ", ".join(
+        f"ROUND(AVG(embedding[{i + 1}]), 9)" for i in range(_CENTROID_DIM)
+    )
+    return f"""
+    WITH c AS (
+      SELECT [{cent}]::DOUBLE[] AS cent FROM embeddings
+    ), s AS (
+      SELECT e.vec_id,
+             ROUND(LIST_COSINE_SIMILARITY(e.embedding::DOUBLE[], c.cent), 9) AS cos
+      FROM embeddings e, c
+    ), m AS (
+      SELECT ROUND(AVG(cos), 9) AS mu, ROUND(STDDEV_SAMP(cos), 9) AS sd FROM s
+    )
+    SELECT vec_id,
+           ROUND(cos, 6)             AS cos_centroid,
+           ROUND((cos - mu) / sd, 6) AS z,
+           ((cos - mu) / sd) < -2.0  AS is_outlier
+    FROM s, m
+    ORDER BY vec_id
+    """
+
+
+@register("vec_centroid_outliers", oracle=_centroid_outliers_oracle())
+def vec_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier screen — the curation step that runs
+    BEFORE semantic dedup / training-set assembly: flag vectors whose
+    cosine to the corpus centroid z-scores below −2 (far from the bulk
+    of the distribution ⇒ mis-embedded, off-domain, or corrupt rows;
+    the per-cluster variant of the same test is SemDeDup's prune rule).
+
+    Spark shape — three telescoping aggregates, corpus scanned narrow:
+    (1) the per-dimension centroid as 64 `avg(emb[i])` expressions in
+    ONE aggregation pass (no explode — the shuffle carries a single
+    64-double row); (2) cosine of every vector against the broadcast
+    centroid (the zip_with/aggregate fold, codegen, no UDF); (3) mean +
+    sample-stddev of those cosines as a second single-row aggregate
+    broadcast back for the z-score. At 100 TB: two metadata-sized
+    exchanges and one narrow map — nothing data-sized ever shuffles.
+    Float determinism: centroid dims, cosines, and the moments are all
+    ROUNDed to 1e-9 on BOTH engines before anything derives from them
+    (registry float rule); z rounds to 1e-6 for the compare. The −2
+    cut reads the unrounded quotient on both sides, so a boundary flip
+    would need the z itself to straddle the cut within one ulp.
+    Reference provenance: none (the reference never inspects its
+    embedding space); north-star curation surface, SemDeDup-adjacent.
+    """
+    dim = _CENTROID_DIM
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    cent = e.agg(
+        F.array(
+            *[F.round(F.avg(F.col("emb")[i]), 9) for i in range(dim)]
+        ).alias("cent")
+    )
+    s = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", F.round(cosine(F.col("emb"), F.col("cent")), 9).alias("cos")
+    )
+    m = s.agg(
+        F.round(F.avg("cos"), 9).alias("mu"),
+        F.round(F.stddev_samp("cos"), 9).alias("sd"),
+    )
+    return (
+        s.crossJoin(F.broadcast(m))
+        .select(
+            "vec_id",
+            F.round("cos", 6).alias("cos_centroid"),
+            F.round((F.col("cos") - F.col("mu")) / F.col("sd"), 6).alias("z"),
+            (((F.col("cos") - F.col("mu")) / F.col("sd")) < -2.0).alias("is_outlier"),
+        )
+        .orderBy("vec_id")
+    )
