@@ -789,3 +789,30 @@ def test_answer_select_broadcast_and_narrow_tail(spark, sf_oracle):
     assert "BroadcastHashJoin" in body, body
     assert "SortMergeJoin" not in body, body
     assert "CartesianProduct" not in body, body
+
+
+def test_bpe_apply_single_narrow_projection(spark, sf_oracle):
+    """Shipped-model BPE encode must be ONE narrow codegen projection:
+    no exchange other than the presentation sort, no UDF/Python eval,
+    no join, no explode (Generate)."""
+    import re
+
+    plan = formatted_plan(spark, "text_bpe_apply", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert len(re.findall(r"\(\d+\) Exchange hashpartitioning", body)) == 0, body
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "Generate", "Join"):
+        assert bad not in body, (bad, body)
+    # the whole encode is Project directly over the scan (the one
+    # exchange is the presentation sort's rangepartitioning)
+    assert re.search(r"Project \(\d+\)\s*\n\s*\+- Scan parquet", body), body
+
+
+def test_centroid_outliers_telescoping_broadcast(spark, sf_oracle):
+    """Centroid-outlier screen: the corpus never shuffles — the only
+    exchanges are the two single-row aggregates (centroid, moments),
+    both joined back as broadcasts; no sort-merge join."""
+    plan = formatted_plan(spark, "vec_centroid_outliers", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastNestedLoopJoin" in body or "BroadcastHashJoin" in body, body
+    assert "SortMergeJoin" not in body, body
+    assert "CartesianProduct" not in body, body
