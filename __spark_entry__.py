@@ -69,6 +69,7 @@ _PRIORITY = [
     # vec_centroid_outliers are new in round 5)
     "rag_answer_select", "report_markdown_sink", "text_bpe_apply",
     "vec_centroid_outliers",
+    # rows-only round-5 newcomer rides with the rows-only tail below
     "agg_cms_heavy_hitters", "text_dsir_importance", "stream_tumbling_count",
     "stream_sliding_avg", "stream_session_window", "stream_dedup_ids",
     "stream_late_data", "stream_stateful_running", "stream_stream_join",
@@ -78,6 +79,7 @@ _PRIORITY = [
     # rows-only by design — a driver row adds no hash check; keep last
     # among the never-checked
     "agg_hll_distinct", "rag_embed_hash", "text_bpe_train",
+    "vec_pca_project",
 ]
 
 

@@ -114,3 +114,10 @@ __all__ = [
     "weighted_median",
     "weighted_sample_ares",
 ]
+
+from .operators.vectors import (  # noqa: F401,E402
+    pca_fit,
+    pca_project,
+)
+
+__all__ += ["pca_fit", "pca_project"]

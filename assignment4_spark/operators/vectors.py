@@ -1722,3 +1722,130 @@ def vec_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+def pca_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 4,
+    dim: int = 64,
+):
+    """Distributed PCA fit via a FIXED-SIZE sufficient statistic — the
+    matrix-valued sibling of agg_corr_matrix's one-pass trick: each
+    partition's mapInPandas fold emits ONE row carrying (count, Σv,
+    Σ v·vᵀ flattened) — n_partitions rows total, independent of N — so
+    the driver assembles mean and covariance from a bounded collect
+    (the treeAggregate shape), runs the 64×64 eigendecomposition
+    locally (a model-sized problem, like kmeans' centroid step), and
+    returns (components, mean, explained_var). Component signs are
+    fixed deterministically (largest-|entry| coordinate made positive)
+    so the artifact is reproducible run-to-run.
+
+    At 100 TB: ONE narrow pass over the corpus, a cluster-size-bounded
+    driver fetch of d²-sized partials, and an O(d³) driver step with
+    d=64 — the eigh never sees data. Returns numpy arrays
+    (components[k,dim] row-major, mean[dim], explained[k])."""
+    import numpy as np
+    import pandas as pd
+
+    def partials(batches):
+        n = 0
+        s = np.zeros(dim)
+        g = np.zeros((dim, dim))
+        for pdf in batches:
+            m = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[emb_col]])
+            if len(m):
+                n += len(m)
+                s += m.sum(axis=0)
+                g += m.T @ m
+        yield pd.DataFrame(
+            {"n": [n], "s": [s.tolist()], "g": [g.reshape(-1).tolist()]}
+        )
+
+    rows = (
+        df.select(emb_col)
+        .mapInPandas(partials, "n long, s array<double>, g array<double>")
+        .collect()
+    )  # ≤ one row per partition — bounded by cluster size, never by N
+    n = sum(r.n for r in rows)
+    s = np.sum([np.asarray(r.s) for r in rows], axis=0)
+    g = np.sum([np.asarray(r.g).reshape(dim, dim) for r in rows], axis=0)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T.copy()
+    explained = evals[order]
+    for i in range(k):  # deterministic sign: largest-|entry| coord > 0
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i][j] < 0:
+            comps[i] = -comps[i]
+    return comps, mean, explained
+
+
+def pca_project(
+    df: DataFrame,
+    comps,
+    mean,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Project vectors onto fitted components (api.pca_project): one
+    Arrow-batched numpy matmul per batch against the closure-captured
+    (k×d) component matrix — same BLAS-stage shape as
+    near_dup_pairs_exact, corpus never shuffles. Emits scalar columns
+    pc1..pck (driver-canonicalizable, no array outputs)."""
+    import numpy as np
+    import pandas as pd
+
+    k = len(comps)
+    c = np.asarray(comps, dtype=np.float64)
+    mu = np.asarray(mean, dtype=np.float64)
+    cols = [f"pc{i + 1}" for i in range(k)]
+
+    def project(batches):
+        for pdf in batches:
+            m = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[emb_col]])
+            out = {"_id": pdf[id_col]}
+            proj = (m - mu) @ c.T if len(m) else np.zeros((0, k))
+            for i, name in enumerate(cols):
+                out[name] = proj[:, i] if len(m) else []
+            yield pd.DataFrame(out)
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = ", ".join([f"_id {id_type}"] + [f"{c_} double" for c_ in cols])
+    return (
+        df.select(id_col, emb_col)
+        .mapInPandas(project, schema)
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+@register("vec_pca_project")  # eigendecomposition floats → rows-only; numpy-pinned
+def vec_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA embedding compression: fit 4 principal components on the
+    corpus (pca_fit — one-pass distributed Gram statistic, driver-local
+    64×64 eigh) and project every vector (pca_project — Arrow-batched
+    BLAS, no shuffle). Output (vec_id, pc1..pc4 rounded 1e-6) — the
+    low-rank representation that feeds cheaper ANN/OPQ stages, and the
+    engine's answer to "whiten/compress the embedding column" next to
+    the PQ (vec_pq_quantize) and int8 (vec_quantize_int8) quantizers.
+
+    Rows-only by design (eigenvector floats have no SQL twin; sign/
+    order pinned deterministically in pca_fit). SURVEY §5.2.6 pin:
+    tests/test_rag_ops.py::test_pca_matches_driver_side_numpy replays
+    the ENTIRE fit+project on driver-collected vectors with plain numpy
+    (full-matrix path, not the Gram path) and asserts projections match
+    to 1e-9, plus orthonormality / explained-variance-ordering
+    invariants.
+    Reference provenance: none (the reference never inspects its
+    embedding space); north-star similarity-search surface.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    comps, mean, _ = pca_fit(e, k=4)
+    proj = pca_project(e, comps, mean)
+    return proj.select(
+        "vec_id",
+        *[F.round(F.col(f"pc{i + 1}"), 6).alias(f"pc{i + 1}") for i in range(4)],
+    ).orderBy("vec_id")

@@ -124,6 +124,51 @@ def test_bpe_apply_replace_chain_matches_fold(spark, sf_oracle):
         assert fold(w) == replace_chain(w), w
 
 
+def test_pca_matches_driver_side_numpy(spark, sf_oracle):
+    """vec_pca_project's distributed Gram-statistic fit must equal a
+    plain driver-side numpy PCA over the collected vectors (different
+    computation path: full matrix vs partition-folded sufficient
+    statistic) to 1e-9 per projection, with orthonormal components and
+    descending explained variance — the SURVEY §5.2.6 pin for this
+    rows-only op."""
+    import numpy as np
+
+    from assignment4_spark.operators.vectors import pca_fit, pca_project
+    from assignment4_spark.io_util import table as load_table
+
+    e = load_table(spark, sf_oracle, "embeddings")
+    comps, mean, explained = pca_fit(e, k=4)
+    # invariants
+    eye = np.asarray(comps) @ np.asarray(comps).T
+    assert np.allclose(eye, np.eye(4), atol=1e-9), eye
+    assert all(
+        explained[i] >= explained[i + 1] - 1e-12 for i in range(3)
+    ), explained
+    for c in comps:  # deterministic sign rule
+        assert c[int(np.argmax(np.abs(c)))] > 0
+
+    rows = e.select("vec_id", "embedding").collect()
+    ids = [r.vec_id for r in rows]
+    m = np.asarray([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    mu = m.mean(axis=0)
+    cov = np.cov(m.T, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:4]
+    ref = evecs[:, order].T.copy()
+    for i in range(4):
+        j = int(np.argmax(np.abs(ref[i])))
+        if ref[i][j] < 0:
+            ref[i] = -ref[i]
+    assert np.allclose(np.abs(ref), np.abs(np.asarray(comps)), atol=1e-8)
+    ref_proj = {i: (v - mu) @ np.asarray(comps).T for i, v in zip(ids, m)}
+
+    got = {r.vec_id: (r.pc1, r.pc2, r.pc3, r.pc4)
+           for r in pca_project(e, comps, mean).collect()}
+    assert set(got) == set(ref_proj)
+    for i, exp in ref_proj.items():
+        assert np.allclose(got[i], exp, atol=1e-9), (i, got[i], exp)
+
+
 def test_simhash_finds_planted_near_dups(spark, sf_oracle):
     """The fixture corpus plants near-dup pairs with shingle-Jaccard
     ≥ 0.9 at sf0.01 (measured); SimHash at hamming ≤ 6 must recover a
