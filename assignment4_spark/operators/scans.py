@@ -653,3 +653,58 @@ def scan_file_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "scan_table_profile",
+    oracle="""
+    SELECT COUNT(*)                                        AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                                           AS orderkey_nulls,
+           COUNT(DISTINCT o_orderkey)                      AS orderkey_ndv,
+           COUNT(DISTINCT o_custkey)                       AS custkey_ndv,
+           COUNT(DISTINCT o_orderstatus)                   AS orderstatus_ndv,
+           COUNT(DISTINCT o_orderdate)                     AS orderdate_ndv,
+           CAST(MIN(o_orderdate) AS DATE)                  AS orderdate_min,
+           CAST(MAX(o_orderdate) AS DATE)                  AS orderdate_max,
+           ROUND(MIN(o_totalprice), 2)                     AS totalprice_min,
+           ROUND(MAX(o_totalprice), 2)                     AS totalprice_max,
+           ROUND(AVG(o_totalprice), 2)                     AS totalprice_avg
+    FROM orders
+    """,
+)
+def scan_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style table profiling in one statement — row count,
+    per-column null counts and EXACT distinct cardinalities, min/max/avg
+    for the date and measure columns of `orders`. This is the stats
+    pass every CBO, data-quality monitor, and ingestion contract check
+    runs first; the reference has no notion of it (Pinecone metadata is
+    write-only).
+
+    Spark shape: multiple COUNT(DISTINCT) in one Aggregate — Catalyst
+    plans the standard Expand (one input replica per distinct group)
+    with partial aggregation, so the shuffle carries (group-id, value)
+    pairs already combined map-side. At 100 TB the exact-NDV profile is
+    the expensive honest form (the Expand multiplies the scan by the
+    number of distinct-columns); the production fast path swaps each
+    COUNT(DISTINCT) for approx_count_distinct — the engine ships that
+    estimator as agg_approx_distinct/agg_hll_distinct, same plan minus
+    the Expand. Floats are ROUNDed (registry rule); date min/max are
+    exact DATE values on both engines.
+    """
+    o = table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("orderkey_nulls"),
+        F.countDistinct("o_orderkey").alias("orderkey_ndv"),
+        F.countDistinct("o_custkey").alias("custkey_ndv"),
+        F.countDistinct("o_orderstatus").alias("orderstatus_ndv"),
+        F.countDistinct("o_orderdate").alias("orderdate_ndv"),
+        F.min(F.col("o_orderdate").cast("date")).alias("orderdate_min"),
+        F.max(F.col("o_orderdate").cast("date")).alias("orderdate_max"),
+        F.round(F.min("o_totalprice"), 2).alias("totalprice_min"),
+        F.round(F.max("o_totalprice"), 2).alias("totalprice_max"),
+        F.round(F.avg("o_totalprice"), 2).alias("totalprice_avg"),
+    )
