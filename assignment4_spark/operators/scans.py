@@ -708,3 +708,142 @@ def scan_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("o_totalprice"), 2).alias("totalprice_max"),
         F.round(F.avg("o_totalprice"), 2).alias("totalprice_avg"),
     )
+
+
+@register(
+    "scan_zorder_cluster",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(o_custkey) + (MAX(o_custkey) - MIN(o_custkey)) // 4   AS c_lo,
+             MIN(o_custkey) + (MAX(o_custkey) - MIN(o_custkey)) // 2   AS c_hi,
+             MIN(o_orderkey) + (MAX(o_orderkey) - MIN(o_orderkey)) // 4 AS k_lo,
+             MIN(o_orderkey) + (MAX(o_orderkey) - MIN(o_orderkey)) // 2 AS k_hi
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           COUNT(*)                    AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders, b
+    WHERE o_custkey  BETWEEN b.c_lo AND b.c_hi
+      AND o_orderkey BETWEEN b.k_lo AND b.k_hi
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def scan_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustering — the 2-D generalization of
+    scan_file_skipping_stats' zone maps, i.e. what Delta OPTIMIZE
+    ZORDER BY / Iceberg sort-order rewrite actually do: orders is
+    rewritten range-clustered by the Morton code of
+    (o_custkey, o_orderkey) — both keys scaled to 16 bits and
+    bit-interleaved with 32 unrolled shift/mask terms, pure codegen —
+    so every file covers a LOCALIZED RECTANGLE of the 2-D keyspace.
+    The manifest records per-file (min, max) of BOTH columns, and a
+    2-D box query plans its file list from the manifest; files whose
+    rectangle misses the box on either dimension are never opened
+    (asserted in-op: files read < files written).
+
+    Why a single-key range layout can't do this: clustering by
+    o_custkey alone makes every file span the FULL o_orderkey range —
+    the second predicate can never skip a file. The Morton curve's
+    locality gives BOTH predicates skipping power from one layout,
+    which at 100 TB is the difference between touching O(box area)
+    files and touching every file that matches one dimension. Same
+    fingerprint-keyed build-once artifact discipline as the other
+    layout ops; results oracle-checked against the unclustered truth.
+    """
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    base = _adir(sf_dir, "orders_zorder")
+    data_dir = os.path.join(base, "data")
+    manifest_path = os.path.join(base, "manifest.json")
+    orders = table(spark, sf_dir, "orders")
+    if not os.path.exists(manifest_path):
+        os.makedirs(base, exist_ok=True)
+        stats_row = orders.agg(
+            F.min("o_custkey").alias("cmn"),
+            F.max("o_custkey").alias("cmx"),
+            F.min("o_orderkey").alias("kmn"),
+            F.max("o_orderkey").alias("kmx"),
+        ).first()
+        c_span = max(stats_row.cmx - stats_row.cmn, 1)
+        k_span = max(stats_row.kmx - stats_row.kmn, 1)
+        xi = ((F.col("o_custkey") - F.lit(stats_row.cmn)) * 65535 / F.lit(c_span)).cast(
+            "int"
+        )
+        yi = ((F.col("o_orderkey") - F.lit(stats_row.kmn)) * 65535 / F.lit(k_span)).cast(
+            "int"
+        )
+        z = F.lit(0).cast("long")
+        for i in range(16):
+            z = (
+                z
+                + F.shiftleft(F.shiftright(xi, i).bitwiseAND(F.lit(1)).cast("long"), 2 * i)
+                + F.shiftleft(
+                    F.shiftright(yi, i).bitwiseAND(F.lit(1)).cast("long"), 2 * i + 1
+                )
+            )
+        (
+            orders.withColumn("_z", z)
+            .repartitionByRange(8, "_z")
+            .drop("_z")
+            .write.mode("overwrite")
+            .parquet(data_dir)
+        )
+        stats = []
+        for fn in sorted(os.listdir(data_dir)):
+            if not fn.endswith(".parquet"):
+                continue
+            path = os.path.join(data_dir, fn)
+            t = pq.read_table(path, columns=["o_custkey", "o_orderkey"])
+            cc, kk = t.column("o_custkey"), t.column("o_orderkey")
+            stats.append(
+                {
+                    "file": path,
+                    "c_min": int(min(v.as_py() for v in cc)),
+                    "c_max": int(max(v.as_py() for v in cc)),
+                    "k_min": int(min(v.as_py() for v in kk)),
+                    "k_max": int(max(v.as_py() for v in kk)),
+                }
+            )
+        with open(manifest_path, "w") as fh:
+            _json.dump({"files": stats}, fh)
+
+    with open(manifest_path) as fh:
+        stats = _json.load(fh)["files"]
+    # 2-D box = the second quartile of each keyspace, derived from the
+    # manifest (== the raw table's MIN/MAX — every row is in some file),
+    # mirrored exactly by the oracle's integer arithmetic
+    cmn = min(s["c_min"] for s in stats)
+    cmx = max(s["c_max"] for s in stats)
+    kmn = min(s["k_min"] for s in stats)
+    kmx = max(s["k_max"] for s in stats)
+    c_lo, c_hi = cmn + (cmx - cmn) // 4, cmn + (cmx - cmn) // 2
+    k_lo, k_hi = kmn + (kmx - kmn) // 4, kmn + (kmx - kmn) // 2
+    keep = [
+        s["file"]
+        for s in stats
+        if s["c_max"] >= c_lo
+        and s["c_min"] <= c_hi
+        and s["k_max"] >= k_lo
+        and s["k_min"] <= k_hi
+    ]
+    if not (0 < len(keep) < len(stats)):
+        raise AssertionError(
+            f"z-order skipping ineffective: {len(keep)} of {len(stats)} files"
+        )
+    return (
+        spark.read.parquet(*keep)
+        .filter(
+            F.col("o_custkey").between(c_lo, c_hi)
+            & F.col("o_orderkey").between(k_lo, k_hi)
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
