@@ -69,6 +69,7 @@ _PRIORITY = [
     # vec_centroid_outliers are new in round 5)
     "rag_answer_select", "report_markdown_sink", "text_bpe_apply",
     "vec_centroid_outliers", "scan_table_profile", "scan_zorder_cluster",
+    "ts_scd2_pointintime",
     # rows-only round-5 newcomer rides with the rows-only tail below
     "agg_cms_heavy_hitters", "text_dsir_importance", "stream_tumbling_count",
     "stream_sliding_avg", "stream_session_window", "stream_dedup_ids",

@@ -1007,3 +1007,114 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_of_day")
     )
+
+
+@register(
+    "ts_scd2_pointintime",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    hist AS (
+      SELECT user_id, ts AS valid_from, event_id, event_type AS state
+      FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    ),
+    u AS (
+      SELECT user_id, valid_from AS ts, 0 AS kind, event_id, state, valid_from
+      FROM hist
+      UNION ALL
+      SELECT user_id, ts, 1 AS kind, event_id, NULL, NULL FROM events
+    ),
+    eff AS (
+      SELECT user_id, ts, kind, event_id,
+             LAST_VALUE(state IGNORE NULLS) OVER w      AS state_at,
+             LAST_VALUE(valid_from IGNORE NULLS) OVER w AS state_since
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, kind, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, ts, state_at, state_since
+    FROM eff
+    WHERE kind = 1
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def ts_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against the SCD2 dimension history — "what
+    state was this user in when this event happened", the temporal-join
+    every fact-to-dimension pipeline needs once history is kept
+    (ts_scd2_history builds it; this op CONSUMES it).
+
+    Deliberately NOT an interval join: the naive form equi-joins facts
+    to history on user_id and filters valid_from ≤ ts < valid_to —
+    join-group size |facts_u|×|states_u| per user, and the range
+    residual can't prune the build side. The scale-right decomposition
+    is union + ordered window: state-open rows (kind 0) and fact rows
+    (kind 1) interleave on one (ts, kind, event_id) sort per user, and
+    `last(state, ignorenulls=True)` carries the in-effect state onto
+    every fact row — ONE shuffle of the union, state per partition one
+    row, no join at all. kind sorts state-opens before facts at equal
+    ts, so a fact that IS the change event sees the new state
+    (valid_from ≤ ts inclusive — matching ts_scd2_history's interval
+    semantics); event_id completes the total order so both engines
+    resolve ties identically. The history build's lag window rides the
+    SAME user_id partitioning, so Catalyst reuses one exchange across
+    the whole plan. ROWS framing is explicit on both engines — the
+    default RANGE frame would merge tied sort keys and leak states
+    backward.
+    Reference provenance: A13 upsert + A26 session state, composed;
+    the standard "AS OF" read the lakehouse MERGE story requires.
+    """
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    hist = ordered.filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    ).select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        "event_id",
+        F.col("event_type").alias("state"),
+    )
+    u = hist.select(
+        "user_id",
+        F.col("valid_from").alias("ts"),
+        F.lit(0).alias("kind"),
+        "event_id",
+        "state",
+        "valid_from",
+    ).unionAll(
+        e.select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("kind"),
+            "event_id",
+            F.lit(None).cast("string").alias("state"),
+            F.lit(None).cast("timestamp").alias("valid_from"),
+        )
+    )
+    weff = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    eff = u.select(
+        "user_id",
+        "ts",
+        "kind",
+        "event_id",
+        F.last("state", ignorenulls=True).over(weff).alias("state_at"),
+        F.last("valid_from", ignorenulls=True).over(weff).alias("state_since"),
+    )
+    return (
+        eff.filter(F.col("kind") == 1)
+        .select("user_id", "event_id", "ts", "state_at", "state_since")
+        .orderBy("user_id", "ts", "event_id")
+    )
