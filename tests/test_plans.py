@@ -816,3 +816,15 @@ def test_centroid_outliers_telescoping_broadcast(spark, sf_oracle):
     assert "BroadcastNestedLoopJoin" in body or "BroadcastHashJoin" in body, body
     assert "SortMergeJoin" not in body, body
     assert "CartesianProduct" not in body, body
+
+
+def test_scd2_pointintime_join_free_single_exchange(spark, sf_oracle):
+    """AS-OF read: no join operator anywhere — the union + last-non-null
+    window replaces it — and every window rides user_id partitioning
+    (the presentation sort is the only other exchange)."""
+    import re
+
+    plan = formatted_plan(spark, "ts_scd2_pointintime", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "Join" not in body, body
+    assert len(re.findall(r"\(\d+\) Exchange hashpartitioning", body)) <= 2, body
