@@ -32,13 +32,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Static verification-priority prefix, hard-coded at commit time (round 5)
-# from the committed CORRECTNESS_r01-r04 artifacts: 70 of 215 ops have
-# never received a driver CORRECTNESS row (the union-complement of the
-# four committed artifacts), so they lead this list — the driver's
-# 50-query window in r5 covers `array_funcs` (r4 driver ERR, output shape
-# fixed this round: the array<string> column is now a joined string) plus
-# 49 of them; the remaining never-checked ops (and the rows-only-by-design
-# ones, which only earn a weaker rows-only row) lead the r6 window.
+# from the committed CORRECTNESS_r01-r04 artifacts: 70 of the 215
+# round-4 ops had never received a driver CORRECTNESS row (the
+# union-complement of the four committed artifacts), so they lead this
+# list — the driver's 50-query window in r5 covers `array_funcs` (r4
+# driver ERR, output shape fixed this round: the array<string> column is
+# now a joined string) plus 49 of them; the remaining never-checked ops,
+# the eight round-5 additions, and the rows-only-by-design ops (which
+# only earn a weaker rows-only row) queue immediately behind for the r6
+# window.
 # Previously-confirmed ops follow in registration order. This ordering is
 # a plain committed constant — fully reproducible, independent of any
 # files present at run time; unknown names are ignored (robust to renames).
