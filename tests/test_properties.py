@@ -340,3 +340,50 @@ def test_bfs_layers_structure(spark, sf_oracle):
             assert r.min_v % 2 == 1 and r.max_v % 2 == 1, r
         else:
             assert r.min_v % 2 == 0 and r.max_v % 2 == 0, r
+
+
+def test_bpe_apply_token_count_bounds(spark, sf_oracle):
+    """Shipped-model BPE encode invariants over the whole fixture:
+    every word is at least one token and no token can exceed its word,
+    so n_words ≤ n_tokens ≤ non-space chars; chars_per_token is exactly
+    their quotient; merges only ever REDUCE the raw char tokenization."""
+    rows = registry.QUERIES["text_bpe_apply"](spark, sf_oracle).collect()
+    assert rows
+    for r in rows:
+        assert r.n_words <= r.n_tokens, r
+        assert r.n_tokens >= 0, r
+        if r.n_tokens:
+            # chars-no-space recoverable from the quotient
+            n_chars_ns = round(r.chars_per_token * r.n_tokens)
+            assert r.n_tokens <= n_chars_ns, r
+
+
+def test_answer_select_spans_come_from_their_documents(spark, sf_oracle):
+    """Extractive guarantee: every answer is a literal substring of its
+    own document's text, ranks are distinct 1..k (k ≤ 5), and the
+    chosen chunk has the maximal term-overlap among that document's
+    chunks (ties to the earliest chunk)."""
+    from assignment4_spark.io_util import table as load_table
+
+    out = registry.QUERIES["rag_answer_select"](spark, sf_oracle).collect()
+    assert 1 <= len(out) <= 5
+    assert sorted(r.doc_rank for r in out) == list(range(1, len(out) + 1))
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_oracle, "documents")
+        .filter(F.col("doc_id").isin([r.doc_id for r in out]))
+        .collect()
+    }
+    terms = {"vector", "join", "scan"}
+    for r in out:
+        text = docs[r.doc_id]
+        assert r.answer in text, (r.doc_id, r.answer[:40])
+        # reference best chunk: same stride/window as the operator
+        best = (-1, None)
+        starts = range(0, max(len(text), 1), 100)
+        for ci, s0 in enumerate(starts):
+            chunk = text[s0 : s0 + 120]
+            score = sum(1 for t in chunk.lower().split(" ") if t in terms)
+            if score > best[0]:
+                best = (score, ci)
+        assert r.n_match == best[0] and r.answer_chunk == best[1], (r, best)
