@@ -1,0 +1,38 @@
+"""Driver-contract drift guards: __spark_entry__ is the single surface
+the external driver sees, so registry/priority drift (a renamed op, an
+unregistered priority name, a rows-only op leaking into the hash-check
+window) must fail CI here rather than surface as a driver ERR."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+from assignment4_spark import registry
+
+registry.load_all()
+
+
+def test_queries_and_oracles_align():
+    qs, osql = entry.queries(), entry.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert len(qs) == len(registry.QUERIES)
+    assert set(qs) == set(registry.QUERIES)
+
+
+def test_priority_names_all_registered():
+    unknown = [n for n in entry._PRIORITY if n not in registry.QUERIES]
+    assert unknown == [], f"stale _PRIORITY names: {unknown}"
+    assert len(set(entry._PRIORITY)) == len(entry._PRIORITY), "duplicates"
+
+
+def test_verification_window_is_oracled():
+    """The driver hash-checks the first 50 queries() keys; every one
+    must have a DuckDB oracle (a rows-only op there would waste a
+    hash-check slot on a weaker row)."""
+    qs, osql = entry.queries(), entry.oracle_sql()
+    window = list(qs)[:50]
+    missing = [n for n in window if n not in osql]
+    assert missing == [], missing
+
+
+def test_entry_query_registered():
+    assert "agg_groupby_basic" in registry.QUERIES
