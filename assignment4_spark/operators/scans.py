@@ -751,6 +751,9 @@ def scan_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     files and touching every file that matches one dimension. Same
     fingerprint-keyed build-once artifact discipline as the other
     layout ops; results oracle-checked against the unclustered truth.
+    Reference provenance: none (the reference's storage is a Pinecone
+    index with no layout control); north-star scale-idiom surface,
+    public recipe = Delta OPTIMIZE ZORDER / Morton 1966.
     """
     import json as _json
 
