@@ -70,6 +70,8 @@ from .operators.vectors import (  # noqa: F401
     knn_topk,
     near_dup_pairs_exact,
     near_dup_pairs_lsh,
+    pca_fit,
+    pca_project,
     pq_encode,
     pq_sub_dist,
     quantize_int8_audit,
@@ -99,6 +101,8 @@ __all__ = [
     "near_dup_pairs_exact",
     "near_dup_pairs_lsh",
     "pagerank",
+    "pca_fit",
+    "pca_project",
     "phash_buckets",
     "pil_luma_decoder",
     "pq_encode",
@@ -114,10 +118,3 @@ __all__ = [
     "weighted_median",
     "weighted_sample_ares",
 ]
-
-from .operators.vectors import (  # noqa: F401,E402
-    pca_fit,
-    pca_project,
-)
-
-__all__ += ["pca_fit", "pca_project"]

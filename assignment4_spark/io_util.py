@@ -10,7 +10,6 @@ cluster where the catalog, not inference, defines types.
 from __future__ import annotations
 
 import os
-import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -46,14 +45,29 @@ def _events_ts_unit(path: str) -> str:
 # relation setup on every operator call. At 200+ queries × 2-4 tables each
 # this shaves seconds of pure fixed overhead off a bench suite without
 # changing any plan (DataFrames are immutable; derived layouts under
-# spark-warehouse never go through table()). WeakKey so a stopped session
-# doesn't pin its plans.
-_TABLE_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+# spark-warehouse never go through table()).
+#
+# Keyed by id(session) with a strong ref held alongside (so the id can't
+# be recycled while the entry lives), and entries for STOPPED sessions are
+# evicted on every access. A WeakKeyDictionary cannot do this job: the
+# cached DataFrames strongly reference their session, so the value→key
+# cycle keeps the weakref alive forever and stopped sessions' plans would
+# be pinned for process lifetime.
+_TABLE_CACHE: dict[int, tuple[SparkSession, dict]] = {}
+
+
+def _session_stopped(spark: SparkSession) -> bool:
+    try:
+        return spark.sparkContext._jsc is None
+    except Exception:
+        return True
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_confs(spark)
-    cache = _TABLE_CACHE.setdefault(spark, {})
+    for sid in [s for s, (sess, _) in _TABLE_CACHE.items() if _session_stopped(sess)]:
+        del _TABLE_CACHE[sid]
+    _, cache = _TABLE_CACHE.setdefault(id(spark), (spark, {}))
     key = (sf_dir, name)
     cached = cache.get(key)
     if cached is None:

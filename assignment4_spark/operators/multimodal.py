@@ -775,6 +775,11 @@ def binary_extract_text(
     (and at scale, usually just its derived features) moves."""
     if parser is None:
         parser = utf8_text_parser
+    if id_col in ("text", "n_chars"):
+        raise ValueError(
+            f"id_col={id_col!r} collides with a reserved output column of "
+            "binary_extract_text ('text', 'n_chars'); rename the id column first"
+        )
 
     def extract(batches):
         import pandas as pd

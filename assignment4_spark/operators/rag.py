@@ -39,21 +39,35 @@ FIXTURE_CHUNK_OVERLAP = 20
 EMBED_DIM = 64  # fixture embedding dim (FIXTURES.md §3)
 
 
-def chunk_text(docs: DataFrame, size: int = CHUNK_SIZE, overlap: int = CHUNK_OVERLAP) -> DataFrame:
-    """(doc_id, text) → (doc_id, chunk_id, chunk_text); stride size-overlap.
+def chunk_text(
+    docs: DataFrame,
+    size: int = CHUNK_SIZE,
+    overlap: int = CHUNK_OVERLAP,
+    *,
+    carry: tuple[str, ...] = ("doc_id",),
+    keep_text: bool = False,
+) -> DataFrame:
+    """(carry…, text) → (carry…, [text,] chunk_id, chunk_text); stride
+    size-overlap. The single chunk-explode idiom — every chunking
+    operator (rag_chunk_text, rag_metadata_project, rag_answer_select,
+    the ingest pipeline) routes through here so the chunking convention
+    lives in exactly one place.
 
     Chunk starts at 0, stride, 2*stride, … while start < len(text); the
     final chunk may be short. Pure built-ins: sequence → posexplode →
-    substring. Narrow (shuffle-free) at any scale.
+    substring. Narrow (shuffle-free) at any scale. keep_text=True keeps
+    the full document text on each chunk row (for per-doc projections
+    like titles) instead of dropping it.
     """
     stride = size - overlap
     starts = F.sequence(
         F.lit(0), F.greatest(F.length("text") - F.lit(1), F.lit(0)), F.lit(stride)
     )
     return (
-        docs.select("doc_id", "text", F.posexplode(starts).alias("chunk_id", "start"))
+        docs.select(*carry, "text", F.posexplode(starts).alias("chunk_id", "start"))
         .select(
-            "doc_id",
+            *carry,
+            *(["text"] if keep_text else []),
             "chunk_id",
             F.expr(f"substring(text, start + 1, {size})").alias("chunk_text"),
         )
@@ -108,19 +122,13 @@ def rag_metadata_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     document text carried through the explode — no join back to
     documents, no shuffle, no trailing sort (order-insensitive compare)."""
     docs = table(spark, sf_dir, "documents")
-    stride = FIXTURE_CHUNK_SIZE - FIXTURE_CHUNK_OVERLAP
-    starts = F.sequence(
-        F.lit(0), F.greatest(F.length("text") - F.lit(1), F.lit(0)), F.lit(stride)
-    )
-    return docs.select(
-        "doc_id", "text", F.posexplode(starts).alias("chunk_id", "start")
+    return chunk_text(
+        docs, FIXTURE_CHUNK_SIZE, FIXTURE_CHUNK_OVERLAP, keep_text=True
     ).select(
         "doc_id",
         "chunk_id",
         F.substring("text", 1, 50).alias("title"),
-        F.substring(
-            F.expr(f"substring(text, start + 1, {FIXTURE_CHUNK_SIZE})"), 1, 200
-        ).alias("snippet"),
+        F.substring("chunk_text", 1, 200).alias("snippet"),
         F.lit("text").alias("content_type"),
     )
 
@@ -544,17 +552,8 @@ def rag_answer_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").join(
         F.broadcast(top5), "doc_id"
     )
-    stride = FIXTURE_CHUNK_SIZE - FIXTURE_CHUNK_OVERLAP
-    starts = F.sequence(
-        F.lit(0), F.greatest(F.length("text") - F.lit(1), F.lit(0)), F.lit(stride)
-    )
-    chunks = docs.select(
-        "doc_id", "doc_rank", F.posexplode(starts).alias("chunk_id", "start"), "text"
-    ).select(
-        "doc_id",
-        "doc_rank",
-        "chunk_id",
-        F.expr(f"substring(text, start + 1, {FIXTURE_CHUNK_SIZE})").alias("chunk_text"),
+    chunks = chunk_text(
+        docs, FIXTURE_CHUNK_SIZE, FIXTURE_CHUNK_OVERLAP, carry=("doc_id", "doc_rank")
     )
     n_match = F.size(
         F.filter(

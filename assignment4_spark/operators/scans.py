@@ -800,19 +800,29 @@ def scan_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not fn.endswith(".parquet"):
                 continue
             path = os.path.join(data_dir, fn)
-            t = pq.read_table(path, columns=["o_custkey", "o_orderkey"])
-            cc, kk = t.column("o_custkey"), t.column("o_orderkey")
+            # Zone maps come straight from the parquet row-group footer
+            # statistics — no data pages are read to build the manifest.
+            meta = pq.ParquetFile(path).metadata
+            schema_names = meta.schema.names
+            ci = schema_names.index("o_custkey")
+            ki = schema_names.index("o_orderkey")
+            c_stats = [meta.row_group(g).column(ci).statistics for g in range(meta.num_row_groups)]
+            k_stats = [meta.row_group(g).column(ki).statistics for g in range(meta.num_row_groups)]
             stats.append(
                 {
                     "file": path,
-                    "c_min": int(min(v.as_py() for v in cc)),
-                    "c_max": int(max(v.as_py() for v in cc)),
-                    "k_min": int(min(v.as_py() for v in kk)),
-                    "k_max": int(max(v.as_py() for v in kk)),
+                    "c_min": int(min(s.min for s in c_stats)),
+                    "c_max": int(max(s.max for s in c_stats)),
+                    "k_min": int(min(s.min for s in k_stats)),
+                    "k_max": int(max(s.max for s in k_stats)),
                 }
             )
-        with open(manifest_path, "w") as fh:
+        # Atomic publish: a crash mid-write must not leave a truncated
+        # manifest that the exists() fast path would trust forever.
+        tmp_path = manifest_path + ".tmp"
+        with open(tmp_path, "w") as fh:
             _json.dump({"files": stats}, fh)
+        os.replace(tmp_path, manifest_path)
 
     with open(manifest_path) as fh:
         stats = _json.load(fh)["files"]

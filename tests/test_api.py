@@ -555,3 +555,32 @@ def test_compose_markdown_structure():
     )
     assert md.startswith("# Report")
     assert "## Intro\n\nbody a" in md and "## End\n\nbody b" in md
+
+
+def test_binary_extract_text_rejects_reserved_id_col(spark):
+    """id_col colliding with the fixed output columns must fail fast
+    instead of yielding an ambiguous duplicate column downstream."""
+    df = spark.createDataFrame([("a", b"x")], "text string, payload binary")
+    with pytest.raises(ValueError, match="reserved output column"):
+        api.binary_extract_text(df, id_col="text", blob_col="payload")
+    df2 = spark.createDataFrame([("a", b"x")], "n_chars string, payload binary")
+    with pytest.raises(ValueError, match="reserved output column"):
+        api.binary_extract_text(df2, id_col="n_chars", blob_col="payload")
+
+
+def test_table_cache_evicts_stopped_sessions(spark):
+    """A stopped session's cached plans must not be pinned for process
+    lifetime: entries whose session no longer has a live JVM context are
+    evicted on the next table() access (a WeakKeyDictionary could never
+    fire here — the cached DataFrames strongly reference their session)."""
+    from assignment4_spark import io_util
+
+    class _Stopped:
+        @property
+        def sparkContext(self):
+            raise RuntimeError("stopped")
+
+    io_util._TABLE_CACHE[-1] = (_Stopped(), {})
+    io_util.table(spark, "/root/testdata/sf0.001", "region")
+    assert -1 not in io_util._TABLE_CACHE
+    assert id(spark) in io_util._TABLE_CACHE
