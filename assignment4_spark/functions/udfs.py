@@ -93,17 +93,26 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group z-score via applyInPandas (grouped map): the whole group
-    arrives as one pandas frame. pandas std(ddof=1) == STDDEV_SAMP."""
+    arrives as one pandas frame. pandas std(ddof=1) == STDDEV_SAMP, and
+    a 1-row group (std undefined) emits NULL exactly like STDDEV_SAMP —
+    nullable Float64, not the NaN a plain float64 series would smuggle
+    through Arrow. Rounding happens Spark-side: pandas .round is
+    half-even, F.round is SQL's half-away (same rule as udf_pandas_iter)."""
 
     def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf["value"]
-        pdf["v_norm"] = ((v - v.mean()) / v.std(ddof=1)).round(6)
+        sd = v.std(ddof=1)
+        if pd.isna(sd):
+            pdf["v_norm"] = pd.array([pd.NA] * len(v), dtype="Float64")
+        else:
+            pdf["v_norm"] = ((v - v.mean()) / sd).astype("Float64")
         return pdf[["event_id", "event_type", "v_norm"]]
 
     ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     return (
         ev.groupBy("event_type")
         .applyInPandas(normalize, schema="event_id long, event_type string, v_norm double")
+        .withColumn("v_norm", F.round("v_norm", 6))
         .orderBy("event_id")
     )
 
@@ -129,7 +138,10 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf(T.DoubleType())
     def wmean(v: pd.Series, w: pd.Series) -> float:
-        return float((v * w).sum() / w.sum())
+        den = w.sum()  # pandas sum skips NaN; all-NULL weights → 0.0
+        if pd.isna(den) or den == 0:
+            return None  # SUM(v*k)/SUM(k) is NULL when no usable weight
+        return float((v * w).sum() / den)
 
     ev = table(spark, sf_dir, "events").select(
         "event_type",

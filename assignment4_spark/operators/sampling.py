@@ -158,8 +158,6 @@ def text_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary. This is the batch shape of a training-data curation job:
     every step before the final summary is narrow except the dedup
     shuffle on the 16-byte fingerprint (never on the document text)."""
-    from pyspark.sql.window import Window as W
-
     d = table(spark, sf_dir, "documents")
     canon = d.select(
         "doc_id",
@@ -204,7 +202,7 @@ def text_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
            c.n_docs,
            ROUND(c.n_docs * 1.0 / t.n_total, 6) AS p_raw,
            ROUND(POW(c.n_docs * 1.0 / t.n_total, 0.3) / t.z, 6) AS p_resampled,
-           CAST(FLOOR(POW(c.n_docs * 1.0 / t.n_total, 0.3) / t.z * t.n_total)
+           CAST(FLOOR(ROUND(POW(c.n_docs * 1.0 / t.n_total, 0.3) / t.z * t.n_total, 6))
                 AS BIGINT) AS n_target
     FROM counts c CROSS JOIN tot t
     ORDER BY c.lang
@@ -246,7 +244,11 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             F.round(p, 6).alias("p_raw"),
             F.round(w, 6).alias("p_resampled"),
-            F.floor(w * F.col("n_total")).cast("bigint").alias("n_target"),
+            # floor of a 6-dp-rounded product: pow() can differ by an ulp
+            # between JVM Math.pow and libm, and an unprotected FLOOR
+            # turns that ulp into an off-by-one (same dyadic-boundary
+            # discipline as _MIX_WEIGHTS)
+            F.floor(F.round(w * F.col("n_total"), 6)).cast("bigint").alias("n_target"),
         )
         .orderBy("lang")
     )

@@ -209,9 +209,12 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted join — the explicit fix when one join key is hot enough to
     pin a single reducer: the big (skewed) side gets a deterministic
-    salt (l_linenumber % 8), the small side is replicated once per salt
+    uniform salt (xxhash64 of the row's line number, mod 8 — NOT
+    l_linenumber % 8, whose 1..7 range never produces salt 0 and skews
+    toward low values, wasting 1/8 of the replicated dim and capping a
+    hot key at 7 reducers), the small side is replicated once per salt
     value (posexplode of a 0..7 sequence), and the join key becomes
-    (key, salt) so the hot key's rows spread over 8 reducers. AQE's
+    (key, salt) so the hot key's rows spread over all 8 reducers. AQE's
     skew-join split handles sort-merge cases adaptively; the salt idiom
     is the version that also survives when the join feeds a same-key
     aggregation (AQE cannot split that) — and this plan's result is
@@ -219,7 +222,7 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks."""
     n_salt = 8
     li = table(spark, sf_dir, "lineitem").withColumn(
-        "salt", (F.col("l_linenumber") % n_salt).cast("int")
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salt)).cast("int")
     )
     o = (
         table(spark, sf_dir, "orders")

@@ -172,37 +172,46 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Features are md5 buckets (1024) so both engines share the feature
     map exactly; both distributions are Laplace-smoothed (+1 / +B).
-    Shape: one tokenize+bucket pass over the corpus (the bucket column
-    is 8 bytes — the shuffled token text never leaves the map side),
-    two bucket-count aggregations whose keys are capped at 1024, a
-    broadcast of the 1024-row log-ratio table back onto the token
-    frame, and one per-doc aggregation. AVG (not SUM) keeps the score
-    length-normalized, and its 6-dp round absorbs the engines'
-    different summation orders (idiom: text_unigram_logprob).
+    Shape: ONE tokenize+bucket pass, immediately collapsed to
+    per-(doc, lang, bucket) counts (≤ docs×1024 rows — the shuffled
+    token text never leaves the map side) and localCheckpointed for its
+    three consumers (fit counts, totals, scoring join), so the corpus
+    explode provably runs once physically. Both bucket distributions
+    come from one aggregation with a conditional target count. The
+    per-doc score is the count-weighted mean of the broadcast 1024-row
+    log-ratio table — algebraically AVG over token rows; the 6-dp
+    round absorbs the engines' different summation orders (idiom:
+    text_unigram_logprob).
     """
     d = table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id",
-        "lang",
-        F.explode(F.filter(F.split(F.lower("text"), " "), lambda x: x != "")).alias(
-            "token"
-        ),
-    ).select("doc_id", "lang", _bucket(F.col("token"), "@d", _DSIR_BUCKETS).alias("b"))
-    tgt = tok.filter(F.col("lang") == "en").groupBy("b").agg(
-        F.count(F.lit(1)).alias("tc")
+    docb = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+            ).alias("token"),
+        )
+        .select("doc_id", "lang", _bucket(F.col("token"), "@d", _DSIR_BUCKETS).alias("b"))
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # three consumers (fit counts, totals, scoring join): checkpoint
+        # the compact frame once so the corpus explode provably runs one
+        # time — the same idiom as graph_jaccard_neighbors' postings
+        .localCheckpoint(eager=True)
     )
-    src = tok.groupBy("b").agg(F.count(F.lit(1)).alias("sc"))
-    tot = src.agg(F.sum("sc").alias("s_tot")).crossJoin(
-        tgt.agg(F.sum("tc").alias("t_tot"))
+    bdist = docb.groupBy("b").agg(
+        F.sum("n").alias("sc"),
+        F.sum(F.when(F.col("lang") == "en", F.col("n")).otherwise(F.lit(0))).alias("tc"),
     )
+    tot = bdist.agg(F.sum("sc").alias("s_tot"), F.sum("tc").alias("t_tot"))
     ratio = (
-        src.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(tot))
+        bdist.crossJoin(F.broadcast(tot))
         .select(
             "b",
             (
                 F.log(
-                    (F.coalesce(F.col("tc"), F.lit(0)) + F.lit(1.0))
+                    (F.col("tc") + F.lit(1.0))
                     / (F.col("t_tot") + F.lit(float(_DSIR_BUCKETS)))
                 )
                 - F.log(
@@ -213,11 +222,13 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        tok.join(F.broadcast(ratio), "b")
+        docb.join(F.broadcast(ratio), "b")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg("logratio"), 6).alias("dsir_score"),
+            F.sum("n").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("n") * F.col("logratio")) / F.sum("n"), 6
+            ).alias("dsir_score"),
         )
         .orderBy(F.col("dsir_score").desc(), "doc_id")
         .limit(50)

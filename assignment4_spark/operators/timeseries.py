@@ -158,7 +158,7 @@ def ts_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
                            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
     SELECT day, event_type, n, ROUND((n - mu) / sd, 6) AS z
     FROM stats
-    WHERE sd IS NOT NULL AND sd > 0 AND ABS((n - mu) / sd) > 2
+    WHERE sd IS NOT NULL AND sd > 0 AND ROUND(ABS((n - mu) / sd), 6) > 2
     ORDER BY day, event_type
     """,
 )
@@ -185,8 +185,14 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.stddev_samp("n").over(w).alias("sd"),
     )
     z = (F.col("n") - F.col("mu")) / F.col("sd")
+    # Row MEMBERSHIP is decided on the 6-dp-rounded |z| (both engines):
+    # windowed mu/sd can differ by an ulp across engines, and an
+    # unrounded > 2 boundary would let a knife-edge day appear in one
+    # engine only — same discipline ts_changepoint_cusum applies.
     return (
-        stats.filter(F.col("sd").isNotNull() & (F.col("sd") > 0) & (F.abs(z) > 2))
+        stats.filter(
+            F.col("sd").isNotNull() & (F.col("sd") > 0) & (F.round(F.abs(z), 6) > 2)
+        )
         .select("day", "event_type", "n", F.round(z, 6).alias("z"))
         .orderBy("day", "event_type")
     )

@@ -173,11 +173,15 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     behavioral (arrival-order) variant runs in the streaming harness."""
     ev = table(spark, sf_dir, "events")
     wm = ev.agg((F.max("ts") - F.expr("INTERVAL 1 HOUR")).alias("watermark_ts"))
+    # Ungrouped aggregate, mirroring the oracle: exactly one row comes
+    # back even when NO event is late (n_late=0) — a groupBy on the
+    # filtered frame would return zero rows on that fixture shape.
     return (
         ev.crossJoin(F.broadcast(wm))
-        .filter(F.col("ts") < F.col("watermark_ts"))
         .groupBy("watermark_ts")
-        .agg(F.count(F.lit(1)).alias("n_late"))
+        .agg(
+            F.count(F.when(F.col("ts") < F.col("watermark_ts"), 1)).alias("n_late")
+        )
         .select("n_late", "watermark_ts")
     )
 

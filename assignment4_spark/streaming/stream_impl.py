@@ -190,11 +190,17 @@ _RUNNING_STATE = StructType(
 def _running(key, pdf_iter: Iterable[pd.DataFrame], state: GroupState):
     """Per-user accumulator (A22 as keyed state): carries (count, sum)
     across micro-batches, emits one row per event with the running value
-    at that event. Rows within a batch are sorted by (ts, event_id) —
-    the replay slices are ts-contiguous so global order is preserved."""
+    at that event. A group bigger than the Arrow batch size arrives as
+    SEVERAL chunks in shuffled-partition order, so the whole micro-batch
+    is concatenated and sorted ONCE by (ts, event_id) before
+    accumulating — sorting each chunk independently would apply the
+    running state in chunk-arrival order, silently wrong the moment a
+    group spans two chunks. The replay slices are ts-contiguous across
+    micro-batches, so cross-batch order is preserved by the state."""
     cnt, acc = state.get if state.exists else (0, 0.0)
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values(["ts", "event_id"])
+    chunks = [pdf for pdf in pdf_iter if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
         out_cnt = []
         out_sum = []
         for v in pdf["value"]:

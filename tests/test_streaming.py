@@ -74,6 +74,25 @@ def test_stream_stateful_running(spark, replay):
     assert_frames_equal(got, want)
 
 
+def test_stream_stateful_running_multichunk_groups(spark, replay):
+    """A group larger than the Arrow batch size reaches _running as
+    SEVERAL pandas chunks in shuffled-partition (not timestamp) order;
+    the accumulator must still apply state in (ts, event_id) order.
+    Forcing a tiny batch size makes every fixture group multi-chunk —
+    this is the production shape on any real per-key volume."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "7")
+    try:
+        got = si.run_to_table(
+            si.stateful_running(si.read_stream(spark, replay)), "append"
+        )
+        want = registry.QUERIES["stream_stateful_running"](spark, SF)
+        assert_frames_equal(got, want)
+    finally:
+        spark.conf.set(key, old)
+
+
 def test_foreachbatch_parquet_sink(spark, replay):
     """Production sink path: drain the dedup stream through foreachBatch
     into a parquet table (idempotent per-batch append) and verify the
