@@ -135,10 +135,20 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     (whose sketch bytes are engine-specific), KMV over md5 is bit-for-bit
     reproducible in any engine, so the DuckDB oracle checks the exact
     estimate, not just an error band. Groups with fewer than k distinct
-    hashes fall back to the exact count (standard KMV behavior). The hash
-    shuffle is a distinct on (event_type, hv) then a per-group top-k —
-    both map-side combinable. See also agg_hll_distinct for Spark's
-    native HLL++ path.
+    hashes fall back to the exact count (standard KMV behavior).
+
+    Scale shape: distinct on (event_type, hv) is map-side combinable;
+    the k-smallest selection is a row_number window with a LITERAL
+    rank <= k filter, which InferWindowGroupLimit turns into a
+    per-map-task top-k BEFORE the exchange (plan-gated) — the reducer
+    sees at most k rows per (group, map task), never the full distinct
+    set, so per-group memory is bounded at any cardinality. Count and
+    k-th value then come from a plain aggregation over the kept rows
+    (cnt<k ⇒ the group had fewer than k distinct values ⇒ exact count).
+    See also agg_hll_distinct for Spark's native HLL++ path; the
+    estimator branch (n ≥ k) is dead at fixture cardinalities, so it is
+    pinned by a pure-Python replay unit test instead
+    (tests/test_properties.py::test_kmv_estimator_branch_matches_replay).
     """
     ev = table(spark, sf_dir, "events")
     h = (
@@ -150,21 +160,25 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    w = Window.partitionBy("event_type").orderBy("hv")
-    wn = Window.partitionBy("event_type")
-    r = h.withColumn("rn", F.row_number().over(w)).withColumn("n", F.count(F.lit(1)).over(wn))
-    k = F.lit(_KMV_K)
+    return kmv_estimate(h, "event_type", "hv").orderBy("event_type")
+
+
+def kmv_estimate(h: DataFrame, group_col: str, hash_col: str, k: int = _KMV_K) -> DataFrame:
+    """(group, distinct 32-bit hash) → (group, approx_users) via KMV.
+    Literal rank<=k filter so the window prunes map-side (WindowGroupLimit)."""
+    w = Window.partitionBy(group_col).orderBy(hash_col)
+    kept = (
+        h.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= F.lit(k))
+    )
     return (
-        r.filter(
-            F.col("rn") == F.when(F.col("n") < k, F.col("n")).otherwise(k)
-        )
+        kept.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max(hash_col).alias("kth"))
         .select(
-            "event_type",
-            F.when(F.col("n") < k, F.col("n").cast("double"))
-            .otherwise(F.round(F.lit(float((_KMV_K - 1) * 4294967296)) / F.col("hv"), 2))
+            group_col,
+            F.when(F.col("cnt") < F.lit(k), F.col("cnt").cast("double"))
+            .otherwise(F.round(F.lit(float((k - 1) * 4294967296)) / F.col("kth"), 2))
             .alias("approx_users"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -628,7 +642,7 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(MIN(price), 2) AS weighted_median,
            ROUND(MAX(tw), 2)    AS total_weight
     FROM cum
-    WHERE cw >= tw / 2
+    WHERE ROUND(cw, 9) >= ROUND(tw / 2, 9)
     GROUP BY l_returnflag
     ORDER BY l_returnflag
     """,
@@ -682,8 +696,16 @@ def weighted_median(
     """Composable weighted median: per group, the smallest value whose
     cumulative weight reaches half the group's total weight. Returns
     one row per group: group cols + `weighted_median` + `total_weight`
-    (both unrounded — callers choose presentation rounding). Exact on
-    BOTH paths:
+    (both unrounded — callers choose presentation rounding).
+
+    Crossing contract: the "reaches half" test compares cumulative
+    weight to tw/2 on 9-dp-ROUNDED values. The two paths (and the two
+    engines) accumulate weights in different orders, so an unrounded
+    `cw >= tw/2` can flip at a knife-edge crossing for fractional
+    weights (e.g. ten 0.1 weights: Σ=0.999… one way, 1.000…2 the
+    other) — the rounded test makes both paths agree for any weights
+    unambiguous at 9 decimals (integers, currency, per-mille rates).
+    Exact on BOTH paths under that contract:
 
     * ``bin_width=None`` — one running-weight window per group. Correct
       everywhere, but each group's rows sort inside ONE task (the
@@ -718,7 +740,7 @@ def weighted_median(
             F.sum(weight_col).over(wp).alias("_tw"),
         )
         return (
-            cum.filter(F.col("_cw") >= F.col("_tw") / 2)
+            cum.filter(F.round(F.col("_cw"), 9) >= F.round(F.col("_tw") / 2, 9))
             .groupBy(*group_cols)
             .agg(
                 F.min("_v").alias("weighted_median"),
@@ -741,7 +763,7 @@ def weighted_median(
         F.sum("_bw").over(wp).alias("_tw"),
     )
     crossing = (
-        sk.filter(F.col("_cum") >= F.col("_tw") / 2)
+        sk.filter(F.round(F.col("_cum"), 9) >= F.round(F.col("_tw") / 2, 9))
         .groupBy(*group_cols)
         .agg(F.min(F.struct("_bin", "_cum", "_bw", "_tw")).alias("_s"))
         .select(
@@ -772,7 +794,7 @@ def weighted_median(
         ).alias("_cw"),
     )
     return (
-        cum2.filter(F.col("_cw") >= F.col("_tw") / 2)
+        cum2.filter(F.round(F.col("_cw"), 9) >= F.round(F.col("_tw") / 2, 9))
         .groupBy(*group_cols)
         .agg(
             F.min("_v").alias("weighted_median"),

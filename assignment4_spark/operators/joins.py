@@ -117,7 +117,7 @@ def join_left_right_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     def counted(kind: str) -> DataFrame:
         j = c.join(o, c.c_custkey == o.o_custkey, kind)
         return j.agg(
-            F.lit(kind if kind != "outer" else "full").alias("join_kind"),
+            F.lit(kind).alias("join_kind"),
             F.count(F.lit(1)).alias("n"),
             F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("n_unmatched_right"),
             F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("n_unmatched_left"),
@@ -155,14 +155,19 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
     ORDER BY c_custkey
     """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers WITHOUT orders (NOT EXISTS → left-anti)."""
+    """Customers with no URGENT-priority order (NOT EXISTS → left-anti).
+    The priority filter keeps the check NON-VACUOUS at the driver's
+    sf0.01 gate: the unfiltered "customers without orders" form matches
+    zero fixture rows below sf0.1, so any anti-join bug (wrong key,
+    semi-for-anti) would have compared empty-to-empty and passed."""
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_name")

@@ -5,9 +5,13 @@ first-occurrence dedup (ra/server.py:39-43 → row_number=1) and Pinecone
 top-k score ordering (ra/agent.py:115-119 → rank ≤ k).
 
 Scale notes: a window = one shuffle on partitionBy + one sort per
-partition. All windows here partition on high-cardinality keys
-(custkey/user_id/brand) so partitions stay small; none uses a global
-(empty) partitionBy, which would serialize on one task. Spark 4's
+partition. The per-group windows here partition on high-cardinality
+keys (custkey/user_id/brand) so partitions stay small. Two ops use a
+global (empty) partitionBy — which serializes the sort on one task —
+by declared design: win_moving_avg_range bounds its input with a
+filter first, and win_ntile_cume IS the global-distribution query
+(quartile/percent_rank over the whole table); its docstring carries
+the two-phase plan a 100 TB run needs. Spark 4's
 InferWindowGroupLimit pushes rank<=k filters below the sort (top-k per
 group never materializes full partitions).
 Determinism: every orderBy carries a full tie-breaking key (FIXTURES §5).
@@ -193,6 +197,17 @@ def win_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global distribution ranks (quartile / percent_rank / cume_dist)
+    over the whole customer table. The empty partitionBy is the POINT of
+    the query — there is no per-group form of "which quartile of all
+    customers" — and it serializes the sort on one task, so this exact
+    plan is only right up to one task's worth of rows. The 100 TB
+    restatement is two-phase: approxQuantile (or the binned sketch of
+    agg_binned_quantile_sketch) computes the 3 quartile boundaries in
+    one map-side-combinable pass, then a broadcast range join assigns
+    each row its quartile/percentile without any global sort. Kept in
+    the single-window form here because the oracle checks EXACT
+    percent_rank/cume_dist values, which the sketch path only bounds."""
     c = table(spark, sf_dir, "customer")
     w = W.orderBy("c_acctbal", "c_custkey")
     return (

@@ -499,6 +499,21 @@ def test_weighted_median_binned_path_matches_simple(spark):
         assert abs(simple[g][1] - binned[g][1]) < 1e-9, g
 
 
+def test_weighted_median_fractional_weights_knife_edge(spark):
+    """Ten 0.1-weights summing to 0.999…/1.000…2 depending on
+    accumulation order used to flip the cw >= tw/2 crossing between the
+    plain and binned paths (5.0 vs 6.0); the 9-dp-rounded crossing
+    contract makes both paths return the textbook 5.0."""
+    rows = [("g", float(v), 0.1) for v in range(1, 11)]
+    df = spark.createDataFrame(rows, "grp string, val double, wt double")
+    plain = api.weighted_median(df, ["grp"], "val", "wt").collect()[0]
+    binned = api.weighted_median(
+        df, ["grp"], "val", "wt", bin_width=2.5
+    ).collect()[0]
+    assert plain.weighted_median == 5.0
+    assert binned.weighted_median == 5.0
+
+
 def test_binary_extract_text_utf8_roundtrip(spark):
     """Default (plain-text) parser round-trips blobs; NULL and
     undecodable-parser rows isolate to NULL instead of killing the

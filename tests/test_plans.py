@@ -828,3 +828,14 @@ def test_scd2_pointintime_join_free_single_exchange(spark, sf_oracle):
     body = plan.split("== Physical Plan ==")[-1]
     assert "Join" not in body, body
     assert len(re.findall(r"\(\d+\) Exchange hashpartitioning", body)) <= 2, body
+
+
+def test_kmv_window_prunes_map_side(spark, sf_oracle):
+    """agg_approx_distinct's k-smallest selection must run as a
+    WindowGroupLimit (map-side per-task top-k before the exchange) —
+    the literal rank<=k filter is what keeps per-group state bounded at
+    any cardinality; a count().over(group) companion window would drag
+    the full distinct set into one task per group."""
+    plan = formatted_plan(spark, "agg_approx_distinct", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "WindowGroupLimit" in body, body

@@ -387,3 +387,29 @@ def test_answer_select_spans_come_from_their_documents(spark, sf_oracle):
             if score > best[0]:
                 best = (score, ci)
         assert r.n_match == best[0] and r.answer_chunk == best[1], (r, best)
+
+
+def test_kmv_estimator_branch_matches_replay(spark):
+    """The n >= k estimator branch of agg_approx_distinct is dead at
+    fixture cardinalities (max 150 distinct < k=256), so pin it here:
+    a synthetic group with 1000 distinct hashes must yield exactly
+    (k-1) * 2^32 / h_(k) computed by a pure-Python replay, and a small
+    group must take the exact-count fallback."""
+    import hashlib
+
+    from assignment4_spark.operators.aggregates import _KMV_K, kmv_estimate
+
+    def h32(v: int) -> int:
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+
+    big = [("big", h32(i)) for i in range(1000)]
+    small = [("small", h32(i)) for i in range(40)]
+    df = spark.createDataFrame(big + small, "g string, hv long").distinct()
+    got = {r.g: r.approx_users for r in kmv_estimate(df, "g", "hv").collect()}
+
+    kth = sorted(h for _, h in big)[_KMV_K - 1]
+    want_big = round((_KMV_K - 1) * 4294967296.0 / kth, 2)
+    assert got["big"] == want_big
+    assert got["small"] == 40.0
+    # sanity: the estimate is within 15% of truth for 1000 distinct
+    assert abs(got["big"] - 1000) / 1000 < 0.15
