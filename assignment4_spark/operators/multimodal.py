@@ -724,7 +724,10 @@ def report_pdf_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     _os.makedirs(out_dir, exist_ok=True)
     with open(_os.path.join(out_dir, "corpus_report.pdf"), "wb") as fh:
         fh.write(pdf)
-    return df
+    # return the already-materialized row, not the lazy plan: the caller
+    # (driver/oracle harness) would otherwise re-execute the whole
+    # aggregation a second time for byte-identical output
+    return spark.createDataFrame([row], df.schema)
 
 
 def utf8_text_parser(data: bytes) -> str:
@@ -875,4 +878,5 @@ def report_markdown_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     _os.makedirs(out_dir, exist_ok=True)
     with open(_os.path.join(out_dir, "corpus_report.md"), "w") as fh:
         fh.write(md + "\n")
-    return df
+    # single-execution return, same as report_pdf_sink
+    return spark.createDataFrame([row], df.schema)

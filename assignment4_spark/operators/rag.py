@@ -179,7 +179,7 @@ def rag_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE e.vec_id <> 0
     ), topk AS (
       SELECT vec_id, sim,
-             ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS rank
+             ROW_NUMBER() OVER (ORDER BY ROUND(sim, 6) DESC, vec_id) AS rank
       FROM scored QUALIFY rank <= 5
     )
     SELECT STRING_AGG(
@@ -314,14 +314,22 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cosine_to_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, cos) — cosine of every corpus vector against the query
-    vector (vec_id=0), query broadcast (A18's scoring, in-engine)."""
+    """(vec_id, cos) — cosine of every OTHER corpus vector against the
+    query vector (vec_id=0), query broadcast (A18's scoring, in-engine).
+    The query row itself is excluded, matching rag_search_format /
+    vec_cosine_similarity — retrieving the query's own document as a
+    perfect self-match would pollute every fused ranking."""
     from .vectors import as_double, cosine
 
     emb = table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
-    return emb.crossJoin(F.broadcast(q)).select(
-        F.col("vec_id"), cosine(as_double("embedding"), as_double("q_emb")).alias("cos")
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id"),
+            cosine(as_double("embedding"), as_double("q_emb")).alias("cos"),
+        )
     )
 
 
@@ -355,7 +363,8 @@ _BM25_CTES = """tok AS (SELECT doc_id,
     vec AS (SELECT e.vec_id,
                    LIST_COSINE_SIMILARITY(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cos
             FROM embeddings e
-            CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q)"""
+            CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            WHERE e.vec_id <> 0)"""
 
 
 @register(

@@ -207,7 +207,12 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return blobs.agg(
         F.count(F.lit(1)).cast("int").alias("n_files"),
-        F.sum("n_bytes").alias("total_bytes"),
+        # sum the CONTENT length, not the filesystem length metadata —
+        # the aggregate then proves the loaded blob bytes match what the
+        # oracle computes from the text (a metadata-only sum would pass
+        # even if content loading were broken); the n_bytes==content_len
+        # equivalence itself is pinned in tests/test_api.py
+        F.sum("content_len").alias("total_bytes"),
     )
 
 
@@ -336,10 +341,17 @@ def scan_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     good = parsed.filter(F.col("_corrupt_record").isNull())
     bad = parsed.filter(F.col("_corrupt_record").isNotNull())
-    return good.agg(
+    n_corrupt = bad.count()
+    row = good.agg(
         F.count(F.lit(1)).alias("n_good"),
-        F.lit(bad.count()).cast("int").alias("n_corrupt"),
         F.sum("val").cast("int").alias("sum_good_vals"),
+    ).first()
+    # both actions done — release the cached relation (a long-lived bench
+    # session would otherwise accumulate one stale cached plan per call)
+    parsed.unpersist()
+    return spark.createDataFrame(
+        [(row.n_good, n_corrupt, row.sum_good_vals)],
+        "n_good long, n_corrupt int, sum_good_vals int",
     )
 
 
@@ -618,17 +630,28 @@ def scan_file_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not fn.endswith(".parquet"):
                 continue
             path = os.path.join(data_dir, fn)
-            t = pq.read_table(path, columns=["o_orderkey"])
-            col = t.column("o_orderkey")
+            # min/max from the parquet row-group footer statistics — no
+            # data pages are read to build the manifest (same as the
+            # zorder sibling below)
+            meta = pq.ParquetFile(path).metadata
+            ki = meta.schema.names.index("o_orderkey")
+            k_stats = [
+                meta.row_group(g).column(ki).statistics
+                for g in range(meta.num_row_groups)
+            ]
             stats.append(
                 {
                     "file": path,
-                    "min": int(min(c.as_py() for c in col)),
-                    "max": int(max(c.as_py() for c in col)),
+                    "min": int(min(s.min for s in k_stats)),
+                    "max": int(max(s.max for s in k_stats)),
                 }
             )
-        with open(manifest_path, "w") as fh:
+        # Atomic publish: a crash mid-write must not leave a truncated
+        # manifest the exists() fast path would trust forever.
+        tmp_path = manifest_path + ".tmp"
+        with open(tmp_path, "w") as fh:
             _json.dump({"files": stats}, fh)
+        os.replace(tmp_path, manifest_path)
 
     with open(manifest_path) as fh:
         stats = _json.load(fh)["files"]

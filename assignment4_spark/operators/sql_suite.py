@@ -470,7 +470,10 @@ def sql_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderdate")
     )
     j = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
-        "late", F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+        # interval arithmetic, NOT date_add: o_orderdate is a timestamp
+        # and date_add would truncate its time-of-day, silently diverging
+        # from the oracle's + INTERVAL 60 DAY on any non-midnight fixture
+        "late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     )
     w = Window.partitionBy("l_orderkey")
     j = j.withColumn(

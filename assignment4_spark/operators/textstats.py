@@ -69,7 +69,8 @@ def text_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT tf.doc_id, tf.term,
              ROUND(tf.tf * LN(n.n_docs / df.df), 6) AS tfidf,
              ROW_NUMBER() OVER (PARTITION BY tf.doc_id
-                                ORDER BY tf.tf * LN(n.n_docs / df.df) DESC, tf.term) AS rn
+                                ORDER BY ROUND(tf.tf * LN(n.n_docs / df.df), 6) DESC,
+                                         tf.term) AS rn
       FROM tf JOIN df USING (term) CROSS JOIN n
     )
     SELECT doc_id, term, tfidf, rn AS term_rank
@@ -93,7 +94,10 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_docs))
         .withColumn("raw", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
     )
-    w = W.partitionBy("doc_id").orderBy(F.col("raw").desc(), F.col("term"))
+    # rank on the 6-dp-rounded score: DuckDB's LN and the JVM's Math.log
+    # can disagree in the last bit, flipping ulp-close term ranks
+    # cross-engine (the rag_rrf_fusion idiom)
+    w = W.partitionBy("doc_id").orderBy(F.round("raw", 6).desc(), F.col("term"))
     return (
         scored.select(
             "doc_id",

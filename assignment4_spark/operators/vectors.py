@@ -108,7 +108,11 @@ def knn_topk(
             cosine(as_double(emb_col), as_double("q_embedding")).alias("sim"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    # rank on the 6-dp-ROUNDED sim (id tie-break): engines accumulate
+    # the dot product in different orders, so raw-double ranking can
+    # flip ulp-close neighbors (the rag_rrf_fusion idiom); also keeps
+    # the rank consistent with the displayed sim_r
+    w = W.partitionBy("query_id").orderBy(F.round("sim", 6).desc(), F.col("neighbor_id"))
     return (
         scored.select(
             "query_id",
@@ -132,7 +136,8 @@ def knn_topk(
       WHERE e.vec_id <> q.query_id
     ), ranked AS (
       SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim_r,
-             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY ROUND(sim, 6) DESC, neighbor_id) AS rank
       FROM scored
     )
     SELECT query_id, neighbor_id, sim_r, rank
@@ -562,7 +567,11 @@ def _rp_lsh_topk(spark: SparkSession, sf_dir: str, n_probes: int = 1) -> DataFra
             cosine(as_double("q_emb"), as_double("n_emb")).alias("sim"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    # rank on the 6-dp-ROUNDED sim (id tie-break): engines accumulate
+    # the dot product in different orders, so raw-double ranking can
+    # flip ulp-close neighbors (the rag_rrf_fusion idiom); also keeps
+    # the rank consistent with the displayed sim_r
+    w = W.partitionBy("query_id").orderBy(F.round("sim", 6).desc(), F.col("neighbor_id"))
     return (
         scored.select(
             "query_id",
@@ -673,7 +682,11 @@ def vec_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine(as_double("q_emb"), as_double("n_emb")).alias("sim"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    # rank on the 6-dp-ROUNDED sim (id tie-break): engines accumulate
+    # the dot product in different orders, so raw-double ranking can
+    # flip ulp-close neighbors (the rag_rrf_fusion idiom); also keeps
+    # the rank consistent with the displayed sim_r
+    w = W.partitionBy("query_id").orderBy(F.round("sim", 6).desc(), F.col("neighbor_id"))
     return (
         scored.select(
             "query_id",
@@ -1588,7 +1601,7 @@ def vec_sign_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), ranked AS (
       SELECT query_id, negative_id, neg_label, ROUND(sim, 6) AS sim_r,
              ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY sim DESC, negative_id) AS rank
+                                ORDER BY ROUND(sim, 6) DESC, negative_id) AS rank
       FROM scored
     )
     SELECT query_id, negative_id, neg_label, sim_r, rank
@@ -1631,7 +1644,7 @@ def vec_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine(as_double("embedding"), as_double("q_embedding")).alias("sim"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "negative_id")
+    w = W.partitionBy("query_id").orderBy(F.round("sim", 6).desc(), "negative_id")
     return (
         scored.select(
             "query_id",

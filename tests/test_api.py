@@ -599,3 +599,22 @@ def test_table_cache_evicts_stopped_sessions(spark):
     io_util.table(spark, "/root/testdata/sf0.001", "region")
     assert -1 not in io_util._TABLE_CACHE
     assert id(spark) in io_util._TABLE_CACHE
+
+
+def test_scan_binary_files_content_matches_length_metadata(spark, sf_oracle):
+    """Pins the roundtrip equivalence scan_binary_files relies on: the
+    loaded blob's content length equals the filesystem length metadata
+    for every file (the op's total_bytes sums content, so a broken
+    content load could not silently pass on metadata alone)."""
+    from assignment4_spark import registry
+    from assignment4_spark.operators.scans import _adir
+
+    registry.load_all()
+    registry.QUERIES["scan_binary_files"](spark, sf_oracle).collect()
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "part-*")
+        .load(_adir(sf_oracle, "documents_text_single"))
+    )
+    mismatch = blobs.filter(F.length("content") != F.col("length")).count()
+    assert mismatch == 0
