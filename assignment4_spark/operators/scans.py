@@ -58,6 +58,56 @@ def _adir(sf_dir: str, name: str) -> str:
     return os.path.join(ARTIFACT_ROOT, f"{base}-{_fixture_fingerprint(sf_dir)}", name)
 
 
+def _footer_stats_manifest(
+    data_dir: str, manifest_path: str, cols: dict[str, tuple[str, str]]
+) -> None:
+    """Build and atomically publish a zone-map manifest from parquet
+    row-group footer statistics — no data pages are read. Shared by
+    scan_file_skipping_stats (1-D zone maps) and scan_zorder_cluster
+    (2-D); ``cols`` maps column name -> (min_key, max_key) JSON field
+    names so each op's on-disk manifest shape stays stable.
+
+    Zero-row part files are omitted outright (they contribute no rows,
+    so a planner that never opens them is exact). A column chunk
+    written without footer statistics yields ``None`` bounds — planners
+    must treat None as always-keep and exclude it from global-span
+    arithmetic. The atomic tmp+rename publish matters because a crash
+    mid-write must not leave a truncated manifest the exists() fast
+    path would trust forever.
+    """
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    entries = []
+    for fn in sorted(os.listdir(data_dir)):
+        if not fn.endswith(".parquet"):
+            continue
+        path = os.path.join(data_dir, fn)
+        meta = pq.ParquetFile(path).metadata
+        if meta.num_rows == 0:
+            continue
+        names = meta.schema.names
+        entry: dict[str, object] = {"file": path}
+        for col, (min_key, max_key) in cols.items():
+            ci = names.index(col)
+            col_stats = [
+                meta.row_group(g).column(ci).statistics
+                for g in range(meta.num_row_groups)
+            ]
+            if all(s is not None and s.has_min_max for s in col_stats):
+                entry[min_key] = int(min(s.min for s in col_stats))
+                entry[max_key] = int(max(s.max for s in col_stats))
+            else:
+                entry[min_key] = None
+                entry[max_key] = None
+        entries.append(entry)
+    tmp_path = manifest_path + ".tmp"
+    with open(tmp_path, "w") as fh:
+        _json.dump({"files": entries}, fh)
+    os.replace(tmp_path, manifest_path)
+
+
 @register(
     "scan_parquet",
     oracle="""
@@ -203,7 +253,7 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "part-*")
         .load(out)
-        .select(F.col("length").alias("n_bytes"), F.length("content").alias("content_len"))
+        .select(F.length("content").alias("content_len"))
     )
     return blobs.agg(
         F.count(F.lit(1)).cast("int").alias("n_files"),
@@ -623,45 +673,26 @@ def scan_file_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.repartitionByRange(8, "o_orderkey").write.mode("overwrite").parquet(
             data_dir
         )
-        import pyarrow.parquet as pq
-
-        stats = []
-        for fn in sorted(os.listdir(data_dir)):
-            if not fn.endswith(".parquet"):
-                continue
-            path = os.path.join(data_dir, fn)
-            # min/max from the parquet row-group footer statistics — no
-            # data pages are read to build the manifest (same as the
-            # zorder sibling below)
-            meta = pq.ParquetFile(path).metadata
-            ki = meta.schema.names.index("o_orderkey")
-            k_stats = [
-                meta.row_group(g).column(ki).statistics
-                for g in range(meta.num_row_groups)
-            ]
-            stats.append(
-                {
-                    "file": path,
-                    "min": int(min(s.min for s in k_stats)),
-                    "max": int(max(s.max for s in k_stats)),
-                }
-            )
-        # Atomic publish: a crash mid-write must not leave a truncated
-        # manifest the exists() fast path would trust forever.
-        tmp_path = manifest_path + ".tmp"
-        with open(tmp_path, "w") as fh:
-            _json.dump({"files": stats}, fh)
-        os.replace(tmp_path, manifest_path)
+        _footer_stats_manifest(
+            data_dir, manifest_path, {"o_orderkey": ("min", "max")}
+        )
 
     with open(manifest_path) as fh:
         stats = _json.load(fh)["files"]
     # predicate bounds = the second keyspace quartile, derived from the
     # manifest itself (exact integer arithmetic, mirrored by the
-    # oracle's MIN/MAX subquery) so the op skips files at EVERY sf
-    mn = min(s["min"] for s in stats)
-    mx = max(s["max"] for s in stats)
+    # oracle's MIN/MAX subquery) so the op skips files at EVERY sf.
+    # None bounds (stats-less chunks) are always-keep and excluded from
+    # the span; our own Spark writer always emits int64 stats, so the
+    # spans stay exactly the raw table MIN/MAX the oracle derives.
+    mn = min(s["min"] for s in stats if s["min"] is not None)
+    mx = max(s["max"] for s in stats if s["max"] is not None)
     lo, hi = mn + (mx - mn) // 4, mn + (mx - mn) // 2
-    keep = [s["file"] for s in stats if s["max"] >= lo and s["min"] <= hi]
+    keep = [
+        s["file"]
+        for s in stats
+        if s["min"] is None or (s["max"] >= lo and s["min"] <= hi)
+    ]
     if not (0 < len(keep) < len(stats)):
         raise AssertionError(
             f"file skipping ineffective: {len(keep)} of {len(stats)} files"
@@ -780,8 +811,6 @@ def scan_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import json as _json
 
-    import pyarrow.parquet as pq
-
     base = _adir(sf_dir, "orders_zorder")
     data_dir = os.path.join(base, "data")
     manifest_path = os.path.join(base, "manifest.json")
@@ -818,53 +847,35 @@ def scan_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .parquet(data_dir)
         )
-        stats = []
-        for fn in sorted(os.listdir(data_dir)):
-            if not fn.endswith(".parquet"):
-                continue
-            path = os.path.join(data_dir, fn)
-            # Zone maps come straight from the parquet row-group footer
-            # statistics — no data pages are read to build the manifest.
-            meta = pq.ParquetFile(path).metadata
-            schema_names = meta.schema.names
-            ci = schema_names.index("o_custkey")
-            ki = schema_names.index("o_orderkey")
-            c_stats = [meta.row_group(g).column(ci).statistics for g in range(meta.num_row_groups)]
-            k_stats = [meta.row_group(g).column(ki).statistics for g in range(meta.num_row_groups)]
-            stats.append(
-                {
-                    "file": path,
-                    "c_min": int(min(s.min for s in c_stats)),
-                    "c_max": int(max(s.max for s in c_stats)),
-                    "k_min": int(min(s.min for s in k_stats)),
-                    "k_max": int(max(s.max for s in k_stats)),
-                }
-            )
-        # Atomic publish: a crash mid-write must not leave a truncated
-        # manifest that the exists() fast path would trust forever.
-        tmp_path = manifest_path + ".tmp"
-        with open(tmp_path, "w") as fh:
-            _json.dump({"files": stats}, fh)
-        os.replace(tmp_path, manifest_path)
+        _footer_stats_manifest(
+            data_dir,
+            manifest_path,
+            {"o_custkey": ("c_min", "c_max"), "o_orderkey": ("k_min", "k_max")},
+        )
 
     with open(manifest_path) as fh:
         stats = _json.load(fh)["files"]
     # 2-D box = the second quartile of each keyspace, derived from the
     # manifest (== the raw table's MIN/MAX — every row is in some file),
-    # mirrored exactly by the oracle's integer arithmetic
-    cmn = min(s["c_min"] for s in stats)
-    cmx = max(s["c_max"] for s in stats)
-    kmn = min(s["k_min"] for s in stats)
-    kmx = max(s["k_max"] for s in stats)
+    # mirrored exactly by the oracle's integer arithmetic. None bounds
+    # (stats-less chunks) are always-keep, excluded from the spans.
+    cmn = min(s["c_min"] for s in stats if s["c_min"] is not None)
+    cmx = max(s["c_max"] for s in stats if s["c_max"] is not None)
+    kmn = min(s["k_min"] for s in stats if s["k_min"] is not None)
+    kmx = max(s["k_max"] for s in stats if s["k_max"] is not None)
     c_lo, c_hi = cmn + (cmx - cmn) // 4, cmn + (cmx - cmn) // 2
     k_lo, k_hi = kmn + (kmx - kmn) // 4, kmn + (kmx - kmn) // 2
     keep = [
         s["file"]
         for s in stats
-        if s["c_max"] >= c_lo
-        and s["c_min"] <= c_hi
-        and s["k_max"] >= k_lo
-        and s["k_min"] <= k_hi
+        if (
+            s["c_min"] is None
+            or (s["c_max"] >= c_lo and s["c_min"] <= c_hi)
+        )
+        and (
+            s["k_min"] is None
+            or (s["k_max"] >= k_lo and s["k_min"] <= k_hi)
+        )
     ]
     if not (0 < len(keep) < len(stats)):
         raise AssertionError(

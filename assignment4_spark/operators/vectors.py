@@ -1718,8 +1718,16 @@ def vec_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.round(F.avg(F.col("emb")[i]), 9) for i in range(dim)]
         ).alias("cent")
     )
-    s = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id", F.round(cosine(F.col("emb"), F.col("cent")), 9).alias("cos")
+    # localCheckpoint: `s` feeds BOTH the moments aggregate and the
+    # final projection — without it the corpus scan + centroid
+    # aggregate + cosine fold would execute twice (same multi-consumer
+    # idiom as text_dsir_importance / graph_jaccard_neighbors)
+    s = (
+        e.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", F.round(cosine(F.col("emb"), F.col("cent")), 9).alias("cos")
+        )
+        .localCheckpoint(eager=True)
     )
     m = s.agg(
         F.round(F.avg("cos"), 9).alias("mu"),
@@ -1739,7 +1747,6 @@ def vec_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pca_fit(
     df: DataFrame,
-    id_col: str = "vec_id",
     emb_col: str = "embedding",
     k: int = 4,
     dim: int = 64,

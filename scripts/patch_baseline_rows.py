@@ -131,14 +131,19 @@ def main() -> None:
         if d_v is not None and s_v is not None and key not in slow_names:
             sane_duck += d_v
             sane_spark += s_v
+    # same zero guards as make_baseline.py — a table whose oracled rows
+    # are all slow-oracle/rows-only must not lose the finished timing
+    # sweep to a ZeroDivisionError in the f-string
+    total_ratio = spark_total / duck_total if duck_total else float("nan")
+    sane_ratio = sane_spark / sane_duck if sane_duck else float("nan")
     totals = (
         f"| **total (oracled queries)** | **{duck_total:.2f}** | "
-        f"**{spark_total:.2f}** | **{spark_total / duck_total:.3g}×** | "
+        f"**{spark_total:.2f}** | **{total_ratio:.3g}×** | "
         f"per-query min of {N_RUNS} (symmetric); "
         "Spark includes ~0.1-0.3 s/query fixed driver+scheduling overhead |\n"
         f"| **total (sane-oracle subset — excludes the O(N²) brute-force-oracle rows)** | "
         f"**{sane_duck:.2f}** | **{sane_spark:.2f}** | "
-        f"**{sane_spark / sane_duck:.3g}×** | "
+        f"**{sane_ratio:.3g}×** | "
         "the committed headline vs the 2× bar (BASELINE.md §2) |"
     )
     table = "\n".join([header, sep] + body + [totals])
