@@ -1721,13 +1721,15 @@ def vec_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint: `s` feeds BOTH the moments aggregate and the
     # final projection — without it the corpus scan + centroid
     # aggregate + cosine fold would execute twice (same multi-consumer
-    # idiom as text_dsir_importance / graph_jaccard_neighbors)
+    # idiom as text_dsir_importance / graph_jaccard_neighbors).
+    # eager=False: the moments job materializes the blocks as it runs,
+    # so no dedicated checkpoint job is paid at toy scale
     s = (
         e.crossJoin(F.broadcast(cent))
         .select(
             "vec_id", F.round(cosine(F.col("emb"), F.col("cent")), 9).alias("cos")
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     m = s.agg(
         F.round(F.avg("cos"), 9).alias("mu"),

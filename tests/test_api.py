@@ -618,3 +618,38 @@ def test_scan_binary_files_content_matches_length_metadata(spark, sf_oracle):
     )
     mismatch = blobs.filter(F.length("content") != F.col("length")).count()
     assert mismatch == 0
+
+
+def test_footer_stats_manifest_edge_files(tmp_path):
+    """The shared zone-map manifest builder must survive the two footer
+    shapes a planner can meet in the wild: a zero-row part file (omitted
+    outright — it contributes no rows, so never opening it is exact) and
+    a column chunk written without statistics (None bounds — always-keep
+    at plan time, excluded from span arithmetic)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from assignment4_spark.operators.scans import _footer_stats_manifest
+
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    tbl = pa.table({"k": pa.array([3, 9, 5], type=pa.int64())})
+    pq.write_table(tbl, data_dir / "part-normal.parquet")
+    pq.write_table(tbl.slice(0, 0), data_dir / "part-empty.parquet")
+    pq.write_table(
+        tbl, data_dir / "part-nostats.parquet", write_statistics=False
+    )
+    manifest_path = tmp_path / "manifest.json"
+    _footer_stats_manifest(
+        str(data_dir), str(manifest_path), {"k": ("min", "max")}
+    )
+    files = json.load(open(manifest_path))["files"]
+    by_name = {e["file"].rsplit("/", 1)[-1]: e for e in files}
+    assert "part-empty.parquet" not in by_name
+    assert by_name["part-normal.parquet"]["min"] == 3
+    assert by_name["part-normal.parquet"]["max"] == 9
+    assert by_name["part-nostats.parquet"]["min"] is None
+    assert by_name["part-nostats.parquet"]["max"] is None
+    assert not manifest_path.with_suffix(".json.tmp").exists()
