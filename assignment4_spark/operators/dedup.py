@@ -1040,3 +1040,107 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "dedup_paragraph_rewrite",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), ch AS (
+      SELECT doc_id, p AS pos,
+             array_to_string(ws[p*10+1 : p*10+10], ' ') AS chunk
+      FROM w, UNNEST(generate_series(0, CAST(CEIL(len(ws) / 10.0) AS INT) - 1)) AS t(p)
+    ), k AS (
+      SELECT doc_id, pos, chunk,
+             ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+      FROM ch
+    )
+    SELECT doc_id,
+           STRING_AGG(chunk, ' ' ORDER BY pos) FILTER (WHERE rn = 1) AS text_clean,
+           COUNT(*) FILTER (WHERE rn = 1)                            AS n_kept,
+           COUNT(*) FILTER (WHERE rn > 1)                            AS n_dropped
+    FROM k
+    GROUP BY doc_id
+    HAVING COUNT(*) FILTER (WHERE rn = 1) > 0
+    ORDER BY doc_id
+    """,
+)
+def dedup_paragraph_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup with document REWRITE — the C4/Dolma
+    mechanism: the dedup unit is smaller than the document (here a
+    fixed 10-word segment standing in for a paragraph — the fixture
+    text has no newlines), only the corpus-wide FIRST occurrence of
+    each distinct segment survives (first = smallest (doc_id, pos)),
+    and every document is re-assembled from its surviving segments in
+    position order. Documents whose every segment was seen earlier
+    vanish from the corpus — dedup_exact/dedup_exact_substring PROFILE
+    duplication; this op performs the actual corpus-cleaning write.
+
+    Spark shape: one posexplode pass segments the corpus; the
+    first-occurrence decision is a map-side-combinable
+    min(struct(doc_id, pos)) groupBy on the segment (8-byte-hashable
+    unit — at 100 TB group on xxhash64(segment) and carry the text
+    only through the rewrite join), then one join back and one per-doc
+    ordered reassembly via array_sort(collect_list(struct(pos, seg))).
+    The segment stream is localCheckpointed for its two consumers
+    (first-occurrence winners + per-doc totals). No window over the
+    raw corpus: the window form would sort every replica of a hot
+    segment; the min-struct agg combines map-side, so a
+    billion-duplicate segment costs one row per partition in the
+    exchange — the same skew argument as dedup_exact.
+    Reference provenance: none (the reference stores documents
+    verbatim); north-star curation surface, public recipe = C4
+    three-sentence-span dedup (Raffel et al. 2020) / Dolma paragraph
+    dedup.
+    """
+    seg_words = 10
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    n_seg = F.ceil(F.size("ws") / F.lit(float(seg_words))).cast("int")
+    segs = (
+        d.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_seg - 1),
+                    lambda p: F.array_join(
+                        F.slice("ws", p * seg_words + 1, seg_words), " "
+                    ),
+                )
+            ).alias("pos", "chunk"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    first = segs.groupBy("chunk").agg(
+        F.min(F.struct("doc_id", "pos")).alias("f")
+    )
+    kept = (
+        segs.join(first, "chunk")
+        .filter((F.col("doc_id") == F.col("f.doc_id")) & (F.col("pos") == F.col("f.pos")))
+        .select("doc_id", "pos", "chunk")
+    )
+    totals = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_total"))
+    out = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                    lambda s: s.chunk,
+                ),
+                " ",
+            ).alias("text_clean"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .join(totals, "doc_id")
+        .select(
+            "doc_id",
+            "text_clean",
+            "n_kept",
+            (F.col("n_total") - F.col("n_kept")).alias("n_dropped"),
+        )
+        .orderBy("doc_id")
+    )
+    return out

@@ -508,3 +508,120 @@ def join_spatial_epsilon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pid_a", "pid_b", F.round(dist, 6).alias("dist"))
         .orderBy("pid_a", "pid_b")
     )
+
+
+@register(
+    "join_nearest_spatial",
+    oracle="""
+    WITH q AS (
+      SELECT event_id AS qid,
+             event_id % 211       AS xq,
+             (event_id * 7) % 199 AS yq
+      FROM events WHERE event_type = 'view' AND event_id < 1000
+    ), c AS (
+      SELECT event_id AS cid,
+             event_id % 211       AS xc,
+             (event_id * 7) % 199 AS yc
+      FROM events WHERE event_type = 'click' AND event_id < 4000
+    ), p AS (
+      SELECT qid, cid,
+             (xq - xc) * (xq - xc) + (yq - yc) * (yq - yc) AS dist2,
+             ROW_NUMBER() OVER (
+               PARTITION BY qid
+               ORDER BY (xq - xc) * (xq - xc) + (yq - yc) * (yq - yc), cid
+             ) AS rn
+      FROM q, c
+    )
+    SELECT qid, cid AS nn_id, dist2 AS nn_dist2
+    FROM p WHERE rn = 1
+    ORDER BY qid
+    """,
+)
+def join_nearest_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor spatial join (each query point → its single
+    closest candidate point) — the argmin sibling of
+    join_spatial_epsilon's all-pairs-within-ε, and the 2-D version of
+    join_asof_nearest: "nearest store to each customer". EXACT, via
+    the classic two-phase grid plan:
+
+    Phase 1 — grid candidates: points bucket into g-sized cells, each
+    query replicates to its 3×3 neighborhood, equi-join on the cell
+    key, per-query argmin by ``min(struct(dist2, cid))`` (lexicographic
+    struct min = smallest distance, smallest id on ties — total order,
+    deterministic on both engines). A phase-1 winner is PROVABLY the
+    true nearest iff its dist ≤ g: anything closer would lie within g
+    of the query and therefore inside the 3×3 neighborhood.
+    Phase 2 — residual: queries with no 3×3 candidate, or whose best
+    is beyond g (sparse regions), fall back to a broadcast brute-force
+    against the candidate set — exact by construction.
+
+    All arithmetic is INTEGER (coordinates synthesized from event ids;
+    dist2 = squared distance as bigint, never a sqrt) so cross-engine
+    parity is exact, no float rounding rule needed. Scale shape: the
+    phase-1 join is bounded by points-per-cell (density, not corpus
+    size); the residual is the sparse tail — at 100 TB you size g so
+    phase 2 is near-empty (or iterate expanding rings), and the
+    broadcast side is the QUERY residual, never the candidate corpus.
+    The oracle is the O(N·M) brute force.
+    Reference provenance: none (no geometry in the reference);
+    north-star spatial surface, public recipe = Sedona grid
+    partitioning / two-phase exact kNN join.
+    """
+    g = 16
+    ev = table(spark, sf_dir, "events")
+    q = ev.filter((F.col("event_type") == "view") & (F.col("event_id") < 1000)).select(
+        F.col("event_id").alias("qid"),
+        (F.col("event_id") % 211).alias("xq"),
+        ((F.col("event_id") * 7) % 199).alias("yq"),
+    )
+    c = ev.filter((F.col("event_type") == "click") & (F.col("event_id") < 4000)).select(
+        F.col("event_id").alias("cid"),
+        (F.col("event_id") % 211).alias("xc"),
+        ((F.col("event_id") * 7) % 199).alias("yc"),
+    )
+    dist2 = (F.col("xq") - F.col("xc")) * (F.col("xq") - F.col("xc")) + (
+        F.col("yq") - F.col("yc")
+    ) * (F.col("yq") - F.col("yc"))
+    pick = F.min(F.struct(dist2.alias("d2"), F.col("cid"))).alias("best")
+
+    qa = q.select(
+        "qid",
+        "xq",
+        "yq",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    (F.floor(F.col("xq") / g) + dx).alias("gx"),
+                    (F.floor(F.col("yq") / g) + dy).alias("gy"),
+                )
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ])
+        ).alias("cell"),
+    ).select("qid", "xq", "yq", F.col("cell.gx").alias("gx"), F.col("cell.gy").alias("gy"))
+    cb = c.select(
+        "cid", "xc", "yc",
+        F.floor(F.col("xc") / g).alias("gx"),
+        F.floor(F.col("yc") / g).alias("gy"),
+    )
+    # lazy localCheckpoint: phase1 feeds BOTH the result union and the
+    # residual anti-join — without it the grid join + argmin execute
+    # twice (the vec_centroid_outliers multi-consumer idiom)
+    phase1 = (
+        qa.join(cb, ["gx", "gy"])
+        .groupBy("qid")
+        .agg(pick)
+        .filter(F.col("best.d2") <= g * g)
+        .select("qid", F.col("best.cid").alias("nn_id"), F.col("best.d2").alias("nn_dist2"))
+        .localCheckpoint(eager=False)
+    )
+    # broadcast the RESIDUAL QUERY side (sparse tail, provably small at
+    # a well-chosen g) — the candidate corpus streams, it never ships
+    residual = (
+        F.broadcast(q.join(phase1.select("qid"), "qid", "left_anti"))
+        .crossJoin(c)
+        .groupBy("qid")
+        .agg(pick)
+        .select("qid", F.col("best.cid").alias("nn_id"), F.col("best.d2").alias("nn_dist2"))
+    )
+    return phase1.unionByName(residual).orderBy("qid")

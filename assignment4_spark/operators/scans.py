@@ -894,3 +894,105 @@ def scan_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "scan_expectations_gate",
+    oracle="""
+    WITH j AS (
+      SELECT o.*, c.c_custkey AS fk
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    ), m AS (
+      SELECT COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE o_orderkey IS NULL)            AS v_null,
+             COUNT(*) - COUNT(DISTINCT o_orderkey)                 AS v_uniq,
+             COUNT(*) FILTER (WHERE o_totalprice < 0)              AS v_neg,
+             COUNT(*) FILTER (WHERE o_totalprice > 300000)         AS v_cap,
+             COUNT(*) FILTER (WHERE o_orderdate <  TIMESTAMP '1995-01-01 00:00:00'
+                                 OR o_orderdate >= TIMESTAMP '2002-01-01 00:00:00') AS v_date,
+             COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')) AS v_dom,
+             COUNT(*) FILTER (WHERE fk IS NULL)                    AS v_fk
+      FROM j
+    )
+    SELECT expectation, violations, n_checked, violations = 0 AS passed
+    FROM (
+      SELECT 'o_custkey_fk_customer'   AS expectation, v_fk  AS violations, n AS n_checked FROM m
+      UNION ALL SELECT 'o_orderdate_in_range',   v_date, n FROM m
+      UNION ALL SELECT 'o_orderkey_not_null',    v_null, n FROM m
+      UNION ALL SELECT 'o_orderkey_unique',      v_uniq, n FROM m
+      UNION ALL SELECT 'o_orderstatus_domain',   v_dom,  n FROM m
+      UNION ALL SELECT 'o_totalprice_nonneg',    v_neg,  n FROM m
+      UNION ALL SELECT 'o_totalprice_soft_cap_300k', v_cap, n FROM m
+    )
+    ORDER BY expectation
+    """,
+)
+def scan_expectations_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract expectations gate — the ingestion check every
+    production pipeline runs before letting a batch into the lake
+    (Great Expectations / Delta constraints / dbt tests, as one
+    operator): per-expectation violation counts over `orders` for
+    null-ness, key uniqueness, value range, domain membership, a soft
+    business cap (deliberately failing on this data, so the counting
+    path is exercised, not just the zero path), and o_custkey
+    referential integrity against `customer`.
+
+    Spark shape — ONE scan of the fact table: all seven checks ride a
+    single aggregate over orders LEFT-JOINed to the customer key set
+    (Catalyst broadcasts the dim side at fixture scale; at 100 TB the
+    same declaration shuffle-joins on the FK — either way the fact
+    table is read once, and every violation counter is a map-side
+    conditional sum fused into one Expand-free Aggregate except the
+    COUNT(DISTINCT) uniqueness probe, which Catalyst plans as the
+    standard Expand). The per-expectation rows come from unpivoting
+    the 1-row aggregate with stack() — metadata-sized, no second pass.
+    A failed gate at scale quarantines the batch: the `passed` column
+    is the bit a scheduler branches on.
+    Reference provenance: none (the reference ingests with no
+    validation — SURVEY §0 gap); north-star ingestion-contract
+    surface, public recipe = Great Expectations / Delta CHECK
+    constraints.
+    """
+    o = table(spark, sf_dir, "orders")
+    c_keys = table(spark, sf_dir, "customer").select("c_custkey").distinct()
+    j = o.join(c_keys, o.o_custkey == c_keys.c_custkey, "left")
+
+    def _viol(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    m = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        _viol(F.col("o_orderkey").isNull()).alias("v_null"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v_uniq"),
+        _viol(F.col("o_totalprice") < 0).alias("v_neg"),
+        _viol(F.col("o_totalprice") > 300000).alias("v_cap"),
+        _viol(
+            (F.col("o_orderdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            | (F.col("o_orderdate") >= F.lit("2002-01-01 00:00:00").cast("timestamp"))
+        ).alias("v_date"),
+        _viol(~F.col("o_orderstatus").isin("O", "F", "P")).alias("v_dom"),
+        _viol(F.col("c_custkey").isNull()).alias("v_fk"),
+    )
+    return (
+        m.select(
+            F.expr(
+                "stack(7, "
+                "'o_custkey_fk_customer', v_fk, "
+                "'o_orderdate_in_range', v_date, "
+                "'o_orderkey_not_null', v_null, "
+                "'o_orderkey_unique', v_uniq, "
+                "'o_orderstatus_domain', v_dom, "
+                "'o_totalprice_nonneg', v_neg, "
+                "'o_totalprice_soft_cap_300k', v_cap"
+                ") AS (expectation, violations)"
+            ),
+            F.col("n").alias("n_checked"),
+        )
+        .select(
+            "expectation",
+            "violations",
+            "n_checked",
+            (F.col("violations") == 0).alias("passed"),
+        )
+        .orderBy("expectation")
+    )

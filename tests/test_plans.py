@@ -851,3 +851,42 @@ def test_table_profile_single_scan_expand_agg(spark, sf_oracle):
     assert body.count("orders.parquet") == 1, body
     assert "Expand" in body, body
     assert "Join" not in body, body
+
+
+def test_expectations_gate_single_fact_scan(spark, sf_oracle):
+    """All seven expectation counters must ride ONE scan of orders
+    (FK probe = broadcast join to the customer key set) — a per-check
+    scan would multiply the 100 TB read by the contract size."""
+    plan = formatted_plan(spark, "scan_expectations_gate", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert body.count("orders.parquet") == 1, body
+    assert body.count("customer.parquet") == 1, body
+    assert "BroadcastHashJoin" in body, body
+
+
+def test_nearest_spatial_residual_broadcast(spark, sf_oracle):
+    """join_nearest_spatial: the only cartesian is the residual
+    fallback, and its BROADCAST side must be the query residual (the
+    sparse tail) — the candidate corpus streams. Phase 1 stays an
+    equi-join on the grid cell."""
+    plan = formatted_plan(spark, "join_nearest_spatial", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastNestedLoopJoin Cross BuildLeft" in body, body
+    # phase 1 itself is localCheckpointed (its broadcast grid equi-join
+    # materializes behind the ExistingRDD scan), so the residual path is
+    # what the final plan must prove: anti-join against the checkpointed
+    # winners, then the BuildLeft cross above
+    assert "LeftAnti" in body, body
+    assert "localCheckpoint" in body, body
+
+
+def test_paragraph_rewrite_agg_not_window(spark, sf_oracle):
+    """dedup_paragraph_rewrite's first-occurrence decision must be the
+    map-side-combinable min(struct(doc_id,pos)) AGGREGATE on the
+    segment — a window over the raw segment stream would sort every
+    replica of a hot segment in one task (the skew the agg form
+    avoids)."""
+    plan = formatted_plan(spark, "dedup_paragraph_rewrite", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "partial_min" in body, body
+    assert "Window" not in body, body
