@@ -1,0 +1,288 @@
+"""Distribution-drift and dependence statistics (SURVEY.md §2 B.11).
+
+The reference pipeline re-ingests the same publication corpus on every
+Airflow run (airflow/dags/parser_pinecone_storage.py:118-190) with no
+check that the new snapshot still *looks like* the old one — a silent
+upstream format change (prices rescaled, a field dropped, a bot cohort
+appearing) flows straight into the Pinecone index. At 100 TB that check
+is mandatory and must itself be a distributed aggregate: these operators
+are the standard monitoring trio — two-sample Kolmogorov-Smirnov (exact,
+continuous columns), Population Stability Index (binned, the industry
+drift score), and mutual information (categorical dependence / label-
+leakage probe) — each expressed as ONE hash-aggregate pass plus
+group-count-sized window math, so the shuffle is O(distinct values or
+bins), never O(rows).
+
+Determinism: KS runs entirely in INTEGER cross-multiplied arithmetic
+(|cum_a·n_b − cum_b·n_a|) so the max and its argmax are bit-exact in
+both engines; PSI/MI round each float term to 6 dp BEFORE the total so
+summation order cannot flip the 6th decimal of the headline number.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io_util import table
+from ..registry import register
+
+# PSI bins: fixed literal edges (width 50 over [0, 500)) rather than
+# data-derived min/max — identical constants in both engines, so a value
+# sitting exactly on an edge bins identically; the events fixture draws
+# value in [0.01, 490.02] so the range is exhaustive by construction.
+_PSI_BIN_W = 50
+_PSI_BINS = 10
+_PSI_SPLIT = "2024-01-15 00:00:00"  # reference window = week 1-2
+
+
+@register(
+    "agg_ks_drift",
+    oracle="""
+    WITH pop AS (
+      SELECT value,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    tot AS (SELECT SUM(is_a) AS n_a, SUM(1 - is_a) AS n_b FROM pop),
+    steps AS (
+      SELECT value,
+             SUM(SUM(is_a))     OVER (ORDER BY value) AS cum_a,
+             SUM(SUM(1 - is_a)) OVER (ORDER BY value) AS cum_b
+      FROM pop GROUP BY value
+    ),
+    gaps AS (
+      SELECT s.value, ABS(s.cum_a * t.n_b - s.cum_b * t.n_a) AS gap,
+             t.n_a, t.n_b
+      FROM steps s CROSS JOIN tot t
+    )
+    SELECT n_a, n_b, value AS ks_at_value,
+           ROUND(CAST(gap AS DOUBLE) / (n_a * n_b), 6) AS ks_d
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY gap DESC, value) AS rn
+          FROM gaps)
+    WHERE rn = 1
+    """,
+)
+def agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test: does the `value`
+    distribution of 'click' events match that of 'purchase' events?
+    Returns the supremum CDF gap D, the value where it is attained
+    (ties broken on the smaller value), and both sample sizes.
+
+    Spark shape: one filtered scan (predicate pushed to parquet) →
+    hash-agg on distinct `value` (map-side combined, shuffle is
+    O(distinct values)) → windows over that distinct-value frame build
+    both empirical CDFs as running integer counts plus both sample
+    totals (never a second scan of events) → TakeOrdered(1) tail. The CDF gap
+    is compared as the integer cross-product |cum_a·n_b − cum_b·n_a|
+    (exact; the division to D happens once, on the winning row), so no
+    float accumulation can flip the argmax cross-engine. At 100 TB the
+    global ordered window is the cost — the scale path is range-
+    partitioned sort on `value` (Spark's window already sorts via
+    range exchange), or the binned KS variant agg_psi_drift models.
+    """
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "value",
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_a"),
+        )
+    )
+    steps = ev.groupBy("value").agg(
+        F.sum("is_a").alias("d_a"), F.sum(1 - F.col("is_a")).alias("d_b")
+    )
+    # Totals ride windows over the distinct-value frame, NOT a second
+    # aggregate over `ev` — that would re-scan the fact table; these
+    # windows touch O(distinct values) rows the running-CDF sort already
+    # colocated.
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    gaps = steps.select(
+        "value",
+        F.sum("d_a").over(w).alias("cum_a"),
+        F.sum("d_b").over(w).alias("cum_b"),
+        F.sum("d_a").over(w_all).alias("n_a"),
+        F.sum("d_b").over(w_all).alias("n_b"),
+    ).select(
+        "n_a",
+        "n_b",
+        F.col("value"),
+        F.abs(
+            F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+        ).alias("gap"),
+    )
+    return (
+        gaps.orderBy(F.col("gap").desc(), "value")
+        .limit(1)
+        .select(
+            "n_a",
+            "n_b",
+            F.col("value").alias("ks_at_value"),
+            F.round(F.col("gap").cast("double") / (F.col("n_a") * F.col("n_b")), 6).alias(
+                "ks_d"
+            ),
+        )
+    )
+
+
+@register(
+    "agg_psi_drift",
+    oracle=f"""
+    WITH binned AS (
+      SELECT CAST(LEAST(FLOOR(value / {_PSI_BIN_W}), {_PSI_BINS - 1}) AS INTEGER) AS bin_id,
+             CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT}' THEN 1 ELSE 0 END AS w_ref,
+             CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT}' THEN 0 ELSE 1 END AS w_cur
+      FROM events
+      UNION ALL
+      SELECT CAST(s AS INTEGER), 0, 0
+      FROM (SELECT UNNEST(generate_series(0, {_PSI_BINS - 1})) AS s)
+    ),
+    cnt AS (
+      SELECT bin_id, SUM(w_ref) AS n_ref, SUM(w_cur) AS n_cur
+      FROM binned GROUP BY bin_id
+    ),
+    smoothed AS (
+      SELECT bin_id, n_ref, n_cur,
+             (n_ref + 0.5) / (SUM(n_ref) OVER () + {_PSI_BINS} * 0.5) AS p_ref,
+             (n_cur + 0.5) / (SUM(n_cur) OVER () + {_PSI_BINS} * 0.5) AS p_cur
+      FROM cnt
+    ),
+    terms AS (
+      SELECT bin_id, n_ref, n_cur,
+             ROUND((p_cur - p_ref) * LN(p_cur / p_ref), 6) AS psi_term
+      FROM smoothed
+    )
+    SELECT bin_id, n_ref, n_cur, psi_term,
+           ROUND(SUM(psi_term) OVER (), 6) AS psi_total
+    FROM terms ORDER BY bin_id
+    """,
+)
+def agg_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the reference window (events
+    before 2024-01-15) and the current window, over 10 fixed-width value
+    bins — the binned drift score monitoring systems alert on
+    (PSI > 0.2 = investigate). Laplace-smoothed (+0.5 per bin) so an
+    empty bin cannot produce ±inf; per-bin terms are rounded to 6 dp
+    before the total so the headline sum is order-independent.
+
+    Spark shape: ONE scan of (ts, value), unionAll'd with a 10-row
+    zero-weight seed so empty bins still report → hash-agg on 10
+    literal-edge bins (map-side combined; the shuffle carries ≤10 rows
+    per input partition) → unpartitioned window over 10 rows for the
+    marginals and the total. Bin edges are compile-time literals, not data-
+    derived min/max, so no second pass over the corpus and no float
+    edge ambiguity cross-engine. This is the 100 TB-shaped drift op:
+    cost is the scan; everything after fits on the head of a pin.
+    """
+    is_ref = F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp")
+    ev = table(spark, sf_dir, "events").select(
+        F.least(
+            F.floor(F.col("value") / _PSI_BIN_W), F.lit(_PSI_BINS - 1)
+        ).cast("int").alias("bin_id"),
+        F.when(is_ref, 1).otherwise(0).alias("w_ref"),
+        F.when(is_ref, 0).otherwise(1).alias("w_cur"),
+    )
+    # Seed every bin with a zero-weight phantom row so an EMPTY bin
+    # still emits its Laplace-smoothed term (PSI is defined over the
+    # full binning, and an empty bin is exactly the drift signal the
+    # smoothing exists to score) — a 10-row unionAll, not a join, so
+    # the plan stays one scan + one hash aggregate.
+    seed = spark.range(_PSI_BINS).select(
+        F.col("id").cast("int").alias("bin_id"),
+        F.lit(0).alias("w_ref"),
+        F.lit(0).alias("w_cur"),
+    )
+    cnt = ev.unionAll(seed).groupBy("bin_id").agg(
+        F.sum("w_ref").alias("n_ref"), F.sum("w_cur").alias("n_cur")
+    )
+    w_all = Window.partitionBy()
+    half = _PSI_BINS * 0.5
+    p_ref = (F.col("n_ref") + 0.5) / (F.sum("n_ref").over(w_all) + half)
+    p_cur = (F.col("n_cur") + 0.5) / (F.sum("n_cur").over(w_all) + half)
+    terms = cnt.select(
+        "bin_id",
+        "n_ref",
+        "n_cur",
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
+    )
+    return terms.select(
+        "bin_id",
+        "n_ref",
+        "n_cur",
+        "psi_term",
+        F.round(F.sum("psi_term").over(w_all), 6).alias("psi_total"),
+    ).orderBy("bin_id")
+
+
+@register(
+    "agg_mutual_information",
+    oracle="""
+    WITH joint AS (
+      SELECT event_type,
+             CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS INTEGER) / 25)
+                  AS INTEGER) AS k_bucket,
+             COUNT(*) AS n_xy
+      FROM events GROUP BY 1, 2
+    ),
+    marg AS (
+      SELECT event_type, k_bucket, n_xy,
+             SUM(n_xy) OVER (PARTITION BY event_type) AS n_x,
+             SUM(n_xy) OVER (PARTITION BY k_bucket)   AS n_y,
+             SUM(n_xy) OVER ()                        AS n
+      FROM joint
+    ),
+    terms AS (
+      SELECT event_type, k_bucket, n_xy,
+             ROUND((CAST(n_xy AS DOUBLE) / n)
+                   * LN(CAST(n_xy AS DOUBLE) * n / (n_x * n_y)), 6) AS mi_term
+      FROM marg
+    )
+    SELECT event_type, k_bucket, n_xy, mi_term,
+           ROUND(SUM(mi_term) OVER (), 6) AS mi_total
+    FROM terms ORDER BY event_type, k_bucket
+    """,
+)
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between `event_type` and the JSON payload's
+    `k` field (bucketed to quartile-width bands) — the dependence /
+    label-leakage probe a training pipeline runs before trusting a
+    feature: MI ≈ 0 means the payload carries no signal about the
+    event class, large MI on a supposedly-independent column means
+    leakage. Per-cell contributions are rounded to 6 dp before the
+    total (order-independent headline).
+
+    Spark shape: ONE scan → get_json_object (codegen, no Python) →
+    hash-agg on the ~20-cell joint (map-side combined) → both marginals
+    and the grand total as windows OVER THE JOINT — never a second
+    corpus scan. The shuffle is O(|X|·|Y|) cells; at 100 TB the scan
+    dominates and the MI math is free. integer k/25 truncation matches
+    DuckDB's integer division exactly.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.get_json_object("props", "$.k").cast("int") / F.lit(25))
+        .cast("int")
+        .alias("k_bucket"),
+    )
+    joint = ev.groupBy("event_type", "k_bucket").agg(F.count("*").alias("n_xy"))
+    n_x = F.sum("n_xy").over(Window.partitionBy("event_type"))
+    n_y = F.sum("n_xy").over(Window.partitionBy("k_bucket"))
+    n = F.sum("n_xy").over(Window.partitionBy())
+    terms = joint.select(
+        "event_type",
+        "k_bucket",
+        "n_xy",
+        F.round(
+            (F.col("n_xy").cast("double") / n)
+            * F.log(F.col("n_xy").cast("double") * n / (n_x * n_y)),
+            6,
+        ).alias("mi_term"),
+    )
+    return terms.select(
+        "event_type",
+        "k_bucket",
+        "n_xy",
+        "mi_term",
+        F.round(F.sum("mi_term").over(Window.partitionBy()), 6).alias("mi_total"),
+    ).orderBy("event_type", "k_bucket")

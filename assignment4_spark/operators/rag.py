@@ -585,3 +585,100 @@ def rag_answer_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_rank")
     )
+
+
+@register(
+    "rag_context_pack",
+    oracle=f"""
+    WITH {_BM25_CTES},
+    top5 AS (
+      SELECT doc_id, doc_rank FROM (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY ROUND(bm25, 6) DESC, doc_id)
+                    AS INTEGER) AS doc_rank
+        FROM scored)
+      WHERE doc_rank <= 5
+    ),
+    starts AS (
+      SELECT d.doc_id, t.doc_rank, d.text,
+             UNNEST(generate_series(0, GREATEST(LENGTH(d.text) - 1, 0), 100)) AS start
+      FROM documents d JOIN top5 t USING (doc_id)
+    ),
+    chunks AS (
+      SELECT doc_id, doc_rank,
+             CAST(start // 100 AS INTEGER)                    AS chunk_id,
+             SUBSTRING(text, CAST(start AS INTEGER) + 1, 120) AS chunk_text
+      FROM starts
+    ),
+    toks AS (
+      SELECT doc_id, doc_rank, chunk_id, chunk_text,
+             CAST(LEN(LIST_FILTER(STRING_SPLIT(chunk_text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM chunks
+    ),
+    packed AS (
+      SELECT doc_rank, doc_id, chunk_id, n_tokens, chunk_text,
+             SUM(n_tokens) OVER (ORDER BY doc_rank, chunk_id) AS cum_tokens,
+             CAST(ROW_NUMBER() OVER (ORDER BY doc_rank, chunk_id) AS INTEGER)
+               AS ctx_rank
+      FROM toks
+    )
+    SELECT ctx_rank, doc_rank, doc_id, chunk_id, n_tokens, cum_tokens, chunk_text
+    FROM packed WHERE cum_tokens <= 160
+    ORDER BY ctx_rank
+    """,
+)
+def rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted context assembly — the step between retrieval and
+    the LLM call that the reference performs implicitly by truncating
+    matches to top-k and concatenating (ra/agent.py:117-129, k=100
+    straight into the prompt): retrieve the top-5 documents by BM25
+    (shared _bm25_scores), chunk them with the fixture chunker, and
+    greedily pack chunks in (doc_rank, chunk_id) order until the next
+    chunk would push the running whitespace-token total past the
+    160-token context budget. Cumulative totals are integer token
+    counts, so the cut is bit-exact cross-engine.
+
+    Spark shape: identical corpus-side plan to rag_answer_select (BM25
+    scoring scan + global top-5 rank window); the packing window orders
+    ~25 chunk rows of FIVE broadcast-joined documents — per-query scale
+    in production, never corpus-global. The cumsum-prefix filter is
+    monotone, so `cum <= budget` IS the greedy fill.
+    """
+    from pyspark.sql.window import Window as W
+
+    budget = 160
+    scored = _bm25_scores(spark, sf_dir)
+    top5 = scored.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.round(F.col("bm25"), 6).desc(), "doc_id"))
+        .alias("doc_rank"),
+    ).filter(F.col("doc_rank") <= 5)
+    docs = table(spark, sf_dir, "documents").join(F.broadcast(top5), "doc_id")
+    chunks = chunk_text(
+        docs, FIXTURE_CHUNK_SIZE, FIXTURE_CHUNK_OVERLAP, carry=("doc_id", "doc_rank")
+    )
+    n_tokens = F.size(
+        F.filter(F.split("chunk_text", " "), lambda x: x != "")
+    ).cast("long")
+    toks = chunks.select(
+        "doc_rank", "doc_id", "chunk_id", "chunk_text", n_tokens.alias("n_tokens")
+    )
+    pack_order = W.orderBy("doc_rank", "chunk_id")
+    packed = toks.select(
+        F.row_number().over(pack_order).alias("ctx_rank"),
+        "doc_rank",
+        "doc_id",
+        "chunk_id",
+        "n_tokens",
+        F.sum("n_tokens").over(pack_order.rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum_tokens"),
+        "chunk_text",
+    )
+    return (
+        packed.filter(F.col("cum_tokens") <= budget)
+        .select("ctx_rank", "doc_rank", "doc_id", "chunk_id",
+                "n_tokens", "cum_tokens", "chunk_text")
+        .orderBy("ctx_rank")
+    )

