@@ -42,6 +42,11 @@ from .operators.rag import (  # noqa: F401
     chunk_text,
     hash_embed_udf,
 )
+from .operators.drift import (  # noqa: F401
+    ks_2sample,
+    mutual_information,
+    psi_binned,
+)
 from .operators.graphs import (  # noqa: F401
     pagerank,
     triangle_count,
@@ -97,7 +102,9 @@ __all__ = [
     "hash_embed_udf",
     "interpolate_linear",
     "knn_topk",
+    "ks_2sample",
     "minhash_lsh_pairs",
+    "mutual_information",
     "near_dup_pairs_exact",
     "near_dup_pairs_lsh",
     "pagerank",
@@ -107,6 +114,7 @@ __all__ = [
     "pil_luma_decoder",
     "pq_encode",
     "pq_sub_dist",
+    "psi_binned",
     "pypdf_text_parser",
     "quantize_int8_audit",
     "rp_bucket_keys",

@@ -27,6 +27,137 @@ from pyspark.sql import functions as F
 from ..io_util import table
 from ..registry import register
 
+
+def ks_2sample(df: DataFrame, value_col: str, flag_col: str) -> DataFrame:
+    """Composable two-sample Kolmogorov-Smirnov core: `df` carries one
+    row per observation with `value_col` (any orderable type) and
+    `flag_col` (1 = sample A, 0 = sample B). Returns ONE row
+    `(n_a, n_b, ks_at_value, ks_d)` — the supremum CDF gap D rounded to
+    6 dp, attained at `ks_at_value` (ties broken on the smaller value).
+
+    Plan: hash-agg on distinct values (shuffle is O(distinct)), running
+    CDFs + totals as windows over that frame, TakeOrdered(1) tail; the
+    argmax compares the exact integer cross-product |cum_a·n_b −
+    cum_b·n_a|, so no float accumulation can flip it under any
+    partitioning. See agg_ks_drift for the registry/oracle instance.
+    """
+    v, f_ = F.col(value_col), F.col(flag_col)
+    steps = (
+        df.select(v.alias("value"), f_.alias("is_a"))
+        .groupBy("value")
+        .agg(F.sum("is_a").alias("d_a"), F.sum(1 - F.col("is_a")).alias("d_b"))
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    gaps = steps.select(
+        "value",
+        F.sum("d_a").over(w).alias("cum_a"),
+        F.sum("d_b").over(w).alias("cum_b"),
+        F.sum("d_a").over(w_all).alias("n_a"),
+        F.sum("d_b").over(w_all).alias("n_b"),
+    ).select(
+        "n_a",
+        "n_b",
+        F.col("value"),
+        F.abs(
+            F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+        ).alias("gap"),
+    )
+    return (
+        gaps.orderBy(F.col("gap").desc(), "value")
+        .limit(1)
+        .select(
+            "n_a",
+            "n_b",
+            F.col("value").alias("ks_at_value"),
+            F.round(
+                F.col("gap").cast("double") / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("ks_d"),
+        )
+    )
+
+
+def psi_binned(
+    binned: DataFrame,
+    n_bins: int,
+    bin_col: str = "bin_id",
+    ref_col: str = "w_ref",
+    cur_col: str = "w_cur",
+) -> DataFrame:
+    """Composable Population Stability Index core over a pre-binned
+    observation frame: one row per observation with integer `bin_col` in
+    [0, n_bins) and 0/1 weights `ref_col` / `cur_col`. Returns one row
+    per bin `(bin_id, n_ref, n_cur, psi_term, psi_total)` ordered by
+    bin — Laplace-smoothed (+0.5/bin, so empty bins score instead of
+    inf), per-bin terms rounded to 6 dp BEFORE the total so summation
+    order cannot move the headline. Empty bins are seeded via a
+    zero-weight `spark.range` unionAll (plan stays one scan + one
+    hash-agg). See agg_psi_drift for the registry/oracle instance.
+    """
+    spark = binned.sparkSession
+    seed = spark.range(n_bins).select(
+        F.col("id").cast("int").alias("bin_id"),
+        F.lit(0).alias("w_ref"),
+        F.lit(0).alias("w_cur"),
+    )
+    obs = binned.select(
+        F.col(bin_col).cast("int").alias("bin_id"),
+        F.col(ref_col).alias("w_ref"),
+        F.col(cur_col).alias("w_cur"),
+    )
+    cnt = obs.unionAll(seed).groupBy("bin_id").agg(
+        F.sum("w_ref").alias("n_ref"), F.sum("w_cur").alias("n_cur")
+    )
+    w_all = Window.partitionBy()
+    half = n_bins * 0.5
+    p_ref = (F.col("n_ref") + 0.5) / (F.sum("n_ref").over(w_all) + half)
+    p_cur = (F.col("n_cur") + 0.5) / (F.sum("n_cur").over(w_all) + half)
+    terms = cnt.select(
+        "bin_id",
+        "n_ref",
+        "n_cur",
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
+    )
+    return terms.select(
+        "bin_id",
+        "n_ref",
+        "n_cur",
+        "psi_term",
+        F.round(F.sum("psi_term").over(w_all), 6).alias("psi_total"),
+    ).orderBy("bin_id")
+
+
+def mutual_information(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Composable mutual-information core between two categorical
+    columns: one row per joint cell `(x_col, y_col, n_xy, mi_term,
+    mi_total)` ordered by (x, y); per-cell contributions rounded to
+    6 dp before the total. Marginals and the grand total ride windows
+    OVER THE JOINT cells — the corpus is scanned once and the shuffle
+    is O(|X|·|Y|). See agg_mutual_information for the registry/oracle
+    instance.
+    """
+    joint = df.groupBy(x_col, y_col).agg(F.count("*").alias("n_xy"))
+    n_x = F.sum("n_xy").over(Window.partitionBy(x_col))
+    n_y = F.sum("n_xy").over(Window.partitionBy(y_col))
+    n = F.sum("n_xy").over(Window.partitionBy())
+    terms = joint.select(
+        x_col,
+        y_col,
+        "n_xy",
+        F.round(
+            (F.col("n_xy").cast("double") / n)
+            * F.log(F.col("n_xy").cast("double") * n / (n_x * n_y)),
+            6,
+        ).alias("mi_term"),
+    )
+    return terms.select(
+        x_col,
+        y_col,
+        "n_xy",
+        "mi_term",
+        F.round(F.sum("mi_term").over(Window.partitionBy()), 6).alias("mi_total"),
+    ).orderBy(x_col, y_col)
+
 # PSI bins: fixed literal edges (width 50 over [0, 500)) rather than
 # data-derived min/max — identical constants in both engines, so a value
 # sitting exactly on an edge bins identically; the events fixture draws
@@ -89,41 +220,7 @@ def agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_a"),
         )
     )
-    steps = ev.groupBy("value").agg(
-        F.sum("is_a").alias("d_a"), F.sum(1 - F.col("is_a")).alias("d_b")
-    )
-    # Totals ride windows over the distinct-value frame, NOT a second
-    # aggregate over `ev` — that would re-scan the fact table; these
-    # windows touch O(distinct values) rows the running-CDF sort already
-    # colocated.
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy()
-    gaps = steps.select(
-        "value",
-        F.sum("d_a").over(w).alias("cum_a"),
-        F.sum("d_b").over(w).alias("cum_b"),
-        F.sum("d_a").over(w_all).alias("n_a"),
-        F.sum("d_b").over(w_all).alias("n_b"),
-    ).select(
-        "n_a",
-        "n_b",
-        F.col("value"),
-        F.abs(
-            F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
-        ).alias("gap"),
-    )
-    return (
-        gaps.orderBy(F.col("gap").desc(), "value")
-        .limit(1)
-        .select(
-            "n_a",
-            "n_b",
-            F.col("value").alias("ks_at_value"),
-            F.round(F.col("gap").cast("double") / (F.col("n_a") * F.col("n_b")), 6).alias(
-                "ks_d"
-            ),
-        )
-    )
+    return ks_2sample(ev, "value", "is_a")
 
 
 @register(
@@ -183,36 +280,11 @@ def agg_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(is_ref, 1).otherwise(0).alias("w_ref"),
         F.when(is_ref, 0).otherwise(1).alias("w_cur"),
     )
-    # Seed every bin with a zero-weight phantom row so an EMPTY bin
-    # still emits its Laplace-smoothed term (PSI is defined over the
-    # full binning, and an empty bin is exactly the drift signal the
-    # smoothing exists to score) — a 10-row unionAll, not a join, so
-    # the plan stays one scan + one hash aggregate.
-    seed = spark.range(_PSI_BINS).select(
-        F.col("id").cast("int").alias("bin_id"),
-        F.lit(0).alias("w_ref"),
-        F.lit(0).alias("w_cur"),
-    )
-    cnt = ev.unionAll(seed).groupBy("bin_id").agg(
-        F.sum("w_ref").alias("n_ref"), F.sum("w_cur").alias("n_cur")
-    )
-    w_all = Window.partitionBy()
-    half = _PSI_BINS * 0.5
-    p_ref = (F.col("n_ref") + 0.5) / (F.sum("n_ref").over(w_all) + half)
-    p_cur = (F.col("n_cur") + 0.5) / (F.sum("n_cur").over(w_all) + half)
-    terms = cnt.select(
-        "bin_id",
-        "n_ref",
-        "n_cur",
-        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
-    )
-    return terms.select(
-        "bin_id",
-        "n_ref",
-        "n_cur",
-        "psi_term",
-        F.round(F.sum("psi_term").over(w_all), 6).alias("psi_total"),
-    ).orderBy("bin_id")
+    # psi_binned seeds every bin with a zero-weight phantom row so an
+    # EMPTY bin still emits its Laplace-smoothed term (PSI is defined
+    # over the full binning, and an empty bin is exactly the drift
+    # signal the smoothing exists to score).
+    return psi_binned(ev, _PSI_BINS)
 
 
 @register(
@@ -265,24 +337,4 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("k_bucket"),
     )
-    joint = ev.groupBy("event_type", "k_bucket").agg(F.count("*").alias("n_xy"))
-    n_x = F.sum("n_xy").over(Window.partitionBy("event_type"))
-    n_y = F.sum("n_xy").over(Window.partitionBy("k_bucket"))
-    n = F.sum("n_xy").over(Window.partitionBy())
-    terms = joint.select(
-        "event_type",
-        "k_bucket",
-        "n_xy",
-        F.round(
-            (F.col("n_xy").cast("double") / n)
-            * F.log(F.col("n_xy").cast("double") * n / (n_x * n_y)),
-            6,
-        ).alias("mi_term"),
-    )
-    return terms.select(
-        "event_type",
-        "k_bucket",
-        "n_xy",
-        "mi_term",
-        F.round(F.sum("mi_term").over(Window.partitionBy()), 6).alias("mi_total"),
-    ).orderBy("event_type", "k_bucket")
+    return mutual_information(ev, "event_type", "k_bucket")

@@ -653,3 +653,48 @@ def test_footer_stats_manifest_edge_files(tmp_path):
     assert by_name["part-nostats.parquet"]["min"] is None
     assert by_name["part-nostats.parquet"]["max"] is None
     assert not manifest_path.with_suffix(".json.tmp").exists()
+
+
+def test_ks_2sample_custom_columns(spark):
+    # A = {1,2,3}, B = {3,4,5}: max CDF gap 2/3 first attained at 2
+    rows = [(v, 1) for v in (1.0, 2.0, 3.0)] + [(v, 0) for v in (3.0, 4.0, 5.0)]
+    df = spark.createDataFrame(rows, "reading double, from_model_a int")
+    out = api.ks_2sample(df, "reading", "from_model_a").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_a, r.n_b) == (3, 3)
+    assert r.ks_at_value == 2.0  # tie with 3.0 broken toward the smaller value
+    assert abs(r.ks_d - 0.666667) < 1e-9
+
+
+def test_psi_binned_custom_columns_and_empty_bin(spark):
+    # ref mass in bins {0,0,1}, cur mass in {1,2,2}; bin 2 empty on the
+    # ref side and bin 0 empty on the cur side — smoothing keeps both
+    # finite and the two mirrored bins contribute identical terms.
+    rows = [(0, 1, 0), (0, 1, 0), (1, 1, 0), (1, 0, 1), (2, 0, 1), (2, 0, 1)]
+    df = spark.createDataFrame(rows, "bucket int, in_ref int, in_cur int")
+    out = api.psi_binned(df, 3, bin_col="bucket", ref_col="in_ref", cur_col="in_cur").collect()
+    assert [r.bin_id for r in out] == [0, 1, 2]
+    assert [r.n_ref for r in out] == [2, 1, 0]
+    assert [r.n_cur for r in out] == [0, 1, 2]
+    terms = [r.psi_term for r in out]
+    assert abs(terms[0] - 0.715306) < 1e-9 and terms[0] == terms[2]
+    assert terms[1] == 0.0
+    assert all(abs(r.psi_total - 1.430612) < 1e-9 for r in out)
+
+
+def test_mutual_information_custom_columns(spark):
+    # perfectly dependent 2x2 → MI = ln 2 (each cell term rounds to
+    # 0.346574 before summing, so the total is 0.693148); independent → 0
+    dep = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 2), ("b", 2)], "label string, feat int"
+    )
+    out = api.mutual_information(dep, "label", "feat").collect()
+    assert {(r.label, r.feat, r.n_xy) for r in out} == {("a", 1, 2), ("b", 2, 2)}
+    assert all(abs(r.mi_total - 0.693148) < 1e-9 for r in out)
+    indep = spark.createDataFrame(
+        [(x, y) for x in ("a", "b") for y in (1, 2)], "label string, feat int"
+    )
+    out2 = api.mutual_information(indep, "label", "feat").collect()
+    assert len(out2) == 4
+    assert all(r.mi_total == 0.0 for r in out2)
