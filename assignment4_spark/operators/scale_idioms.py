@@ -399,3 +399,86 @@ def bloom_prefilter(
         bit = F.call_function("shiftright", word, (p % 64).cast("int")).bitwiseAND(F.lit(1))
         cond = (bit == 1) if cond is None else cond & (bit == 1)
     return fact.filter(cond)
+
+
+_MV_SPLIT = "1998-01-01 00:00:00"  # orders before this are the stored base
+
+
+def _orders_monthly_mv(spark: SparkSession, sf_dir: str) -> str:
+    """Stored base PARTIAL aggregate for agg_incremental_merge — the
+    materialized view a production pipeline maintains instead of
+    rescanning history: per-month (n, sum) over the closed period, kept
+    as DECIMAL so the partial is exact and associative. Build-once
+    behind _SUCCESS, like every derived layout here."""
+    out = _adir(sf_dir, "orders_monthly_mv")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        base = (
+            table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderdate") < F.lit(_MV_SPLIT).cast("timestamp"))
+            .groupBy(
+                F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+            )
+        )
+        base.write.mode("overwrite").parquet(out)
+    return out
+
+
+@register(
+    "agg_incremental_merge",
+    oracle="""
+    SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+           COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS DOUBLE) AS total,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_price
+    FROM orders
+    GROUP BY month ORDER BY month
+    """,
+)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Algebraic materialized-view refresh: monthly order revenue where
+    the closed history (o_orderdate < 1998-01-01) comes from a STORED
+    partial aggregate (_orders_monthly_mv — per-month count + exact
+    DECIMAL sum) and only the open period is scanned; the two partials
+    unionAll-merge into the final view because count/sum are
+    commutative monoids and avg derives from them (never averaged
+    partials). The oracle is the full single-pass recompute — passing
+    it IS the refresh-equals-recompute theorem, checked on values.
+
+    Scale story: at 100 TB the closed history never rescans — the
+    refresh cost is O(delta) scan (the o_orderdate >= split predicate is
+    pushed to parquet; at scale the MV split would align with date
+    partitions so pruning skips history outright) + a merge shuffle of
+    O(months) partial rows. DECIMAL partials make the merge bit-exact
+    under any partitioning or merge order — the double-typed twin would
+    drift by reduction order (see agg_decimal_money).
+    """
+    mv = spark.read.parquet(_orders_monthly_mv(spark, sf_dir))
+    delta = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(_MV_SPLIT).cast("timestamp"))
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+        )
+    )
+    merged = (
+        mv.select("month", "n", "s")
+        .unionAll(delta.select("month", "n", "s"))
+        .groupBy("month")
+        .agg(F.sum("n").alias("n_orders"), F.sum("s").alias("s"))
+    )
+    return merged.select(
+        "month",
+        "n_orders",
+        F.col("s").cast("decimal(38,2)").cast("double").alias("total"),
+        F.round(F.col("s").cast("double") / F.col("n_orders"), 6).alias("avg_price"),
+    ).orderBy("month")

@@ -1411,3 +1411,138 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# Gopher rule constants (Rae et al. 2021, table A1 — the published
+# thresholds; the two line-shape rules are omitted because the fixture
+# corpus is single-line, see docstring).
+_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 50, 100_000
+_GOPHER_MIN_MWL, _GOPHER_MAX_MWL = 3.0, 10.0
+_GOPHER_MIN_ALPHA = 0.8
+_GOPHER_MAX_SYM = 0.1
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with", "a", "in"]
+_GOPHER_MIN_STOPS = 2
+
+
+@register(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, text,
+             LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '') AS words
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             LEN(words) AS n_words,
+             ROUND(CAST(LIST_SUM(LIST_TRANSFORM(words, t -> LENGTH(t))) AS DOUBLE)
+                   / GREATEST(LEN(words), 1), 6)                          AS mean_word_len,
+             ROUND(CAST(LEN(LIST_FILTER(words, t -> REGEXP_MATCHES(t, '[a-zA-Z]')))
+                        AS DOUBLE) / GREATEST(LEN(words), 1), 6)          AS alpha_frac,
+             ROUND(CAST(LEN(REGEXP_EXTRACT_ALL(text, '#'))
+                        + LEN(REGEXP_EXTRACT_ALL(text, '\\.\\.\\.')) AS DOUBLE)
+                   / GREATEST(LEN(words), 1), 6)                          AS sym_ratio,
+             ({" + ".join(f"CASE WHEN LIST_CONTAINS(words, '{s}') THEN 1 ELSE 0 END" for s in _GOPHER_STOPS)})
+                                                                          AS stop_hits
+      FROM w
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_frac, sym_ratio, stop_hits,
+           CAST(n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS} AS INTEGER) AS r_wordcount,
+           CAST(mean_word_len BETWEEN {_GOPHER_MIN_MWL} AND {_GOPHER_MAX_MWL} AS INTEGER) AS r_meanlen,
+           CAST(alpha_frac >= {_GOPHER_MIN_ALPHA} AS INTEGER)  AS r_alpha,
+           CAST(sym_ratio <= {_GOPHER_MAX_SYM} AS INTEGER)     AS r_symbol,
+           CAST(stop_hits >= {_GOPHER_MIN_STOPS} AS INTEGER)   AS r_stopword,
+           CAST(n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+                AND mean_word_len BETWEEN {_GOPHER_MIN_MWL} AND {_GOPHER_MAX_MWL}
+                AND alpha_frac >= {_GOPHER_MIN_ALPHA}
+                AND sym_ratio <= {_GOPHER_MAX_SYM}
+                AND stop_hits >= {_GOPHER_MIN_STOPS} AS INTEGER) AS keep
+    FROM m ORDER BY doc_id
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule bundle (Rae et al. 2021, appendix A1) —
+    the published rule set most LLM curation pipelines start from,
+    emitted with PER-RULE diagnostics rather than one opaque score
+    (text_quality_score is the composed-score sibling): word-count
+    bounds [50, 100k], mean word length [3, 10], ≥80% of words contain
+    an alphabetic character, symbol-to-word ratio (# and ellipsis)
+    ≤0.1, and ≥2 distinct stopwords present. The two line-shape rules
+    (≤90% bullet-started, ≤30% ellipsis-ended lines) are omitted: the
+    fixture corpus is single-line so they would be compile-time
+    constants; the four retained content rules all discriminate on it.
+
+    Spark shape: ONE narrow scan → ONE traversal of the words array —
+    a single F.aggregate whose struct accumulator carries (word count,
+    char sum, alpha-word count, distinct-stopword BITMASK, OR'd per
+    element and popcounted at the end) — unpacked through F.inline (a
+    1-row Generate that CollapseProject cannot inline through, so the
+    traversal really runs once per row; naive per-stat expressions get
+    duplicated by projection collapse and re-split the text up to 13×,
+    which the analyzed plan of the first draft showed). regexp_count
+    for symbols rides the same projection; no shuffle except the output
+    sort. At 100 TB this is the cheapest possible pass (scan-bound,
+    zero exchanges), which is exactly why these rules run FIRST in real
+    pipelines — cheap rules prune before expensive dedup. Ratios are
+    rounded to 6 dp before the threshold comparison so the rule bits
+    are identical cross-engine.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda t: t != "")
+
+    def stop_bit(t):
+        e = F.lit(0)
+        for i, s in enumerate(_GOPHER_STOPS):
+            e = F.when(t == s, F.lit(1 << i)).otherwise(e)
+        return e
+
+    acc0 = F.struct(
+        F.lit(0).alias("n"),
+        F.lit(0).alias("chars"),
+        F.lit(0).alias("alpha"),
+        F.lit(0).alias("stopmask"),
+    )
+    stats = F.aggregate(
+        words,
+        acc0,
+        lambda acc, t: F.struct(
+            (acc["n"] + 1).alias("n"),
+            (acc["chars"] + F.length(t)).alias("chars"),
+            (acc["alpha"] + t.rlike("[a-zA-Z]").cast("int")).alias("alpha"),
+            acc["stopmask"].bitwiseOR(stop_bit(t)).alias("stopmask"),
+        ),
+    )
+    n_sym = F.regexp_count("text", F.lit("#")) + F.regexp_count(
+        "text", F.lit(r"\.\.\.")
+    )
+    unpacked = d.select("doc_id", n_sym.alias("n_sym"), F.inline(F.array(stats)))
+    safe_n = F.greatest(F.col("n"), F.lit(1))
+    m = unpacked.select(
+        "doc_id",
+        F.col("n").alias("n_words"),
+        F.round(F.col("chars").cast("double") / safe_n, 6).alias("mean_word_len"),
+        F.round(F.col("alpha").cast("double") / safe_n, 6).alias("alpha_frac"),
+        F.round(F.col("n_sym").cast("double") / safe_n, 6).alias("sym_ratio"),
+        F.bit_count("stopmask").cast("int").alias("stop_hits"),
+    )
+    r_wordcount = F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+    r_meanlen = F.col("mean_word_len").between(_GOPHER_MIN_MWL, _GOPHER_MAX_MWL)
+    r_alpha = F.col("alpha_frac") >= _GOPHER_MIN_ALPHA
+    r_symbol = F.col("sym_ratio") <= _GOPHER_MAX_SYM
+    r_stopword = F.col("stop_hits") >= _GOPHER_MIN_STOPS
+    return m.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "alpha_frac",
+        "sym_ratio",
+        "stop_hits",
+        r_wordcount.cast("int").alias("r_wordcount"),
+        r_meanlen.cast("int").alias("r_meanlen"),
+        r_alpha.cast("int").alias("r_alpha"),
+        r_symbol.cast("int").alias("r_symbol"),
+        r_stopword.cast("int").alias("r_stopword"),
+        (r_wordcount & r_meanlen & r_alpha & r_symbol & r_stopword)
+        .cast("int")
+        .alias("keep"),
+    ).orderBy("doc_id")

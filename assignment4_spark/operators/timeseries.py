@@ -1124,3 +1124,99 @@ def ts_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "ts", "state_at", "state_since")
         .orderBy("user_id", "ts", "event_id")
     )
+
+
+_ATTR_LOOKBACK_US = 7 * 86400 * 1_000_000  # 7-day last-touch window
+
+
+@register(
+    "ts_attribution_lasttouch",
+    oracle=f"""
+    WITH tl AS (
+      SELECT event_id, user_id, ts, event_type, value,
+             CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+             CASE WHEN event_type = 'click' THEN EPOCH_US(ts) END AS click_us
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    attr AS (
+      SELECT event_id, user_id, ts, event_type, value,
+             LAST_VALUE(click_id IGNORE NULLS) OVER w AS a_click,
+             LAST_VALUE(click_us IGNORE NULLS) OVER w AS a_us
+      FROM tl
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+           ROUND(value, 2) AS revenue,
+           CASE WHEN EPOCH_US(ts) - a_us <= {_ATTR_LOOKBACK_US}
+                THEN a_click END AS attr_click_id,
+           CASE WHEN EPOCH_US(ts) - a_us <= {_ATTR_LOOKBACK_US}
+                THEN (EPOCH_US(ts) - a_us) // 1000000 END AS gap_s
+    FROM attr WHERE event_type = 'purchase'
+    ORDER BY purchase_id
+    """,
+)
+def ts_attribution_lasttouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited to
+    the same user's most recent click, provided it happened within the
+    7-day lookback; purchases with no qualifying click stay
+    unattributed (NULL id/gap). The analytics join behind every
+    conversion report.
+
+    Deliberately NOT an as-of join (join_asof_nearest is the join-shaped
+    sibling): clicks and purchases interleave on ONE (ts, event_id)
+    sort per user and `last(click, ignorenulls=True)` carries the
+    latest click onto every purchase row — single shuffle of the
+    filtered union, no join, no per-user join-group blowup when a bot
+    user has 10^6 clicks (the same decomposition argument as
+    ts_scd2_pointintime:1052). The lookback gate compares EXACT
+    microsecond integers (unix_micros / EPOCH_US), so the
+    attributed-or-null decision is bit-identical cross-engine; gap_s is
+    the integer-truncated second difference. ROWS framing explicit —
+    RANGE would merge tied timestamps and let a same-instant click
+    attribute through id order both engines resolve identically. At
+    100 TB: one hash exchange on user_id, window state = one row.
+    """
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    is_click = F.col("event_type") == "click"
+    tl = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.when(is_click, F.col("event_id")).alias("click_id"),
+        F.when(is_click, F.unix_micros("ts")).alias("click_us"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    attr = tl.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.last("click_id", ignorenulls=True).over(w).alias("a_click"),
+        F.last("click_us", ignorenulls=True).over(w).alias("a_us"),
+    )
+    gap_us = F.unix_micros("ts") - F.col("a_us")
+    within = gap_us <= F.lit(_ATTR_LOOKBACK_US)
+    return (
+        attr.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.round("value", 2).alias("revenue"),
+            F.when(within, F.col("a_click")).alias("attr_click_id"),
+            F.when(within, F.floor(gap_us / F.lit(1_000_000)).cast("long")).alias(
+                "gap_s"
+            ),
+        )
+        .orderBy("purchase_id")
+    )

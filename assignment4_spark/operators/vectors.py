@@ -1871,3 +1871,139 @@ def vec_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         *[F.round(F.col(f"pc{i + 1}"), 6).alias(f"pc{i + 1}") for i in range(4)],
     ).orderBy("vec_id")
+
+
+_MRL_LEVELS = [8, 16, 32, 64]  # prefix dims evaluated; 64 = full
+
+
+@register(
+    "vec_matryoshka_eval",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+    lv AS (SELECT UNNEST({_MRL_LEVELS}) AS level),
+    scored AS (
+      SELECT lv.level, q.query_id, e.vec_id AS neighbor_id,
+             LIST_COSINE_SIMILARITY((e.embedding[1:lv.level])::DOUBLE[],
+                                    (q.embedding[1:lv.level])::DOUBLE[]) AS sim
+      FROM q CROSS JOIN embeddings e CROSS JOIN lv
+      WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT level, query_id, neighbor_id, ROUND(sim, 6) AS sim_r,
+             ROW_NUMBER() OVER (PARTITION BY level, query_id
+                                ORDER BY ROUND(sim, 6) DESC, neighbor_id) AS rn
+      FROM scored
+    ),
+    top1 AS (
+      SELECT level, query_id, neighbor_id AS top1_id, sim_r
+      FROM ranked WHERE rn = 1
+    )
+    SELECT level, query_id, top1_id, sim_r,
+           CAST(top1_id = MAX(CASE WHEN level = {_MRL_LEVELS[-1]} THEN top1_id END)
+                            OVER (PARTITION BY query_id) AS INTEGER) AS agree_full
+    FROM top1 ORDER BY level, query_id
+    """,
+)
+def vec_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval eval (Kusupati et al. 2022): for
+    each prefix length in {8, 16, 32, 64}, the exact cosine top-1
+    neighbor of each query under TRUNCATED embeddings, plus whether it
+    agrees with the full-dimension answer — the measurement behind the
+    "can we store 8 of 64 dims and keep recall" decision every
+    embedding-storage budget forces. One output row per (level, query).
+
+    Spark shape: corpus scanned ONCE; the 5-query side broadcasts; the
+    four prefix NORMS are precomputed once per ROW on each side before
+    the cross join (per-row state never belongs in the per-pair stage —
+    inlining the norm into the pair projection would fold it |Q|× per
+    corpus row), so each pair pays only the four prefix DOT products,
+    in one projection; the per-level struct array explodes to
+    (level, sim) rows only AFTER the arithmetic, so the corpus row is
+    read once per pair, not once per level. Per-(level, query) top-1
+    via a rank window over the 6-dp-ROUNDED sim with neighbor-id
+    tie-break (the suite-wide ulp-flip rule), pruned map-side by
+    WindowGroupLimit; the full-dim agreement bit rides a second window
+    over the 20-row top-1 frame, never the pair frame. The arithmetic
+    (dot / (na·nb), zero-denominator → NULL) is identical
+    operation-for-operation to cosine(), so the precomputation cannot
+    move a bit. At 100 TB-scale corpora the pair stage is the same
+    cost as vec_knn_topk (the broadcast-query exact path); levels
+    multiply only the projection arithmetic, not the shuffle.
+    """
+
+    def with_prefix_norms(df, emb_col, out_col):
+        emb = as_double(emb_col)
+        return df.withColumn(
+            out_col,
+            F.array(
+                *[
+                    F.sqrt(
+                        F.aggregate(
+                            F.slice(emb, 1, lv), F.lit(0.0), lambda s, x: s + x * x
+                        )
+                    )
+                    for lv in _MRL_LEVELS
+                ]
+            ),
+        )
+
+    e = table(spark, sf_dir, "embeddings")
+    corpus = with_prefix_norms(e, "embedding", "e_norms")
+    q = with_prefix_norms(
+        e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+        ),
+        "q_embedding",
+        "q_norms",
+    )
+    pairs = corpus.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+
+    def sim_at(i: int, lv: int):
+        dot = F.aggregate(
+            F.zip_with(
+                F.slice(as_double("embedding"), 1, lv),
+                F.slice(as_double("q_embedding"), 1, lv),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        denom = F.element_at("e_norms", i + 1) * F.element_at("q_norms", i + 1)
+        return F.when(denom != 0.0, dot / denom)
+
+    per_level = F.array(
+        *[
+            F.struct(F.lit(lv).alias("level"), sim_at(i, lv).alias("sim"))
+            for i, lv in enumerate(_MRL_LEVELS)
+        ]
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.explode(per_level).alias("ls"),
+    ).select(
+        F.col("ls.level").alias("level"),
+        "query_id",
+        "neighbor_id",
+        F.round("ls.sim", 6).alias("sim_r"),
+    )
+    w = W.partitionBy("level", "query_id").orderBy(
+        F.col("sim_r").desc(), "neighbor_id"
+    )
+    top1 = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("level", "query_id", F.col("neighbor_id").alias("top1_id"), "sim_r")
+    )
+    full_top1 = F.max(
+        F.when(F.col("level") == _MRL_LEVELS[-1], F.col("top1_id"))
+    ).over(W.partitionBy("query_id"))
+    return top1.select(
+        "level",
+        "query_id",
+        "top1_id",
+        "sim_r",
+        (F.col("top1_id") == full_top1).cast("int").alias("agree_full"),
+    ).orderBy("level", "query_id")

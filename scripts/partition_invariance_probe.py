@@ -16,7 +16,7 @@ run ad-hoc after touching anything partition-shaped:
 
     python scripts/partition_invariance_probe.py [sf_dir] [name ...]
 
-Round-5 result: 221/221 oracled queries pass (zero mismatches; the
+Round-5 result: 225/225 oracled queries pass (zero mismatches; the
 four drift/context-pack additions spot-probed with the name filter).
 """
 

@@ -938,3 +938,60 @@ def test_context_pack_broadcast_candidates(spark, sf_oracle):
     assert "BroadcastHashJoin" in body, body
     assert "SortMergeJoin" not in body, body
     assert "CartesianProduct" not in body, body
+
+
+def test_incremental_merge_delta_only_scan(spark, sf_oracle):
+    """agg_incremental_merge's refresh claim: the orders FACT scan
+    appears ONCE (the delta period, filter pushed to parquet); the
+    closed history arrives from the stored MV partial (orders_monthly_mv
+    parquet), and the merge is an aggregate over the union of partials —
+    no join anywhere."""
+    plan = formatted_plan(spark, "agg_incremental_merge", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert body.count("orders.parquet") == 1, body
+    assert "orders_monthly_mv" in body, body
+    assert "Join" not in body, body
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in body, body
+
+
+def test_gopher_rules_single_scan_no_shuffle(spark, sf_oracle):
+    """text_gopher_rules must be scan-bound: one documents scan reading
+    only (doc_id, text); the word stats ride ONE array traversal whose
+    struct result unpacks through a single fan-out-1 inline Generate
+    (the projection-collapse barrier — without it every stat re-splits
+    the text); no aggregate exchange, and the only exchange is the
+    output sort (rangepartitioning on doc_id)."""
+    plan = formatted_plan(spark, "text_gopher_rules", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert body.count("documents.parquet") == 1, body
+    assert body.count("Generate (") == 1, body  # the single inline unpack
+    assert body.count("aggregate(") == 1, body  # ONE words traversal
+    assert "HashAggregate" not in body, body
+    assert "rangepartitioning(doc_id" in body, body
+    assert "hashpartitioning" not in body, body
+
+
+def test_attribution_lasttouch_join_free_single_exchange(spark, sf_oracle):
+    """ts_attribution_lasttouch must be the union+window decomposition,
+    not an as-of join: one events scan (type filter pushed), zero Join
+    nodes, exactly one hashpartitioning(user_id) exchange feeding the
+    carry-forward window, plus only the presentation sort."""
+    plan = formatted_plan(spark, "ts_attribution_lasttouch", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert body.count("events.parquet") == 1, body
+    assert "Join" not in body, body
+    assert body.count("hashpartitioning(user_id") == 1, body
+    assert "In(event_type, [click,purchase])" in body or "event_type" in body.split("PushedFilters")[1].split("]")[0], body
+
+
+def test_matryoshka_eval_single_corpus_scan_broadcast_queries(spark, sf_oracle):
+    """vec_matryoshka_eval: corpus scanned ONCE with the 5-query side
+    broadcast (BroadcastNestedLoopJoin — the deliberate exact-path
+    cross join); the per-level explode happens AFTER the pair
+    arithmetic; the top-1 rank window is WindowGroupLimit-pruned
+    map-side so the shuffle carries candidates, not the pair frame."""
+    plan = formatted_plan(spark, "vec_matryoshka_eval", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert body.count("embeddings.parquet") == 2, body  # corpus + broadcast query side
+    assert "BroadcastNestedLoopJoin" in body, body
+    assert "WindowGroupLimit" in body, body
