@@ -488,10 +488,13 @@ def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "rag_answer_select",
-    oracle=f"""
-    WITH {_BM25_CTES},
+# Shared retrieval block for rag_answer_select / rag_context_pack —
+# BM25 global top-5 (rounded-rank window) joined back to documents and
+# chunk-exploded with (doc_id, doc_rank) carried. ONE definition each
+# side so the retrieval convention (k, tie-break, rounding, stride)
+# cannot drift between the two consumers.
+_TOP5_STRIDE = FIXTURE_CHUNK_SIZE - FIXTURE_CHUNK_OVERLAP
+_TOP5_CHUNKS_CTES = f"""{_BM25_CTES},
     top5 AS (
       SELECT doc_id, doc_rank FROM (
         SELECT doc_id,
@@ -502,15 +505,41 @@ def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     starts AS (
       SELECT d.doc_id, t.doc_rank, d.text,
-             UNNEST(generate_series(0, GREATEST(LENGTH(d.text) - 1, 0), 100)) AS start
+             UNNEST(generate_series(0, GREATEST(LENGTH(d.text) - 1, 0),
+                                    {_TOP5_STRIDE})) AS start
       FROM documents d JOIN top5 t USING (doc_id)
     ),
     chunks AS (
       SELECT doc_id, doc_rank,
-             CAST(start // 100 AS INTEGER)                    AS chunk_id,
-             SUBSTRING(text, CAST(start AS INTEGER) + 1, 120) AS chunk_text
+             CAST(start // {_TOP5_STRIDE} AS INTEGER)         AS chunk_id,
+             SUBSTRING(text, CAST(start AS INTEGER) + 1,
+                       {FIXTURE_CHUNK_SIZE})                  AS chunk_text
       FROM starts
-    ),
+    )"""
+
+
+def _bm25_top5_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame twin of _TOP5_CHUNKS_CTES: (doc_id, doc_rank,
+    chunk_id, chunk_text) for the BM25 top-5 documents."""
+    from pyspark.sql.window import Window as W
+
+    scored = _bm25_scores(spark, sf_dir)
+    top5 = scored.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.round(F.col("bm25"), 6).desc(), "doc_id"))
+        .alias("doc_rank"),
+    ).filter(F.col("doc_rank") <= 5)
+    docs = table(spark, sf_dir, "documents").join(F.broadcast(top5), "doc_id")
+    return chunk_text(
+        docs, FIXTURE_CHUNK_SIZE, FIXTURE_CHUNK_OVERLAP, carry=("doc_id", "doc_rank")
+    )
+
+
+@register(
+    "rag_answer_select",
+    oracle=f"""
+    WITH {_TOP5_CHUNKS_CTES},
     cscore AS (
       SELECT doc_id, doc_rank, chunk_id, chunk_text,
              CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(chunk_text), ' '),
@@ -551,19 +580,7 @@ def rag_answer_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     terms = ["vector", "join", "scan"]
-    scored = _bm25_scores(spark, sf_dir)
-    top5 = scored.select(
-        "doc_id",
-        F.row_number()
-        .over(W.orderBy(F.round(F.col("bm25"), 6).desc(), "doc_id"))
-        .alias("doc_rank"),
-    ).filter(F.col("doc_rank") <= 5)
-    docs = table(spark, sf_dir, "documents").join(
-        F.broadcast(top5), "doc_id"
-    )
-    chunks = chunk_text(
-        docs, FIXTURE_CHUNK_SIZE, FIXTURE_CHUNK_OVERLAP, carry=("doc_id", "doc_rank")
-    )
+    chunks = _bm25_top5_chunks(spark, sf_dir)
     n_match = F.size(
         F.filter(
             F.split(F.lower("chunk_text"), " "), lambda x: x.isin(terms)
@@ -590,26 +607,7 @@ def rag_answer_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "rag_context_pack",
     oracle=f"""
-    WITH {_BM25_CTES},
-    top5 AS (
-      SELECT doc_id, doc_rank FROM (
-        SELECT doc_id,
-               CAST(ROW_NUMBER() OVER (ORDER BY ROUND(bm25, 6) DESC, doc_id)
-                    AS INTEGER) AS doc_rank
-        FROM scored)
-      WHERE doc_rank <= 5
-    ),
-    starts AS (
-      SELECT d.doc_id, t.doc_rank, d.text,
-             UNNEST(generate_series(0, GREATEST(LENGTH(d.text) - 1, 0), 100)) AS start
-      FROM documents d JOIN top5 t USING (doc_id)
-    ),
-    chunks AS (
-      SELECT doc_id, doc_rank,
-             CAST(start // 100 AS INTEGER)                    AS chunk_id,
-             SUBSTRING(text, CAST(start AS INTEGER) + 1, 120) AS chunk_text
-      FROM starts
-    ),
+    WITH {_TOP5_CHUNKS_CTES},
     toks AS (
       SELECT doc_id, doc_rank, chunk_id, chunk_text,
              CAST(LEN(LIST_FILTER(STRING_SPLIT(chunk_text, ' '), x -> x <> ''))
@@ -648,17 +646,7 @@ def rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     budget = 160
-    scored = _bm25_scores(spark, sf_dir)
-    top5 = scored.select(
-        "doc_id",
-        F.row_number()
-        .over(W.orderBy(F.round(F.col("bm25"), 6).desc(), "doc_id"))
-        .alias("doc_rank"),
-    ).filter(F.col("doc_rank") <= 5)
-    docs = table(spark, sf_dir, "documents").join(F.broadcast(top5), "doc_id")
-    chunks = chunk_text(
-        docs, FIXTURE_CHUNK_SIZE, FIXTURE_CHUNK_OVERLAP, carry=("doc_id", "doc_rank")
-    )
+    chunks = _bm25_top5_chunks(spark, sf_dir)
     n_tokens = F.size(
         F.filter(F.split("chunk_text", " "), lambda x: x != "")
     ).cast("long")

@@ -1435,7 +1435,8 @@ _GOPHER_MIN_STOPS = 2
     m AS (
       SELECT doc_id,
              LEN(words) AS n_words,
-             ROUND(CAST(LIST_SUM(LIST_TRANSFORM(words, t -> LENGTH(t))) AS DOUBLE)
+             ROUND(CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(words, t -> LENGTH(t))), 0)
+                        AS DOUBLE)
                    / GREATEST(LEN(words), 1), 6)                          AS mean_word_len,
              ROUND(CAST(LEN(LIST_FILTER(words, t -> REGEXP_MATCHES(t, '[a-zA-Z]')))
                         AS DOUBLE) / GREATEST(LEN(words), 1), 6)          AS alpha_frac,

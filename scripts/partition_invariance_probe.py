@@ -16,8 +16,13 @@ run ad-hoc after touching anything partition-shaped:
 
     python scripts/partition_invariance_probe.py [sf_dir] [name ...]
 
-Round-5 result: 225/225 oracled queries pass (zero mismatches; the
-four drift/context-pack additions spot-probed with the name filter).
+Round-5 result: 225/225 oracled queries pass (zero mismatches; every
+round-5 addition spot-probed with the name filter after its last edit).
+
+A path-looking first arg (contains a separator) that is not a directory
+is an error, and so is a name that matches no queries() key — without
+those checks a typo'd sf_dir or op name silently probes NOTHING and
+exits 0, turning the gate into a rubber stamp.
 """
 
 from __future__ import annotations
@@ -33,7 +38,11 @@ from pyspark.sql import SparkSession
 def main() -> None:
     args = sys.argv[1:]
     sf_dir = "/root/testdata/sf0.01"
-    if args and os.path.isdir(args[0]):
+    if args and os.sep in args[0]:
+        if not os.path.isdir(args[0]):
+            raise SystemExit(f"sf_dir does not exist: {args[0]}")
+        sf_dir = args.pop(0)
+    elif args and os.path.isdir(args[0]):
         sf_dir = args.pop(0)
     only = set(args)  # optional queries() keys: probe just these
     spark = (
@@ -53,7 +62,12 @@ def main() -> None:
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
     fails = []
     if only:
+        unknown = only - set(qs)
+        if unknown:
+            raise SystemExit(f"unknown queries() keys: {sorted(unknown)}")
         qs = {n: f for n, f in qs.items() if n in only}
+    if not qs:
+        raise SystemExit("nothing to probe")
     for name, fn in sorted(qs.items()):
         try:
             if name in osql:

@@ -460,9 +460,17 @@ def test_psi_drift_replay_and_zero_identity(spark, sf_oracle):
     for r, t in zip(out, terms):
         assert abs(r.psi_term - t) < 1e-9, (r.bin_id, r.psi_term, t)
     assert abs(out[0].psi_total - round(sum(terms), 6)) < 1e-9
-    # identity: same distribution on both sides → PSI exactly 0
-    zero = [round((p - p) * 1.0, 6) for p in p_ref]
-    assert sum(zero) == 0.0
+    # identity THROUGH THE OPERATOR: every row weighted 1 in BOTH
+    # windows → per-bin n_ref == n_cur and equal totals, so p_ref ==
+    # p_cur and every term (and the total) must be exactly 0.0
+    from assignment4_spark import api
+
+    same = spark.createDataFrame(
+        [(i % 3, 1, 1) for i in range(12)], "b int, r int, c int"
+    )
+    out0 = api.psi_binned(same, 3, bin_col="b", ref_col="r", cur_col="c").collect()
+    assert len(out0) == 3
+    assert all(r.psi_term == 0.0 and r.psi_total == 0.0 for r in out0)
 
 
 def test_mutual_information_replay_and_nonnegative(spark, sf_oracle):
