@@ -16,8 +16,8 @@ run ad-hoc after touching anything partition-shaped:
 
     python scripts/partition_invariance_probe.py [sf_dir] [name ...]
 
-Round-5 result: 225/225 oracled queries pass (zero mismatches; every
-round-5 addition spot-probed with the name filter after its last edit).
+Round-5 result: full run at 234 registered queries — 225/225 oracled
+pass exact, 9/9 rows-only run clean (zero mismatches, one session).
 
 A path-looking first arg (contains a separator) that is not a directory
 is an error, and so is a name that matches no queries() key — without
