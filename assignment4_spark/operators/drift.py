@@ -338,3 +338,104 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("k_bucket"),
     )
     return mutual_information(ev, "event_type", "k_bucket")
+
+
+_EMB_DIM = 64  # fixture embedding width (FIXTURES.md); labels 0-9
+
+
+@register(
+    "vec_embedding_drift",
+    oracle=f"""
+    WITH x AS (
+      SELECT d.dim,
+             CAST(ROUND(embedding[d.dim], 6) AS DECIMAL(12,6)) AS v6,
+             CASE WHEN label < 5 THEN 1 ELSE 0 END AS is_lo
+      FROM embeddings
+      CROSS JOIN (SELECT UNNEST(generate_series(1, {_EMB_DIM})) AS dim) d
+    ),
+    agg AS (
+      SELECT dim,
+             SUM(CASE WHEN is_lo = 1 THEN v6 ELSE CAST(0 AS DECIMAL(12,6)) END) AS s_lo,
+             SUM(CASE WHEN is_lo = 0 THEN v6 ELSE CAST(0 AS DECIMAL(12,6)) END) AS s_hi,
+             SUM(is_lo) AS n_lo, SUM(1 - is_lo) AS n_hi
+      FROM x GROUP BY dim
+    ),
+    m AS (
+      SELECT CAST(dim AS INTEGER) AS dim, n_lo, n_hi,
+             ROUND(CAST(s_lo AS DOUBLE) / n_lo, 6) AS mean_lo,
+             ROUND(CAST(s_hi AS DOUBLE) / n_hi, 6) AS mean_hi
+      FROM agg
+    )
+    SELECT dim, n_lo, n_hi, mean_lo, mean_hi,
+           ROUND(ABS(mean_lo - mean_hi), 6) AS mean_gap,
+           ROUND(SUM(mean_lo * mean_hi) OVER ()
+                 / NULLIF(SQRT(SUM(mean_lo * mean_lo) OVER ())
+                          * SQRT(SUM(mean_hi * mean_hi) OVER ()), 0), 6)
+             AS centroid_cosine
+    FROM m ORDER BY dim
+    """,
+)
+def vec_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift between two populations (labels 0-4 vs
+    5-9 — in production: last week's corpus vs this week's, or model
+    v1 vs v2 re-embeddings): per-dimension centroid of each side, the
+    per-dim gap, and the cosine between the two centroids — the
+    monitoring signal that catches a re-embedding model swap or a
+    corpus-composition shift that scalar drift (agg_psi_drift) on
+    metadata never sees.
+
+    Determinism is the whole design: float averages are
+    reduction-order-dependent, so each component is rounded to 6 dp
+    and cast DECIMAL(12,6) BEFORE summing — decimal partial sums are
+    exact and associative under any partitioning (the
+    agg_decimal_money argument, applied per dimension); means divide
+    once at the end in double (lossless: ≤14 significant digits). The
+    centroid cosine then folds 64 ROUNDED means in dim order — the
+    same windows-over-the-group-frame shape as the drift trio above.
+
+    Spark shape: ONE scan → posexplode to (dim, value) — the exchange
+    carries (64 dims × partial sums), never the vectors — hash-agg
+    per dim with both sides' sums and counts as conditional aggregates
+    in one pass, then unpartitioned windows over the 64-row frame for
+    the cosine. At 100 TB the scan dominates; the shuffle is 64 rows
+    per input partition.
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        (F.col("label") < 5).cast("int").alias("is_lo"),
+        F.posexplode("embedding").alias("pos", "v"),
+    )
+    x = e.select(
+        (F.col("pos") + 1).alias("dim"),
+        F.round(F.col("v").cast("double"), 6).cast("decimal(12,6)").alias("v6"),
+        "is_lo",
+    )
+    zero = F.lit(0).cast("decimal(12,6)")
+    agg = x.groupBy("dim").agg(
+        F.sum(F.when(F.col("is_lo") == 1, F.col("v6")).otherwise(zero)).alias("s_lo"),
+        F.sum(F.when(F.col("is_lo") == 0, F.col("v6")).otherwise(zero)).alias("s_hi"),
+        F.sum("is_lo").alias("n_lo"),
+        F.sum(1 - F.col("is_lo")).alias("n_hi"),
+    )
+    m = agg.select(
+        F.col("dim").cast("int").alias("dim"),
+        "n_lo",
+        "n_hi",
+        F.round(F.col("s_lo").cast("double") / F.col("n_lo"), 6).alias("mean_lo"),
+        F.round(F.col("s_hi").cast("double") / F.col("n_hi"), 6).alias("mean_hi"),
+    )
+    w_all = Window.partitionBy()
+    denom = F.sqrt(F.sum(F.col("mean_lo") * F.col("mean_lo")).over(w_all)) * F.sqrt(
+        F.sum(F.col("mean_hi") * F.col("mean_hi")).over(w_all)
+    )
+    cos = F.sum(F.col("mean_lo") * F.col("mean_hi")).over(w_all) / F.nullif(
+        denom, F.lit(0.0)
+    )
+    return m.select(
+        "dim",
+        "n_lo",
+        "n_hi",
+        "mean_lo",
+        "mean_hi",
+        F.round(F.abs(F.col("mean_lo") - F.col("mean_hi")), 6).alias("mean_gap"),
+        F.round(cos, 6).alias("centroid_cosine"),
+    ).orderBy("dim")

@@ -995,3 +995,17 @@ def test_matryoshka_eval_single_corpus_scan_broadcast_queries(spark, sf_oracle):
     assert body.count("embeddings.parquet") == 2, body  # corpus + broadcast query side
     assert "BroadcastNestedLoopJoin" in body, body
     assert "WindowGroupLimit" in body, body
+
+
+def test_embedding_drift_single_scan_dim_agg(spark, sf_oracle):
+    """vec_embedding_drift: one embeddings scan posexploded to (dim,
+    value) feeding ONE hash aggregate keyed on 64 dims (both sides'
+    sums and counts as conditional aggs in the same pass — no second
+    scan, no join); the exchange carries dim-keyed partials, never
+    vectors."""
+    plan = formatted_plan(spark, "vec_embedding_drift", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert body.count("embeddings.parquet") == 1, body
+    assert body.count("Generate (") == 1, body
+    assert "Join" not in body, body
+    assert "hashpartitioning(dim" in body, body
