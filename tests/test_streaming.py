@@ -253,3 +253,17 @@ def test_stream_tumbling_topk(spark, replay):
     got = si.rank_topk_on_emit(counts)
     want = registry.QUERIES["stream_tumbling_topk"](spark, SF)
     assert_frames_equal(got, want)
+
+
+def test_stream_tv_drift_daily(spark, replay):
+    """The windowed (day, bin) counts maintained by a real readStream in
+    complete mode, pushed through the SAME on-emit derivation as the
+    batch declaration, must reproduce it exactly."""
+    from assignment4_spark.streaming import batch_decl as bd
+    from assignment4_spark.io_util import table as load_table
+
+    counts = si.run_to_table(bd.tv_bin_counts(si.read_stream(spark, replay)), "complete")
+    ref = bd.tv_reference(load_table(spark, SF, "events"))
+    got = bd.tv_from_counts(counts, ref)
+    want = registry.QUERIES["stream_tv_drift_daily"](spark, SF)
+    assert_frames_equal(got, want)
