@@ -38,7 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # list — the driver's 50-query window in r5 covers `array_funcs` (r4
 # driver ERR, output shape fixed this round: the array<string> column is
 # now a joined string) plus 49 of them; the remaining never-checked ops,
-# the twenty-one round-5 additions, and the rows-only-by-design ops (which
+# the twenty oracled round-5 additions, and the rows-only-by-design ops (which
 # only earn a weaker rows-only row) queue immediately behind for the r6
 # window.
 # Previously-confirmed ops follow in registration order. This ordering is
@@ -67,8 +67,8 @@ _PRIORITY = [
     "graph_triangle_count", "graph_degree_hist", "graph_bfs_layers",
     "graph_jaccard_neighbors",
     # never driver-checked, DuckDB-oracled — r6 window leads
-    # (rag_answer_select through stream_tv_drift_daily are the
-    # twenty-one round-5 additions)
+    # (rag_answer_select through stream_tv_drift_daily are the twenty
+    # oracled round-5 additions)
     "rag_answer_select", "report_markdown_sink", "text_bpe_apply",
     "vec_centroid_outliers", "scan_table_profile", "scan_zorder_cluster",
     "ts_scd2_pointintime", "scan_expectations_gate", "join_nearest_spatial",

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..io_util import table
 from ..registry import register
+from ..schemas import FIXTURE_EMBED_DIM
 
 
 def ks_2sample(df: DataFrame, value_col: str, flag_col: str) -> DataFrame:
@@ -340,7 +341,7 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_information(ev, "event_type", "k_bucket")
 
 
-_EMB_DIM = 64  # fixture embedding width (FIXTURES.md); labels 0-9
+_EMB_DIM = FIXTURE_EMBED_DIM  # fixture embedding width; labels 0-9
 
 
 @register(
@@ -365,14 +366,19 @@ _EMB_DIM = 64  # fixture embedding width (FIXTURES.md); labels 0-9
              ROUND(CAST(s_lo AS DOUBLE) / n_lo, 6) AS mean_lo,
              ROUND(CAST(s_hi AS DOUBLE) / n_hi, 6) AS mean_hi
       FROM agg
+    ),
+    u AS (
+      SELECT *, CAST(ROUND(mean_lo * 1000000) AS BIGINT) AS lo_u,
+                CAST(ROUND(mean_hi * 1000000) AS BIGINT) AS hi_u
+      FROM m
     )
     SELECT dim, n_lo, n_hi, mean_lo, mean_hi,
            ROUND(ABS(mean_lo - mean_hi), 6) AS mean_gap,
-           ROUND(SUM(mean_lo * mean_hi) OVER ()
-                 / NULLIF(SQRT(SUM(mean_lo * mean_lo) OVER ())
-                          * SQRT(SUM(mean_hi * mean_hi) OVER ()), 0), 6)
+           ROUND(CAST(SUM(lo_u * hi_u) OVER () AS DOUBLE)
+                 / NULLIF(SQRT(SUM(lo_u * lo_u) OVER ())
+                          * SQRT(SUM(hi_u * hi_u) OVER ()), 0), 6)
              AS centroid_cosine
-    FROM m ORDER BY dim
+    FROM u ORDER BY dim
     """,
 )
 def vec_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -390,8 +396,11 @@ def vec_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact and associative under any partitioning (the
     agg_decimal_money argument, applied per dimension); means divide
     once at the end in double (lossless: ≤14 significant digits). The
-    centroid cosine then folds 64 ROUNDED means in dim order — the
-    same windows-over-the-group-frame shape as the drift trio above.
+    centroid cosine then folds the 64 rounded means AS INTEGER
+    micro-units (exact window sums — an unordered window's float fold
+    would be reduction-order-dependent; the scale cancels in the
+    ratio) — the same windows-over-the-group-frame shape as the drift
+    trio above.
 
     Spark shape: ONE scan → posexplode to (dim, value) — the exchange
     carries (64 dims × partial sums), never the vectors — hash-agg
@@ -423,11 +432,20 @@ def vec_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s_lo").cast("double") / F.col("n_lo"), 6).alias("mean_lo"),
         F.round(F.col("s_hi").cast("double") / F.col("n_hi"), 6).alias("mean_hi"),
     )
+    # The centroid cosine folds over 64 rows of an UNORDERED window —
+    # float products summed there would be reduction-order-dependent;
+    # converting the (already 6 dp-rounded) means to integer micro-units
+    # makes every window sum exact and associative, and the scale
+    # cancels in the ratio. Division + sqrt happen once, on the same
+    # exact integers in both engines.
+    m = m.withColumn(
+        "lo_u", F.round(F.col("mean_lo") * 1_000_000).cast("long")
+    ).withColumn("hi_u", F.round(F.col("mean_hi") * 1_000_000).cast("long"))
     w_all = Window.partitionBy()
-    denom = F.sqrt(F.sum(F.col("mean_lo") * F.col("mean_lo")).over(w_all)) * F.sqrt(
-        F.sum(F.col("mean_hi") * F.col("mean_hi")).over(w_all)
+    denom = F.sqrt(F.sum(F.col("lo_u") * F.col("lo_u")).over(w_all)) * F.sqrt(
+        F.sum(F.col("hi_u") * F.col("hi_u")).over(w_all)
     )
-    cos = F.sum(F.col("mean_lo") * F.col("mean_hi")).over(w_all) / F.nullif(
+    cos = F.sum(F.col("lo_u") * F.col("hi_u")).over(w_all).cast("double") / F.nullif(
         denom, F.lit(0.0)
     )
     return m.select(

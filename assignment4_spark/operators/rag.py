@@ -31,12 +31,13 @@ from pyspark.sql import types as T
 
 from ..io_util import table
 from ..registry import register
+from ..schemas import FIXTURE_EMBED_DIM
 
 CHUNK_SIZE = 3000  # reference default, parser_pinecone_storage.py:133
 CHUNK_OVERLAP = 200
 FIXTURE_CHUNK_SIZE = 120
 FIXTURE_CHUNK_OVERLAP = 20
-EMBED_DIM = 64  # fixture embedding dim (FIXTURES.md §3)
+EMBED_DIM = FIXTURE_EMBED_DIM  # fixture embedding dim (FIXTURES.md §3)
 
 
 def chunk_text(

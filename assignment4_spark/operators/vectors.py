@@ -27,6 +27,7 @@ from pyspark.sql.window import Window as W
 
 from ..io_util import table
 from ..registry import register
+from ..schemas import FIXTURE_EMBED_DIM
 
 
 def as_double(col) -> Column:
@@ -1658,7 +1659,7 @@ def vec_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CENTROID_DIM = 64  # fixture embedding dim (FIXTURES.md §3); a real
+_CENTROID_DIM = FIXTURE_EMBED_DIM  # fixture dim (FIXTURES.md §3); a real
 # deployment derives it from the table schema/catalog, never the data.
 
 

@@ -9,6 +9,11 @@ from __future__ import annotations
 
 from pyspark.sql import types as T
 
+# Fixture embedding width (embeddings.embedding, FIXTURES.md §3) —
+# the single source for every module that needs it (rag.EMBED_DIM,
+# vectors._CENTROID_DIM, drift._EMB_DIM alias it).
+FIXTURE_EMBED_DIM = 64
+
 SCHEMAS: dict[str, T.StructType] = {
     "region": T.StructType(
         [

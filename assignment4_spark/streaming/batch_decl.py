@@ -330,9 +330,9 @@ _TV_SPLIT = "2024-01-15 00:00:00"  # static reference = first two weeks
       GROUP BY bin_id
     ),
     j AS (
-      SELECT c.day, c.n, r.p_ref,
+      SELECT c.day, c.n, COALESCE(r.p_ref, 0.0) AS p_ref,
              SUM(c.n) OVER (PARTITION BY c.day) AS day_n
-      FROM cnt c JOIN ref r USING (bin_id)
+      FROM cnt c LEFT JOIN ref r USING (bin_id)
     ),
     t AS (
       SELECT day, n,
@@ -343,7 +343,7 @@ _TV_SPLIT = "2024-01-15 00:00:00"  # static reference = first two weeks
     )
     SELECT day, SUM(n) AS n_day,
            CAST(COUNT(*) AS INTEGER) AS n_bins_present,
-           ROUND((SUM(term_u) + 1000000 - SUM(p_ref_u)) / 2000000.0, 6) AS tv_dist
+           GREATEST(SUM(term_u) + 1000000 - SUM(p_ref_u), 0) / 2000000.0 AS tv_dist
     FROM t GROUP BY day ORDER BY day
     """,
 )
@@ -365,17 +365,24 @@ def stream_tv_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     a sum of 6 dp-rounded DOUBLES differs in ulp with reduction order,
     and the ×½ parks the result exactly on 6th-digit half-boundaries
     (measured: 0.019443 vs 0.019442 cross-engine before the fix) —
-    integer sums are order-free, and the single final division is the
-    same integer over the same constant in both engines.
+    integer sums are order-free, and the quotient stays UNROUNDED (an
+    odd half-micro numerator lands exactly on the 6th-decimal half-
+    boundary — rounding it would reopen the tie; the bare division of
+    the same integer by the same constant is the same double in both
+    engines). A bin absent from the REFERENCE is kept via left join
+    (its full p_day mass IS the drift), and the closed-form fold is
+    clamped at 0 (per-bin rounded p_ref need not sum to exactly 1).
 
     Batch declaration: one scan → (day, bin) hash-agg; the 10-row
     reference distribution aggregates from the pre-split slice and
     broadcast-joins onto the counts (in streaming: the canonical
     stream-static join against a pinned reference table); day totals
     and the fold are windows/aggs over ≤10 rows per day. The streaming
-    twin (stream_impl.tv_drift_daily + tv_on_emit) maintains only the
-    windowed counts and derives TV on emit — replay-proven equivalent
-    in tests/test_streaming.py. State per watermark: 10 rows/day.
+    twin (`tv_bin_counts` run on a readStream in complete mode, then
+    `tv_from_counts` + `tv_reference` on emit — this module, just
+    below) maintains only the windowed counts — replay-proven
+    equivalent in tests/test_streaming.py. State per watermark:
+    10 rows/day.
     """
     ev = table(spark, sf_dir, "events")
     cnt = tv_bin_counts(ev)
@@ -416,7 +423,13 @@ def tv_from_counts(cnt: DataFrame, ref: DataFrame) -> DataFrame:
     """Derive the per-day TV metric from (day, bin, n) counts + the
     broadcast reference — the on-emit step; ONE definition shared by the
     batch declaration and the streaming replay test."""
-    j = cnt.join(F.broadcast(ref), "bin_id")
+    # LEFT join + coalesce(p_ref, 0): a day-bin ABSENT from the
+    # reference is the most drastic drift signal (novel bin — its term
+    # is the full p_day mass); an inner join would silently drop
+    # exactly those rows and under-report both tv_dist and n_day.
+    j = cnt.join(F.broadcast(ref), "bin_id", "left").withColumn(
+        "p_ref", F.coalesce(F.col("p_ref"), F.lit(0.0))
+    )
     day_n = F.sum("n").over(W.partitionBy("day"))
     t = j.select(
         "day",
@@ -428,14 +441,23 @@ def tv_from_counts(cnt: DataFrame, ref: DataFrame) -> DataFrame:
         .cast("long")
         .alias("term_u"),
     )
+    # No ROUND on the quotient: tv is an exact INTEGER K of half-micro
+    # units divided once by 2e6 — odd K sits exactly on a 6th-decimal
+    # half-boundary, where the two engines' rounding could part ways;
+    # the bare division of the same integer is the same double in both.
+    # GREATEST(…, 0): the rounded per-bin p_ref_u can sum to 1e6 ± a
+    # few, which would otherwise emit a (tiny) negative TV distance on
+    # a no-drift day.
     return (
         t.groupBy("day")
         .agg(
             F.sum("n").alias("n_day"),
             F.count(F.lit(1)).cast("int").alias("n_bins_present"),
-            F.round(
-                (F.sum("term_u") + 1_000_000 - F.sum("p_ref_u")) / F.lit(2_000_000.0),
-                6,
+            (
+                F.greatest(
+                    F.sum("term_u") + 1_000_000 - F.sum("p_ref_u"), F.lit(0)
+                )
+                / F.lit(2_000_000.0)
             ).alias("tv_dist"),
         )
         .orderBy("day")

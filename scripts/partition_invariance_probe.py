@@ -16,8 +16,9 @@ run ad-hoc after touching anything partition-shaped:
 
     python scripts/partition_invariance_probe.py [sf_dir] [name ...]
 
-Round-5 result: full run at 234 registered queries — 225/225 oracled
-pass exact, 9/9 rows-only run clean (zero mismatches, one session).
+Round-5 result: full run at 236 registered queries — 227/227 oracled
+pass exact, 9/9 rows-only run clean (zero mismatches, one session,
+re-run after the review-pass determinism fixes landed).
 
 A path-looking first arg (contains a separator) that is not a directory
 is an error, and so is a name that matches no queries() key — without
