@@ -5,13 +5,15 @@ Airflow run (airflow/dags/parser_pinecone_storage.py:118-190) with no
 check that the new snapshot still *looks like* the old one — a silent
 upstream format change (prices rescaled, a field dropped, a bot cohort
 appearing) flows straight into the Pinecone index. At 100 TB that check
-is mandatory and must itself be a distributed aggregate: these operators
-are the standard monitoring trio — two-sample Kolmogorov-Smirnov (exact,
-continuous columns), Population Stability Index (binned, the industry
-drift score), and mutual information (categorical dependence / label-
-leakage probe) — each expressed as ONE hash-aggregate pass plus
-group-count-sized window math, so the shuffle is O(distinct values or
-bins), never O(rows).
+is mandatory and must itself be a distributed aggregate. The family:
+two-sample Kolmogorov-Smirnov (exact, continuous columns — the CDF is
+a distributed prefix sum, never a single-partition window), Population
+Stability Index (binned, the industry drift score), mutual information
+(categorical dependence / label-leakage probe), and embedding-space
+centroid drift (exact-decimal per-dim sums) — each ONE hash-aggregate
+pass plus group-count-sized math, so the shuffle is O(distinct values,
+bins, or dims), never O(rows). The streaming face
+(stream_tv_drift_daily, streaming/batch_decl.py) completes the set.
 
 Determinism: KS runs entirely in INTEGER cross-multiplied arithmetic
 (|cum_a·n_b − cum_b·n_a|) so the max and its argmax are bit-exact in
