@@ -516,3 +516,113 @@ def test_context_pack_greedy_prefix(spark, sf_oracle):
         run += r.n_tokens
         assert r.cum_tokens == run
     assert 0 < run <= 160
+
+
+def test_attribution_lasttouch_replay(spark, sf_oracle):
+    """ts_attribution_lasttouch vs a pure-pandas replay: for every
+    purchase, the attributed click must be the user's latest click at
+    or before the purchase (ties by event_id) IFF it falls inside the
+    7-day lookback, with the exact integer-truncated gap."""
+    import pandas as pd
+
+    ev = pd.read_parquet(
+        f"{sf_oracle}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    ev = ev[ev.event_type.isin(["click", "purchase"])].sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    want = {}
+    last_click = {}
+    for r in ev.itertuples():
+        if r.event_type == "click":
+            last_click[r.user_id] = (r.event_id, r.ts)
+        else:
+            lc = last_click.get(r.user_id)
+            gap_us = (r.ts - lc[1]).value // 1000 if lc else None  # ns → µs
+            if lc and gap_us <= 7 * 86400 * 1_000_000:
+                want[r.event_id] = (lc[0], gap_us // 1_000_000)
+            else:
+                want[r.event_id] = (None, None)
+    out = registry.QUERIES["ts_attribution_lasttouch"](spark, sf_oracle).collect()
+    assert len(out) == len(want)
+    for r in out:
+        assert (r.attr_click_id, r.gap_s) == want[r.purchase_id], r.purchase_id
+
+
+def test_matryoshka_eval_numpy_replay(spark, sf_oracle):
+    """vec_matryoshka_eval vs a numpy replay of the exact truncated
+    cosine argmax (6-dp-rounded score, neighbor-id tie-break) at every
+    level; level 64 must always agree with itself."""
+    import numpy as np
+    import pandas as pd
+
+    emb = pd.read_parquet(f"{sf_oracle}/embeddings.parquet")
+    M = np.array([np.asarray(v, dtype=np.float64) for v in emb.embedding])
+    ids = emb.vec_id.to_numpy()
+    out = registry.QUERIES["vec_matryoshka_eval"](spark, sf_oracle).collect()
+    by_key = {(r.level, r.query_id): r for r in out}
+    for q in range(5):
+        qv = M[ids == q][0]
+        for lv in (8, 16, 32, 64):
+            a, b = M[:, :lv], qv[:lv]
+            denom = np.linalg.norm(a, axis=1) * np.linalg.norm(b)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sims = np.where(denom != 0, a @ b / denom, np.nan)
+            cand = [
+                (round(float(s), 6), int(i))
+                for s, i in zip(sims, ids)
+                if i != q and not np.isnan(s)
+            ]
+            best = max(cand, key=lambda t: (t[0], -t[1]))
+            r = by_key[(lv, q)]
+            assert (r.top1_id, r.sim_r) == (best[1], best[0]), (lv, q)
+        assert by_key[(64, q)].agree_full == 1
+
+
+def test_tv_drift_bounds_and_counts(spark, sf_oracle):
+    """stream_tv_drift_daily invariants: tv_dist ∈ [0, 1] for every
+    day, per-day n_day totals reconcile with the raw event counts, and
+    the reference window's own days score near zero (they ARE the
+    reference mass)."""
+    import pandas as pd
+
+    out = registry.QUERIES["stream_tv_drift_daily"](spark, sf_oracle).collect()
+    ev = pd.read_parquet(f"{sf_oracle}/events.parquet", columns=["ts"])
+    want_counts = ev.ts.dt.floor("D").value_counts()
+    assert len(out) == len(want_counts)
+    for r in out:
+        assert 0.0 <= r.tv_dist <= 1.0, r
+        assert r.n_day == int(want_counts[pd.Timestamp(r.day)]), r
+        assert 1 <= r.n_bins_present <= 10
+    ref_days = [r for r in out if pd.Timestamp(r.day) < pd.Timestamp("2024-01-15")]
+    assert ref_days and all(r.tv_dist < 0.2 for r in ref_days)
+
+
+def test_embedding_drift_numpy_replay(spark, sf_oracle):
+    """vec_embedding_drift vs a numpy replay of the exact-decimal
+    per-dim means and the integer-micro centroid cosine."""
+    import numpy as np
+    import pandas as pd
+
+    emb = pd.read_parquet(f"{sf_oracle}/embeddings.parquet")
+    M = np.array([np.asarray(v, dtype=np.float64) for v in emb.embedding])
+    lo, hi = M[emb.label < 5], M[emb.label >= 5]
+    # replay the op's arithmetic: round each component to 6 dp, exact sums
+    m_lo = np.round(np.round(lo, 6).sum(axis=0) / len(lo), 6)
+    m_hi = np.round(np.round(hi, 6).sum(axis=0) / len(hi), 6)
+    lo_u = np.round(m_lo * 1e6).astype(np.int64)
+    hi_u = np.round(m_hi * 1e6).astype(np.int64)
+    cos = round(
+        float(
+            (lo_u * hi_u).sum()
+            / (np.sqrt(float((lo_u * lo_u).sum())) * np.sqrt(float((hi_u * hi_u).sum())))
+        ),
+        6,
+    )
+    out = registry.QUERIES["vec_embedding_drift"](spark, sf_oracle).collect()
+    assert len(out) == 64
+    for r in out:
+        assert abs(r.mean_lo - m_lo[r.dim - 1]) < 1e-9, r.dim
+        assert abs(r.mean_hi - m_hi[r.dim - 1]) < 1e-9, r.dim
+        assert abs(r.centroid_cosine - cos) < 1e-9
