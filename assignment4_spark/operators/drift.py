@@ -15,10 +15,11 @@ pass plus group-count-sized math, so the shuffle is O(distinct values,
 bins, or dims), never O(rows). The streaming face
 (stream_tv_drift_daily, streaming/batch_decl.py) completes the set.
 
-Determinism: KS runs entirely in INTEGER cross-multiplied arithmetic
-(|cum_a·n_b − cum_b·n_a|) so the max and its argmax are bit-exact in
-both engines; PSI/MI round each float term to 6 dp BEFORE the total so
-summation order cannot flip the 6th decimal of the headline number.
+Determinism: KS runs entirely in exact cross-multiplied arithmetic
+(|cum_a·n_b − cum_b·n_a| as DECIMAL — int64 would wrap silently at the
+very scale the distributed form targets) so the max and its argmax are
+bit-exact in both engines; PSI/MI round each float term to 6 dp BEFORE
+the total so summation order cannot flip the 6th decimal.
 """
 
 from __future__ import annotations
@@ -50,9 +51,10 @@ def ks_2sample(df: DataFrame, value_col: str, flag_col: str) -> DataFrame:
     through ONE task, the definition of a 100 TB bottleneck; the
     offset-corrected form keeps the CDF fully parallel and is
     value-identical because cum(v) = Σ counts ≤ v regardless of where
-    range boundaries fall. The argmax compares the exact integer
-    cross-product |cum_a·n_b − cum_b·n_a|, so no float accumulation
-    can flip it under any partitioning. See agg_ks_drift for the
+    range boundaries fall. The argmax compares the exact DECIMAL
+    cross-product |cum_a·n_b − cum_b·n_a| (int64 would wrap silently
+    past ~3e9 rows per side), so no float accumulation can flip it
+    under any partitioning. See agg_ks_drift for the
     registry/oracle instance.
     """
     v, f_ = F.col(value_col), F.col(flag_col)
@@ -101,9 +103,17 @@ def ks_2sample(df: DataFrame, value_col: str, flag_col: str) -> DataFrame:
             "n_a",
             "n_b",
             "value",
+            # DECIMAL(19,0) operands: the cross-product reaches
+            # cum·n ≈ rows², which wraps int64 past ~3e9 rows per side
+            # (with ANSI off the wrap is SILENT and the argmax garbage)
+            # — exactly the scale this distributed form exists for.
+            # DuckDB's SUM already promotes to 128-bit HUGEINT, so
+            # decimal keeps the two engines exact together up to 1e38.
             F.abs(
-                (F.col("la") + F.col("oa")) * F.col("n_b")
-                - (F.col("lb") + F.col("ob")) * F.col("n_a")
+                (F.col("la") + F.col("oa")).cast("decimal(19,0)")
+                * F.col("n_b").cast("decimal(19,0)")
+                - (F.col("lb") + F.col("ob")).cast("decimal(19,0)")
+                * F.col("n_a").cast("decimal(19,0)")
             ).alias("gap"),
         )
     )
@@ -114,8 +124,13 @@ def ks_2sample(df: DataFrame, value_col: str, flag_col: str) -> DataFrame:
             "n_a",
             "n_b",
             F.col("value").alias("ks_at_value"),
+            # denominator as double·double (NOT an integer product that
+            # would itself wrap); the oracle mirrors the same cast chain
+            # so the one rounding happens identically in both engines
             F.round(
-                F.col("gap").cast("double") / (F.col("n_a") * F.col("n_b")), 6
+                F.col("gap").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                6,
             ).alias("ks_d"),
         )
     )
@@ -232,7 +247,8 @@ _PSI_SPLIT = "2024-01-15 00:00:00"  # reference window = week 1-2
       FROM steps s CROSS JOIN tot t
     )
     SELECT n_a, n_b, value AS ks_at_value,
-           ROUND(CAST(gap AS DOUBLE) / (n_a * n_b), 6) AS ks_d
+           ROUND(CAST(gap AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS ks_d
     FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY gap DESC, value) AS rn
           FROM gaps)
     WHERE rn = 1
@@ -246,15 +262,16 @@ def agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark shape: one filtered scan (predicate pushed to parquet) →
     hash-agg on distinct `value` (map-side combined, shuffle is
-    O(distinct values)) → windows over that distinct-value frame build
-    both empirical CDFs as running integer counts plus both sample
-    totals (never a second scan of events) → TakeOrdered(1) tail. The CDF gap
-    is compared as the integer cross-product |cum_a·n_b − cum_b·n_a|
-    (exact; the division to D happens once, on the winning row), so no
-    float accumulation can flip the argmax cross-engine. At 100 TB the
-    global ordered window is the cost — the scale path is range-
-    partitioned sort on `value` (Spark's window already sorts via
-    range exchange), or the binned KS variant agg_psi_drift models.
+    O(distinct values)) → ks_2sample's DISTRIBUTED prefix-sum CDF
+    (range partition → per-partition running sums → broadcast offset
+    correction; plan-gated against the single-partition global-window
+    form — see the core's docstring for the full argument) →
+    TakeOrdered(1) tail. The CDF gap is compared as the exact
+    DECIMAL cross-product |cum_a·n_b − cum_b·n_a| (int64 would wrap
+    silently past ~3e9 rows per side; the division to D happens once,
+    on the winning row), so no float accumulation can flip the argmax
+    cross-engine. agg_psi_drift models the binned variant for when
+    even O(distinct values) is too wide a shuffle.
     """
     ev = (
         table(spark, sf_dir, "events")
