@@ -199,13 +199,20 @@ def mutual_information(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     n_x = F.sum("n_xy").over(Window.partitionBy(x_col))
     n_y = F.sum("n_xy").over(Window.partitionBy(y_col))
     n = F.sum("n_xy").over(Window.partitionBy())
+    # marginal products as double·double — the integer product n_x·n_y
+    # wraps int64 silently past ~3e9 rows (same hazard the KS
+    # cross-product had); the oracle mirrors the identical cast chain
     terms = joint.select(
         x_col,
         y_col,
         "n_xy",
         F.round(
             (F.col("n_xy").cast("double") / n)
-            * F.log(F.col("n_xy").cast("double") * n / (n_x * n_y)),
+            * F.log(
+                F.col("n_xy").cast("double")
+                * n
+                / (n_x.cast("double") * n_y.cast("double"))
+            ),
             6,
         ).alias("mi_term"),
     )
@@ -368,7 +375,8 @@ def agg_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms AS (
       SELECT event_type, k_bucket, n_xy,
              ROUND((CAST(n_xy AS DOUBLE) / n)
-                   * LN(CAST(n_xy AS DOUBLE) * n / (n_x * n_y)), 6) AS mi_term
+                   * LN(CAST(n_xy AS DOUBLE) * n
+                        / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))), 6) AS mi_term
       FROM marg
     )
     SELECT event_type, k_bucket, n_xy, mi_term,
