@@ -230,7 +230,10 @@ def mutual_information(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
 # value in [0.01, 490.02] so the range is exhaustive by construction.
 _PSI_BIN_W = 50
 _PSI_BINS = 10
-_PSI_SPLIT = "2024-01-15 00:00:00"  # reference window = week 1-2
+# Reference window for the whole drift family (weeks 1-2 of the events
+# fixture); stream_tv_drift_daily imports this so the batch and
+# streaming faces can never disagree about what "reference" means.
+DRIFT_REF_SPLIT = "2024-01-15 00:00:00"
 
 
 @register(
@@ -296,8 +299,8 @@ def agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH binned AS (
       SELECT CAST(LEAST(FLOOR(value / {_PSI_BIN_W}), {_PSI_BINS - 1}) AS INTEGER) AS bin_id,
-             CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT}' THEN 1 ELSE 0 END AS w_ref,
-             CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT}' THEN 0 ELSE 1 END AS w_cur
+             CASE WHEN ts < TIMESTAMP '{DRIFT_REF_SPLIT}' THEN 1 ELSE 0 END AS w_ref,
+             CASE WHEN ts < TIMESTAMP '{DRIFT_REF_SPLIT}' THEN 0 ELSE 1 END AS w_cur
       FROM events
       UNION ALL
       SELECT CAST(s AS INTEGER), 0, 0
@@ -340,7 +343,7 @@ def agg_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge ambiguity cross-engine. This is the 100 TB-shaped drift op:
     cost is the scan; everything after fits on the head of a pin.
     """
-    is_ref = F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp")
+    is_ref = F.col("ts") < F.lit(DRIFT_REF_SPLIT).cast("timestamp")
     ev = table(spark, sf_dir, "events").select(
         F.least(
             F.floor(F.col("value") / _PSI_BIN_W), F.lit(_PSI_BINS - 1)
@@ -409,9 +412,6 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_information(ev, "event_type", "k_bucket")
 
 
-_EMB_DIM = FIXTURE_EMBED_DIM  # fixture embedding width; labels 0-9
-
-
 @register(
     "vec_embedding_drift",
     oracle=f"""
@@ -420,7 +420,7 @@ _EMB_DIM = FIXTURE_EMBED_DIM  # fixture embedding width; labels 0-9
              CAST(ROUND(embedding[d.dim], 6) AS DECIMAL(12,6)) AS v6,
              CASE WHEN label < 5 THEN 1 ELSE 0 END AS is_lo
       FROM embeddings
-      CROSS JOIN (SELECT UNNEST(generate_series(1, {_EMB_DIM})) AS dim) d
+      CROSS JOIN (SELECT UNNEST(generate_series(1, {FIXTURE_EMBED_DIM})) AS dim) d
     ),
     agg AS (
       SELECT dim,

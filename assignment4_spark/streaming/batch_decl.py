@@ -26,6 +26,7 @@ from pyspark.sql.window import Window as W
 
 from ..io_util import table
 from ..registry import register
+from ..operators.drift import DRIFT_REF_SPLIT as _TV_SPLIT
 
 
 @register(
@@ -309,9 +310,6 @@ def stream_tumbling_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .orderBy("window_start", "rank")
     )
-
-
-_TV_SPLIT = "2024-01-15 00:00:00"  # static reference = first two weeks
 
 
 @register(
