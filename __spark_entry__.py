@@ -67,8 +67,8 @@ _PRIORITY = [
     "graph_triangle_count", "graph_degree_hist", "graph_bfs_layers",
     "graph_jaccard_neighbors",
     # never driver-checked, DuckDB-oracled — r6 window leads
-    # (rag_answer_select through stream_tv_drift_daily are the twenty
-    # oracled round-5 additions)
+    # (rag_answer_select through sample_curriculum_order are the
+    # twenty-three oracled round-5 additions)
     "rag_answer_select", "report_markdown_sink", "text_bpe_apply",
     "vec_centroid_outliers", "scan_table_profile", "scan_zorder_cluster",
     "ts_scd2_pointintime", "scan_expectations_gate", "join_nearest_spatial",
@@ -76,6 +76,8 @@ _PRIORITY = [
     "agg_mutual_information", "rag_context_pack", "agg_incremental_merge",
     "text_gopher_rules", "ts_attribution_lasttouch", "vec_matryoshka_eval",
     "vec_embedding_drift", "stream_tv_drift_daily",
+    "dedup_cluster_representative", "text_fertility_by_lang",
+    "sample_curriculum_order",
     # rows-only round-5 newcomer rides with the rows-only tail below
     "agg_cms_heavy_hitters", "text_dsir_importance", "stream_tumbling_count",
     "stream_sliding_avg", "stream_session_window", "stream_dedup_ids",

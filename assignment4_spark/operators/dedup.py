@@ -32,6 +32,7 @@ from pyspark.sql.window import Window as W
 
 from ..io_util import table
 from ..registry import register
+from .textstats import QUALITY_SQL, quality_expr
 
 MERSENNE_P = 2147483647  # 2^31 - 1
 N_HASHES = 64
@@ -643,6 +644,97 @@ def connected_components(
         und.groupBy("u")
         .agg(F.least(F.min("v"), F.first("u")).alias("comp_id"))
         .select(F.col("u").alias("node"), "comp_id")
+    )
+
+
+@register(
+    "dedup_cluster_representative",
+    oracle=f"""
+    WITH RECURSIVE s AS ({_SHINGLE_SQL}),
+    bounded AS (SELECT * FROM s WHERE doc_id < 200),
+    edges AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM bounded a JOIN bounded b ON a.doc_id < b.doc_id
+      WHERE LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE
+            / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= {JACCARD_THRESHOLD}
+    ),
+    undirected AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
+    reach(node, root) AS (
+      SELECT DISTINCT a AS node, a AS root FROM undirected
+      UNION
+      SELECT u.b AS node, r.root FROM reach r JOIN undirected u ON u.a = r.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(root) AS comp_id FROM reach GROUP BY node),
+    q AS (SELECT doc_id, {QUALITY_SQL} AS quality FROM documents),
+    sized AS (SELECT comp_id, COUNT(*) AS comp_size FROM comp GROUP BY comp_id),
+    ranked AS (
+      SELECT c.comp_id, sized.comp_size, c.doc_id, q.quality,
+             ROW_NUMBER() OVER (PARTITION BY c.comp_id
+                                ORDER BY q.quality DESC, c.doc_id) AS rn
+      FROM comp c JOIN q USING (doc_id) JOIN sized USING (comp_id)
+    )
+    SELECT comp_id, comp_size, doc_id AS rep_doc_id, quality AS rep_quality
+    FROM ranked WHERE rn = 1
+    ORDER BY comp_id
+    """,
+)
+def dedup_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection per near-dup cluster — the step
+    real curation pipelines (Dolma, FineWeb) run AFTER clustering:
+    dedup_first_occurrence keeps the earliest copy and
+    dedup_connected_components canonicalizes on min doc_id, but what a
+    training corpus wants to keep is the HIGHEST-QUALITY member of each
+    cluster. Shares the composed quality score with text_quality_score
+    (one definition, textstats.QUALITY_SQL / quality_expr) and the
+    cluster construction with dedup_connected_components, so the three
+    ops form one coherent dedup story.
+
+    Plan shape: pairwise edges → alternating-star connected components
+    (see connected_components) → per-component size agg → the quality
+    projection joined onto MEMBER rows only (the components frame is
+    candidate-pair-sized, not corpus-sized, so Catalyst broadcasts it
+    onto the narrow quality scan) → rank window per component,
+    WindowGroupLimit-pruned to the single survivor. At 100 TB the
+    expensive part is the pair generator (LSH, already bounded); this
+    selection adds one broadcast join and a window over cluster-sized
+    groups only. Docs in no cluster never enter the plan — they survive
+    by definition and need no ranking.
+
+    Reference provenance: the reference keeps the FIRST title variant
+    it happens to iterate (ra/agent.py:69-77, set() order); this op is
+    the deterministic, quality-ranked form of that choice.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    s = d.select("doc_id", _shingles().alias("sh"))
+    a, b = s.alias("a"), s.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    edges = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(inter.cast("double") / union >= JACCARD_THRESHOLD)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    comp = connected_components(edges)
+    sizes = comp.groupBy("comp_id").agg(F.count(F.lit(1)).alias("comp_size"))
+    quality = table(spark, sf_dir, "documents").select(
+        "doc_id", quality_expr().alias("quality")
+    )
+    members = (
+        comp.select(F.col("node").alias("doc_id"), "comp_id")
+        .join(sizes, "comp_id")
+        .join(quality, "doc_id")
+    )
+    w = W.partitionBy("comp_id").orderBy(F.col("quality").desc(), F.col("doc_id"))
+    return (
+        members.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "comp_id",
+            "comp_size",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("quality").alias("rep_quality"),
+        )
+        .orderBy("comp_id")
     )
 
 

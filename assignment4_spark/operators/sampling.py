@@ -28,6 +28,7 @@ from pyspark.sql.window import Window as W
 
 from ..io_util import table
 from ..registry import register
+from .textstats import QUALITY_SQL, quality_expr
 
 _TRAIN = [str(d) for d in range(10)]  # 10/16 of hash space
 _VALID = ["a", "b", "c"]  # 3/16
@@ -600,4 +601,80 @@ def sample_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         )
         .orderBy("split")
+    )
+
+
+@register(
+    "sample_curriculum_order",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id,
+             {{quality}} AS quality,
+             MD5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    staged AS (
+      SELECT doc_id, quality, h,
+             CASE WHEN quality < 0.25 THEN 1
+                  WHEN quality < 0.5  THEN 2
+                  WHEN quality < 0.75 THEN 3
+                  ELSE 4 END          AS stage,
+             SUBSTRING(h, 1, 1)       AS shard
+      FROM q
+    )
+    SELECT doc_id, quality, stage, shard,
+           ROW_NUMBER() OVER (PARTITION BY stage, shard ORDER BY h, doc_id)
+             AS pos_in_shard
+    FROM staged
+    ORDER BY stage, shard, pos_in_shard
+    """.format(quality=QUALITY_SQL),
+)
+def sample_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum / annealing data order: every document is assigned a
+    training STAGE by quality band (literal [0,1] edges — stage 4, the
+    highest-quality band, trains last, the "best data at the end"
+    annealing recipe), a 16-way SHARD by content hash, and a
+    deterministic position within its shard. The output IS the epoch
+    file layout a trainer consumes: read shards of stage 1, then 2, …
+
+    Scale design — the reason this is NOT one global ORDER BY with a
+    corpus-wide row_number (a single-partition window, the classic
+    scale-killer): stage comes from LITERAL quality edges (narrow
+    codegen projection, no rank pass over the corpus), the within-stage
+    shuffle order comes from md5(doc_id) (content hash — stable under
+    repartitioning and incremental growth, same argument as the split
+    ops above), and positions are numbered per (stage, shard) — window
+    groups bounded at corpus/64, and in production the shard count
+    scales with the cluster so each window partition stays file-sized.
+    The quality band reuses textstats' shared QUALITY_SQL/quality_expr
+    definition, so curriculum stages agree exactly with the quality
+    report and the dedup survivor picker.
+
+    Reference provenance: none (the reference trains nothing); this is
+    the data-ordering surface of the north-star training pipeline
+    (curriculum learning, Bengio et al. 2009; quality-annealed data
+    schedules in modern LLM recipes).
+    """
+    d = table(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id",
+        quality_expr().alias("quality"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    staged = q.select(
+        "doc_id",
+        "quality",
+        "h",
+        F.when(F.col("quality") < 0.25, 1)
+        .when(F.col("quality") < 0.5, 2)
+        .when(F.col("quality") < 0.75, 3)
+        .otherwise(4)
+        .alias("stage"),
+        F.substring("h", 1, 1).alias("shard"),
+    )
+    w = W.partitionBy("stage", "shard").orderBy("h", "doc_id")
+    return (
+        staged.withColumn("pos_in_shard", F.row_number().over(w))
+        .select("doc_id", "quality", "stage", "shard", "pos_in_shard")
+        .orderBy("stage", "shard", "pos_in_shard")
     )

@@ -9,7 +9,7 @@ higher-order functions, never a Python loop, so the same code runs over
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
@@ -192,9 +192,31 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# The composed [0,1] quality score, shared between text_quality_score
+# (the per-doc report) and dedup_cluster_representative (the survivor
+# picker): token-count saturation worth 0.5 + a low-punctuation bonus
+# worth 0.5. One definition per engine so every consumer ranks docs
+# identically.
+QUALITY_SQL = """ROUND(
+             LEAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) / 100.0, 1.0) * 0.5
+             + CASE WHEN LEN(REGEXP_EXTRACT_ALL(text, '[^a-zA-Z0-9 ]'))::DOUBLE
+                         / GREATEST(LENGTH(text), 1) < 0.1 THEN 0.5 ELSE 0.0 END, 6)"""
+
+
+def quality_expr() -> Column:
+    """Spark twin of QUALITY_SQL over a `text` column (narrow, codegen)."""
+    n_tokens = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    n_punct = F.regexp_count("text", F.lit(r"[^a-zA-Z0-9 ]"))
+    return F.round(
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
+        + F.when(n_punct / F.greatest(F.length("text"), F.lit(1)) < 0.1, 0.5).otherwise(0.0),
+        6,
+    )
+
+
 @register(
     "text_quality_score",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
            LENGTH(text)                                       AS n_chars_m,
            LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS n_tokens,
@@ -202,11 +224,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / GREATEST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')), 1), 6)
                                                               AS avg_token_len,
            LEN(REGEXP_EXTRACT_ALL(text, '[^a-zA-Z0-9 ]'))     AS n_punct,
-           ROUND(
-             LEAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) / 100.0, 1.0) * 0.5
-             + CASE WHEN LEN(REGEXP_EXTRACT_ALL(text, '[^a-zA-Z0-9 ]'))::DOUBLE
-                         / GREATEST(LENGTH(text), 1) < 0.1 THEN 0.5 ELSE 0.0 END, 6)
-                                                              AS quality
+           {QUALITY_SQL}                                      AS quality
     FROM documents
     ORDER BY doc_id
     """,
@@ -225,13 +243,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens.alias("n_tokens"),
         F.round(F.length("text") / F.greatest(n_tokens, F.lit(1)), 6).alias("avg_token_len"),
         n_punct.alias("n_punct"),
-        F.round(
-            F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
-            + F.when(n_punct / F.greatest(F.length("text"), F.lit(1)) < 0.1, 0.5).otherwise(
-                0.0
-            ),
-            6,
-        ).alias("quality"),
+        quality_expr().alias("quality"),
     ).orderBy("doc_id")
 
 
@@ -1339,12 +1351,32 @@ _BPE_APPLY_MODEL: list[tuple[str, str]] = [
 _US, _RS = "\x1f", "\x1e"
 
 
-def _bpe_apply_oracle() -> str:
+def _bpe_encoded_sql() -> str:
+    """DuckDB expression: `text` encoded by the shipped merge table —
+    the chained-REPLACE greedy fold shared by text_bpe_apply and
+    text_fertility_by_lang."""
     e = "regexp_replace(text, '([^ ])', chr(31) || '\\1' || chr(30), 'g')"
     for left, right in _BPE_APPLY_MODEL:
         pat = f"chr(31) || '{left}' || chr(30) || chr(31) || '{right}' || chr(30)"
         rep = f"chr(31) || '{left}{right}' || chr(30)"
         e = f"REPLACE({e}, {pat}, {rep})"
+    return e
+
+
+def _bpe_encode_expr() -> Column:
+    """Spark twin of _bpe_encoded_sql (narrow, all JVM string builtins)."""
+    enc = F.regexp_replace(F.col("text"), "([^ ])", _US + "$1" + _RS)
+    for left, right in _BPE_APPLY_MODEL:
+        enc = F.replace(
+            enc,
+            F.lit(_US + left + _RS + _US + right + _RS),
+            F.lit(_US + left + right + _RS),
+        )
+    return enc
+
+
+def _bpe_apply_oracle() -> str:
+    e = _bpe_encoded_sql()
     return f"""
     WITH enc AS (
       SELECT doc_id,
@@ -1389,13 +1421,7 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     to OpenAI's server side); north-star tokenizer surface.
     """
     d = table(spark, sf_dir, "documents")
-    enc = F.regexp_replace(F.col("text"), "([^ ])", _US + "$1" + _RS)
-    for left, right in _BPE_APPLY_MODEL:
-        enc = F.replace(
-            enc,
-            F.lit(_US + left + _RS + _US + right + _RS),
-            F.lit(_US + left + right + _RS),
-        )
+    enc = _bpe_encode_expr()
     n_tokens = F.length(enc) - F.length(F.replace(enc, F.lit(_US), F.lit("")))
     n_words = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
     n_chars_ns = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
@@ -1410,6 +1436,80 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_token"),
         )
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_fertility_by_lang",
+    oracle=f"""
+    WITH enc AS (
+      SELECT lang,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS n_words,
+             LENGTH(REPLACE(text, ' ', ''))                          AS n_chars_ns,
+             LENGTH({_bpe_encoded_sql()})
+               - LENGTH(REPLACE({_bpe_encoded_sql()}, CHR(31), '')) AS n_tokens
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*)                        AS n_docs,
+           CAST(SUM(n_words) AS BIGINT)    AS total_words,
+           CAST(SUM(n_tokens) AS BIGINT)   AS total_tokens,
+           ROUND(SUM(n_tokens)::DOUBLE / GREATEST(SUM(n_words), 1), 6)
+                                           AS fertility,
+           ROUND(SUM(n_chars_ns)::DOUBLE / GREATEST(SUM(n_tokens), 1), 6)
+                                           AS chars_per_token
+    FROM enc
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY (tokens per word) per language — the
+    standard multilingual-tokenizer equity measurement (a tokenizer
+    trained on English text encodes other languages into more tokens
+    per word, so those corpora cost more budget per document; this is
+    the table that decision is read from). Applies the SAME shipped
+    merge table as text_bpe_apply (_BPE_APPLY_MODEL via
+    _bpe_encode_expr — one model definition) and rolls up by the
+    corpus's ground-truth `lang` column.
+
+    Plan shape: ONE narrow codegen projection (the chained-REPLACE
+    encode + integer counters) followed by ONE map-side-combinable
+    hash agg to ≤|langs| rows — the shuffle carries a handful of
+    integer partial sums regardless of corpus size. Fertility is a
+    RATIO OF SUMS (corpus-weighted, exactly associative integers) —
+    never an average of per-doc ratios, which would weight a 3-word
+    doc equal to a 3,000-word one and drift under repartitioning.
+
+    Reference provenance: none (tokenization happens server-side at
+    OpenAI); north-star tokenizer-surface extension, the per-language
+    read of text_bpe_apply's corpus-level chars-per-token.
+    """
+    d = table(spark, sf_dir, "documents")
+    enc = _bpe_encode_expr()
+    n_tokens = F.length(enc) - F.length(F.replace(enc, F.lit(_US), F.lit("")))
+    n_words = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    n_chars_ns = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    per_doc = d.select(
+        "lang",
+        n_words.alias("n_words"),
+        n_chars_ns.alias("n_chars_ns"),
+        n_tokens.alias("n_tokens"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(
+                F.sum("n_tokens") / F.greatest(F.sum("n_words"), F.lit(1)), 6
+            ).alias("fertility"),
+            F.round(
+                F.sum("n_chars_ns") / F.greatest(F.sum("n_tokens"), F.lit(1)), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
     )
 
 
