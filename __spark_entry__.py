@@ -77,7 +77,7 @@ _PRIORITY = [
     "text_gopher_rules", "ts_attribution_lasttouch", "vec_matryoshka_eval",
     "vec_embedding_drift", "stream_tv_drift_daily",
     "dedup_cluster_representative", "text_fertility_by_lang",
-    "sample_curriculum_order",
+    "sample_curriculum_order", "graph_label_propagation",
     # rows-only round-5 newcomer rides with the rows-only tail below
     "agg_cms_heavy_hitters", "text_dsir_importance", "stream_tumbling_count",
     "stream_sliding_avg", "stream_session_window", "stream_dedup_ids",

@@ -579,3 +579,92 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), "supp_a", "supp_b")
         .limit(20)
     )
+
+
+def _lpa_round_sql(prev: str, cur: str) -> str:
+    """One unrolled synchronous LPA round as a DuckDB CTE pair: count
+    neighbor labels per vertex, keep the most frequent (min label id on
+    ties)."""
+    return f"""{cur}_cnt AS (
+      SELECT e.dst AS v, r.label, COUNT(*) AS c
+      FROM edges e JOIN {prev} r ON r.v = e.src
+      GROUP BY e.dst, r.label
+    ), {cur} AS (
+      SELECT v, MIN(label) AS label
+      FROM {cur}_cnt a
+      WHERE c = (SELECT MAX(c) FROM {cur}_cnt b WHERE b.v = a.v)
+      GROUP BY v
+    )"""
+
+
+@register(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT l_partkey * 2 AS p_v, l_suppkey * 2 + 1 AS s_v
+      FROM lineitem
+    ), edges AS (
+      SELECT p_v AS src, s_v AS dst FROM pairs
+      UNION ALL
+      SELECT s_v AS src, p_v AS dst FROM pairs
+    ), r0 AS (
+      SELECT DISTINCT src AS v, src AS label FROM edges
+    ), {_lpa_round_sql("r0", "r1")}, {_lpa_round_sql("r1", "r2")},
+    {_lpa_round_sql("r2", "r3")}
+    SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_vertices
+    FROM r3
+    GROUP BY label
+    ORDER BY n_vertices DESC, community
+    LIMIT 20
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007), 3 fixed rounds on the part↔supplier bipartite graph,
+    label_0 = vertex id; each round every vertex adopts its neighbors'
+    MOST FREQUENT label, ties broken to the smallest label id — the
+    deterministic variant (classic LPA breaks ties randomly, which no
+    cross-engine oracle could pin). Output: the 20 largest communities
+    after round 3.
+
+    Spark shape — the window-free round: neighbor-label counts are one
+    join + one map-side-combinable (dst, label) hash agg, and the
+    per-vertex argmax is a SECOND tiny agg `max(struct(c, -label))` on
+    dst — never a row_number window (a window would force a second
+    full sort per round; max(struct) keeps both steps partial-agg
+    combinable). Labels are checkpointed per round (the
+    dedup_connected_components loop pattern) so round N's plan does
+    not re-derive rounds 1..N-1. Per round the shuffled bytes are
+    bounded by the distinct (vertex, neighbor-label) pairs — at 100 TB
+    this is the standard GraphX/Pregel LPA message shape, and the
+    fixed round count keeps the whole job 3 × (join + 2 aggs).
+
+    The DuckDB oracle unrolls the identical 3 rounds as CTEs (the
+    graph_pagerank convention); all arithmetic is integer, so parity
+    is exact with no float rule.
+    Reference provenance: none (the reference's only graph is a 4-node
+    control-flow StateGraph, ra/agent.py:151-199); north-star graph
+    family, the community face next to pagerank's centrality face.
+    """
+    edges = _bipartite_edges(spark, sf_dir).localCheckpoint(eager=False)
+    labels = edges.select("src").distinct().select(
+        F.col("src").alias("v"), F.col("src").alias("label")
+    )
+    for _ in range(_ITERS):
+        counted = (
+            edges.join(labels, edges.src == labels.v)
+            .groupBy(F.col("dst"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            counted.groupBy("dst")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("m"))
+            .select(F.col("dst").alias("v"), (-F.col("m.nl")).alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+        .orderBy(F.col("n_vertices").desc(), "community")
+        .limit(20)
+    )
