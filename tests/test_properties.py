@@ -626,3 +626,95 @@ def test_embedding_drift_numpy_replay(spark, sf_oracle):
         assert abs(r.mean_lo - m_lo[r.dim - 1]) < 1e-9, r.dim
         assert abs(r.mean_hi - m_hi[r.dim - 1]) < 1e-9, r.dim
         assert abs(r.centroid_cosine - cos) < 1e-9
+
+
+def test_cluster_representative_is_max_quality_member(spark, sf_oracle):
+    """Each cluster's representative is a member of that cluster with
+    the maximum quality (min doc_id on ties), and cluster membership /
+    sizes agree with dedup_connected_components."""
+    comps = {
+        r.doc_id: (r.comp_id, r.comp_size)
+        for r in registry.QUERIES["dedup_connected_components"](
+            spark, sf_oracle
+        ).collect()
+    }
+    quality = {
+        r.doc_id: r.quality
+        for r in registry.QUERIES["text_quality_score"](spark, sf_oracle).collect()
+    }
+    reps = registry.QUERIES["dedup_cluster_representative"](spark, sf_oracle).collect()
+    assert {r.comp_id for r in reps} == {c for c, _ in comps.values()}
+    for r in reps:
+        assert comps[r.rep_doc_id] == (r.comp_id, r.comp_size)
+        members = [d for d, (c, _) in comps.items() if c == r.comp_id]
+        best_q = max(quality[d] for d in members)
+        assert r.rep_quality == best_q
+        assert r.rep_doc_id == min(d for d in members if quality[d] == best_q)
+
+
+def test_fertility_is_ratio_of_bpe_apply_sums(spark, sf_oracle):
+    """text_fertility_by_lang must equal the per-lang ratio of
+    text_bpe_apply's per-doc token/word sums — corpus-weighted, never
+    an average of per-doc ratios."""
+    import pandas as pd
+
+    per_doc = registry.QUERIES["text_bpe_apply"](spark, sf_oracle).toPandas()
+    langs = pd.read_parquet(f"{sf_oracle}/documents.parquet", columns=["doc_id", "lang"])
+    j = per_doc.merge(langs, on="doc_id")
+    out = registry.QUERIES["text_fertility_by_lang"](spark, sf_oracle).collect()
+    assert sum(r.n_docs for r in out) == len(per_doc)
+    for r in out:
+        g = j[j.lang == r.lang]
+        assert r.total_words == int(g.n_words.sum())
+        assert r.total_tokens == int(g.n_tokens.sum())
+        assert r.fertility == round(
+            int(g.n_tokens.sum()) / max(int(g.n_words.sum()), 1), 6
+        )
+
+
+def test_curriculum_order_partitions_and_positions(spark, sf_oracle):
+    """Every document appears exactly once; stages agree with the
+    shared quality score's literal band edges; positions are dense
+    1..n per (stage, shard) and ordered by the md5 shuffle key."""
+    import pandas as pd
+
+    out = registry.QUERIES["sample_curriculum_order"](spark, sf_oracle).toPandas()
+    docs = pd.read_parquet(f"{sf_oracle}/documents.parquet", columns=["doc_id"])
+    assert sorted(out.doc_id) == sorted(docs.doc_id)
+    assert set(out.stage) <= {1, 2, 3, 4}
+    for (_, _), g in out.groupby(["stage", "shard"]):
+        assert sorted(g.pos_in_shard) == list(range(1, len(g) + 1))
+    q = {
+        r.doc_id: r.quality
+        for r in registry.QUERIES["text_quality_score"](spark, sf_oracle).collect()
+    }
+    for r in out.itertuples():
+        band = 1 if q[r.doc_id] < 0.25 else 2 if q[r.doc_id] < 0.5 else 3 if q[r.doc_id] < 0.75 else 4
+        assert r.stage == band
+
+
+def test_label_propagation_pure_python_replay(spark, sf_oracle):
+    """graph_label_propagation vs a dict-based replay of 3 synchronous
+    most-frequent/min-tie rounds over the same bipartite edges."""
+    from collections import Counter, defaultdict
+
+    import pandas as pd
+
+    li = pd.read_parquet(f"{sf_oracle}/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
+    pairs = {(int(p) * 2, int(s) * 2 + 1) for p, s in zip(li.l_partkey, li.l_suppkey)}
+    adj = defaultdict(list)
+    for p, s in pairs:
+        adj[p].append(s)
+        adj[s].append(p)
+    labels = {v: v for v in adj}
+    for _ in range(3):
+        new = {}
+        for v, nbrs in adj.items():
+            cnt = Counter(labels[u] for u in nbrs)
+            best = max(cnt.values())
+            new[v] = min(l for l, c in cnt.items() if c == best)
+        labels = new
+    sizes = Counter(labels.values())
+    want = sorted(((n, c) for c, n in sizes.items()), key=lambda t: (-t[0], t[1]))[:20]
+    out = registry.QUERIES["graph_label_propagation"](spark, sf_oracle).collect()
+    assert [(r.n_vertices, r.community) for r in out] == want
