@@ -719,11 +719,14 @@ def dedup_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = table(spark, sf_dir, "documents").select(
         "doc_id", quality_expr().alias("quality")
     )
-    members = (
-        comp.select(F.col("node").alias("doc_id"), "comp_id")
-        .join(sizes, "comp_id")
-        .join(quality, "doc_id")
+    # explicit broadcasts: comp comes out of the CC loop as a
+    # checkpointed RDD scan with no stats, so Catalyst would otherwise
+    # plan SortMergeJoins — shuffling the corpus-sized quality scan to
+    # meet a cluster-members-sized frame
+    membership = comp.select(F.col("node").alias("doc_id"), "comp_id").join(
+        F.broadcast(sizes), "comp_id"
     )
+    members = quality.join(F.broadcast(membership), "doc_id")
     w = W.partitionBy("comp_id").orderBy(F.col("quality").desc(), F.col("doc_id"))
     return (
         members.withColumn("rn", F.row_number().over(w))

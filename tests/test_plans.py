@@ -1016,3 +1016,54 @@ def test_embedding_drift_single_scan_dim_agg(spark, sf_oracle):
     assert body.count("Generate (") == 1, body
     assert "Join" not in body, body
     assert "hashpartitioning(dim" in body, body
+
+
+def test_fertility_single_scan_one_agg_no_join(spark, sf_oracle):
+    """text_fertility_by_lang: the whole encode is a narrow codegen
+    projection over ONE documents scan feeding ONE map-side-combinable
+    hash agg keyed on lang (partial + final around a lang exchange);
+    no join, no window, no explode."""
+    plan = formatted_plan(spark, "text_fertility_by_lang", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert body.count("documents.parquet") == 1, body
+    assert "Join" not in body, body
+    assert "Window" not in body, body
+    assert "Generate (" not in body, body
+    assert "hashpartitioning(lang" in body, body
+
+
+def test_curriculum_order_no_global_window(spark, sf_oracle):
+    """sample_curriculum_order: stages come from literal quality edges
+    (narrow projection, no corpus rank pass) and positions from a
+    window partitioned by (stage, shard) — NEVER a corpus-wide
+    single-partition window; one documents scan, no join."""
+    plan = formatted_plan(spark, "sample_curriculum_order", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert body.count("documents.parquet") == 1, body
+    assert "Join" not in body, body
+    assert "SinglePartition" not in body, body
+    assert "hashpartitioning(stage" in body, body
+
+
+def test_cluster_representative_broadcasts_membership(spark, sf_oracle):
+    """dedup_cluster_representative: the checkpointed component frame
+    (stat-less RDD scan) must be EXPLICITLY broadcast onto the
+    corpus-sized quality scan — never a SortMergeJoin that shuffles the
+    corpus to meet a cluster-members-sized frame; the survivor rank
+    window is WindowGroupLimit-pruned."""
+    plan = formatted_plan(spark, "dedup_cluster_representative", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "SortMergeJoin" not in body, body
+    assert "BroadcastHashJoin" in body, body
+    assert "WindowGroupLimit" in body, body
+    assert body.count("documents.parquet") == 1, body
+
+
+def test_label_propagation_window_free_rounds(spark, sf_oracle):
+    """graph_label_propagation: every round's per-vertex argmax is a
+    max(struct) aggregate, so the WHOLE job plans zero Window nodes;
+    the final top-20 is TakeOrdered (never a global sort)."""
+    plan = formatted_plan(spark, "graph_label_propagation", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "Window" not in body, body
+    assert "TakeOrderedAndProject" in body, body
