@@ -307,6 +307,35 @@ def simhash_signatures(
     return votes.select("doc_id", sim.alias("simhash"))
 
 
+def simhash_band_keys(max_hamming: int = 6, sig_bits: int = 32) -> Column:
+    """Array of pigeonhole band keys over a `simhash` column: the
+    signature split into max_hamming+1 disjoint bit bands, each key =
+    band_index · stride + band bits. Band key = band_index · 2^max_width
+    + band bits — the stride uses the WIDEST band so key ranges are
+    disjoint across bands (a per-band stride of 2^width_i overlaps when
+    widths differ, which silently inflated the candidate join with
+    cross-band collisions; exactness was unaffected — the popcount
+    filter removed them — but the candidate cut is the whole point of
+    banding). Shared by simhash_pairs (self-join) and the streaming
+    near-dup gate (stream-static join)."""
+    n_bands = max_hamming + 1
+    if n_bands > sig_bits:
+        raise ValueError(f"max_hamming={max_hamming} needs more bands than bits")
+    base, extra = divmod(sig_bits, n_bands)
+    widths = [base + 1] * extra + [base] * (n_bands - extra)
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+    stride = 1 << max(widths)
+    return F.array(
+        *[
+            F.lit(i * stride)
+            + F.shiftrightunsigned("simhash", offsets[i]).bitwiseAND(
+                F.lit((1 << widths[i]) - 1)
+            )
+            for i in range(n_bands)
+        ]
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -334,29 +363,7 @@ def simhash_pairs(
     parameterized only by signature width and h, so that upgrade is a
     constant change; 32 bits is kept here because the DuckDB oracle
     computes the identical signature."""
-    sig_bits = 32
-    n_bands = max_hamming + 1
-    if n_bands > sig_bits:
-        raise ValueError(f"max_hamming={max_hamming} needs more bands than bits")
-    base, extra = divmod(sig_bits, n_bands)
-    widths = [base + 1] * extra + [base] * (n_bands - extra)
-    offsets = [sum(widths[:i]) for i in range(n_bands)]
-    # band key = band_index · 2^max_width + band bits — the stride uses
-    # the WIDEST band so key ranges are disjoint across bands (a
-    # per-band stride of 2^width_i overlaps when widths differ, which
-    # silently inflated the candidate join with cross-band collisions;
-    # exactness was unaffected — the popcount filter removed them — but
-    # the candidate cut is the whole point of banding)
-    stride = 1 << max(widths)
-    band_keys = F.array(
-        *[
-            F.lit(i * stride)
-            + F.shiftrightunsigned("simhash", offsets[i]).bitwiseAND(
-                F.lit((1 << widths[i]) - 1)
-            )
-            for i in range(n_bands)
-        ]
-    )
+    band_keys = simhash_band_keys(max_hamming)
     sigs = simhash_signatures(df, id_col, text_col)
     banded = sigs.select(
         "doc_id", "simhash", F.explode(band_keys).alias("band_key")
@@ -401,10 +408,9 @@ def simhash_pairs_bruteforce(
     )
 
 
-@register(
-    "dedup_simhash",
-    oracle="""
-    WITH hashed AS (
+# DuckDB twin of simhash_signatures — shared by the dedup_simhash and
+# stream_neardup_gate oracles (one signature definition per engine).
+SIMHASH_SIGS_SQL = """hashed AS (
       SELECT doc_id,
              ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 15))::BIGINT AS h
       FROM documents
@@ -418,7 +424,13 @@ def simhash_pairs_bruteforce(
       SELECT doc_id,
              SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
       FROM votes GROUP BY doc_id
-    )
+    )"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {SIMHASH_SIGS_SQL}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            bit_count(xor(a.simhash, b.simhash))::INT AS hamming
     FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id

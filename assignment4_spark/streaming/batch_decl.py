@@ -26,6 +26,11 @@ from pyspark.sql.window import Window as W
 
 from ..io_util import table
 from ..registry import register
+from ..operators.dedup import (
+    SIMHASH_SIGS_SQL,
+    simhash_band_keys,
+    simhash_signatures,
+)
 from ..operators.drift import DRIFT_REF_SPLIT as _TV_SPLIT
 
 
@@ -460,3 +465,105 @@ def tv_from_counts(cnt: DataFrame, ref: DataFrame) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# stream_neardup_gate constants: the pinned, already-ingested reference
+# half of the corpus (even doc_ids) and the SimHash Hamming radius the
+# gate admits at — same radius as dedup_simhash so the two ops share
+# one near-dup definition.
+NEARDUP_MAX_HAMMING = 6
+
+
+def neardup_gate(incoming: DataFrame, reference: DataFrame) -> DataFrame:
+    """The gate's one shared definition (batch declaration AND the
+    readStream replay run exactly this): SimHash both sides, explode the
+    reference into its pigeonhole band index, probe each incoming doc's
+    bands with an equi-join, popcount-verify, keep min matching ref id.
+
+    `incoming`/`reference` are (doc_id, text) frames; returns
+    (doc_id, matched_ref, is_dup) for every incoming doc."""
+    inc_sigs = simhash_signatures(incoming)
+    ref_index = (
+        simhash_signatures(reference)
+        .select(
+            F.col("doc_id").alias("ref_id"),
+            F.col("simhash").alias("ref_sim"),
+            F.explode(simhash_band_keys(NEARDUP_MAX_HAMMING)).alias("band_key"),
+        )
+    )
+    probes = inc_sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(simhash_band_keys(NEARDUP_MAX_HAMMING)).alias("band_key"),
+    )
+    ham = F.bit_count(F.col("simhash").bitwiseXOR(F.col("ref_sim")))
+    matched = (
+        probes.join(ref_index, "band_key")
+        .filter(ham <= NEARDUP_MAX_HAMMING)
+        .groupBy("doc_id")
+        .agg(F.min("ref_id").alias("matched_ref"))
+    )
+    return (
+        inc_sigs.select("doc_id")
+        .join(matched, "doc_id", "left")
+        .select(
+            "doc_id",
+            "matched_ref",
+            F.col("matched_ref").isNotNull().cast("int").alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "stream_neardup_gate",
+    oracle=f"""
+    WITH {SIMHASH_SIGS_SQL},
+    inc AS (SELECT * FROM sigs WHERE doc_id % 2 = 1),
+    ref AS (SELECT * FROM sigs WHERE doc_id % 2 = 0),
+    m AS (
+      SELECT i.doc_id, MIN(r.doc_id) AS matched_ref
+      FROM inc i JOIN ref r
+        ON bit_count(xor(i.simhash, r.simhash)) <= {NEARDUP_MAX_HAMMING}
+      GROUP BY i.doc_id
+    )
+    SELECT i.doc_id, m.matched_ref,
+           CAST(m.matched_ref IS NOT NULL AS INTEGER) AS is_dup
+    FROM inc i LEFT JOIN m ON m.doc_id = i.doc_id
+    ORDER BY i.doc_id
+    """,
+)
+def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion near-dup gate: documents ARRIVE as a stream
+    and each one is admitted or flagged against a PINNED already-ingested
+    corpus (even doc_ids here; in production, yesterday's corpus) — the
+    streaming face of the dedup family, and the shape every 100 TB/day
+    ingest pipeline runs in front of its training store. Batch-dedup
+    (dedup_simhash) asks "which pairs exist"; the gate asks the
+    incremental question "is THIS new doc a near-copy of anything we
+    already have" without ever re-scanning the corpus.
+
+    Streaming decomposition — why this is stream-static and stateless:
+    the incoming doc's signature is row-local arithmetic (one explode +
+    32 codegen'd votes, see simhash_signatures); the reference's BANDED
+    index (7 pigeonhole bands, simhash_band_keys — exact for Hamming ≤
+    6, same algebra as dedup_simhash) is a STATIC table the
+    stream-static equi-join probes per micro-batch, no watermark and no
+    state store; the min-matching-ref agg groups each incoming doc's ≤7
+    band hits. Nightly the admitted docs fold into the reference index
+    (an append — the index is partitioned by band_key, so the fold
+    never rewrites it). At 100 TB the reference index is bucketed on
+    band_key and the probe join is shuffle-free on the stream side.
+
+    The DuckDB oracle is the brute-force popcount join over the same
+    md5-derived signatures (SIMHASH_SIGS_SQL — one definition per
+    engine), so this is a FULL value oracle: any banding miss would
+    surface as a hash mismatch.
+    Reference provenance: the reference upserts every chunk into
+    Pinecone unconditionally (parser_pinecone_storage.py:154-183);
+    this is the admission control it lacks.
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    incoming = d.filter(F.col("doc_id") % 2 == 1)
+    reference = d.filter(F.col("doc_id") % 2 == 0)
+    return neardup_gate(incoming, reference)

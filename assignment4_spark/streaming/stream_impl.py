@@ -338,3 +338,88 @@ def rank_topk_on_emit(counts: DataFrame, k: int = 3) -> DataFrame:
         counts.withColumn("rank", F.row_number().over(rank_w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ------------------------------------------------------- near-dup gate
+
+DOCS_STREAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def docs_replay_dir(
+    spark: SparkSession, sf_dir: str, n_slices: int = 4
+) -> str:
+    """Write the INCOMING half of documents (odd doc_ids — the
+    stream_neardup_gate split) as n_slices single-file parquet slices in
+    doc_id order; returns the directory a file-source stream reads."""
+    out = os.path.join(SCRATCH, f"docs_replay_{uuid.uuid4().hex[:8]}")
+    os.makedirs(out, exist_ok=True)
+    pdf = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    n = len(pdf)
+    step = (n + n_slices - 1) // n_slices
+    for i in range(n_slices):
+        part = pdf.iloc[i * step : (i + 1) * step]
+        if len(part):
+            p = os.path.join(out, f"slice_{i:04d}.parquet")
+            part.to_parquet(p, index=False)
+            os.utime(p, (1700000000 + i * 60, 1700000000 + i * 60))
+    return out
+
+
+def read_docs_stream(spark: SparkSession, replay_path: str) -> DataFrame:
+    return (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_path)
+    )
+
+
+def run_neardup_gate(spark: SparkSession, sf_dir: str, docs_stream: DataFrame) -> DataFrame:
+    """Real-streaming form of stream_neardup_gate via foreachBatch: the
+    gate chains two aggregations around a join (signature votes → band
+    probe → min-match → left join back), which Structured Streaming
+    cannot run as one incremental query plan — and does not need to:
+    the gate is per-document independent, so each micro-batch of
+    arriving docs runs the EXACT batch definition (batch_decl.
+    neardup_gate, one shared implementation) against the static
+    reference and appends its verdicts. This is the standard production
+    deployment for complex stream-static logic (foreachBatch + static
+    side), and it is what makes the equivalence test meaningful: N
+    micro-batches through the same code path must reproduce the batch
+    declaration row-for-row.
+
+    Returns the accumulated (doc_id, matched_ref, is_dup) sink table.
+    """
+    from .batch_decl import neardup_gate
+
+    reference = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "text")
+    )
+    sink = os.path.join(SCRATCH, f"gate_sink_{uuid.uuid4().hex[:8]}")
+
+    def gate_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        neardup_gate(batch_df, reference).write.mode("append").parquet(sink)
+
+    q = (
+        docs_stream.writeStream.foreachBatch(gate_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            os.path.join(SCRATCH, f"ckpt_gate_{uuid.uuid4().hex[:8]}"),
+        )
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink)

@@ -267,3 +267,14 @@ def test_stream_tv_drift_daily(spark, replay):
     got = bd.tv_from_counts(counts, ref)
     want = registry.QUERIES["stream_tv_drift_daily"](spark, SF)
     assert_frames_equal(got, want)
+
+
+def test_stream_neardup_gate(spark):
+    """Odd-doc_id documents replayed through a 4-micro-batch file
+    stream, each batch gated against the static even-doc_id reference
+    via foreachBatch running the SAME neardup_gate definition, must
+    reproduce the batch declaration row-for-row."""
+    path = si.docs_replay_dir(spark, SF, n_slices=4)
+    got = si.run_neardup_gate(spark, SF, si.read_docs_stream(spark, path))
+    want = registry.QUERIES["stream_neardup_gate"](spark, SF)
+    assert_frames_equal(got, want)
