@@ -1,0 +1,226 @@
+"""Shuffle-volume probe — measures BYTES EXCHANGED per operator, the
+physical quantity the 100 TB story is actually about.
+
+Wall-clock on a 600k-row fixture is mostly fixed overhead (SURVEY §6);
+what decides whether an operator survives a 1000-executor cluster is
+how much data crosses the wire per unit of input. Operator docstrings
+claim things like "exchanges carry 8-byte hashes, never text" and
+"shuffle = O(bins), invariant in data size" — this probe MEASURES those
+claims: it runs every registered query at sf0.01 and sf0.1 (10× input)
+and attributes Spark's per-stage ``shuffleWriteBytes`` / ``inputBytes``
+to the query via the monitoring REST API (stages completed between
+query start and finish; queries run serially so attribution is exact).
+
+Reading the report (SHUFFLE.md / SHUFFLE.json):
+
+* ``shuffle_ratio`` = shuffled bytes at sf0.1 / at sf0.01. For a
+  sketch/telescoping-agg op the claim is ≈1 (exchange size set by bins/
+  groups/k, not rows); for a hash-collapse op, ≤ the input ratio; a
+  value well ABOVE ``input_ratio`` means exchange volume compounds
+  faster than data — join fan-out or pair generation leaking into the
+  exchange, the thing that kills the op at scale.
+* ``shuffle_per_input`` at sf0.1 — bytes shuffled per byte scanned:
+  the wire-amplification factor a capacity plan multiplies by.
+
+Stage attribution notes: localCheckpoint / cached blocks don't show as
+shuffle; fixture-layout *builds* (first touch of a bucketed/partitioned
+layout) are excluded by warming each query once before the measured
+run — the steady-state read path is what's reported.
+
+Usage::
+
+    python scripts/shuffle_volume_probe.py [name ...]   # default: all
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from assignment4_spark import registry  # noqa: E402
+from assignment4_spark.session import ensure_confs  # noqa: E402
+
+UI_PORT = 4055
+SF_SMALL = "/root/testdata/sf0.01"
+SF_BIG = "/root/testdata/sf0.1"
+
+
+def get_spark_with_ui() -> SparkSession:
+    b = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .appName("assignment4_spark-shuffle-probe")
+        # Mirror engine session settings (session.get_spark) so the probed
+        # plans — broadcast choices included — are the production plans.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", str(UI_PORT))
+        # Keep every stage of a 2×241-query sweep visible to the REST API;
+        # the default 1000-stage ring buffer would evict early stages and
+        # silently zero their byte counts.
+        .config("spark.ui.retainedStages", "40000")
+        .config("spark.ui.retainedJobs", "40000")
+    )
+    spark = b.getOrCreate()
+    ensure_confs(spark)
+    return spark
+
+
+def rest_stages(app_id: str) -> list[dict]:
+    url = f"http://127.0.0.1:{UI_PORT}/api/v1/applications/{app_id}/stages?status=complete"
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return json.load(r)
+
+
+def stage_totals(app_id: str) -> dict[int, tuple[int, int]]:
+    """(stageId, attempt-max) → (shuffleWriteBytes, inputBytes)."""
+    out: dict[int, tuple[int, int]] = {}
+    for s in rest_stages(app_id):
+        sid = s["stageId"]
+        out[sid] = (s.get("shuffleWriteBytes", 0), s.get("inputBytes", 0))
+    return out
+
+
+def settle(spark: SparkSession) -> None:
+    """Let the async listener bus drain so the REST view is current."""
+    try:
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(10000)
+    except Exception:  # noqa: BLE001 - signature varies across versions
+        time.sleep(0.5)
+
+
+def measure(spark: SparkSession, app_id: str, fn, sf_dir: str) -> dict:
+    # Warm once: fixture-layout builds (bucketed tables, partitioned
+    # rewrites behind _SUCCESS) happen here, off the books; the measured
+    # run is the steady-state read path a production rerun would pay.
+    fn(spark, sf_dir).count()
+    settle(spark)
+    before = stage_totals(app_id)
+    fn(spark, sf_dir).count()
+    settle(spark)
+    after = stage_totals(app_id)
+    sw = sum(v[0] for k, v in after.items() if k not in before)
+    ib = sum(v[1] for k, v in after.items() if k not in before)
+    return {"shuffle_bytes": sw, "input_bytes": ib}
+
+
+def main() -> None:
+    registry.load_all()
+    names = sys.argv[1:] or sorted(registry.QUERIES)
+    unknown = [n for n in names if n not in registry.QUERIES]
+    if unknown:
+        raise SystemExit(f"unknown queries() keys: {unknown}")
+    spark = get_spark_with_ui()
+    app_id = spark.sparkContext.applicationId
+    report = {}
+    for i, name in enumerate(names):
+        fn = registry.QUERIES[name]
+        row: dict = {}
+        try:
+            small = measure(spark, app_id, fn, SF_SMALL)
+            big = measure(spark, app_id, fn, SF_BIG)
+            row = {
+                "sf0.01": small,
+                "sf0.1": big,
+                "input_ratio": round(big["input_bytes"] / small["input_bytes"], 2)
+                if small["input_bytes"]
+                else None,
+                "shuffle_ratio": round(
+                    big["shuffle_bytes"] / small["shuffle_bytes"], 2
+                )
+                if small["shuffle_bytes"]
+                else None,
+                "shuffle_per_input": round(
+                    big["shuffle_bytes"] / big["input_bytes"], 3
+                )
+                if big["input_bytes"]
+                else None,
+            }
+        except Exception as e:  # noqa: BLE001
+            row = {"error": f"{type(e).__name__}: {e}"}
+            print(f"shuffle: {name} FAILED: {e}", file=sys.stderr)
+        report[name] = row
+        spark.catalog.clearCache()
+        if (i + 1) % 25 == 0:
+            print(f"shuffle: {i + 1}/{len(names)}", file=sys.stderr)
+
+    # Flag: exchange volume growing markedly faster than input across the
+    # same 10× step (fan-out leaking into the wire), on ops that shuffle
+    # enough for the ratio to mean anything (>1 MiB at sf0.1).
+    flagged = sorted(
+        n
+        for n, r in report.items()
+        if r.get("shuffle_ratio") is not None
+        and r.get("input_ratio")
+        and r["shuffle_ratio"] > 2 * r["input_ratio"]
+        and r["sf0.1"]["shuffle_bytes"] > 1 << 20
+    )
+    with open(os.path.join(REPO, "SHUFFLE.json"), "w") as f:
+        json.dump(
+            {
+                "protocol": "per-query completed-stage shuffleWriteBytes/"
+                "inputBytes via monitoring REST API; warmed once (layout "
+                "builds excluded); serial execution",
+                "flag_rule": "shuffle_ratio > 2 x input_ratio and "
+                ">1MiB shuffled at sf0.1",
+                "flagged_amplifying": flagged,
+                "queries": report,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+
+    md = [
+        "# SHUFFLE — measured bytes exchanged per operator (10× data sweep)",
+        "",
+        "Generated by `scripts/shuffle_volume_probe.py` (protocol + ratio",
+        "guide in its docstring). `shuffle_ratio` is shuffled-bytes growth",
+        "across sf0.01 → sf0.1 (input grows ~10×); ≈1 means the exchange is",
+        "sketch-sized (invariant in data), ≈10 means proportional, and",
+        "anything far above the input ratio is wire amplification.",
+        "",
+        f"**Flagged amplifying: {flagged if flagged else 'NONE'}**",
+        "",
+        "| queries() key | shuffle sf0.01 | shuffle sf0.1 | input ratio | shuffle ratio | shuffle/input sf0.1 |",
+        "|---|---|---|---|---|---|",
+    ]
+
+    def fmt(b: int) -> str:
+        if b >= 1 << 20:
+            return f"{b / (1 << 20):.1f} MiB"
+        if b >= 1 << 10:
+            return f"{b / (1 << 10):.1f} KiB"
+        return f"{b} B"
+
+    for name, r in sorted(
+        report.items(),
+        key=lambda kv: -(kv[1].get("sf0.1", {}).get("shuffle_bytes", 0)),
+    ):
+        if "error" in r:
+            md.append(f"| `{name}` | ERROR | {r['error']} | | | |")
+            continue
+        mark = " **FLAG**" if name in flagged else ""
+        md.append(
+            f"| `{name}`{mark} | {fmt(r['sf0.01']['shuffle_bytes'])} "
+            f"| {fmt(r['sf0.1']['shuffle_bytes'])} | {r['input_ratio']} "
+            f"| {r['shuffle_ratio']} | {r['shuffle_per_input']} |"
+        )
+    with open(os.path.join(REPO, "SHUFFLE.md"), "w") as f:
+        f.write("\n".join(md) + "\n")
+    print(json.dumps({"flagged_amplifying": flagged, "n": len(report)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
