@@ -678,3 +678,111 @@ def sample_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "quality", "stage", "shard", "pos_in_shard")
         .orderBy("stage", "shard", "pos_in_shard")
     )
+
+
+from .dedup import _SHINGLE_SQL as _DEDUP_SHINGLE_SQL  # noqa: E402
+from .dedup import JACCARD_THRESHOLD as _JACCARD  # noqa: E402
+
+
+@register(
+    "sample_cluster_holdout",
+    oracle=f"""
+    WITH RECURSIVE s AS ({_DEDUP_SHINGLE_SQL}),
+    bounded AS (SELECT * FROM s WHERE doc_id < 200),
+    edges AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM bounded a JOIN bounded b ON a.doc_id < b.doc_id
+      WHERE LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE
+            / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= {_JACCARD}
+    ),
+    undirected AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
+    reach(node, root) AS (
+      SELECT DISTINCT a AS node, a AS root FROM undirected
+      UNION
+      SELECT u.b AS node, r.root FROM reach r JOIN undirected u ON u.a = r.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(root) AS comp_id FROM reach GROUP BY node),
+    keyed AS (
+      SELECT d.doc_id, COALESCE(c.comp_id, d.doc_id) AS split_key
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    assigned AS (
+      SELECT doc_id, split_key,
+             CASE WHEN SUBSTRING(md5(CAST(split_key AS VARCHAR)), 1, 1)
+                       IN ('c', 'd') THEN 'val'
+                  WHEN SUBSTRING(md5(CAST(split_key AS VARCHAR)), 1, 1)
+                       IN ('e', 'f') THEN 'test'
+                  ELSE 'train' END AS split
+      FROM keyed
+    )
+    SELECT split,
+           CAST(COUNT(DISTINCT split_key) AS BIGINT) AS n_keys,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM assigned
+    GROUP BY split
+    ORDER BY split
+    """,
+)
+def sample_cluster_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-cluster-granularity holdout split — the REMEDIATION
+    sibling of dedup_contamination's leak detection: when two near-
+    duplicate documents straddle train/eval, the eval score is
+    memorization, not generalization. sample_group_holdout closes the
+    intra-source leak (split key = source); this op closes the CROSS-
+    source one: the split key is the near-dup cluster canonical
+    (min-doc_id connected component over the Jaccard match graph —
+    construction shared with dedup_connected_components), so an entire
+    duplicate cluster lands on ONE side of every boundary by
+    construction. Unclustered docs split by their own id — the same
+    12/2/2-sixteenths first-hex-digit md5 algebra as split_hash /
+    group_holdout, so all three split ops are directly comparable.
+
+    Near-dup edge detection runs on the doc_id < 200 slice — the same
+    oracle-tractability bound as the sibling CC ops (the O(N²) exact-
+    Jaccard oracle edge join; stated per the no-silent-caps rule); docs
+    outside the slice are singletons here. At scale the edge generator
+    is the LSH pair table (minhash_lsh_pairs — already bounded), CC is
+    the alternating-star contraction (O(log² n) rounds), and the split
+    assignment itself adds ONE broadcast membership join onto the
+    corpus scan plus a map-side-combinable aggregate: assignment never
+    shuffles the corpus. Leak-freedom is pinned by a property test
+    (tests/test_properties.py): zero match-graph edges straddle splits.
+
+    Reference provenance: none — the reference ingests and retrieves
+    with no train/eval discipline at all; SURVEY §2 B.11 curation
+    family (round 5).
+    """
+    from .dedup import _shingles, connected_components
+
+    d = table(spark, sf_dir, "documents")
+    s = d.filter(F.col("doc_id") < 200).select("doc_id", _shingles().alias("sh"))
+    a, b = s.alias("a"), s.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    edges = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(inter.cast("double") / union >= _JACCARD)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    comp = connected_components(edges)
+    membership = comp.select(F.col("node").alias("doc_id"), "comp_id")
+    keyed = d.select("doc_id").join(F.broadcast(membership), "doc_id", "left").select(
+        "doc_id", F.coalesce("comp_id", "doc_id").alias("split_key")
+    )
+    h = F.substring(F.md5(F.col("split_key").cast("string")), 1, 1)
+    assigned = keyed.select(
+        "doc_id",
+        "split_key",
+        F.when(h.isin("c", "d"), F.lit("val"))
+        .when(h.isin("e", "f"), F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.countDistinct("split_key").cast("bigint").alias("n_keys"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+        .orderBy("split")
+    )

@@ -718,3 +718,45 @@ def test_label_propagation_pure_python_replay(spark, sf_oracle):
     want = sorted(((n, c) for c, n in sizes.items()), key=lambda t: (-t[0], t[1]))[:20]
     out = registry.QUERIES["graph_label_propagation"](spark, sf_oracle).collect()
     assert [(r.n_vertices, r.community) for r in out] == want
+
+
+def test_cluster_holdout_no_straddling_edges(spark, sf_oracle):
+    """sample_cluster_holdout's leak-freedom invariant: no edge of the
+    near-dup match graph (the dedup_connected_components clusters) may
+    straddle a split boundary, every doc gets exactly one split, and
+    the per-split (n_keys, n_docs) aggregate matches a driver-side
+    recount of the same assignment."""
+    from assignment4_spark.io_util import table
+
+    comps = {
+        r.doc_id: r.comp_id
+        for r in registry.QUERIES["dedup_connected_components"](
+            spark, sf_oracle
+        ).collect()
+    }
+    import hashlib
+
+    def split_of(key: int) -> str:
+        h = hashlib.md5(str(key).encode()).hexdigest()[0]
+        return {"c": "val", "d": "val", "e": "test", "f": "test"}.get(h, "train")
+
+    doc_ids = [
+        r.doc_id for r in table(spark, sf_oracle, "documents").select("doc_id").collect()
+    ]
+    assign = {d: split_of(comps.get(d, d)) for d in doc_ids}
+    # leak-freedom: clustered docs inherit their cluster's split, so two
+    # docs in one component can never differ
+    by_comp: dict = {}
+    for d, c in comps.items():
+        by_comp.setdefault(c, set()).add(assign[d])
+    assert all(len(s) == 1 for s in by_comp.values())
+
+    rows = registry.QUERIES["sample_cluster_holdout"](spark, sf_oracle).collect()
+    got = {r.split: (r.n_keys, r.n_docs) for r in rows}
+    want: dict = {}
+    keys: dict = {}
+    for d in doc_ids:
+        sp = assign[d]
+        want[sp] = want.get(sp, 0) + 1
+        keys.setdefault(sp, set()).add(comps.get(d, d))
+    assert got == {sp: (len(keys[sp]), n) for sp, n in want.items()}
