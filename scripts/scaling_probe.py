@@ -83,7 +83,19 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             print(f"scaling: warm-up {warm} failed: {e}", file=sys.stderr)
 
+    # A named-subset run MERGES into the committed artifact instead of
+    # replacing 241 measurements with one: unprobed ops keep their rows.
     rows = {}
+    if sys.argv[1:]:
+        try:
+            with open(os.path.join(REPO, "SCALING.json")) as f:
+                prior = json.load(f)["queries"]
+            rows = {
+                k: {sf: v[sf] for sf in ("sf0.001", "sf0.01", "sf0.1")}
+                for k, v in prior.items()
+            }
+        except FileNotFoundError:
+            pass
     for i, name in enumerate(names):
         fn = registry.QUERIES[name]
         cells = {}

@@ -258,7 +258,15 @@ def main() -> None:
         raise SystemExit(f"unknown queries() keys: {unknown}")
     spark = get_spark_with_ui()
     app_id = spark.sparkContext.applicationId
+    # A named-subset run MERGES into the committed artifact instead of
+    # replacing the full sweep with a handful of rows.
     report = {}
+    if args:
+        try:
+            with open(os.path.join(REPO, "SHUFFLE.json")) as f:
+                report = json.load(f)["queries"]
+        except FileNotFoundError:
+            pass
     for i, name in enumerate(names):
         fn = registry.QUERIES[name]
         row: dict = {}

@@ -1067,3 +1067,17 @@ def test_label_propagation_window_free_rounds(spark, sf_oracle):
     body = plan.split("== Physical Plan ==")[-1]
     assert "Window" not in body, body
     assert "TakeOrderedAndProject" in body, body
+
+
+def test_cluster_holdout_broadcasts_membership(spark, sf_oracle):
+    """sample_cluster_holdout: the component membership frame (stat-less
+    checkpointed RDD scan out of the CC loop) must be EXPLICITLY
+    broadcast onto the corpus doc_id scan — a SortMergeJoin here would
+    shuffle the corpus to meet a cluster-members-sized frame; the final
+    rollup is a plain hash aggregate, no window anywhere."""
+    plan = formatted_plan(spark, "sample_cluster_holdout", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "SortMergeJoin" not in body, body
+    assert "BroadcastHashJoin" in body, body
+    assert "Window" not in body, body
+    assert "HashAggregate" in body, body
