@@ -36,3 +36,25 @@ def test_verification_window_is_oracled():
 
 def test_entry_query_registered():
     assert "agg_groupby_basic" in registry.QUERIES
+
+
+def test_oracled_outputs_are_driver_canonicalizable(spark):
+    """The driver's value-hash canonicalizer sorts collected rows via
+    pandas, which dies on unhashable cells: an ORACLED query emitting an
+    array/map/struct column passes local parity (the local harness
+    tuple-izes) and still ERRs the driver gate — exactly the round-4
+    `array_funcs` failure (array<string> output → 'unhashable type:
+    numpy.ndarray'). Schema analysis only (no execution), so every
+    registered query is checked. Rows-only ops may emit complex types —
+    the driver only counts their rows (rag_embed_hash's array<float>
+    embedding IS its output contract)."""
+    sf = "/root/testdata/sf0.001"
+    offenders = []
+    for name, fn in registry.QUERIES.items():
+        if name not in registry.ORACLES:
+            continue
+        for f in fn(spark, sf).schema.fields:
+            t = f.dataType.simpleString()
+            if t.startswith(("array", "map", "struct")):
+                offenders.append((name, f.name, t))
+    assert offenders == [], f"driver-hostile oracled outputs: {offenders}"
