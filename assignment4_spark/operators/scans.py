@@ -996,3 +996,67 @@ def scan_expectations_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("expectation")
     )
+
+
+@register(
+    "json_variant_shred",
+    oracle="""
+    WITH j AS (
+      SELECT to_json(struct_pack(
+               id := o_orderkey,
+               m := struct_pack(pri := o_orderpriority, ck := o_custkey),
+               arr := [o_custkey, o_orderkey])) AS js
+      FROM orders
+      WHERE o_orderkey < 1000
+    )
+    SELECT CAST(json_extract(js, '$.id') AS BIGINT)      AS id,
+           json_extract_string(js, '$.m.pri')            AS pri,
+           CAST(json_extract(js, '$.m.ck') AS BIGINT)    AS ck,
+           CAST(json_extract(js, '$.arr[1]') AS BIGINT)  AS arr_1,
+           CAST(json_array_length(js, '$.arr') AS INTEGER) AS arr_len
+    FROM j
+    ORDER BY id
+    """,
+)
+def json_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read-less semi-structured access via Spark 4's VARIANT
+    type: parse_json ONCE into the binary variant encoding, then
+    variant_get per path — nested object fields, an array index, an
+    array length — with no declared schema anywhere. The modern
+    lakehouse answer to JSON columns, and the third point on the
+    engine's JSON access spectrum: from_json needs the schema up front
+    (json_parse_props), get_json_object re-parses the string per path,
+    VARIANT parses once and serves every path from the shredded binary
+    form. At 100 TB that difference is the whole game: parse cost is
+    paid once per row (not once per extraction), the binary encoding
+    is columnar-shreddable by the writer, and the paths here stay
+    entirely JVM-side codegen.
+
+    The JSON document is built in-plan from orders columns (to_json of
+    a nested struct — integers and strings only, so the serialized
+    text is byte-identical across engines) and immediately re-parsed:
+    the oracle runs the same build→extract round-trip through DuckDB's
+    JSON functions, so engine parity covers the full serialize → parse
+    → path-extract pipeline, not just the happy values.
+    Reference provenance: generalizes the reference's dynamic
+    layout-JSON access (parser_pinecone_storage.py:160-161) to the
+    schema-free form; SURVEY §2 B.11 (round 5)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    j = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("id"),
+            F.struct(
+                F.col("o_orderpriority").alias("pri"),
+                F.col("o_custkey").alias("ck"),
+            ).alias("m"),
+            F.array("o_custkey", "o_orderkey").alias("arr"),
+        )
+    )
+    v = F.parse_json(j)
+    return o.select(
+        F.variant_get(v, "$.id", "bigint").alias("id"),
+        F.variant_get(v, "$.m.pri", "string").alias("pri"),
+        F.variant_get(v, "$.m.ck", "bigint").alias("ck"),
+        F.variant_get(v, "$.arr[1]", "bigint").alias("arr_1"),
+        F.size(F.variant_get(v, "$.arr", "array<bigint>")).alias("arr_len"),
+    ).orderBy("id")
