@@ -567,3 +567,77 @@ def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming = d.filter(F.col("doc_id") % 2 == 1)
     reference = d.filter(F.col("doc_id") % 2 == 0)
     return neardup_gate(incoming, reference)
+
+
+@register(
+    "stream_profile_enrich",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_of_type
+      FROM events
+      WHERE user_id < 10
+    )
+    SELECT user_id, event_id,
+           ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value
+                          ELSE 0 END) OVER w, 2)       AS purchase_total,
+           CAST(SUM(first_of_type) OVER w AS BIGINT)   AS n_types_seen
+    FROM flagged
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+)
+def stream_profile_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user profile-enrichment state after EVERY event: running
+    purchase total plus the count of distinct event types seen so far —
+    the multi-variable keyed state a feature-store / personalization
+    pipeline maintains continuously (the reference's accumulating agent
+    state, A22, with more than one accumulator). The streaming form is
+    the engine's transformWithStateInPandas demonstration (Spark 4's
+    arbitrary-stateful successor to applyInPandasWithState): ONE
+    ValueState for the (total, n_types) accumulator plus a MapState for
+    type membership — state shapes the single-tuple GroupState API
+    cannot express; see streaming/stream_impl.py::profile_enrich,
+    equivalence-proven in tests/test_streaming.py.
+
+    Batch declaration: running distinct-count over an ordered window is
+    not a thing either engine supports directly, so distinct-so-far is
+    decomposed as a cumulative sum of first-occurrence flags — a
+    (user, type) rank window feeding a (user) running window. Both
+    windows are keyed narrow shuffles; the float cumsum accumulates in
+    the frame's total order on both engines, so the 2-dp round is
+    deterministic (same argument as stream_stateful_running)."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w_type = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        (F.row_number().over(w_type) == 1).cast("int").alias("first_of_type"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        flagged.select(
+            "user_id",
+            "event_id",
+            F.round(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                        0.0
+                    )
+                ).over(w),
+                2,
+            ).alias("purchase_total"),
+            F.sum("first_of_type").over(w).cast("bigint").alias("n_types_seen"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -37,6 +37,7 @@ from collections.abc import Iterable
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
@@ -423,3 +424,81 @@ def run_neardup_gate(spark: SparkSession, sf_dir: str, docs_stream: DataFrame) -
     )
     q.awaitTermination()
     return spark.read.parquet(sink)
+
+
+_ENRICH_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("purchase_total", DoubleType()),
+        StructField("n_types_seen", LongType()),
+    ]
+)
+
+
+class _ProfileEnrich(StatefulProcessor):
+    """transformWithState processor for profile_enrich: a ValueState
+    carries the (purchase_total, n_types) accumulator and a MapState
+    carries event-type membership — two independently-updatable state
+    variables, which is exactly what this API adds over
+    applyInPandasWithState's single state tuple (plus timers/TTL,
+    unused here: timeMode="none"). Same multi-chunk discipline as
+    _running: concat + ONE sort per micro-batch before accumulating."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._acc = handle.getValueState("acc", "total double, ntypes bigint")
+        self._types = handle.getMapState("types", "event_type string", "seen int")
+
+    def handleInputRows(self, key, rows, timerValues):
+        total, ntypes = self._acc.get() if self._acc.exists() else (0.0, 0)
+        chunks = [pdf for pdf in rows if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            out_total = []
+            out_n = []
+            for et, v in zip(pdf["event_type"], pdf["value"]):
+                if not self._types.containsKey((et,)):
+                    self._types.updateValue((et,), (1,))
+                    ntypes += 1
+                if et == "purchase":
+                    total += float(v)
+                out_total.append(round(total, 2))
+                out_n.append(ntypes)
+            yield pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"],
+                    "event_id": pdf["event_id"],
+                    "purchase_total": out_total,
+                    "n_types_seen": out_n,
+                }
+            )
+        self._acc.update((total, ntypes))
+
+    def close(self) -> None:
+        pass
+
+
+def profile_enrich(events: DataFrame) -> DataFrame:
+    """Streaming twin of stream_profile_enrich via Spark 4's
+    transformWithStateInPandas. Environment requirements (both
+    engine-external): the RocksDB state store provider
+    (spark.sql.streaming.stateStore.providerClass — the equivalence
+    test sets and restores it) and the protobuf package, which the
+    transformWithState Python-JVM state protocol imports; where
+    protobuf is absent (this container) the equivalence test SKIPS —
+    the same import-guard convention as the PIL/pypdf decode hooks.
+    The logic itself is plain pandas + state-variable calls and is
+    additionally pinned by the pure-Python replay in
+    tests/test_properties.py, which needs neither."""
+    return (
+        events.filter(F.col("user_id") < 10)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_ProfileEnrich(),
+            outputStructType=_ENRICH_OUT,
+            outputMode="append",
+            timeMode="none",
+        )
+    )

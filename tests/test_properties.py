@@ -760,3 +760,87 @@ def test_cluster_holdout_no_straddling_edges(spark, sf_oracle):
         want[sp] = want.get(sp, 0) + 1
         keys.setdefault(sp, set()).add(comps.get(d, d))
     assert got == {sp: (len(keys[sp]), n) for sp, n in want.items()}
+
+
+def test_profile_enrich_processor_pure_replay(spark, sf_oracle):
+    """The transformWithStateInPandas processor (_ProfileEnrich) cannot
+    execute in this container (its state protocol imports protobuf), so
+    its logic is pinned here without the runtime: micro-batch slices in
+    (ts, event_id) order are fed through handleInputRows with fake
+    per-key ValueState/MapState objects, and the concatenated output
+    must equal stream_profile_enrich's batch two-window declaration
+    row-for-row — the same end-of-stream contract the skipped
+    equivalence test asserts where protobuf exists."""
+    import pandas as pd
+
+    from assignment4_spark.io_util import table
+    from assignment4_spark.streaming.stream_impl import _ProfileEnrich
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeMapState:
+        def __init__(self):
+            self._m = {}
+
+        def containsKey(self, k):
+            return k in self._m
+
+        def updateValue(self, k, v):
+            self._m[k] = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.states.setdefault(name, FakeValueState())
+
+        def getMapState(self, name, ks, vs, ttlDurationMs=None):
+            return self.states.setdefault(name, FakeMapState())
+
+    ev = (
+        table(spark, sf_oracle, "events")
+        .filter(F.col("user_id") < 10)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .orderBy("ts", "event_id")
+        .toPandas()
+    )
+    n_slices = 6
+    step = (len(ev) + n_slices - 1) // n_slices
+    procs: dict = {}
+    outs = []
+    for i in range(n_slices):
+        batch = ev.iloc[i * step : (i + 1) * step]
+        for uid, grp in batch.groupby("user_id"):
+            if uid not in procs:
+                p = _ProfileEnrich()
+                p.init(FakeHandle())
+                procs[uid] = p
+            outs.extend(procs[uid].handleInputRows((uid,), iter([grp]), None))
+    got = (
+        pd.concat(outs, ignore_index=True)
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    want = (
+        registry.QUERIES["stream_profile_enrich"](spark, sf_oracle)
+        .toPandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["user_id", "event_id", "purchase_total", "n_types_seen"]],
+        want[["user_id", "event_id", "purchase_total", "n_types_seen"]],
+        check_dtype=False,
+    )

@@ -278,3 +278,31 @@ def test_stream_neardup_gate(spark):
     got = si.run_neardup_gate(spark, SF, si.read_docs_stream(spark, path))
     want = registry.QUERIES["stream_neardup_gate"](spark, SF)
     assert_frames_equal(got, want)
+
+
+def test_stream_profile_enrich_transform_with_state(spark, replay):
+    """profile_enrich (transformWithStateInPandas, ValueState+MapState)
+    must agree with the batch two-window declaration at end-of-stream.
+    transformWithState requires the RocksDB state store provider (set
+    for this query, prior provider restored after) AND protobuf for its
+    Python-JVM state protocol — skip where protobuf is absent (this
+    container), the same import-guard convention as the PIL/pypdf
+    hooks; any protobuf-equipped deployment runs it for real."""
+    pytest.importorskip("google.protobuf")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        got = si.run_to_table(
+            si.profile_enrich(si.read_stream(spark, replay)), "append"
+        )
+        want = registry.QUERIES["stream_profile_enrich"](spark, SF)
+        assert_frames_equal(got, want)
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
