@@ -38,7 +38,12 @@ from __future__ import annotations
 import json
 import time
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 SCHEMA = StructType(
@@ -158,3 +163,47 @@ class RestFeedDataSource(DataSource):
 
     def reader(self, schema):
         return RestFeedReader(self.options)
+
+    def streamReader(self, schema):
+        return RestFeedStreamReader(self.options)
+
+
+class RestFeedStreamReader(DataSourceStreamReader):
+    """Streaming face of the same feed (Spark 4 Python streaming data
+    source, full partition-planned API — not SimpleDataSourceStreamReader,
+    whose driver-side prefetch would serialize the crawl that the batch
+    reader already fans out): each trigger admits up to pages_per_batch
+    new pages (latestOffset is the admission-control knob — a real
+    deployment polls the API's cursor there), partitions() splits the
+    admitted [start, end) page range one-page-per-partition so executors
+    fetch in parallel, and read() reuses RestFeedReader's exact
+    fetch/retry/error-isolation path — one implementation of the A28
+    rules for both faces. Offsets are {"page": N} dicts: resuming from a
+    checkpoint replays from the committed page boundary, and the
+    deterministic fake endpoint makes the replay byte-identical (the
+    same property the oracle check relies on)."""
+
+    def __init__(self, options, fetch=fake_fetch):
+        self._delegate = RestFeedReader(options, fetch=fetch)
+        self.n_pages = int(options.get("pages", 10))
+        self.pages_per_batch = int(options.get("pages_per_batch", 2))
+        self._cur = 0
+
+    def initialOffset(self) -> dict:
+        return {"page": 0}
+
+    def latestOffset(self) -> dict:
+        self._cur = min(self._cur + self.pages_per_batch, self.n_pages)
+        return {"page": self._cur}
+
+    def partitions(self, start: dict, end: dict):
+        return [_PageRange(p, p + 1) for p in range(start["page"], end["page"])]
+
+    def read(self, partition: _PageRange):
+        return self._delegate.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass

@@ -641,3 +641,53 @@ def stream_profile_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "stream_rest_feed",
+    oracle="""
+    SELECT CAST(i // 10 AS BIGINT) AS page,
+           CAST(COUNT(CASE WHEN i % 7 <> 3 THEN 1 END) AS BIGINT) AS n_good,
+           CAST(COUNT(CASE WHEN i % 7 = 3 THEN 1 END) AS BIGINT) AS n_err,
+           CAST(MAX(i) AS BIGINT) AS max_rec_id
+    FROM (SELECT UNNEST(generate_series(0, 59)) AS i)
+    GROUP BY page
+    ORDER BY page
+    """,
+)
+def stream_rest_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous REST-feed ingestion health: per-page good/error row
+    counts over the paginated feed — the monitoring frame an ingestion
+    service alerts on (the reference's arXiv/SerpAPI polling loop, A20/
+    A21, with its A28 error isolation made visible per page). Batch
+    declaration reads the SAME pluggable source the streaming form
+    tails: readStream.format("rest_feed") admits pages_per_batch pages
+    per trigger through the full partition-planned Python streaming
+    DataSource API (sources/rest_feed.py::RestFeedStreamReader —
+    latestOffset as admission control, one-page-per-partition executor
+    fan-out, checkpointed {"page": N} offsets), equivalence-proven in
+    tests/test_streaming.py. The deterministic fake endpoint (6 pages,
+    every 7th record malformed → error ROW, every 5th page 429s once
+    then succeeds) is what makes both faces DuckDB-oracle-checkable."""
+    from ..sources.rest_feed import RestFeedDataSource
+
+    try:
+        spark.dataSource.register(RestFeedDataSource)
+    except Exception as ex:
+        if "exists" not in str(ex).lower() and "registered" not in str(ex).lower():
+            raise
+    feed = (
+        spark.read.format("rest_feed")
+        .option("pages", 6)
+        .option("partitions", 3)
+        .load()
+    )
+    return (
+        feed.groupBy("page")
+        .agg(
+            F.count(F.when(F.col("error").isNull(), 1)).alias("n_good"),
+            F.count(F.when(F.col("error").isNotNull(), 1)).alias("n_err"),
+            F.max("rec_id").alias("max_rec_id"),
+        )
+        .orderBy("page")
+    )

@@ -306,3 +306,56 @@ def test_stream_profile_enrich_transform_with_state(spark, replay):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prior)
+
+
+def test_stream_rest_feed_source(spark):
+    """The Python streaming DataSource face of the REST feed must
+    converge to the batch declaration: tail the 6-page feed at 2 pages
+    per trigger (3 micro-batches), aggregate in complete mode, and
+    compare the settled sink. Also asserts the multi-batch admission
+    actually happened (sink progress shows >1 batch) — a single-batch
+    drain would not exercise offset tracking at all."""
+    import time as _t
+
+    from assignment4_spark.sources.rest_feed import RestFeedDataSource
+
+    try:
+        spark.dataSource.register(RestFeedDataSource)
+    except Exception as ex:
+        if "exists" not in str(ex).lower() and "registered" not in str(ex).lower():
+            raise
+    feed = (
+        spark.readStream.format("rest_feed")
+        .option("pages", 6)
+        .option("pages_per_batch", 2)
+        .load()
+    )
+    agg = (
+        feed.groupBy("page")
+        .agg(
+            F.count(F.when(F.col("error").isNull(), 1)).alias("n_good"),
+            F.count(F.when(F.col("error").isNotNull(), 1)).alias("n_err"),
+            F.max("rec_id").alias("max_rec_id"),
+        )
+    )
+    name = "sink_rest_feed"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = _t.time() + 120
+        while _t.time() < deadline:
+            if spark.table(name).count() == 6:
+                break
+            _t.sleep(0.5)
+        n_batches = q.lastProgress["batchId"] if q.lastProgress else 0
+        got = spark.table(name)
+        want = registry.QUERIES["stream_rest_feed"](spark, SF)
+        assert_frames_equal(got, want)
+        assert n_batches >= 2, f"expected multi-batch admission, got {n_batches}"
+    finally:
+        q.stop()
