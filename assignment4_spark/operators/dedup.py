@@ -503,6 +503,28 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bounded_neardup_edges(spark: SparkSession, sf_dir: str, id_bound: int = 200) -> DataFrame:
+    """(src, dst) exact-Jaccard match edges over the doc_id < id_bound
+    slice — THE match graph shared by the CC-family consumers
+    (dedup_connected_components, dedup_cluster_representative,
+    sampling.sample_cluster_holdout), extracted to one definition so the
+    edge rule (shingle form, threshold, bound) can never silently
+    diverge between the ops a property test compares against each
+    other. The O(N²) pair scan is the oracle-tractable bounded twin of
+    the production pair generator (minhash_lsh_pairs — identical
+    candidate set at fixture scale per the LSH recall argument)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < id_bound)
+    s = d.select("doc_id", _shingles().alias("sh"))
+    a, b = s.alias("a"), s.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(inter.cast("double") / union >= JACCARD_THRESHOLD)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+
+
 @register(
     "dedup_connected_components",
     oracle=f"""
@@ -535,17 +557,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Registered face of connected_components (alternating large-star /
     small-star, see its docstring); the DuckDB oracle is the same
     fixpoint via a recursive CTE."""
-    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    s = d.select("doc_id", _shingles().alias("sh"))
-    a, b = s.alias("a"), s.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
-    edges = (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .filter(inter.cast("double") / union >= JACCARD_THRESHOLD)
-        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
-    )
-    comp = connected_components(edges)
+    comp = connected_components(bounded_neardup_edges(spark, sf_dir))
     sizes = comp.groupBy("comp_id").agg(F.count(F.lit(1)).alias("comp_size"))
     return (
         comp.join(sizes, "comp_id")
@@ -716,17 +728,7 @@ def dedup_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
     it happens to iterate (ra/agent.py:69-77, set() order); this op is
     the deterministic, quality-ranked form of that choice.
     """
-    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    s = d.select("doc_id", _shingles().alias("sh"))
-    a, b = s.alias("a"), s.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
-    edges = (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .filter(inter.cast("double") / union >= JACCARD_THRESHOLD)
-        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
-    )
-    comp = connected_components(edges)
+    comp = connected_components(bounded_neardup_edges(spark, sf_dir))
     sizes = comp.groupBy("comp_id").agg(F.count(F.lit(1)).alias("comp_size"))
     quality = table(spark, sf_dir, "documents").select(
         "doc_id", quality_expr().alias("quality")

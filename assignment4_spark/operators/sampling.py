@@ -752,19 +752,10 @@ def sample_cluster_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     with no train/eval discipline at all; SURVEY §2 B.11 curation
     family (round 5).
     """
-    from .dedup import _shingles, connected_components
+    from .dedup import bounded_neardup_edges, connected_components
 
     d = table(spark, sf_dir, "documents")
-    s = d.filter(F.col("doc_id") < 200).select("doc_id", _shingles().alias("sh"))
-    a, b = s.alias("a"), s.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
-    edges = (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .filter(inter.cast("double") / union >= _JACCARD)
-        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
-    )
-    comp = connected_components(edges)
+    comp = connected_components(bounded_neardup_edges(spark, sf_dir))
     membership = comp.select(F.col("node").alias("doc_id"), "comp_id")
     keyed = d.select("doc_id").join(F.broadcast(membership), "doc_id", "left").select(
         "doc_id", F.coalesce("comp_id", "doc_id").alias("split_key")

@@ -283,16 +283,10 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     and yields deterministic rows the oracle reproduces with
     generate_series. Generalizes the reference's hand-rolled S3 listing
     loop (A1) into a first-class pluggable source."""
+    from ..sources import register_once
     from ..sources.synthetic import SyntheticDocsDataSource
 
-    try:
-        spark.dataSource.register(SyntheticDocsDataSource)
-    except Exception as ex:
-        # only a duplicate registration is benign; anything else (API
-        # missing, pickling failure) must surface here, not as a
-        # misleading DATA_SOURCE_NOT_FOUND at load() time
-        if "exists" not in str(ex).lower() and "registered" not in str(ex).lower():
-            raise
+    register_once(spark, SyntheticDocsDataSource)
     return (
         spark.read.format("synthetic_docs")
         .option("rows", 100)
@@ -322,14 +316,10 @@ def scan_rest_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     malformed row, and transient retry oracle-reproducible; retry and
     pacing behavior is unit-tested reader-direct in
     tests/test_api.py."""
+    from ..sources import register_once
     from ..sources.rest_feed import RestFeedDataSource
 
-    try:
-        spark.dataSource.register(RestFeedDataSource)
-    except Exception as ex:
-        # see scan_python_datasource: only duplicate registration is benign
-        if "exists" not in str(ex).lower() and "registered" not in str(ex).lower():
-            raise
+    register_once(spark, RestFeedDataSource)
     return (
         spark.read.format("rest_feed")
         .option("pages", 10)

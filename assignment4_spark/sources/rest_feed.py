@@ -178,26 +178,53 @@ class RestFeedStreamReader(DataSourceStreamReader):
     admitted [start, end) page range one-page-per-partition so executors
     fetch in parallel, and read() reuses RestFeedReader's exact
     fetch/retry/error-isolation path — one implementation of the A28
-    rules for both faces. Offsets are {"page": N} dicts: resuming from a
-    checkpoint replays from the committed page boundary, and the
-    deterministic fake endpoint makes the replay byte-identical (the
-    same property the oracle check relies on)."""
+    rules for both faces. Offsets are {"page": N} dicts.
+
+    Restart contract — stated precisely, because the Python API gives a
+    restarted reader no hand-back of the checkpointed offset before its
+    first latestOffset() call (initialOffset is NOT re-invoked on
+    restart; pyspark datasource.py documents restart-from-checkpoint):
+    a counter-based latestOffset would silently regress below the
+    restored start and re-emit committed pages. This reader repairs the
+    cursor from the first (start > end) plan it sees and keeps a
+    high-water mark so repaired-process plans never re-emit pages below
+    the restored start — replay of an UNCOMMITTED logged batch (the
+    normal crash-recovery path) still re-reads its exact page range,
+    byte-identical thanks to the deterministic endpoint. The guarantee
+    is therefore Spark's standard one: at-least-once from the source,
+    exactly-once end-to-end with an idempotent/complete-mode sink."""
 
     def __init__(self, options, fetch=fake_fetch):
         self._delegate = RestFeedReader(options, fetch=fetch)
         self.n_pages = int(options.get("pages", 10))
         self.pages_per_batch = int(options.get("pages_per_batch", 2))
         self._cur = 0
+        self._hwm = 0  # pages already planned by THIS process
 
     def initialOffset(self) -> dict:
         return {"page": 0}
 
     def latestOffset(self) -> dict:
-        self._cur = min(self._cur + self.pages_per_batch, self.n_pages)
+        self._cur = min(
+            max(self._cur, self._hwm) + self.pages_per_batch, self.n_pages
+        )
         return {"page": self._cur}
 
     def partitions(self, start: dict, end: dict):
-        return [_PageRange(p, p + 1) for p in range(start["page"], end["page"])]
+        lo, hi = start["page"], end["page"]
+        if hi < lo:
+            # restart regression (fresh cursor below the restored start):
+            # repair and emit nothing — the next latestOffset resumes
+            # forward from the restored position
+            self._cur = lo
+            self._hwm = max(self._hwm, lo)
+            return []
+        # pages below the high-water mark were either planned by this
+        # process already or lie below a restored start (committed by a
+        # previous run) — both delivered; never plan them twice in-process
+        lo = max(lo, min(self._hwm, hi))
+        self._hwm = max(self._hwm, hi)
+        return [_PageRange(p, p + 1) for p in range(lo, hi)]
 
     def read(self, partition: _PageRange):
         return self._delegate.read(partition)

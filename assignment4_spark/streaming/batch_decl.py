@@ -669,13 +669,10 @@ def stream_rest_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py. The deterministic fake endpoint (6 pages,
     every 7th record malformed → error ROW, every 5th page 429s once
     then succeeds) is what makes both faces DuckDB-oracle-checkable."""
+    from ..sources import register_once
     from ..sources.rest_feed import RestFeedDataSource
 
-    try:
-        spark.dataSource.register(RestFeedDataSource)
-    except Exception as ex:
-        if "exists" not in str(ex).lower() and "registered" not in str(ex).lower():
-            raise
+    register_once(spark, RestFeedDataSource)
     feed = (
         spark.read.format("rest_feed")
         .option("pages", 6)

@@ -120,19 +120,29 @@ def get_spark_with_ui() -> SparkSession:
     return spark
 
 
-def rest_stages(app_id: str) -> list[dict]:
-    url = f"http://127.0.0.1:{UI_PORT}/api/v1/applications/{app_id}/stages?status=complete"
+def rest_stages(spark: SparkSession, app_id: str) -> list[dict]:
+    # base URL from the live context, NOT the requested port: Spark
+    # silently binds port+1 on conflict, which would point every request
+    # at nothing (or at another app) and record the whole sweep as errors
+    base = spark.sparkContext.uiWebUrl
+    url = f"{base}/api/v1/applications/{app_id}/stages?status=complete"
     with urllib.request.urlopen(url, timeout=30) as r:
         return json.load(r)
 
 
-def stage_totals(app_id: str) -> dict[int, tuple[int, int]]:
-    """(stageId, attempt-max) → (shuffleWriteBytes, inputBytes)."""
-    out: dict[int, tuple[int, int]] = {}
-    for s in rest_stages(app_id):
-        sid = s["stageId"]
-        out[sid] = (s.get("shuffleWriteBytes", 0), s.get("inputBytes", 0))
-    return out
+def stage_totals(spark: SparkSession, app_id: str) -> dict[int, tuple[int, int]]:
+    """stageId → (shuffleWriteBytes, inputBytes) of its HIGHEST attempt.
+
+    The endpoint lists one entry per (stageId, attemptId); keeping
+    whichever the API listed last would sometimes record a failed
+    attempt's partial bytes. The highest attempt is the one that
+    completed."""
+    best: dict[int, tuple[int, tuple[int, int]]] = {}
+    for s in rest_stages(spark, app_id):
+        sid, att = s["stageId"], s.get("attemptId", 0)
+        if sid not in best or att > best[sid][0]:
+            best[sid] = (att, (s.get("shuffleWriteBytes", 0), s.get("inputBytes", 0)))
+    return {sid: v for sid, (_, v) in best.items()}
 
 
 def settle(spark: SparkSession) -> None:
@@ -149,10 +159,10 @@ def measure(spark: SparkSession, app_id: str, fn, sf_dir: str) -> dict:
     # run is the steady-state read path a production rerun would pay.
     fn(spark, sf_dir).count()
     settle(spark)
-    before = stage_totals(app_id)
+    before = stage_totals(spark, app_id)
     fn(spark, sf_dir).count()
     settle(spark)
-    after = stage_totals(app_id)
+    after = stage_totals(spark, app_id)
     sw = sum(v[0] for k, v in after.items() if k not in before)
     ib = sum(v[1] for k, v in after.items() if k not in before)
     return {"shuffle_bytes": sw, "input_bytes": ib}

@@ -61,15 +61,31 @@ def test_shuffle_artifact_keys_and_flags(reg):
         assert "error" not in row, f"{name}: probe error in committed artifact"
 
 
+def _probe_constants():
+    """Import FLAG_RATIO/MIN_FLAG_BYTES from the probe script itself —
+    re-typing the thresholds here would let a tuned rule and this test
+    silently disagree about what 'live' means."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "shuffle_volume_probe",
+        os.path.join(REPO, "scripts", "shuffle_volume_probe.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.FLAG_RATIO, mod.MIN_FLAG_BYTES
+
+
 def test_shuffle_adjudications_are_live(reg):
     """Each adjudicated op must still measure over the flag threshold —
     otherwise the adjudication text describes a regime that no longer
     exists and should be deleted."""
     art = _load("SHUFFLE.json")
+    flag_ratio, min_bytes = _probe_constants()
     for name in art["adjudicated_pre_asymptotic"]:
         row = art["queries"][name]
-        assert row["shuffle_ratio"] > 20, (
+        assert row["shuffle_ratio"] > flag_ratio, (
             f"{name}: adjudicated but measured ratio {row['shuffle_ratio']} "
             "no longer trips the flag rule — stale adjudication"
         )
-        assert row["sf0.1"]["shuffle_bytes"] >= 1 << 20
+        assert row["sf0.1"]["shuffle_bytes"] >= min_bytes

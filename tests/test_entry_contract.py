@@ -44,9 +44,13 @@ def test_oracled_outputs_are_driver_canonicalizable(spark):
     array/map/struct column passes local parity (the local harness
     tuple-izes) and still ERRs the driver gate — exactly the round-4
     `array_funcs` failure (array<string> output → 'unhashable type:
-    numpy.ndarray'). Schema analysis only (no execution), so every
-    registered query is checked. Rows-only ops may emit complex types —
-    the driver only counts their rows (rag_embed_hash's array<float>
+    numpy.ndarray'). Reading .schema needs only analysis for most
+    queries, but the CC-family ops (connected components and its
+    consumers) and iterative trainers execute eagerly at CONSTRUCTION
+    (localCheckpoint/count per round), so this sweep runs real jobs for
+    those — acceptable at sf0.001, but not the free pass the name
+    'schema check' suggests. Rows-only ops may emit complex types — the
+    driver only counts their rows (rag_embed_hash's array<float>
     embedding IS its output contract)."""
     sf = "/root/testdata/sf0.001"
     offenders = []

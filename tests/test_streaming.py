@@ -317,13 +317,10 @@ def test_stream_rest_feed_source(spark):
     drain would not exercise offset tracking at all."""
     import time as _t
 
+    from assignment4_spark.sources import register_once
     from assignment4_spark.sources.rest_feed import RestFeedDataSource
 
-    try:
-        spark.dataSource.register(RestFeedDataSource)
-    except Exception as ex:
-        if "exists" not in str(ex).lower() and "registered" not in str(ex).lower():
-            raise
+    register_once(spark, RestFeedDataSource)
     feed = (
         spark.readStream.format("rest_feed")
         .option("pages", 6)
@@ -347,15 +344,90 @@ def test_stream_rest_feed_source(spark):
         .start()
     )
     try:
+        # wait on lastProgress's batchId, not just the sink count: the
+        # sink fills during addBatch but progress updates asynchronously
+        # in finishTrigger, so reading it once after count==6 races
         deadline = _t.time() + 120
+        n_batches = 0
         while _t.time() < deadline:
-            if spark.table(name).count() == 6:
+            n_batches = q.lastProgress["batchId"] if q.lastProgress else 0
+            if n_batches >= 2 and spark.table(name).count() == 6:
                 break
             _t.sleep(0.5)
-        n_batches = q.lastProgress["batchId"] if q.lastProgress else 0
         got = spark.table(name)
         want = registry.QUERIES["stream_rest_feed"](spark, SF)
         assert_frames_equal(got, want)
         assert n_batches >= 2, f"expected multi-batch admission, got {n_batches}"
     finally:
         q.stop()
+
+
+def test_stream_rest_feed_restart_no_duplicates(spark, tmp_path):
+    """Restart contract of RestFeedStreamReader: drain half the feed,
+    stop, restart from the same checkpoint, drain the rest — the
+    append-mode sink must hold every good/error row EXACTLY once even
+    though the restarted reader's latestOffset starts from a fresh
+    cursor (the regression-repair + high-water-mark path; without it
+    the restart re-emits the committed pages)."""
+    import time as _t
+
+    from assignment4_spark.sources import register_once
+    from assignment4_spark.sources.rest_feed import RestFeedDataSource
+
+    register_once(spark, RestFeedDataSource)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "rows")
+
+    def run_until(min_batches: int, drain_all: bool) -> None:
+        feed = (
+            spark.readStream.format("rest_feed")
+            .option("pages", 6)
+            .option("pages_per_batch", 2)
+            .load()
+        )
+
+        # parquet via foreachBatch, not the memory sink: the memory table
+        # is recreated empty on restart, which would hide re-emission.
+        # One overwritten dir per batchId = the idempotent-sink pattern,
+        # so a replayed uncommitted batch can't double-append and the
+        # exactly-once assertion below tests the SOURCE's behavior only
+        def write_batch(batch_df, batch_id):
+            batch_df.write.mode("overwrite").parquet(f"{out}/b{batch_id}")
+
+        q = (
+            feed.writeStream.foreachBatch(write_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            deadline = _t.time() + 120
+            while _t.time() < deadline:
+                done = q.lastProgress and q.lastProgress["batchId"] >= min_batches
+                try:
+                    n = (
+                        spark.read.option("recursiveFileLookup", "true")
+                        .parquet(out)
+                        .count()
+                    )
+                except Exception:  # dir absent or mid-write: nothing yet
+                    n = 0
+                if done and (not drain_all or n >= 60):
+                    break
+                _t.sleep(0.3)
+        finally:
+            q.stop()
+
+    run_until(min_batches=1, drain_all=False)  # commits ~pages 0-3
+    run_until(min_batches=3, drain_all=True)  # resumes; must not re-emit
+    ids = sorted(
+        r.rec_id
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(out)
+        .collect()
+    )
+    assert ids == list(range(60)), (
+        f"expected each of 60 records exactly once, got {len(ids)} rows "
+        f"(dupes/missing around {[(i, c) for i, c in __import__('collections').Counter(ids).items() if c != 1][:5]})"
+    )
