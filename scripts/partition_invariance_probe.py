@@ -16,10 +16,10 @@ run ad-hoc after touching anything partition-shaped:
 
     python scripts/partition_invariance_probe.py [sf_dir] [name ...]
 
-Round-5 result (re-run at the full 241-query surface after the
-label-propagation / near-dup-gate / survivor-selection wave landed):
-232/232 oracled pass exact, 9/9 rows-only run clean — zero mismatches,
-one session.
+Round-5 result (final re-run at the full 245-query surface, after the
+cluster-holdout / variant-shred / profile-enrich / streaming-rest-feed
+wave AND the shared-edge-helper refactor landed): 236/236 oracled pass
+exact, 9/9 rows-only run clean — zero mismatches, one session.
 
 A path-looking first arg (contains a separator) that is not a directory
 is an error, and so is a name that matches no queries() key — without
