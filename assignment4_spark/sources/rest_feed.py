@@ -36,6 +36,7 @@ deployment passes fetch=requests-backed callable with the same
 from __future__ import annotations
 
 import json
+import os
 import time
 
 from pyspark.sql.datasource import (
@@ -183,47 +184,59 @@ class RestFeedStreamReader(DataSourceStreamReader):
     Restart contract — stated precisely, because the Python API gives a
     restarted reader no hand-back of the checkpointed offset before its
     first latestOffset() call (initialOffset is NOT re-invoked on
-    restart; pyspark datasource.py documents restart-from-checkpoint):
-    a counter-based latestOffset would silently regress below the
-    restored start and re-emit committed pages. This reader repairs the
-    cursor from the first (start > end) plan it sees and keeps a
-    high-water mark so repaired-process plans never re-emit pages below
-    the restored start — replay of an UNCOMMITTED logged batch (the
-    normal crash-recovery path) still re-reads its exact page range,
-    byte-identical thanks to the deterministic endpoint. The guarantee
-    is therefore Spark's standard one: at-least-once from the source,
-    exactly-once end-to-end with an idempotent/complete-mode sink."""
+    restart; pyspark datasource.py documents restart-from-checkpoint),
+    and the engine logs whatever latestOffset returns — the reader
+    cannot veto a regressed offset entering the checkpoint. Two modes:
+
+    * ``cursor_path`` set (production form): the admission cursor is
+      persisted OUTSIDE Spark (atomic tmp+rename before latestOffset
+      returns) — the REST analogue of asking the broker/metadata store
+      where the crawl stands. The cursor can only run AHEAD of the
+      committed offset (persist happens before the engine logs), which
+      at worst makes one latestOffset admit a wider range the engine
+      plans from its own committed start — never a regression, never a
+      re-emission: exactly-once end-to-end with an idempotent sink.
+    * no ``cursor_path`` (default): a fresh process restarts the
+      counter, so the first post-restart latestOffset regresses below
+      the restored start; partitions() repairs the cursor from that
+      (start > end) plan and emits nothing, and the NEXT batch re-plans
+      from the regressed logged offset — re-emitting a bounded window
+      (≤ the committed-minus-regressed range) of already-delivered
+      pages. At-least-once; partitions() itself stays stateless and
+      idempotent per planned range (replay of an uncommitted logged
+      batch re-reads its exact range, byte-identical thanks to the
+      deterministic endpoint)."""
 
     def __init__(self, options, fetch=fake_fetch):
         self._delegate = RestFeedReader(options, fetch=fetch)
         self.n_pages = int(options.get("pages", 10))
         self.pages_per_batch = int(options.get("pages_per_batch", 2))
+        self._cursor_path = options.get("cursor_path")
         self._cur = 0
-        self._hwm = 0  # pages already planned by THIS process
+        if self._cursor_path and os.path.exists(self._cursor_path):
+            with open(self._cursor_path) as f:
+                self._cur = int(f.read().strip() or 0)
 
     def initialOffset(self) -> dict:
         return {"page": 0}
 
     def latestOffset(self) -> dict:
-        self._cur = min(
-            max(self._cur, self._hwm) + self.pages_per_batch, self.n_pages
-        )
+        self._cur = min(self._cur + self.pages_per_batch, self.n_pages)
+        if self._cursor_path:
+            tmp = f"{self._cursor_path}.tmp"
+            with open(tmp, "w") as f:
+                f.write(str(self._cur))
+            os.replace(tmp, self._cursor_path)
         return {"page": self._cur}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["page"], end["page"]
         if hi < lo:
-            # restart regression (fresh cursor below the restored start):
-            # repair and emit nothing — the next latestOffset resumes
-            # forward from the restored position
+            # restart regression (fresh counter below the restored start,
+            # default mode only): repair and emit nothing — the next
+            # latestOffset resumes forward from the restored position
             self._cur = lo
-            self._hwm = max(self._hwm, lo)
             return []
-        # pages below the high-water mark were either planned by this
-        # process already or lie below a restored start (committed by a
-        # previous run) — both delivered; never plan them twice in-process
-        lo = max(lo, min(self._hwm, hi))
-        self._hwm = max(self._hwm, hi)
         return [_PageRange(p, p + 1) for p in range(lo, hi)]
 
     def read(self, partition: _PageRange):

@@ -186,6 +186,8 @@ def write_report(report: dict) -> tuple[list[str], list[str]]:
                 "builds excluded); serial execution",
                 "flag_rule": f"shuffle_ratio > {FLAG_RATIO} (2x the 10x "
                 f"data step) and >=1MiB shuffled at sf0.1",
+                "flag_ratio": FLAG_RATIO,
+                "min_flag_bytes": MIN_FLAG_BYTES,
                 "flagged_amplifying": flagged,
                 "adjudicated_pre_asymptotic": {
                     n: ADJUDICATED[n] for n in adjudicated

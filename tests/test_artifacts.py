@@ -61,27 +61,15 @@ def test_shuffle_artifact_keys_and_flags(reg):
         assert "error" not in row, f"{name}: probe error in committed artifact"
 
 
-def _probe_constants():
-    """Import FLAG_RATIO/MIN_FLAG_BYTES from the probe script itself —
-    re-typing the thresholds here would let a tuned rule and this test
-    silently disagree about what 'live' means."""
-    import importlib.util
-
-    spec = importlib.util.spec_from_file_location(
-        "shuffle_volume_probe",
-        os.path.join(REPO, "scripts", "shuffle_volume_probe.py"),
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod.FLAG_RATIO, mod.MIN_FLAG_BYTES
-
-
 def test_shuffle_adjudications_are_live(reg):
     """Each adjudicated op must still measure over the flag threshold —
     otherwise the adjudication text describes a regime that no longer
-    exists and should be deleted."""
+    exists and should be deleted. The thresholds come from the artifact
+    itself (the probe writes flag_ratio/min_flag_bytes alongside the
+    measurements), so adjudications are always judged against the rule
+    that generated them — no constant re-typing, no script exec."""
     art = _load("SHUFFLE.json")
-    flag_ratio, min_bytes = _probe_constants()
+    flag_ratio, min_bytes = art["flag_ratio"], art["min_flag_bytes"]
     for name in art["adjudicated_pre_asymptotic"]:
         row = art["queries"][name]
         assert row["shuffle_ratio"] > flag_ratio, (
