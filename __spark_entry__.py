@@ -79,7 +79,7 @@ _PRIORITY = [
     "dedup_cluster_representative", "text_fertility_by_lang",
     "sample_curriculum_order", "graph_label_propagation",
     "stream_neardup_gate", "sample_cluster_holdout", "json_variant_shred",
-    "stream_profile_enrich", "stream_rest_feed",
+    "stream_profile_enrich", "stream_rest_feed", "agg_ttest_ab",
     # rows-only round-5 newcomer rides with the rows-only tail below
     "agg_cms_heavy_hitters", "text_dsir_importance", "stream_tumbling_count",
     "stream_sliding_avg", "stream_session_window", "stream_dedup_ids",

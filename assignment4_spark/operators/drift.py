@@ -525,3 +525,83 @@ def vec_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(F.col("mean_lo") - F.col("mean_hi")), 6).alias("mean_gap"),
         F.round(cos, 6).alias("centroid_cosine"),
     ).orderBy("dim")
+
+
+@register(
+    "agg_ttest_ab",
+    oracle="""
+    WITH m AS (
+      SELECT COUNT(*) FILTER (user_id % 2 = 0)                  AS n_a,
+             COUNT(*) FILTER (user_id % 2 = 1)                  AS n_b,
+             AVG(value) FILTER (user_id % 2 = 0)                AS mean_a,
+             AVG(value) FILTER (user_id % 2 = 1)                AS mean_b,
+             VAR_SAMP(value) FILTER (user_id % 2 = 0)           AS var_a,
+             VAR_SAMP(value) FILTER (user_id % 2 = 1)           AS var_b
+      FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           ROUND(mean_a, 6) AS mean_a,
+           ROUND(mean_b, 6) AS mean_b,
+           ROUND(mean_a - mean_b, 6) AS mean_diff,
+           ROUND((mean_a - mean_b) / SQRT(var_a / n_a + var_b / n_b), 4)
+             AS t_stat,
+           ROUND(POW(var_a / n_a + var_b / n_b, 2)
+                 / (POW(var_a / n_a, 2) / (n_a - 1)
+                    + POW(var_b / n_b, 2) / (n_b - 1)), 2) AS df_welch
+    FROM m
+    """,
+)
+def agg_ttest_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test — the A/B experiment readout (treatment
+    = user_id parity, metric = purchase value): difference of means,
+    the t statistic, and the Welch–Satterthwaite degrees of freedom.
+    The member of the statistics family the drift trio (KS/PSI/MI)
+    doesn't cover: KS asks "is the distribution the same", the t-test
+    asks the decision question "did the MEAN move, relative to noise".
+
+    Distributed form: t is a closed-form function of per-arm sufficient
+    statistics (count, mean, sample variance), so the WHOLE test is one
+    map-side-combinable conditional aggregate — one 1-row shuffle
+    regardless of corpus size, the same telescoping shape as
+    agg_stats/vec_centroid_outliers. Both arms ride ONE scan via
+    when()-conditional aggregates (null-skipping, matching the oracle's
+    FILTER clauses). Rounding per the agg_stats precedent (FIXTURES §5):
+    means/diff 6 dp, the variance-quotient outputs coarser (t 4 dp,
+    df 2 dp) because quotients of sampled variances amplify
+    partial-agg-order float jitter.
+    Reference provenance: none — the reference ships no experiment
+    readout at all; SURVEY §2 B.11 statistics family (round 5)."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    in_a = F.col("user_id") % 2 == 0
+    a_val = F.when(in_a, F.col("value"))
+    b_val = F.when(~in_a, F.col("value"))
+    m = ev.agg(
+        F.count(a_val).cast("bigint").alias("n_a"),
+        F.count(b_val).cast("bigint").alias("n_b"),
+        F.avg(a_val).alias("mean_a_raw"),
+        F.avg(b_val).alias("mean_b_raw"),
+        F.var_samp(a_val).alias("var_a"),
+        F.var_samp(b_val).alias("var_b"),
+    )
+    se2_a = F.col("var_a") / F.col("n_a")
+    se2_b = F.col("var_b") / F.col("n_b")
+    return m.select(
+        "n_a",
+        "n_b",
+        F.round("mean_a_raw", 6).alias("mean_a"),
+        F.round("mean_b_raw", 6).alias("mean_b"),
+        F.round(F.col("mean_a_raw") - F.col("mean_b_raw"), 6).alias("mean_diff"),
+        F.round(
+            (F.col("mean_a_raw") - F.col("mean_b_raw")) / F.sqrt(se2_a + se2_b), 4
+        ).alias("t_stat"),
+        F.round(
+            F.pow(se2_a + se2_b, 2)
+            / (
+                F.pow(se2_a, 2) / (F.col("n_a") - 1)
+                + F.pow(se2_b, 2) / (F.col("n_b") - 1)
+            ),
+            2,
+        ).alias("df_welch"),
+    )
