@@ -31,23 +31,45 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["agg_groupby_basic"](spark, "/root/testdata/sf0.001")
 
 
-# Static verification-priority prefix, hard-coded at commit time (round 5)
-# from the committed CORRECTNESS_r01-r04 artifacts: 70 of the 215
-# round-4 ops had never received a driver CORRECTNESS row (the
-# union-complement of the four committed artifacts), so they lead this
-# list — the driver's 50-query window in r5 covers `array_funcs` (r4
-# driver ERR, output shape fixed this round: the array<string> column is
-# now a joined string) plus 49 of them; the remaining never-checked ops,
-# the twenty oracled round-5 additions, and the rows-only-by-design ops (which
-# only earn a weaker rows-only row) queue immediately behind for the r6
-# window.
+# Static verification-priority prefix, hard-coded at commit time (round 6)
+# from the committed CORRECTNESS_r01-r05 artifacts: the driver samples the
+# FIRST 50 entries of queries() each round, so this list leads with the 50
+# ops that have never received a driver CORRECTNESS row (verified against
+# the union of the five committed artifacts; CORRECTNESS_r05.json confirmed
+# the r5 window cleared _PRIORITY[0:50] of the round-5 ordering, 50/50
+# green). The two rows-only-by-design stragglers (text_bpe_train,
+# vec_pca_project) queue at positions 50-51, then the already-green r5
+# window re-checks behind them.
 # Previously-confirmed ops follow in registration order. This ordering is
 # a plain committed constant — fully reproducible, independent of any
 # files present at run time; unknown names are ignored (robust to renames).
 _PRIORITY = [
-    # r4 driver ERR (harness-hostile output shape, fixed) — re-check first
+    # never driver-checked as of r5, DuckDB-oracled — r6 window (48 ops)
+    "rag_answer_select", "report_markdown_sink", "text_bpe_apply",
+    "vec_centroid_outliers", "scan_table_profile", "scan_zorder_cluster",
+    "ts_scd2_pointintime", "scan_expectations_gate", "join_nearest_spatial",
+    "dedup_paragraph_rewrite", "agg_ks_drift", "agg_psi_drift",
+    "agg_mutual_information", "rag_context_pack", "agg_incremental_merge",
+    "text_gopher_rules", "ts_attribution_lasttouch", "vec_matryoshka_eval",
+    "vec_embedding_drift", "stream_tv_drift_daily",
+    "dedup_cluster_representative", "text_fertility_by_lang",
+    "sample_curriculum_order", "graph_label_propagation",
+    "stream_neardup_gate", "sample_cluster_holdout", "json_variant_shred",
+    "stream_profile_enrich", "stream_rest_feed", "agg_ttest_ab",
+    "agg_cms_heavy_hitters", "text_dsir_importance", "stream_tumbling_count",
+    "stream_sliding_avg", "stream_session_window", "stream_dedup_ids",
+    "stream_late_data", "stream_stateful_running", "stream_stream_join",
+    "stream_tumbling_topk", "udf_python_scalar", "udf_pandas_scalar",
+    "udf_grouped_map", "udf_grouped_agg", "udf_pandas_iter",
+    "udf_map_in_pandas", "udtf_split_explode", "udf_map_in_arrow",
+    # never driver-checked, rows-only-by-design — complete the r6 window
+    # (a driver row here is the weaker rows-only check, by design)
+    "agg_hll_distinct", "rag_embed_hash",
+    # rows-only-by-design leftovers + round-6 additions — r7 window leads
+    "text_bpe_train", "vec_pca_project",
+    # previously green (r5 window, CORRECTNESS_r05.json 50/50) — re-check
+    # order preserved behind the never-checked block
     "array_funcs",
-    # never driver-checked as of r4, DuckDB-oracled — r5 window
     "scan_rest_datasource", "scan_snapshot_time_travel",
     "scan_file_skipping_stats", "join_spatial_epsilon", "agg_weighted_median",
     "agg_binned_quantile_sketch", "agg_corr_matrix", "rag_chunk_text",
@@ -66,31 +88,6 @@ _PRIORITY = [
     "multimodal_scene_cuts", "report_pdf_sink", "graph_pagerank",
     "graph_triangle_count", "graph_degree_hist", "graph_bfs_layers",
     "graph_jaccard_neighbors",
-    # never driver-checked, DuckDB-oracled — r6 window leads
-    # (rag_answer_select through sample_curriculum_order are the
-    # twenty-three oracled round-5 additions)
-    "rag_answer_select", "report_markdown_sink", "text_bpe_apply",
-    "vec_centroid_outliers", "scan_table_profile", "scan_zorder_cluster",
-    "ts_scd2_pointintime", "scan_expectations_gate", "join_nearest_spatial",
-    "dedup_paragraph_rewrite", "agg_ks_drift", "agg_psi_drift",
-    "agg_mutual_information", "rag_context_pack", "agg_incremental_merge",
-    "text_gopher_rules", "ts_attribution_lasttouch", "vec_matryoshka_eval",
-    "vec_embedding_drift", "stream_tv_drift_daily",
-    "dedup_cluster_representative", "text_fertility_by_lang",
-    "sample_curriculum_order", "graph_label_propagation",
-    "stream_neardup_gate", "sample_cluster_holdout", "json_variant_shred",
-    "stream_profile_enrich", "stream_rest_feed", "agg_ttest_ab",
-    # rows-only round-5 newcomer rides with the rows-only tail below
-    "agg_cms_heavy_hitters", "text_dsir_importance", "stream_tumbling_count",
-    "stream_sliding_avg", "stream_session_window", "stream_dedup_ids",
-    "stream_late_data", "stream_stateful_running", "stream_stream_join",
-    "stream_tumbling_topk", "udf_python_scalar", "udf_pandas_scalar",
-    "udf_grouped_map", "udf_grouped_agg", "udf_pandas_iter",
-    "udf_map_in_pandas", "udtf_split_explode", "udf_map_in_arrow",
-    # rows-only by design — a driver row adds no hash check; keep last
-    # among the never-checked
-    "agg_hll_distinct", "rag_embed_hash", "text_bpe_train",
-    "vec_pca_project",
 ]
 
 
