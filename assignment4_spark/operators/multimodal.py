@@ -813,6 +813,129 @@ def binary_extract_text(
     )
 
 
+def fake_tables_parser(data: bytes) -> list[list[list[str]]]:
+    """Deterministic FAKE `bytes→tables` parser (layout-analysis libs
+    are not in this container): table count/shape/cells derive only
+    from the blob bytes, so tests have an exact oracle. A real
+    deployment swaps this one function (see docling_tables_parser);
+    the mapInPandas plumbing around it is the production path."""
+    if not data:
+        return []
+    n_tables = data[0] % 3
+    out = []
+    for t in range(1, n_tables + 1):
+        n_rows = (len(data) + t) % 4 + 1
+        n_cols = (data[-1] + t) % 3 + 1
+        out.append(
+            [[f"t{t}r{r}c{c}" for c in range(1, n_cols + 1)]
+             for r in range(1, n_rows + 1)]
+        )
+    return out
+
+
+def docling_tables_parser(data: bytes) -> list[list[list[str]]]:
+    """Real layout-aware table extraction hook: Docling document
+    conversion → per-table cell grid. Import-guarded (docling is not in
+    the CI container — tests importorskip it, same convention as
+    pypdf_text_parser / pil_luma_decoder); a deployment with docling
+    installed passes parser=docling_tables_parser to
+    binary_extract_tables and gets true PDF/DOCX table structure
+    through the identical mapInPandas stage. Replaces the reference's
+    delegated Docling table step (parser_pinecone_storage.py:91-103 —
+    export_to_dataframe per table, uploaded as CSV) with an in-engine
+    parse that keeps the engine's 1-BASED table keys (Appendix A.2)."""
+    import io
+
+    try:
+        from docling.document_converter import DocumentConverter
+        from docling_core.types.io import DocumentStream
+    except ImportError as ex:  # pragma: no cover - exercised only sans docling
+        raise ImportError(
+            "docling_tables_parser requires docling; pass a custom parser "
+            "or use fake_tables_parser for the deterministic test path"
+        ) from ex
+    conv = DocumentConverter()
+    result = conv.convert(DocumentStream(name="blob", stream=io.BytesIO(data)))
+    tables = []
+    for tbl in result.document.tables:
+        frame = tbl.export_to_dataframe()
+        tables.append(
+            [[str(c) for c in frame.columns]]
+            + [[str(v) for v in row] for row in frame.itertuples(index=False)]
+        )
+    return tables
+
+
+def binary_extract_tables(
+    df: DataFrame, id_col: str, blob_col: str, parser=None
+) -> DataFrame:
+    """Composable layout-aware table extraction
+    (api.binary_extract_tables): binary blobs in, one row per extracted
+    table out — (id, table_no 1-BASED, s3_key, n_rows, n_cols,
+    cells_csv) — the A6/A14 table-upload front end
+    (parser_pinecone_storage.py:91-103 runs Docling table export per S3
+    PDF and uploads `table_{n}.csv`) as ONE Arrow-batched mapInPandas
+    stage, the same pluggable-hook shape as binary_extract_text.
+
+    parser is any ``bytes -> list[list[list[str]]]`` callable (outer
+    list = tables, then rows, then cells); None defaults to
+    fake_tables_parser, docling_tables_parser is the import-guarded
+    real-document path. Keys are 1-based by design — the engine-wide
+    fix of the reference's off-by-one (SURVEY Appendix A.2). Per-record
+    isolation (A28): a NULL blob or a raising parser yields zero table
+    rows for that record, never a dead task; cells are flattened to a
+    CSV-ish string (rows '\\n'-joined, cells ','-joined) so the output
+    stays driver-canonicalizable flat columns. Blobs die in the worker;
+    only the extracted structure moves."""
+    if parser is None:
+        parser = fake_tables_parser
+    reserved = {"table_no", "s3_key", "n_rows", "n_cols", "cells_csv"}
+    if id_col in reserved:
+        raise ValueError(
+            f"id_col={id_col!r} collides with a reserved output column "
+            f"of binary_extract_tables ({sorted(reserved)}); rename it first"
+        )
+
+    def extract(batches):
+        for pdf in batches:
+            ids, nos, keys, nrs, ncs, cells = [], [], [], [], [], []
+            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                if blob is None:
+                    continue
+                try:
+                    tables = parser(bytes(blob))
+                except Exception:
+                    continue
+                for t_no, tbl in enumerate(tables, start=1):  # 1-based
+                    ids.append(rid)
+                    nos.append(t_no)
+                    keys.append(f"doc_{rid}/table_{t_no}.csv")
+                    nrs.append(len(tbl))
+                    ncs.append(max((len(r) for r in tbl), default=0))
+                    cells.append("\n".join(",".join(r) for r in tbl))
+            yield pd.DataFrame(
+                {
+                    "_id": ids,
+                    "table_no": nos,
+                    "s3_key": keys,
+                    "n_rows": nrs,
+                    "n_cols": ncs,
+                    "cells_csv": cells,
+                }
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return (
+        df.select(id_col, blob_col)
+        .mapInPandas(
+            extract,
+            f"_id {id_type}, table_no int, s3_key string, "
+            "n_rows int, n_cols int, cells_csv string",
+        )
+        .withColumnRenamed("_id", id_col)
+    )
+
+
 def compose_markdown(sections: list[tuple[str, str]]) -> str:
     """Assemble the markdown/codelabs export (ExportOptions.tsx:20,31
     declares 'Export as PDF' and 'Export as Codelabs'; the codelabs

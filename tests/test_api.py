@@ -698,3 +698,76 @@ def test_mutual_information_custom_columns(spark):
     out2 = api.mutual_information(indep, "label", "feat").collect()
     assert len(out2) == 4
     assert all(r.mi_total == 0.0 for r in out2)
+
+
+def test_binary_extract_tables_fake_parser(spark):
+    """The pluggable bytes→tables hook: default fake parser output is
+    replayed in pure Python as the exact oracle — table count, 1-BASED
+    keys, shapes and flattened cells must all match; NULL blobs and
+    zero-table blobs contribute no rows without killing the task."""
+    from assignment4_spark.operators.multimodal import fake_tables_parser
+
+    blobs = [(1, b"\x02abcdef\x05"), (2, b"\x00xy\x01"), (3, None), (4, b"\x01Q\x02")]
+    df = spark.createDataFrame(blobs, "bid long, payload binary")
+    got = sorted(
+        (
+            (r.bid, r.table_no, r.s3_key, r.n_rows, r.n_cols, r.cells_csv)
+            for r in api.binary_extract_tables(
+                df, id_col="bid", blob_col="payload"
+            ).collect()
+        )
+    )
+    want = []
+    for bid, blob in blobs:
+        if blob is None:
+            continue
+        for t_no, tbl in enumerate(fake_tables_parser(blob), start=1):
+            want.append(
+                (
+                    bid,
+                    t_no,
+                    f"doc_{bid}/table_{t_no}.csv",
+                    len(tbl),
+                    max(len(r) for r in tbl),
+                    "\n".join(",".join(r) for r in tbl),
+                )
+            )
+    assert got == sorted(want)
+    assert any(t[0] == 1 for t in got), "blob with tables must emit rows"
+    assert all(t[0] != 2 for t in got), "zero-table blob emits no rows"
+    assert all(t[1] >= 1 for t in got), "table keys are 1-based"
+
+
+def test_binary_extract_tables_raising_parser_isolates(spark):
+    def explode_on_two(b: bytes):
+        if b == b"two":
+            raise ValueError("corrupt layout")
+        return [[["a", "b"], ["c", "d"]]]
+
+    df = spark.createDataFrame([(1, b"one"), (2, b"two")], "bid long, payload binary")
+    rows = api.binary_extract_tables(
+        df, id_col="bid", blob_col="payload", parser=explode_on_two
+    ).collect()
+    assert [r.bid for r in rows] == [1]
+    assert rows[0].cells_csv == "a,b\nc,d" and rows[0].n_rows == 2
+
+
+def test_binary_extract_tables_docling_parser(spark):
+    """True layout-analysis parse through the same mapInPandas stage.
+    Skipped where docling is absent (this CI container), same
+    convention as the pypdf/PIL hooks."""
+    pytest.importorskip("docling")
+    pdf_bytes = api.compose_pdf([("Title", ""), ("Findings", "spark wins")])
+    df = spark.createDataFrame([(1, pdf_bytes)], "bid long, payload binary")
+    # a text-only PDF has zero tables; the assertion is that the real
+    # parser runs through the plumbing without error
+    out = api.binary_extract_tables(
+        df, id_col="bid", blob_col="payload", parser=api.docling_tables_parser
+    ).collect()
+    assert all(r.table_no >= 1 for r in out)
+
+
+def test_binary_extract_tables_rejects_reserved_id_col(spark):
+    df = spark.createDataFrame([("a", b"x")], "s3_key string, payload binary")
+    with pytest.raises(ValueError, match="reserved output column"):
+        api.binary_extract_tables(df, id_col="s3_key", blob_col="payload")
