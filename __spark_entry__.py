@@ -66,7 +66,7 @@ _PRIORITY = [
     # (a driver row here is the weaker rows-only check, by design)
     "agg_hll_distinct", "rag_embed_hash",
     # rows-only-by-design leftovers + round-6 additions — r7 window leads
-    "text_bpe_train", "vec_pca_project",
+    "text_bpe_train", "vec_pca_project", "merge_upsert",
     # previously green (r5 window, CORRECTNESS_r05.json 50/50) — re-check
     # order preserved behind the never-checked block
     "array_funcs",

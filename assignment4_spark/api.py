@@ -27,10 +27,20 @@ from .operators.dedup import (  # noqa: F401
     minhash_lsh_pairs,
     simhash_pairs,
 )
+from .operators.lakehouse import (  # noqa: F401
+    init_table,
+    latest_version,
+    load_manifest,
+    merge_upsert_manifest,
+    read_snapshot,
+)
 from .operators.multimodal import (  # noqa: F401
+    binary_extract_tables,
     binary_extract_text,
     compose_markdown,
     compose_pdf,
+    docling_tables_parser,
+    fake_tables_parser,
     phash_buckets,
     pil_luma_decoder,
     pypdf_text_parser,
@@ -85,24 +95,31 @@ from .operators.vectors import (  # noqa: F401
 )
 
 __all__ = [
-    "CHUNK_OVERLAP",
-    "CHUNK_SIZE",
     "as_double",
-    "bloom_prefilter",
+    "binary_extract_tables",
     "binary_extract_text",
+    "bloom_prefilter",
     "bottomk_by_hash",
     "bpe_train",
     "canonical_url",
     "char_entropy",
+    "CHUNK_OVERLAP",
+    "CHUNK_SIZE",
     "chunk_text",
     "compose_markdown",
     "compose_pdf",
     "connected_components",
     "cosine",
+    "docling_tables_parser",
+    "fake_tables_parser",
     "hash_embed_udf",
+    "init_table",
     "interpolate_linear",
     "knn_topk",
     "ks_2sample",
+    "latest_version",
+    "load_manifest",
+    "merge_upsert_manifest",
     "minhash_lsh_pairs",
     "mutual_information",
     "near_dup_pairs_exact",
@@ -117,6 +134,7 @@ __all__ = [
     "psi_binned",
     "pypdf_text_parser",
     "quantize_int8_audit",
+    "read_snapshot",
     "rp_bucket_keys",
     "sessionize",
     "simhash_pairs",

@@ -44,6 +44,7 @@ _OPERATOR_MODULES = [
     "assignment4_spark.operators.graphs",
     "assignment4_spark.operators.sketches",
     "assignment4_spark.operators.drift",
+    "assignment4_spark.operators.lakehouse",
     "assignment4_spark.streaming.batch_decl",
     "assignment4_spark.functions.udfs",
 ]

@@ -1,0 +1,129 @@
+"""MERGE INTO protocol tests (operators/lakehouse.py): the properties
+the registered `merge_upsert` op cannot exercise alone — two-writer
+conflict/retry, file-level pruning of untouched buckets, snapshot
+pinning under concurrent commits, and CAS atomicity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from assignment4_spark.operators.lakehouse import (
+    MergeConflictError,
+    init_table,
+    latest_version,
+    load_manifest,
+    merge_upsert_manifest,
+    read_snapshot,
+)
+
+
+def _mk_table(spark, tmp_path, n=200, n_buckets=8):
+    base = str(tmp_path / "tbl")
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.lit(1).alias("ver"),
+        F.concat(F.lit("p"), F.col("id")).alias("payload"),
+    )
+    init_table(df, base, key_col="k", n_buckets=n_buckets)
+    return base
+
+
+def _upd(spark, keys, ver, tag):
+    return spark.createDataFrame(
+        [(k, ver, f"{tag}{k}") for k in keys], "k long, ver int, payload string"
+    )
+
+
+def test_sequential_merge_latest_wins(spark, tmp_path):
+    base = _mk_table(spark, tmp_path)
+    v, tries = merge_upsert_manifest(
+        base, _upd(spark, [3, 50, 199, 777], 2, "u"), "ver", "payload"
+    )
+    assert (v, tries) == (2, 1)
+    rows = {r.k: (r.ver, r.payload) for r in read_snapshot(spark, base).collect()}
+    assert len(rows) == 201  # 200 base + 1 insert (777)
+    assert rows[3] == (2, "u3") and rows[777] == (2, "u777")
+    assert rows[4] == (1, "p4")
+
+
+def test_untouched_buckets_carry_over_file_identical(spark, tmp_path):
+    """The pruning invariant that makes MERGE affordable at 100 TB:
+    buckets without an updated key keep the SAME file objects across
+    the commit — not re-written copies."""
+    base = _mk_table(spark, tmp_path)
+    m1 = load_manifest(base)
+    merge_upsert_manifest(base, _upd(spark, [7], 2, "u"), "ver", "payload")
+    m2 = load_manifest(base)
+    changed = [b for b in m1["buckets"] if m1["buckets"][b] != m2["buckets"][b]]
+    assert len(changed) == 1, f"one key must touch one bucket, got {changed}"
+    untouched = [b for b in m1["buckets"] if b not in changed]
+    assert untouched, "fixture must have untouched buckets"
+    for b in untouched:
+        assert m2["buckets"][b] == m1["buckets"][b]
+
+
+def test_two_writer_conflict_retries(spark, tmp_path):
+    """Optimistic concurrency end-to-end: writer B commits v2 inside
+    writer A's pre-commit window; A's CAS for v2 must fail, and A must
+    re-merge against B's state and commit v3 containing BOTH updates —
+    the serial result, not a last-writer-wins clobber of B."""
+    base = _mk_table(spark, tmp_path)
+    a_updates = _upd(spark, [10, 20], 2, "a")
+    b_updates = _upd(spark, [20, 30], 2, "b")
+    b_result = {}
+
+    def interleave(attempt):
+        if attempt == 0:
+            b_result["commit"] = merge_upsert_manifest(
+                base, b_updates, "ver", "payload", writer_id="B"
+            )
+
+    v, tries = merge_upsert_manifest(
+        base, a_updates, "ver", "payload", writer_id="A", before_commit=interleave
+    )
+    assert b_result["commit"] == (2, 1)
+    assert (v, tries) == (3, 2), "A must lose v2 and retry into v3"
+    assert latest_version(base) == 3
+    rows = {r.k: (r.ver, r.payload) for r in read_snapshot(spark, base).collect()}
+    assert rows[10] == (2, "a10")
+    assert rows[30] == (2, "b30"), "retry must preserve the winner's rows"
+    # contended key: both wrote ver=2; tiebreak_col (payload ASC) is
+    # deterministic and 'a20' < 'b20'
+    assert rows[20] == (2, "a20")
+    # pinned reads survive both commits
+    assert read_snapshot(spark, base, version=1).count() == 200
+
+
+def test_conflict_exhaustion_raises(spark, tmp_path):
+    """A writer that loses the CAS on every attempt must fail loudly
+    (MergeConflictError), never publish a torn manifest."""
+    base = _mk_table(spark, tmp_path)
+    counter = {"n": 0}
+
+    def always_lose(attempt):
+        counter["n"] += 1
+        merge_upsert_manifest(
+            base, _upd(spark, [attempt + 100], 2, "spoiler"), "ver", "payload",
+            writer_id=f"S{attempt}",
+        )
+
+    with pytest.raises(MergeConflictError):
+        merge_upsert_manifest(
+            base, _upd(spark, [1], 2, "loser"), "ver", "payload",
+            writer_id="L", max_retries=2, before_commit=always_lose,
+        )
+    assert counter["n"] == 3  # initial try + 2 retries, each spoiled
+    # every committed version is a spoiler's — the loser left nothing
+    rows = {r.k: r.payload for r in read_snapshot(spark, base).collect()}
+    assert rows[1] == "p1", "loser's update must not be visible"
+    assert {"spoiler100", "spoiler101", "spoiler102"} <= set(rows.values())
+
+
+def test_init_twice_rejected(spark, tmp_path):
+    base = _mk_table(spark, tmp_path)
+    df = spark.range(5).select(
+        F.col("id").alias("k"), F.lit(1).alias("ver"), F.lit("x").alias("payload")
+    )
+    with pytest.raises(ValueError, match="already initialized"):
+        init_table(df, base, key_col="k", n_buckets=8)

@@ -1081,3 +1081,23 @@ def test_cluster_holdout_broadcasts_membership(spark, sf_oracle):
     assert "BroadcastHashJoin" in body, body
     assert "Window" not in body, body
     assert "HashAggregate" in body, body
+
+
+def test_merge_upsert_snapshot_read_pruned_narrow(spark, sf_oracle):
+    """merge_upsert: the returned plan is the AS-OF snapshot read +
+    one hash aggregate. The scan must prune the key column (the agg
+    needs only status/ver/price — at 100 TB reading k too is a third
+    more I/O), keep the partial-agg before the single status exchange,
+    and plan no join/window: MERGE work happens at commit time, never
+    on the read path."""
+    plan = formatted_plan(spark, "merge_upsert", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    read = next(l for l in body.splitlines() if "ReadSchema" in l)
+    assert "struct<ver" in read and "k:" not in read, read
+    # exactly the agg exchange + the presentation-sort exchange (count
+    # tree nodes "Exchange (n)" — details repeat each name once more)
+    import re
+
+    assert len(re.findall(r"Exchange \(\d+\)", body)) == 2, body
+    assert "SortMergeJoin" not in body and "Window" not in body, body
+    assert "HashAggregate" in body, body
