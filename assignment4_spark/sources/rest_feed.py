@@ -195,7 +195,10 @@ class RestFeedStreamReader(DataSourceStreamReader):
       committed offset (persist happens before the engine logs), which
       at worst makes one latestOffset admit a wider range the engine
       plans from its own committed start — never a regression, never a
-      re-emission: exactly-once end-to-end with an idempotent sink.
+      re-emission: exactly-once end-to-end with an idempotent sink
+      (the sink half is streaming.stream_impl.idempotent_parquet_sink;
+      the claim is proven with a FORCED batch replay in
+      tests/test_streaming.py::test_idempotent_sink_replayed_batch).
     * no ``cursor_path`` (default): a fresh process restarts the
       counter, so the first post-restart latestOffset regresses below
       the restored start; partitions() repairs the cursor from that

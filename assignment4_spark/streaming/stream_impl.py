@@ -502,3 +502,40 @@ def profile_enrich(events: DataFrame) -> DataFrame:
             timeMode="none",
         )
     )
+
+
+def idempotent_parquet_sink(out_dir: str):
+    """The standard exactly-once foreachBatch recipe, promoted to a
+    product API: each micro-batch overwrites its OWN batch-id-keyed
+    subdirectory (``{out_dir}/batch_id={id}``), so a batch replayed
+    after a crash-before-checkpoint-commit lands on the same path and
+    the rewrite is a no-op state-wise — at-least-once delivery from
+    the engine composes with this sink into exactly-once output.
+
+    This is the sink half of stream_rest_feed's exactly-once claim
+    (sources/rest_feed.py documents the source half: cursor_path
+    persistence makes the restarted reader's offsets non-regressing);
+    tests/test_streaming.py::test_idempotent_sink_replayed_batch
+    FORCES a replay by deleting the last checkpoint commit marker and
+    proves the output still holds every record exactly once.
+
+    Read the sink back with ``read_idempotent_sink`` — batch_id is a
+    partition column, so the read prunes/filters on it for free.
+    Production notes: the same pattern over an ACID table uses
+    ``df.write.mode("overwrite").option("replaceWhere", ...)`` or a
+    MERGE keyed on batch_id (operators/lakehouse.py); the directory
+    form here needs no table format and survives any restart because
+    the path, not sink state, encodes which batch the data belongs to."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+
+    return write_batch
+
+
+def read_idempotent_sink(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read everything an idempotent_parquet_sink wrote; ``batch_id``
+    surfaces as a partition column (directory-derived)."""
+    return spark.read.option("basePath", out_dir).parquet(out_dir)

@@ -439,3 +439,101 @@ def test_stream_rest_feed_restart_no_duplicates(spark, tmp_path):
         f"expected each of 60 records exactly once, got {len(ids)} rows "
         f"(dupes/missing around {[(i, c) for i, c in __import__('collections').Counter(ids).items() if c != 1][:5]})"
     )
+
+
+def test_idempotent_sink_replayed_batch(spark, tmp_path):
+    """Exactly-once END TO END for stream_rest_feed, with the batch
+    replay actually forced: drain the feed through
+    idempotent_parquet_sink, stop, delete the final checkpoint commit
+    marker (the on-disk state of a crash between addBatch and commit),
+    restart — Spark MUST re-execute that batch (asserted via a counting
+    wrapper), and because the sink overwrites its batch-id-keyed
+    directory the re-execution changes nothing: every one of the 60
+    feed records is present exactly once. This is the proof behind the
+    sink half of the exactly-once claim in sources/rest_feed.py; the
+    restart test above proves the source half (offset non-regression)."""
+    import os
+    import time as _t
+
+    from assignment4_spark.sources import register_once
+    from assignment4_spark.sources.rest_feed import RestFeedDataSource
+
+    register_once(spark, RestFeedDataSource)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sink")
+    cursor = str(tmp_path / "cursor")
+
+    sink = si.idempotent_parquet_sink(out)
+    calls: list[int] = []
+
+    def counting_sink(batch_df, batch_id):
+        calls.append(batch_id)
+        sink(batch_df, batch_id)
+
+    def run(stop_when) -> None:
+        feed = (
+            spark.readStream.format("rest_feed")
+            .option("pages", 6)
+            .option("pages_per_batch", 2)
+            .option("cursor_path", cursor)
+            .load()
+        )
+        q = (
+            feed.writeStream.foreachBatch(counting_sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            deadline = _t.time() + 120
+            while _t.time() < deadline and not stop_when():
+                _t.sleep(0.3)
+            assert stop_when(), "stream never reached the expected state"
+        finally:
+            q.stop()
+
+    def drained() -> bool:
+        # all 60 records delivered AND all three batches committed —
+        # the crash simulation below must start from a fully-committed
+        # checkpoint so exactly one (known) batch replays
+        try:
+            commits = [
+                c
+                for c in os.listdir(os.path.join(ckpt, "commits"))
+                if not c.startswith(".")
+            ]
+            return (
+                len(commits) >= 3
+                and si.read_idempotent_sink(spark, out).count() >= 60
+            )
+        except Exception:  # sink/checkpoint dirs not created yet
+            return False
+
+    run(drained)
+
+    # simulate crash-before-commit: offsets/<N> exists, commits/<N> gone
+    commits = sorted(os.listdir(os.path.join(ckpt, "commits")), key=str)
+    victims = [c for c in commits if not c.startswith(".")]
+    victim = max(int(c) for c in victims)
+    os.remove(os.path.join(ckpt, "commits", str(victim)))
+    calls_before_restart = list(calls)
+
+    # wait for the commit MARKER, not the sink callback: the callback
+    # registers before its write finishes, and stopping there would
+    # kill the replay mid-write — the exact torn state the marker exists
+    # to rule out
+    victim_marker = os.path.join(ckpt, "commits", str(victim))
+    run(lambda: os.path.exists(victim_marker))
+
+    replayed = calls[len(calls_before_restart):]
+    assert victim in replayed, f"batch {victim} was not re-executed: {replayed}"
+    rows = si.read_idempotent_sink(spark, out).collect()
+    ids = sorted(r.rec_id for r in rows)
+    assert ids == list(range(60)), (
+        f"exactly-once violated: {len(ids)} rows, dupes/missing near "
+        f"{[i for i in set(ids) if ids.count(i) != 1][:5]}"
+    )
+    # the replayed batch landed in ITS OWN partition dir, proving the
+    # overwrite was keyed by batch_id (not a blind append)
+    assert any(r.batch_id == victim for r in rows)
