@@ -8,13 +8,18 @@ from pyspark.sql import SparkSession
 def register_once(spark: SparkSession, ds_cls) -> None:
     """Register a Python DataSource, tolerating re-registration.
 
-    Spark raises on duplicate short-name registration and the error
-    message wording is version-dependent; every call site used to carry
-    its own copy of this string-matching guard — one definition keeps
-    the matching logic in one place. Anything that is NOT a duplicate
-    registration (API change, bad class) still raises."""
+    Spark 4.1 does not raise on a duplicate short name at all (it WARNs
+    and replaces — verified live), but versions that do raise tag the
+    error with the DATA_SOURCE_ALREADY_EXISTS condition. Only THAT
+    condition is swallowed; everything else (API change, bad class, a
+    failure whose message merely contains 'exists'/'registered' — the
+    hole the old substring match left open) propagates."""
     try:
         spark.dataSource.register(ds_cls)
     except Exception as ex:
-        if "exists" not in str(ex).lower() and "registered" not in str(ex).lower():
+        get_cond = getattr(ex, "getCondition", None) or getattr(
+            ex, "getErrorClass", None
+        )
+        cond = get_cond() if callable(get_cond) else None
+        if cond != "DATA_SOURCE_ALREADY_EXISTS":
             raise

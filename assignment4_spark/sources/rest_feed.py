@@ -221,6 +221,22 @@ class RestFeedStreamReader(DataSourceStreamReader):
                 self._cur = int(f.read().strip() or 0)
 
     def initialOffset(self) -> dict:
+        # invoked ONLY for a FRESH checkpoint (a restart resumes from
+        # the offset log without calling this — pyspark datasource.py),
+        # so this is exactly the moment to CLAIM the cursor file: a
+        # stale cursor left by a previous query at the same path would
+        # otherwise make the first latestOffset admit the whole
+        # historical page range in one micro-batch, defeating
+        # pages_per_batch admission control. Concurrent queries must
+        # still not SHARE a cursor_path (single-query ownership is the
+        # documented contract); this guard repairs the serial-reuse
+        # case, not simultaneous writers.
+        self._cur = 0
+        if self._cursor_path:
+            tmp = f"{self._cursor_path}.tmp"
+            with open(tmp, "w") as f:
+                f.write("0")
+            os.replace(tmp, self._cursor_path)
         return {"page": 0}
 
     def latestOffset(self) -> dict:

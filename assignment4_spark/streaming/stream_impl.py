@@ -33,6 +33,7 @@ import os
 import shutil
 import uuid
 from collections.abc import Iterable
+from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -61,6 +62,17 @@ EVENTS_STREAM_SCHEMA = StructType(
         StructField("value", DoubleType()),
     ]
 )
+
+
+def _round2_half_up(x: float) -> float:
+    """Match Spark's F.round(col, 2) on doubles inside a Python
+    stateful processor: Spark quantizes BigDecimal.valueOf(double)
+    (shortest decimal rendering) HALF_UP, while Python's round() is
+    half-even — on exactly-representable 2-dp ties (totals ending
+    .125, .375, …) the two differ by 0.01 and the streaming twin would
+    diverge from its batch declaration. Decimal(repr(x)) reproduces the
+    shortest-rendering + HALF_UP pipeline exactly."""
+    return float(Decimal(repr(x)).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP))
 
 
 def replay_dir(spark: SparkSession, sf_dir: str, n_slices: int = 6) -> str:
@@ -208,7 +220,7 @@ def _running(key, pdf_iter: Iterable[pd.DataFrame], state: GroupState):
             cnt += 1
             acc += float(v)
             out_cnt.append(cnt)
-            out_sum.append(round(acc, 2))
+            out_sum.append(_round2_half_up(acc))
         yield pd.DataFrame(
             {
                 "user_id": pdf["user_id"],
@@ -464,7 +476,7 @@ class _ProfileEnrich(StatefulProcessor):
                     ntypes += 1
                 if et == "purchase":
                     total += float(v)
-                out_total.append(round(total, 2))
+                out_total.append(_round2_half_up(total))
                 out_n.append(ntypes)
             yield pd.DataFrame(
                 {

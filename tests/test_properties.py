@@ -844,3 +844,26 @@ def test_profile_enrich_processor_pure_replay(spark, sf_oracle):
         want[["user_id", "event_id", "purchase_total", "n_types_seen"]],
         check_dtype=False,
     )
+
+
+def test_stateful_rounding_matches_spark_half_up(spark):
+    """The Python stateful processors round running totals with
+    _round2_half_up; on exactly-representable 2-dp ties (.125, .375 …)
+    Python's built-in round() (half-even) diverges from Spark's
+    F.round (HALF_UP on the shortest decimal rendering) by 0.01 — the
+    exact drift the batch/stream equivalence contract forbids. Pin the
+    helper against Spark itself on the tie values, where round() is
+    known-wrong."""
+    from assignment4_spark.streaming.stream_impl import _round2_half_up
+
+    ties = [0.125, 0.375, 1.125, 2.625, -0.125, 1000.875, 0.005, 2.675]
+    got = [_round2_half_up(x) for x in ties]
+    want = [
+        r[0]
+        for r in spark.createDataFrame([(x,) for x in ties], "x double")
+        .select(F.round("x", 2).alias("r"))
+        .collect()
+    ]
+    assert got == want, list(zip(ties, got, want))
+    # and the built-in would indeed have diverged on the half-even ties
+    assert round(0.125, 2) != _round2_half_up(0.125)

@@ -537,3 +537,26 @@ def test_idempotent_sink_replayed_batch(spark, tmp_path):
     # the replayed batch landed in ITS OWN partition dir, proving the
     # overwrite was keyed by batch_id (not a blind append)
     assert any(r.batch_id == victim for r in rows)
+
+
+def test_rest_feed_fresh_checkpoint_claims_stale_cursor(tmp_path):
+    """A cursor file left by a PREVIOUS query at the same path must not
+    inflate a fresh checkpoint's first micro-batch: initialOffset (the
+    one call unique to a fresh checkpoint — restarts resume from the
+    offset log without it) claims/reset the cursor, so the first
+    latestOffset admits pages_per_batch pages, not the whole historical
+    range."""
+    from assignment4_spark.sources.rest_feed import RestFeedStreamReader
+
+    cursor = tmp_path / "cursor"
+    cursor.write_text("6")  # stale: a previous run finished the feed
+    opts = {"pages": "6", "pages_per_batch": "2", "cursor_path": str(cursor)}
+
+    fresh = RestFeedStreamReader(opts)
+    assert fresh.initialOffset() == {"page": 0}
+    assert fresh.latestOffset() == {"page": 2}, "stale cursor defeated admission"
+    assert cursor.read_text() == "2"
+
+    # restart path unchanged: no initialOffset call, cursor restores
+    restarted = RestFeedStreamReader(opts)
+    assert restarted.latestOffset() == {"page": 4}
