@@ -127,3 +127,60 @@ def test_init_twice_rejected(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="already initialized"):
         init_table(df, base, key_col="k", n_buckets=8)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_batches_strategy = st.lists(
+    st.lists(
+        st.tuples(
+            st.integers(0, 30),          # key
+            st.integers(2, 5),           # version
+            st.text("abcde", min_size=1, max_size=4),  # payload/tiebreak
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(batches=_batches_strategy, n_buckets=st.integers(1, 8))
+def test_merge_protocol_matches_pure_replay(spark, batches, n_buckets):
+    """For ANY sequence of update batches (duplicate keys, duplicate
+    versions, any bucket count) the committed final state must equal a
+    pure-Python latest-wins replay: max by (ver DESC, payload ASC) per
+    key across base ∪ all updates, applied batch-by-batch."""
+    import shutil
+    import tempfile
+
+    base_dir = tempfile.mkdtemp(prefix="merge_prop_")
+    try:
+        base_rows = [(k, 1, f"base{k}") for k in range(0, 31, 3)]
+        df = spark.createDataFrame(base_rows, "k long, ver int, payload string")
+        init_table(df, base_dir, key_col="k", n_buckets=n_buckets)
+
+        state = {k: (v, p) for k, v, p in base_rows}
+        expect_version = 1
+        for batch in batches:
+            upd = spark.createDataFrame(
+                [(k, v, p) for k, v, p in batch], "k long, ver int, payload string"
+            )
+            got_v, tries = merge_upsert_manifest(base_dir, upd, "ver", "payload")
+            expect_version += 1
+            assert (got_v, tries) == (expect_version, 1)
+            # replay: within one batch AND against current state, the
+            # single latest-wins window picks max(ver DESC, payload ASC)
+            for k in {k for k, _, _ in batch}:
+                cands = [(-v, p) for kk, v, p in batch if kk == k]
+                if k in state:
+                    cands.append((-state[k][0], state[k][1]))
+                nv, np_ = min(cands)
+                state[k] = (-nv, np_)
+        got = {r.k: (r.ver, r.payload) for r in read_snapshot(spark, base_dir).collect()}
+        assert got == state
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
