@@ -152,6 +152,7 @@ def init_table(
         "version": 1,
         "n_buckets": n_buckets,
         "key_col": key_col,
+        "columns": df.columns,
         "buckets": {str(b): fs for b, fs in sorted(_list_bucket_files(staging).items())},
     }
     if not _publish_manifest(base_dir, manifest):
@@ -200,6 +201,13 @@ def merge_upsert_manifest(
     for attempt in range(max_retries + 1):
         snap = load_manifest(base_dir)
         key_col, n_buckets = snap["key_col"], snap["n_buckets"]
+        expected = snap.get("columns")
+        if expected is not None and sorted(updates.columns) != sorted(expected):
+            raise ValueError(
+                f"update batch columns {sorted(updates.columns)} do not match "
+                f"table columns {sorted(expected)}; MERGE does not evolve the "
+                "schema — align the batch (or re-init) first"
+            )
         cols = [key_col, ver_col, tiebreak_col] + [
             c for c in updates.columns if c not in (key_col, ver_col, tiebreak_col)
         ]
@@ -242,6 +250,7 @@ def merge_upsert_manifest(
             "version": next_version,
             "n_buckets": n_buckets,
             "key_col": key_col,
+            "columns": expected if expected is not None else updates.columns,
             "buckets": {k: buckets[k] for k in sorted(buckets, key=int)},
         }
         if before_commit is not None:

@@ -184,3 +184,15 @@ def test_merge_protocol_matches_pure_replay(spark, batches, n_buckets):
         assert got == state
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
+
+
+def test_merge_rejects_schema_drift(spark, tmp_path):
+    """MERGE does not evolve the schema: an update batch whose columns
+    differ from the table's manifest-recorded columns must fail fast
+    with a named error, not an opaque mid-plan analysis exception."""
+    base = _mk_table(spark, tmp_path)
+    drifted = spark.createDataFrame(
+        [(1, 2, "x", 9.9)], "k long, ver int, payload string, extra double"
+    )
+    with pytest.raises(ValueError, match="do not match table columns"):
+        merge_upsert_manifest(base, drifted, "ver", "payload")
