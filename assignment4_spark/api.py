@@ -33,6 +33,7 @@ from .operators.lakehouse import (  # noqa: F401
     load_manifest,
     merge_upsert_manifest,
     read_snapshot,
+    vacuum,
 )
 from .operators.multimodal import (  # noqa: F401
     binary_extract_tables,
@@ -141,6 +142,7 @@ __all__ = [
     "triangle_count",
     "upsert_merge_parquet",
     "utf8_text_parser",
+    "vacuum",
     "weighted_median",
     "weighted_sample_ares",
 ]

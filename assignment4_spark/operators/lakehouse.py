@@ -171,6 +171,59 @@ def read_snapshot(
     return spark.read.parquet(*files)
 
 
+def vacuum(base_dir: str, keep_last: int = 2) -> dict:
+    """Retention cleanup — the VACUUM half of the MERGE story: expire
+    every manifest older than the newest ``keep_last`` versions and
+    delete the data files ONLY those expired versions reference.
+
+    A file is deleted iff it appears in some expired manifest and in NO
+    kept manifest — untouched-bucket files carried forward across
+    commits survive as long as any kept version names them. Readers
+    pinned inside the retention window are untouched (their manifests
+    and files remain intact); readers pinned to an expired version
+    lose it — the same explicit retention contract Delta/Iceberg
+    VACUUM/expire_snapshots ships with. Deletion order is files first,
+    manifests last, so a crash mid-vacuum can never leave a live
+    manifest naming a deleted file... only an expired one.
+
+    Returns ``{"deleted_versions": [...], "deleted_files": N,
+    "kept_versions": [...]}``."""
+    latest = latest_version(base_dir)
+    if latest == 0:
+        raise ValueError(f"no committed table at {base_dir}")
+    keep_last = max(1, keep_last)
+    # enumerate versions that STILL EXIST on disk (an earlier vacuum
+    # already removed older manifests — idempotency requires never
+    # assuming a contiguous 1..latest range)
+    existing = sorted(
+        int(fn[1:-5])
+        for fn in os.listdir(base_dir)
+        if fn.startswith("v") and fn.endswith(".json") and fn[1:-5].isdigit()
+    )
+    kept = [v for v in existing if v > latest - keep_last]
+    expired = [v for v in existing if v not in kept]
+    kept_files: set[str] = set()
+    for v in kept:
+        for fs in load_manifest(base_dir, v)["buckets"].values():
+            kept_files.update(fs)
+    doomed: set[str] = set()
+    for v in expired:
+        for fs in load_manifest(base_dir, v)["buckets"].values():
+            doomed.update(f for f in fs if f not in kept_files)
+    for f in sorted(doomed):
+        try:
+            os.remove(f)
+        except FileNotFoundError:
+            pass  # an earlier interrupted vacuum already got it
+    for v in expired:
+        os.remove(_manifest_path(base_dir, v))
+    return {
+        "deleted_versions": expired,
+        "deleted_files": len(doomed),
+        "kept_versions": kept,
+    }
+
+
 class MergeConflictError(RuntimeError):
     """Raised when a merge loses the commit CAS more than max_retries
     times in a row (livelock guard; production backs off instead)."""

@@ -21,6 +21,11 @@ cluster-holdout / variant-shred / profile-enrich / streaming-rest-feed
 wave AND the shared-edge-helper refactor landed): 236/236 oracled pass
 exact, 9/9 rows-only run clean — zero mismatches, one session.
 
+Round-6 result (full re-run at the 247-query surface, after
+merge_upsert, the scan_permissive_corrupt single-aggregate rewrite and
+the review-fix wave landed): 238/238 oracled exact, 9/9 rows-only
+clean — zero mismatches, one hostile session.
+
 A path-looking first arg (contains a separator) that is not a directory
 is an error, and so is a name that matches no queries() key — without
 those checks a typo'd sf_dir or op name silently probes NOTHING and

@@ -196,3 +196,46 @@ def test_merge_rejects_schema_drift(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="do not match table columns"):
         merge_upsert_manifest(base, drifted, "ver", "payload")
+
+
+def test_vacuum_retention_window(spark, tmp_path):
+    """VACUUM deletes exactly the files only-expired manifests name:
+    after two merges (3 versions) and vacuum(keep_last=2), v1 is gone,
+    v2/v3 read byte-identically to before, and every untouched-bucket
+    file carried forward into a kept manifest SURVIVES even though v1
+    also named it."""
+    import os
+
+    from assignment4_spark.operators.lakehouse import vacuum
+
+    base = _mk_table(spark, tmp_path, n=100, n_buckets=4)
+    merge_upsert_manifest(base, _upd(spark, [5], 2, "u"), "ver", "payload")
+    merge_upsert_manifest(base, _upd(spark, [6], 3, "w"), "ver", "payload")
+    before_v2 = sorted(map(tuple, read_snapshot(spark, base, 2).collect()))
+    before_v3 = sorted(map(tuple, read_snapshot(spark, base, 3).collect()))
+    m1_files = {f for fs in load_manifest(base, 1)["buckets"].values() for f in fs}
+    kept_files = {
+        f
+        for v in (2, 3)
+        for fs in load_manifest(base, v)["buckets"].values()
+        for f in fs
+    }
+
+    out = vacuum(base, keep_last=2)
+    assert out["deleted_versions"] == [1] and out["kept_versions"] == [2, 3]
+    # v1-only files deleted, shared carry-over files intact
+    for f in m1_files - kept_files:
+        assert not os.path.exists(f), f
+    for f in kept_files:
+        assert os.path.exists(f), f
+    assert sorted(map(tuple, read_snapshot(spark, base, 2).collect())) == before_v2
+    assert sorted(map(tuple, read_snapshot(spark, base, 3).collect())) == before_v3
+    with pytest.raises(FileNotFoundError):
+        load_manifest(base, 1)
+    assert latest_version(base) == 3
+    # vacuum is idempotent inside the window
+    out2 = vacuum(base, keep_last=2)
+    assert out2["deleted_versions"] == [] and out2["deleted_files"] == 0
+    # and the table still merges normally afterwards
+    v, tries = merge_upsert_manifest(base, _upd(spark, [7], 4, "z"), "ver", "payload")
+    assert (v, tries) == (4, 1)
