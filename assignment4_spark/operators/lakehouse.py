@@ -64,6 +64,10 @@ def _bucket_of(key_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
 
+def _column_types(df: DataFrame) -> dict[str, str]:
+    return {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
+
 def _manifest_path(base_dir: str, version: int) -> str:
     return os.path.join(base_dir, f"v{version}.json")
 
@@ -137,11 +141,18 @@ def init_table(
     store it, so any pinned-file read can recompute it from the key and
     no basePath gymnastics are needed. Raises if the table already has
     a committed version (init is not a merge)."""
-    spark = df.sparkSession
+    import shutil
+
     os.makedirs(base_dir, exist_ok=True)
     if latest_version(base_dir) != 0:
         raise ValueError(f"table at {base_dir} already initialized")
-    staging = os.path.join(base_dir, "commit_v1")
+    # staging is WRITER-PRIVATE (pid/thread), exactly like merge's: a
+    # shared 'commit_v1' dir with mode(overwrite) would let a
+    # concurrent-init LOSER delete the CAS winner's part files before
+    # losing — publishing a v1 manifest that names dead paths
+    staging = os.path.join(
+        base_dir, f"commit_v1_{os.getpid()}_{threading.get_ident()}"
+    )
     (
         df.withColumn("bucket", _bucket_of(key_col, n_buckets))
         .write.mode("overwrite")
@@ -153,11 +164,12 @@ def init_table(
         "n_buckets": n_buckets,
         "key_col": key_col,
         "columns": df.columns,
+        "column_types": _column_types(df),
         "buckets": {str(b): fs for b, fs in sorted(_list_bucket_files(staging).items())},
     }
     if not _publish_manifest(base_dir, manifest):
+        shutil.rmtree(staging, ignore_errors=True)  # loser leaves nothing
         raise ValueError(f"concurrent init of {base_dir}")
-    _ = spark  # session only needed by callers reading back
     return manifest
 
 
@@ -249,18 +261,44 @@ def merge_upsert_manifest(
     files are written but before the CAS — the window in which a
     competing commit causes this writer to lose the race and retry.
 
+    Retention interaction (the same contract Delta documents for
+    VACUUM): the retention window must exceed the longest-running
+    merge. A vacuum that expires THIS writer's pinned version mid-merge
+    deletes base files the attempt is reading; the loop treats that
+    file-not-found exactly like a lost CAS — re-pin the (younger)
+    latest manifest and retry — so the merge still converges unless it
+    exhausts max_retries.
+
     Returns ``(committed_version, attempts)``."""
+    import shutil
+
     spark = updates.sparkSession
     for attempt in range(max_retries + 1):
         snap = load_manifest(base_dir)
         key_col, n_buckets = snap["key_col"], snap["n_buckets"]
         expected = snap.get("columns")
+        expected_types = snap.get("column_types")
         if expected is not None and sorted(updates.columns) != sorted(expected):
             raise ValueError(
                 f"update batch columns {sorted(updates.columns)} do not match "
                 f"table columns {sorted(expected)}; MERGE does not evolve the "
                 "schema — align the batch (or re-init) first"
             )
+        if expected_types is not None:
+            got_types = _column_types(updates)
+            drift = {
+                c: (expected_types[c], got_types[c])
+                for c in got_types
+                if c in expected_types and got_types[c] != expected_types[c]
+            }
+            if drift:
+                # name-only matching would let a type-drifted key column
+                # re-bucket (xxhash64('5') != xxhash64(5L)) and leave TWO
+                # live rows for one logical key across buckets
+                raise ValueError(
+                    f"update batch column types drift from the table's: "
+                    f"{drift}; MERGE does not evolve the schema"
+                )
         cols = [key_col, ver_col, tiebreak_col] + [
             c for c in updates.columns if c not in (key_col, ver_col, tiebreak_col)
         ]
@@ -282,19 +320,30 @@ def merge_upsert_manifest(
         w = Window.partitionBy(key_col).orderBy(
             F.col(ver_col).desc(), F.col(tiebreak_col)
         )
+        # the lazy plan writes straight to staging: pinned base files
+        # are IMMUTABLE under the protocol (commits only add files and
+        # publish manifests; only vacuum deletes), so no checkpoint
+        # barrier is needed — a materialize-then-rewrite here would
+        # double the commit path's I/O for nothing
         merged = (
             unioned.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .drop("rn")
-            # materialize BEFORE the CAS: a lazy plan would re-read base
-            # files during the write while a winner's commit is landing
-            .localCheckpoint(eager=True)
         )
         next_version = snap["version"] + 1
         staging = os.path.join(
             base_dir, f"commit_v{next_version}_{writer_id}_a{attempt}"
         )
-        merged.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+        try:
+            merged.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+        except Exception as ex:
+            shutil.rmtree(staging, ignore_errors=True)
+            msg = str(ex)
+            if "FileNotFound" in msg or "does not exist" in msg:
+                # a vacuum expired our pinned version mid-read (see
+                # docstring): same remedy as a lost CAS — re-pin + retry
+                continue
+            raise
         new_files = _list_bucket_files(staging)
         buckets = dict(snap["buckets"])
         for b in touched:
@@ -304,14 +353,20 @@ def merge_upsert_manifest(
             "n_buckets": n_buckets,
             "key_col": key_col,
             "columns": expected if expected is not None else updates.columns,
+            "column_types": expected_types
+            if expected_types is not None
+            else _column_types(updates),
             "buckets": {k: buckets[k] for k in sorted(buckets, key=int)},
         }
         if before_commit is not None:
             before_commit(attempt)
         if _publish_manifest(base_dir, manifest):
             return next_version, attempt + 1
-        # lost the CAS: a competing commit moved the version — loop
-        # re-pins the winner's manifest and re-merges against it
+        # lost the CAS: a competing commit moved the version — drop this
+        # attempt's unreferenced staging files (they are in NO manifest,
+        # so vacuum would never reclaim them) and re-merge against the
+        # winner's manifest
+        shutil.rmtree(staging, ignore_errors=True)
     raise MergeConflictError(
         f"merge by {writer_id} lost the commit race {max_retries + 1} times"
     )

@@ -239,3 +239,49 @@ def test_vacuum_retention_window(spark, tmp_path):
     # and the table still merges normally afterwards
     v, tries = merge_upsert_manifest(base, _upd(spark, [7], 4, "z"), "ver", "payload")
     assert (v, tries) == (4, 1)
+
+
+def test_lost_cas_leaves_no_orphan_staging(spark, tmp_path):
+    """A lost CAS (and an exhausted merge) must clean up its staging
+    directory: those files appear in no manifest, so vacuum would never
+    reclaim them and every conflict would otherwise leak a
+    touched-bucket-sized copy of the data forever."""
+    import os
+
+    base = _mk_table(spark, tmp_path)
+
+    def spoil(attempt):
+        if attempt == 0:
+            merge_upsert_manifest(
+                base, _upd(spark, [50], 2, "s"), "ver", "payload", writer_id="S"
+            )
+
+    merge_upsert_manifest(
+        base, _upd(spark, [10], 2, "a"), "ver", "payload",
+        writer_id="A", before_commit=spoil,
+    )
+    referenced = {
+        os.path.dirname(os.path.dirname(f))
+        for v in (1, 2, 3)
+        for fs in load_manifest(base, v)["buckets"].values()
+        for f in fs
+    }
+    on_disk = {
+        os.path.join(base, d)
+        for d in os.listdir(base)
+        if d.startswith("commit_") and os.path.isdir(os.path.join(base, d))
+    }
+    assert on_disk == referenced, f"orphans: {sorted(on_disk - referenced)}"
+
+
+def test_merge_rejects_type_drift(spark, tmp_path):
+    """Same column NAMES but a drifted KEY TYPE must fail fast: a
+    string '5' hashes to a different bucket than long 5, so a
+    type-drifted batch would leave two live rows for one logical key
+    across buckets (and mixed-type parquet files behind them)."""
+    base = _mk_table(spark, tmp_path)
+    drifted = spark.createDataFrame(
+        [("5", 2, "x")], "k string, ver int, payload string"
+    )
+    with pytest.raises(ValueError, match="column types drift"):
+        merge_upsert_manifest(base, drifted, "ver", "payload")
