@@ -771,3 +771,46 @@ def test_binary_extract_tables_rejects_reserved_id_col(spark):
     df = spark.createDataFrame([("a", b"x")], "s3_key string, payload binary")
     with pytest.raises(ValueError, match="reserved output column"):
         api.binary_extract_tables(df, id_col="s3_key", blob_col="payload")
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    blobs=st.lists(
+        st.one_of(st.none(), st.binary(min_size=0, max_size=64)),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_binary_extract_tables_replay_property(spark, blobs):
+    """For ANY blob list (including NULLs and empty blobs) the hook's
+    output equals a pure-Python replay of the same parser — table
+    count, 1-based numbering, shapes, flattened cells."""
+    from assignment4_spark.operators.multimodal import fake_tables_parser
+
+    rows = [(i, b) for i, b in enumerate(blobs)]
+    df = spark.createDataFrame(rows, "bid long, payload binary")
+    got = sorted(
+        (r.bid, r.table_no, r.n_rows, r.n_cols, r.cells_csv)
+        for r in api.binary_extract_tables(
+            df, id_col="bid", blob_col="payload"
+        ).collect()
+    )
+    want = []
+    for i, b in rows:
+        if b is None:
+            continue
+        for t_no, tbl in enumerate(fake_tables_parser(b), start=1):
+            want.append(
+                (
+                    i,
+                    t_no,
+                    len(tbl),
+                    max(len(r) for r in tbl),
+                    "\n".join(",".join(r) for r in tbl),
+                )
+            )
+    assert got == sorted(want)
