@@ -285,3 +285,40 @@ def test_merge_rejects_type_drift(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="column types drift"):
         merge_upsert_manifest(base, drifted, "ver", "payload")
+
+
+def test_concurrent_writers_free_running(spark, tmp_path):
+    """FOUR writers merging simultaneously with no orchestration seam —
+    the CAS must serialize them into versions 2..5 (each writer commits
+    exactly one), natural lost races must resolve by retry, and the
+    final state must contain every writer's update. This is the
+    protocol under true thread concurrency; the seam-driven test above
+    pins the interleaving, this one pins liveness + convergence."""
+    import threading as th
+
+    base = _mk_table(spark, tmp_path)
+    results: dict[str, tuple[int, int]] = {}
+    errors: list[Exception] = []
+
+    def writer(wid: int) -> None:
+        try:
+            upd = _upd(spark, [wid, 1000 + wid], 2, f"w{wid}_")
+            results[f"w{wid}"] = merge_upsert_manifest(
+                base, upd, "ver", "payload", writer_id=f"w{wid}", max_retries=12
+            )
+        except Exception as ex:  # surfaced after join
+            errors.append(ex)
+
+    threads = [th.Thread(target=writer, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    assert sorted(v for v, _ in results.values()) == [2, 3, 4, 5]
+    assert latest_version(base) == 5
+    rows = {r.k: (r.ver, r.payload) for r in read_snapshot(spark, base).collect()}
+    for i in range(4):
+        assert rows[i] == (2, f"w{i}_{i}"), rows.get(i)
+        assert rows[1000 + i] == (2, f"w{i}_{1000 + i}")  # insert path
+    assert len(rows) == 204  # 200 base + 4 inserts (1000..1003)
