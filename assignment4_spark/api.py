@@ -47,6 +47,10 @@ from .operators.multimodal import (  # noqa: F401
     pypdf_text_parser,
     utf8_text_parser,
 )
+from .streaming.stream_impl import (  # noqa: F401
+    idempotent_parquet_sink,
+    read_idempotent_sink,
+)
 from .operators.rag import (  # noqa: F401
     CHUNK_OVERLAP,
     CHUNK_SIZE,
@@ -114,6 +118,7 @@ __all__ = [
     "docling_tables_parser",
     "fake_tables_parser",
     "hash_embed_udf",
+    "idempotent_parquet_sink",
     "init_table",
     "interpolate_linear",
     "knn_topk",
@@ -135,6 +140,7 @@ __all__ = [
     "psi_binned",
     "pypdf_text_parser",
     "quantize_int8_audit",
+    "read_idempotent_sink",
     "read_snapshot",
     "rp_bucket_keys",
     "sessionize",
