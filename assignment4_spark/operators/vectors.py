@@ -319,7 +319,8 @@ def vec_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
              AS cos_sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+    WHERE ROUND(LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+          >= 0.4
     ORDER BY vec_a, vec_b
     """,
 )
@@ -388,9 +389,19 @@ def near_dup_pairs_exact(
         b_ids = right["vec_id"].to_numpy(dtype=np.int64)
         a_mat = np.array(list(left["embedding"]), dtype=np.float64)
         b_mat = np.array(list(right["embedding"]), dtype=np.float64)
-        a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
-        b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
-        sims = a_mat @ b_mat.T
+        # zero-norm guard: a zero vector has no direction — it matches
+        # nothing (norm→inf makes its sims 0, below any threshold>0)
+        # instead of emitting NaN rows that silently vanish from the
+        # >= compare while DuckDB's NaN sorts above every threshold
+        a_n = np.linalg.norm(a_mat, axis=1, keepdims=True)
+        b_n = np.linalg.norm(b_mat, axis=1, keepdims=True)
+        a_mat /= np.where(a_n == 0.0, np.inf, a_n)
+        b_mat /= np.where(b_n == 0.0, np.inf, b_n)
+        # round-before-compare (the file-wide determinism rule): the
+        # membership decision uses the same 6-dp value both engines
+        # emit, so a pair 1 ulp either side of the threshold cannot
+        # flip between Spark's BLAS accumulation order and DuckDB's
+        sims = np.round(a_mat @ b_mat.T, 6)
         diagonal = key[0] % (n_blocks + 1) == 0  # pair_id = i·n+j, diag ⇔ i == j
         if diagonal:
             # left == right here: id order picks each unordered pair once
@@ -405,7 +416,7 @@ def near_dup_pairs_exact(
             {
                 "vec_a": np.minimum(lo, hi),
                 "vec_b": np.maximum(lo, hi),
-                "cos_sim": np.round(sims[ai, bj], 6),
+                "cos_sim": sims[ai, bj],
             }
         )
 
@@ -414,6 +425,46 @@ def near_dup_pairs_exact(
         .cogroup(b_side.groupBy("pair_id"))
         .applyInPandas(score, "vec_a bigint, vec_b bigint, cos_sim double")
         .orderBy("vec_a", "vec_b")
+    )
+
+
+
+def _centroid_list(emb: DataFrame, n: int = 8) -> DataFrame:
+    """One-row broadcastable centroid table: sorted (cid, cemb) structs
+    of the first ``n`` vectors — the shared E-step input of the four
+    centroid-argmax consumers (kmeans assign, semantic cluster, IVF-PQ,
+    IVF build stats)."""
+    return (
+        emb.filter(F.col("vec_id") < n)
+        .groupBy()
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
+                )
+            ).alias("cents")
+        )
+    )
+
+
+def _centroid_argmax(emb_col: str = "emb"):
+    """Row-local nearest-centroid argmax over the broadcast ``cents``
+    array: element [0] of array_sort(transform(...)) is the winner.
+    ONE definition of the determinism rules — cosine rounded to 6 dp
+    BEFORE the argmax (cross-engine tie safety), NULL sims (zero-norm
+    guard in cosine()) sorted last via the +inf sentinel, centroid_id
+    as the tie-break — shared so the four consumers cannot drift."""
+    return F.array_sort(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                F.coalesce(
+                    -F.round(cosine(F.col(emb_col), c["cemb"]), 6),
+                    F.lit(float("inf")),
+                ).alias("negsim"),
+                c["cid"].alias("cid"),
+            ),
+        )
     )
 
 
@@ -435,7 +486,14 @@ def near_dup_pairs_lsh(
     shuffle is the bucket self-join; no driver materialization beyond
     one head() to infer the embedding dimensionality."""
     v = df.select(F.col(id_col).alias(id_col), F.col(emb_col).alias(emb_col))
-    keys = rp_bucket_keys(v, id_col, emb_col, n_tables, n_bits)
+    # lazy localCheckpoint: the self-join consumes keys TWICE, and
+    # without the cut each side re-runs the Python/Arrow sign-matmul
+    # AND the corpus scan under it — the same multi-consumer
+    # re-execution vec_centroid_outliers documents; the bucketize stage
+    # is the expensive one here, so materializing it once halves it
+    keys = rp_bucket_keys(v, id_col, emb_col, n_tables, n_bits).localCheckpoint(
+        eager=False
+    )
     cand = (
         keys.alias("x")
         .join(keys.alias("y"), ["table_id", "bucket"])
@@ -451,7 +509,8 @@ def near_dup_pairs_lsh(
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
-        .filter(sim >= threshold)
+        # round-before-compare, same rule as near_dup_pairs_exact
+        .filter(F.round(sim, 6) >= threshold)
         .select("vec_a", "vec_b", F.round(sim, 6).alias("cos_sim"))
         .orderBy("vec_a", "vec_b")
     )
@@ -514,8 +573,9 @@ def rp_bucket_keys(
                     }
                 )
 
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, emb_col).mapInPandas(
-        bucketize, f"{id_col} long, table_id int, bucket long"
+        bucketize, f"{id_col} {id_type}, table_id int, bucket long"
     )
 
 
@@ -523,7 +583,7 @@ def _rp_lsh_topk(spark: SparkSession, sf_dir: str, n_probes: int = 1) -> DataFra
     """Shared RP-LSH pipeline; n_probes=1 is classic LSH, n_probes>1 is
     multi-probe (query also searches the buckets at Hamming distance 1 —
     flip one sign bit per probe). See the registered ops' docstrings."""
-    N_TABLES, N_BITS, DIM = 10, 5, 64
+    N_TABLES, N_BITS, DIM = 10, 5, FIXTURE_EMBED_DIM
     e = table(spark, sf_dir, "embeddings")
     keys = rp_bucket_keys(
         e.select("vec_id", "embedding"), "vec_id", "embedding", N_TABLES, N_BITS,
@@ -635,7 +695,7 @@ def vec_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       2. assignment: every corpus vector → nearest centroid (broadcast
          argmin, narrow map over the corpus — this is the partitioning
          key you'd write the corpus out by);
-      3. probe: each query searches only its nprobe=2 nearest clusters —
+      3. probe: each query searches only its nprobe=3 nearest clusters —
          ~N·nprobe/K distance computations instead of N.
 
     Returns (query_id, neighbor_id, sim_r, rank ≤ 5). SURVEY §5.2.6
@@ -739,29 +799,8 @@ def vec_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("emb")
     )
-    cents = (
-        emb.filter(F.col("vec_id") < 8)
-        .groupBy()
-        .agg(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
-                )
-            ).alias("cents")
-        )
-    )
-    ranked = F.array_sort(
-        F.transform(
-            F.col("cents"),
-            lambda c: F.struct(
-                F.coalesce(
-                    -F.round(cosine(F.col("emb"), c["cemb"]), 6),
-                    F.lit(float("inf")),
-                ).alias("negsim"),
-                c["cid"].alias("cid"),
-            ),
-        )
-    )
+    cents = _centroid_list(emb)
+    ranked = _centroid_argmax()
     best = (
         emb.crossJoin(F.broadcast(cents))
         .select("vec_id", ranked[0].alias("b"))
@@ -918,9 +957,14 @@ def vec_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         raw = F.transform(F.col("pm"), lambda s: s["m"])
         norm = F.sqrt(F.aggregate(raw, F.lit(0.0), lambda a, x: a + x * x))
+        # zero-norm guard (ANSI mode raises DIVIDE_BY_ZERO): a cluster
+        # whose per-dim means cancel exactly keeps its raw zero vector
+        # rather than killing the round — same rule cosine() applies
         new_cent = new_cent.select(
             "centroid_id",
-            F.transform(raw, lambda x: x / norm).alias("new_cemb"),
+            F.when(norm != 0.0, F.transform(raw, lambda x: x / norm))
+            .otherwise(raw)
+            .alias("new_cemb"),
         )
         cent = (
             cent.join(new_cent, "centroid_id", "left")
@@ -1040,8 +1084,8 @@ def quantize_int8_audit(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
                 ON aa.centroid_id = bb.centroid_id AND aa.vec_id < bb.vec_id
               JOIN embeddings ea ON ea.vec_id = aa.vec_id
               JOIN embeddings eb ON eb.vec_id = bb.vec_id
-              WHERE LIST_COSINE_SIMILARITY(ea.embedding::DOUBLE[],
-                                           eb.embedding::DOUBLE[]) >= 0.4),
+              WHERE ROUND(LIST_COSINE_SIMILARITY(ea.embedding::DOUBLE[],
+                                           eb.embedding::DOUBLE[]), 6) >= 0.4),
     dropped AS (SELECT centroid_id, COUNT(DISTINCT vec_b) AS n_dropped
                 FROM pairs GROUP BY centroid_id)
     SELECT a.centroid_id,
@@ -1075,28 +1119,8 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("emb")
     )
-    cents = (
-        emb.filter(F.col("vec_id") < 8)
-        .groupBy()
-        .agg(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
-                )
-            ).alias("cents")
-        )
-    )
-    ranked = F.array_sort(
-        F.transform(
-            F.col("cents"),
-            lambda c: F.struct(
-                F.coalesce(
-                    -F.round(cosine(F.col("emb"), c["cemb"]), 6), F.lit(float("inf"))
-                ).alias("negsim"),
-                c["cid"].alias("cid"),
-            ),
-        )
-    )
+    cents = _centroid_list(emb)
+    ranked = _centroid_argmax()
     assigned = (
         emb.crossJoin(F.broadcast(cents))
         .select("vec_id", "emb", ranked[0]["cid"].alias("centroid_id"))
@@ -1111,7 +1135,7 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = a.join(
         b, (a.centroid_id == b.c_b) & (a.vec_a < b.vec_b)
-    ).filter(cosine(F.col("emb_a"), F.col("emb_b")) >= 0.4)
+    ).filter(F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6) >= 0.4)
     dropped = pairs.groupBy("centroid_id").agg(
         F.countDistinct("vec_b").alias("n_dropped")
     )
@@ -1354,28 +1378,8 @@ def vec_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("emb")
     )
-    coarse = (
-        emb.filter(F.col("vec_id") < 8)
-        .groupBy()
-        .agg(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
-                )
-            ).alias("cents")
-        )
-    )
-    ranked_cos = F.array_sort(
-        F.transform(
-            F.col("cents"),
-            lambda c: F.struct(
-                F.coalesce(
-                    -F.round(cosine(F.col("emb"), c["cemb"]), 6), F.lit(float("inf"))
-                ).alias("negsim"),
-                c["cid"].alias("cid"),
-            ),
-        )
-    )
+    coarse = _centroid_list(emb)
+    ranked_cos = _centroid_argmax()
     cb = _pq_codebook(emb)
     # corpus: coarse list id + PQ codes, one scan, all row-local
     corpus = pq_encode(
@@ -1478,28 +1482,8 @@ def vec_ivf_build_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("emb")
     )
-    cents = (
-        emb.filter(F.col("vec_id") < 8)
-        .groupBy()
-        .agg(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
-                )
-            ).alias("cents")
-        )
-    )
-    ranked = F.array_sort(
-        F.transform(
-            F.col("cents"),
-            lambda c: F.struct(
-                F.coalesce(
-                    -F.round(cosine(F.col("emb"), c["cemb"]), 6), F.lit(float("inf"))
-                ).alias("negsim"),
-                c["cid"].alias("cid"),
-            ),
-        )
-    )
+    cents = _centroid_list(emb)
+    ranked = _centroid_argmax()
     occ = (
         emb.crossJoin(F.broadcast(cents))
         .select("vec_id", ranked[0]["cid"].alias("centroid_id"))
@@ -1560,8 +1544,12 @@ def vec_sign_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     B.11 vector family (round 4).
     """
     e = table(spark, sf_dir, "embeddings")
+    # fixture dim from the shared constant (schemas.FIXTURE_EMBED_DIM);
+    # a silent hardcoded 64 would truncate the signature if the fixture
+    # dim ever grew — wrong distances with no error, since the oracle's
+    # range(64) would have to move in lockstep anyway
     sig = F.expr(
-        "aggregate(sequence(0, 63), 0L, (acc, i) -> "
+        f"aggregate(sequence(0, {FIXTURE_EMBED_DIM - 1}), 0L, (acc, i) -> "
         "acc | IF(element_at(embedding, i + 1) > 0, shiftleft(1L, i), 0L))"
     )
     packed = e.select(F.col("vec_id"), sig.alias("sig"))
@@ -1752,7 +1740,7 @@ def pca_fit(
     df: DataFrame,
     emb_col: str = "embedding",
     k: int = 4,
-    dim: int = 64,
+    dim: int = FIXTURE_EMBED_DIM,
 ):
     """Distributed PCA fit via a FIXED-SIZE sufficient statistic — the
     matrix-valued sibling of agg_corr_matrix's one-pass trick: each
