@@ -135,6 +135,44 @@ def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _lang_hits(text_col: str = "text"):
+    """Per-language stopword hit counts — the ONE classifier feature
+    definition shared by text_lang_id and text_lang_id_eval so the
+    confusion matrix always evaluates the classifier that ships."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+
+    def hits(words: list[str]):
+        lits = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(lits, t)))
+
+    return [
+        hits(EN_STOP).alias("en_hits"),
+        hits(DE_STOP).alias("de_hits"),
+        hits(FR_STOP).alias("fr_hits"),
+    ]
+
+
+def _lang_pred():
+    """The argmax/tie/fallback decision over the hit counts: no hits →
+    'und'; deterministic tie order en > de > fr. Single definition per
+    engine (the oracle twins inline the same CASE order)."""
+    return (
+        F.when(
+            (F.col("en_hits") == 0) & (F.col("de_hits") == 0) & (F.col("fr_hits") == 0),
+            "und",
+        )
+        .when(
+            (F.col("en_hits") >= F.col("de_hits"))
+            & (F.col("en_hits") >= F.col("fr_hits")),
+            "en",
+        )
+        .when(F.col("de_hits") >= F.col("fr_hits"), "de")
+        .otherwise("fr")
+        .alias("pred_lang")
+    )
+
+
 @register(
     "text_lang_id",
     oracle=f"""
@@ -161,34 +199,9 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language ID (the classic n-gram/function-word
     heuristic). Deterministic tie order: en > de > fr; no hits → 'und'."""
     d = table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
-
-    def hits(words: list[str]):
-        lits = F.array(*[F.lit(w) for w in words])
-        return F.size(F.filter(toks, lambda t: F.array_contains(lits, t)))
-
-    scored = d.select(
-        "doc_id",
-        hits(EN_STOP).alias("en_hits"),
-        hits(DE_STOP).alias("de_hits"),
-        hits(FR_STOP).alias("fr_hits"),
-    )
+    scored = d.select("doc_id", *_lang_hits())
     return scored.select(
-        "doc_id",
-        "en_hits",
-        "de_hits",
-        "fr_hits",
-        F.when(
-            (F.col("en_hits") == 0) & (F.col("de_hits") == 0) & (F.col("fr_hits") == 0),
-            "und",
-        )
-        .when(
-            (F.col("en_hits") >= F.col("de_hits")) & (F.col("en_hits") >= F.col("fr_hits")),
-            "en",
-        )
-        .when(F.col("de_hits") >= F.col("fr_hits"), "de")
-        .otherwise("fr")
-        .alias("pred_lang"),
+        "doc_id", "en_hits", "de_hits", "fr_hits", _lang_pred()
     ).orderBy("doc_id")
 
 
@@ -432,6 +445,36 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+
+def unigram_logprob(d: DataFrame, *id_cols: str):
+    """Shared CCNet unigram-LM scorer: per-row mean log-probability of
+    the whitespace tokens under the corpus's OWN unigram distribution.
+    Returns (scored_with_counts) grouped by ``id_cols`` with columns
+    (``*id_cols``, n_tokens, avg_logprob 6-dp). ONE definition of the
+    signal for text_unigram_logprob (the report) and
+    text_quality_bucket (the tercile split) so "the CCNet signal"
+    cannot mean two different numbers in this module. Plan shape:
+    map-side-combinable vocab count, broadcast scoring join, one keyed
+    aggregation — no corpus×vocab shuffle."""
+    tok = d.select(
+        *id_cols,
+        F.explode(F.filter(F.split(F.lower("text"), " "), lambda x: x != "")).alias(
+            "token"
+        ),
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    total = vocab.agg(F.sum("freq").alias("tot"))
+    return (
+        tok.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy(*id_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("freq") / F.col("tot"))), 6).alias("avg_logprob"),
+        )
+    )
+
+
 @register(
     "text_unigram_logprob",
     oracle="""
@@ -461,24 +504,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classic map-side-combinable count; the scoring join is
     broadcast — no corpus×vocab shuffle."""
     d = table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id",
-        F.explode(F.filter(F.split(F.lower("text"), " "), lambda x: x != "")).alias(
-            "token"
-        ),
-    )
-    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
-    total = vocab.agg(F.sum("freq").alias("tot"))
-    scored = (
-        tok.join(F.broadcast(vocab), "token")
-        .crossJoin(F.broadcast(total))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg(F.log(F.col("freq") / F.col("tot"))), 6).alias("avg_logprob"),
-        )
-    )
-    return scored.orderBy("doc_id")
+    return unigram_logprob(d, "doc_id").orderBy("doc_id")
 
 
 @register(
@@ -634,8 +660,11 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighting by the word count. The expensive explode runs on |vocab|
     rows, not |corpus| tokens — exactly how production BPE trainers
     (HuggingFace tokenizers, SentencePiece) structure the count. Pair
-    extraction is two shifted substring slices zipped per word (narrow,
-    codegen); both aggregations are map-side combinable."""
+    extraction is a transform over a per-word index sequence taking the
+    2-char substring at each position — row-local and codegen'd, no
+    positional self-join (bpe_train uses the equivalent
+    zip-of-shifted-slices form); both aggregations are map-side
+    combinable."""
     d = table(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda t: t != "")
     words = (
@@ -702,21 +731,7 @@ def text_quality_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     al. 2020, is the public recipe).
     """
     d = table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id",
-        "lang",
-        F.explode(F.filter(F.split(F.lower("text"), " "), lambda x: x != "")).alias(
-            "token"
-        ),
-    )
-    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
-    total = vocab.agg(F.sum("freq").alias("tot"))
-    scored = (
-        tok.join(F.broadcast(vocab), "token")
-        .crossJoin(F.broadcast(total))
-        .groupBy("doc_id", "lang")
-        .agg(F.round(F.avg(F.log(F.col("freq") / F.col("tot"))), 6).alias("avg_logprob"))
-    )
+    scored = unigram_logprob(d, "doc_id", "lang").drop("n_tokens")
     tri = F.ntile(3).over(
         W.partitionBy("lang").orderBy(F.col("avg_logprob").desc(), "doc_id")
     )
@@ -1198,33 +1213,8 @@ def text_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     row (the usual eval-join disappears when eval data is columnar).
     """
     d = table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
-
-    def hits(words: list[str]):
-        lits = F.array(*[F.lit(w) for w in words])
-        return F.size(F.filter(toks, lambda t: F.array_contains(lits, t)))
-
-    scored = d.select(
-        F.col("lang").alias("true_lang"),
-        hits(EN_STOP).alias("en_hits"),
-        hits(DE_STOP).alias("de_hits"),
-        hits(FR_STOP).alias("fr_hits"),
-    )
-    pred = scored.select(
-        "true_lang",
-        F.when(
-            (F.col("en_hits") == 0) & (F.col("de_hits") == 0) & (F.col("fr_hits") == 0),
-            "und",
-        )
-        .when(
-            (F.col("en_hits") >= F.col("de_hits"))
-            & (F.col("en_hits") >= F.col("fr_hits")),
-            "en",
-        )
-        .when(F.col("de_hits") >= F.col("fr_hits"), "de")
-        .otherwise("fr")
-        .alias("pred_lang"),
-    )
+    scored = d.select(F.col("lang").alias("true_lang"), *_lang_hits())
+    pred = scored.select("true_lang", _lang_pred())
     return (
         pred.groupBy("true_lang", "pred_lang")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
@@ -1253,7 +1243,8 @@ def text_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY f.doc_id, t.n
     )
     SELECT doc_id, n_chars, n_distinct, ROUND(h, 6) AS entropy_bits,
-           CASE WHEN h < 3.9 THEN 'low' WHEN h < 4.1 THEN 'mid'
+           CASE WHEN ROUND(h, 6) < 3.9 THEN 'low'
+                WHEN ROUND(h, 6) < 4.1 THEN 'mid'
                 ELSE 'high' END AS bucket
     FROM ent
     ORDER BY doc_id
@@ -1288,15 +1279,19 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     ent = char_entropy(d, "doc_id", "text")
+    # bucket on the ROUNDED entropy (round-before-compare, the
+    # file-wide rule): the two engines' Σ c·ln(c) accumulation orders
+    # differ, and an unrounded threshold compare lets a boundary-ulp
+    # doc flip buckets between them
+    h6 = F.round("entropy_bits", 6)
     return ent.select(
         "doc_id",
         "n_chars",
         "n_distinct",
-        F.round("entropy_bits", 6).alias("entropy_bits"),
-        F.when(F.col("entropy_bits") < 3.9, "low")
-        .when(F.col("entropy_bits") < 4.1, "mid")
-        .otherwise("high")
-        .alias("bucket"),
+        h6.alias("entropy_bits"),
+        F.when(h6 < 3.9, "low").when(h6 < 4.1, "mid").otherwise("high").alias(
+            "bucket"
+        ),
     ).orderBy("doc_id")
 
 
@@ -1442,13 +1437,16 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_fertility_by_lang",
     oracle=f"""
-    WITH enc AS (
+    WITH raw AS (
       SELECT lang,
              LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS n_words,
              LENGTH(REPLACE(text, ' ', ''))                          AS n_chars_ns,
-             LENGTH({_bpe_encoded_sql()})
-               - LENGTH(REPLACE({_bpe_encoded_sql()}, CHR(31), '')) AS n_tokens
+             {_bpe_encoded_sql()} AS e
       FROM documents
+    ), enc AS (
+      SELECT lang, n_words, n_chars_ns,
+             LENGTH(e) - LENGTH(REPLACE(e, CHR(31), '')) AS n_tokens
+      FROM raw
     )
     SELECT lang,
            COUNT(*)                        AS n_docs,
