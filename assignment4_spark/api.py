@@ -75,6 +75,7 @@ from .operators.scale_idioms import (  # noqa: F401
 )
 from .operators.timeseries import (  # noqa: F401
     interpolate_linear,
+    scd2_changes,
     sessionize,
 )
 from .operators.textstats import (  # noqa: F401
@@ -142,6 +143,7 @@ __all__ = [
     "quantize_int8_audit",
     "read_idempotent_sink",
     "read_snapshot",
+    "scd2_changes",
     "rp_bucket_keys",
     "sessionize",
     "simhash_pairs",

@@ -331,6 +331,30 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "day")
 
 
+
+def scd2_changes(e: DataFrame) -> DataFrame:
+    """Change detection underlying the SCD2 family — ONE definition for
+    the history builder (ts_scd2_history) and its point-in-time
+    consumer (ts_scd2_pointintime), so the dimension history the two
+    ops reason about is provably the same: per user in (ts, event_id)
+    order, keep rows whose event_type differs from the previous row's
+    (consecutive no-op updates collapse; the first row always opens).
+    Returns (user_id, valid_from, event_id, state)."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return ordered.filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    ).select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        "event_id",
+        F.col("event_type").alias("state"),
+    )
+
+
 @register(
     "ts_scd2_history",
     oracle="""
@@ -372,20 +396,14 @@ def ts_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     A13's upsert generalized to temporal-validity history; A26 session
     state."""
     e = table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    ordered = e.select(
-        "user_id", "ts", "event_id", "event_type",
-        F.lag("event_type").over(w).alias("prev_type"),
-    )
-    changes = ordered.filter(
-        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
-    )
-    valid_to = F.lead("ts").over(w)
+    changes = scd2_changes(e)
+    w = W.partitionBy("user_id").orderBy("valid_from", "event_id")
+    valid_to = F.lead("valid_from").over(w)
     return (
         changes.select(
             "user_id",
-            F.col("event_type").alias("state"),
-            F.col("ts").alias("valid_from"),
+            "state",
+            "valid_from",
             valid_to.alias("valid_to"),
             valid_to.isNull().alias("is_current"),
         )
@@ -493,11 +511,11 @@ def sessionize(
     SELECT event_type,
            date_trunc('hour', ts)                   AS bar_ts,
            CAST(COUNT(*) AS BIGINT)                 AS n,
-           ROUND(arg_min(value, lpad((epoch_ms(ts) + 8796093022208)::VARCHAR, 14, '0')
+           ROUND(arg_min(value, lpad((epoch_us(ts) + 72057594037927936)::VARCHAR, 18, '0')
                                 || lpad(event_id::VARCHAR, 19, '0')), 2) AS open,
            ROUND(MAX(value), 2)                     AS high,
            ROUND(MIN(value), 2)                     AS low,
-           ROUND(arg_max(value, lpad((epoch_ms(ts) + 8796093022208)::VARCHAR, 14, '0')
+           ROUND(arg_max(value, lpad((epoch_us(ts) + 72057594037927936)::VARCHAR, 18, '0')
                                 || lpad(event_id::VARCHAR, 19, '0')), 2) AS close
     FROM events
     WHERE CAST(ts AS DATE) < DATE '2024-01-08'
@@ -510,7 +528,7 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     compaction (metrics dashboards, tick data, sensor rollups): open =
     first value in the bar, close = last, plus high/low/count. first/
     last are argument-extremes (min_by/max_by) on a zero-padded
-    (epoch_ms, event_id) STRING order key, so ties are deterministic and
+    (epoch_us, event_id) STRING order key, so ties are deterministic and
     the whole bar is ONE map-side-combinable hash aggregate — no window,
     no sort of the raw stream, shuffle carries one row per (series,
     hour). At 100 TB this is the rollup that turns a raw firehose into
@@ -520,16 +538,21 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").filter(
         F.col("ts").cast("date") < F.lit("2024-01-08").cast("date")
     )
-    # order key = zero-padded (ms, event_id) string: lexicographic order
+    # order key = zero-padded (µs, event_id) string: lexicographic order
     # equals numeric order for fixed-width non-negative digits, compares
     # identically on both engines, and has no overflow/collision window
-    # (an integer ms·1e6+id key would collide whenever two same-ms events
-    # have ids 1e6 apart). epoch_ms is offset by 2^43 (~278 years) so
-    # pre-1970 timestamps stay non-negative — a bare negative epoch
-    # would break the lexicographic=numeric equivalence ('-' sorts below
-    # digits, larger negatives after smaller). event_id must be ≥ 0.
+    # (an integer µs·1e6+id key would collide whenever two same-µs events
+    # have ids 1e6 apart). MICROsecond precision, not ms: both engines
+    # store timestamps as exact integer µs, so unix_micros/epoch_us is
+    # conversion-free — an ms key needed a µs→ms division whose rounding
+    # direction differs between the engines on pre-1970 sub-ms values
+    # (Spark floors, DuckDB truncates toward zero: measured -1 vs 0 at
+    # '1969-12-31 23:59:59.999001'). epoch_us is offset by 2^56 (~2285
+    # years) so pre-1970 timestamps stay non-negative — a bare negative
+    # epoch would break the lexicographic=numeric equivalence ('-' sorts
+    # below digits, larger negatives after smaller). event_id must be ≥ 0.
     okey = F.concat(
-        F.lpad((F.unix_millis("ts") + F.lit(8796093022208)).cast("string"), 14, "0"),
+        F.lpad((F.unix_micros("ts") + F.lit(72057594037927936)).cast("string"), 18, "0"),
         F.lpad(F.col("event_id").cast("string"), 19, "0"),
     )
     return (
@@ -583,7 +606,11 @@ def interpolate_linear(
         "_k",
         "ts",
         "value",
-        F.col("ts").alias("obs_ts"),
+        # obs_ts nulls WITH value: last(value, ignorenulls) skips a
+        # NULL-value observation, so its timestamp must be skipped too
+        # or the bracketing (pv, pt)/(nv, nt) pairs desynchronize and
+        # the slope anchors at a timestamp whose value was never seen
+        F.when(F.col("value").isNotNull(), F.col("ts")).alias("obs_ts"),
         F.lit(0).alias("is_grid"),
     ).unionAll(
         grid.select(
@@ -642,7 +669,10 @@ def interpolate_linear(
                t1, INTERVAL 1 HOUR)) AS gts
       FROM bounds
     ), u AS (
-      SELECT user_id, ts, value, ts AS obs_ts, 0 AS is_grid FROM obs
+      SELECT user_id, ts, value,
+             CASE WHEN value IS NOT NULL THEN ts END AS obs_ts,
+             0 AS is_grid
+      FROM obs
       UNION ALL
       SELECT user_id, gts, NULL, NULL, 1 FROM grid
     ), w AS (
@@ -808,7 +838,8 @@ def ts_downsample_ltob(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type
     ), dev AS (
       SELECT e.event_type, e.ts, e.event_id,
-             (e.value - s.mu) / s.sigma AS z
+             CASE WHEN s.sigma > 0 THEN (e.value - s.mu) / s.sigma
+                  ELSE 0.0 END AS z
       FROM events e JOIN stats s USING (event_type)
     ), cusum AS (
       SELECT event_type, ts, event_id,
@@ -858,7 +889,15 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "ts",
         "event_id",
-        ((F.col("value") - F.col("mu")) / F.col("sigma")).alias("z"),
+        # σ>0 guard (ts_anomaly_zscore's discipline): a constant series
+        # has no changepoint — z pins to 0 rather than riding DuckDB
+        # 1.0's NULL-on-float-div-by-zero quirk, which flips to ±inf on
+        # DuckDB ≥ 1.1 and would break parity for that input class
+        F.when(
+            F.col("sigma") > 0, (F.col("value") - F.col("mu")) / F.col("sigma")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("z"),
     )
     w = (
         W.partitionBy("event_type")
@@ -1076,19 +1115,7 @@ def ts_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard "AS OF" read the lakehouse MERGE story requires.
     """
     e = table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    ordered = e.select(
-        "user_id", "ts", "event_id", "event_type",
-        F.lag("event_type").over(w).alias("prev_type"),
-    )
-    hist = ordered.filter(
-        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
-    ).select(
-        "user_id",
-        F.col("ts").alias("valid_from"),
-        "event_id",
-        F.col("event_type").alias("state"),
-    )
+    hist = scd2_changes(e)
     u = hist.select(
         "user_id",
         F.col("valid_from").alias("ts"),

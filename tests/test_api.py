@@ -814,3 +814,29 @@ def test_binary_extract_tables_replay_property(spark, blobs):
                 )
             )
     assert got == sorted(want)
+
+
+def test_interpolate_linear_null_value_observation(spark):
+    """A NULL-value observation must be transparent to the bracketing:
+    its timestamp may not anchor the slope (the pre-fix bug paired the
+    surviving previous VALUE with the skipped NULL row's TIMESTAMP,
+    bending the line). Grid points between (00:30, 5) and (03:30, 9)
+    with a NULL at 01:30 must sit exactly on the 00:30→03:30 line."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "2024-01-01 00:30:00", 5.0),
+        (1, "2024-01-01 01:30:00", None),
+        (1, "2024-01-01 03:30:00", 9.0),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts_s string, value double").select(
+        "k", F.to_timestamp("ts_s").alias("ts"), "value"
+    )
+    out = {
+        r.grid_ts.strftime("%H:%M"): r.value_interp
+        for r in api.interpolate_linear(df, key_col="k").collect()
+    }
+    slope_per_h = 4.0 / 3.0
+    assert abs(out["01:00"] - (5.0 + 0.5 * slope_per_h)) < 1e-9, out
+    assert abs(out["02:00"] - (5.0 + 1.5 * slope_per_h)) < 1e-9, out
+    assert abs(out["03:00"] - (5.0 + 2.5 * slope_per_h)) < 1e-9, out
