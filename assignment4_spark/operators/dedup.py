@@ -37,6 +37,9 @@ from .textstats import QUALITY_SQL, quality_expr
 MERSENNE_P = 2147483647  # 2^31 - 1
 N_HASHES = 64
 N_BANDS = 32  # rows per band = 2
+# the band construction below indexes minhashes as (m{2b}, m{2b+1}) —
+# rows-per-band=2 is structural, so the two constants move in lockstep
+assert N_HASHES == 2 * N_BANDS
 JACCARD_THRESHOLD = 0.5
 
 
@@ -48,7 +51,6 @@ JACCARD_THRESHOLD = 0.5
            COUNT(*) AS n_copies
     FROM documents
     GROUP BY fp
-    HAVING COUNT(*) >= 1
     ORDER BY keep_doc_id
     """,
 )
@@ -80,8 +82,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_first_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact A17 semantics (ra/server.py:39-43): first (id, title) per
-    title in id order — row_number()=1, not Python set()."""
+    """A17's first-occurrence rule (ra/server.py:39-43 keeps the first
+    (id, title) per title in id order) applied to the fixture's
+    grouping column: first doc_id per SOURCE, row_number()=1 — the
+    deterministic form of the reference's Python set() enumeration."""
     d = table(spark, sf_dir, "documents")
     w = W.partitionBy("source").orderBy("doc_id")
     return (
@@ -142,20 +146,15 @@ _SHINGLE_SQL = """
 def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force 3-gram shingle Jaccard pairs ≥ 0.5 over a BOUNDED id
     range (O(N²) by construction — the unbounded path is
-    dedup_minhash_lsh)."""
-    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    s = d.select("doc_id", _shingles().alias("sh"))
-    a, b = s.alias("a"), s.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
-    jac = inter.cast("double") / union
+    dedup_minhash_lsh). Consumes bounded_neardup_edges — ONE definition
+    of the edge rule for this op and the CC-family consumers that
+    property tests compare against each other."""
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .filter(jac >= JACCARD_THRESHOLD)
+        bounded_neardup_edges(spark, sf_dir)
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(jac, 6).alias("jaccard"),
+            F.col("src").alias("doc_a"),
+            F.col("dst").alias("doc_b"),
+            "jaccard",
         )
         .orderBy("doc_a", "doc_b")
     )
@@ -188,6 +187,12 @@ def minhash_lsh_pairs(
     subtree up to 4×. MEMORY_AND_DISK keeps that safe at cluster scale
     (signatures are ~N_HASHES longs/doc; shingle sets ~ corpus size —
     spillable). Measured: warm 1.7s → 0.3s, cold 2.3s → 1.6s at sf0.1.
+    Lifetime note: the entries live until session end, but Spark's
+    CacheManager dedupes identical plans, so REPEATED invocation over
+    the same input does not accumulate (measured: 2 persistent RDDs
+    after 1 run and after 4) — bounded at one pair per distinct input,
+    and lineage-recoverable on executor loss (why persist over
+    localCheckpoint here).
 
     Returns (doc_a, doc_b, jaccard). Replaces Pinecone-delegated
     similarity dedup (A16/A18)."""
@@ -205,8 +210,8 @@ def minhash_lsh_pairs(
     ).select(
         "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P)).alias("h")
     )
-    # minhash_i = min_h ((2i+3)·h + 1000003·i + 12345 mod p)  — no overflow:
-    # (2·128+3)·2^31 ≪ 2^63, safe under ANSI mode.
+    # minhash_i = min_h ((2i+3)·h + 1000003·i + 12345 mod p)  — no overflow
+    # even at N_HASHES=128: (2·128+3)·2^31 ≪ 2^63, safe under ANSI mode.
     sigs = hashed.groupBy("doc_id").agg(
         *[
             F.min(
@@ -518,10 +523,15 @@ def bounded_neardup_edges(spark: SparkSession, sf_dir: str, id_bound: int = 200)
     a, b = s.alias("a"), s.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    jac = inter.cast("double") / union
     return (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .filter(inter.cast("double") / union >= JACCARD_THRESHOLD)
-        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select(
+            F.col("a.doc_id").alias("src"),
+            F.col("b.doc_id").alias("dst"),
+            F.round(jac, 6).alias("jaccard"),
+        )
     )
 
 
@@ -594,13 +604,22 @@ def connected_components(
 
     Deterministic: min() everywhere, no randomness. Isolated nodes never
     appear in an edge list, so (as with any edge-list CC) they emerge as
-    singleton components only if self-loops (u,u) are included."""
-    e = edges.select(
+    singleton components only if self-loops (u,u) are included — which
+    work as promised: a node appearing only in self-loops returns as its
+    own singleton component (tests/test_api.py pins it)."""
+    raw = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    # nodes appearing ONLY in self-loops (u,u) would vanish in the
+    # normalize step below; remember them so they come back as the
+    # singleton components the contract promises
+    selfers = (
+        raw.filter(F.col("u") == F.col("v")).select("u").distinct()
+        .localCheckpoint(eager=True)
     )
     # normalize: drop self-loops, undirect, dedup
     e = (
-        e.filter(F.col("u") != F.col("v"))
+        raw.filter(F.col("u") != F.col("v"))
         .select(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
@@ -664,11 +683,17 @@ def connected_components(
     # converged stars: every edge is (child, root) with root = component
     # min; roots get their own id back via the union-with-self
     und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    return (
+    comp = (
         und.groupBy("u")
         .agg(F.least(F.min("v"), F.first("u")).alias("comp_id"))
         .select(F.col("u").alias("node"), "comp_id")
     )
+    # self-loop-only nodes re-enter as the promised singletons; nodes
+    # with both a self-loop and real edges already carry a component
+    lonely = selfers.join(comp, selfers.u == comp.node, "left_anti").select(
+        F.col("u").alias("node"), F.col("u").alias("comp_id")
+    )
+    return comp.unionByName(lonely)
 
 
 @register(
@@ -831,10 +856,18 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def canonical_url(col) -> Column:
     """Composable URL canonicalization (api.canonical_url): strip the
-    query string and fragment, lowercase — the normalize half of
-    dedup_url_normalize, usable as a plain column expression over any
-    URL column before an exact-dedup groupBy."""
-    return F.lower(F.regexp_replace(col, r"[?#].*$", ""))
+    query string and fragment, lowercase the SCHEME://HOST prefix only
+    — paths are case-sensitive per RFC 3986 (https://ex.com/Page and
+    /page are distinct resources), so a whole-URL lowercase would merge
+    distinct documents and the min-id survivor rule would drop one.
+    Scheme-less strings have no host to normalize and keep their case.
+    The normalize half of dedup_url_normalize, usable as a plain column
+    expression over any URL column before an exact-dedup groupBy."""
+    stripped = F.regexp_replace(col, r"[?#].*$", "")
+    prefix = F.regexp_extract(stripped, r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*)", 1)
+    return F.concat(
+        F.lower(prefix), F.substring(stripped, F.length(prefix) + 1, F.lit(2**31 - 1))
+    )
 
 
 @register(
@@ -845,10 +878,15 @@ def canonical_url(col) -> Column:
              'https://Ex' || (doc_id % 7) || '.COM/p/' || (doc_id % 500)
                || '?utm_source=x&id=' || doc_id AS url
       FROM documents
+    ), stripped AS (
+      SELECT doc_id, regexp_replace(url, '[?#].*$', '') AS s
+      FROM u
     ), canon AS (
       SELECT doc_id,
-             LOWER(regexp_replace(url, '[?#].*$', '')) AS canon_url
-      FROM u
+             LOWER(regexp_extract(s, '^([a-zA-Z][a-zA-Z0-9+.\\-]*://[^/]*)', 1))
+               || SUBSTRING(s, LENGTH(regexp_extract(s, '^([a-zA-Z][a-zA-Z0-9+.\\-]*://[^/]*)', 1)) + 1)
+               AS canon_url
+      FROM stripped
     )
     SELECT canon_url,
            CAST(COUNT(*) AS BIGINT) AS n_dups,
@@ -1131,9 +1169,14 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+    # no broadcast hint on sizes: it is one row per doc holding any
+    # rare shingle — effectively corpus-sized, the one frame here with
+    # NO smallness argument (contrast dedup_contamination's eval side);
+    # a forced broadcast would OOM the driver at the scale the df-cap
+    # exists for. AQE picks broadcast at fixture scale on its own.
     return (
         shared.join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), "n_sh")), "doc_a"
+            sizes.select(F.col("doc_id").alias("doc_a"), "n_sh"), "doc_a"
         )
         .filter(
             (F.col("n_sh") >= 5)

@@ -399,11 +399,21 @@ def test_weighted_sample_ares_biased_and_custom_columns(spark):
 
 
 def test_canonical_url_expression(spark):
+    """Scheme and host are case-insensitive (lowercased); the PATH is
+    case-sensitive per RFC 3986 and must survive untouched — /A/b and
+    /a/b are distinct resources a whole-URL lowercase would merge.
+    Query string and fragment strip; scheme-less strings keep their
+    case (no host to normalize)."""
     df = spark.createDataFrame(
-        [("https://EX.com/A/b?q=1#frag",), ("https://ex.com/a/b",)], "u string"
+        [
+            ("HTTPS://EX.com/A/b?q=1#frag",),
+            ("https://ex.com/a/b",),
+            ("EX.com/NoScheme",),
+        ],
+        "u string",
     )
     got = [r.c for r in df.select(api.canonical_url(F.col("u")).alias("c")).collect()]
-    assert got == ["https://ex.com/a/b", "https://ex.com/a/b"]
+    assert got == ["https://ex.com/A/b", "https://ex.com/a/b", "EX.com/NoScheme"]
 
 
 def test_interpolate_linear_midpoint(spark):
@@ -840,3 +850,18 @@ def test_interpolate_linear_null_value_observation(spark):
     assert abs(out["01:00"] - (5.0 + 0.5 * slope_per_h)) < 1e-9, out
     assert abs(out["02:00"] - (5.0 + 1.5 * slope_per_h)) < 1e-9, out
     assert abs(out["03:00"] - (5.0 + 2.5 * slope_per_h)) < 1e-9, out
+
+
+def test_connected_components_self_loop_singleton(spark):
+    """The documented self-loop contract: a node appearing ONLY in
+    (u,u) edges returns as its own singleton component instead of
+    silently vanishing in the normalize step; a node with both a
+    self-loop and real edges carries its real component."""
+    edges = spark.createDataFrame(
+        [(1, 2), (5, 5), (2, 2)], "src long, dst long"
+    )
+    got = {
+        r.node: r.comp_id
+        for r in api.connected_components(edges, "src", "dst").collect()
+    }
+    assert got == {1: 1, 2: 1, 5: 5}
