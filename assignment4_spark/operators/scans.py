@@ -41,15 +41,22 @@ def _fixture_fingerprint(sf_dir: str) -> str:
         import hashlib
 
         h = hashlib.md5()
+        stable = True
         try:
             for fn in sorted(os.listdir(sf_dir)):
                 if fn.endswith(".parquet"):
                     st = os.stat(os.path.join(sf_dir, fn))
                     h.update(f"{fn}:{st.st_mtime_ns}:{st.st_size};".encode())
         except OSError:
-            pass
+            # missing dir / mid-replace race: return a best-effort value
+            # but do NOT cache it — caching a partial fingerprint for the
+            # process lifetime would hand two different fixture
+            # generations the same _SUCCESS-gated artifact path, the
+            # exact staleness this mechanism exists to prevent
+            stable = False
         fp = h.hexdigest()[:10]
-        _FPRINT_CACHE[sf_dir] = fp
+        if stable:
+            _FPRINT_CACHE[sf_dir] = fp
     return fp
 
 
@@ -108,6 +115,43 @@ def _footer_stats_manifest(
     os.replace(tmp_path, manifest_path)
 
 
+
+def _manifest_span(stats: list[dict], min_key: str, max_key: str) -> tuple[int, int]:
+    """Global [min, max] of a manifest column — FAILS LOUD if any file
+    lacks stats for it: the span-derived predicate bounds must equal
+    the oracle's table-wide MIN/MAX (every row is in some file), so a
+    silent subset-span would shift the bounds and diverge VALUES with
+    no error. None bounds are a keep-time concept (always-keep,
+    _manifest_keep), never a span one."""
+    missing = [s["file"] for s in stats if s.get(min_key) is None or s.get(max_key) is None]
+    if missing:
+        raise ValueError(
+            f"manifest lacks {min_key}/{max_key} stats for {len(missing)} "
+            f"file(s) (e.g. {os.path.basename(missing[0])}); span-derived "
+            "bounds would silently diverge from the oracle's table MIN/MAX"
+        )
+    return (min(s[min_key] for s in stats), max(s[max_key] for s in stats))
+
+
+def _manifest_keep(stats: list[dict], boxes: list[tuple[str, str, int, int]]) -> list[str]:
+    """Files whose per-column [min, max] can intersect EVERY (lo, hi)
+    box — the one definition of the keep rule for the 1-D
+    (scan_file_skipping_stats) and 2-D (scan_zorder_cluster) planners.
+    A file with None bounds for a column is always-keep for that
+    column (stats-less chunk: cannot be proven non-intersecting)."""
+
+    def ok(s: dict, min_key: str, max_key: str, lo: int, hi: int) -> bool:
+        if s.get(min_key) is None or s.get(max_key) is None:
+            return True
+        return s[max_key] >= lo and s[min_key] <= hi
+
+    return [
+        s["file"]
+        for s in stats
+        if all(ok(s, mk, xk, lo, hi) for (mk, xk, lo, hi) in boxes)
+    ]
+
+
 @register(
     "scan_parquet",
     oracle="""
@@ -144,7 +188,14 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parser_pinecone_storage.py:91-103): write `region` with a header,
     read back with an explicit schema (no inference on engine paths)."""
     out = _adir(sf_dir, "region_csv")
-    table(spark, sf_dir, "region").write.mode("overwrite").option("header", True).csv(out)
+    # write exactly the columns the read schema declares: the 2-column
+    # positional read previously worked only because r_comment sat LAST
+    # and PERMISSIVE drops extra tokens — a column-order change (or
+    # FAILFAST) would break every row; selecting first also stops
+    # writing the comment bytes that dominate row width
+    table(spark, sf_dir, "region").select("r_regionkey", "r_name").write.mode(
+        "overwrite"
+    ).option("header", True).csv(out)
     schema = T.StructType(
         [
             T.StructField("r_regionkey", T.IntegerType()),
@@ -246,9 +297,14 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     and aggregates so the oracle can pin it: total bytes = every line's
     chars + its newline. Fixture text is ASCII, so chars == bytes."""
     out = _adir(sf_dir, "documents_text_single")
-    table(spark, sf_dir, "documents").select(
-        F.regexp_replace("text", "[\\n\\r]", " ").alias("value")
-    ).coalesce(1).write.mode("overwrite").text(out)
+    # build-once behind _SUCCESS (fingerprinted _adir invalidates on
+    # fixture regen): the single-threaded coalesce(1) corpus write is
+    # pure setup — re-paying it per bench invocation is the same fixed
+    # overhead class as scan_permissive_corrupt's r5 drift
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        table(spark, sf_dir, "documents").select(
+            F.regexp_replace("text", "[\\n\\r]", " ").alias("value")
+        ).coalesce(1).write.mode("overwrite").text(out)
     blobs = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "part-*")
@@ -586,8 +642,14 @@ def scan_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             if f.endswith(".parquet")
         )
         manifest = {"version": version, "files": prior_files + files}
-        with open(os.path.join(base, f"v{version}.json"), "w") as fh:
+        final = os.path.join(base, f"v{version}.json")
+        tmp = final + ".tmp"
+        # atomic publish (tmp + rename), the same discipline
+        # _footer_stats_manifest documents: a reader in another process
+        # must never observe a half-written manifest
+        with open(tmp, "w") as fh:
             _json.dump(manifest, fh)
+        os.replace(tmp, final)
         return manifest["files"]
 
     os.makedirs(base, exist_ok=True)
@@ -670,17 +732,12 @@ def scan_file_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # predicate bounds = the second keyspace quartile, derived from the
     # manifest itself (exact integer arithmetic, mirrored by the
     # oracle's MIN/MAX subquery) so the op skips files at EVERY sf.
-    # None bounds (stats-less chunks) are always-keep and excluded from
-    # the span; our own Spark writer always emits int64 stats, so the
-    # spans stay exactly the raw table MIN/MAX the oracle derives.
-    mn = min(s["min"] for s in stats if s["min"] is not None)
-    mx = max(s["max"] for s in stats if s["max"] is not None)
+    # _manifest_span fails loud if any file lacks stats — a subset-span
+    # would silently shift the bounds away from the oracle's table
+    # MIN/MAX; _manifest_keep holds the shared keep rule.
+    mn, mx = _manifest_span(stats, "min", "max")
     lo, hi = mn + (mx - mn) // 4, mn + (mx - mn) // 2
-    keep = [
-        s["file"]
-        for s in stats
-        if s["min"] is None or (s["max"] >= lo and s["min"] <= hi)
-    ]
+    keep = _manifest_keep(stats, [("min", "max", lo, hi)])
     if not (0 < len(keep) < len(stats)):
         raise AssertionError(
             f"file skipping ineffective: {len(keep)} of {len(stats)} files"
@@ -845,26 +902,16 @@ def scan_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats = _json.load(fh)["files"]
     # 2-D box = the second quartile of each keyspace, derived from the
     # manifest (== the raw table's MIN/MAX — every row is in some file),
-    # mirrored exactly by the oracle's integer arithmetic. None bounds
-    # (stats-less chunks) are always-keep, excluded from the spans.
-    cmn = min(s["c_min"] for s in stats if s["c_min"] is not None)
-    cmx = max(s["c_max"] for s in stats if s["c_max"] is not None)
-    kmn = min(s["k_min"] for s in stats if s["k_min"] is not None)
-    kmx = max(s["k_max"] for s in stats if s["k_max"] is not None)
+    # mirrored exactly by the oracle's integer arithmetic; shared
+    # span/keep helpers (fail-loud on missing stats, always-keep on
+    # None bounds) — one keep-rule definition with the 1-D planner.
+    cmn, cmx = _manifest_span(stats, "c_min", "c_max")
+    kmn, kmx = _manifest_span(stats, "k_min", "k_max")
     c_lo, c_hi = cmn + (cmx - cmn) // 4, cmn + (cmx - cmn) // 2
     k_lo, k_hi = kmn + (kmx - kmn) // 4, kmn + (kmx - kmn) // 2
-    keep = [
-        s["file"]
-        for s in stats
-        if (
-            s["c_min"] is None
-            or (s["c_max"] >= c_lo and s["c_min"] <= c_hi)
-        )
-        and (
-            s["k_min"] is None
-            or (s["k_max"] >= k_lo and s["k_min"] <= k_hi)
-        )
-    ]
+    keep = _manifest_keep(
+        stats, [("c_min", "c_max", c_lo, c_hi), ("k_min", "k_max", k_lo, k_hi)]
+    )
     if not (0 < len(keep) < len(stats)):
         raise AssertionError(
             f"z-order skipping ineffective: {len(keep)} of {len(stats)} files"
