@@ -238,8 +238,11 @@ class SplitChunksUDTF:
             return
         size, overlap = 120, 20
         stride = size - overlap
+        # same suffix rule as rag.chunk_text: no start inside the final
+        # `overlap` chars — such a chunk is a strict suffix of the
+        # previous one (fully redundant)
         i, chunk_id = 0, 0
-        while i < max(len(text), 1):
+        while i <= max(len(text) - overlap - 1, 0):
             yield chunk_id, text[i : i + size]
             chunk_id += 1
             i += stride
@@ -250,7 +253,7 @@ class SplitChunksUDTF:
     oracle="""
     WITH starts AS (
       SELECT doc_id, text,
-             UNNEST(generate_series(0, GREATEST(LENGTH(text) - 1, 0), 100)) AS start
+             UNNEST(generate_series(0, GREATEST(LENGTH(text) - 21, 0), 100)) AS start
       FROM documents
       WHERE doc_id < 100
     )

@@ -37,6 +37,14 @@ CHUNK_SIZE = 3000  # reference default, parser_pinecone_storage.py:133
 CHUNK_OVERLAP = 200
 FIXTURE_CHUNK_SIZE = 120
 FIXTURE_CHUNK_OVERLAP = 20
+# THE fixed retrieval query, single definition: _bm25_scores, the
+# _BM25_CTES oracle twin, and rag_answer_select's span scorer (both
+# sides) all interpolate from here so the terms can never desync
+QUERY_TERMS = ("vector", "join", "scan")
+_STRIDE = FIXTURE_CHUNK_SIZE - FIXTURE_CHUNK_OVERLAP
+# generate_series upper bound for the chunk starts (see chunk_text's
+# suffix rule): len(text) - overlap - 1, floored at 0
+_CHUNK_BOUND_SQL = f"GREATEST(LENGTH(text) - {FIXTURE_CHUNK_OVERLAP + 1}, 0)" 
 EMBED_DIM = FIXTURE_EMBED_DIM  # fixture embedding dim (FIXTURES.md §3)
 
 
@@ -54,15 +62,25 @@ def chunk_text(
     the ingest pipeline) routes through here so the chunking convention
     lives in exactly one place.
 
-    Chunk starts at 0, stride, 2*stride, … while start < len(text); the
-    final chunk may be short. Pure built-ins: sequence → posexplode →
-    substring. Narrow (shuffle-free) at any scale. keep_text=True keeps
-    the full document text on each chunk row (for per-doc projections
-    like titles) instead of dropping it.
+    Chunk starts at 0, stride, 2*stride, … while start ≤ len(text) -
+    overlap - 1; the final chunk may be short. The upper bound stops
+    one position short of len-1 ON PURPOSE: a start inside the final
+    `overlap` characters would emit a chunk that is a strict SUFFIX of
+    the previous one (start ≥ len-overlap ⇒ the previous chunk already
+    covers through len) — a fully redundant chunk that duplicated
+    vectors in the embed index and wasted context-pack budget (measured
+    18.6% of fixture docs before the fix; RecursiveCharacterTextSplitter
+    does not emit it either). Coverage is unaffected: every removed
+    start's span is contained in its predecessor. Pure built-ins:
+    sequence → posexplode → substring. Narrow (shuffle-free) at any
+    scale. keep_text=True keeps the full document text on each chunk
+    row (for per-doc projections like titles) instead of dropping it.
     """
     stride = size - overlap
     starts = F.sequence(
-        F.lit(0), F.greatest(F.length("text") - F.lit(1), F.lit(0)), F.lit(stride)
+        F.lit(0),
+        F.greatest(F.length("text") - F.lit(overlap + 1), F.lit(0)),
+        F.lit(stride),
     )
     return (
         docs.select(*carry, "text", F.posexplode(starts).alias("chunk_id", "start"))
@@ -77,15 +95,15 @@ def chunk_text(
 
 @register(
     "rag_chunk_text",
-    oracle="""
+    oracle=f"""
     WITH starts AS (
       SELECT doc_id, text,
-             UNNEST(generate_series(0, GREATEST(LENGTH(text) - 1, 0), 100)) AS start
+             UNNEST(generate_series(0, {_CHUNK_BOUND_SQL}, {_STRIDE})) AS start
       FROM documents
     )
     SELECT doc_id,
-           CAST(start // 100 AS INTEGER)                    AS chunk_id,
-           SUBSTRING(text, CAST(start AS INTEGER) + 1, 120) AS chunk_text
+           CAST(start // {_STRIDE} AS INTEGER)              AS chunk_id,
+           SUBSTRING(text, CAST(start AS INTEGER) + 1, {FIXTURE_CHUNK_SIZE}) AS chunk_text
     FROM starts
     ORDER BY doc_id, chunk_id
     """,
@@ -101,16 +119,16 @@ def rag_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rag_metadata_project",
-    oracle="""
+    oracle=f"""
     WITH starts AS (
       SELECT doc_id, text,
-             UNNEST(generate_series(0, GREATEST(LENGTH(text) - 1, 0), 100)) AS start
+             UNNEST(generate_series(0, {_CHUNK_BOUND_SQL}, {_STRIDE})) AS start
       FROM documents
     )
     SELECT doc_id,
-           CAST(start // 100 AS INTEGER)                 AS chunk_id,
+           CAST(start // {_STRIDE} AS INTEGER)           AS chunk_id,
            SUBSTRING(text, 1, 50)                        AS title,
-           SUBSTRING(SUBSTRING(text, CAST(start AS INTEGER) + 1, 120), 1, 200) AS snippet,
+           SUBSTRING(SUBSTRING(text, CAST(start AS INTEGER) + 1, {FIXTURE_CHUNK_SIZE}), 1, 200) AS snippet,
            'text'                                        AS content_type
     FROM starts
     ORDER BY doc_id, chunk_id
@@ -183,12 +201,12 @@ def rag_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (ORDER BY ROUND(sim, 6) DESC, vec_id) AS rank
       FROM scored QUALIFY rank <= 5
     )
-    SELECT STRING_AGG(
+    SELECT COALESCE(STRING_AGG(
              '**Document Title**: ' || SUBSTRING(d.text, 1, 50) ||
              chr(10) || '**Content**: ' || SUBSTRING(d.text, 1, 200),
              chr(10) || chr(10) || '---' || chr(10) || chr(10)
              ORDER BY t.rank
-           ) AS context
+           ), '') AS context
     FROM topk t JOIN documents d ON d.doc_id = t.vec_id
     """,
 )
@@ -229,12 +247,22 @@ def rag_search_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rag_pipeline_ingest",
-    oracle="""
+    oracle=f"""
+    WITH starts AS (
+      SELECT doc_id,
+             UNNEST(generate_series(0, {_CHUNK_BOUND_SQL}, {_STRIDE})) AS start,
+             text
+      FROM documents
+    )
     SELECT doc_id,
-           CAST(LEN(GENERATE_SERIES(0, GREATEST(LENGTH(text) - 1, 0), 100)) AS BIGINT)
-             AS n_chunks,
-           CAST(1.0 AS DOUBLE) AS avg_norm
-    FROM documents
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           -- unit norm for token-bearing chunks, 0 for token-free ones
+           -- (hash_embed returns the zero vector there) — the caveat the
+           -- old literal 1.0 left unencoded
+           ROUND(AVG(CASE WHEN LEN(TRIM(SUBSTRING(text, CAST(start AS INTEGER) + 1, {FIXTURE_CHUNK_SIZE}))) > 0
+                          THEN 1.0 ELSE 0.0 END), 3) AS avg_norm
+    FROM starts
+    GROUP BY doc_id
     ORDER BY doc_id
     """,
 )
@@ -258,8 +286,6 @@ def rag_pipeline_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "chunk_id",
         hash_embed_udf("chunk_text").alias("embedding"),
-        F.substring("chunk_text", 1, 200).alias("snippet"),
-        F.lit("text").alias("content_type"),
     )
     dvec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     return (
@@ -281,12 +307,20 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (N, avglen, per-term df) as one tiny scalar aggregate broadcast
     back. BM25 k1=1.2, b=0.75, RSJ idf. Shared by
     rag_hybrid_bm25_cosine and rag_rrf_fusion."""
-    terms = ["vector", "join", "scan"]
+    terms = list(QUERY_TERMS)
     k1, b = 1.2, 0.75
 
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias("toks"),
+    d = (
+        table(spark, sf_dir, "documents")
+        # doc 0 is the QUERY document (its embedding is the vec_id=0
+        # query every cosine side excludes) — it must not occupy a BM25
+        # rank slot or inflate the corpus stats either, or it skews
+        # every fused ranking while being unretrievable itself
+        .filter(F.col("doc_id") != 0)
+        .select(
+            "doc_id",
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias("toks"),
+        )
     )
 
     def tf_of(term):
@@ -338,14 +372,15 @@ def _cosine_to_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (fixed 3-term query) and cosine-to-query-vector scores. Kept as one
 # source of truth so rag_hybrid_bm25_cosine and rag_rrf_fusion can't
 # drift apart on the scoring definition.
-_BM25_CTES = """tok AS (SELECT doc_id,
+_BM25_CTES = f"""tok AS (SELECT doc_id,
                         LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS toks
-                 FROM documents),
+                 FROM documents
+                 WHERE doc_id <> 0),
     tf AS (SELECT doc_id,
                   LEN(toks) AS dl,
-                  LEN(LIST_FILTER(toks, x -> x = 'vector')) AS tf1,
-                  LEN(LIST_FILTER(toks, x -> x = 'join'))   AS tf2,
-                  LEN(LIST_FILTER(toks, x -> x = 'scan'))   AS tf3
+                  LEN(LIST_FILTER(toks, x -> x = '{QUERY_TERMS[0]}')) AS tf1,
+                  LEN(LIST_FILTER(toks, x -> x = '{QUERY_TERMS[1]}')) AS tf2,
+                  LEN(LIST_FILTER(toks, x -> x = '{QUERY_TERMS[2]}')) AS tf3
            FROM tok),
     stats AS (SELECT COUNT(*) AS n,
                      AVG(dl)  AS avglen,
@@ -506,7 +541,9 @@ _TOP5_CHUNKS_CTES = f"""{_BM25_CTES},
     ),
     starts AS (
       SELECT d.doc_id, t.doc_rank, d.text,
-             UNNEST(generate_series(0, GREATEST(LENGTH(d.text) - 1, 0),
+             UNNEST(generate_series(0,
+                                    GREATEST(LENGTH(d.text)
+                                             - {FIXTURE_CHUNK_OVERLAP + 1}, 0),
                                     {_TOP5_STRIDE})) AS start
       FROM documents d JOIN top5 t USING (doc_id)
     ),
@@ -544,7 +581,7 @@ def _bm25_top5_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     cscore AS (
       SELECT doc_id, doc_rank, chunk_id, chunk_text,
              CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(chunk_text), ' '),
-                                  x -> x IN ('vector', 'join', 'scan')))
+                                  x -> x IN {tuple(QUERY_TERMS)!r}))
                   AS INTEGER) AS n_match
       FROM chunks
     )
@@ -580,7 +617,7 @@ def rag_answer_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window as W
 
-    terms = ["vector", "join", "scan"]
+    terms = list(QUERY_TERMS)
     chunks = _bm25_top5_chunks(spark, sf_dir)
     n_match = F.size(
         F.filter(
