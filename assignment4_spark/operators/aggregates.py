@@ -111,6 +111,7 @@ _KMV_K = 256
         SELECT DISTINCT event_type,
                CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
         FROM events
+        WHERE user_id IS NOT NULL
     ), r AS (
         SELECT event_type, hv,
                ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
@@ -145,9 +146,11 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     set, so per-group memory is bounded at any cardinality. Count and
     k-th value then come from a plain aggregation over the kept rows
     (cnt<k ⇒ the group had fewer than k distinct values ⇒ exact count).
-    See also agg_hll_distinct for Spark's native HLL++ path; the
-    estimator branch (n ≥ k) is dead at fixture cardinalities, so it is
-    pinned by a pure-Python replay unit test instead
+    See also agg_hll_distinct for Spark's native HLL++ path. The
+    estimator branch (n ≥ k) IS live at sf0.1 (1500 distinct users per
+    event_type ≥ k=256 — the earlier "dead at fixture cardinalities"
+    note was only true of sf0.01) and is additionally pinned by a
+    pure-Python replay unit test
     (tests/test_properties.py::test_kmv_estimator_branch_matches_replay).
     """
     ev = table(spark, sf_dir, "events")
@@ -165,10 +168,16 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def kmv_estimate(h: DataFrame, group_col: str, hash_col: str, k: int = _KMV_K) -> DataFrame:
     """(group, distinct 32-bit hash) → (group, approx_users) via KMV.
-    Literal rank<=k filter so the window prunes map-side (WindowGroupLimit)."""
+    Literal rank<=k filter so the window prunes map-side (WindowGroupLimit).
+    NULL hashes are dropped first — countDistinct semantics (a NULL key
+    is no distinct value), and Spark's NULLS-FIRST window order would
+    otherwise hand a NULL one of the k slots while DuckDB's NULLS-LAST
+    keeps the true k-th: a silent cross-engine overestimate."""
     w = Window.partitionBy(group_col).orderBy(hash_col)
     kept = (
-        h.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= F.lit(k))
+        h.filter(F.col(hash_col).isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.lit(k))
     )
     return (
         kept.groupBy(group_col)
@@ -270,7 +279,9 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit grouping sets via the SQL surface (same Catalyst Expand)."""
-    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    from ..io_util import register_views
+
+    register_views(spark, sf_dir, "orders")
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
@@ -303,8 +314,8 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag")
         .agg(
             F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
-            F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
-            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.var_samp("l_discount"), AVG_DP).alias("var_disc"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), AVG_DP).alias("corr_qty_price"),
             F.round(F.covar_samp("l_quantity", "l_extendedprice"), SUM_DP).alias(
                 "covar_qty_price"
             ),
@@ -332,8 +343,8 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.groupBy("o_orderstatus")
         .agg(
-            F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("median_price"),
-            F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), AVG_DP).alias("median_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), AVG_DP).alias("p90_price"),
         )
         .orderBy("o_orderstatus")
     )
@@ -679,8 +690,8 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         weighted_median(v, ["l_returnflag"], "price", "w", bin_width=1000.0)
         .select(
             "l_returnflag",
-            F.round("weighted_median", 2).alias("weighted_median"),
-            F.round("total_weight", 2).alias("total_weight"),
+            F.round("weighted_median", SUM_DP).alias("weighted_median"),
+            F.round("total_weight", SUM_DP).alias("total_weight"),
         )
         .orderBy("l_returnflag")
     )
@@ -725,6 +736,20 @@ def weighted_median(
       sums plan: the full data is scanned and pre-aggregated, but only
       one bin's slice per group is ever sorted.
     """
+    if bin_width is not None and bin_width <= 0:
+        raise ValueError(
+            f"bin_width must be positive, got {bin_width}: floor(value/0) "
+            "NULLs every bin and the sketch silently degenerates"
+        )
+
+    def _crossed(cum_col: str, tw_col: str):
+        # THE crossing predicate, one definition for all three paths
+        # (plain, bin-level, in-bin): cumulative weight has reached half
+        # the total, compared at 9dp on both sides so a knife-edge
+        # fractional-weight crossing cannot split the paths again
+        # (commit 0f1c1a6 fixed exactly that divergence once)
+        return F.round(F.col(cum_col), 9) >= F.round(F.col(tw_col) / 2, 9)
+
     if bin_width is None:
         wp = Window.partitionBy(*group_cols)
         cum = df.select(
@@ -740,7 +765,7 @@ def weighted_median(
             F.sum(weight_col).over(wp).alias("_tw"),
         )
         return (
-            cum.filter(F.round(F.col("_cw"), 9) >= F.round(F.col("_tw") / 2, 9))
+            cum.filter(_crossed("_cw", "_tw"))
             .groupBy(*group_cols)
             .agg(
                 F.min("_v").alias("weighted_median"),
@@ -763,7 +788,7 @@ def weighted_median(
         F.sum("_bw").over(wp).alias("_tw"),
     )
     crossing = (
-        sk.filter(F.round(F.col("_cum"), 9) >= F.round(F.col("_tw") / 2, 9))
+        sk.filter(_crossed("_cum", "_tw"))
         .groupBy(*group_cols)
         .agg(F.min(F.struct("_bin", "_cum", "_bw", "_tw")).alias("_s"))
         .select(
@@ -794,7 +819,7 @@ def weighted_median(
         ).alias("_cw"),
     )
     return (
-        cum2.filter(F.round(F.col("_cw"), 9) >= F.round(F.col("_tw") / 2, 9))
+        cum2.filter(_crossed("_cw", "_tw"))
         .groupBy(*group_cols)
         .agg(
             F.min("_v").alias("weighted_median"),
@@ -951,6 +976,6 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "'l_discount', 'l_tax', dt) AS (col_a, col_b, raw)"
             )
         )
-        .select("col_a", "col_b", F.round("raw", 6).alias("corr"))
+        .select("col_a", "col_b", F.round("raw", AVG_DP).alias("corr"))
         .orderBy("col_a", "col_b")
     )

@@ -865,3 +865,10 @@ def test_connected_components_self_loop_singleton(spark):
         for r in api.connected_components(edges, "src", "dst").collect()
     }
     assert got == {1: 1, 2: 1, 5: 5}
+
+
+def test_weighted_median_rejects_nonpositive_bin_width(spark):
+    df = spark.createDataFrame([(1, 1.0, 1.0)], "g int, v double, w double")
+    with pytest.raises(ValueError, match="bin_width must be positive"):
+        api.weighted_median(df, group_cols=["g"], value_col="v", weight_col="w",
+                            bin_width=0)
