@@ -35,6 +35,40 @@ _VALID = ["a", "b", "c"]  # 3/16
 # remaining d/e/f → test
 
 
+def _split_expr(key_col: str = "doc_id"):
+    """THE 10/3/3 train/valid/test assignment from md5(key)'s first hex
+    digit — one definition for sample_split_hash and
+    text_curate_pipeline (their docstrings promise 'the same algebra')."""
+    h = F.substring(F.md5(F.col(key_col).cast("string")), 1, 1)
+    return (
+        F.when(h.isin(_TRAIN), F.lit("train"))
+        .when(h.isin(_VALID), F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def _holdout_expr(key):
+    """THE 12/2/2 val/test/train holdout from md5(key)'s first hex digit
+    — shared by sample_group_holdout (key = source) and
+    sample_cluster_holdout (key = cluster id)."""
+    h = F.substring(F.md5(key), 1, 1)
+    return (
+        F.when(h.isin("c", "d"), F.lit("val"))
+        .when(h.isin("e", "f"), F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+
+
+def _lang_hash_rank():
+    """Per-language deterministic rank on (md5(doc_id), doc_id) — the
+    quota-selection window shared by sample_class_balance and
+    sample_mix_proportions."""
+    return F.row_number().over(
+        W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    )
+
+
+
 @register(
     "sample_split_hash",
     oracle="""
@@ -60,14 +94,8 @@ def sample_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/valid/test split (10/3/3 sixteenths) keyed on
     md5(doc_id): reproducible across engines, runs, and repartitions."""
     d = table(spark, sf_dir, "documents")
-    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-    split = (
-        F.when(h.isin(_TRAIN), F.lit("train"))
-        .when(h.isin(_VALID), F.lit("valid"))
-        .otherwise(F.lit("test"))
-    )
     return (
-        d.select(split.alias("split"), "n_chars")
+        d.select(_split_expr().alias("split"), "n_chars")
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -174,14 +202,8 @@ def text_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .filter((F.col("n_chars") >= 80) & (F.col("n_tokens") >= 10))
     )
-    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-    split = (
-        F.when(h.isin(_TRAIN), F.lit("train"))
-        .when(h.isin(_VALID), F.lit("valid"))
-        .otherwise(F.lit("test"))
-    )
     return (
-        kept.select("lang", split.alias("split"), "n_tokens", "n_chars")
+        kept.select("lang", _split_expr().alias("split"), "n_tokens", "n_chars")
         .groupBy("lang", "split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -296,15 +318,22 @@ def bottomk_by_hash(
     column. Reproducible across engines/runs/partitionings, and a
     proper mergeable bottom-k sketch under data growth. Compiles to
     TakeOrderedAndProject — no global sort, no shuffle of the corpus."""
+    reserved = {"_bk_h", "rk"}
+    clash = reserved & {key_col, *(keep_cols or [])}
+    if clash:
+        raise ValueError(
+            f"column(s) {sorted(clash)} collide with bottomk_by_hash's "
+            "internal/output names (_bk_h, rk); rename them first"
+        )
     h = F.md5(F.col(key_col).cast("string"))
     return (
-        df.select(key_col, *(keep_cols or []), h.alias("h"))
-        .orderBy("h", key_col)
+        df.select(key_col, *(keep_cols or []), h.alias("_bk_h"))
+        .orderBy("_bk_h", key_col)
         .limit(k)
         .select(
             key_col,
             *(keep_cols or []),
-            F.row_number().over(W.orderBy("h", key_col)).cast("bigint").alias("rk"),
+            F.row_number().over(W.orderBy("_bk_h", key_col)).cast("bigint").alias("rk"),
         )
     )
 
@@ -318,13 +347,22 @@ def weighted_sample_ares(
     `id_col` — reproducible across engines/runs and mergeable across
     partitions (TakeOrdered, never a full sort). Appends the 1e-9-
     rounded priority key as `_ares_r`; see sample_weighted_ares for the
-    determinism rationale."""
+    determinism rationale.
+
+    A-ES is DEFINED for positive weights only; rows with w <= 0 are
+    dropped up front. Unguarded they invert the sample: ln(u) < 0, so a
+    NEGATIVE w flips r positive and such rows deterministically outrank
+    every valid row, while w = 0 divides to NULL (Spark) vs -inf
+    (DuckDB) — a silent cross-engine divergence."""
+    if "_ares_r" in df.columns:
+        raise ValueError("input already has an _ares_r column; rename it first")
     h32 = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
     ).cast("bigint")
     r = F.round(F.log((h32 + 1) / F.lit(4294967296.0)) / F.col(weight_col), 9)
     return (
-        df.withColumn("_ares_r", r)
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_ares_r", r)
         .orderBy(F.col("_ares_r").desc(), id_col)
         .limit(k)
     )
@@ -338,6 +376,7 @@ def weighted_sample_ares(
              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                AS h32
       FROM documents
+      WHERE n_chars > 0
     ), keyed AS (
       SELECT doc_id, lang, n_chars,
              ROUND(LN((h32 + 1) / 4294967296.0) / n_chars, 9) AS r
@@ -463,11 +502,8 @@ def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     this op enforces an absolute per-class budget).
     """
     d = table(spark, sf_dir, "documents").select("doc_id", "lang")
-    rk = F.row_number().over(
-        W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
-    )
     return (
-        d.select("doc_id", "lang", rk.cast("bigint").alias("rk"))
+        d.select("doc_id", "lang", _lang_hash_rank().cast("bigint").alias("rk"))
         .filter(F.col("rk") <= 60)
         .orderBy("doc_id")
     )
@@ -530,18 +566,21 @@ def sample_mix_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(k, float(v)) for k, v in _MIX_WEIGHTS.items()], "lang string, w double"
     )
     cnt = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    # LEFT join from the TARGETS with absent classes counted as 0: an
+    # inner join would silently drop a target class missing from the
+    # corpus, compute T over the remaining classes, and emit a skewed
+    # mixture — by the invariant T = min_c floor(n_c / w_c), a missing
+    # class means T = 0 (empty mixture), not a renormalized one
     budget = (
-        cnt.join(tgt, "lang")
-        .agg(F.min(F.floor(F.col("n") / F.col("w"))).cast("bigint").alias("t_total"))
+        tgt.join(cnt, "lang", "left")
+        .select(F.floor(F.coalesce(F.col("n"), F.lit(0)) / F.col("w")).alias("q"))
+        .agg(F.min("q").cast("bigint").alias("t_total"))
     )
     quota = tgt.crossJoin(F.broadcast(budget)).select(
         "lang",
         F.floor(F.col("w") * F.col("t_total")).cast("bigint").alias("k"),
     )
-    rk = F.row_number().over(
-        W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
-    )
-    ranked = d.select("doc_id", "lang", rk.cast("bigint").alias("rk"))
+    ranked = d.select("doc_id", "lang", _lang_hash_rank().cast("bigint").alias("rk"))
     return (
         ranked.join(F.broadcast(quota), "lang")
         .filter(F.col("rk") <= F.col("k"))
@@ -585,14 +624,8 @@ def sample_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     split filter pushes into every downstream read.
     """
     d = table(spark, sf_dir, "documents")
-    h = F.substring(F.md5(F.col("source")), 1, 1)
     assigned = d.select(
-        "doc_id",
-        "source",
-        F.when(h.isin("c", "d"), F.lit("val"))
-        .when(h.isin("e", "f"), F.lit("test"))
-        .otherwise(F.lit("train"))
-        .alias("split"),
+        "doc_id", "source", _holdout_expr(F.col("source")).alias("split")
     )
     return (
         assigned.groupBy("split")
@@ -606,10 +639,10 @@ def sample_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sample_curriculum_order",
-    oracle=f"""
+    oracle="""
     WITH q AS (
       SELECT doc_id,
-             {{quality}} AS quality,
+             {quality} AS quality,
              MD5(CAST(doc_id AS VARCHAR)) AS h
       FROM documents
     ),
@@ -760,14 +793,10 @@ def sample_cluster_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = d.select("doc_id").join(F.broadcast(membership), "doc_id", "left").select(
         "doc_id", F.coalesce("comp_id", "doc_id").alias("split_key")
     )
-    h = F.substring(F.md5(F.col("split_key").cast("string")), 1, 1)
     assigned = keyed.select(
         "doc_id",
         "split_key",
-        F.when(h.isin("c", "d"), F.lit("val"))
-        .when(h.isin("e", "f"), F.lit("test"))
-        .otherwise(F.lit("train"))
-        .alias("split"),
+        _holdout_expr(F.col("split_key").cast("string")).alias("split"),
     )
     return (
         assigned.groupBy("split")

@@ -872,3 +872,20 @@ def test_weighted_median_rejects_nonpositive_bin_width(spark):
     with pytest.raises(ValueError, match="bin_width must be positive"):
         api.weighted_median(df, group_cols=["g"], value_col="v", weight_col="w",
                             bin_width=0)
+
+
+def test_bottomk_by_hash_reserved_name_collision(spark):
+    df = spark.createDataFrame([(1, "x")], "k long, _bk_h string")
+    with pytest.raises(ValueError, match="collide"):
+        api.bottomk_by_hash(df, key_col="k", k=1, keep_cols=["_bk_h"])
+
+
+def test_weighted_sample_ares_positive_weight_contract(spark):
+    """A-ES is defined for w > 0: negative-weight rows would flip the
+    priority sign and deterministically outrank every valid row; they
+    (and w=0 rows) must be dropped, not sampled."""
+    rows = [(1, 100.0), (2, 100.0), (3, -5.0), (4, 0.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = [r.doc_id for r in
+           api.weighted_sample_ares(df, weight_col="w", k=10).collect()]
+    assert set(got) == {1, 2}, got
