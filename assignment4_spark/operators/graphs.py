@@ -35,7 +35,14 @@ from ..registry import register
 # and the SQL literal 0.15 are DIFFERENT doubles (last-ulp), which
 # compounds over iterations — so both sides use the same parsed
 # literals 0.15 / 0.85, never derived arithmetic.
+# Iteration count for the registered pagerank / label-propagation ops.
+# BOTH DuckDB oracles hard-code exactly this many unrolled round CTEs
+# (pagerank r1-r3 below; LPA's _lpa_round_sql chain at its @register) —
+# changing this constant WITHOUT adding/removing oracle rounds
+# desynchronizes engine and oracle and only fails at driver-verify
+# time. The assert below trips at import instead.
 _ITERS = 3
+assert _ITERS == 3, "update the unrolled r1..rN oracle CTEs in lockstep"
 
 
 def pagerank(
@@ -99,10 +106,29 @@ def pagerank(
         # and re-shuffles the rank frame every round — measured
         # ~0.3 s/round at sf0.1 for nothing)
         has_src_only = True if has_source_only else bool(src_only.head(1))
+    if checkpoint_interval <= 0:
+        raise ValueError(
+            f"checkpoint_interval must be >= 1, got {checkpoint_interval} "
+            "(use a value > iters to never checkpoint mid-run)"
+        )
     # seed only needs the CONTRIBUTING vertices (contributions inner-join
     # on src): in-only vertices enter the rank frame via the first
-    # round's aggregation
-    ranks = deg.select(F.col("src").alias("v"), F.lit(1.0).alias("rank"))
+    # round's aggregation. Seed FROM THE CHECKPOINT — deg's raw lineage
+    # would re-run the upstream scan+distinct+union in round 1's job
+    # (the same ~2 s/sf0.1 cost the src_only build above avoids).
+    ranks = (
+        edges_deg.select(F.col("src").alias("v")).distinct()
+        .select("v", F.lit(1.0).alias("rank"))
+    )
+    if iters == 0:
+        # contract: a rank for EVERY vertex in the edge list — in-only
+        # vertices normally enter via round 1's aggregation, so with no
+        # rounds they must be unioned in explicitly at the seed value
+        in_only = (
+            edges_deg.select(F.col("dst").alias("v")).distinct()
+            .join(ranks.select("v"), "v", "left_anti")
+        )
+        ranks = ranks.unionAll(in_only.select("v", F.lit(1.0).alias("rank")))
     for i in range(iters):
         contrib = edges_deg.join(ranks, edges_deg.src == ranks.v).select(
             "dst", (F.col("rank") / F.col("deg")).alias("c")

@@ -889,3 +889,14 @@ def test_weighted_sample_ares_positive_weight_contract(spark):
     got = [r.doc_id for r in
            api.weighted_sample_ares(df, weight_col="w", k=10).collect()]
     assert set(got) == {1, 2}, got
+
+
+def test_pagerank_iters_zero_covers_all_vertices(spark):
+    """The documented contract — a rank for EVERY vertex in the edge
+    list — must hold at iters=0 too: in-only vertices normally enter
+    via round 1's aggregation, so the seed has to union them in."""
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = {r.v: r.rank for r in api.pagerank(edges, iters=0).collect()}
+    assert got == {1: 1.0, 2: 1.0}
+    with pytest.raises(ValueError, match="checkpoint_interval"):
+        api.pagerank(edges, checkpoint_interval=0)
