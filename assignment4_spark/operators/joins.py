@@ -273,14 +273,15 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE event_type IN ('click', 'purchase')
     ), enriched AS (
       SELECT *,
-             LAST_VALUE(CASE WHEN is_right THEN value END IGNORE NULLS) OVER w AS asof_value,
-             LAST_VALUE(CASE WHEN is_right THEN ts END IGNORE NULLS)    OVER w AS asof_ts
+             LAST_VALUE(CASE WHEN is_right THEN struct_pack(t := ts, v := value) END
+                        IGNORE NULLS) OVER w AS asof_s
       FROM tagged
       WINDOW w AS (PARTITION BY user_id
                    ORDER BY ts, is_right DESC, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
-    SELECT event_id, user_id, ts, asof_value, asof_ts
+    SELECT event_id, user_id, ts,
+           asof_s['v'] AS asof_value, asof_s['t'] AS asof_ts
     FROM enriched
     WHERE NOT is_right
     ORDER BY event_id
@@ -305,14 +306,19 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ts"), F.col("is_right").desc(), F.col("event_id"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # carry (ts, value) as ONE struct: two independent ignorenulls
+    # carries would skip a NULL-VALUE purchase on the value side but
+    # not the ts side, pairing one purchase's timestamp with another's
+    # value — an attribute combination belonging to no event. A struct
+    # with a NULL field is not NULL, so the purchase row carries whole.
+    asof = F.last(
+        F.when(F.col("is_right"), F.struct(F.col("ts"), F.col("value"))),
+        ignorenulls=True,
+    ).over(w)
     enriched = tagged.select(
         "*",
-        F.last(F.when(F.col("is_right"), F.col("value")), ignorenulls=True)
-        .over(w)
-        .alias("asof_value"),
-        F.last(F.when(F.col("is_right"), F.col("ts")), ignorenulls=True)
-        .over(w)
-        .alias("asof_ts"),
+        asof["value"].alias("asof_value"),
+        asof["ts"].alias("asof_ts"),
     )
     return (
         enriched.filter(~F.col("is_right"))
@@ -433,6 +439,28 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _grid_neighborhood(x_col, y_col, cell: float):
+    """Exploded 3x3 grid-cell neighborhood column of a point — THE
+    replication side of the grid-join coverage proof ("any pair within
+    one cell-size meets in the neighborhood"), shared by
+    join_spatial_epsilon and join_nearest_spatial so the proof lives in
+    one place. Yields struct(gx, gy) rows; the probe side keys on its
+    own single cell."""
+    cx = F.floor(x_col / cell)
+    cy = F.floor(y_col / cell)
+    return F.explode(
+        F.array(
+            *[
+                F.struct((cx + dx).alias("gx"), (cy + dy).alias("gy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    )
+
+
 @register(
     "join_spatial_epsilon",
     oracle="""
@@ -483,13 +511,7 @@ def join_spatial_epsilon(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pid").alias("pid_a"),
         F.col("x").alias("xa"),
         F.col("y").alias("ya"),
-        F.explode(
-            F.array(*[
-                F.struct((cx + dx).alias("gx"), (cy + dy).alias("gy"))
-                for dx in (-1, 0, 1)
-                for dy in (-1, 0, 1)
-            ])
-        ).alias("cell"),
+        _grid_neighborhood(F.col("x"), F.col("y"), eps).alias("cell"),
     ).select("pid_a", "xa", "ya", F.col("cell.gx").alias("gx"), F.col("cell.gy").alias("gy"))
     b = pts.select(
         F.col("pid").alias("pid_b"),
@@ -588,16 +610,7 @@ def join_nearest_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid",
         "xq",
         "yq",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    (F.floor(F.col("xq") / g) + dx).alias("gx"),
-                    (F.floor(F.col("yq") / g) + dy).alias("gy"),
-                )
-                for dx in (-1, 0, 1)
-                for dy in (-1, 0, 1)
-            ])
-        ).alias("cell"),
+        _grid_neighborhood(F.col("xq"), F.col("yq"), g).alias("cell"),
     ).select("qid", "xq", "yq", F.col("cell.gx").alias("gx"), F.col("cell.gy").alias("gy"))
     cb = c.select(
         "cid", "xc", "yc",

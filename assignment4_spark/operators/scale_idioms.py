@@ -97,7 +97,17 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     test: no Exchange between the bucketed scans and the join). The
     write-side shuffle happens once; every later join on the key rides
     the layout for free — the cluster answer to repeated fact⨝fact joins."""
-    base = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    from .scans import _fixture_fingerprint
+
+    # the catalog name carries the SAME fixture fingerprint as the
+    # artifact path: a basename-only name would let a second sf_dir (or
+    # an in-place regenerated fixture) short-circuit on tableExists and
+    # serve the FIRST dataset's bucketed rows — the staleness class the
+    # fingerprinted _adir exists to prevent
+    base = (
+        os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+        + "_" + _fixture_fingerprint(sf_dir)
+    )
     o_tbl, c_tbl = f"orders_bkt_{base}", f"customer_bkt_{base}"
     o_path, c_path = _adir(sf_dir, "orders_bkt"), _adir(sf_dir, "customer_bkt")
 
@@ -374,10 +384,23 @@ def bloom_prefilter(
     bit positions Arrow-collected and OR-ed into an m_bits/64-word
     bitset; probe: codegen-side bit test against the bitset LITERAL —
     no UDF, no join, no shuffle, and the literal never becomes a
-    projected column (that would memcpy it onto every row)."""
+    projected column (that would memcpy it onto every row).
+
+    Contract guards: m_bits rounds UP to the next multiple of 64 (bits
+    past the last full word would otherwise either crash the build or
+    NULL the probe's bit test and silently DROP matching fact rows),
+    and the probe hashes the fact key CAST TO THE DIM KEY'S TYPE —
+    xxhash64 is type-sensitive (int 5 and long 5 hash differently)
+    while the downstream join coerces, so a type mismatch would turn
+    every probe into a false negative."""
     import numpy as np
 
+    m_bits = ((m_bits + 63) // 64) * 64
     n_words = m_bits // 64
+    dim_type = dim.schema[dim_key].dataType
+    fact_key_expr = F.col(fact_key)
+    if fact.schema[fact_key].dataType != dim_type:
+        fact_key_expr = fact_key_expr.cast(dim_type)
     pos = (
         dim.select(
             F.explode(
@@ -394,7 +417,7 @@ def bloom_prefilter(
     bloom = F.lit(words)
     cond = None
     for s in seeds:
-        p = F.pmod(F.xxhash64(fact_key, F.lit(s)), m_bits)
+        p = F.pmod(F.xxhash64(fact_key_expr, F.lit(s)), m_bits)
         word = F.element_at(bloom, (p / 64).cast("int") + 1)
         bit = F.call_function("shiftright", word, (p % 64).cast("int")).bitwiseAND(F.lit(1))
         cond = (bit == 1) if cond is None else cond & (bit == 1)
@@ -402,6 +425,22 @@ def bloom_prefilter(
 
 
 _MV_SPLIT = "1998-01-01 00:00:00"  # orders before this are the stored base
+
+
+def _monthly_partial(orders: DataFrame) -> DataFrame:
+    """THE per-month partial aggregate (n, exact-decimal sum) — one
+    definition shared by the stored MV build and the delta scan of
+    agg_incremental_merge: the refresh-equals-recompute guarantee
+    requires the two partials to stay bit-identical, so they must not
+    be two hand-kept copies."""
+    return orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+    )
+
+
 
 
 def _orders_monthly_mv(spark: SparkSession, sf_dir: str) -> str:
@@ -412,15 +451,9 @@ def _orders_monthly_mv(spark: SparkSession, sf_dir: str) -> str:
     behind _SUCCESS, like every derived layout here."""
     out = _adir(sf_dir, "orders_monthly_mv")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        base = (
-            table(spark, sf_dir, "orders")
-            .filter(F.col("o_orderdate") < F.lit(_MV_SPLIT).cast("timestamp"))
-            .groupBy(
-                F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
-            )
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+        base = _monthly_partial(
+            table(spark, sf_dir, "orders").filter(
+                F.col("o_orderdate") < F.lit(_MV_SPLIT).cast("timestamp")
             )
         )
         base.write.mode("overwrite").parquet(out)
@@ -459,15 +492,9 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift by reduction order (see agg_decimal_money).
     """
     mv = spark.read.parquet(_orders_monthly_mv(spark, sf_dir))
-    delta = (
-        table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderdate") >= F.lit(_MV_SPLIT).cast("timestamp"))
-        .groupBy(
-            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+    delta = _monthly_partial(
+        table(spark, sf_dir, "orders").filter(
+            F.col("o_orderdate") >= F.lit(_MV_SPLIT).cast("timestamp")
         )
     )
     merged = (

@@ -900,3 +900,18 @@ def test_pagerank_iters_zero_covers_all_vertices(spark):
     assert got == {1: 1.0, 2: 1.0}
     with pytest.raises(ValueError, match="checkpoint_interval"):
         api.pagerank(edges, checkpoint_interval=0)
+
+
+def test_bloom_prefilter_contract_guards(spark):
+    """No-false-negatives must survive the two contract holes: a
+    non-multiple-of-64 m_bits (bits past the last full word previously
+    crashed the build or NULLed the probe and DROPPED matching rows)
+    and a fact/dim key type mismatch (xxhash64 is type-sensitive while
+    the join coerces — every probe became a false negative)."""
+    dim = spark.createDataFrame([(i,) for i in range(50)], "dk long")
+    fact = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(100)], "fk int, payload string"
+    )  # fk is INT on purpose: dim key is LONG
+    kept = api.bloom_prefilter(fact, "fk", dim, "dk", m_bits=1000).collect()
+    kept_ids = {r.fk for r in kept}
+    assert set(range(50)) <= kept_ids, "false negatives: matching rows dropped"
