@@ -66,8 +66,12 @@ def stream_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events, UNNEST(generate_series(0, 3)) AS t(k)
     )
     SELECT window_start,
-           COUNT(*)               AS n,
-           ROUND(AVG(value), 6)   AS avg_value
+           COUNT(*)                                   AS n,
+           -- two-step round: the SUM is rounded to 6dp BEFORE dividing,
+           -- killing the cross-engine reduction-order ulp noise the TV
+           -- operator measured (its integer-micro-unit fold, lighter
+           -- form) — then the exact-integer division re-rounds
+           ROUND(ROUND(SUM(value), 6) / COUNT(*), 6)  AS avg_value
     FROM expanded
     GROUP BY window_start
     ORDER BY window_start
@@ -79,7 +83,12 @@ def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.round(F.sum("value"), 6) / F.count(F.lit(1)), 6
+            ).alias("avg_value"),
+        )
         .select(F.col("w.start").alias("window_start"), "n", "avg_value")
         .orderBy("window_start")
     )
@@ -89,7 +98,7 @@ def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_window",
     oracle="""
     WITH marked AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTES OR
                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -97,7 +106,7 @@ def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), numbered AS (
       SELECT user_id, ts, value,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS session_no
       FROM marked
     )
@@ -474,23 +483,42 @@ def tv_from_counts(cnt: DataFrame, ref: DataFrame) -> DataFrame:
 NEARDUP_MAX_HAMMING = 6
 
 
-def neardup_gate(incoming: DataFrame, reference: DataFrame) -> DataFrame:
+def build_neardup_ref_index(reference: DataFrame) -> DataFrame:
+    """The static side of the gate — reference SimHash signatures
+    exploded into their pigeonhole band index. Build ONCE (and
+    localCheckpoint) when the same reference gates many micro-batches:
+    rebuilding it per batch re-scans and re-aggregates the whole
+    reference corpus every trigger."""
+    return simhash_signatures(reference).select(
+        F.col("doc_id").alias("ref_id"),
+        F.col("simhash").alias("ref_sim"),
+        F.explode(simhash_band_keys(NEARDUP_MAX_HAMMING)).alias("band_key"),
+    )
+
+
+def neardup_gate(
+    incoming: DataFrame,
+    reference: DataFrame | None = None,
+    ref_index: DataFrame | None = None,
+) -> DataFrame:
     """The gate's one shared definition (batch declaration AND the
     readStream replay run exactly this): SimHash both sides, explode the
     reference into its pigeonhole band index, probe each incoming doc's
     bands with an equi-join, popcount-verify, keep min matching ref id.
 
     `incoming`/`reference` are (doc_id, text) frames; returns
-    (doc_id, matched_ref, is_dup) for every incoming doc."""
-    inc_sigs = simhash_signatures(incoming)
-    ref_index = (
-        simhash_signatures(reference)
-        .select(
-            F.col("doc_id").alias("ref_id"),
-            F.col("simhash").alias("ref_sim"),
-            F.explode(simhash_band_keys(NEARDUP_MAX_HAMMING)).alias("band_key"),
-        )
-    )
+    (doc_id, matched_ref, is_dup) for every incoming doc. Pass
+    ``ref_index=build_neardup_ref_index(reference)`` (materialized
+    once) when gating MANY micro-batches against one static reference —
+    otherwise each call re-runs the reference signature+band
+    aggregation from the raw text.
+
+    inc_sigs feeds BOTH the band probe and the closing left join; the
+    lazy localCheckpoint materializes the explode + 32-vote signature
+    aggregation once instead of twice per call."""
+    inc_sigs = simhash_signatures(incoming).localCheckpoint(eager=False)
+    if ref_index is None:
+        ref_index = build_neardup_ref_index(reference)
     probes = inc_sigs.select(
         "doc_id",
         "simhash",

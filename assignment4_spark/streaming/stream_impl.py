@@ -148,7 +148,13 @@ def sliding_avg(events: DataFrame) -> DataFrame:
     """Streaming twin of stream_sliding_avg (complete mode)."""
     return (
         events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # two-step round, matching the batch declaration exactly
+            F.round(
+                F.round(F.sum("value"), 6) / F.count(F.lit(1)), 6
+            ).alias("avg_value"),
+        )
         .select(F.col("w.start").alias("window_start"), "n", "avg_value")
     )
 
@@ -176,13 +182,19 @@ def session_window(events: DataFrame) -> DataFrame:
 
 
 def dedup_ids(events: DataFrame) -> DataFrame:
-    """Streaming twin of stream_dedup_ids: watermarked dropDuplicates.
-    Emits surviving rows (append); the per-type counts are taken on the
-    sink table (chaining dedup→agg in one streaming query is a multiple-
+    """Streaming twin of stream_dedup_ids: watermarked
+    dropDuplicatesWithinWatermark. Plain dropDuplicates(["event_id"])
+    would NEVER evict state (Spark only cleans dedup state when the
+    event-time column is in the subset) — the id set would grow
+    unboundedly at 100 TB/day, contradicting the bounded-state story;
+    WithinWatermark keeps each id only until the watermark passes it,
+    which is the semantics the module docstring promises. Emits
+    surviving rows (append); the per-type counts are taken on the sink
+    table (chaining dedup→agg in one streaming query is a multiple-
     stateful-operator restriction)."""
     return (
         events.withWatermark("ts", "1 hour")
-        .dropDuplicates(["event_id"])
+        .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "event_type")
     )
 
@@ -218,7 +230,10 @@ def _running(key, pdf_iter: Iterable[pd.DataFrame], state: GroupState):
         out_sum = []
         for v in pdf["value"]:
             cnt += 1
-            acc += float(v)
+            # skip NULL/NaN like the batch twin's F.sum does — one NaN
+            # would otherwise poison the running state forever
+            if pd.notna(v):
+                acc += float(v)
             out_cnt.append(cnt)
             out_sum.append(_round2_half_up(acc))
         yield pd.DataFrame(
@@ -413,17 +428,24 @@ def run_neardup_gate(spark: SparkSession, sf_dir: str, docs_stream: DataFrame) -
 
     Returns the accumulated (doc_id, matched_ref, is_dup) sink table.
     """
-    from .batch_decl import neardup_gate
+    from .batch_decl import build_neardup_ref_index, neardup_gate
 
     reference = (
         table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 2 == 0)
         .select("doc_id", "text")
     )
+    # the STATIC side is built and materialized ONCE — rebuilding the
+    # signature+band aggregation inside every foreachBatch call would
+    # re-scan the whole reference corpus per trigger
+    ref_index = build_neardup_ref_index(reference).localCheckpoint(eager=True)
     sink = os.path.join(SCRATCH, f"gate_sink_{uuid.uuid4().hex[:8]}")
+    # batch-id-keyed overwrite (idempotent_parquet_sink): a replayed
+    # micro-batch must not double-append verdicts
+    write_batch = idempotent_parquet_sink(sink)
 
-    def gate_batch(batch_df: DataFrame, _batch_id: int) -> None:
-        neardup_gate(batch_df, reference).write.mode("append").parquet(sink)
+    def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        write_batch(neardup_gate(batch_df, ref_index=ref_index), batch_id)
 
     q = (
         docs_stream.writeStream.foreachBatch(gate_batch)
@@ -435,7 +457,8 @@ def run_neardup_gate(spark: SparkSession, sf_dir: str, docs_stream: DataFrame) -
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(sink)
+    # batch_id is sink bookkeeping, not part of the gate's contract
+    return read_idempotent_sink(spark, sink).drop("batch_id")
 
 
 _ENRICH_OUT = StructType(
@@ -474,7 +497,8 @@ class _ProfileEnrich(StatefulProcessor):
                 if not self._types.containsKey((et,)):
                     self._types.updateValue((et,), (1,))
                     ntypes += 1
-                if et == "purchase":
+                if et == "purchase" and pd.notna(v):
+                    # NULL-skipping like the batch SUM(CASE ...) twin
                     total += float(v)
                 out_total.append(_round2_half_up(total))
                 out_n.append(ntypes)

@@ -560,3 +560,46 @@ def test_rest_feed_fresh_checkpoint_claims_stale_cursor(tmp_path):
     # restart path unchanged: no initialOffset call, cursor restores
     restarted = RestFeedStreamReader(opts)
     assert restarted.latestOffset() == {"page": 4}
+
+
+def test_stream_dedup_drops_real_duplicate_across_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark must actually suppress a duplicate
+    arriving in a LATER micro-batch (within the watermark) — the replay
+    fixture has unique event_ids, so without this feed the dedup could
+    be an identity no-op and the equivalence test would still pass."""
+    import os
+
+    import pandas as pd
+
+    out = str(tmp_path / "dupfeed")
+    os.makedirs(out, exist_ok=True)
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    b1 = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": [base, base + pd.Timedelta(minutes=1), base + pd.Timedelta(minutes=2)],
+            "user_id": [1, 1, 2],
+            "event_type": ["click", "view", "click"],
+            "value": [1.0, 2.0, 3.0],
+        }
+    )
+    # batch 2 re-emits event_id 2 (10 minutes later, inside the 1h
+    # watermark) plus a genuinely new event
+    b2 = pd.DataFrame(
+        {
+            "event_id": [2, 4],
+            "ts": [base + pd.Timedelta(minutes=11), base + pd.Timedelta(minutes=12)],
+            "user_id": [1, 3],
+            "event_type": ["view", "purchase"],
+            "value": [2.0, 4.0],
+        }
+    )
+    for i, part in enumerate((b1, b2)):
+        p = os.path.join(out, f"slice_{i:04d}.parquet")
+        part.to_parquet(p, index=False, coerce_timestamps="us",
+                        allow_truncated_timestamps=True)
+        os.utime(p, (1700000000 + i * 60, 1700000000 + i * 60))
+
+    got = si.run_to_table(si.dedup_ids(si.read_stream(spark, out)), "append")
+    ids = sorted(r.event_id for r in got.collect())
+    assert ids == [1, 2, 3, 4], f"duplicate not suppressed (or row lost): {ids}"
