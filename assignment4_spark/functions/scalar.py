@@ -252,7 +252,7 @@ def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_funcs",
     oracle="""
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_from_map,
+           TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_from_map,
            event_type                                         AS type_from_map,
            2                                                  AS map_size
     FROM events
@@ -273,7 +273,9 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.select(
         "event_id",
-        F.element_at(m, "k").cast("int").alias("k_from_map"),
+        # try_cast (the cond_try_cast rule): one poisoned props value
+        # must degrade to NULL, not kill the stage under ANSI mode
+        F.element_at(m, "k").try_cast("int").alias("k_from_map"),
         F.element_at(m, "type").alias("type_from_map"),
         F.size(m).alias("map_size"),
     ).orderBy("event_id")

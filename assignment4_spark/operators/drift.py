@@ -58,8 +58,12 @@ def ks_2sample(df: DataFrame, value_col: str, flag_col: str) -> DataFrame:
     registry/oracle instance.
     """
     v, f_ = F.col(value_col), F.col(flag_col)
+    # NULL values are NOT observations: counted, they inflate n and form
+    # a phantom CDF step whose position even differs cross-engine
+    # (Spark windows sort NULLS FIRST, DuckDB's NULLS LAST — measured)
     steps = (
-        df.select(v.alias("value"), f_.alias("is_a"))
+        df.filter(v.isNotNull())
+        .select(v.alias("value"), f_.alias("is_a"))
         .groupBy("value")
         .agg(F.sum("is_a").alias("d_a"), F.sum(1 - F.col("is_a")).alias("d_b"))
     )
@@ -127,10 +131,16 @@ def ks_2sample(df: DataFrame, value_col: str, flag_col: str) -> DataFrame:
             # denominator as double·double (NOT an integer product that
             # would itself wrap); the oracle mirrors the same cast chain
             # so the one rounding happens identically in both engines
-            F.round(
-                F.col("gap").cast("double")
-                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
-                6,
+            # empty-side guard: with n_a or n_b = 0 the statistic is
+            # undefined — NULL, matching DuckDB's non-ANSI division,
+            # instead of an ANSI DIVIDE_BY_ZERO killing the job
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                F.round(
+                    F.col("gap").cast("double")
+                    / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                    6,
+                ),
             ).alias("ks_d"),
         )
     )
@@ -298,7 +308,7 @@ def agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_psi_drift",
     oracle=f"""
     WITH binned AS (
-      SELECT CAST(LEAST(FLOOR(value / {_PSI_BIN_W}), {_PSI_BINS - 1}) AS INTEGER) AS bin_id,
+      SELECT CAST(GREATEST(LEAST(FLOOR(value / {_PSI_BIN_W}), {_PSI_BINS - 1}), 0) AS INTEGER) AS bin_id,
              CASE WHEN ts < TIMESTAMP '{DRIFT_REF_SPLIT}' THEN 1 ELSE 0 END AS w_ref,
              CASE WHEN ts < TIMESTAMP '{DRIFT_REF_SPLIT}' THEN 0 ELSE 1 END AS w_cur
       FROM events
@@ -345,8 +355,13 @@ def agg_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     is_ref = F.col("ts") < F.lit(DRIFT_REF_SPLIT).cast("timestamp")
     ev = table(spark, sf_dir, "events").select(
-        F.least(
-            F.floor(F.col("value") / _PSI_BIN_W), F.lit(_PSI_BINS - 1)
+        # clamp BOTH ends into [0, n_bins): a negative value (refund,
+        # correction) would mint an un-seeded bin_id < 0, and the
+        # Laplace denominator (which adds n_bins·0.5) would stop
+        # normalizing — a silently mis-scaled psi_total on both engines
+        F.greatest(
+            F.least(F.floor(F.col("value") / _PSI_BIN_W), F.lit(_PSI_BINS - 1)),
+            F.lit(0),
         ).cast("int").alias("bin_id"),
         F.when(is_ref, 1).otherwise(0).alias("w_ref"),
         F.when(is_ref, 0).otherwise(1).alias("w_cur"),
@@ -363,7 +378,7 @@ def agg_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH joint AS (
       SELECT event_type,
-             CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS INTEGER) / 25)
+             CAST(FLOOR(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) / 25)
                   AS INTEGER) AS k_bucket,
              COUNT(*) AS n_xy
       FROM events GROUP BY 1, 2
@@ -405,7 +420,11 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = table(spark, sf_dir, "events").select(
         "event_type",
-        F.floor(F.get_json_object("props", "$.k").cast("int") / F.lit(25))
+        # try_cast, not cast: the op probes an UNTRUSTED JSON payload,
+        # and under the session's ANSI mode one non-integral k would
+        # kill the stage (cond_try_cast's poisoned-row rule); a dirty k
+        # degrades to a NULL bucket — its own MI category
+        F.floor(F.get_json_object("props", "$.k").try_cast("int") / F.lit(25))
         .cast("int")
         .alias("k_bucket"),
     )
@@ -421,6 +440,7 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN label < 5 THEN 1 ELSE 0 END AS is_lo
       FROM embeddings
       CROSS JOIN (SELECT UNNEST(generate_series(1, {FIXTURE_EMBED_DIM})) AS dim) d
+      WHERE LEN(embedding) = {FIXTURE_EMBED_DIM}
     ),
     agg AS (
       SELECT dim,
@@ -477,9 +497,18 @@ def vec_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cosine. At 100 TB the scan dominates; the shuffle is 64 rows
     per input partition.
     """
-    e = table(spark, sf_dir, "embeddings").select(
-        (F.col("label") < 5).cast("int").alias("is_lo"),
-        F.posexplode("embedding").alias("pos", "v"),
+    # explicit full-width contract on BOTH engines: posexplode emits
+    # only elements that EXIST, while the oracle's dims cross join
+    # counts every row at every dim — a NULL or short embedding would
+    # diverge silently; filter it out (and mirror the predicate in the
+    # oracle) so the contract is declared, not assumed of the fixture
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.size("embedding") == FIXTURE_EMBED_DIM)
+        .select(
+            (F.col("label") < 5).cast("int").alias("is_lo"),
+            F.posexplode("embedding").alias("pos", "v"),
+        )
     )
     x = e.select(
         (F.col("pos") + 1).alias("dim"),
@@ -531,8 +560,8 @@ def vec_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_ttest_ab",
     oracle="""
     WITH m AS (
-      SELECT COUNT(*) FILTER (user_id % 2 = 0)                  AS n_a,
-             COUNT(*) FILTER (user_id % 2 = 1)                  AS n_b,
+      SELECT COUNT(value) FILTER (user_id % 2 = 0)              AS n_a,
+             COUNT(value) FILTER (user_id % 2 = 1)              AS n_b,
              AVG(value) FILTER (user_id % 2 = 0)                AS mean_a,
              AVG(value) FILTER (user_id % 2 = 1)                AS mean_b,
              VAR_SAMP(value) FILTER (user_id % 2 = 0)           AS var_a,
@@ -574,9 +603,16 @@ def agg_ttest_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference provenance: none — the reference ships no experiment
     readout at all; SURVEY §2 B.11 statistics family (round 5)."""
     ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    # explicit arm predicates, never the complement: -1 % 2 = -1 on
+    # both engines, so a negative odd user_id satisfies ~(u%2==0) but
+    # NOT u%2==1 — the complement form diverged from the oracle there.
+    # n per arm = COUNT of non-NULL metric values (both engines): the
+    # Welch denominators must use the same n the variance was computed
+    # over, and var_samp/avg skip NULLs.
     in_a = F.col("user_id") % 2 == 0
+    in_b = F.col("user_id") % 2 == 1
     a_val = F.when(in_a, F.col("value"))
-    b_val = F.when(~in_a, F.col("value"))
+    b_val = F.when(in_b, F.col("value"))
     m = ev.agg(
         F.count(a_val).cast("bigint").alias("n_a"),
         F.count(b_val).cast("bigint").alias("n_b"),

@@ -915,3 +915,19 @@ def test_bloom_prefilter_contract_guards(spark):
     kept = api.bloom_prefilter(fact, "fk", dim, "dk", m_bits=1000).collect()
     kept_ids = {r.fk for r in kept}
     assert set(range(50)) <= kept_ids, "false negatives: matching rows dropped"
+
+
+def test_ks_2sample_null_values_and_empty_side(spark):
+    """NULL metric values are not observations (they inflated n and
+    formed a phantom CDF step whose position even differed cross-
+    engine), and an empty side yields ks_d NULL instead of an ANSI
+    DIVIDE_BY_ZERO kill."""
+    df = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1), (None, 1), (1.5, 0), (None, 0)],
+        "v double, f int",
+    )
+    row = api.ks_2sample(df, "v", "f").collect()[0]
+    assert (row.n_a, row.n_b) == (2, 1), row
+    one_sided = spark.createDataFrame([(1.0, 1), (2.0, 1)], "v double, f int")
+    row2 = api.ks_2sample(one_sided, "v", "f").collect()[0]
+    assert row2.ks_d is None and row2.n_b == 0
