@@ -43,7 +43,12 @@ def proj_select_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_linenumber",
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
             (F.col("l_quantity") * 2.5 + 1).alias("scaled_qty"),
-            F.concat_ws("/", "l_returnflag", "l_linestatus").alias("flag_status"),
+            # concat, not concat_ws: || yields NULL when a side is NULL
+            # while concat_ws silently skips it — a NULL flag would
+            # diverge from the oracle's || semantics
+            F.concat(
+                F.col("l_returnflag"), F.lit("/"), F.col("l_linestatus")
+            ).alias("flag_status"),
         )
         .orderBy("l_orderkey", "l_linenumber")
     )

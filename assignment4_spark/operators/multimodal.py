@@ -128,12 +128,20 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-record isolation (A28, like every sibling decode hook): a
+        # NULL blob yields a NULL-metadata row, never a dead task —
+        # len(None) would raise and kill the stage after retries while
+        # the oracle happily emits the NULL row
         for pdf in batches:
-            meta = pdf["blob"].map(fake_decode_image)
+            meta = pdf["blob"].map(
+                lambda b: fake_decode_image(b) if b is not None else (None,) * 3
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": pdf["blob"].map(len),
+                    "n_bytes": pdf["blob"].map(
+                        lambda b: len(b) if b is not None else None
+                    ),
                     "width": meta.map(lambda m: m[0]),
                     "height": meta.map(lambda m: m[1]),
                     "format": meta.map(lambda m: m[2]),
@@ -212,8 +220,15 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     duration = F.lit(10.0) + (F.col("doc_id") % 113).cast("int")
     n_frames = F.floor(duration / 2.5).cast("int")  # FLOOR both sides (DuckDB CAST rounds)
+    # plain explode of the index sequence: binding posexplode's POSITION
+    # as frame_no (and discarding the value) worked but inverted the
+    # alias convention of multimodal_scene_cuts — a copy-paste trap
+    # where both variants "look right" and one is off by one
     return (
-        d.select("doc_id", F.posexplode(F.sequence(F.lit(1), n_frames)).alias("frame_no", "_x"))
+        d.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_no"),
+        )
         .select(
             "doc_id",
             F.col("frame_no").cast("int").alias("frame_no"),
@@ -223,9 +238,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "report_compose",
-    oracle="""
+_REPORT_ORACLE = """
     SELECT
       'Corpus Research Report'                                   AS title,
       'Analyzed ' || (SELECT COUNT(*) FROM documents) || ' documents'   AS introduction,
@@ -238,7 +251,12 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST((SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents) AS VARCHAR) AS conclusion,
       (SELECT STRING_AGG(source, '; ' ORDER BY source)
        FROM (SELECT DISTINCT source FROM documents ORDER BY source LIMIT 3)) AS sources
-    """,
+    """
+
+
+@register(
+    "report_compose",
+    oracle=_REPORT_ORACLE,
 )
 def report_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-row report with the server's 5-section schema
@@ -370,7 +388,19 @@ def phash_buckets(
     image bytes: the decode runs as ONE Arrow-batched mapInPandas stage
     emitting (id, 64 lumas) — blobs die in the worker, signatures are
     all that ever moves — and the threshold/bucket stages are shared
-    verbatim with the fake path."""
+    verbatim with the fake path.
+
+    Undecodable rows keep a NULL phash and n_bucket=1 — each corrupt
+    blob is its OWN singleton, never a "duplicate" of other corrupt
+    blobs (a NULL-partition count would report 500 distinct truncated
+    images as one 500-strong bucket and a dedup consumer would drop
+    499 unique assets)."""
+    reserved = {"digits", "nibs", "s", "phash", "n_bucket"}
+    if id_col in reserved:
+        raise ValueError(
+            f"id_col={id_col!r} collides with a reserved internal/output "
+            f"column of phash_buckets ({sorted(reserved)}); rename it first"
+        )
     if decoder is None:
         d = df.select(
             id_col,
@@ -424,10 +454,14 @@ def phash_buckets(
                 "nibs", lambda v: F.when(v * 64 > F.col("s"), "1").otherwise("0")
             ),
         ),
-    )  # undecodable rows keep a NULL phash (grouped apart by the window)
+    )  # undecodable rows keep a NULL phash — singletons, see docstring
     p = n.select(id_col, phash.alias("phash"))
     return p.withColumn(
-        "n_bucket", F.count(F.lit(1)).over(Window.partitionBy("phash"))
+        "n_bucket",
+        F.when(
+            F.col("phash").isNotNull(),
+            F.count(F.lit(1)).over(Window.partitionBy("phash")),
+        ).otherwise(F.lit(1)),
     )
 
 
@@ -670,20 +704,7 @@ def compose_pdf(sections: list[tuple[str, str]]) -> bytes:
 
 @register(
     "report_pdf_sink",
-    oracle="""
-    SELECT
-      'Corpus Research Report'                                   AS title,
-      'Analyzed ' || (SELECT COUNT(*) FROM documents) || ' documents'   AS introduction,
-      'Top language: ' ||
-        (SELECT lang FROM documents GROUP BY lang ORDER BY COUNT(*) DESC, lang LIMIT 1)
-                                                                 AS key_findings,
-      'Average length: ' ||
-        CAST(ROUND((SELECT AVG(n_chars) FROM documents), 2) AS VARCHAR) AS analysis,
-      'Total characters: ' ||
-        CAST((SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents) AS VARCHAR) AS conclusion,
-      (SELECT STRING_AGG(source, '; ' ORDER BY source)
-       FROM (SELECT DISTINCT source FROM documents ORDER BY source LIMIT 3)) AS sources
-    """,
+    oracle=_REPORT_ORACLE,
 )
 def report_pdf_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's PDF report artifact (A25, ra/agent.py:135-149
@@ -700,7 +721,7 @@ def report_pdf_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-node result)."""
     import os as _os
 
-    from .scans import ARTIFACT_ROOT
+    from .scans import _adir
 
     df = report_compose(spark, sf_dir)
     row = df.first()
@@ -720,7 +741,10 @@ def report_pdf_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError("xref offset does not land on the xref table")
     if row.introduction.encode("latin-1", "replace") not in pdf:
         raise AssertionError("report text missing from content stream")
-    out_dir = _os.path.join(ARTIFACT_ROOT, "reports")
+    # fingerprinted path (scans._adir): a shared un-fingerprinted
+    # reports/ dir would let two fixture generations overwrite each
+    # other's artifact with no way to tell whose it is
+    out_dir = _adir(sf_dir, "reports")
     _os.makedirs(out_dir, exist_ok=True)
     with open(_os.path.join(out_dir, "corpus_report.pdf"), "wb") as fh:
         fh.write(pdf)
@@ -951,20 +975,7 @@ def compose_markdown(sections: list[tuple[str, str]]) -> str:
 
 @register(
     "report_markdown_sink",
-    oracle="""
-    SELECT
-      'Corpus Research Report'                                   AS title,
-      'Analyzed ' || (SELECT COUNT(*) FROM documents) || ' documents'   AS introduction,
-      'Top language: ' ||
-        (SELECT lang FROM documents GROUP BY lang ORDER BY COUNT(*) DESC, lang LIMIT 1)
-                                                                 AS key_findings,
-      'Average length: ' ||
-        CAST(ROUND((SELECT AVG(n_chars) FROM documents), 2) AS VARCHAR) AS analysis,
-      'Total characters: ' ||
-        CAST((SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents) AS VARCHAR) AS conclusion,
-      (SELECT STRING_AGG(source, '; ' ORDER BY source)
-       FROM (SELECT DISTINCT source FROM documents ORDER BY source LIMIT 3)) AS sources
-    """,
+    oracle=_REPORT_ORACLE,
 )
 def report_markdown_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's codelabs/markdown export (ExportOptions.tsx:31
@@ -979,7 +990,7 @@ def report_markdown_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     step."""
     import os as _os
 
-    from .scans import ARTIFACT_ROOT
+    from .scans import _adir
 
     df = report_compose(spark, sf_dir)
     row = df.first()
@@ -997,7 +1008,10 @@ def report_markdown_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _, body in sections[1:]:
         if body not in md:
             raise AssertionError("report section missing from markdown body")
-    out_dir = _os.path.join(ARTIFACT_ROOT, "reports")
+    # fingerprinted path (scans._adir): a shared un-fingerprinted
+    # reports/ dir would let two fixture generations overwrite each
+    # other's artifact with no way to tell whose it is
+    out_dir = _adir(sf_dir, "reports")
     _os.makedirs(out_dir, exist_ok=True)
     with open(_os.path.join(out_dir, "corpus_report.md"), "w") as fh:
         fh.write(md + "\n")

@@ -392,7 +392,7 @@ def win_streaks_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("brk"),
     )
     islands = flagged.select(
-        "user_id", "value", F.sum("brk").over(wsum).alias("island_id")
+        "user_id", F.sum("brk").over(wsum).alias("island_id")
     )
     runs = islands.groupBy("user_id", "island_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("run_len")

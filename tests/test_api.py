@@ -931,3 +931,25 @@ def test_ks_2sample_null_values_and_empty_side(spark):
     one_sided = spark.createDataFrame([(1.0, 1), (2.0, 1)], "v double, f int")
     row2 = api.ks_2sample(one_sided, "v", "f").collect()[0]
     assert row2.ks_d is None and row2.n_b == 0
+
+
+def test_phash_buckets_corrupt_blobs_are_singletons(spark):
+    """Undecodable blobs must NOT bucket together: 3 distinct corrupt
+    images are 3 singletons (n_bucket=1, NULL phash), never one
+    3-strong 'duplicate' bucket a dedup consumer would collapse."""
+    def explode_always(b):
+        raise ValueError("corrupt")
+
+    df = spark.createDataFrame(
+        [(1, b"a"), (2, b"b"), (3, b"c")], "pid long, blob binary"
+    )
+    rows = api.phash_buckets(
+        df, id_col="pid", blob_col="blob", decoder=explode_always
+    ).collect()
+    assert all(r.phash is None and r.n_bucket == 1 for r in rows), rows
+
+
+def test_phash_buckets_rejects_reserved_id_col(spark):
+    df = spark.createDataFrame([("a", b"x")], "phash string, blob binary")
+    with pytest.raises(ValueError, match="reserved"):
+        api.phash_buckets(df, id_col="phash", blob_col="blob")
