@@ -47,6 +47,11 @@ def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.udf(T.StringType())
     def make_id(doc_id, n_chars):
+        # NULL propagates like the oracle's || (an f-string would
+        # render the literal 'None' — a non-NULL string the oracle
+        # never produces)
+        if doc_id is None or n_chars is None:
+            return None
         return f"{doc_id}_text_chunk_{n_chars}"
 
     d = table(spark, sf_dir, "documents")
@@ -121,8 +126,8 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_grouped_agg",
     oracle="""
     SELECT event_type,
-           ROUND(SUM(value * CAST(json_extract_string(props, '$.k') AS INTEGER))
-                 / SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6)
+           ROUND(SUM(value * TRY_CAST(json_extract_string(props, '$.k') AS INTEGER))
+                 / SUM(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)), 6)
              AS weighted_mean
     FROM events
     GROUP BY event_type
@@ -146,7 +151,8 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
         "event_type",
         "value",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        # try_cast (cond_try_cast's poisoned-row rule): untrusted JSON
+        F.get_json_object("props", "$.k").try_cast("int").alias("k"),
     )
     return (
         ev.groupBy("event_type")
@@ -235,6 +241,10 @@ class SplitChunksUDTF:
 
     def eval(self, text: str):  # noqa: D102 — contract defined by Spark
         if text is None:
+            # match the SQL/DataFrame chunkers: GREATEST(NULL-21, 0)=0
+            # on both engines, so NULL text yields ONE (0, NULL) chunk
+            # row — returning nothing here was a row-count divergence
+            yield 0, None
             return
         size, overlap = 120, 20
         stride = size - overlap

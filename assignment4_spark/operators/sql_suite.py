@@ -64,8 +64,11 @@ JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
 JOIN nation   ON s_nationkey = n_nationkey
 JOIN region   ON n_regionkey = r_regionkey
 WHERE r_name = 'ASIA'
-  AND o_orderdate >= DATE '1994-01-01'
-  AND o_orderdate <  DATE '1995-01-01'
+  -- window shifted INTO the fixture span (orders start 1995-01-01):
+  -- TPC-H's 1994 window selected ZERO rows at every sf, making the
+  -- oracle check vacuous (0 == 0 passes with any join-shape bug)
+  AND o_orderdate >= DATE '1996-01-01'
+  AND o_orderdate <  DATE '1997-01-01'
 GROUP BY n_name
 ORDER BY revenue DESC, n_name
 """
@@ -80,8 +83,10 @@ FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
 JOIN nation   ON c_nationkey = n_nationkey
-WHERE o_orderdate >= DATE '1993-10-01'
-  AND o_orderdate <  DATE '1994-01-01'
+  -- window shifted INTO the fixture span (see Q5): TPC-H's 1993Q4
+  -- window was empty at every sf and verified nothing
+WHERE o_orderdate >= DATE '1995-10-01'
+  AND o_orderdate <  DATE '1996-01-01'
   AND l_returnflag = 'R'
 GROUP BY c_custkey, c_name, c_acctbal, n_name
 ORDER BY revenue DESC, c_custkey
