@@ -689,11 +689,17 @@ def connected_components(
         .select(F.col("u").alias("node"), "comp_id")
     )
     # self-loop-only nodes re-enter as the promised singletons; nodes
-    # with both a self-loop and real edges already carry a component
-    lonely = selfers.join(comp, selfers.u == comp.node, "left_anti").select(
-        F.col("u").alias("node"), F.col("u").alias("comp_id")
-    )
-    return comp.unionByName(lonely)
+    # with both a self-loop and real edges already carry a component.
+    # Gated on self-loops EXISTING (one cheap head on the already-
+    # materialized frame): the usual pair-generator edge lists have
+    # none, and the anti-join would otherwise plant a corpus-shuffling
+    # SortMergeJoin in every consumer's plan for nothing
+    if selfers.head(1):
+        lonely = selfers.join(comp, selfers.u == comp.node, "left_anti").select(
+            F.col("u").alias("node"), F.col("u").alias("comp_id")
+        )
+        comp = comp.unionByName(lonely)
+    return comp
 
 
 @register(
