@@ -31,63 +31,113 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["agg_groupby_basic"](spark, "/root/testdata/sf0.001")
 
 
-# Static verification-priority prefix, hard-coded at commit time (round 6)
-# from the committed CORRECTNESS_r01-r05 artifacts: the driver samples the
-# FIRST 50 entries of queries() each round, so this list leads with the 50
-# ops that have never received a driver CORRECTNESS row (verified against
-# the union of the five committed artifacts; CORRECTNESS_r05.json confirmed
-# the r5 window cleared _PRIORITY[0:50] of the round-5 ordering, 50/50
-# green). The two rows-only-by-design stragglers (text_bpe_train,
-# vec_pca_project) queue at positions 50-51, then the already-green r5
-# window re-checks behind them.
-# Previously-confirmed ops follow in registration order. This ordering is
-# a plain committed constant — fully reproducible, independent of any
-# files present at run time; unknown names are ignored (robust to renames).
+# Static verification-priority prefix, hard-coded at commit time (round 7)
+# from the committed CORRECTNESS_r01-r06 artifacts: the driver samples the
+# FIRST 50 entries of queries() each round, so this list leads with the 9
+# ops that have never received a fully-green driver row — the five r6
+# hash-FAILs reworked this round (oracle-side BIGINT casts; DuckDB's
+# HUGEINT SUM rendered float64 vs Spark's int64), rag_embed_hash (r6
+# driver ERR, now flattened to a canonicalizable projection), and the
+# three never-checked ops (vec_pca_project, text_bpe_train, merge_upsert).
+# The remaining 41 window slots re-check the STALEST greens (all last
+# confirmed in round 2), rotating driver evidence forward; everything else
+# follows ordered by staleness. This ordering is a plain committed
+# constant — fully reproducible, independent of any files present at run
+# time; unknown names are ignored (robust to renames).
 _PRIORITY = [
-    # never driver-checked as of r5, DuckDB-oracled — r6 window (48 ops)
-    "rag_answer_select", "report_markdown_sink", "text_bpe_apply",
-    "vec_centroid_outliers", "scan_table_profile", "scan_zorder_cluster",
-    "ts_scd2_pointintime", "scan_expectations_gate", "join_nearest_spatial",
-    "dedup_paragraph_rewrite", "agg_ks_drift", "agg_psi_drift",
-    "agg_mutual_information", "rag_context_pack", "agg_incremental_merge",
-    "text_gopher_rules", "ts_attribution_lasttouch", "vec_matryoshka_eval",
-    "vec_embedding_drift", "stream_tv_drift_daily",
-    "dedup_cluster_representative", "text_fertility_by_lang",
-    "sample_curriculum_order", "graph_label_propagation",
-    "stream_neardup_gate", "sample_cluster_holdout", "json_variant_shred",
-    "stream_profile_enrich", "stream_rest_feed", "agg_ttest_ab",
-    "agg_cms_heavy_hitters", "text_dsir_importance", "stream_tumbling_count",
-    "stream_sliding_avg", "stream_session_window", "stream_dedup_ids",
-    "stream_late_data", "stream_stateful_running", "stream_stream_join",
-    "stream_tumbling_topk", "udf_python_scalar", "udf_pandas_scalar",
-    "udf_grouped_map", "udf_grouped_agg", "udf_pandas_iter",
-    "udf_map_in_pandas", "udtf_split_explode", "udf_map_in_arrow",
-    # never driver-checked, rows-only-by-design — complete the r6 window
-    # (a driver row here is the weaker rows-only check, by design)
-    "agg_hll_distinct", "rag_embed_hash",
-    # rows-only-by-design leftovers + round-6 additions — r7 window leads
-    "text_bpe_train", "vec_pca_project", "merge_upsert",
-    # previously green (r5 window, CORRECTNESS_r05.json 50/50) — re-check
-    # order preserved behind the never-checked block
-    "array_funcs",
-    "scan_rest_datasource", "scan_snapshot_time_travel",
-    "scan_file_skipping_stats", "join_spatial_epsilon", "agg_weighted_median",
-    "agg_binned_quantile_sketch", "agg_corr_matrix", "rag_chunk_text",
-    "rag_metadata_project", "rag_search_format", "vec_upsert_merge",
-    "dedup_semantic_cluster", "vec_pq_quantize", "vec_ann_ivf_pq_topk",
-    "vec_ivf_build_stats", "vec_sign_binary_hamming", "vec_hard_negatives",
-    "dedup_pipeline_survivors", "dedup_exact_substring",
-    "dedup_containment_pairs", "sample_shuffle_hash", "sample_class_balance",
-    "sample_mix_proportions", "sample_group_holdout", "ts_downsample_ltob",
-    "ts_changepoint_cusum", "ts_cdc_apply", "ts_seasonal_profile",
-    "text_pack_sequences", "text_bpe_pair_counts", "text_quality_bucket",
-    "text_repetition_filter", "text_bigram_logprob", "text_rake_keywords",
-    "text_lang_id_eval", "text_char_entropy", "multimodal_binary_meta",
-    "multimodal_resize_plan", "multimodal_frame_sample", "report_compose",
-    "multimodal_image_phash", "multimodal_audio_windows",
-    "multimodal_scene_cuts", "report_pdf_sink", "graph_pagerank",
-    "graph_triangle_count", "graph_degree_hist", "graph_bfs_layers",
-    "graph_jaccard_neighbors",
+    # r6 red rows, reworked this round — need a green re-check
+    "agg_ks_drift", "agg_psi_drift", "rag_context_pack",
+    "vec_embedding_drift", "stream_tv_drift_daily", "rag_embed_hash",
+    # never driver-checked (rows-only-by-design ×2 + merge_upsert)
+    "vec_pca_project", "text_bpe_train", "merge_upsert",
+    # stalest greens (last driver row: round 2) — fill the window to 50
+    "agg_argminmax", "agg_collect_ordered", "agg_count_distinct",
+    "agg_cube", "agg_groupby_basic", "agg_grouping_sets",
+    "agg_having_filterclause", "agg_histogram", "agg_percentile",
+    "agg_rollup", "agg_stats", "filter_conjunct", "filter_in_between_like",
+    "filter_null_semantics", "join_anti", "join_broadcast",
+    "join_cross_limited", "join_inner_shuffle", "join_left_right_full",
+    "join_self_pairs", "join_semi", "json_parse_props", "proj_select_alias",
+    "scan_binary_files", "scan_csv_roundtrip", "scan_files_compaction",
+    "scan_json_roundtrip", "scan_orc_roundtrip", "scan_parquet",
+    "scan_permissive_corrupt", "scan_python_datasource",
+    "scan_schema_evolution", "scan_text_sink", "set_intersect",
+    "set_union_all", "set_union_distinct", "sort_limit_topk",
+    "sort_multikey_nulls", "win_first_last", "win_lag_lead",
+    "win_moving_avg_range",
+    # behind the window: remaining ops, stalest driver row first
+    "win_ntile_cume", "win_rank_dense_rownum", "win_running_sum",
+    "win_topk_per_group", "dedup_connected_components",
+    "dedup_contamination", "dedup_edit_distance", "dedup_exact",
+    "dedup_first_occurrence", "dedup_minhash_lsh", "dedup_near_embedding",
+    "dedup_near_jaccard", "dedup_simhash", "dedup_url_normalize",
+    "multimodal_table_explode", "rag_hybrid_bm25_cosine",
+    "rag_pipeline_ingest", "rag_rrf_fusion", "sample_reservoir_hash",
+    "sample_split_hash", "sample_stratified_hash", "sample_temperature",
+    "sample_weighted_ares", "text_curate_pipeline", "text_fingerprint",
+    "text_lang_id", "text_lang_stats", "text_ngram_freq", "text_pii_redact",
+    "text_quality_score", "text_tfidf", "text_token_count",
+    "text_unigram_logprob", "text_winnow_fingerprint", "text_word_count",
+    "ts_anomaly_zscore", "ts_ewma", "ts_funnel_stages", "ts_gap_fill",
+    "ts_interpolate_linear", "ts_ohlc_bars", "ts_retention_cohort",
+    "ts_scd2_history", "ts_sessionize", "vec_ann_ivf_topk",
+    "vec_ann_rp_lsh_multiprobe", "vec_ann_rp_lsh_topk",
+    "vec_cosine_similarity", "vec_kmeans_assign", "vec_kmeans_train",
+    "vec_knn_topk", "vec_mmr_rerank", "vec_quantize_int8",
+    "vec_upsert_dedup", "agg_approx_distinct", "agg_decimal_money",
+    "agg_mode", "agg_pivot", "agg_skew_salted", "array_higher_order",
+    "cond_case_coalesce", "cond_try_cast", "date_funcs",
+    "join_asof_nearest", "join_bloom_prefilter", "join_bucketed_colocated",
+    "join_interval_overlap", "join_skew_salted", "join_theta_range",
+    "map_funcs", "math_funcs", "scan_dynamic_partition_prune",
+    "scan_partition_pruning", "set_except", "set_unpivot",
+    "sql_q10_returned_items", "sql_q11_important_parts",
+    "sql_q12_priority_shipping", "sql_q13_customer_distribution",
+    "sql_q14_promo_effect", "sql_q15_top_supplier", "sql_q16_supplier_cnt",
+    "sql_q17_small_qty_avg", "sql_q18_large_volume",
+    "sql_q19_disjunctive_rev", "sql_q1_pricing_summary",
+    "sql_q20_parts_suppliers", "sql_q21_waiting_supplier",
+    "sql_q22_global_sales", "sql_q2_min_acctbal_supplier",
+    "sql_q3_shipping_priority", "sql_q4_order_priority",
+    "sql_q5_local_supplier", "sql_q6_forecast_revenue",
+    "sql_q7_volume_shipping", "sql_q8_market_share",
+    "sql_q9_product_profit", "sql_recursive_bom", "str_funcs", "str_regexp",
+    "str_split_tokens", "win_regr_slope", "win_streaks_islands",
+    "agg_binned_quantile_sketch", "agg_corr_matrix", "agg_weighted_median",
+    "array_funcs", "dedup_containment_pairs", "dedup_exact_substring",
+    "dedup_pipeline_survivors", "dedup_semantic_cluster",
+    "graph_bfs_layers", "graph_degree_hist", "graph_jaccard_neighbors",
+    "graph_pagerank", "graph_triangle_count", "join_spatial_epsilon",
+    "multimodal_audio_windows", "multimodal_binary_meta",
+    "multimodal_frame_sample", "multimodal_image_phash",
+    "multimodal_resize_plan", "multimodal_scene_cuts", "rag_chunk_text",
+    "rag_metadata_project", "rag_search_format", "report_compose",
+    "report_pdf_sink", "sample_class_balance", "sample_group_holdout",
+    "sample_mix_proportions", "sample_shuffle_hash",
+    "scan_file_skipping_stats", "scan_rest_datasource",
+    "scan_snapshot_time_travel", "text_bigram_logprob",
+    "text_bpe_pair_counts", "text_char_entropy", "text_lang_id_eval",
+    "text_pack_sequences", "text_quality_bucket", "text_rake_keywords",
+    "text_repetition_filter", "ts_cdc_apply", "ts_changepoint_cusum",
+    "ts_downsample_ltob", "ts_seasonal_profile", "vec_ann_ivf_pq_topk",
+    "vec_hard_negatives", "vec_ivf_build_stats", "vec_pq_quantize",
+    "vec_sign_binary_hamming", "vec_upsert_merge", "agg_cms_heavy_hitters",
+    "agg_hll_distinct", "agg_incremental_merge", "agg_mutual_information",
+    "agg_ttest_ab", "dedup_cluster_representative",
+    "dedup_paragraph_rewrite", "graph_label_propagation",
+    "join_nearest_spatial", "json_variant_shred", "rag_answer_select",
+    "report_markdown_sink", "sample_cluster_holdout",
+    "sample_curriculum_order", "scan_expectations_gate",
+    "scan_table_profile", "scan_zorder_cluster", "stream_dedup_ids",
+    "stream_late_data", "stream_neardup_gate", "stream_profile_enrich",
+    "stream_rest_feed", "stream_session_window", "stream_sliding_avg",
+    "stream_stateful_running", "stream_stream_join",
+    "stream_tumbling_count", "stream_tumbling_topk", "text_bpe_apply",
+    "text_dsir_importance", "text_fertility_by_lang", "text_gopher_rules",
+    "ts_attribution_lasttouch", "ts_scd2_pointintime", "udf_grouped_agg",
+    "udf_grouped_map", "udf_map_in_arrow", "udf_map_in_pandas",
+    "udf_pandas_iter", "udf_pandas_scalar", "udf_python_scalar",
+    "udtf_split_explode", "vec_centroid_outliers", "vec_matryoshka_eval",
 ]
 
 

@@ -55,6 +55,7 @@ from .operators.rag import (  # noqa: F401
     CHUNK_OVERLAP,
     CHUNK_SIZE,
     chunk_text,
+    embed_chunks,
     hash_embed_udf,
 )
 from .operators.drift import (  # noqa: F401
@@ -117,6 +118,7 @@ __all__ = [
     "connected_components",
     "cosine",
     "docling_tables_parser",
+    "embed_chunks",
     "fake_tables_parser",
     "hash_embed_udf",
     "idempotent_parquet_sink",

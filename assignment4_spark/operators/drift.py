@@ -266,7 +266,13 @@ DRIFT_REF_SPLIT = "2024-01-15 00:00:00"
              t.n_a, t.n_b
       FROM steps s CROSS JOIN tot t
     )
-    SELECT n_a, n_b, value AS ks_at_value,
+    -- CAST(n_a AS BIGINT): DuckDB's SUM over integers returns HUGEINT,
+    -- which its pandas conversion renders as float64 while Spark's
+    -- non-null long renders int64 — the exact dtype split behind the
+    -- r6 driver hash-FAIL on this op (values matched, representation
+    -- didn't). BIGINT pins both engines to int64. See VERDICT r6 §wrong.
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           value AS ks_at_value,
            ROUND(CAST(gap AS DOUBLE)
                  / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS ks_d
     FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY gap DESC, value) AS rn
@@ -317,7 +323,10 @@ def agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT UNNEST(generate_series(0, {_PSI_BINS - 1})) AS s)
     ),
     cnt AS (
-      SELECT bin_id, SUM(w_ref) AS n_ref, SUM(w_cur) AS n_cur
+      -- BIGINT: SUM over integers is HUGEINT in DuckDB → float64 in
+      -- pandas vs Spark's int64 (the r6 driver hash-FAIL); pin to int64
+      SELECT bin_id, CAST(SUM(w_ref) AS BIGINT) AS n_ref,
+             CAST(SUM(w_cur) AS BIGINT) AS n_cur
       FROM binned GROUP BY bin_id
     ),
     smoothed AS (
@@ -446,7 +455,10 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT dim,
              SUM(CASE WHEN is_lo = 1 THEN v6 ELSE CAST(0 AS DECIMAL(12,6)) END) AS s_lo,
              SUM(CASE WHEN is_lo = 0 THEN v6 ELSE CAST(0 AS DECIMAL(12,6)) END) AS s_hi,
-             SUM(is_lo) AS n_lo, SUM(1 - is_lo) AS n_hi
+             -- BIGINT: SUM over integers is HUGEINT in DuckDB → float64
+             -- in pandas vs Spark's int64 (r6 driver hash-FAIL fix)
+             CAST(SUM(is_lo) AS BIGINT) AS n_lo,
+             CAST(SUM(1 - is_lo) AS BIGINT) AS n_hi
       FROM x GROUP BY dim
     ),
     m AS (

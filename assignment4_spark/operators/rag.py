@@ -175,15 +175,45 @@ def hash_embed_udf(texts: pd.Series) -> pd.Series:
     return texts.map(embed)
 
 
-@register("rag_embed_hash")  # embedder output is engine-defined → rows-only; unit-tested
-def rag_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """chunks → L2-normalized array<float> embeddings (dim 64).
-    SURVEY §5.2.6 pin: determinism + unit norm + dim asserted in
-    tests/test_rag_ops.py::test_hash_embedder_deterministic_and_normalized."""
+def embed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composable chunk-embedding pipeline: documents → fixture chunks →
+    (doc_id, chunk_id, embedding array<float>). The array form is the
+    internal API every vector op consumes; the REGISTERED rag_embed_hash
+    face below flattens it, because the r6 driver run proved the driver's
+    pandas canonicalizer runs even on rows-only ops and dies on
+    array<float> cells ('unhashable type: numpy.ndarray')."""
     docs = table(spark, sf_dir, "documents")
     chunks = chunk_text(docs, FIXTURE_CHUNK_SIZE, FIXTURE_CHUNK_OVERLAP)
     return chunks.select(
         "doc_id", "chunk_id", hash_embed_udf("chunk_text").alias("embedding")
+    )
+
+
+@register("rag_embed_hash")  # embedder output is engine-defined → rows-only; unit-tested
+def rag_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chunks → L2-normalized dim-64 embeddings, projected to a FLAT
+    driver-canonicalizable summary per chunk: vector dim, 6-dp L2 norm,
+    and an md5 fingerprint over the 6-dp-formatted components (pins the
+    vector bit-for-bit without emitting an array<float> the driver's
+    pandas canonicalizer cannot hash — the r6 ERR on this op). The
+    array-returning form stays available as embed_chunks (api.py).
+    SURVEY §5.2.6 pin: determinism + unit norm + dim asserted in
+    tests/test_rag_ops.py::test_hash_embedder_deterministic_and_normalized."""
+    emb = embed_chunks(spark, sf_dir)
+    dvec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "doc_id",
+        "chunk_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(F.aggregate(dvec, F.lit(0.0), lambda a, x: a + x * x)), 6)
+        .alias("l2_norm"),
+        # format_string, not format_number: the latter inserts grouping
+        # commas (the join separator) for |x| >= 1000
+        F.md5(
+            F.concat_ws(
+                ",", F.transform(dvec, lambda x: F.format_string("%.6f", x))
+            )
+        ).alias("emb_md5"),
     )
 
 
@@ -653,8 +683,13 @@ def rag_answer_select(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM chunks
     ),
     packed AS (
+      -- CAST AS BIGINT: DuckDB's windowed SUM over BIGINT is HUGEINT →
+      -- float64 in its pandas conversion, vs Spark's non-null int64 —
+      -- the r6 driver hash-FAIL on this op (the only dtype-divergent
+      -- column in the output; values matched exactly)
       SELECT doc_rank, doc_id, chunk_id, n_tokens, chunk_text,
-             SUM(n_tokens) OVER (ORDER BY doc_rank, chunk_id) AS cum_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY doc_rank, chunk_id) AS BIGINT)
+               AS cum_tokens,
              CAST(ROW_NUMBER() OVER (ORDER BY doc_rank, chunk_id) AS INTEGER)
                AS ctx_rank
       FROM toks

@@ -353,7 +353,11 @@ def stream_tumbling_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS BIGINT) AS term_u
       FROM j
     )
-    SELECT day, SUM(n) AS n_day,
+    -- CAST(SUM(n) AS BIGINT): DuckDB's SUM over integers is HUGEINT →
+    -- float64 in its pandas conversion, vs Spark's non-null int64 — the
+    -- r6 driver hash-FAIL on this op (values matched, dtypes didn't).
+    -- tv_dist is unaffected: HUGEINT / 2000000.0 is already double.
+    SELECT day, CAST(SUM(n) AS BIGINT) AS n_day,
            CAST(COUNT(*) AS INTEGER) AS n_bins_present,
            GREATEST(SUM(term_u) + 1000000 - SUM(p_ref_u), 0) / 2000000.0 AS tv_dist
     FROM t GROUP BY day ORDER BY day

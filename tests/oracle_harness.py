@@ -73,8 +73,71 @@ def fetch_duckdb(con, sql):
     return _normalize(rows, cols)
 
 
+_SPARK_INTEGRAL = ("tinyint", "smallint", "int", "bigint")
+
+
+def pandas_dtype_hazards(name, spark_df, spark_rows, spark_cols, con, sql):
+    """Predict driver-side pandas-dtype splits WITHOUT extra query runs.
+
+    The r6 driver window failed 5 value-correct ops because the driver
+    canonicalizes through pandas: DuckDB's SUM over any integer type
+    returns HUGEINT, which `.df()` renders float64, while Spark's
+    non-null long collects as int64 — same values, different hash. This
+    replica's fetchall() path saw Python ints on both sides and stayed
+    green, so local green failed to predict driver red. This check
+    closes that gap from the TYPE level: DuckDB relation types bind
+    lazily (con.sql(sql).types — no execution), and the Spark side is
+    schema + observed NULLs from the already-collected rows.
+
+    Flags (each a measured driver-hash killer):
+      * duck HUGEINT/DECIMAL/DOUBLE vs non-null Spark integral
+        (float64 vs int64 — the r6 signature);
+      * Spark DECIMAL output at all (toPandas renders object[Decimal]
+        vs DuckDB's float64 — the r01/r02 agg_decimal_money lesson:
+        finish decimal pipelines with a lossless cast to DOUBLE);
+      * duck integral vs Spark float (int64 vs float64, reverse split).
+    NULL-bearing integral columns are exempt: NaN forces float64 on
+    BOTH sides, which is exactly why r6's ts_attribution_lasttouch
+    stayed green with a float64 oracle frame.
+    """
+    rel = con.sql(sql)
+    duck_types = {c: str(t).upper() for c, t in zip(rel.columns, rel.types)}
+    nulls = {
+        c: any(r[i] is None for r in spark_rows)
+        for i, c in enumerate(spark_cols)
+    }
+    hazards = []
+    for c, stype in spark_df.dtypes:
+        dtype = duck_types.get(c)
+        if dtype is None:
+            continue
+        duck_floaty = (
+            dtype in ("HUGEINT", "UHUGEINT", "DOUBLE", "FLOAT")
+            or dtype.startswith("DECIMAL")
+        )
+        duck_int = dtype in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT")
+        if stype.startswith("decimal"):
+            hazards.append(
+                f"{name}.{c}: Spark {stype} → pandas object[Decimal] vs "
+                f"DuckDB {dtype} → float64 (cast the output to DOUBLE)"
+            )
+        elif stype in _SPARK_INTEGRAL and duck_floaty and not nulls[c]:
+            hazards.append(
+                f"{name}.{c}: non-null Spark {stype} → int64 vs DuckDB "
+                f"{dtype} → float64 (CAST the oracle column AS BIGINT)"
+            )
+        elif stype in ("float", "double") and duck_int:
+            hazards.append(
+                f"{name}.{c}: Spark {stype} → float64 vs DuckDB {dtype} "
+                f"→ int64 (align the oracle cast)"
+            )
+    return hazards
+
+
 def assert_match(name, spark_df, con, sql):
-    s_cols, s_rows = fetch_spark(spark_df)
+    raw_cols = spark_df.columns
+    raw_rows = [tuple(r) for r in spark_df.collect()]
+    s_cols, s_rows = _normalize(raw_rows, raw_cols)
     d_cols, d_rows = fetch_duckdb(con, sql)
     assert s_cols == d_cols, f"{name}: column mismatch spark={s_cols} duckdb={d_cols}"
     assert len(s_rows) == len(d_rows), (
@@ -84,3 +147,8 @@ def assert_match(name, spark_df, con, sql):
         assert a == b, (
             f"{name}: first differing row #{i} (cols {s_cols}):\n  spark : {a}\n  duckdb: {b}"
         )
+    hazards = pandas_dtype_hazards(name, spark_df, raw_rows, raw_cols, con, sql)
+    assert hazards == [], (
+        f"{name}: values match but the driver's pandas canonicalizer would "
+        f"see split dtypes:\n  " + "\n  ".join(hazards)
+    )

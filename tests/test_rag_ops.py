@@ -40,13 +40,44 @@ def test_chunk_reassembly_property(spark):
 
 
 def test_hash_embedder_deterministic_and_normalized(spark, sf_small):
-    out1 = registry.QUERIES["rag_embed_hash"](spark, sf_small).limit(50).collect()
-    out2 = registry.QUERIES["rag_embed_hash"](spark, sf_small).limit(50).collect()
+    from assignment4_spark import api
+
+    out1 = api.embed_chunks(spark, sf_small).limit(50).collect()
+    out2 = api.embed_chunks(spark, sf_small).limit(50).collect()
     assert [r.embedding for r in out1] == [r.embedding for r in out2], "not deterministic"
     for r in out1:
         norm = sum(x * x for x in r.embedding) ** 0.5
         assert abs(norm - 1.0) < 1e-5, f"not L2-normalized: {norm}"
         assert len(r.embedding) == 64
+
+
+def test_rag_embed_hash_flat_summary_matches_array_form(spark, sf_small):
+    """The registered rag_embed_hash face must be a FLAT projection of
+    embed_chunks (no array<float> — the r6 driver canonicalizer ERR):
+    dim/l2_norm/md5 per chunk, md5 recomputable from the array form, and
+    the md5 deterministic across runs."""
+    import hashlib
+
+    from assignment4_spark import api
+
+    flat = {
+        (r.doc_id, r.chunk_id): r
+        for r in registry.QUERIES["rag_embed_hash"](spark, sf_small).collect()
+    }
+    arrays = api.embed_chunks(spark, sf_small).collect()
+    assert len(flat) == len(arrays) > 0
+    for a in arrays:
+        r = flat[(a.doc_id, a.chunk_id)]
+        assert r.dim == 64
+        want_norm = round(sum(float(x) * float(x) for x in a.embedding) ** 0.5, 6)
+        assert abs(r.l2_norm - want_norm) < 1e-9
+        joined = ",".join("%.6f" % float(x) for x in a.embedding)
+        assert r.emb_md5 == hashlib.md5(joined.encode()).hexdigest()
+    again = {
+        (r.doc_id, r.chunk_id): r.emb_md5
+        for r in registry.QUERIES["rag_embed_hash"](spark, sf_small).collect()
+    }
+    assert again == {k: r.emb_md5 for k, r in flat.items()}
 
 
 def test_approx_distinct_error_bound(spark, sf_oracle):
