@@ -28,6 +28,8 @@ from .operators.dedup import (  # noqa: F401
     simhash_pairs,
 )
 from .operators.lakehouse import (  # noqa: F401
+    TOMBSTONE_COL,
+    compact_tombstones,
     init_table,
     latest_version,
     load_manifest,
@@ -113,6 +115,7 @@ __all__ = [
     "CHUNK_OVERLAP",
     "CHUNK_SIZE",
     "chunk_text",
+    "compact_tombstones",
     "compose_markdown",
     "compose_pdf",
     "connected_components",
@@ -149,6 +152,7 @@ __all__ = [
     "rp_bucket_keys",
     "sessionize",
     "simhash_pairs",
+    "TOMBSTONE_COL",
     "triangle_count",
     "upsert_merge_parquet",
     "utf8_text_parser",

@@ -49,6 +49,7 @@ a point-update commit rewrites thousandths of the table.
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import threading
@@ -58,6 +59,112 @@ from pyspark.sql import functions as F
 
 from ..io_util import table
 from ..registry import register
+
+
+# process-wide staging-name disambiguator (see merge_upsert_manifest's
+# staging comment); itertools.count().__next__ is atomic under CPython
+_STAGING_SEQ = itertools.count()
+
+# reserved tombstone marker column (delete support): a row whose
+# _deleted is true participates in latest-wins like any row — winning
+# hides the key from the default read — and is RETAINED in the bucket
+# files until compact_tombstones, so a late-arriving lower-version
+# update cannot resurrect a deleted key (the same reason Delta keeps
+# deletion markers for a retention window)
+TOMBSTONE_COL = "_deleted"
+
+# safe automatic type widenings under evolve_schema=True — value-
+# preserving upcasts only, the same lattice Delta's mergeSchema allows;
+# anything else (narrowing, string↔numeric, timestamp changes) must be
+# an explicit re-init because it can silently lose data
+_WIDEN_CHAIN = {
+    "tinyint": ("smallint", "int", "bigint"),
+    "smallint": ("int", "bigint"),
+    "int": ("bigint",),
+    "float": ("double",),
+}
+
+
+def _can_widen(old: str, new: str) -> bool:
+    return new in _WIDEN_CHAIN.get(old, ())
+
+
+def _resolve_evolved_schema(
+    expected: list, expected_types: dict, updates: DataFrame, key_col: str
+) -> tuple[list, dict]:
+    """Next-manifest (columns, column_types) under safe evolution:
+    new update columns append (old rows read as NULL); common columns
+    may widen along _WIDEN_CHAIN in either direction (the wider type
+    wins — a narrower update column upcasts losslessly); the KEY column
+    may never change type, because the bucket is pmod(xxhash64(key), B)
+    and xxhash64 hashes by physical type — a widened key would
+    re-bucket and leave two live rows for one logical key."""
+    got_types = _column_types(updates)
+    columns = list(expected) + [c for c in updates.columns if c not in expected]
+    types = dict(expected_types)
+    for c, t in got_types.items():
+        old = types.get(c)
+        if old is None:
+            types[c] = t
+        elif old == t:
+            continue
+        elif c == key_col:
+            raise ValueError(
+                f"key column {c!r} may not change type ({old} -> {t}): the "
+                "derived bucket hashes the physical type, so a widened key "
+                "re-buckets existing rows; re-init the table instead"
+            )
+        elif _can_widen(old, t):
+            types[c] = t
+        elif _can_widen(t, old):
+            pass  # update column upcasts to the table's wider type
+        else:
+            raise ValueError(
+                f"column {c!r} type change {old} -> {t} is not a safe "
+                f"widening ({_WIDEN_CHAIN.get(old, ())}); re-init the table"
+            )
+    return columns, types
+
+
+def _read_files_aligned(
+    spark: SparkSession, files: list, columns: list, column_types: dict
+) -> DataFrame:
+    """Read manifest files and align every row to the manifest's
+    LOGICAL schema. Files written before a schema evolution physically
+    lack the added columns (and may carry narrower widened types), and
+    plain spark.read.parquet(mergeSchema) hard-fails on an int/bigint
+    conflict — so files group by their commit directory (physical
+    schema is uniform per commit: one staging write), each group reads
+    once and projects missing columns as NULL / narrower columns
+    through a lossless cast, and the groups union. Group count is
+    bounded by the number of retained versions, never by file count,
+    so plan cost stays O(versions) while scan parallelism is unchanged.
+    Same-type casts are elided by Catalyst (SimplifyCasts), so the
+    common no-evolution case plans exactly as a plain read."""
+    groups: dict[str, list] = {}
+    for f in files:
+        # …/commit_vN_*/bucket=B/part-*.parquet → group on the commit dir
+        groups.setdefault(os.path.dirname(os.path.dirname(f)), []).append(f)
+    parts = []
+    for _, fs in sorted(groups.items()):
+        df = spark.read.parquet(*fs)
+        have = set(df.columns)
+        parts.append(
+            df.select(
+                *[
+                    (
+                        F.col(c).cast(column_types[c])
+                        if c in have
+                        else F.lit(None).cast(column_types[c])
+                    ).alias(c)
+                    for c in columns
+                ]
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _bucket_of(key_col: str, n_buckets: int):
@@ -146,12 +253,15 @@ def init_table(
     os.makedirs(base_dir, exist_ok=True)
     if latest_version(base_dir) != 0:
         raise ValueError(f"table at {base_dir} already initialized")
-    # staging is WRITER-PRIVATE (pid/thread), exactly like merge's: a
-    # shared 'commit_v1' dir with mode(overwrite) would let a
-    # concurrent-init LOSER delete the CAS winner's part files before
-    # losing — publishing a v1 manifest that names dead paths
+    # staging is ATTEMPT-PRIVATE (pid/thread/sequence), exactly like
+    # merge's: a shared 'commit_v1' dir with mode(overwrite) would let
+    # a concurrent-init LOSER delete the CAS winner's part files before
+    # losing — publishing a v1 manifest that names dead paths; the
+    # sequence term additionally covers repeated init attempts on the
+    # SAME thread (see merge's staging comment for the collision class)
     staging = os.path.join(
-        base_dir, f"commit_v1_{os.getpid()}_{threading.get_ident()}"
+        base_dir,
+        f"commit_v1_{os.getpid()}_{threading.get_ident()}_s{next(_STAGING_SEQ)}",
     )
     (
         df.withColumn("bucket", _bucket_of(key_col, n_buckets))
@@ -166,6 +276,13 @@ def init_table(
         "columns": df.columns,
         "column_types": _column_types(df),
         "buckets": {str(b): fs for b, fs in sorted(_list_bucket_files(staging).items())},
+        # conservative: a seed CARRYING the marker column may hold
+        # tombstones anywhere; compact_tombstones verifies per bucket
+        "tombstone_buckets": (
+            sorted(int(b) for b in _list_bucket_files(staging))
+            if TOMBSTONE_COL in df.columns
+            else []
+        ),
     }
     if not _publish_manifest(base_dir, manifest):
         shutil.rmtree(staging, ignore_errors=True)  # loser leaves nothing
@@ -174,13 +291,29 @@ def init_table(
 
 
 def read_snapshot(
-    spark: SparkSession, base_dir: str, version: int | None = None
+    spark: SparkSession,
+    base_dir: str,
+    version: int | None = None,
+    include_tombstones: bool = False,
 ) -> DataFrame:
     """Read the table AS OF ``version`` (default: latest) — exactly the
-    manifest's file set, so concurrent commits can never tear the scan."""
+    manifest's file set, so concurrent commits can never tear the scan.
+    Rows are aligned to the PINNED manifest's logical schema (a reader
+    pinned before a schema evolution keeps its epoch's columns/types).
+    Tombstoned keys (``_deleted`` true) are hidden and the marker
+    column dropped unless ``include_tombstones=True``."""
     manifest = load_manifest(base_dir, version)
     files = [f for fs in manifest["buckets"].values() for f in fs]
-    return spark.read.parquet(*files)
+    cols, types = manifest.get("columns"), manifest.get("column_types")
+    if cols is None or types is None:
+        df = spark.read.parquet(*files)
+    else:
+        df = _read_files_aligned(spark, files, cols, types)
+    if TOMBSTONE_COL in df.columns and not include_tombstones:
+        df = df.filter(
+            ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+        ).drop(TOMBSTONE_COL)
+    return df
 
 
 def vacuum(base_dir: str, keep_last: int = 2) -> dict:
@@ -236,6 +369,52 @@ def vacuum(base_dir: str, keep_last: int = 2) -> dict:
     }
 
 
+def _is_missing_file_error(ex: Exception) -> bool:
+    """Structured detection of 'the pinned snapshot's files vanished'
+    (a vacuum expired the version this merge attempt is reading) — the
+    only exception class the commit loop may treat as retryable.
+
+    Matches, in order of structure:
+    * ``AnalysisException`` whose error condition is ``PATH_NOT_FOUND``
+      — Spark's plan-time path-existence check in
+      ``spark.read.parquet`` (Spark 4 exposes the condition via
+      ``getCondition()``, older via ``getErrorClass()``);
+    * a ``java.io.FileNotFoundException`` in the JVM cause chain — an
+      executor task losing a file mid-scan surfaces wrapped in
+      SparkException layers, so walk ``getCause()`` when the Java
+      throwable is reachable, else match the fully-qualified class
+      name token in the rendered trace (class-name token, NOT free
+      text like 'does not exist', which misclassifies unrelated errors
+      that merely mention a missing path)."""
+    from pyspark.errors import AnalysisException
+
+    if isinstance(ex, AnalysisException):
+        cond = None
+        for getter in ("getCondition", "getErrorClass"):
+            fn = getattr(ex, getter, None)
+            if fn is None:
+                continue
+            try:
+                cond = fn()
+            except Exception:
+                continue
+            if cond:
+                break
+        return bool(cond) and "PATH_NOT_FOUND" in cond
+
+    jt = getattr(ex, "java_exception", None)
+    hops = 0
+    while jt is not None and hops < 20:
+        try:
+            if jt.getClass().getName() == "java.io.FileNotFoundException":
+                return True
+            jt = jt.getCause()
+        except Exception:
+            break
+        hops += 1
+    return "java.io.FileNotFoundException" in str(ex)
+
+
 class MergeConflictError(RuntimeError):
     """Raised when a merge loses the commit CAS more than max_retries
     times in a row (livelock guard; production backs off instead)."""
@@ -249,6 +428,7 @@ def merge_upsert_manifest(
     writer_id: str = "w0",
     max_retries: int = 5,
     before_commit=None,
+    evolve_schema: bool = False,
 ) -> tuple[int, int]:
     """MERGE INTO the manifest table at ``base_dir``: latest-wins per
     key across (pinned snapshot ∪ updates), ordered by ``ver_col`` DESC
@@ -256,6 +436,19 @@ def merge_upsert_manifest(
     an updated key are read or rewritten; every other bucket's files
     carry over into the new manifest untouched (asserted file-identical
     in tests/test_lakehouse.py).
+
+    ``evolve_schema=True`` relaxes the strict schema gates to SAFE
+    evolution only (see _resolve_evolved_schema): new update columns
+    append to the table (existing rows read them as NULL — no rewrite
+    of untouched buckets, the alignment happens at read time), common
+    columns may widen along the value-preserving lattice
+    (int→bigint, float→double, …), and the key column may never change
+    type. Rows are full-row replacements under latest-wins: an update
+    row that omits a table column writes NULL there, it does not
+    partially patch the previous row. Deletes ride the same path: an
+    update row with ``_deleted`` true is a tombstone — it wins/loses
+    latest-wins like any row, hides its key from default reads while
+    it lives, and is reclaimed by compact_tombstones.
 
     ``before_commit(attempt)`` is a test seam invoked after the new
     files are written but before the CAS — the window in which a
@@ -278,68 +471,133 @@ def merge_upsert_manifest(
         key_col, n_buckets = snap["key_col"], snap["n_buckets"]
         expected = snap.get("columns")
         expected_types = snap.get("column_types")
-        if expected is not None and sorted(updates.columns) != sorted(expected):
-            raise ValueError(
-                f"update batch columns {sorted(updates.columns)} do not match "
-                f"table columns {sorted(expected)}; MERGE does not evolve the "
-                "schema — align the batch (or re-init) first"
+        if evolve_schema and expected is not None and expected_types is not None:
+            res_columns, res_types = _resolve_evolved_schema(
+                expected, expected_types, updates, key_col
             )
-        if expected_types is not None:
-            got_types = _column_types(updates)
-            drift = {
-                c: (expected_types[c], got_types[c])
-                for c in got_types
-                if c in expected_types and got_types[c] != expected_types[c]
-            }
-            if drift:
-                # name-only matching would let a type-drifted key column
-                # re-bucket (xxhash64('5') != xxhash64(5L)) and leave TWO
-                # live rows for one logical key across buckets
+        else:
+            if expected is not None and sorted(updates.columns) != sorted(
+                expected
+            ):
                 raise ValueError(
-                    f"update batch column types drift from the table's: "
-                    f"{drift}; MERGE does not evolve the schema"
+                    f"update batch columns {sorted(updates.columns)} do not "
+                    f"match table columns {sorted(expected)}; MERGE does not "
+                    "evolve the schema unless evolve_schema=True — align the "
+                    "batch (or re-init) first"
                 )
-        cols = [key_col, ver_col, tiebreak_col] + [
-            c for c in updates.columns if c not in (key_col, ver_col, tiebreak_col)
-        ]
-        upd = updates.select(*cols).withColumn(
-            "bucket", _bucket_of(key_col, n_buckets)
-        )
-        touched = sorted(
-            r.bucket for r in upd.select("bucket").distinct().collect()
-        )
-        base_files = [
-            f for b in touched for f in snap["buckets"].get(str(b), [])
-        ]
-        unioned = upd
-        if base_files:
-            base_df = spark.read.parquet(*base_files).select(*cols).withColumn(
-                "bucket", _bucket_of(key_col, n_buckets)
+            if expected_types is not None:
+                got_types = _column_types(updates)
+                drift = {
+                    c: (expected_types[c], got_types[c])
+                    for c in got_types
+                    if c in expected_types and got_types[c] != expected_types[c]
+                }
+                if drift:
+                    # name-only matching would let a type-drifted key column
+                    # re-bucket (xxhash64('5') != xxhash64(5L)) and leave TWO
+                    # live rows for one logical key across buckets
+                    raise ValueError(
+                        f"update batch column types drift from the table's: "
+                        f"{drift}; MERGE does not evolve the schema unless "
+                        "evolve_schema=True (safe widenings only)"
+                    )
+            res_columns = expected if expected is not None else updates.columns
+            res_types = (
+                expected_types
+                if expected_types is not None
+                else _column_types(updates)
             )
-            unioned = base_df.unionByName(upd)
-        w = Window.partitionBy(key_col).orderBy(
-            F.col(ver_col).desc(), F.col(tiebreak_col)
-        )
-        # the lazy plan writes straight to staging: pinned base files
-        # are IMMUTABLE under the protocol (commits only add files and
-        # publish manifests; only vacuum deletes), so no checkpoint
-        # barrier is needed — a materialize-then-rewrite here would
-        # double the commit path's I/O for nothing
-        merged = (
-            unioned.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
-        )
+        cols = [key_col, ver_col, tiebreak_col] + [
+            c
+            for c in res_columns
+            if c not in (key_col, ver_col, tiebreak_col)
+        ]
+        have = set(updates.columns)
+        # align the batch to the RESULT schema: evolution may add table
+        # columns the batch omits (NULL — latest-wins rows are full-row
+        # replacements) or leave the batch narrower than a widened
+        # column (lossless upcast); same-type casts are elided
+        upd = updates.select(
+            *[
+                (
+                    F.col(c).cast(res_types[c])
+                    if c in have
+                    else F.lit(None).cast(res_types[c])
+                ).alias(c)
+                for c in cols
+            ]
+        ).withColumn("bucket", _bucket_of(key_col, n_buckets))
         next_version = snap["version"] + 1
+        # staging is ATTEMPT-PRIVATE: pid + thread + a process-wide
+        # monotonic sequence. writer_id is identity/debugging only,
+        # never a safety requirement. pid/thread alone are NOT enough:
+        # a published commit directory keeps living under its staging
+        # name (the manifest references files inside it), so a LATER
+        # merge on the same thread that pins a STALE manifest (vacuum
+        # race, missed CAS) recomputes the same next_version and — with
+        # a deterministic name — would mode(overwrite)/rmtree the LIVE
+        # v{N} directory it collides with (measured: the vacuum-race
+        # test deleted v2's published files this way). The sequence
+        # number makes every attempt's staging unique for the life of
+        # the process, so cleanup can only ever touch its own files.
         staging = os.path.join(
-            base_dir, f"commit_v{next_version}_{writer_id}_a{attempt}"
+            base_dir,
+            f"commit_v{next_version}_{writer_id}_{os.getpid()}_"
+            f"{threading.get_ident()}_s{next(_STAGING_SEQ)}_a{attempt}",
         )
+        # everything that READS the pinned snapshot sits inside the
+        # retry guard: spark.read.parquet performs a plan-time
+        # path-existence check, so a vacuum expiring the pinned version
+        # between load_manifest and here surfaces as PATH_NOT_FOUND at
+        # READ construction, not only during the staging write
         try:
+            # one pass over the (small) batch keys plans BOTH the bucket
+            # pruning and the tombstone bookkeeping the manifest carries
+            # for compact_tombstones — no second job
+            tomb_flag = (
+                F.coalesce(F.col(TOMBSTONE_COL).cast("boolean"), F.lit(False))
+                if TOMBSTONE_COL in cols
+                else F.lit(False)
+            )
+            bucket_info = (
+                upd.groupBy("bucket")
+                .agg(F.max(tomb_flag).alias("has_tomb"))
+                .collect()
+            )
+            touched = sorted(r.bucket for r in bucket_info)
+            tomb_buckets = sorted(
+                set(int(b) for b in snap.get("tombstone_buckets", []))
+                | {r.bucket for r in bucket_info if r.has_tomb}
+            )
+            base_files = [
+                f for b in touched for f in snap["buckets"].get(str(b), [])
+            ]
+            unioned = upd
+            if base_files:
+                # aligned, not a plain read: files written before a
+                # schema evolution physically lack added columns / carry
+                # narrower widened types
+                base_df = _read_files_aligned(
+                    spark, base_files, cols, res_types
+                ).withColumn("bucket", _bucket_of(key_col, n_buckets))
+                unioned = base_df.unionByName(upd)
+            w = Window.partitionBy(key_col).orderBy(
+                F.col(ver_col).desc(), F.col(tiebreak_col)
+            )
+            # the lazy plan writes straight to staging: pinned base
+            # files are IMMUTABLE under the protocol (commits only add
+            # files and publish manifests; only vacuum deletes), so no
+            # checkpoint barrier is needed — a materialize-then-rewrite
+            # here would double the commit path's I/O for nothing
+            merged = (
+                unioned.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
             merged.write.mode("overwrite").partitionBy("bucket").parquet(staging)
         except Exception as ex:
             shutil.rmtree(staging, ignore_errors=True)
-            msg = str(ex)
-            if "FileNotFound" in msg or "does not exist" in msg:
+            if _is_missing_file_error(ex):
                 # a vacuum expired our pinned version mid-read (see
                 # docstring): same remedy as a lost CAS — re-pin + retry
                 continue
@@ -352,11 +610,14 @@ def merge_upsert_manifest(
             "version": next_version,
             "n_buckets": n_buckets,
             "key_col": key_col,
-            "columns": expected if expected is not None else updates.columns,
-            "column_types": expected_types
-            if expected_types is not None
-            else _column_types(updates),
+            "columns": list(res_columns),
+            "column_types": {c: res_types[c] for c in res_columns},
             "buckets": {k: buckets[k] for k in sorted(buckets, key=int)},
+            # buckets that MAY hold live tombstone rows — a conservative
+            # over-approximation maintained commit-side so
+            # compact_tombstones never scans the whole table to find
+            # work (at 100 TB that scan would dwarf the compaction)
+            "tombstone_buckets": tomb_buckets,
         }
         if before_commit is not None:
             before_commit(attempt)
@@ -369,6 +630,111 @@ def merge_upsert_manifest(
         shutil.rmtree(staging, ignore_errors=True)
     raise MergeConflictError(
         f"merge by {writer_id} lost the commit race {max_retries + 1} times"
+    )
+
+
+def compact_tombstones(
+    spark: SparkSession,
+    base_dir: str,
+    writer_id: str = "w0",
+    max_retries: int = 5,
+) -> dict:
+    """Physically reclaim tombstone rows — the retention half of the
+    delete story. Reads ONLY the buckets the manifests flagged as
+    possibly-tombstoned (commit-side bookkeeping; never a table scan),
+    rewrites the ones that actually hold live tombstones without their
+    tombstone rows, clears the flags, and publishes a new version via
+    the same CAS loop as MERGE.
+
+    Retention contract (identical to Delta vacuuming past its deletion
+    retention window): while a tombstone lives, a late-arriving update
+    with a LOWER version than the delete loses latest-wins and the key
+    stays deleted; after compaction that guard is gone and such a
+    straggler would resurrect the key. Compact only once stragglers
+    older than the delete can no longer arrive
+    (tests/test_lakehouse.py pins both halves of this contract).
+
+    Returns ``{"version", "buckets_compacted", "tombstones_dropped"}``;
+    a table with no flagged buckets returns its current version with
+    no new commit."""
+    import shutil
+
+    tomb = F.coalesce(F.col(TOMBSTONE_COL).cast("boolean"), F.lit(False))
+    for attempt in range(max_retries + 1):
+        snap = load_manifest(base_dir)
+        key_col, n_buckets = snap["key_col"], snap["n_buckets"]
+        cols_, types_ = snap["columns"], snap["column_types"]
+        candidates = sorted(int(b) for b in snap.get("tombstone_buckets", []))
+        if not candidates or TOMBSTONE_COL not in types_:
+            return {
+                "version": snap["version"],
+                "buckets_compacted": [],
+                "tombstones_dropped": 0,
+            }
+        next_version = snap["version"] + 1
+        staging = os.path.join(
+            base_dir,
+            f"compact_v{next_version}_{writer_id}_{os.getpid()}_"
+            f"{threading.get_ident()}_s{next(_STAGING_SEQ)}_a{attempt}",
+        )
+        try:
+            files = [
+                f for b in candidates for f in snap["buckets"].get(str(b), [])
+            ]
+            df = _read_files_aligned(spark, files, cols_, types_).withColumn(
+                "bucket", _bucket_of(key_col, n_buckets)
+            )
+            per = {
+                r.bucket: r.n
+                for r in df.groupBy("bucket")
+                .agg(F.sum(tomb.cast("int")).alias("n"))
+                .collect()
+            }
+            doomed = sorted(b for b, n in per.items() if n)
+            dropped = int(sum(per[b] for b in doomed))
+            if not doomed:
+                # flags were conservative over-approximations (the
+                # tombstones lost latest-wins at some later merge) —
+                # clear them with a metadata-only commit
+                manifest = {**snap, "version": next_version,
+                            "tombstone_buckets": []}
+                if _publish_manifest(base_dir, manifest):
+                    return {
+                        "version": next_version,
+                        "buckets_compacted": [],
+                        "tombstones_dropped": 0,
+                    }
+                continue
+            live = df.filter(F.col("bucket").isin(doomed)).filter(~tomb)
+            live.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+        except Exception as ex:
+            shutil.rmtree(staging, ignore_errors=True)
+            if _is_missing_file_error(ex):
+                continue  # vacuum expired the pin mid-read: re-pin
+            raise
+        new_files = _list_bucket_files(staging)
+        buckets = dict(snap["buckets"])
+        for b in doomed:
+            # an all-tombstone bucket compacts to NO files at all
+            buckets[str(b)] = new_files.get(b, [])
+        manifest = {
+            "version": next_version,
+            "n_buckets": n_buckets,
+            "key_col": key_col,
+            "columns": list(cols_),
+            "column_types": dict(types_),
+            "buckets": {k: buckets[k] for k in sorted(buckets, key=int)},
+            "tombstone_buckets": [],
+        }
+        if _publish_manifest(base_dir, manifest):
+            return {
+                "version": next_version,
+                "buckets_compacted": doomed,
+                "tombstones_dropped": dropped,
+            }
+        shutil.rmtree(staging, ignore_errors=True)
+    raise MergeConflictError(
+        f"compaction by {writer_id} lost the commit race {max_retries + 1} times"
     )
 
 
@@ -393,10 +759,15 @@ def merge_upsert_manifest(
                                 ORDER BY ver DESC, status) AS rn
       FROM u
     )
+    -- CAST(SUM(ver) AS BIGINT): DuckDB's SUM over integers is HUGEINT,
+    -- rendered float64 by its pandas conversion vs Spark's non-null
+    -- int64 — the dtype split behind the r6 driver hash-FAILs on the
+    -- drift family; pinned here preemptively before this op's
+    -- first-ever driver check (r7 window)
     SELECT status,
-           COUNT(*)              AS n_rows,
-           SUM(ver)              AS sum_ver,
-           ROUND(SUM(price), 2)  AS sum_price
+           COUNT(*)                          AS n_rows,
+           CAST(SUM(ver) AS BIGINT)          AS sum_ver,
+           ROUND(SUM(price), 2)              AS sum_price
     FROM latest
     WHERE rn = 1
     GROUP BY status
@@ -469,5 +840,242 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ver").alias("sum_ver"),
             F.round(F.sum("price"), 2).alias("sum_price"),
         )
+        .orderBy("status")
+    )
+
+
+@register(
+    "merge_schema_evolve",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, 1 AS ver, o_orderstatus AS status,
+             CAST(o_orderkey % 100 AS INTEGER) AS qty,
+             CAST(NULL AS VARCHAR) AS src
+      FROM orders
+    ), u1 AS (
+      SELECT o_orderkey, 2, o_orderstatus,
+             CAST(o_orderkey * 100000 AS BIGINT), 'u1'
+      FROM orders WHERE o_orderkey % 4 = 0
+    ), u2 AS (
+      SELECT o_orderkey, 3, 'E',
+             CAST(o_orderkey * 200000 AS BIGINT), 'u2'
+      FROM orders WHERE o_orderkey % 6 = 0
+    ), u AS (
+      SELECT k, ver, status, CAST(qty AS BIGINT) AS qty, src FROM base
+      UNION ALL SELECT * FROM u1
+      UNION ALL SELECT * FROM u2
+    ), latest AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                                   ORDER BY ver DESC, status) AS rn
+      FROM u
+    )
+    -- BIGINT casts: DuckDB SUM over integers is HUGEINT -> float64 in
+    -- pandas vs Spark's int64 (the r6 drift-family driver hash-FAIL)
+    SELECT status,
+           COUNT(*)                                              AS n_rows,
+           CAST(SUM(qty) AS BIGINT)                              AS sum_qty,
+           CAST(SUM(CASE WHEN src IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)                                       AS n_legacy,
+           CAST(SUM(CASE WHEN src = 'u1' THEN 1 ELSE 0 END)
+                AS BIGINT)                                       AS n_u1,
+           CAST(SUM(CASE WHEN src = 'u2' THEN 1 ELSE 0 END)
+                AS BIGINT)                                       AS n_u2
+    FROM latest WHERE rn = 1
+    GROUP BY status ORDER BY status
+    """,
+)
+def merge_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of schema-evolving MERGE (generalizes A13's
+    upsert the way Delta's mergeSchema does,
+    parser_pinecone_storage.py:154 provenance via merge_upsert): seed
+    orders as (k, ver, status, qty INT); batch u1 (every 4th key)
+    WIDENS qty to BIGINT (values to 6e9 — genuinely outside int32) and
+    ADDS column src; batch u2 (every 6th key) writes the already-
+    evolved schema. Untouched buckets are never rewritten for the
+    evolution — their int-typed, src-less files align at read time
+    (missing column → NULL, narrow int → lossless bigint cast), which
+    is what makes evolution affordable at 100 TB: a column add is a
+    metadata commit plus the merge's own touched buckets, not a table
+    rewrite.
+
+    Inline protocol asserts: post-u1 manifest records qty=bigint and
+    the src column; a reader pinned at v1 still sees the ORIGINAL
+    int-typed, src-less epoch schema (per-version schema is part of
+    the snapshot contract).
+
+    The aggregate probes all three populations: n_legacy counts
+    NULL-backfilled src on never-updated rows, n_u1/n_u2 count each
+    batch's survivors, sum_qty mixes widened and legacy values."""
+    import shutil
+
+    from .scans import _adir
+
+    base_dir = _adir(sf_dir, "merge_evolve_table")
+    shutil.rmtree(base_dir, ignore_errors=True)
+
+    orders = table(spark, sf_dir, "orders")
+    seed = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("ver"),
+        F.col("o_orderstatus").alias("status"),
+        (F.col("o_orderkey") % 100).cast("int").alias("qty"),
+    )
+    init_table(seed, base_dir, key_col="k", n_buckets=16)
+
+    u1 = orders.filter(F.col("o_orderkey") % 4 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(2).alias("ver"),
+        F.col("o_orderstatus").alias("status"),
+        (F.col("o_orderkey") * 100000).cast("bigint").alias("qty"),
+        F.lit("u1").alias("src"),
+    )
+    u2 = orders.filter(F.col("o_orderkey") % 6 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(3).alias("ver"),
+        F.lit("E").alias("status"),
+        (F.col("o_orderkey") * 200000).cast("bigint").alias("qty"),
+        F.lit("u2").alias("src"),
+    )
+    v2, _ = merge_upsert_manifest(
+        base_dir, u1, ver_col="ver", tiebreak_col="status",
+        writer_id="u1", evolve_schema=True,
+    )
+    m2 = load_manifest(base_dir)
+    if v2 != 2 or m2["column_types"]["qty"] != "bigint" or "src" not in m2["columns"]:
+        raise AssertionError(f"evolution not recorded in manifest v2: {m2['column_types']}")
+    # u2 matches the evolved schema exactly — no evolve flag needed
+    merge_upsert_manifest(
+        base_dir, u2, ver_col="ver", tiebreak_col="status", writer_id="u2"
+    )
+    pinned = read_snapshot(spark, base_dir, version=1)
+    if dict(pinned.dtypes).get("qty") != "int" or "src" in pinned.columns:
+        raise AssertionError("v1-pinned reader must keep its epoch schema")
+
+    snap = read_snapshot(spark, base_dir)
+    return (
+        snap.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("qty").alias("sum_qty"),
+            F.sum(F.when(F.col("src").isNull(), 1).otherwise(0)).alias("n_legacy"),
+            F.sum(F.when(F.col("src") == "u1", 1).otherwise(0)).alias("n_u1"),
+            F.sum(F.when(F.col("src") == "u2", 1).otherwise(0)).alias("n_u2"),
+        )
+        .orderBy("status")
+    )
+
+
+@register(
+    "merge_delete_tombstones",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, 1 AS ver, o_orderstatus AS status,
+             o_totalprice AS price, FALSE AS del
+      FROM orders
+    ), t1 AS (
+      SELECT o_orderkey, 2, o_orderstatus, o_totalprice, TRUE
+      FROM orders WHERE o_orderkey % 3 = 0
+    ), r2 AS (
+      SELECT o_orderkey, 3, 'R', o_totalprice + 5000, FALSE
+      FROM orders WHERE o_orderkey % 9 = 0
+    ), s3 AS (
+      SELECT o_orderkey, 1, 'S', o_totalprice - 1, FALSE
+      FROM orders WHERE o_orderkey % 15 = 0
+    ), u AS (
+      SELECT * FROM base
+      UNION ALL SELECT * FROM t1
+      UNION ALL SELECT * FROM r2
+      UNION ALL SELECT * FROM s3
+    ), latest AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                                   ORDER BY ver DESC, status) AS rn
+      FROM u
+    ), live AS (SELECT * FROM latest WHERE rn = 1),
+    tomb AS (SELECT COUNT(*) AS c FROM live WHERE del)
+    SELECT status,
+           COUNT(*)                 AS n_visible,
+           ROUND(SUM(price), 2)     AS sum_price,
+           CAST(tomb.c AS BIGINT)   AS n_tombstones
+    FROM live CROSS JOIN tomb
+    WHERE NOT del
+    GROUP BY status, tomb.c
+    ORDER BY status
+    """,
+)
+def merge_delete_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of DELETE-via-tombstone (the reference's
+    Pinecone index has per-id delete but its pipeline never reconciles
+    deletes with re-ingest order — this op pins the semantics): seed
+    orders, tombstone every 3rd key at ver=2 (`_deleted` true rides the
+    normal MERGE path), re-insert every 9th key at ver=3, then merge a
+    STRAGGLER batch at ver=1 for every 15th key. Latest-wins over
+    (rows ∪ tombstones) yields exactly Delta's semantics: deleted keys
+    vanish from default reads, re-inserts resurrect at a higher
+    version, and the straggler — older than the delete — stays
+    suppressed BECAUSE the tombstone row is physically retained until
+    compact_tombstones (tests pin that compaction then reopens the
+    straggler window; that is the documented retention contract).
+
+    Output: per-status visible rows and price mass, plus the global
+    live-tombstone count (the compaction backlog a lakehouse monitors),
+    broadcast onto every row the way psi_total rides agg_psi_drift."""
+    import shutil
+
+    from .scans import _adir
+
+    base_dir = _adir(sf_dir, "merge_tombstone_table")
+    shutil.rmtree(base_dir, ignore_errors=True)
+
+    orders = table(spark, sf_dir, "orders")
+    seed = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("ver"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        F.lit(False).alias(TOMBSTONE_COL),
+    )
+    init_table(seed, base_dir, key_col="k", n_buckets=16)
+
+    def batch(pred_mod, ver, status_col, price_col, deleted):
+        return orders.filter(F.col("o_orderkey") % pred_mod == 0).select(
+            F.col("o_orderkey").alias("k"),
+            F.lit(ver).alias("ver"),
+            status_col.alias("status"),
+            price_col.alias("price"),
+            F.lit(deleted).alias(TOMBSTONE_COL),
+        )
+
+    merge_upsert_manifest(
+        base_dir,
+        batch(3, 2, F.col("o_orderstatus"), F.col("o_totalprice"), True),
+        ver_col="ver", tiebreak_col="status", writer_id="del",
+    )
+    merge_upsert_manifest(
+        base_dir,
+        batch(9, 3, F.lit("R"), F.col("o_totalprice") + 5000, False),
+        ver_col="ver", tiebreak_col="status", writer_id="reins",
+    )
+    merge_upsert_manifest(
+        base_dir,
+        batch(15, 1, F.lit("S"), F.col("o_totalprice") - 1, False),
+        ver_col="ver", tiebreak_col="status", writer_id="straggler",
+    )
+
+    vis = read_snapshot(spark, base_dir)
+    if TOMBSTONE_COL in vis.columns:
+        raise AssertionError("default read must hide the tombstone marker")
+    tomb = (
+        read_snapshot(spark, base_dir, include_tombstones=True)
+        .filter(F.col(TOMBSTONE_COL))
+        .agg(F.count(F.lit(1)).alias("n_tombstones"))
+    )
+    return (
+        vis.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_visible"),
+            F.round(F.sum("price"), 2).alias("sum_price"),
+        )
+        .crossJoin(F.broadcast(tomb))
+        .select("status", "n_visible", "sum_price", "n_tombstones")
         .orderBy("status")
     )

@@ -322,3 +322,285 @@ def test_concurrent_writers_free_running(spark, tmp_path):
         assert rows[i] == (2, f"w{i}_{i}"), rows.get(i)
         assert rows[1000 + i] == (2, f"w{i}_{1000 + i}")  # insert path
     assert len(rows) == 204  # 200 base + 4 inserts (1000..1003)
+
+
+def test_vacuum_race_repins_and_retries(spark, tmp_path, monkeypatch):
+    """A vacuum expiring the pinned version between load_manifest and
+    the snapshot read must be treated as a lost CAS — re-pin the
+    (younger) latest manifest and retry — not surface AnalysisException.
+    Simulated deterministically: the first load_manifest call is
+    patched to return the STALE v1 manifest after v2 superseded (and a
+    keep_last=1 vacuum deleted) its rewritten bucket files; the plan-
+    time PATH_NOT_FOUND from spark.read.parquet must be caught, the
+    loop must re-pin the real latest, and the merge must land as v3 on
+    attempt 2."""
+    from assignment4_spark.operators import lakehouse as lh
+
+    base = _mk_table(spark, tmp_path)
+    stale = load_manifest(base)  # v1, pinned before the race
+    merge_upsert_manifest(base, _upd(spark, [7], 2, "u"), "ver", "payload")
+    lh.vacuum(base, keep_last=1)  # v1's superseded bucket files are gone
+
+    real_load = lh.load_manifest
+    calls = {"n": 0}
+
+    def racing_load(base_dir, version=None):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return stale  # the expired pin the docstring promises to survive
+        return real_load(base_dir, version)
+
+    monkeypatch.setattr(lh, "load_manifest", racing_load)
+    # key 7 targets the bucket whose v1 files were vacuumed
+    v, tries = lh.merge_upsert_manifest(
+        base, _upd(spark, [7], 3, "w"), "ver", "payload"
+    )
+    assert (v, tries) == (3, 2), "must lose attempt 0 to the vacuum, win attempt 1"
+    rows = {r.k: (r.ver, r.payload) for r in read_snapshot(spark, base).collect()}
+    assert rows[7] == (3, "w7")
+    assert len(rows) == 200
+
+
+def test_missing_file_error_matcher_is_structured(spark):
+    """_is_missing_file_error must key on the structured error class:
+    PATH_NOT_FOUND matches; an unrelated AnalysisException whose
+    MESSAGE merely mentions a missing path must not (the free-text
+    matcher this replaced would misclassify it and silently re-run a
+    broken merge)."""
+    from assignment4_spark.operators.lakehouse import _is_missing_file_error
+
+    with pytest.raises(Exception) as missing:
+        spark.read.parquet("/tmp/lh_no_such_path_zzz.parquet")
+    assert _is_missing_file_error(missing.value)
+
+    # negative control: resolution failure whose text says 'not found'
+    with pytest.raises(Exception) as unrelated:
+        spark.sql("SELECT * FROM `table that does not exist`")
+    assert not _is_missing_file_error(unrelated.value)
+    assert not _is_missing_file_error(ValueError("file does not exist"))
+
+
+def _snap(spark, base):
+    return {r.k: r for r in read_snapshot(spark, base).collect()}
+
+
+def test_schema_evolve_add_column_widen_and_pinned_epoch(spark, tmp_path):
+    """evolve_schema=True: a batch may add columns (old rows read NULL,
+    no rewrite of untouched buckets) and widen int→bigint; the manifest
+    records the evolved schema; a reader pinned BEFORE the evolution
+    keeps its epoch's columns and types."""
+    from assignment4_spark.operators.lakehouse import load_manifest as lm
+
+    base = str(tmp_path / "tbl")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), F.lit(1).alias("ver"),
+        F.concat(F.lit("p"), F.col("id")).alias("payload"),
+        (F.col("id") % 7).cast("int").alias("qty"),
+    )
+    init_table(df, base, key_col="k", n_buckets=4)
+    upd = spark.createDataFrame(
+        [(5, 2, "u5", 5_000_000_000, "extra5")],
+        "k long, ver int, payload string, qty bigint, note string",
+    )
+    v, tries = merge_upsert_manifest(
+        base, upd, "ver", "payload", evolve_schema=True
+    )
+    assert (v, tries) == (2, 1)
+    m2 = lm(base)
+    assert m2["column_types"]["qty"] == "bigint" and "note" in m2["columns"]
+    rows = _snap(spark, base)
+    assert rows[5].qty == 5_000_000_000 and rows[5].note == "extra5"
+    assert rows[6].qty == 6 and rows[6].note is None, "NULL backfill"
+    assert len(rows) == 100
+    # pinned reader keeps the pre-evolution epoch
+    pinned = read_snapshot(spark, base, version=1)
+    assert dict(pinned.dtypes)["qty"] == "int" and "note" not in pinned.columns
+
+
+def test_schema_evolve_gates(spark, tmp_path):
+    """Without the flag, column/type drift still fails fast; with it,
+    key-type changes and non-widening changes are still rejected."""
+    base = _mk_table(spark, tmp_path)
+    added = spark.createDataFrame(
+        [(1, 2, "u1", "x")], "k long, ver int, payload string, extra string"
+    )
+    with pytest.raises(ValueError, match="evolve_schema=True"):
+        merge_upsert_manifest(base, added, "ver", "payload")
+    key_widened = spark.createDataFrame(
+        [(1, 2, "u1")], "k int, ver int, payload string"
+    )
+    with pytest.raises(ValueError, match="key column"):
+        merge_upsert_manifest(
+            base, key_widened, "ver", "payload", evolve_schema=True
+        )
+    unsafe = spark.createDataFrame(
+        [(1, 2, 3)], "k long, ver int, payload int"
+    )
+    with pytest.raises(ValueError, match="not a safe"):
+        merge_upsert_manifest(
+            base, unsafe, "ver", "payload", evolve_schema=True
+        )
+
+
+def test_evolve_full_row_replacement_nulls_omitted_column(spark, tmp_path):
+    """Latest-wins rows are FULL-ROW replacements: an evolved batch that
+    omits a table column writes NULL there (documented; not a partial
+    patch)."""
+    base = str(tmp_path / "tbl")
+    df = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(1).alias("ver"),
+        F.concat(F.lit("p"), F.col("id")).alias("payload"),
+        (F.col("id") % 7).cast("int").alias("qty"),
+    )
+    init_table(df, base, key_col="k", n_buckets=2)
+    upd = spark.createDataFrame([(3, 2, "u3")], "k long, ver int, payload string")
+    merge_upsert_manifest(base, upd, "ver", "payload", evolve_schema=True)
+    rows = _snap(spark, base)
+    assert rows[3].payload == "u3" and rows[3].qty is None
+    assert rows[4].qty == 4
+
+
+def test_tombstone_hides_key_and_suppresses_straggler(spark, tmp_path):
+    """A _deleted=true row wins latest-wins, hides its key from default
+    reads (marker column dropped), stays visible via
+    include_tombstones, and a LOWER-version late update cannot
+    resurrect the key while the tombstone lives."""
+    from assignment4_spark.operators.lakehouse import TOMBSTONE_COL
+
+    base = str(tmp_path / "tbl")
+    df = spark.range(20).select(
+        F.col("id").alias("k"), F.lit(1).alias("ver"),
+        F.concat(F.lit("p"), F.col("id")).alias("payload"),
+        F.lit(False).alias(TOMBSTONE_COL),
+    )
+    init_table(df, base, key_col="k", n_buckets=2)
+    tomb = spark.createDataFrame(
+        [(7, 2, "del7", True)],
+        f"k long, ver int, payload string, {TOMBSTONE_COL} boolean",
+    )
+    merge_upsert_manifest(base, tomb, "ver", "payload")
+    vis = read_snapshot(spark, base)
+    assert TOMBSTONE_COL not in vis.columns
+    keys = {r.k for r in vis.collect()}
+    assert 7 not in keys and len(keys) == 19
+    allrows = read_snapshot(spark, base, include_tombstones=True)
+    assert allrows.filter(F.col(TOMBSTONE_COL)).count() == 1
+    # straggler older than the delete: must stay suppressed
+    late = spark.createDataFrame(
+        [(7, 1, "late7", False)],
+        f"k long, ver int, payload string, {TOMBSTONE_COL} boolean",
+    )
+    merge_upsert_manifest(base, late, "ver", "payload")
+    assert 7 not in {r.k for r in read_snapshot(spark, base).collect()}
+    # re-insert ABOVE the delete resurrects
+    reins = spark.createDataFrame(
+        [(7, 3, "back7", False)],
+        f"k long, ver int, payload string, {TOMBSTONE_COL} boolean",
+    )
+    merge_upsert_manifest(base, reins, "ver", "payload")
+    assert _snap(spark, base)[7].payload == "back7"
+
+
+def test_compact_tombstones_reclaims_and_reopens_straggler_window(spark, tmp_path):
+    """compact_tombstones physically drops tombstone rows from exactly
+    the flagged buckets, clears the manifest flags, and — the
+    documented retention contract — a straggler arriving AFTER
+    compaction is no longer suppressed and resurrects the key."""
+    from assignment4_spark.operators.lakehouse import (
+        TOMBSTONE_COL,
+        compact_tombstones,
+        load_manifest as lm,
+    )
+
+    base = str(tmp_path / "tbl")
+    df = spark.range(30).select(
+        F.col("id").alias("k"), F.lit(1).alias("ver"),
+        F.concat(F.lit("p"), F.col("id")).alias("payload"),
+        F.lit(False).alias(TOMBSTONE_COL),
+    )
+    init_table(df, base, key_col="k", n_buckets=4)
+    tombs = spark.createDataFrame(
+        [(k, 2, f"del{k}", True) for k in (3, 9, 21)],
+        f"k long, ver int, payload string, {TOMBSTONE_COL} boolean",
+    )
+    merge_upsert_manifest(base, tombs, "ver", "payload")
+    assert lm(base)["tombstone_buckets"], "merge must flag tombstone buckets"
+    out = compact_tombstones(spark, base)
+    assert out["tombstones_dropped"] == 3
+    assert out["buckets_compacted"], out
+    m = lm(base)
+    assert m["version"] == out["version"] and m["tombstone_buckets"] == []
+    allrows = read_snapshot(spark, base, include_tombstones=True)
+    assert allrows.filter(F.col(TOMBSTONE_COL)).count() == 0
+    assert read_snapshot(spark, base).count() == 27
+    # idempotent: nothing flagged -> no new commit
+    again = compact_tombstones(spark, base)
+    assert again["version"] == m["version"] and again["tombstones_dropped"] == 0
+    # retention contract: the straggler window is now OPEN
+    late = spark.createDataFrame(
+        [(9, 1, "late9", False)],
+        f"k long, ver int, payload string, {TOMBSTONE_COL} boolean",
+    )
+    merge_upsert_manifest(base, late, "ver", "payload")
+    assert _snap(spark, base)[9].payload == "late9"
+
+
+def test_compact_metadata_only_when_flags_stale(spark, tmp_path):
+    """A tombstone that later LOSES latest-wins (higher-version
+    re-insert rewrote its bucket) leaves a stale flag; compaction must
+    detect zero live tombstones and clear flags with a metadata-only
+    commit — no bucket rewrite, file set unchanged."""
+    from assignment4_spark.operators.lakehouse import (
+        TOMBSTONE_COL,
+        compact_tombstones,
+        load_manifest as lm,
+    )
+
+    base = str(tmp_path / "tbl")
+    df = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(1).alias("ver"),
+        F.concat(F.lit("p"), F.col("id")).alias("payload"),
+        F.lit(False).alias(TOMBSTONE_COL),
+    )
+    init_table(df, base, key_col="k", n_buckets=2)
+    schema = f"k long, ver int, payload string, {TOMBSTONE_COL} boolean"
+    merge_upsert_manifest(
+        base, spark.createDataFrame([(4, 2, "del4", True)], schema),
+        "ver", "payload",
+    )
+    merge_upsert_manifest(
+        base, spark.createDataFrame([(4, 3, "back4", False)], schema),
+        "ver", "payload",
+    )
+    before = lm(base)
+    out = compact_tombstones(spark, base)
+    assert out["tombstones_dropped"] == 0 and out["buckets_compacted"] == []
+    after = lm(base)
+    assert after["version"] == before["version"] + 1
+    assert after["tombstone_buckets"] == []
+    assert after["buckets"] == before["buckets"], "metadata-only commit"
+
+
+def test_cas_loser_retry_revalidates_against_evolved_winner(spark, tmp_path):
+    """A CAS loser whose retry re-pins a manifest the WINNER evolved
+    must fail its (non-evolve) schema gate with the named error — never
+    silently merge a now-mismatched batch."""
+    base = _mk_table(spark, tmp_path)
+
+    def winner_evolves(attempt):
+        if attempt == 0:
+            evolved = spark.createDataFrame(
+                [(50, 2, "w50", "x")],
+                "k long, ver int, payload string, extra string",
+            )
+            merge_upsert_manifest(
+                base, evolved, "ver", "payload", writer_id="W",
+                evolve_schema=True,
+            )
+
+    loser = _upd(spark, [60], 2, "l")
+    with pytest.raises(ValueError, match="do not match"):
+        merge_upsert_manifest(
+            base, loser, "ver", "payload", writer_id="L",
+            before_commit=winner_evolves,
+        )
