@@ -26,6 +26,12 @@ merge_upsert, the scan_permissive_corrupt single-aggregate rewrite and
 the review-fix wave landed): 238/238 oracled exact, 9/9 rows-only
 clean — zero mismatches, one hostile session.
 
+Round-7 result (full re-run at the 249-query surface, after the
+HUGEINT/BIGINT oracle repairs, the rag_embed_hash flattening, schema
+evolution + tombstones, and the clustered staging writes landed):
+240/240 oracled exact, 9/9 rows-only clean — zero mismatches, one
+hostile session.
+
 A path-looking first arg (contains a separator) that is not a directory
 is an error, and so is a name that matches no queries() key — without
 those checks a typo'd sf_dir or op name silently probes NOTHING and

@@ -604,3 +604,22 @@ def test_cas_loser_retry_revalidates_against_evolved_winner(spark, tmp_path):
             base, loser, "ver", "payload", writer_id="L",
             before_commit=winner_evolves,
         )
+
+
+def test_commit_writes_o_buckets_files(spark, tmp_path):
+    """The staging write must leave O(buckets) files per commit, not
+    O(tasks × buckets): under local[32] a 200-row spark.range seed
+    plans ~32 upstream tasks, and without the pre-write repartition on
+    bucket each task opened a writer per bucket it held (measured
+    20-30 files in a SINGLE bucket) — the lakehouse file explosion
+    that multiplies footer opens on every later bucket-pruned read."""
+    from assignment4_spark.operators.lakehouse import load_manifest as lm
+
+    base = _mk_table(spark, tmp_path, n=200, n_buckets=8)
+    m1 = lm(base)
+    for b, fs in m1["buckets"].items():
+        assert len(fs) <= 1, f"bucket {b}: {len(fs)} files after init"
+    merge_upsert_manifest(base, _upd(spark, [1, 2, 3], 2, "u"), "ver", "payload")
+    m2 = lm(base)
+    for b, fs in m2["buckets"].items():
+        assert len(fs) <= 1, f"bucket {b}: {len(fs)} files after merge"
