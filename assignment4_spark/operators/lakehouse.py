@@ -141,6 +141,12 @@ def _read_files_aligned(
     so plan cost stays O(versions) while scan parallelism is unchanged.
     Same-type casts are elided by Catalyst (SimplifyCasts), so the
     common no-evolution case plans exactly as a plain read."""
+    if not files:
+        # a fully-compacted table (every key tombstoned, then
+        # compact_tombstones) legitimately has an all-empty bucket map;
+        # an empty frame with the manifest schema IS the snapshot
+        ddl = ", ".join(f"`{c}` {column_types[c]}" for c in columns)
+        return spark.createDataFrame([], ddl)
     groups: dict[str, list] = {}
     for f in files:
         # …/commit_vN_*/bucket=B/part-*.parquet → group on the commit dir
@@ -169,6 +175,46 @@ def _read_files_aligned(
 
 def _bucket_of(key_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+
+
+def _staging_path(base_dir: str, prefix: str, version: int, writer_id: str,
+                  attempt: int) -> str:
+    """ATTEMPT-PRIVATE staging directory name, shared by every commit
+    path (init / merge / compact): pid + thread + a process-wide
+    monotonic sequence. writer_id is identity/debugging only, never a
+    safety requirement. pid/thread alone are NOT enough: a published
+    commit directory keeps living under its staging name (the manifest
+    references files inside it), so a LATER attempt on the same thread
+    that pins a STALE manifest (vacuum race, missed CAS) recomputes the
+    same next_version and — with a deterministic name — would
+    mode(overwrite)/rmtree the LIVE v{N} directory it collides with
+    (measured: the vacuum-race test deleted v2's published files this
+    way before the sequence term existed). The sequence number makes
+    every attempt's staging unique for the life of the process, so
+    cleanup can only ever touch its own files."""
+    return os.path.join(
+        base_dir,
+        f"{prefix}_v{version}_{writer_id}_{os.getpid()}_"
+        f"{threading.get_ident()}_s{next(_STAGING_SEQ)}_a{attempt}",
+    )
+
+
+def _write_clustered(df: DataFrame, staging: str) -> None:
+    """Commit write shared by init / merge / compact: repartition on
+    bucket BEFORE the partitioned write. Without it every upstream task
+    opens a writer per bucket it holds — O(tasks × buckets) small files
+    per commit (measured: 32-task local runs left 20-30 files in a
+    single bucket), the classic lakehouse file explosion; clustered,
+    the commit leaves O(buckets) files and every later bucket-pruned
+    read opens proportionally fewer footers. At real scale, salt the
+    repartition key (bucket, salt%k) to restore intra-bucket write
+    parallelism once a bucket outgrows one task."""
+    (
+        df.repartition(F.col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(staging)
+    )
 
 
 def _column_types(df: DataFrame) -> dict[str, str]:
@@ -253,31 +299,14 @@ def init_table(
     os.makedirs(base_dir, exist_ok=True)
     if latest_version(base_dir) != 0:
         raise ValueError(f"table at {base_dir} already initialized")
-    # staging is ATTEMPT-PRIVATE (pid/thread/sequence), exactly like
-    # merge's: a shared 'commit_v1' dir with mode(overwrite) would let
-    # a concurrent-init LOSER delete the CAS winner's part files before
-    # losing — publishing a v1 manifest that names dead paths; the
-    # sequence term additionally covers repeated init attempts on the
-    # SAME thread (see merge's staging comment for the collision class)
-    staging = os.path.join(
-        base_dir,
-        f"commit_v1_{os.getpid()}_{threading.get_ident()}_s{next(_STAGING_SEQ)}",
-    )
-    (
-        df.withColumn("bucket", _bucket_of(key_col, n_buckets))
-        # repartition on bucket BEFORE the partitioned write: without
-        # it every upstream task opens a writer per bucket it holds —
-        # O(tasks × buckets) small files per commit (measured: 32-task
-        # local runs left 20-30 files in a single bucket), the classic
-        # lakehouse file explosion. Clustered on bucket, the commit
-        # leaves O(buckets) files and every later bucket-pruned read
-        # opens proportionally fewer footers. At real scale, salt the
-        # repartition key (bucket, salt%k) to restore intra-bucket
-        # write parallelism once a bucket outgrows one task.
-        .repartition(F.col("bucket"))
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(staging)
+    # attempt-private staging + clustered write (see _staging_path /
+    # _write_clustered for the two hazard classes they close): a shared
+    # 'commit_v1' dir with mode(overwrite) would let a concurrent-init
+    # LOSER delete the CAS winner's part files before losing —
+    # publishing a v1 manifest that names dead paths
+    staging = _staging_path(base_dir, "commit", 1, "init", 0)
+    _write_clustered(
+        df.withColumn("bucket", _bucket_of(key_col, n_buckets)), staging
     )
     manifest = {
         "version": 1,
@@ -286,10 +315,24 @@ def init_table(
         "columns": df.columns,
         "column_types": _column_types(df),
         "buckets": {str(b): fs for b, fs in sorted(_list_bucket_files(staging).items())},
-        # conservative: a seed CARRYING the marker column may hold
-        # tombstones anywhere; compact_tombstones verifies per bucket
+        # true per-bucket flags, not "every bucket": a seed carrying an
+        # all-false marker column (the normal pattern) must not doom
+        # the first compact_tombstones to a full-table scan — one
+        # bucket-agg job over the seed (same pass merge commits pay)
+        # records exactly the buckets holding a live tombstone
         "tombstone_buckets": (
-            sorted(int(b) for b in _list_bucket_files(staging))
+            sorted(
+                r.bucket
+                for r in df.withColumn("bucket", _bucket_of(key_col, n_buckets))
+                .groupBy("bucket")
+                .agg(
+                    F.max(
+                        F.coalesce(F.col(TOMBSTONE_COL).cast("boolean"), F.lit(False))
+                    ).alias("has_tomb")
+                )
+                .collect()
+                if r.has_tomb
+            )
             if TOMBSTONE_COL in df.columns
             else []
         ),
@@ -538,23 +581,7 @@ def merge_upsert_manifest(
             ]
         ).withColumn("bucket", _bucket_of(key_col, n_buckets))
         next_version = snap["version"] + 1
-        # staging is ATTEMPT-PRIVATE: pid + thread + a process-wide
-        # monotonic sequence. writer_id is identity/debugging only,
-        # never a safety requirement. pid/thread alone are NOT enough:
-        # a published commit directory keeps living under its staging
-        # name (the manifest references files inside it), so a LATER
-        # merge on the same thread that pins a STALE manifest (vacuum
-        # race, missed CAS) recomputes the same next_version and — with
-        # a deterministic name — would mode(overwrite)/rmtree the LIVE
-        # v{N} directory it collides with (measured: the vacuum-race
-        # test deleted v2's published files this way). The sequence
-        # number makes every attempt's staging unique for the life of
-        # the process, so cleanup can only ever touch its own files.
-        staging = os.path.join(
-            base_dir,
-            f"commit_v{next_version}_{writer_id}_{os.getpid()}_"
-            f"{threading.get_ident()}_s{next(_STAGING_SEQ)}_a{attempt}",
-        )
+        staging = _staging_path(base_dir, "commit", next_version, writer_id, attempt)
         # everything that READS the pinned snapshot sits inside the
         # retry guard: spark.read.parquet performs a plan-time
         # path-existence check, so a vacuum expiring the pinned version
@@ -604,11 +631,7 @@ def merge_upsert_manifest(
                 .filter(F.col("rn") == 1)
                 .drop("rn")
             )
-            # clustered write: O(buckets) files per commit, not
-            # O(tasks × buckets) — see init_table's staging comment
-            merged.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
-                "bucket"
-            ).parquet(staging)
+            _write_clustered(merged, staging)
         except Exception as ex:
             shutil.rmtree(staging, ignore_errors=True)
             if _is_missing_file_error(ex):
@@ -686,11 +709,7 @@ def compact_tombstones(
                 "tombstones_dropped": 0,
             }
         next_version = snap["version"] + 1
-        staging = os.path.join(
-            base_dir,
-            f"compact_v{next_version}_{writer_id}_{os.getpid()}_"
-            f"{threading.get_ident()}_s{next(_STAGING_SEQ)}_a{attempt}",
-        )
+        staging = _staging_path(base_dir, "compact", next_version, writer_id, attempt)
         try:
             files = [
                 f for b in candidates for f in snap["buckets"].get(str(b), [])
@@ -720,10 +739,7 @@ def compact_tombstones(
                     }
                 continue
             live = df.filter(F.col("bucket").isin(doomed)).filter(~tomb)
-            # clustered write, same as merge's (see init_table)
-            live.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
-                "bucket"
-            ).parquet(staging)
+            _write_clustered(live, staging)
         except Exception as ex:
             shutil.rmtree(staging, ignore_errors=True)
             if _is_missing_file_error(ex):

@@ -207,11 +207,17 @@ def rag_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").alias("dim"),
         F.round(F.sqrt(F.aggregate(dvec, F.lit(0.0), lambda a, x: a + x * x)), 6)
         .alias("l2_norm"),
-        # format_string, not format_number: the latter inserts grouping
-        # commas (the join separator) for |x| >= 1000
+        # decimal(9,6) cast, not format_string/format_number: the cast
+        # renders shortest-repr HALF_UP (BigDecimal.valueOf semantics —
+        # the same pipeline F.round uses), which a Python replay can
+        # reproduce exactly via Decimal(repr(x)).quantize(HALF_UP);
+        # format_string('%.6f') rounds the double's EXACT binary
+        # expansion instead and can differ from that replay on
+        # 6th-decimal ties, and format_number inserts grouping commas
+        # (the join separator) for |x| >= 1000
         F.md5(
             F.concat_ws(
-                ",", F.transform(dvec, lambda x: F.format_string("%.6f", x))
+                ",", F.transform(dvec, lambda x: x.cast("decimal(9,6)").cast("string"))
             )
         ).alias("emb_md5"),
     )

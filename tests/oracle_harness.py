@@ -126,7 +126,9 @@ def pandas_dtype_hazards(name, spark_df, spark_rows, spark_cols, con, sql):
                 f"{name}.{c}: non-null Spark {stype} → int64 vs DuckDB "
                 f"{dtype} → float64 (CAST the oracle column AS BIGINT)"
             )
-        elif stype in ("float", "double") and duck_int:
+        elif stype in ("float", "double") and duck_int and not nulls[c]:
+            # NULL exemption mirrors rule 2's: NaN forces the DuckDB
+            # int column to float64 too, so both frames agree
             hazards.append(
                 f"{name}.{c}: Spark {stype} → float64 vs DuckDB {dtype} "
                 f"→ int64 (align the oracle cast)"

@@ -623,3 +623,68 @@ def test_commit_writes_o_buckets_files(spark, tmp_path):
     m2 = lm(base)
     for b, fs in m2["buckets"].items():
         assert len(fs) <= 1, f"bucket {b}: {len(fs)} files after merge"
+
+
+def test_fully_compacted_table_reads_empty_with_schema(spark, tmp_path):
+    """Tombstoning EVERY key then compacting leaves an all-empty bucket
+    map — a legitimate table state; read_snapshot must return an empty
+    frame with the manifest schema, not crash (review finding r7)."""
+    from assignment4_spark.operators.lakehouse import (
+        TOMBSTONE_COL,
+        compact_tombstones,
+    )
+
+    base = str(tmp_path / "tbl")
+    df = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(1).alias("ver"),
+        F.concat(F.lit("p"), F.col("id")).alias("payload"),
+        F.lit(False).alias(TOMBSTONE_COL),
+    )
+    init_table(df, base, key_col="k", n_buckets=2)
+    tombs = spark.createDataFrame(
+        [(k, 2, f"d{k}", True) for k in range(10)],
+        f"k long, ver int, payload string, {TOMBSTONE_COL} boolean",
+    )
+    merge_upsert_manifest(base, tombs, "ver", "payload")
+    out = compact_tombstones(spark, base)
+    assert out["tombstones_dropped"] == 10
+    empty = read_snapshot(spark, base)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"k", "ver", "payload"}
+    withtombs = read_snapshot(spark, base, include_tombstones=True)
+    assert withtombs.count() == 0 and TOMBSTONE_COL in withtombs.columns
+
+
+def test_init_records_true_tombstone_flags(spark, tmp_path):
+    """A seed carrying an all-false _deleted column must record NO
+    tombstone buckets (the old conservative 'all buckets' flag doomed
+    the first compaction to a full-table scan); a seed with real
+    tombstones records exactly their buckets."""
+    from assignment4_spark.operators.lakehouse import (
+        TOMBSTONE_COL,
+        load_manifest as lm,
+    )
+
+    clean = str(tmp_path / "clean")
+    df = spark.range(50).select(
+        F.col("id").alias("k"), F.lit(1).alias("ver"),
+        F.concat(F.lit("p"), F.col("id")).alias("payload"),
+        F.lit(False).alias(TOMBSTONE_COL),
+    )
+    init_table(df, clean, key_col="k", n_buckets=4)
+    assert lm(clean)["tombstone_buckets"] == []
+
+    dirty = str(tmp_path / "dirty")
+    df2 = spark.range(50).select(
+        F.col("id").alias("k"), F.lit(1).alias("ver"),
+        F.concat(F.lit("p"), F.col("id")).alias("payload"),
+        (F.col("id") == 7).alias(TOMBSTONE_COL),
+    )
+    init_table(df2, dirty, key_col="k", n_buckets=4)
+    flagged = lm(dirty)["tombstone_buckets"]
+    assert len(flagged) == 1
+    # and compaction honors it
+    from assignment4_spark.operators.lakehouse import compact_tombstones
+
+    out = compact_tombstones(spark, dirty)
+    assert out["tombstones_dropped"] == 1 and out["buckets_compacted"] == flagged

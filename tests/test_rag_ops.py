@@ -55,10 +55,21 @@ def test_rag_embed_hash_flat_summary_matches_array_form(spark, sf_small):
     """The registered rag_embed_hash face must be a FLAT projection of
     embed_chunks (no array<float> — the r6 driver canonicalizer ERR):
     dim/l2_norm/md5 per chunk, md5 recomputable from the array form, and
-    the md5 deterministic across runs."""
+    the md5 deterministic across runs. The Python replay formats
+    through Decimal HALF_UP, because Spark's format_string('%.6f') /
+    F.round round HALF_UP while Python's '%.6f' and round() are
+    half-even — an embedding component sitting exactly on a 6th-decimal
+    tie (e.g. 0.0078125 = 2^-7, representable in float32) would
+    otherwise flake the md5 comparison."""
     import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
 
     from assignment4_spark import api
+
+    def f6(x: float) -> str:
+        return str(
+            Decimal(repr(float(x))).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
 
     flat = {
         (r.doc_id, r.chunk_id): r
@@ -69,9 +80,9 @@ def test_rag_embed_hash_flat_summary_matches_array_form(spark, sf_small):
     for a in arrays:
         r = flat[(a.doc_id, a.chunk_id)]
         assert r.dim == 64
-        want_norm = round(sum(float(x) * float(x) for x in a.embedding) ** 0.5, 6)
+        want_norm = float(f6(sum(float(x) * float(x) for x in a.embedding) ** 0.5))
         assert abs(r.l2_norm - want_norm) < 1e-9
-        joined = ",".join("%.6f" % float(x) for x in a.embedding)
+        joined = ",".join(f6(x) for x in a.embedding)
         assert r.emb_md5 == hashlib.md5(joined.encode()).hexdigest()
     again = {
         (r.doc_id, r.chunk_id): r.emb_md5
