@@ -29,6 +29,7 @@ from .operators.dedup import (  # noqa: F401
 )
 from .operators.lakehouse import (  # noqa: F401
     TOMBSTONE_COL,
+    changes_between,
     compact_tombstones,
     init_table,
     latest_version,
@@ -111,6 +112,7 @@ __all__ = [
     "bottomk_by_hash",
     "bpe_train",
     "canonical_url",
+    "changes_between",
     "char_entropy",
     "CHUNK_OVERLAP",
     "CHUNK_SIZE",

@@ -1112,3 +1112,198 @@ def merge_delete_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("status", "n_visible", "sum_price", "n_tombstones")
         .orderBy("status")
     )
+
+
+def changes_between(
+    spark: SparkSession, base_dir: str, v_from: int, v_to: int
+) -> DataFrame:
+    """Change-data-feed between two committed versions, computed the
+    way the manifests allow at 100 TB: a bucket whose FILE SET is
+    identical in both manifests cannot contain a logical change
+    (commits rewrite whole touched buckets), so only differing buckets
+    are read from either side — the diff costs O(changed data), not
+    O(table). Both sides align to v_to's schema (v_from files may
+    predate an evolution). Returns one row per logically-changed key:
+    ``(key, change_type ∈ insert|update|delete, old/new columns)``.
+    A key is 'deleted' when it was visible at v_from and is tombstoned
+    or absent at v_to; 'inserted' when the reverse; 'updated' when
+    visible on both sides with any differing column (bucket rewrites
+    copy untouched rows into new files, so file-level churn alone never
+    reports a change — compaction commits diff as empty)."""
+    m_from = load_manifest(base_dir, v_from)
+    m_to = load_manifest(base_dir, v_to)
+    key_col = m_to["key_col"]
+    cols, types = m_to["columns"], m_to["column_types"]
+    data_cols = [c for c in cols if c != key_col and c != TOMBSTONE_COL]
+
+    changed = [
+        b
+        for b in set(m_from["buckets"]) | set(m_to["buckets"])
+        if m_from["buckets"].get(b, []) != m_to["buckets"].get(b, [])
+    ]
+    files_from = [f for b in changed for f in m_from["buckets"].get(b, [])]
+    files_to = [f for b in changed for f in m_to["buckets"].get(b, [])]
+
+    def visible(files):
+        df = _read_files_aligned(spark, files, cols, types)
+        if TOMBSTONE_COL in df.columns:
+            df = df.filter(
+                ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+            ).drop(TOMBSTONE_COL)
+        return df
+
+    old = visible(files_from).select(
+        F.col(key_col).alias("_k"),
+        *[F.col(c).alias(f"old_{c}") for c in data_cols],
+        F.lit(True).alias("_in_old"),
+    )
+    new = visible(files_to).select(
+        F.col(key_col).alias("_k"),
+        *[F.col(c).alias(f"new_{c}") for c in data_cols],
+        F.lit(True).alias("_in_new"),
+    )
+    j = old.join(new, "_k", "full_outer")
+    # null-safe struct compare: NULL cells (evolution backfill) must
+    # neither mask a change nor invent one
+    same = F.struct(*[F.col(f"old_{c}") for c in data_cols]).eqNullSafe(
+        F.struct(*[F.col(f"new_{c}") for c in data_cols])
+    )
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("insert"))
+        .when(F.col("_in_new").isNull(), F.lit("delete"))
+        .when(~same, F.lit("update"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            F.col("_k").alias(key_col),
+            "change_type",
+            *[F.col(f"old_{c}") for c in data_cols],
+            *[F.col(f"new_{c}") for c in data_cols],
+        )
+    )
+
+
+@register(
+    "merge_changes_feed",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, 1 AS ver, o_orderstatus AS status,
+             o_totalprice AS price, FALSE AS del
+      FROM orders
+    ), u1 AS (
+      SELECT o_orderkey, 2, o_orderstatus, o_totalprice * 2, FALSE
+      FROM orders WHERE o_orderkey % 5 = 0
+    ), u2 AS (
+      SELECT o_orderkey, 3,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_orderstatus ELSE 'C' END,
+             o_totalprice + 7,
+             o_orderkey % 10 = 0
+      FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey + 1000000, 3, 'N', o_totalprice, FALSE
+      FROM orders WHERE o_orderkey % 50 = 0
+    ),
+    cut2 AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                                     ORDER BY ver DESC, status) AS rn
+        FROM (SELECT * FROM base UNION ALL SELECT * FROM u1)
+      ) WHERE rn = 1 AND NOT del
+    ),
+    cut3 AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                                     ORDER BY ver DESC, status) AS rn
+        FROM (SELECT * FROM base UNION ALL SELECT * FROM u1
+              UNION ALL SELECT * FROM u2)
+      ) WHERE rn = 1 AND NOT del
+    )
+    SELECT COALESCE(o.k, n.k) AS k,
+           CASE WHEN o.k IS NULL THEN 'insert'
+                WHEN n.k IS NULL THEN 'delete'
+                WHEN o.status IS DISTINCT FROM n.status
+                  OR o.price IS DISTINCT FROM n.price THEN 'update'
+           END AS change_type,
+           o.status AS old_status, o.price AS old_price,
+           n.status AS new_status, n.price AS new_price
+    FROM cut2 o FULL OUTER JOIN cut3 n ON o.k = n.k
+    WHERE (o.k IS NULL) OR (n.k IS NULL)
+       OR o.status IS DISTINCT FROM n.status
+       OR o.price IS DISTINCT FROM n.price
+    ORDER BY k
+    """,
+)
+def merge_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of the change-data-feed (the incremental
+    consumption story Delta calls CDF — what a downstream index or
+    training-data materialization reads instead of re-scanning the
+    table): seed orders (v1), merge u1 = every 5th key at doubled
+    price (v2), merge u2 (v3) = the same keys again, where every 10th
+    key becomes a TOMBSTONE (delete), the rest update to status 'C'
+    price+7, plus brand-new keys (k+1,000,000 for every 50th) as
+    inserts. The feed diffs v2→v3 via changes_between: manifest-level
+    bucket pruning first, then a full-outer join over ONLY the changed
+    buckets' rows, null-safe struct compare so copied-but-unchanged
+    rows in rewritten buckets never report.
+
+    Inline protocol asserts: v1→v2 feed contains no 'delete'/'insert'
+    rows (u1 is pure updates) and the v2→v2 self-diff is EMPTY (the
+    bucket file sets are identical, so the plan reads nothing)."""
+    import shutil
+
+    from .scans import _adir
+
+    base_dir = _adir(sf_dir, "merge_cdc_table")
+    shutil.rmtree(base_dir, ignore_errors=True)
+
+    orders = table(spark, sf_dir, "orders")
+    seed = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("ver"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        F.lit(False).alias(TOMBSTONE_COL),
+    )
+    init_table(seed, base_dir, key_col="k", n_buckets=16)
+
+    fifth = orders.filter(F.col("o_orderkey") % 5 == 0)
+    u1 = fifth.select(
+        F.col("o_orderkey").alias("k"), F.lit(2).alias("ver"),
+        F.col("o_orderstatus").alias("status"),
+        (F.col("o_totalprice") * 2).alias("price"),
+        F.lit(False).alias(TOMBSTONE_COL),
+    )
+    u2 = fifth.select(
+        F.col("o_orderkey").alias("k"), F.lit(3).alias("ver"),
+        F.when(F.col("o_orderkey") % 10 == 0, F.col("o_orderstatus"))
+        .otherwise(F.lit("C")).alias("status"),
+        (F.col("o_totalprice") + 7).alias("price"),
+        (F.col("o_orderkey") % 10 == 0).alias(TOMBSTONE_COL),
+    ).unionByName(
+        orders.filter(F.col("o_orderkey") % 50 == 0).select(
+            (F.col("o_orderkey") + 1_000_000).alias("k"),
+            F.lit(3).alias("ver"),
+            F.lit("N").alias("status"),
+            F.col("o_totalprice").alias("price"),
+            F.lit(False).alias(TOMBSTONE_COL),
+        )
+    )
+    merge_upsert_manifest(base_dir, u1, ver_col="ver", tiebreak_col="status",
+                          writer_id="u1")
+    merge_upsert_manifest(base_dir, u2, ver_col="ver", tiebreak_col="status",
+                          writer_id="u2")
+
+    probe12 = changes_between(spark, base_dir, 1, 2)
+    if probe12.filter(F.col("change_type") != "update").count() != 0:
+        raise AssertionError("v1->v2 must be pure updates")
+    if changes_between(spark, base_dir, 2, 2).count() != 0:
+        raise AssertionError("self-diff must be empty (identical manifests)")
+
+    return (
+        changes_between(spark, base_dir, 2, 3)
+        .select("k", "change_type", "old_status", "old_price",
+                "new_status", "new_price")
+        .orderBy("k")
+    )

@@ -688,3 +688,52 @@ def test_init_records_true_tombstone_flags(spark, tmp_path):
 
     out = compact_tombstones(spark, dirty)
     assert out["tombstones_dropped"] == 1 and out["buckets_compacted"] == flagged
+
+
+def test_changes_between_prunes_evolution_and_compaction(spark, tmp_path):
+    """CDC edge cases: (a) a key copied unchanged into a rewritten
+    bucket never reports; (b) a diff spanning a schema evolution aligns
+    the old side to the new schema (NULL backfill compares equal to
+    NULL, added values report as updates); (c) a compaction commit —
+    file churn with identical visible rows — diffs empty; (d) the
+    self-diff reads nothing and is empty."""
+    from assignment4_spark.operators.lakehouse import (
+        TOMBSTONE_COL,
+        changes_between,
+        compact_tombstones,
+    )
+
+    base = str(tmp_path / "tbl")
+    schema = f"k long, ver int, payload string, {TOMBSTONE_COL} boolean"
+    df = spark.range(40).select(
+        F.col("id").alias("k"), F.lit(1).alias("ver"),
+        F.concat(F.lit("p"), F.col("id")).alias("payload"),
+        F.lit(False).alias(TOMBSTONE_COL),
+    )
+    init_table(df, base, key_col="k", n_buckets=2)  # 2 buckets => rewrites copy neighbors
+    # v2: update k=3, tombstone k=5 (both buckets likely rewritten)
+    merge_upsert_manifest(
+        base,
+        spark.createDataFrame([(3, 2, "u3", False), (5, 2, "d5", True)], schema),
+        "ver", "payload",
+    )
+    d12 = {r.k: r for r in changes_between(spark, base, 1, 2).collect()}
+    assert set(d12) == {3, 5}, "copied-unchanged neighbors must not report"
+    assert d12[3].change_type == "update" and d12[3].new_payload == "u3"
+    assert d12[5].change_type == "delete" and d12[5].new_payload is None
+    # v3: evolution adds a column while updating k=7 and inserting k=100
+    evolved = spark.createDataFrame(
+        [(7, 3, "u7", False, "x7"), (100, 3, "n100", False, "x100")],
+        f"k long, ver int, payload string, {TOMBSTONE_COL} boolean, note string",
+    )
+    merge_upsert_manifest(base, evolved, "ver", "payload", evolve_schema=True)
+    d23 = {r.k: r for r in changes_between(spark, base, 2, 3).collect()}
+    assert set(d23) == {7, 100}, "NULL-backfilled note must not report a change"
+    assert d23[7].change_type == "update" and d23[7].new_note == "x7"
+    assert d23[7].old_note is None
+    assert d23[100].change_type == "insert"
+    # v4: compaction (reclaims k=5's tombstone) — visible rows identical
+    out = compact_tombstones(spark, base)
+    assert out["tombstones_dropped"] == 1
+    assert changes_between(spark, base, 3, out["version"]).count() == 0
+    assert changes_between(spark, base, 3, 3).count() == 0
