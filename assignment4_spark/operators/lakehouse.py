@@ -317,13 +317,18 @@ def init_table(
         "buckets": {str(b): fs for b, fs in sorted(_list_bucket_files(staging).items())},
         # true per-bucket flags, not "every bucket": a seed carrying an
         # all-false marker column (the normal pattern) must not doom
-        # the first compact_tombstones to a full-table scan — one
-        # bucket-agg job over the seed (same pass merge commits pay)
-        # records exactly the buckets holding a live tombstone
+        # the first compact_tombstones to a full-table scan. Computed
+        # from the STAGED FILES, not by re-executing the seed frame: a
+        # second run of a non-deterministic seed (rand/sample/limit)
+        # could place its tombstones in different buckets than the ones
+        # actually committed, and merges only ever ADD flags — a live
+        # tombstone in an unflagged bucket would never be reclaimed.
+        # The staging dir's partition column IS the bucket, so this is
+        # one column-pruned scan of what was written.
         "tombstone_buckets": (
             sorted(
                 r.bucket
-                for r in df.withColumn("bucket", _bucket_of(key_col, n_buckets))
+                for r in df.sparkSession.read.parquet(staging)
                 .groupBy("bucket")
                 .agg(
                     F.max(
@@ -362,11 +367,22 @@ def read_snapshot(
         df = spark.read.parquet(*files)
     else:
         df = _read_files_aligned(spark, files, cols, types)
-    if TOMBSTONE_COL in df.columns and not include_tombstones:
-        df = df.filter(
-            ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
-        ).drop(TOMBSTONE_COL)
+    if not include_tombstones:
+        df = _visible_rows(df)
     return df
+
+
+def _visible_rows(df: DataFrame) -> DataFrame:
+    """Hide tombstoned keys and drop the marker column — the ONE
+    definition of 'visible', shared by read_snapshot and
+    changes_between. Uses the same cast('boolean') the commit paths
+    apply, so a dirty-typed marker (int 0/1, string flags) that every
+    write path accepts is equally readable."""
+    if TOMBSTONE_COL not in df.columns:
+        return df
+    return df.filter(
+        ~F.coalesce(F.col(TOMBSTONE_COL).cast("boolean"), F.lit(False))
+    ).drop(TOMBSTONE_COL)
 
 
 def vacuum(base_dir: str, keep_last: int = 2) -> dict:
@@ -1130,6 +1146,15 @@ def changes_between(
     visible on both sides with any differing column (bucket rewrites
     copy untouched rows into new files, so file-level churn alone never
     reports a change — compaction commits diff as empty)."""
+    if v_from > v_to:
+        # both sides align to v_to's schema; running the diff backwards
+        # across a widening evolution would silently down-cast the
+        # newer side (bigint→int wraps/NULLs under non-ANSI Cast) and
+        # drop columns added after v_to — reject rather than corrupt
+        raise ValueError(
+            f"changes_between requires v_from <= v_to (got {v_from} > "
+            f"{v_to}); swap the arguments to read the feed forward"
+        )
     m_from = load_manifest(base_dir, v_from)
     m_to = load_manifest(base_dir, v_to)
     key_col = m_to["key_col"]
@@ -1145,12 +1170,7 @@ def changes_between(
     files_to = [f for b in changed for f in m_to["buckets"].get(b, [])]
 
     def visible(files):
-        df = _read_files_aligned(spark, files, cols, types)
-        if TOMBSTONE_COL in df.columns:
-            df = df.filter(
-                ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
-            ).drop(TOMBSTONE_COL)
-        return df
+        return _visible_rows(_read_files_aligned(spark, files, cols, types))
 
     old = visible(files_from).select(
         F.col(key_col).alias("_k"),

@@ -737,3 +737,42 @@ def test_changes_between_prunes_evolution_and_compaction(spark, tmp_path):
     assert out["tombstones_dropped"] == 1
     assert changes_between(spark, base, 3, out["version"]).count() == 0
     assert changes_between(spark, base, 3, 3).count() == 0
+
+
+def test_changes_between_rejects_reverse_range(spark, tmp_path):
+    """A backwards diff across a widening evolution would silently
+    down-cast the newer side (non-ANSI Cast wraps/NULLs) — the range
+    must be rejected, not corrupted."""
+    from assignment4_spark.operators.lakehouse import changes_between
+
+    base = _mk_table(spark, tmp_path)
+    merge_upsert_manifest(base, _upd(spark, [1], 2, "u"), "ver", "payload")
+    with pytest.raises(ValueError, match="v_from <= v_to"):
+        changes_between(spark, base, 2, 1)
+
+
+def test_dirty_typed_tombstone_marker_roundtrips(spark, tmp_path):
+    """Every write path casts the marker to boolean; the read paths
+    (read_snapshot AND changes_between) must accept the same dirty
+    int-typed marker instead of dying in COALESCE type resolution."""
+    from assignment4_spark.operators.lakehouse import (
+        TOMBSTONE_COL,
+        changes_between,
+    )
+
+    base = str(tmp_path / "tbl")
+    df = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(1).alias("ver"),
+        F.concat(F.lit("p"), F.col("id")).alias("payload"),
+        (F.col("id") == 4).cast("int").alias(TOMBSTONE_COL),  # int 0/1
+    )
+    init_table(df, base, key_col="k", n_buckets=2)
+    assert read_snapshot(spark, base).count() == 9
+    upd = spark.createDataFrame(
+        [(7, 2, "d7", 1)],
+        f"k long, ver int, payload string, {TOMBSTONE_COL} int",
+    )
+    merge_upsert_manifest(base, upd, "ver", "payload")
+    assert read_snapshot(spark, base).count() == 8
+    d = {r.k: r.change_type for r in changes_between(spark, base, 1, 2).collect()}
+    assert d == {7: "delete"}
