@@ -33,17 +33,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Static verification-priority prefix, hard-coded at commit time (round 7)
 # from the committed CORRECTNESS_r01-r06 artifacts: the driver samples the
-# FIRST 50 entries of queries() each round, so this list leads with the 12
+# FIRST 50 entries of queries() each round, so this list leads with the 13
 # ops that have never received a fully-green driver row — the five r6
 # hash-FAILs reworked this round (oracle-side BIGINT casts; DuckDB's
 # HUGEINT SUM rendered float64 vs Spark's int64), rag_embed_hash (r6
 # driver ERR, now flattened to a canonicalizable projection), the three
 # never-checked ops (vec_pca_project, text_bpe_train, merge_upsert), and
-# the three round-7 additions (merge_schema_evolve,
-# merge_delete_tombstones, merge_changes_feed). The remaining 38 window
-# slots re-check the STALEST greens (all last confirmed in round 2),
-# rotating driver evidence forward; everything else follows ordered by
-# staleness. This
+# the four round-7 additions (merge_schema_evolve,
+# merge_delete_tombstones, merge_changes_feed, stream_merge_sink). The
+# remaining 37 window slots re-check the STALEST greens (all last
+# confirmed in round 2), rotating driver evidence forward; everything
+# else follows ordered by staleness. This
 # ordering is a plain committed constant — fully reproducible,
 # independent of any files present at run time; unknown names are
 # ignored (robust to renames).
@@ -55,6 +55,7 @@ _PRIORITY = [
     # incl. the two round-7 additions)
     "vec_pca_project", "text_bpe_train", "merge_upsert",
     "merge_schema_evolve", "merge_delete_tombstones", "merge_changes_feed",
+    "stream_merge_sink",
     # stalest greens (last driver row: round 2) — fill the window to 50
     "agg_argminmax", "agg_collect_ordered", "agg_count_distinct",
     "agg_cube", "agg_groupby_basic", "agg_grouping_sets",

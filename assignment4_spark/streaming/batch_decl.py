@@ -720,3 +720,103 @@ def stream_rest_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("page")
     )
+
+
+def merge_sink_updates(ev: DataFrame) -> DataFrame:
+    """Shared transform for the streaming MERGE sink: an events frame
+    (batch slice OR micro-batch) → the update-batch shape the manifest
+    table merges, keyed on user_id with ver = event-time microseconds
+    (latest event wins) and event_id as the deterministic tiebreak."""
+    return ev.select(
+        F.col("user_id").alias("k"),
+        F.unix_micros("ts").alias("ver"),
+        F.col("event_id").alias("tie"),
+        "event_type",
+        "value",
+    )
+
+
+@register(
+    "stream_merge_sink",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_type, value
+      FROM (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY EPOCH_US(ts) DESC, event_id)
+                 AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT event_type,
+           COUNT(*)             AS n_users,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM latest GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE INTO the manifest table — the missing
+    transactional half of the reference's re-ingest loop (A13's Airflow
+    DAG re-upserts the corpus every run with no commit story;
+    parser_pinecone_storage.py:118-190): micro-batches merge into the
+    lakehouse table via merge_upsert_manifest inside foreachBatch, and
+    because latest-wins orders on (ver DESC, tie ASC) — a total order —
+    the FOLD IS ASSOCIATIVE: any slicing of the input into batches, in
+    any grouping, converges to the same final state, and RE-applying a
+    batch is a no-op on data (exactly-once EFFECT on an at-least-once
+    channel, with no idempotent-sink bookkeeping — the merge itself is
+    the dedup). tests/test_streaming.py proves both: a real readStream
+    over ts-range slices reproduces this batch declaration built from
+    event_id%3 slices (slicing-invariance), and a forced re-merge of
+    the final batch leaves the snapshot bit-identical.
+
+    Batch declaration: CREATE TABLE as an EMPTY v1 (the create-then-
+    stream-into story; the aligned reader returns the typed empty
+    snapshot), then merge three event_id%3 slices keyed user_id /
+    ver=unix_micros(ts) / tiebreak event_id, then aggregate the final
+    snapshot per event_type. The oracle never sees the slicing: it is
+    the global latest-event-per-user replay — THAT equality is the
+    associativity proof at the oracle level.
+
+    Scale shape: each micro-batch commit costs O(touched buckets) like
+    any merge; state lives in the table, not the stream (no watermark
+    state at all) — the pattern that replaces forever-growing
+    flatMapGroupsWithState keyed state for latest-value materialization
+    at 100 TB/day."""
+    import shutil
+
+    from ..operators.lakehouse import (
+        init_table,
+        latest_version,
+        merge_upsert_manifest,
+        read_snapshot,
+    )
+    from ..operators.scans import _adir
+
+    base_dir = _adir(sf_dir, "stream_merge_table")
+    shutil.rmtree(base_dir, ignore_errors=True)
+
+    ev = table(spark, sf_dir, "events")
+    upd = merge_sink_updates(ev)
+    init_table(upd.limit(0), base_dir, key_col="k", n_buckets=16)
+    for i in range(3):
+        merge_upsert_manifest(
+            base_dir,
+            upd.filter(F.col("tie") % 3 == i),
+            ver_col="ver",
+            tiebreak_col="tie",
+            writer_id=f"slice{i}",
+        )
+    if latest_version(base_dir) != 4:
+        raise AssertionError("empty init + 3 slice merges must land at v4")
+
+    return (
+        read_snapshot(spark, base_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

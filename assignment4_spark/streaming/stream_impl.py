@@ -577,3 +577,51 @@ def read_idempotent_sink(spark: SparkSession, out_dir: str) -> DataFrame:
     """Read everything an idempotent_parquet_sink wrote; ``batch_id``
     surfaces as a partition column (directory-derived)."""
     return spark.read.option("basePath", out_dir).parquet(out_dir)
+
+
+def run_merge_sink(
+    spark: SparkSession, sf_dir: str, events_stream: DataFrame, base_dir: str
+) -> DataFrame:
+    """Real-streaming form of stream_merge_sink via foreachBatch: the
+    table is created empty, then every micro-batch MERGEs into it
+    through the same merge_upsert_manifest commit loop the batch
+    declaration uses — state lives in the TABLE, not in stream state
+    (no watermark, no keyed store), and a replayed batch is a data
+    no-op because latest-wins on (ver DESC, tie ASC) is a total order
+    (the exactly-once-EFFECT recipe, contrasted with the bookkeeping
+    idempotent_parquet_sink above). Returns the final snapshot."""
+    from ..io_util import table as load_table
+    from ..operators.lakehouse import (
+        init_table,
+        merge_upsert_manifest,
+        read_snapshot,
+    )
+    from .batch_decl import merge_sink_updates
+
+    init_table(
+        merge_sink_updates(load_table(spark, sf_dir, "events")).limit(0),
+        base_dir,
+        key_col="k",
+        n_buckets=8,
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        upd = merge_sink_updates(batch_df)
+        if upd.isEmpty():
+            return  # an empty trigger must not burn a table version
+        merge_upsert_manifest(
+            base_dir, upd, ver_col="ver", tiebreak_col="tie",
+            writer_id=f"b{batch_id}",
+        )
+
+    q = (
+        events_stream.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            os.path.join(SCRATCH, f"ckpt_mergesink_{uuid.uuid4().hex[:8]}"),
+        )
+        .start()
+    )
+    q.awaitTermination()
+    return read_snapshot(spark, base_dir)

@@ -30,9 +30,9 @@ Round-7 result (full re-run at the 249-query surface, after the
 HUGEINT/BIGINT oracle repairs, the rag_embed_hash flattening, schema
 evolution + tombstones, and the clustered staging writes landed):
 240/240 oracled exact, 9/9 rows-only clean — zero mismatches, one
-hostile session. The late-round additions (merge_changes_feed + the
-two review-fix waves over the merge family) re-probed as a 4-query
-subset in a fresh hostile session: 4/4 exact.
+hostile session. The late-round additions (merge_changes_feed,
+stream_merge_sink + the two review-fix waves over the merge family)
+re-probed as hostile-session subsets: 5/5 exact.
 
 A path-looking first arg (contains a separator) that is not a directory
 is an error, and so is a name that matches no queries() key — without

@@ -603,3 +603,46 @@ def test_stream_dedup_drops_real_duplicate_across_batches(spark, tmp_path):
     got = si.run_to_table(si.dedup_ids(si.read_stream(spark, out)), "append")
     ids = sorted(r.event_id for r in got.collect())
     assert ids == [1, 2, 3, 4], f"duplicate not suppressed (or row lost): {ids}"
+
+
+def test_stream_merge_sink(spark, replay, tmp_path):
+    """Micro-batches MERGEd into the manifest table via foreachBatch
+    (ts-range replay slicing, 8 buckets) must reproduce the batch
+    declaration (event_id%3 slicing, 16 buckets) — latest-wins is a
+    total order, so the fold is associative and both slicing AND bucket
+    count are invisible. Then the exactly-once-EFFECT claim: re-merging
+    the ENTIRE input once more (the maximal at-least-once replay) moves
+    the version but leaves the snapshot bit-identical."""
+    from assignment4_spark.io_util import table as load_table
+    from assignment4_spark.operators.lakehouse import (
+        latest_version,
+        merge_upsert_manifest,
+        read_snapshot,
+    )
+    from assignment4_spark.streaming import batch_decl as bd
+
+    base = str(tmp_path / "merge_sink_tbl")
+    snap = si.run_merge_sink(spark, SF, si.read_stream(spark, replay), base)
+    got = (
+        snap.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+    want = registry.QUERIES["stream_merge_sink"](spark, SF)
+    assert_frames_equal(got, want)
+
+    before = sorted(map(tuple, read_snapshot(spark, base).collect()))
+    v0 = latest_version(base)
+    merge_upsert_manifest(
+        base,
+        bd.merge_sink_updates(load_table(spark, SF, "events")),
+        ver_col="ver",
+        tiebreak_col="tie",
+        writer_id="replay-all",
+    )
+    assert latest_version(base) == v0 + 1
+    after = sorted(map(tuple, read_snapshot(spark, base).collect()))
+    assert after == before, "replayed merge must be a data no-op"
