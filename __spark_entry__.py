@@ -69,9 +69,10 @@ _PRIORITY = [
     "scan_permissive_corrupt", "scan_python_datasource",
     "scan_schema_evolution", "scan_text_sink", "set_intersect",
     "set_union_all", "set_union_distinct", "sort_limit_topk",
+    # behind the window: remaining ops, stalest driver row first (the
+    # four r2 greens displaced by the round-7 prefix additions lead)
     "sort_multikey_nulls", "win_first_last", "win_lag_lead",
     "win_moving_avg_range",
-    # behind the window: remaining ops, stalest driver row first
     "win_ntile_cume", "win_rank_dense_rownum", "win_running_sum",
     "win_topk_per_group", "dedup_connected_components",
     "dedup_contamination", "dedup_edit_distance", "dedup_exact",

@@ -736,6 +736,20 @@ def merge_sink_updates(ev: DataFrame) -> DataFrame:
     )
 
 
+def merge_sink_summary(snapshot: DataFrame) -> DataFrame:
+    """Shared per-event_type summary of the merge-sink snapshot — ONE
+    definition of the oracle-checked output shape for the registered
+    batch declaration and the streaming twin's equality assertion."""
+    return (
+        snapshot.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @register(
     "stream_merge_sink",
     oracle="""
@@ -811,12 +825,4 @@ def stream_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     if latest_version(base_dir) != 4:
         raise AssertionError("empty init + 3 slice merges must land at v4")
 
-    return (
-        read_snapshot(spark, base_dir)
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_users"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        )
-        .orderBy("event_type")
-    )
+    return merge_sink_summary(read_snapshot(spark, base_dir))

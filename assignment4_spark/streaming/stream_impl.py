@@ -580,30 +580,36 @@ def read_idempotent_sink(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 def run_merge_sink(
-    spark: SparkSession, sf_dir: str, events_stream: DataFrame, base_dir: str
+    spark: SparkSession, events_stream: DataFrame, base_dir: str
 ) -> DataFrame:
     """Real-streaming form of stream_merge_sink via foreachBatch: the
-    table is created empty, then every micro-batch MERGEs into it
+    table is created empty (schema derived from the STREAM itself — no
+    fixture-directory coupling), then every micro-batch MERGEs into it
     through the same merge_upsert_manifest commit loop the batch
     declaration uses — state lives in the TABLE, not in stream state
     (no watermark, no keyed store), and a replayed batch is a data
     no-op because latest-wins on (ver DESC, tie ASC) is a total order
     (the exactly-once-EFFECT recipe, contrasted with the bookkeeping
-    idempotent_parquet_sink above). Returns the final snapshot."""
-    from ..io_util import table as load_table
+    idempotent_parquet_sink above). RESTART-SAFE: an already-
+    initialized base_dir is resumed, not re-created — a crash-restart
+    replays the unacknowledged micro-batches into the live table and
+    the no-op property absorbs the duplicates (that IS the recovery
+    story the docstring sells). Returns the final snapshot."""
     from ..operators.lakehouse import (
         init_table,
+        latest_version,
         merge_upsert_manifest,
         read_snapshot,
     )
     from .batch_decl import merge_sink_updates
 
-    init_table(
-        merge_sink_updates(load_table(spark, sf_dir, "events")).limit(0),
-        base_dir,
-        key_col="k",
-        n_buckets=8,
-    )
+    if latest_version(base_dir) == 0:
+        init_table(
+            merge_sink_updates(spark.createDataFrame([], events_stream.schema)),
+            base_dir,
+            key_col="k",
+            n_buckets=8,
+        )
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         upd = merge_sink_updates(batch_df)

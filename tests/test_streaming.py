@@ -622,15 +622,8 @@ def test_stream_merge_sink(spark, replay, tmp_path):
     from assignment4_spark.streaming import batch_decl as bd
 
     base = str(tmp_path / "merge_sink_tbl")
-    snap = si.run_merge_sink(spark, SF, si.read_stream(spark, replay), base)
-    got = (
-        snap.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_users"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        )
-        .orderBy("event_type")
-    )
+    snap = si.run_merge_sink(spark, si.read_stream(spark, replay), base)
+    got = bd.merge_sink_summary(snap)
     want = registry.QUERIES["stream_merge_sink"](spark, SF)
     assert_frames_equal(got, want)
 
@@ -646,3 +639,9 @@ def test_stream_merge_sink(spark, replay, tmp_path):
     assert latest_version(base) == v0 + 1
     after = sorted(map(tuple, read_snapshot(spark, base).collect()))
     assert after == before, "replayed merge must be a data no-op"
+
+    # crash-restart recovery: a second full run against the SAME table
+    # (fresh checkpoint → every micro-batch replays) must RESUME the
+    # initialized table, not raise, and leave the data untouched
+    snap2 = si.run_merge_sink(spark, si.read_stream(spark, replay), base)
+    assert sorted(map(tuple, snap2.collect())) == before
