@@ -31,50 +31,24 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["agg_groupby_basic"](spark, "/root/testdata/sf0.001")
 
 
-# Static verification-priority prefix, hard-coded at commit time (round 7)
-# from the committed CORRECTNESS_r01-r06 artifacts: the driver samples the
-# FIRST 50 entries of queries() each round, so this list leads with the 13
-# ops that have never received a fully-green driver row — the five r6
-# hash-FAILs reworked this round (oracle-side BIGINT casts; DuckDB's
-# HUGEINT SUM rendered float64 vs Spark's int64), rag_embed_hash (r6
-# driver ERR, now flattened to a canonicalizable projection), the three
-# never-checked ops (vec_pca_project, text_bpe_train, merge_upsert), and
-# the four round-7 additions (merge_schema_evolve,
-# merge_delete_tombstones, merge_changes_feed, stream_merge_sink). The
-# remaining 37 window slots re-check the STALEST greens (all last
-# confirmed in round 2), rotating driver evidence forward; everything
-# else follows ordered by staleness. This
-# ordering is a plain committed constant — fully reproducible,
+# Static verification-priority prefix, hard-coded at commit time (round 8)
+# from the committed CORRECTNESS_r01-r07 artifacts. Round 7 closed the
+# board: every registered op now has a successful driver row (242/242
+# oracled fully green, 9/9 rows-only rows-clean), so the window is pure
+# staleness rotation — the first 50 slots re-check the ops whose last
+# green driver row is oldest (8 round-2 greens: the win_* family and
+# sort_multikey_nulls; then the 42 stalest round-3 greens: the dedup/
+# text/ts/vec r3 block), all oracled (rows-only ops are behind the
+# window per tests/test_entry_contract.py — a slot spent on an
+# already-checked rows-only op earns nothing). Behind the window the
+# rest follows ordered by staleness (round of last green, then name).
+# This ordering is a plain committed constant — fully reproducible,
 # independent of any files present at run time; unknown names are
 # ignored (robust to renames).
 _PRIORITY = [
-    # r6 red rows, reworked this round — need a green re-check
-    "agg_ks_drift", "agg_psi_drift", "rag_context_pack",
-    "vec_embedding_drift", "stream_tv_drift_daily", "rag_embed_hash",
-    # never driver-checked (rows-only-by-design ×2 + the merge family,
-    # incl. the two round-7 additions)
-    "vec_pca_project", "text_bpe_train", "merge_upsert",
-    "merge_schema_evolve", "merge_delete_tombstones", "merge_changes_feed",
-    "stream_merge_sink",
-    # stalest greens (last driver row: round 2) — fill the window to 50
-    "agg_argminmax", "agg_collect_ordered", "agg_count_distinct",
-    "agg_cube", "agg_groupby_basic", "agg_grouping_sets",
-    "agg_having_filterclause", "agg_histogram", "agg_percentile",
-    "agg_rollup", "agg_stats", "filter_conjunct", "filter_in_between_like",
-    "filter_null_semantics", "join_anti", "join_broadcast",
-    "join_cross_limited", "join_inner_shuffle", "join_left_right_full",
-    "join_self_pairs", "join_semi", "json_parse_props", "proj_select_alias",
-    "scan_binary_files", "scan_csv_roundtrip", "scan_files_compaction",
-    "scan_json_roundtrip", "scan_orc_roundtrip", "scan_parquet",
-    "scan_permissive_corrupt", "scan_python_datasource",
-    "scan_schema_evolution", "scan_text_sink", "set_intersect",
-    "set_union_all", "set_union_distinct", "sort_limit_topk",
-    # behind the window: remaining ops, stalest driver row first (the
-    # four r2 greens displaced by the round-7 prefix additions lead)
     "sort_multikey_nulls", "win_first_last", "win_lag_lead",
-    "win_moving_avg_range",
-    "win_ntile_cume", "win_rank_dense_rownum", "win_running_sum",
-    "win_topk_per_group", "dedup_connected_components",
+    "win_moving_avg_range", "win_ntile_cume", "win_rank_dense_rownum",
+    "win_running_sum", "win_topk_per_group", "dedup_connected_components",
     "dedup_contamination", "dedup_edit_distance", "dedup_exact",
     "dedup_first_occurrence", "dedup_minhash_lsh", "dedup_near_embedding",
     "dedup_near_jaccard", "dedup_simhash", "dedup_url_normalize",
@@ -82,14 +56,14 @@ _PRIORITY = [
     "rag_pipeline_ingest", "rag_rrf_fusion", "sample_reservoir_hash",
     "sample_split_hash", "sample_stratified_hash", "sample_temperature",
     "sample_weighted_ares", "text_curate_pipeline", "text_fingerprint",
-    "text_lang_id", "text_lang_stats", "text_ngram_freq", "text_pii_redact",
-    "text_quality_score", "text_tfidf", "text_token_count",
-    "text_unigram_logprob", "text_winnow_fingerprint", "text_word_count",
-    "ts_anomaly_zscore", "ts_ewma", "ts_funnel_stages", "ts_gap_fill",
-    "ts_interpolate_linear", "ts_ohlc_bars", "ts_retention_cohort",
-    "ts_scd2_history", "ts_sessionize", "vec_ann_ivf_topk",
-    "vec_ann_rp_lsh_multiprobe", "vec_ann_rp_lsh_topk",
-    "vec_cosine_similarity", "vec_kmeans_assign", "vec_kmeans_train",
+    "text_lang_id", "text_lang_stats", "text_ngram_freq",
+    "text_pii_redact", "text_quality_score", "text_tfidf",
+    "text_token_count", "text_unigram_logprob", "text_winnow_fingerprint",
+    "text_word_count", "ts_anomaly_zscore", "ts_ewma", "ts_funnel_stages",
+    "ts_gap_fill", "ts_interpolate_linear", "ts_ohlc_bars",
+    "ts_retention_cohort", "ts_scd2_history", "ts_sessionize",
+    "vec_cosine_similarity", "vec_kmeans_assign", "vec_ann_ivf_topk",
+    "vec_ann_rp_lsh_multiprobe", "vec_ann_rp_lsh_topk", "vec_kmeans_train",
     "vec_knn_topk", "vec_mmr_rerank", "vec_quantize_int8",
     "vec_upsert_dedup", "agg_approx_distinct", "agg_decimal_money",
     "agg_mode", "agg_pivot", "agg_skew_salted", "array_higher_order",
@@ -108,18 +82,19 @@ _PRIORITY = [
     "sql_q3_shipping_priority", "sql_q4_order_priority",
     "sql_q5_local_supplier", "sql_q6_forecast_revenue",
     "sql_q7_volume_shipping", "sql_q8_market_share",
-    "sql_q9_product_profit", "sql_recursive_bom", "str_funcs", "str_regexp",
-    "str_split_tokens", "win_regr_slope", "win_streaks_islands",
-    "agg_binned_quantile_sketch", "agg_corr_matrix", "agg_weighted_median",
-    "array_funcs", "dedup_containment_pairs", "dedup_exact_substring",
-    "dedup_pipeline_survivors", "dedup_semantic_cluster",
-    "graph_bfs_layers", "graph_degree_hist", "graph_jaccard_neighbors",
-    "graph_pagerank", "graph_triangle_count", "join_spatial_epsilon",
-    "multimodal_audio_windows", "multimodal_binary_meta",
-    "multimodal_frame_sample", "multimodal_image_phash",
-    "multimodal_resize_plan", "multimodal_scene_cuts", "rag_chunk_text",
-    "rag_metadata_project", "rag_search_format", "report_compose",
-    "report_pdf_sink", "sample_class_balance", "sample_group_holdout",
+    "sql_q9_product_profit", "sql_recursive_bom", "str_funcs",
+    "str_regexp", "str_split_tokens", "win_regr_slope",
+    "win_streaks_islands", "agg_binned_quantile_sketch", "agg_corr_matrix",
+    "agg_weighted_median", "array_funcs", "dedup_containment_pairs",
+    "dedup_exact_substring", "dedup_pipeline_survivors",
+    "dedup_semantic_cluster", "graph_bfs_layers", "graph_degree_hist",
+    "graph_jaccard_neighbors", "graph_pagerank", "graph_triangle_count",
+    "join_spatial_epsilon", "multimodal_audio_windows",
+    "multimodal_binary_meta", "multimodal_frame_sample",
+    "multimodal_image_phash", "multimodal_resize_plan",
+    "multimodal_scene_cuts", "rag_chunk_text", "rag_metadata_project",
+    "rag_search_format", "report_compose", "report_pdf_sink",
+    "sample_class_balance", "sample_group_holdout",
     "sample_mix_proportions", "sample_shuffle_hash",
     "scan_file_skipping_stats", "scan_rest_datasource",
     "scan_snapshot_time_travel", "text_bigram_logprob",
@@ -145,6 +120,23 @@ _PRIORITY = [
     "udf_grouped_map", "udf_map_in_arrow", "udf_map_in_pandas",
     "udf_pandas_iter", "udf_pandas_scalar", "udf_python_scalar",
     "udtf_split_explode", "vec_centroid_outliers", "vec_matryoshka_eval",
+    "agg_argminmax", "agg_collect_ordered", "agg_count_distinct",
+    "agg_cube", "agg_groupby_basic", "agg_grouping_sets",
+    "agg_having_filterclause", "agg_histogram", "agg_ks_drift",
+    "agg_percentile", "agg_psi_drift", "agg_rollup", "agg_stats",
+    "filter_conjunct", "filter_in_between_like", "filter_null_semantics",
+    "join_anti", "join_broadcast", "join_cross_limited",
+    "join_inner_shuffle", "join_left_right_full", "join_self_pairs",
+    "join_semi", "json_parse_props", "merge_changes_feed",
+    "merge_delete_tombstones", "merge_schema_evolve", "merge_upsert",
+    "proj_select_alias", "rag_context_pack", "rag_embed_hash",
+    "scan_binary_files", "scan_csv_roundtrip", "scan_files_compaction",
+    "scan_json_roundtrip", "scan_orc_roundtrip", "scan_parquet",
+    "scan_permissive_corrupt", "scan_python_datasource",
+    "scan_schema_evolution", "scan_text_sink", "set_intersect",
+    "set_union_all", "set_union_distinct", "sort_limit_topk",
+    "stream_merge_sink", "stream_tv_drift_daily", "text_bpe_train",
+    "vec_embedding_drift", "vec_pca_project",
 ]
 
 
