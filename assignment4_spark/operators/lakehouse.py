@@ -89,6 +89,16 @@ def _can_widen(old: str, new: str) -> bool:
     return new in _WIDEN_CHAIN.get(old, ())
 
 
+# column names the merge machinery derives internally: 'bucket' is the
+# partition column every commit write computes (withColumn would
+# silently overwrite a same-named user column with the derived bucket
+# id, and reads would project it back as NULL — silent data loss),
+# 'rn' is the latest-wins window rank (dropped before write). The
+# strict no-evolution gate makes a collision unreachable; evolution
+# must reject it explicitly.
+_RESERVED_INTERNAL = ("bucket", "rn")
+
+
 def _resolve_evolved_schema(
     expected: list, expected_types: dict, updates: DataFrame, key_col: str
 ) -> tuple[list, dict]:
@@ -100,6 +110,18 @@ def _resolve_evolved_schema(
     and xxhash64 hashes by physical type — a widened key would
     re-bucket and leave two live rows for one logical key."""
     got_types = _column_types(updates)
+    clashes = [
+        c
+        for c in updates.columns
+        if c not in expected and c in _RESERVED_INTERNAL
+    ]
+    if clashes:
+        raise ValueError(
+            f"update columns {clashes} collide with internal merge "
+            f"columns {_RESERVED_INTERNAL}: the derived bucket id would "
+            "silently overwrite the user data before the partitioned "
+            "write; rename the column"
+        )
     columns = list(expected) + [c for c in updates.columns if c not in expected]
     types = dict(expected_types)
     for c, t in got_types.items():
@@ -450,11 +472,15 @@ def _is_missing_file_error(ex: Exception) -> bool:
       ``getCondition()``, older via ``getErrorClass()``);
     * a ``java.io.FileNotFoundException`` in the JVM cause chain — an
       executor task losing a file mid-scan surfaces wrapped in
-      SparkException layers, so walk ``getCause()`` when the Java
-      throwable is reachable, else match the fully-qualified class
-      name token in the rendered trace (class-name token, NOT free
-      text like 'does not exist', which misclassifies unrelated errors
-      that merely mention a missing path)."""
+      SparkException layers (some Spark versions wrap it in an
+      AnalysisException whose condition is NOT PATH_NOT_FOUND, so a
+      non-matching condition falls through to the cause walk rather
+      than classifying non-retryable early), so walk ``getCause()``
+      when the Java throwable is reachable, else match the
+      fully-qualified class name token in the rendered trace
+      (class-name token, NOT free text like 'does not exist', which
+      misclassifies unrelated errors that merely mention a missing
+      path)."""
     from pyspark.errors import AnalysisException
 
     if isinstance(ex, AnalysisException):
@@ -469,7 +495,10 @@ def _is_missing_file_error(ex: Exception) -> bool:
                 continue
             if cond:
                 break
-        return bool(cond) and "PATH_NOT_FOUND" in cond
+        if cond and "PATH_NOT_FOUND" in cond:
+            return True
+        # fall through: an AnalysisException with a different (or no)
+        # condition may still wrap a FileNotFoundException cause
 
     jt = getattr(ex, "java_exception", None)
     hops = 0
@@ -1158,7 +1187,21 @@ def changes_between(
     m_from = load_manifest(base_dir, v_from)
     m_to = load_manifest(base_dir, v_to)
     key_col = m_to["key_col"]
-    cols, types = m_to["columns"], m_to["column_types"]
+    cols, types = m_to.get("columns"), m_to.get("column_types")
+    if cols is None or types is None:
+        # pre-evolution manifests lack the logical schema (the same
+        # legacy class read_snapshot tolerates via .get): derive it
+        # from v_to's physical files — uniform by construction, since
+        # a schema-less manifest predates any evolution commit
+        all_to = [f for fs in m_to["buckets"].values() for f in fs]
+        if not all_to:
+            raise ValueError(
+                f"manifest v{v_to} at {base_dir} records no logical "
+                "schema and no files; cannot derive a diff schema"
+            )
+        derived = spark.read.parquet(*all_to)
+        cols = list(derived.columns)
+        types = _column_types(derived)
     data_cols = [c for c in cols if c != key_col and c != TOMBSTONE_COL]
 
     changed = [

@@ -776,3 +776,70 @@ def test_dirty_typed_tombstone_marker_roundtrips(spark, tmp_path):
     assert read_snapshot(spark, base).count() == 8
     d = {r.k: r.change_type for r in changes_between(spark, base, 1, 2).collect()}
     assert d == {7: "delete"}
+
+
+def test_evolution_rejects_internal_column_collision(spark, tmp_path):
+    """evolve_schema=True must reject a new column named after an
+    internal merge column ('bucket'/'rn'): withColumn('bucket', ...)
+    would silently overwrite the user data with the derived bucket id
+    before the partitioned write, and reads would project the
+    physically-absent column as NULL — silent data loss (ADVICE r7)."""
+    base = _mk_table(spark, tmp_path)
+    for bad in ("bucket", "rn"):
+        upd = spark.createDataFrame(
+            [(1, 2, "u1", 9)], f"k long, ver int, payload string, {bad} int"
+        )
+        with pytest.raises(ValueError, match="internal merge"):
+            merge_upsert_manifest(
+                base, upd, "ver", "payload", evolve_schema=True
+            )
+    # table unchanged
+    assert read_snapshot(spark, base).count() == 200
+
+
+def test_missing_file_matcher_falls_through_analysis_condition(spark):
+    """An AnalysisException whose condition is NOT PATH_NOT_FOUND but
+    which wraps/renders a java.io.FileNotFoundException (some Spark
+    versions surface mid-scan file loss this way) must still classify
+    retryable: the condition check may not return early on a
+    non-matching condition (ADVICE r7)."""
+    from pyspark.errors import AnalysisException
+
+    from assignment4_spark.operators.lakehouse import _is_missing_file_error
+
+    wrapped = AnalysisException(
+        "Job aborted: java.io.FileNotFoundException: /tbl/b=1/part-0.parquet"
+    )
+    assert _is_missing_file_error(wrapped)
+    # negative control unchanged: unrelated AnalysisException stays
+    # non-retryable even though its message mentions a missing thing
+    benign = AnalysisException("Table or view not found: nope")
+    assert not _is_missing_file_error(benign)
+
+
+def test_changes_between_tolerates_legacy_manifest(spark, tmp_path):
+    """Manifests written before schema tracking lack columns/
+    column_types; read_snapshot tolerates them via .get — changes_
+    between must too (derive the schema from v_to's files) instead of
+    KeyErroring (ADVICE r7)."""
+    import json as _json
+    import os as _os
+
+    from assignment4_spark.operators.lakehouse import (
+        _manifest_path,
+        changes_between,
+    )
+
+    base = _mk_table(spark, tmp_path, n=50, n_buckets=4)
+    merge_upsert_manifest(base, _upd(spark, [3, 999], 2, "u"), "ver", "payload")
+    for v in (1, 2):
+        p = _manifest_path(base, v)
+        with open(p) as fh:
+            m = _json.load(fh)
+        m.pop("columns", None)
+        m.pop("column_types", None)
+        _os.remove(p)
+        with open(p, "w") as fh:
+            _json.dump(m, fh)
+    d = {r.k: r.change_type for r in changes_between(spark, base, 1, 2).collect()}
+    assert d == {3: "update", 999: "insert"}
