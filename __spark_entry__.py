@@ -34,9 +34,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # Static verification-priority prefix, hard-coded at commit time (round 8)
 # from the committed CORRECTNESS_r01-r07 artifacts. Round 7 closed the
 # board: every registered op now has a successful driver row (242/242
-# oracled fully green, 9/9 rows-only rows-clean), so the window is pure
-# staleness rotation — the first 50 slots re-check the ops whose last
-# green driver row is oldest (8 round-2 greens: the win_* family and
+# oracled fully green, 9/9 rows-only rows-clean), so the window leads
+# with the round-8 additions (never driver-checked, oracled) and is
+# otherwise pure staleness rotation — the next slots re-check the ops
+# whose last green driver row is oldest (8 round-2 greens: the win_* family and
 # sort_multikey_nulls; then the 42 stalest round-3 greens: the dedup/
 # text/ts/vec r3 block), all oracled (rows-only ops are behind the
 # window per tests/test_entry_contract.py — a slot spent on an
@@ -46,6 +47,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # independent of any files present at run time; unknown names are
 # ignored (robust to renames).
 _PRIORITY = [
+    # round-8 additions: never driver-checked, oracled
+    "stream_changes_feed",
+    # stalest greens
     "sort_multikey_nulls", "win_first_last", "win_lag_lead",
     "win_moving_avg_range", "win_ntile_cume", "win_rank_dense_rownum",
     "win_running_sum", "win_topk_per_group", "dedup_connected_components",

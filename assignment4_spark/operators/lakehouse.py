@@ -1320,7 +1320,31 @@ def merge_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base_dir = _adir(sf_dir, "merge_cdc_table")
     shutil.rmtree(base_dir, ignore_errors=True)
+    build_cdc_ladder(spark, sf_dir, base_dir)
 
+    probe12 = changes_between(spark, base_dir, 1, 2)
+    if probe12.filter(F.col("change_type") != "update").count() != 0:
+        raise AssertionError("v1->v2 must be pure updates")
+    if changes_between(spark, base_dir, 2, 2).count() != 0:
+        raise AssertionError("self-diff must be empty (identical manifests)")
+
+    return (
+        changes_between(spark, base_dir, 2, 3)
+        .select("k", "change_type", "old_status", "old_price",
+                "new_status", "new_price")
+        .orderBy("k")
+    )
+
+
+def build_cdc_ladder(spark: SparkSession, sf_dir: str, base_dir: str) -> None:
+    """Commit the shared 3-version CDC fixture ladder at ``base_dir``:
+    v1 = orders seed, v2 = every 5th key at doubled price (pure
+    updates), v3 = the same keys again — every 10th key tombstoned
+    (delete), the rest status 'C' / price+7 (updates) — plus brand-new
+    keys (k+1,000,000 for every 50th) as inserts. ONE definition of
+    the ladder feeds the batch CDF face (merge_changes_feed), the
+    streaming consumer's batch declaration (stream_changes_feed), and
+    both faces' oracles."""
     orders = table(spark, sf_dir, "orders")
     seed = orders.select(
         F.col("o_orderkey").alias("k"),
@@ -1357,16 +1381,3 @@ def merge_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
                           writer_id="u1")
     merge_upsert_manifest(base_dir, u2, ver_col="ver", tiebreak_col="status",
                           writer_id="u2")
-
-    probe12 = changes_between(spark, base_dir, 1, 2)
-    if probe12.filter(F.col("change_type") != "update").count() != 0:
-        raise AssertionError("v1->v2 must be pure updates")
-    if changes_between(spark, base_dir, 2, 2).count() != 0:
-        raise AssertionError("self-diff must be empty (identical manifests)")
-
-    return (
-        changes_between(spark, base_dir, 2, 3)
-        .select("k", "change_type", "old_status", "old_price",
-                "new_status", "new_price")
-        .orderBy("k")
-    )

@@ -645,3 +645,234 @@ def test_stream_merge_sink(spark, replay, tmp_path):
     # initialized table, not raise, and leave the data untouched
     snap2 = si.run_merge_sink(spark, si.read_stream(spark, replay), base)
     assert sorted(map(tuple, snap2.collect())) == before
+
+
+def _cdc_table(spark, tmp_path, n=50, n_buckets=8, versions=3):
+    """Small controlled version ladder for the CDF source tests:
+    v1 = n keys, v2 = every 5th key value+100, v3 = key 0 tombstoned +
+    key n+1 inserted + every 10th key value+1000."""
+    from assignment4_spark.operators.lakehouse import (
+        TOMBSTONE_COL,
+        init_table,
+        merge_upsert_manifest,
+    )
+
+    base = str(tmp_path / "cdc_tbl")
+    seed = spark.range(n).select(
+        F.col("id").alias("k"), F.lit(1).alias("ver"),
+        (F.col("id") * 10).cast("double").alias("val"),
+        F.lit(False).alias(TOMBSTONE_COL),
+    )
+    init_table(seed, base, key_col="k", n_buckets=n_buckets)
+    if versions >= 2:
+        u1 = spark.range(0, n, 5).select(
+            F.col("id").alias("k"), F.lit(2).alias("ver"),
+            (F.col("id") * 10 + 100).cast("double").alias("val"),
+            F.lit(False).alias(TOMBSTONE_COL),
+        )
+        merge_upsert_manifest(base, u1, ver_col="ver", tiebreak_col="val")
+    if versions >= 3:
+        u2 = spark.createDataFrame(
+            [(0, 3, 0.0, True), (n + 1, 3, 777.0, False)],
+            f"k long, ver int, val double, {TOMBSTONE_COL} boolean",
+        ).unionByName(
+            spark.range(0, n, 10).filter(F.col("id") != 0).select(
+                F.col("id").alias("k"), F.lit(3).alias("ver"),
+                (F.col("id") * 10 + 1000).cast("double").alias("val"),
+                F.lit(False).alias(TOMBSTONE_COL),
+            )
+        )
+        merge_upsert_manifest(base, u2, ver_col="ver", tiebreak_col="val")
+    return base
+
+
+def _cdf_expected(spark, base, v_lo, v_hi):
+    from assignment4_spark.operators.lakehouse import changes_between
+
+    out = None
+    for v in range(v_lo, v_hi):
+        step = changes_between(spark, base, v, v + 1).withColumn(
+            "_commit_version", F.lit(v + 1).cast("bigint")
+        )
+        out = step if out is None else out.unionByName(step)
+    return out
+
+
+def test_stream_changes_feed_source_multibatch(spark, tmp_path):
+    """The lakehouse_cdf streaming source must deliver exactly the
+    union of per-commit diffs, tagged per commit, across MULTIPLE
+    micro-batches (versions_per_batch=1 forces one commit step per
+    trigger — offset tracking is actually exercised)."""
+    import time as _t
+
+    from assignment4_spark.sources import register_once
+    from assignment4_spark.sources.lakehouse_cdf import LakehouseCDFDataSource
+
+    register_once(spark, LakehouseCDFDataSource)
+    base = _cdc_table(spark, tmp_path)
+    want = _cdf_expected(spark, base, 1, 3)
+    n_want = want.count()
+
+    feed = (
+        spark.readStream.format("lakehouse_cdf")
+        .option("path", base)
+        .option("start_version", 1)
+        .option("versions_per_batch", 1)
+        .load()
+    )
+    name = "sink_cdf_multibatch"
+    q = (
+        feed.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(processingTime="0 seconds").start()
+    )
+    try:
+        deadline = _t.time() + 120
+        n_batches = 0
+        while _t.time() < deadline:
+            n_batches = q.lastProgress["batchId"] if q.lastProgress else 0
+            if n_batches >= 2 and spark.table(name).count() == n_want:
+                break
+            _t.sleep(0.5)
+        assert_frames_equal(spark.table(name), want)
+        assert n_batches >= 2, f"expected one commit step per batch, got {n_batches}"
+    finally:
+        q.stop()
+
+
+def test_stream_changes_feed_tails_live_commits(spark, tmp_path):
+    """A commit made WHILE the stream runs must surface in a later
+    micro-batch (latestOffset polls the manifest ladder), exactly
+    once, tagged with its version."""
+    import time as _t
+
+    from assignment4_spark.operators.lakehouse import merge_upsert_manifest
+    from assignment4_spark.sources import register_once
+    from assignment4_spark.sources.lakehouse_cdf import LakehouseCDFDataSource
+
+    register_once(spark, LakehouseCDFDataSource)
+    base = _cdc_table(spark, tmp_path, versions=2)
+    want12 = _cdf_expected(spark, base, 1, 2)
+    n12 = want12.count()
+
+    feed = (
+        spark.readStream.format("lakehouse_cdf")
+        .option("path", base)
+        .option("start_version", 1)
+        .load()
+    )
+    name = "sink_cdf_live"
+    q = (
+        feed.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(processingTime="0 seconds").start()
+    )
+    try:
+        deadline = _t.time() + 120
+        while _t.time() < deadline and spark.table(name).count() < n12:
+            _t.sleep(0.5)
+        assert spark.table(name).count() == n12
+
+        # live commit: one key updated -> exactly one v3-tagged row
+        u = spark.createDataFrame([(7, 3, 9999.0, False)],
+                                  "k long, ver int, val double, _deleted boolean")
+        merge_upsert_manifest(base, u, ver_col="ver", tiebreak_col="val")
+        want_all = _cdf_expected(spark, base, 1, 3)
+        n_all = want_all.count()
+        while _t.time() < deadline and spark.table(name).count() < n_all:
+            _t.sleep(0.5)
+        assert_frames_equal(spark.table(name), want_all)
+    finally:
+        q.stop()
+
+
+def test_stream_changes_feed_restart_resumes_at_offset(spark, tmp_path):
+    """Restart from checkpoint must resume at the committed version —
+    no re-emission of already-delivered change rows, and a commit made
+    while the stream was DOWN is picked up on restart. Parquet-per-
+    batch sink (the memory table resets on restart and would hide
+    re-emission)."""
+    import time as _t
+
+    from assignment4_spark.operators.lakehouse import merge_upsert_manifest
+    from assignment4_spark.sources import register_once
+    from assignment4_spark.sources.lakehouse_cdf import LakehouseCDFDataSource
+
+    register_once(spark, LakehouseCDFDataSource)
+    base = _cdc_table(spark, tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "rows")
+
+    def run_until(n_rows: int) -> None:
+        feed = (
+            spark.readStream.format("lakehouse_cdf")
+            .option("path", base)
+            .option("start_version", 1)
+            .load()
+        )
+
+        def write_batch(batch_df, batch_id):
+            batch_df.write.mode("overwrite").parquet(f"{out}/b{batch_id}")
+
+        q = (
+            feed.writeStream.foreachBatch(write_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            deadline = _t.time() + 120
+            while _t.time() < deadline:
+                try:
+                    n = (spark.read.option("recursiveFileLookup", "true")
+                         .parquet(out).count())
+                except Exception:
+                    n = 0
+                if n >= n_rows:
+                    break
+                _t.sleep(0.3)
+        finally:
+            q.stop()
+
+    want13 = _cdf_expected(spark, base, 1, 3)
+    n13 = want13.count()
+    run_until(n13)  # drains v1->v3
+
+    # commit v4 while the stream is DOWN
+    u = spark.createDataFrame([(3, 4, 4444.0, False)],
+                              "k long, ver int, val double, _deleted boolean")
+    merge_upsert_manifest(base, u, ver_col="ver", tiebreak_col="val")
+    want_all = _cdf_expected(spark, base, 1, 4)
+    n_all = want_all.count()
+    run_until(n_all)  # restart: must deliver ONLY the v4 step
+
+    got = spark.read.option("recursiveFileLookup", "true").parquet(out)
+    assert_frames_equal(got, want_all)
+    v4 = got.filter(F.col("_commit_version") == 4).collect()
+    assert len(v4) == 1 and v4[0].k == 3 and v4[0].change_type == "update"
+
+
+def test_cdf_partition_planning_prunes_and_names_vacuum(spark, tmp_path):
+    """Driver-side planning: a single-key commit plans exactly ONE
+    (step, bucket) diff task — manifest pruning, no I/O for identical
+    buckets; a vacuumed-away manifest inside a pending range raises
+    the named retention error, not a silent skip."""
+    from assignment4_spark.operators.lakehouse import (
+        merge_upsert_manifest,
+        vacuum,
+    )
+    from assignment4_spark.sources.lakehouse_cdf import LakehouseCDFStreamReader
+
+    base = _cdc_table(spark, tmp_path, versions=1, n_buckets=8)
+    u = spark.createDataFrame([(7, 2, 9999.0, False)],
+                              "k long, ver int, val double, _deleted boolean")
+    merge_upsert_manifest(base, u, ver_col="ver", tiebreak_col="val")
+
+    rd = LakehouseCDFStreamReader({"path": base, "start_version": "1"})
+    parts = rd.partitions({"version": 1}, {"version": 2})
+    assert len(parts) == 1, f"expected 1 pruned diff task, got {len(parts)}"
+    rows = list(rd.read(parts[0]))
+    assert len(rows) == 1 and rows[0][0] == 7 and rows[0][1] == "update"
+
+    vacuum(base, keep_last=1)  # expires v1's manifest
+    with pytest.raises(RuntimeError, match="vacuumed"):
+        rd.partitions({"version": 1}, {"version": 2})
