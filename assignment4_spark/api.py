@@ -36,6 +36,7 @@ from .operators.lakehouse import (  # noqa: F401
     load_manifest,
     merge_upsert_manifest,
     read_snapshot,
+    rebucket_table,
     vacuum,
 )
 from .operators.multimodal import (  # noqa: F401
@@ -150,6 +151,7 @@ __all__ = [
     "quantize_int8_audit",
     "read_idempotent_sink",
     "read_snapshot",
+    "rebucket_table",
     "scd2_changes",
     "rp_bucket_keys",
     "sessionize",

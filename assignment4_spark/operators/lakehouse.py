@@ -1381,3 +1381,219 @@ def build_cdc_ladder(spark: SparkSession, sf_dir: str, base_dir: str) -> None:
                           writer_id="u1")
     merge_upsert_manifest(base_dir, u2, ver_col="ver", tiebreak_col="status",
                           writer_id="u2")
+
+
+def rebucket_table(
+    spark: SparkSession,
+    base_dir: str,
+    new_n_buckets: int,
+    writer_id: str = "w0",
+    max_retries: int = 5,
+    before_commit=None,
+) -> tuple[int, int]:
+    """Re-partition the table to ``new_n_buckets`` as ONE commit — the
+    operational knob a growing table eventually needs (Iceberg calls it
+    partition-spec evolution + rewrite): ``n_buckets`` is frozen at
+    init because the bucket is pmod(xxhash64(key), B), so a table that
+    outgrows its bucket count (every merge rewriting multi-GB buckets)
+    had no path short of re-init. This reads every visible-and-
+    tombstoned row once (tombstones carry forward — the straggler-
+    suppression retention contract survives the rewrite), recomputes
+    the bucket under the new B, writes clustered, and publishes a
+    manifest with the new ``n_buckets`` through the same CAS loop as
+    MERGE. Pinned readers keep their epoch: old manifests and their
+    files are untouched (rebucket only ADDS files; vacuum reclaims the
+    old generation later), so an in-flight reader pinned at v_N keeps
+    planning from the OLD bucket map, while every post-commit merge
+    prunes against the new one.
+
+    A logical NO-OP by construction: changes_between(v_before,
+    v_after) is empty — asserted inline by the registered face. A
+    rebucket to the CURRENT bucket count returns ``(version, 0)``
+    without committing (nothing to do; attempts=0 marks the no-op).
+
+    Tombstone bookkeeping: per-new-bucket flags are recomputed FROM
+    THE STAGED FILES (a column-pruned scan of only the marker column +
+    the bucket partition dir — never a re-execution of upstream
+    lineage), so compact_tombstones keeps its never-scan-the-table
+    guarantee across the rewrite.
+
+    Returns ``(committed_version, attempts)``."""
+    import shutil
+
+    if new_n_buckets < 1:
+        raise ValueError(f"new_n_buckets must be >= 1, got {new_n_buckets}")
+    for attempt in range(max_retries + 1):
+        snap = load_manifest(base_dir)
+        key_col = snap["key_col"]
+        if snap["n_buckets"] == new_n_buckets:
+            return snap["version"], 0
+        cols, types = snap.get("columns"), snap.get("column_types")
+        next_version = snap["version"] + 1
+        staging = _staging_path(
+            base_dir, "rebucket", next_version, writer_id, attempt
+        )
+        try:
+            files = [f for fs in snap["buckets"].values() for f in fs]
+            if cols is None or types is None:
+                # legacy pre-evolution manifest: derive the logical
+                # schema from the files (uniform by construction) and
+                # RECORD it in the new manifest
+                if not files:
+                    raise ValueError(
+                        f"manifest v{snap['version']} at {base_dir} has "
+                        "no schema and no files; cannot rebucket"
+                    )
+                derived = spark.read.parquet(*files)
+                cols = list(derived.columns)
+                types = _column_types(derived)
+            # include_tombstones semantics: NO visibility filter — a
+            # live tombstone must keep suppressing lower-version
+            # stragglers after the rewrite
+            df = _read_files_aligned(spark, files, cols, types).withColumn(
+                "bucket", _bucket_of(key_col, new_n_buckets)
+            )
+            _write_clustered(df, staging)
+            if TOMBSTONE_COL in types:
+                tomb = F.coalesce(
+                    F.col(TOMBSTONE_COL).cast("boolean"), F.lit(False)
+                )
+                flags = (
+                    spark.read.parquet(staging)  # bucket = partition dir
+                    .groupBy("bucket")
+                    .agg(F.max(tomb).alias("has_tomb"))
+                    .collect()
+                )
+                tomb_buckets = sorted(
+                    int(r.bucket) for r in flags if r.has_tomb
+                )
+            else:
+                tomb_buckets = []
+        except Exception as ex:
+            shutil.rmtree(staging, ignore_errors=True)
+            if _is_missing_file_error(ex):
+                continue  # vacuum expired the pin mid-read: re-pin
+            raise
+        new_files = _list_bucket_files(staging)
+        manifest = {
+            "version": next_version,
+            "n_buckets": new_n_buckets,
+            "key_col": key_col,
+            "columns": list(cols),
+            "column_types": dict(types),
+            "buckets": {str(b): fs for b, fs in sorted(new_files.items())},
+            "tombstone_buckets": tomb_buckets,
+        }
+        if before_commit is not None:
+            before_commit(attempt)
+        if _publish_manifest(base_dir, manifest):
+            return next_version, attempt + 1
+        shutil.rmtree(staging, ignore_errors=True)
+    raise MergeConflictError(
+        f"rebucket by {writer_id} lost the commit race {max_retries + 1} times"
+    )
+
+
+@register(
+    "merge_rebucket",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, 1 AS ver, o_orderstatus AS status,
+             o_totalprice AS price
+      FROM orders
+    ), u1 AS (
+      SELECT o_orderkey, 2, o_orderstatus, o_totalprice * 2
+      FROM orders WHERE o_orderkey % 5 = 0
+    ), u2 AS (
+      SELECT o_orderkey, 3, 'R', o_totalprice + 500
+      FROM orders WHERE o_orderkey % 9 = 0
+    ), u AS (
+      SELECT * FROM base UNION ALL SELECT * FROM u1 UNION ALL SELECT * FROM u2
+    ), latest AS (
+      SELECT k, ver, status, price,
+             ROW_NUMBER() OVER (PARTITION BY k
+                                ORDER BY ver DESC, status) AS rn
+      FROM u
+    )
+    SELECT status,
+           COUNT(*)                 AS n_rows,
+           CAST(SUM(ver) AS BIGINT) AS sum_ver,
+           ROUND(SUM(price), 2)     AS sum_price
+    FROM latest
+    WHERE rn = 1
+    GROUP BY status
+    ORDER BY status
+    """,
+)
+def merge_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of bucket-count re-partitioning: seed orders at
+    8 buckets (v1), merge every 5th key at doubled price (v2), REBUCKET
+    8→32 (v3 — the growth knob), then merge every 9th key (ver=3,
+    status 'R', price+500) AGAINST THE NEW BUCKET MAP (v4) and
+    aggregate the final snapshot. The oracle never sees the rebucket:
+    it is the plain latest-wins replay of seed+u1+u2 — contents are
+    invariant under re-bucketing, and THAT equality is the correctness
+    claim at the oracle level.
+
+    Inline protocol asserts: the rebucket commits v3 with
+    n_buckets=32 while v2's manifest keeps 8 (pinned readers keep
+    their epoch's bucket map); changes_between(2, 3) is EMPTY (a
+    rebucket is a logical no-op — the CDC feed must not invent
+    changes from pure file churn); and the post-rebucket merge prunes
+    against 32 buckets (touched-bucket count ≤ its key count).
+
+    Scale shape: one full-table read + clustered write — the same
+    cost class as the compactions Iceberg/Delta schedule for spec
+    evolution; every OTHER commit stays O(touched buckets), which is
+    the point of paying it."""
+    import shutil
+
+    from .scans import _adir
+
+    base_dir = _adir(sf_dir, "merge_rebucket_table")
+    shutil.rmtree(base_dir, ignore_errors=True)
+
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("ver"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    init_table(orders, base_dir, key_col="k", n_buckets=8)
+
+    u1 = orders.filter(F.col("k") % 5 == 0).select(
+        "k", F.lit(2).alias("ver"), "status",
+        (F.col("price") * 2).alias("price"),
+    )
+    merge_upsert_manifest(
+        base_dir, u1, ver_col="ver", tiebreak_col="status", writer_id="u1"
+    )
+
+    v3, tries = rebucket_table(spark, base_dir, 32, writer_id="grow")
+    if (v3, tries) != (3, 1):
+        raise AssertionError(f"rebucket must commit v3 first-try, got {(v3, tries)}")
+    if load_manifest(base_dir, 3)["n_buckets"] != 32:
+        raise AssertionError("v3 manifest must carry the new bucket count")
+    if load_manifest(base_dir, 2)["n_buckets"] != 8:
+        raise AssertionError("pinned v2 epoch must keep the old bucket count")
+    if changes_between(spark, base_dir, 2, 3).count() != 0:
+        raise AssertionError("rebucket must be a logical no-op in the CDC feed")
+
+    u2 = orders.filter(F.col("k") % 9 == 0).select(
+        "k", F.lit(3).alias("ver"), F.lit("R").alias("status"),
+        (F.col("price") + 500).alias("price"),
+    )
+    merge_upsert_manifest(
+        base_dir, u2, ver_col="ver", tiebreak_col="status", writer_id="u2"
+    )
+
+    return (
+        read_snapshot(spark, base_dir)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("ver").alias("sum_ver"),
+            F.round(F.sum("price"), 2).alias("sum_price"),
+        )
+        .orderBy("status")
+    )

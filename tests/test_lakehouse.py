@@ -843,3 +843,105 @@ def test_changes_between_tolerates_legacy_manifest(spark, tmp_path):
             _json.dump(m, fh)
     d = {r.k: r.change_type for r in changes_between(spark, base, 1, 2).collect()}
     assert d == {3: "update", 999: "insert"}
+
+
+def test_rebucket_preserves_contents_and_old_epoch(spark, tmp_path):
+    """rebucket_table: contents are invariant, the new manifest carries
+    the new bucket count, PINNED readers keep the old epoch's bucket
+    map (old manifests/files untouched), and a post-rebucket merge
+    prunes against the NEW map (only touched buckets' file lists
+    change between v3 and v4)."""
+    from assignment4_spark.operators.lakehouse import rebucket_table
+
+    base = _mk_table(spark, tmp_path, n=200, n_buckets=8)
+    merge_upsert_manifest(base, _upd(spark, [3, 50], 2, "u"), "ver", "payload")
+    before = {r.k: (r.ver, r.payload) for r in read_snapshot(spark, base).collect()}
+
+    v3, tries = rebucket_table(spark, base, 32)
+    assert (v3, tries) == (3, 1)
+    assert load_manifest(base, 3)["n_buckets"] == 32
+    assert load_manifest(base, 2)["n_buckets"] == 8
+    after = {r.k: (r.ver, r.payload) for r in read_snapshot(spark, base).collect()}
+    assert after == before, "rebucket changed table contents"
+    # pinned v2 reader still plans from the old generation's files
+    assert read_snapshot(spark, base, version=2).count() == 200
+
+    # post-rebucket merge prunes against the new 32-bucket map
+    merge_upsert_manifest(base, _upd(spark, [7], 3, "w"), "ver", "payload")
+    m3, m4 = load_manifest(base, 3)["buckets"], load_manifest(base, 4)["buckets"]
+    changed = [b for b in set(m3) | set(m4) if m3.get(b) != m4.get(b)]
+    assert len(changed) == 1, f"single-key merge must touch 1 of 32 buckets, got {changed}"
+    assert {r.k: r.payload for r in read_snapshot(spark, base).collect()}[7] == "w7"
+
+
+def test_rebucket_carries_tombstones_and_flags(spark, tmp_path):
+    """A live tombstone must survive the rewrite (straggler suppression
+    keeps working under the new bucket map) and the new manifest's
+    tombstone_buckets flags must be recomputed under the NEW bucket
+    fn so compact_tombstones still never scans the table."""
+    from assignment4_spark.operators.lakehouse import (
+        TOMBSTONE_COL,
+        compact_tombstones,
+        rebucket_table,
+    )
+
+    base = str(tmp_path / "tbl")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), F.lit(1).alias("ver"),
+        F.concat(F.lit("p"), F.col("id")).alias("payload"),
+        F.lit(False).alias(TOMBSTONE_COL),
+    )
+    init_table(df, base, key_col="k", n_buckets=4)
+    tomb = spark.createDataFrame(
+        [(13, 5, "gone", True)],
+        f"k long, ver int, payload string, {TOMBSTONE_COL} boolean",
+    )
+    merge_upsert_manifest(base, tomb, "ver", "payload")
+    assert read_snapshot(spark, base).count() == 99
+
+    v, _ = rebucket_table(spark, base, 16)
+    m = load_manifest(base, v)
+    assert m["n_buckets"] == 16
+    assert read_snapshot(spark, base).count() == 99, "tombstone lost in rewrite"
+    # flags recomputed under the new bucket fn: exactly one flagged
+    assert len(m["tombstone_buckets"]) == 1
+
+    # straggler suppression survives: a LOWER-version update loses
+    straggler = spark.createDataFrame(
+        [(13, 2, "zombie", False)],
+        f"k long, ver int, payload string, {TOMBSTONE_COL} boolean",
+    )
+    merge_upsert_manifest(base, straggler, "ver", "payload")
+    assert read_snapshot(spark, base).count() == 99, "straggler resurrected key"
+
+    out = compact_tombstones(spark, base)
+    assert out["tombstones_dropped"] == 1
+    assert read_snapshot(spark, base).count() == 99
+
+
+def test_rebucket_noop_and_lost_cas_repins(spark, tmp_path):
+    """Rebucket to the current bucket count is a commit-free no-op;
+    a lost CAS re-pins and retries, and the retry's rewrite INCLUDES
+    the competing writer's rows (snapshot re-read, not replay)."""
+    from assignment4_spark.operators.lakehouse import rebucket_table
+
+    base = _mk_table(spark, tmp_path, n=50, n_buckets=8)
+    v, tries = rebucket_table(spark, base, 8)
+    assert (v, tries) == (1, 0)
+    assert latest_version(base) == 1, "no-op must not commit"
+
+    fired = {"n": 0}
+
+    def competing_commit(attempt):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            merge_upsert_manifest(
+                base, _upd(spark, [1], 9, "late"), "ver", "payload",
+                writer_id="rival",
+            )
+
+    v, tries = rebucket_table(spark, base, 32, before_commit=competing_commit)
+    assert tries == 2 and v == 3, f"expected retry win at v3, got {(v, tries)}"
+    rows = {r.k: r.payload for r in read_snapshot(spark, base).collect()}
+    assert rows[1] == "late1", "retry must carry the competing commit's row"
+    assert load_manifest(base)["n_buckets"] == 32
