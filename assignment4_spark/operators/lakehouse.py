@@ -221,19 +221,54 @@ def _staging_path(base_dir: str, prefix: str, version: int, writer_id: str,
     )
 
 
-def _write_clustered(df: DataFrame, staging: str) -> None:
-    """Commit write shared by init / merge / compact: repartition on
-    bucket BEFORE the partitioned write. Without it every upstream task
-    opens a writer per bucket it holds — O(tasks × buckets) small files
-    per commit (measured: 32-task local runs left 20-30 files in a
-    single bucket), the classic lakehouse file explosion; clustered,
-    the commit leaves O(buckets) files and every later bucket-pruned
-    read opens proportionally fewer footers. At real scale, salt the
-    repartition key (bucket, salt%k) to restore intra-bucket write
-    parallelism once a bucket outgrows one task."""
+def _write_clustered(
+    df: DataFrame,
+    staging: str,
+    key_col: str | None = None,
+    salt: int = 1,
+    n_buckets: int | None = None,
+) -> None:
+    """Commit write shared by init / merge / compact / rebucket:
+    repartition on bucket BEFORE the partitioned write. Without it
+    every upstream task opens a writer per bucket it holds —
+    O(tasks × buckets) small files per commit (measured: 32-task local
+    runs left 20-30 files in a single bucket), the classic lakehouse
+    file explosion; clustered, the commit leaves O(buckets) files and
+    every later bucket-pruned read opens proportionally fewer footers.
+
+    ``salt > 1`` is the hot-bucket escape hatch: once one bucket's
+    incoming rows outgrow what a single task should absorb (a skewed
+    update batch hammering one key range), clustering on bucket alone
+    serializes that bucket's write through one task. Salting the
+    repartition key with pmod(xxhash64(key), salt) spreads it over up
+    to ``salt`` tasks while keeping the commit's file count bounded at
+    O(buckets × salt) — a deliberate, bounded trade of files for write
+    parallelism (callers size it ≈ ceil(hot-bucket rows / rows a task
+    should write); the salt is derived from the KEY, so it is
+    deterministic and replay-stable, never round-robin)."""
+    if salt > 1:
+        if key_col is None or n_buckets is None:
+            raise ValueError(
+                "salted clustered write requires key_col and n_buckets"
+            )
+        # the extra literal DE-CORRELATES the salt hash from the bucket
+        # hash: bucket = pmod(xxhash64(key), B), so pmod(xxhash64(key),
+        # salt) would be constant within a bucket whenever salt | B —
+        # exactly the hot-bucket case the salt exists for. The explicit
+        # partition count matters too: a bare repartition(cols) leaves
+        # AQE free to coalesce the salt groups back into one task
+        # whenever they sit under the advisory size (measured: 4 salt
+        # groups -> 1 task -> 1 file at fixture scale), whereas the
+        # user-specified count pins the fan-out the salt exists to buy
+        clustered = df.repartition(
+            n_buckets * salt,
+            F.col("bucket"),
+            F.pmod(F.xxhash64(F.col(key_col), F.lit("salt")), F.lit(salt)),
+        )
+    else:
+        clustered = df.repartition(F.col("bucket"))
     (
-        df.repartition(F.col("bucket"))
-        .write.mode("overwrite")
+        clustered.write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(staging)
     )
@@ -527,6 +562,7 @@ def merge_upsert_manifest(
     max_retries: int = 5,
     before_commit=None,
     evolve_schema: bool = False,
+    write_salt: int = 1,
 ) -> tuple[int, int]:
     """MERGE INTO the manifest table at ``base_dir``: latest-wins per
     key across (pinned snapshot ∪ updates), ordered by ``ver_col`` DESC
@@ -676,7 +712,7 @@ def merge_upsert_manifest(
                 .filter(F.col("rn") == 1)
                 .drop("rn")
             )
-            _write_clustered(merged, staging)
+            _write_clustered(merged, staging, key_col, write_salt, n_buckets)
         except Exception as ex:
             shutil.rmtree(staging, ignore_errors=True)
             if _is_missing_file_error(ex):
@@ -1390,6 +1426,7 @@ def rebucket_table(
     writer_id: str = "w0",
     max_retries: int = 5,
     before_commit=None,
+    write_salt: int = 1,
 ) -> tuple[int, int]:
     """Re-partition the table to ``new_n_buckets`` as ONE commit — the
     operational knob a growing table eventually needs (Iceberg calls it
@@ -1453,7 +1490,7 @@ def rebucket_table(
             df = _read_files_aligned(spark, files, cols, types).withColumn(
                 "bucket", _bucket_of(key_col, new_n_buckets)
             )
-            _write_clustered(df, staging)
+            _write_clustered(df, staging, key_col, write_salt, new_n_buckets)
             if TOMBSTONE_COL in types:
                 tomb = F.coalesce(
                     F.col(TOMBSTONE_COL).cast("boolean"), F.lit(False)

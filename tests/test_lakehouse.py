@@ -945,3 +945,47 @@ def test_rebucket_noop_and_lost_cas_repins(spark, tmp_path):
     rows = {r.k: r.payload for r in read_snapshot(spark, base).collect()}
     assert rows[1] == "late1", "retry must carry the competing commit's row"
     assert load_manifest(base)["n_buckets"] == 32
+
+
+def test_salted_clustered_write_bounds_hot_bucket_files(spark, tmp_path):
+    """The hot-bucket escape hatch at _write_clustered: a skewed update
+    batch whose rows ALL land in one bucket serializes that bucket's
+    write through one task under plain clustering (exactly 1 file);
+    write_salt=4 spreads it over up to 4 tasks while keeping the file
+    count bounded at O(salt) — and the table contents are identical
+    either way (the salt is key-derived, a pure write-layout knob)."""
+    from assignment4_spark.operators.lakehouse import _bucket_of
+
+    # keys that all hash into bucket 0 of 4 — the hot-bucket fixture
+    hot = (
+        spark.range(4000)
+        .select(F.col("id").alias("k"))
+        .withColumn("b", _bucket_of("k", 4))
+        .filter(F.col("b") == 0)
+        .drop("b")
+    )
+    n_hot = hot.count()
+    assert n_hot > 300, "fixture needs a meaningfully hot bucket"
+
+    def mk(base, salt):
+        seed = spark.range(100).select(
+            F.col("id").alias("k"), F.lit(1).alias("ver"),
+            F.concat(F.lit("p"), F.col("id")).alias("payload"),
+        )
+        init_table(seed, base, key_col="k", n_buckets=4)
+        upd = hot.select(
+            "k", F.lit(2).alias("ver"),
+            F.concat(F.lit("u"), F.col("k")).alias("payload"),
+        )
+        merge_upsert_manifest(base, upd, "ver", "payload", write_salt=salt)
+        return load_manifest(base)["buckets"]["0"]
+
+    plain = mk(str(tmp_path / "plain"), 1)
+    salted = mk(str(tmp_path / "salted"), 4)
+    assert len(plain) == 1, f"unsalted hot bucket must be 1 file, got {len(plain)}"
+    assert 2 <= len(salted) <= 4, (
+        f"salted hot bucket must spread over 2..4 files, got {len(salted)}"
+    )
+    a = read_snapshot(spark, str(tmp_path / "plain")).orderBy("k")
+    b = read_snapshot(spark, str(tmp_path / "salted")).orderBy("k")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
