@@ -48,7 +48,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # ignored (robust to renames).
 _PRIORITY = [
     # round-8 additions: never driver-checked, oracled
-    "stream_changes_feed", "merge_rebucket",
+    "stream_changes_feed", "merge_rebucket", "merge_clustered_read",
     # stalest greens
     "sort_multikey_nulls", "win_first_last", "win_lag_lead",
     "win_moving_avg_range", "win_ntile_cume", "win_rank_dense_rownum",

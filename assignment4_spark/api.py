@@ -35,7 +35,9 @@ from .operators.lakehouse import (  # noqa: F401
     latest_version,
     load_manifest,
     merge_upsert_manifest,
+    prune_files_by_range,
     read_snapshot,
+    read_snapshot_range,
     rebucket_table,
     vacuum,
 )
@@ -150,7 +152,9 @@ __all__ = [
     "pypdf_text_parser",
     "quantize_int8_audit",
     "read_idempotent_sink",
+    "prune_files_by_range",
     "read_snapshot",
+    "read_snapshot_range",
     "rebucket_table",
     "scd2_changes",
     "rp_bucket_keys",

@@ -227,6 +227,8 @@ def _write_clustered(
     key_col: str | None = None,
     salt: int = 1,
     n_buckets: int | None = None,
+    cluster_col: str | None = None,
+    cluster_bins: int = 4,
 ) -> None:
     """Commit write shared by init / merge / compact / rebucket:
     repartition on bucket BEFORE the partitioned write. Without it
@@ -245,8 +247,40 @@ def _write_clustered(
     O(buckets × salt) — a deliberate, bounded trade of files for write
     parallelism (callers size it ≈ ceil(hot-bucket rows / rows a task
     should write); the salt is derived from the KEY, so it is
-    deterministic and replay-stable, never round-robin)."""
-    if salt > 1:
+    deterministic and replay-stable, never round-robin).
+
+    ``cluster_col`` (zorder-lite, set table-wide at init and
+    maintained by every commit path) range-bins each bucket's rows by
+    the column's value — ``width_bucket`` over the batch's global
+    (min, max), one file per (bucket, bin), rows sorted within — so
+    every file covers a VALUE SLICE of the cluster column and the
+    manifest's per-file (min, max) stats give range reads real
+    file-level skipping (a hash bucket's single file otherwise spans
+    the full value range and no secondary-column stat can ever prune
+    it). File count is the same bounded O(buckets × bins) trade as
+    salting; the bin term already restores intra-bucket write
+    parallelism, so cluster_col supersedes salt when both are set.
+    Uniform bins are the 'lite' part — Delta's OPTIMIZE ZORDER uses
+    range partitioning over sampled quantiles; at fixture scale
+    uniform slices skip just as provably."""
+    if cluster_col is not None:
+        if n_buckets is None:
+            raise ValueError("cluster-binned write requires n_buckets")
+        bounds = df.agg(
+            F.min(cluster_col).alias("lo"), F.max(cluster_col).alias("hi")
+        ).first()
+        lo, hi = bounds.lo, bounds.hi
+        if lo is None or lo == hi:
+            bin_expr = F.lit(1)
+        else:
+            bin_expr = F.width_bucket(
+                F.col(cluster_col).cast("double"),
+                F.lit(float(lo)), F.lit(float(hi)), F.lit(cluster_bins),
+            )
+        clustered = df.repartition(
+            n_buckets * cluster_bins, F.col("bucket"), bin_expr
+        ).sortWithinPartitions(cluster_col)
+    elif salt > 1:
         if key_col is None or n_buckets is None:
             raise ValueError(
                 "salted clustered write requires key_col and n_buckets"
@@ -272,6 +306,97 @@ def _write_clustered(
         .partitionBy("bucket")
         .parquet(staging)
     )
+
+
+# numeric-only for cluster stats: (min, max) must survive a JSON
+# manifest roundtrip and compare with plain <= at plan time
+_CLUSTERABLE = ("tinyint", "smallint", "int", "bigint", "float", "double")
+
+
+def _staged_cluster_stats(
+    spark: SparkSession, staging: str, cluster_col: str
+) -> dict[str, list]:
+    """Per-file (min, max) of the cluster column for a just-staged
+    commit — ONE column-pruned distributed pass grouped on
+    input_file_name (cost O(new files' data in one column), the same
+    class as the write that produced them); files holding only NULLs
+    get no entry (conservatively unprunable)."""
+    from urllib.parse import unquote, urlparse
+
+    rows = (
+        spark.read.parquet(staging)
+        .select(
+            F.input_file_name().alias("f"), F.col(cluster_col).alias("c")
+        )
+        .groupBy("f")
+        .agg(F.min("c").alias("lo"), F.max("c").alias("hi"))
+        .collect()
+    )
+    out: dict[str, list] = {}
+    for r in rows:
+        if r.lo is None:
+            continue
+        out[unquote(urlparse(r.f).path)] = [r.lo, r.hi]
+    return out
+
+
+def _carry_file_stats(
+    snap: dict, buckets: dict, new_stats: dict
+) -> dict[str, list]:
+    """Next manifest's file_stats: stats of carried-over files that are
+    still referenced + the staged files' fresh stats (replaced files'
+    stats drop with their files)."""
+    live = {f for fs in buckets.values() for f in fs}
+    old = snap.get("file_stats", {})
+    return {f: s for f, s in old.items() if f in live} | new_stats
+
+
+def prune_files_by_range(manifest: dict, lo, hi) -> tuple[list, list]:
+    """Plan a range read from the manifest's per-file cluster stats:
+    (kept, skipped) file lists. A file is skipped ONLY when its
+    recorded [min, max] provably misses [lo, hi]; stats-less files
+    (pre-clustering commits, all-NULL files) are always kept —
+    pruning is an optimization, never a filter."""
+    stats = manifest.get("file_stats", {})
+    kept, skipped = [], []
+    for fs in manifest["buckets"].values():
+        for f in fs:
+            s = stats.get(f)
+            if s is not None and (s[0] > hi or s[1] < lo):
+                skipped.append(f)
+            else:
+                kept.append(f)
+    return kept, skipped
+
+
+def read_snapshot_range(
+    spark: SparkSession,
+    base_dir: str,
+    lo,
+    hi,
+    version: int | None = None,
+    include_tombstones: bool = False,
+) -> DataFrame:
+    """Range read over the table's cluster column, planned from the
+    manifest's per-file (min, max) stats: files whose value slice
+    misses [lo, hi] are never opened (the scan_file_skipping_stats
+    idiom applied to the MERGE write path), then the exact row filter
+    applies on what remains — pruning is conservative, results are
+    exact. Requires a table initialized with ``cluster_col``."""
+    manifest = load_manifest(base_dir, version)
+    ccol = manifest.get("cluster_col")
+    if ccol is None:
+        raise ValueError(
+            f"table at {base_dir} has no cluster_col; init with one to "
+            "get stats-pruned range reads"
+        )
+    kept, _ = prune_files_by_range(manifest, lo, hi)
+    df = _read_files_aligned(
+        spark, kept, manifest["columns"], manifest["column_types"]
+    ).filter(F.col(ccol).between(lo, hi))
+    if not include_tombstones:
+        df = _visible_rows(df)
+    return df
 
 
 def _column_types(df: DataFrame) -> dict[str, str]:
@@ -343,19 +468,40 @@ def _list_bucket_files(staging_dir: str) -> dict[int, list[str]]:
 
 
 def init_table(
-    df: DataFrame, base_dir: str, key_col: str, n_buckets: int
+    df: DataFrame,
+    base_dir: str,
+    key_col: str,
+    n_buckets: int,
+    cluster_col: str | None = None,
+    cluster_bins: int = 4,
 ) -> dict:
     """Commit version 1 of a manifest-tracked bucketed table.
 
     The bucket is DERIVED (pmod(xxhash64(key), B)) — data files do not
     store it, so any pinned-file read can recompute it from the key and
     no basePath gymnastics are needed. Raises if the table already has
-    a committed version (init is not a merge)."""
+    a committed version (init is not a merge).
+
+    ``cluster_col`` (numeric, optional) declares the table's zorder-
+    lite secondary layout: EVERY commit path (init/merge/compact/
+    rebucket) range-bins each bucket's rows by this column and records
+    per-file (min, max) in the manifest, so read_snapshot_range plans
+    stats-pruned scans — the property is table-wide and writer-
+    independent, like the bucket count."""
     import shutil
 
     os.makedirs(base_dir, exist_ok=True)
     if latest_version(base_dir) != 0:
         raise ValueError(f"table at {base_dir} already initialized")
+    types0 = _column_types(df)
+    if cluster_col is not None:
+        t = types0.get(cluster_col)
+        if t not in _CLUSTERABLE:
+            raise ValueError(
+                f"cluster_col {cluster_col!r} must be a numeric column "
+                f"({_CLUSTERABLE}); got {t!r} — (min, max) stats must "
+                "JSON-roundtrip and compare at plan time"
+            )
     # attempt-private staging + clustered write (see _staging_path /
     # _write_clustered for the two hazard classes they close): a shared
     # 'commit_v1' dir with mode(overwrite) would let a concurrent-init
@@ -363,14 +509,15 @@ def init_table(
     # publishing a v1 manifest that names dead paths
     staging = _staging_path(base_dir, "commit", 1, "init", 0)
     _write_clustered(
-        df.withColumn("bucket", _bucket_of(key_col, n_buckets)), staging
+        df.withColumn("bucket", _bucket_of(key_col, n_buckets)), staging,
+        key_col, 1, n_buckets, cluster_col, cluster_bins,
     )
     manifest = {
         "version": 1,
         "n_buckets": n_buckets,
         "key_col": key_col,
         "columns": df.columns,
-        "column_types": _column_types(df),
+        "column_types": types0,
         "buckets": {str(b): fs for b, fs in sorted(_list_bucket_files(staging).items())},
         # true per-bucket flags, not "every bucket": a seed carrying an
         # all-false marker column (the normal pattern) must not doom
@@ -399,6 +546,12 @@ def init_table(
             else []
         ),
     }
+    if cluster_col is not None:
+        manifest["cluster_col"] = cluster_col
+        manifest["cluster_bins"] = cluster_bins
+        manifest["file_stats"] = _staged_cluster_stats(
+            df.sparkSession, staging, cluster_col
+        )
     if not _publish_manifest(base_dir, manifest):
         shutil.rmtree(staging, ignore_errors=True)  # loser leaves nothing
         raise ValueError(f"concurrent init of {base_dir}")
@@ -712,7 +865,10 @@ def merge_upsert_manifest(
                 .filter(F.col("rn") == 1)
                 .drop("rn")
             )
-            _write_clustered(merged, staging, key_col, write_salt, n_buckets)
+            _write_clustered(
+                merged, staging, key_col, write_salt, n_buckets,
+                snap.get("cluster_col"), snap.get("cluster_bins", 4),
+            )
         except Exception as ex:
             shutil.rmtree(staging, ignore_errors=True)
             if _is_missing_file_error(ex):
@@ -737,6 +893,13 @@ def merge_upsert_manifest(
             # work (at 100 TB that scan would dwarf the compaction)
             "tombstone_buckets": tomb_buckets,
         }
+        if snap.get("cluster_col") is not None:
+            manifest["cluster_col"] = snap["cluster_col"]
+            manifest["cluster_bins"] = snap.get("cluster_bins", 4)
+            manifest["file_stats"] = _carry_file_stats(
+                snap, buckets,
+                _staged_cluster_stats(spark, staging, snap["cluster_col"]),
+            )
         if before_commit is not None:
             before_commit(attempt)
         if _publish_manifest(base_dir, manifest):
@@ -820,7 +983,10 @@ def compact_tombstones(
                     }
                 continue
             live = df.filter(F.col("bucket").isin(doomed)).filter(~tomb)
-            _write_clustered(live, staging)
+            _write_clustered(
+                live, staging, key_col, 1, n_buckets,
+                snap.get("cluster_col"), snap.get("cluster_bins", 4),
+            )
         except Exception as ex:
             shutil.rmtree(staging, ignore_errors=True)
             if _is_missing_file_error(ex):
@@ -840,6 +1006,13 @@ def compact_tombstones(
             "buckets": {k: buckets[k] for k in sorted(buckets, key=int)},
             "tombstone_buckets": [],
         }
+        if snap.get("cluster_col") is not None:
+            manifest["cluster_col"] = snap["cluster_col"]
+            manifest["cluster_bins"] = snap.get("cluster_bins", 4)
+            manifest["file_stats"] = _carry_file_stats(
+                snap, buckets,
+                _staged_cluster_stats(spark, staging, snap["cluster_col"]),
+            )
         if _publish_manifest(base_dir, manifest):
             return {
                 "version": next_version,
@@ -1490,7 +1663,10 @@ def rebucket_table(
             df = _read_files_aligned(spark, files, cols, types).withColumn(
                 "bucket", _bucket_of(key_col, new_n_buckets)
             )
-            _write_clustered(df, staging, key_col, write_salt, new_n_buckets)
+            _write_clustered(
+                df, staging, key_col, write_salt, new_n_buckets,
+                snap.get("cluster_col"), snap.get("cluster_bins", 4),
+            )
             if TOMBSTONE_COL in types:
                 tomb = F.coalesce(
                     F.col(TOMBSTONE_COL).cast("boolean"), F.lit(False)
@@ -1521,6 +1697,13 @@ def rebucket_table(
             "buckets": {str(b): fs for b, fs in sorted(new_files.items())},
             "tombstone_buckets": tomb_buckets,
         }
+        if snap.get("cluster_col") is not None:
+            # a rebucket replaces EVERY file: all stats are fresh
+            manifest["cluster_col"] = snap["cluster_col"]
+            manifest["cluster_bins"] = snap.get("cluster_bins", 4)
+            manifest["file_stats"] = _staged_cluster_stats(
+                spark, staging, snap["cluster_col"]
+            )
         if before_commit is not None:
             before_commit(attempt)
         if _publish_manifest(base_dir, manifest):
@@ -1626,6 +1809,98 @@ def merge_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         read_snapshot(spark, base_dir)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("ver").alias("sum_ver"),
+            F.round(F.sum("price"), 2).alias("sum_price"),
+        )
+        .orderBy("status")
+    )
+
+
+@register(
+    "merge_clustered_read",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, 1 AS ver, o_orderstatus AS status,
+             o_totalprice AS price
+      FROM orders
+    ), u1 AS (
+      SELECT o_orderkey, 2, o_orderstatus, o_totalprice * 2
+      FROM orders WHERE o_orderkey % 5 = 0
+    ), u AS (
+      SELECT * FROM base UNION ALL SELECT * FROM u1
+    ), latest AS (
+      SELECT k, ver, status, price,
+             ROW_NUMBER() OVER (PARTITION BY k
+                                ORDER BY ver DESC, status) AS rn
+      FROM u
+    )
+    SELECT status,
+           COUNT(*)                 AS n_rows,
+           CAST(SUM(ver) AS BIGINT) AS sum_ver,
+           ROUND(SUM(price), 2)     AS sum_price
+    FROM latest
+    WHERE rn = 1 AND price BETWEEN 1000 AND 25000
+    GROUP BY status
+    ORDER BY status
+    """,
+)
+def merge_clustered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zorder-lite on the MERGE write path: the table is initialized
+    with ``cluster_col='price'``, so EVERY commit (init and the merge
+    alike) range-bins each bucket's rows by price — one file per
+    (bucket, value slice), rows sorted within — and records per-file
+    (min, max) in the manifest. The range read then plans its file
+    list FROM THE MANIFEST (read_snapshot_range): files whose slice
+    provably misses [1000, 25000] are never opened — the
+    scan_file_skipping_stats idiom composed into the transactional
+    write path, which at 100 TB turns a post-merge range scan from
+    O(table) into O(matching slices). The hash bucket alone could
+    never do this: a bucket's single unclustered file spans the full
+    value range, so no secondary-column stat prunes it.
+
+    Inline protocol asserts: the planner actually SKIPS files for
+    this range (pruning is live, not vacuous), and pruning is
+    conservative (kept ∪ skipped = every manifest file). The oracle
+    never sees the layout: it is the plain latest-wins replay with
+    the same WHERE — exactness under pruning IS the correctness
+    claim."""
+    import shutil
+
+    from .scans import _adir
+
+    base_dir = _adir(sf_dir, "merge_clustered_table")
+    shutil.rmtree(base_dir, ignore_errors=True)
+
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("ver"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    init_table(orders, base_dir, key_col="k", n_buckets=8,
+               cluster_col="price")
+
+    u1 = orders.filter(F.col("k") % 5 == 0).select(
+        "k", F.lit(2).alias("ver"), "status",
+        (F.col("price") * 2).alias("price"),
+    )
+    merge_upsert_manifest(
+        base_dir, u1, ver_col="ver", tiebreak_col="status", writer_id="u1"
+    )
+
+    m = load_manifest(base_dir)
+    kept, skipped = prune_files_by_range(m, 1000.0, 25000.0)
+    if not skipped:
+        raise AssertionError("range plan skipped no files — stats dead")
+    n_all = sum(len(fs) for fs in m["buckets"].values())
+    if len(kept) + len(skipped) != n_all:
+        raise AssertionError("pruning lost track of manifest files")
+
+    return (
+        read_snapshot_range(spark, base_dir, 1000.0, 25000.0)
         .groupBy("status")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

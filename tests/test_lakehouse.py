@@ -989,3 +989,110 @@ def test_salted_clustered_write_bounds_hot_bucket_files(spark, tmp_path):
     a = read_snapshot(spark, str(tmp_path / "plain")).orderBy("k")
     b = read_snapshot(spark, str(tmp_path / "salted")).orderBy("k")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_cluster_stats_prune_and_exact_range_read(spark, tmp_path):
+    """Zorder-lite layout: init with cluster_col, merge, then a range
+    read planned from the manifest stats must SKIP files and still be
+    exactly equal to the filter over the full snapshot (pruning is an
+    optimization, never a filter)."""
+    from assignment4_spark.operators.lakehouse import (
+        prune_files_by_range,
+        read_snapshot_range,
+    )
+
+    base = str(tmp_path / "tbl")
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), F.lit(1).alias("ver"),
+        (F.col("id") * 3).cast("double").alias("val"),
+    )
+    init_table(df, base, key_col="k", n_buckets=4, cluster_col="val")
+    upd = spark.range(0, 2000, 10).select(
+        F.col("id").alias("k"), F.lit(2).alias("ver"),
+        (F.col("id") * 3 + 1).cast("double").alias("val"),
+    )
+    merge_upsert_manifest(base, upd, "ver", "val")
+
+    m = load_manifest(base)
+    kept, skipped = prune_files_by_range(m, 100.0, 400.0)
+    assert skipped, "narrow range must skip files"
+    n_all = sum(len(fs) for fs in m["buckets"].values())
+    assert len(kept) + len(skipped) == n_all
+
+    got = read_snapshot_range(spark, base, 100.0, 400.0)
+    want = read_snapshot(spark, base).filter(F.col("val").between(100.0, 400.0))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.count() > 0
+
+
+def test_cluster_layout_survives_compact_and_rebucket(spark, tmp_path):
+    """cluster_col is a TABLE property: compact_tombstones and
+    rebucket_table must keep maintaining the layout + stats without
+    being told — post-rebucket range reads still skip and still match
+    the full scan."""
+    from assignment4_spark.operators.lakehouse import (
+        TOMBSTONE_COL,
+        compact_tombstones,
+        prune_files_by_range,
+        read_snapshot_range,
+        rebucket_table,
+    )
+
+    base = str(tmp_path / "tbl")
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), F.lit(1).alias("ver"),
+        (F.col("id") * 3).cast("double").alias("val"),
+        F.lit(False).alias(TOMBSTONE_COL),
+    )
+    init_table(df, base, key_col="k", n_buckets=4, cluster_col="val")
+    tomb = spark.createDataFrame(
+        [(7, 5, 21.0, True)],
+        f"k long, ver int, val double, {TOMBSTONE_COL} boolean",
+    )
+    merge_upsert_manifest(base, tomb, "ver", "val")
+    compact_tombstones(spark, base)
+    m = load_manifest(base)
+    assert m.get("cluster_col") == "val" and m.get("file_stats")
+
+    rebucket_table(spark, base, 8)
+    m = load_manifest(base)
+    assert m["n_buckets"] == 8 and m.get("cluster_col") == "val"
+    # every live file has fresh stats after the full rewrite
+    live = {f for fs in m["buckets"].values() for f in fs}
+    assert set(m["file_stats"]) == live
+
+    kept, skipped = prune_files_by_range(m, 0.0, 900.0)
+    assert skipped, "post-rebucket range must still skip"
+    got = read_snapshot_range(spark, base, 0.0, 900.0)
+    want = read_snapshot(spark, base).filter(F.col("val").between(0.0, 900.0))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_cluster_init_gates_non_numeric(spark, tmp_path):
+    """(min, max) stats must JSON-roundtrip and compare at plan time:
+    a string/date cluster_col is rejected at init, loudly."""
+    df = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(1).alias("ver"),
+        F.concat(F.lit("p"), F.col("id")).alias("payload"),
+    )
+    with pytest.raises(ValueError, match="numeric"):
+        init_table(df, str(tmp_path / "t"), key_col="k", n_buckets=2,
+                   cluster_col="payload")
+
+
+def test_clustered_commit_file_count_bounded(spark, tmp_path):
+    """The layout's file cost is the documented O(buckets x bins)
+    bound, not an explosion."""
+    base = str(tmp_path / "tbl")
+    df = spark.range(5000).select(
+        F.col("id").alias("k"), F.lit(1).alias("ver"),
+        (F.col("id") % 997).cast("double").alias("val"),
+    )
+    init_table(df, base, key_col="k", n_buckets=4, cluster_col="val",
+               cluster_bins=4)
+    m = load_manifest(base)
+    n_files = sum(len(fs) for fs in m["buckets"].values())
+    assert n_files <= 16, f"init must leave <= buckets*bins files, got {n_files}"
+    assert n_files >= 8, f"binning must actually split buckets, got {n_files}"
