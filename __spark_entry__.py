@@ -49,6 +49,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # round-8 additions: never driver-checked, oracled
     "stream_changes_feed", "merge_rebucket", "merge_clustered_read",
+    "stream_cdf_materialize",
     # stalest greens
     "sort_multikey_nulls", "win_first_last", "win_lag_lead",
     "win_moving_avg_range", "win_ntile_cume", "win_rank_dense_rownum",

@@ -29,6 +29,8 @@ from .operators.dedup import (  # noqa: F401
 )
 from .operators.lakehouse import (  # noqa: F401
     TOMBSTONE_COL,
+    apply_cdf_deltas,
+    cdf_deltas,
     changes_between,
     compact_tombstones,
     init_table,
@@ -115,6 +117,8 @@ __all__ = [
     "bottomk_by_hash",
     "bpe_train",
     "canonical_url",
+    "apply_cdf_deltas",
+    "cdf_deltas",
     "changes_between",
     "char_entropy",
     "CHUNK_OVERLAP",

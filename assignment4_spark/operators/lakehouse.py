@@ -1909,3 +1909,90 @@ def merge_clustered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+def cdf_deltas(changes: DataFrame, price_col_pair=("old_price", "new_price"),
+               status_pair=("old_status", "new_status")) -> DataFrame:
+    """Signed per-group deltas from a change feed — the map step of
+    incremental view maintenance (what Materialize/Delta Live Tables
+    do under the name 'incremental computation'): every insert/update
+    contributes +1/+new to its NEW group, every delete/update
+    contributes -1/-old to its OLD group, so a status flip moves the
+    row between groups and a pure price change nets n=0 with the
+    price delta. Money folds in BIGINT CENTS: incremental float
+    addition is order-dependent (a replayed/reordered fold would
+    drift low-order bits against the direct aggregate), integer cents
+    are exact and associative — the same exact-inside rule the merge
+    family's oracles follow."""
+    old_p, new_p = price_col_pair
+    old_s, new_s = status_pair
+    cents = lambda c: F.round(F.col(c) * 100, 0).cast("bigint")  # noqa: E731
+    adds = changes.filter(
+        F.col("change_type").isin("insert", "update")
+    ).select(
+        F.col(new_s).alias("status"),
+        F.lit(1).cast("bigint").alias("dn"),
+        cents(new_p).alias("dcents"),
+    )
+    subs = changes.filter(
+        F.col("change_type").isin("delete", "update")
+    ).select(
+        F.col(old_s).alias("status"),
+        F.lit(-1).cast("bigint").alias("dn"),
+        (-cents(old_p)).alias("dcents"),
+    )
+    return (
+        adds.unionByName(subs)
+        .groupBy("status")
+        .agg(F.sum("dn").alias("dn"), F.sum("dcents").alias("dcents"))
+    )
+
+
+def apply_cdf_deltas(
+    spark: SparkSession,
+    target_dir: str,
+    deltas: DataFrame,
+    thru_version: int,
+) -> str:
+    """Fold one change-feed batch's deltas into the materialized
+    aggregate table at ``target_dir`` — the apply step of incremental
+    view maintenance, EXACTLY-ONCE on an at-least-once channel via
+    version watermarking: every row the apply writes carries
+    ``ver = thru_version`` (the upstream commit version this batch
+    covers), so the max ver over the target IS the applied-through
+    watermark, and a replayed batch (thru_version <= watermark) is
+    skipped before any arithmetic — the additive fold that latest-wins
+    alone cannot make idempotent. Returns 'applied' | 'skipped' |
+    'empty'.
+
+    Cost shape: read current aggregate (O(groups)), outer-join the
+    batch's deltas (O(groups changed)), one merge commit — state lives
+    in the target TABLE, the stream holds none."""
+    cur = read_snapshot(spark, target_dir)
+    watermark = (cur.agg(F.max("ver")).first()[0]) or 0
+    if thru_version <= watermark:
+        return "skipped"
+    if deltas.isEmpty():
+        return "empty"
+    merged = (
+        cur.select("status", "n_rows", "sum_price_cents")
+        .join(deltas, "status", "full_outer")
+        .select(
+            "status",
+            F.lit(thru_version).cast("int").alias("ver"),
+            (F.coalesce(F.col("n_rows"), F.lit(0))
+             + F.coalesce(F.col("dn"), F.lit(0))).alias("n_rows"),
+            (F.coalesce(F.col("sum_price_cents"), F.lit(0))
+             + F.coalesce(F.col("dcents"), F.lit(0))).alias("sum_price_cents"),
+        )
+    )
+    # tiebreak on n_rows, not the key itself (key_col doubling as
+    # tiebreak would project `status` twice and break the merge);
+    # the ver ladder is strictly monotone per group anyway — the
+    # tiebreak is unreachable, required only for the determinism
+    # contract
+    merge_upsert_manifest(
+        target_dir, merged, ver_col="ver", tiebreak_col="n_rows",
+        writer_id=f"ivm_v{thru_version}",
+    )
+    return "applied"

@@ -945,3 +945,120 @@ def stream_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("_commit_version", "k")
     )
+
+
+@register(
+    "stream_cdf_materialize",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, 1 AS ver, o_orderstatus AS status,
+             o_totalprice AS price, FALSE AS del
+      FROM orders
+    ), u1 AS (
+      SELECT o_orderkey, 2, o_orderstatus, o_totalprice * 2, FALSE
+      FROM orders WHERE o_orderkey % 5 = 0
+    ), u2 AS (
+      SELECT o_orderkey, 3,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_orderstatus ELSE 'C' END,
+             o_totalprice + 7,
+             o_orderkey % 10 = 0
+      FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey + 1000000, 3, 'N', o_totalprice, FALSE
+      FROM orders WHERE o_orderkey % 50 = 0
+    ),
+    cut3 AS (
+      SELECT k, status, price FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                                     ORDER BY ver DESC, status) AS rn
+        FROM (SELECT * FROM base UNION ALL SELECT * FROM u1
+              UNION ALL SELECT * FROM u2)
+      ) WHERE rn = 1 AND NOT del
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(price * 100, 0) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents
+    FROM cut3
+    GROUP BY status
+    ORDER BY status
+    """,
+)
+def stream_cdf_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance over the CDC feed — the
+    MATERIALIZE step that completes the lakehouse streaming story
+    (produce: merge_changes_feed → consume: stream_changes_feed →
+    maintain: this): a downstream aggregate table is seeded from the
+    source's v1 snapshot, then each change-feed batch folds SIGNED
+    DELTAS into it (insert/update → +1/+new-cents to the new group,
+    delete/update → -1/-old-cents to the old group — a status flip
+    moves the row between groups) instead of ever re-scanning the
+    source. Exactly-once on an at-least-once channel via VERSION
+    WATERMARKING (api.apply_cdf_deltas): every applied row carries
+    ver = the upstream commit version the batch covers, max(ver) over
+    the target IS the applied-through watermark, and a replayed batch
+    is skipped before any arithmetic — the additive fold latest-wins
+    alone cannot make idempotent (re-merging an upsert is a no-op;
+    re-adding a delta is not). Money folds in BIGINT CENTS: float
+    addition is order-dependent, integer cents are exact and
+    associative, so the incrementally-maintained table equals the
+    direct aggregate BIT-EXACTLY — and THAT equality is what the
+    oracle checks (it computes the final state directly and never
+    sees the incremental path). Inline asserts: both steps report
+    'applied' and a forced REPLAY of the last batch reports 'skipped'.
+    Streaming twin (tests/test_streaming.py): readStream over
+    lakehouse_cdf → foreachBatch apply, run TWICE end-to-end — the
+    second full replay leaves the target bit-identical.
+
+    Scale shape: per batch O(changed groups) arithmetic + one
+    O(groups) merge commit; the source is never re-read past its
+    changed buckets; the stream holds zero keyed state (both the
+    offset and the watermark live in table manifests)."""
+    import shutil
+
+    from ..operators.lakehouse import (
+        apply_cdf_deltas,
+        build_cdc_ladder,
+        cdf_deltas,
+        changes_between,
+        init_table,
+        read_snapshot,
+    )
+    from ..operators.scans import _adir
+
+    base_dir = _adir(sf_dir, "stream_ivm_src")
+    target_dir = _adir(sf_dir, "stream_ivm_tgt")
+    shutil.rmtree(base_dir, ignore_errors=True)
+    shutil.rmtree(target_dir, ignore_errors=True)
+    build_cdc_ladder(spark, sf_dir, base_dir)
+
+    cents = F.round(F.col("price") * 100, 0).cast("bigint")
+    seed = (
+        read_snapshot(spark, base_dir, version=1)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(cents).alias("sum_price_cents"),
+        )
+        .select("status", F.lit(1).alias("ver"), "n_rows", "sum_price_cents")
+    )
+    init_table(seed, target_dir, key_col="status", n_buckets=4)
+
+    for v in (1, 2):
+        ch = changes_between(spark, base_dir, v, v + 1)
+        out = apply_cdf_deltas(spark, target_dir, cdf_deltas(ch), v + 1)
+        if out != "applied":
+            raise AssertionError(f"step {v}->{v + 1} must apply, got {out}")
+    replay = apply_cdf_deltas(
+        spark, target_dir,
+        cdf_deltas(changes_between(spark, base_dir, 2, 3)), 3,
+    )
+    if replay != "skipped":
+        raise AssertionError(f"replayed batch must be skipped, got {replay}")
+
+    return (
+        read_snapshot(spark, target_dir)
+        .filter(F.col("n_rows") > 0)
+        .select("status", "n_rows", "sum_price_cents")
+        .orderBy("status")
+    )
