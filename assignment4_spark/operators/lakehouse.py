@@ -716,6 +716,7 @@ def merge_upsert_manifest(
     before_commit=None,
     evolve_schema: bool = False,
     write_salt: int = 1,
+    patch_cols: list[str] | None = None,
 ) -> tuple[int, int]:
     """MERGE INTO the manifest table at ``base_dir``: latest-wins per
     key across (pinned snapshot ∪ updates), ordered by ``ver_col`` DESC
@@ -723,6 +724,23 @@ def merge_upsert_manifest(
     an updated key are read or rewritten; every other bucket's files
     carry over into the new manifest untouched (asserted file-identical
     in tests/test_lakehouse.py).
+
+    ``patch_cols`` switches matched rows from full-row replacement to
+    COLUMN-SUBSET UPDATE (Delta's ``whenMatchedUpdate(set={...})``,
+    SQL MERGE's ``UPDATE SET c = ...``): the batch carries ONLY
+    (key, ver_col, tiebreak_col, *patch_cols); every other table
+    column is carried from the key's current visible row in the
+    pinned snapshot (NULL when the key is new or tombstoned — the
+    WHEN NOT MATCHED INSERT face). The patch enrichment runs INSIDE
+    the retry loop against the SAME pinned manifest the CAS commits
+    over: a writer that loses the race re-pins and RE-PATCHES against
+    the winner's rows, so two writers patching different columns of
+    the same key both survive (the lost-update anomaly a
+    read-enrich-then-merge wrapper outside the loop would reintroduce;
+    raced in tests/test_lakehouse.py). Costs one extra bucket-pruned
+    scan of the touched buckets (the patch join's build side) — the
+    same "read matched files" price Delta's MERGE pays. Mutually
+    exclusive with ``evolve_schema`` (a patch never changes schema).
 
     ``evolve_schema=True`` relaxes the strict schema gates to SAFE
     evolution only (see _resolve_evolved_schema): new update columns
@@ -753,18 +771,49 @@ def merge_upsert_manifest(
     import shutil
 
     spark = updates.sparkSession
+    if patch_cols is not None and evolve_schema:
+        raise ValueError(
+            "patch_cols and evolve_schema are mutually exclusive: a "
+            "column-subset patch is defined over the table's existing "
+            "schema"
+        )
     for attempt in range(max_retries + 1):
         snap = load_manifest(base_dir)
         key_col, n_buckets = snap["key_col"], snap["n_buckets"]
         expected = snap.get("columns")
         expected_types = snap.get("column_types")
+        if patch_cols is not None:
+            if expected is None or expected_types is None:
+                raise ValueError(
+                    "patch_cols requires a manifest with a recorded "
+                    "schema (legacy pre-schema manifests cannot define "
+                    "which columns a patch carries)"
+                )
+            bad = [
+                c
+                for c in patch_cols
+                if c not in expected or c in (key_col, "bucket", "rn")
+            ]
+            if bad:
+                raise ValueError(
+                    f"patch_cols {bad} must be existing non-key table "
+                    f"columns (table: {sorted(expected)})"
+                )
+            need = sorted({key_col, ver_col, tiebreak_col, *patch_cols})
+            if sorted(updates.columns) != need:
+                raise ValueError(
+                    f"partial-update batch columns "
+                    f"{sorted(updates.columns)} must be exactly {need}"
+                )
         if evolve_schema and expected is not None and expected_types is not None:
             res_columns, res_types = _resolve_evolved_schema(
                 expected, expected_types, updates, key_col
             )
         else:
-            if expected is not None and sorted(updates.columns) != sorted(
-                expected
+            if (
+                patch_cols is None
+                and expected is not None
+                and sorted(updates.columns) != sorted(expected)
             ):
                 raise ValueError(
                     f"update batch columns {sorted(updates.columns)} do not "
@@ -800,20 +849,31 @@ def merge_upsert_manifest(
             if c not in (key_col, ver_col, tiebreak_col)
         ]
         have = set(updates.columns)
-        # align the batch to the RESULT schema: evolution may add table
-        # columns the batch omits (NULL — latest-wins rows are full-row
-        # replacements) or leave the batch narrower than a widened
-        # column (lossless upcast); same-type casts are elided
-        upd = updates.select(
-            *[
-                (
-                    F.col(c).cast(res_types[c])
-                    if c in have
-                    else F.lit(None).cast(res_types[c])
-                ).alias(c)
-                for c in cols
-            ]
-        ).withColumn("bucket", _bucket_of(key_col, n_buckets))
+        if patch_cols is not None:
+            # batch stays NARROW here (key, ver, tiebreak, patch cols,
+            # types aligned); the carry columns are filled from the
+            # pinned snapshot's rows AFTER the touched buckets are
+            # read, inside the retry guard — NULL-filling them now
+            # would turn the patch into a full-row replacement
+            upd = updates.select(
+                *[F.col(c).cast(res_types[c]).alias(c) for c in cols if c in have]
+            ).withColumn("bucket", _bucket_of(key_col, n_buckets))
+        else:
+            # align the batch to the RESULT schema: evolution may add
+            # table columns the batch omits (NULL — latest-wins rows are
+            # full-row replacements) or leave the batch narrower than a
+            # widened column (lossless upcast); same-type casts are
+            # elided
+            upd = updates.select(
+                *[
+                    (
+                        F.col(c).cast(res_types[c])
+                        if c in have
+                        else F.lit(None).cast(res_types[c])
+                    ).alias(c)
+                    for c in cols
+                ]
+            ).withColumn("bucket", _bucket_of(key_col, n_buckets))
         next_version = snap["version"] + 1
         staging = _staging_path(base_dir, "commit", next_version, writer_id, attempt)
         # everything that READS the pinned snapshot sits inside the
@@ -827,7 +887,7 @@ def merge_upsert_manifest(
             # for compact_tombstones — no second job
             tomb_flag = (
                 F.coalesce(F.col(TOMBSTONE_COL).cast("boolean"), F.lit(False))
-                if TOMBSTONE_COL in cols
+                if TOMBSTONE_COL in upd.columns
                 else F.lit(False)
             )
             bucket_info = (
@@ -843,15 +903,41 @@ def merge_upsert_manifest(
             base_files = [
                 f for b in touched for f in snap["buckets"].get(str(b), [])
             ]
-            unioned = upd
+            base_df = None
             if base_files:
                 # aligned, not a plain read: files written before a
                 # schema evolution physically lack added columns / carry
                 # narrower widened types
-                base_df = _read_files_aligned(
-                    spark, base_files, cols, res_types
-                ).withColumn("bucket", _bucket_of(key_col, n_buckets))
-                unioned = base_df.unionByName(upd)
+                base_df = _read_files_aligned(spark, base_files, cols, res_types)
+            if patch_cols is not None:
+                # fill the carry columns from the pinned snapshot's
+                # visible rows (one row per key by the merge invariant).
+                # Duplicate batch keys need no pre-dedup: both rows get
+                # identical carry values and the final latest-wins
+                # window picks the same winner it would after a dedup.
+                carry = [c for c in cols if c not in upd.columns]
+                carry_data = [c for c in carry if c != TOMBSTONE_COL]
+                if base_df is not None and carry_data:
+                    upd = upd.join(
+                        _visible_rows(base_df).select(key_col, *carry_data),
+                        on=key_col,
+                        how="left",
+                    )
+                else:
+                    for c in carry_data:
+                        upd = upd.withColumn(c, F.lit(None).cast(res_types[c]))
+                if TOMBSTONE_COL in carry:
+                    # a patch row is a live upsert: the key's previous
+                    # tombstone state never carries (visible rows are
+                    # all live, tombstoned/new keys re-insert live)
+                    upd = upd.withColumn(
+                        TOMBSTONE_COL, F.lit(None).cast(res_types[TOMBSTONE_COL])
+                    )
+            unioned = upd
+            if base_df is not None:
+                unioned = base_df.withColumn(
+                    "bucket", _bucket_of(key_col, n_buckets)
+                ).unionByName(upd)
             w = Window.partitionBy(key_col).orderBy(
                 F.col(ver_col).desc(), F.col(tiebreak_col)
             )
@@ -1996,3 +2082,107 @@ def apply_cdf_deltas(
         writer_id=f"ivm_v{thru_version}",
     )
     return "applied"
+
+
+@register(
+    "merge_partial_update",
+    oracle="""
+    -- closed form of the two sequential column-subset patches:
+    -- u1 (every 4th key) patches ONLY price (*2), u2 (every 6th key)
+    -- patches ONLY status ('P'); keys % 12 take both and must keep
+    -- u1's price UNDER u2 — the probe a full-row MERGE fails (it
+    -- would null the price when u2's batch omits it)
+    WITH final AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 6 = 0 THEN 3
+                  WHEN o_orderkey % 4 = 0 THEN 2
+                  ELSE 1 END                                     AS ver,
+             CASE WHEN o_orderkey % 6 = 0 THEN 'P'
+                  ELSE o_orderstatus END                         AS status,
+             CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END                          AS price,
+             CAST(o_orderkey % 100 AS INTEGER)                   AS qty
+      FROM orders
+    )
+    SELECT status,
+           COUNT(*)                     AS n_rows,
+           CAST(SUM(ver) AS BIGINT)     AS sum_ver,
+           ROUND(SUM(price), 2)         AS sum_price,
+           CAST(SUM(qty) AS BIGINT)     AS sum_qty
+    FROM final
+    GROUP BY status ORDER BY status
+    """,
+)
+def merge_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of column-subset MERGE (Delta's
+    ``whenMatchedUpdate(set={...})`` / SQL MERGE ``UPDATE SET c=...``;
+    generalizes A13's full-row upsert, parser_pinecone_storage.py:154):
+    seed orders as (k, ver, src, status, price, qty), then two patches
+    that each name ONE column — u1 doubles price for every 4th key,
+    u2 flips status to 'P' for every 6th key. Keys divisible by 12
+    take both, and the final row must show u1's doubled price UNDER
+    u2's status — the column-carry property that distinguishes a
+    partial update from full-row latest-wins (which would write NULL
+    price in u2's rows). ``qty`` is patched by NEITHER batch: any row
+    whose qty nulls out means a patch degenerated to a replacement.
+
+    The tiebreak column is the dedicated writer tag ``src`` (not a
+    data column): a patch batch must carry (key, ver, tiebreak,
+    *patch_cols), so tiebreaking on a data column would conscript it
+    into every patch. Scale shape: each patch reads ONLY the touched
+    buckets (once for the carry join's build side, once for the
+    rewrite union — the "read matched files" price Delta's MERGE
+    pays), never the table; the carry join is key-equi and
+    broadcast-eligible. The two-writer lost-update race (re-pin must
+    RE-PATCH against the winner's row) is proven in
+    tests/test_lakehouse.py::test_partial_update_two_writers_keep_both_columns.
+    """
+    import shutil
+
+    from .scans import _adir
+
+    base_dir = _adir(sf_dir, "merge_partial_update_table")
+    shutil.rmtree(base_dir, ignore_errors=True)
+
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("ver"),
+        F.lit("seed").alias("src"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        (F.col("o_orderkey") % 100).cast("int").alias("qty"),
+    )
+    init_table(orders, base_dir, key_col="k", n_buckets=16)
+
+    u1 = orders.filter(F.col("k") % 4 == 0).select(
+        "k", F.lit(2).alias("ver"), F.lit("u1").alias("src"),
+        (F.col("price") * 2).alias("price"),
+    )
+    u2 = orders.filter(F.col("k") % 6 == 0).select(
+        "k", F.lit(3).alias("ver"), F.lit("u2").alias("src"),
+    )
+    v2, t2 = merge_upsert_manifest(
+        base_dir, u1, ver_col="ver", tiebreak_col="src",
+        writer_id="u1", patch_cols=["price"],
+    )
+    v3, t3 = merge_upsert_manifest(
+        base_dir, u2.withColumn("status", F.lit("P")),
+        ver_col="ver", tiebreak_col="src",
+        writer_id="u2", patch_cols=["status"],
+    )
+    if (v2, t2, v3, t3) != (2, 1, 3, 1):
+        raise AssertionError(
+            f"sequential patches must commit v2/v3 first-try, got "
+            f"{(v2, t2, v3, t3)}"
+        )
+    return (
+        read_snapshot(spark, base_dir)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("ver").alias("sum_ver"),
+            F.round(F.sum("price"), 2).alias("sum_price"),
+            F.sum("qty").alias("sum_qty"),
+        )
+        .orderBy("status")
+    )

@@ -405,3 +405,104 @@ def win_streaks_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "win_pattern_match",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             ROW_NUMBER() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), marked AS (
+      SELECT user_id, ts, event_type, rn,
+             MAX(CASE WHEN event_type <> 'click' THEN rn END)
+               OVER w2 AS anchor_rn,
+             LAST_VALUE(CASE WHEN event_type <> 'click' THEN event_type END
+                        IGNORE NULLS) OVER w2 AS anchor_type,
+             LAST_VALUE(CASE WHEN event_type <> 'click' THEN ts END
+                        IGNORE NULLS) OVER w2 AS anchor_ts
+      FROM o
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY rn
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id,
+           anchor_ts                        AS signup_ts,
+           ts                               AS purchase_ts,
+           CAST(rn - anchor_rn - 1 AS BIGINT) AS n_clicks
+    FROM marked
+    WHERE event_type = 'purchase'
+      AND anchor_type = 'signup'
+      AND rn - anchor_rn >= 2
+    ORDER BY user_id, purchase_ts, signup_ts
+    """,
+)
+def win_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: detect every maximal consecutive
+    ``signup (click)+ purchase`` run in each user's event stream —
+    the row-pattern query SQL:2016 spells MATCH_RECOGNIZE (and Flink
+    CEP spells PATTERN A B+ C), which neither Spark nor DuckDB ships.
+
+    The single-pass reformulation: for each row, the last
+    NON-click row before it (in stream order) is the only candidate
+    pattern anchor — every row between that anchor and the current row
+    is a click by construction. So a purchase row completes a match
+    iff its anchor is a signup at distance >= 2 (at least one click
+    between). One conditional running MAX picks the anchor position,
+    two conditional last(ignorenulls) carry its type and timestamp —
+    no self-join, no explode, no per-row Python.
+
+    Spark shape: the row_number window and the three anchor windows
+    share the SAME (user_id) partitioning with compatible orderings
+    (ts,event_id then rn), so the whole detection stacks on ONE
+    exchange (plan-gated in tests/test_plans.py). State per row is
+    O(1); partitions are per-user streams, never the global table.
+    Matches cannot span users, so a 100 TB run parallelizes freely.
+    Reference provenance: none; SURVEY §2 Part B window family
+    (round 8) — the sequence-detection face ts_funnel_stages
+    (first-conversion aggregate) does not cover: EVERY occurrence,
+    adjacency-constrained, with per-match click counts.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    wrn = W.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    o = ev.withColumn("rn", F.row_number().over(wrn))
+    w2 = (
+        W.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    non_click = F.col("event_type") != F.lit("click")
+    marked = o.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "rn",
+        F.max(F.when(non_click, F.col("rn"))).over(w2).alias("anchor_rn"),
+        F.last(F.when(non_click, F.col("event_type")), ignorenulls=True)
+        .over(w2)
+        .alias("anchor_type"),
+        F.last(F.when(non_click, F.col("ts")), ignorenulls=True)
+        .over(w2)
+        .alias("anchor_ts"),
+    )
+    return (
+        marked.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("anchor_type") == "signup")
+            & (F.col("rn") - F.col("anchor_rn") >= 2)
+        )
+        .select(
+            "user_id",
+            F.col("anchor_ts").alias("signup_ts"),
+            F.col("ts").alias("purchase_ts"),
+            (F.col("rn") - F.col("anchor_rn") - 1)
+            .cast("bigint")
+            .alias("n_clicks"),
+        )
+        .orderBy("user_id", "purchase_ts", "signup_ts")
+    )

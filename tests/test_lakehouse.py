@@ -1096,3 +1096,122 @@ def test_clustered_commit_file_count_bounded(spark, tmp_path):
     n_files = sum(len(fs) for fs in m["buckets"].values())
     assert n_files <= 16, f"init must leave <= buckets*bins files, got {n_files}"
     assert n_files >= 8, f"binning must actually split buckets, got {n_files}"
+
+
+def _mk_wide_table(spark, tmp_path, n=100, n_buckets=8):
+    base = str(tmp_path / "wtbl")
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.lit(1).alias("ver"),
+        F.lit("seed").alias("src"),
+        (F.col("id") * 10.0).alias("price"),
+        F.concat(F.lit("s"), F.col("id")).alias("status"),
+    )
+    init_table(df, base, key_col="k", n_buckets=n_buckets)
+    return base
+
+
+def test_partial_update_carries_unpatched_columns(spark, tmp_path):
+    """A patch batch naming only `price` must keep every key's current
+    `status`, and a patch-batch key absent from the table inserts with
+    NULL carry columns (WHEN NOT MATCHED INSERT)."""
+    base = _mk_wide_table(spark, tmp_path)
+    upd = spark.createDataFrame(
+        [(5, 2, "u1", 555.0), (900, 2, "u1", 9.0)],
+        "k long, ver int, src string, price double",
+    )
+    v, tries = merge_upsert_manifest(
+        base, upd, "ver", "src", writer_id="u1", patch_cols=["price"]
+    )
+    assert (v, tries) == (2, 1)
+    rows = {r.k: r for r in read_snapshot(spark, base).collect()}
+    assert (rows[5].price, rows[5].status, rows[5].ver) == (555.0, "s5", 2)
+    assert (rows[900].price, rows[900].status) == (9.0, None)
+    assert rows[7].price == 70.0 and rows[7].ver == 1
+
+
+def test_partial_update_two_writers_keep_both_columns(spark, tmp_path):
+    """The lost-update anomaly: A patches price, B patches status of
+    the SAME key; B commits inside A's pre-commit window. A's retry
+    must RE-PATCH against B's committed row, so the final row carries
+    BOTH column updates — an enrich-outside-the-retry-loop
+    implementation would resurrect the pre-B status here."""
+    base = _mk_wide_table(spark, tmp_path)
+    a_upd = spark.createDataFrame(
+        [(10, 3, "A", 111.0)], "k long, ver int, src string, price double"
+    )
+    b_upd = spark.createDataFrame(
+        [(10, 2, "B", "flipped")], "k long, ver int, src string, status string"
+    )
+    b_result = {}
+
+    def interleave(attempt):
+        if attempt == 0:
+            b_result["commit"] = merge_upsert_manifest(
+                base, b_upd, "ver", "src", writer_id="B",
+                patch_cols=["status"],
+            )
+
+    v, tries = merge_upsert_manifest(
+        base, a_upd, "ver", "src", writer_id="A",
+        before_commit=interleave, patch_cols=["price"],
+    )
+    assert b_result["commit"] == (2, 1)
+    assert (v, tries) == (3, 2), "A must lose v2 and retry into v3"
+    row = {r.k: r for r in read_snapshot(spark, base).collect()}[10]
+    assert (row.price, row.status, row.ver) == (111.0, "flipped", 3), (
+        "both writers' columns must survive the race"
+    )
+
+
+def test_partial_update_rejects_bad_batches(spark, tmp_path):
+    """Patch gates: unknown/key/internal patch columns, batch column
+    drift from the declared patch set, and evolve_schema+patch_cols
+    are all loud errors."""
+    base = _mk_wide_table(spark, tmp_path)
+    good = spark.createDataFrame(
+        [(1, 2, "u", 1.0)], "k long, ver int, src string, price double"
+    )
+    with pytest.raises(ValueError, match="existing non-key"):
+        merge_upsert_manifest(base, good, "ver", "src", patch_cols=["nope"])
+    with pytest.raises(ValueError, match="existing non-key"):
+        merge_upsert_manifest(base, good, "ver", "src", patch_cols=["k"])
+    with pytest.raises(ValueError, match="must be exactly"):
+        merge_upsert_manifest(base, good, "ver", "src", patch_cols=["status"])
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        merge_upsert_manifest(
+            base, good, "ver", "src", patch_cols=["price"], evolve_schema=True
+        )
+
+
+def test_partial_update_reinserts_tombstoned_key_live(spark, tmp_path):
+    """A patch hitting a tombstoned key treats it as NOT MATCHED: the
+    key re-inserts live (visible) with NULL carry columns — the
+    previous tombstone state never carries into the patched row."""
+    from assignment4_spark.operators.lakehouse import TOMBSTONE_COL
+
+    base = str(tmp_path / "ttbl")
+    df = spark.range(20).select(
+        F.col("id").alias("k"),
+        F.lit(1).alias("ver"),
+        F.lit("seed").alias("src"),
+        (F.col("id") * 10.0).alias("price"),
+        F.lit("live").alias("status"),
+        F.lit(False).alias(TOMBSTONE_COL),
+    )
+    init_table(df, base, key_col="k", n_buckets=4)
+    tomb = spark.createDataFrame(
+        [(3, 2, "del", None, None, True)],
+        f"k long, ver int, src string, price double, status string, "
+        f"{TOMBSTONE_COL} boolean",
+    )
+    merge_upsert_manifest(base, tomb, "ver", "src", writer_id="del")
+    assert 3 not in {r.k for r in read_snapshot(spark, base).collect()}
+    patch = spark.createDataFrame(
+        [(3, 3, "u", 999.0)], "k long, ver int, src string, price double"
+    )
+    merge_upsert_manifest(base, patch, "ver", "src", patch_cols=["price"])
+    rows = {r.k: r for r in read_snapshot(spark, base).collect()}
+    assert (rows[3].price, rows[3].status) == (999.0, None), (
+        "tombstoned key must re-insert live with NULL carry columns"
+    )

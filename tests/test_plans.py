@@ -1101,3 +1101,20 @@ def test_merge_upsert_snapshot_read_pruned_narrow(spark, sf_oracle):
     assert len(re.findall(r"Exchange \(\d+\)", body)) == 2, body
     assert "SortMergeJoin" not in body and "Window" not in body, body
     assert "HashAggregate" in body, body
+
+
+def test_pattern_match_single_data_exchange(spark, sf_oracle):
+    """MATCH_RECOGNIZE-lite: the row_number window and the three
+    anchor windows (conditional MAX + two last-ignorenulls) must all
+    ride ONE user_id exchange — compatible orderings stack on the
+    same partitioning; only the presentation sort may add a second
+    exchange. No join: the anchor is carried by window state, so a
+    SortMergeJoin here means the single-pass reformulation regressed
+    to a self-join."""
+    import re
+
+    plan = formatted_plan(spark, "win_pattern_match", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert len(re.findall(r"\(\d+\) Window", body)) == 2, body
+    assert len(re.findall(r"\(\d+\) Exchange", body)) == 2, body
+    assert "Join" not in body, body
