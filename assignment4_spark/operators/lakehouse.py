@@ -341,14 +341,201 @@ def _staged_cluster_stats(
 
 
 def _carry_file_stats(
-    snap: dict, buckets: dict, new_stats: dict
+    snap: dict, buckets: dict, new_stats: dict, key: str = "file_stats"
 ) -> dict[str, list]:
-    """Next manifest's file_stats: stats of carried-over files that are
-    still referenced + the staged files' fresh stats (replaced files'
-    stats drop with their files)."""
+    """Next manifest's per-file sidecar map (``file_stats`` /
+    ``file_blooms``): entries of carried-over files that are still
+    referenced + the staged files' fresh entries (replaced files'
+    entries drop with their files)."""
     live = {f for fs in buckets.values() for f in fs}
-    old = snap.get("file_stats", {})
+    old = snap.get(key, {})
     return {f: s for f, s in old.items() if f in live} | new_stats
+
+
+# Bloom sizing for the per-file point-lookup index: 32 Ki bits (512
+# words) / 4 probes per file. At the ~5k rows-per-file the clustered
+# commit write targets, that is n/m ≈ 0.15 → ~4% false-keep per file —
+# a kept file is read and exact-filtered anyway, so FP only costs I/O,
+# never correctness. Production sizing scales m with rows-per-file
+# (Parquet's own column bloom filters size the same way).
+BLOOM_M = 32768
+BLOOM_K = 4
+
+
+def _staged_file_blooms(
+    spark: SparkSession, staging: str, bloom_col: str, m: int, k: int
+) -> dict[str, dict[str, int]]:
+    """Per-file Bloom filter of the bloom column for a just-staged
+    commit, built DISTRIBUTED: each row explodes to its k bit
+    positions (pmod(xxhash64(value, seed_i), m)), positions fold to
+    (file, word_index) → bit_or partial-aggregated words — the collect
+    is O(files × m/64) words of METADATA, independent of row count
+    (never the positions themselves, which scale with data). NULLs set
+    no bits (a NULL probe is meaningless); files holding only NULLs
+    get an empty entry and match nothing."""
+    from urllib.parse import unquote, urlparse
+
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(F.xxhash64(F.col("v"), F.lit(i)), F.lit(m))
+                for i in range(k)
+            ]
+        )
+    ).alias("pos")
+    rows = (
+        spark.read.parquet(staging)
+        .select(F.input_file_name().alias("f"), F.col(bloom_col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .select("f", pos)
+        .select(
+            "f",
+            (F.col("pos") / 64).cast("int").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("f", "w")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    out: dict[str, dict[str, int]] = {}
+    # every staged file gets an entry (possibly empty) so the planner
+    # can tell "indexed, no match" from "pre-bloom file, must read"
+    for name in spark.read.parquet(staging).inputFiles():
+        out[unquote(urlparse(name).path)] = {}
+    for r in rows:
+        out[unquote(urlparse(r.f).path)][str(r.w)] = r.word
+    return out
+
+
+def _bloom_positions(
+    spark: SparkSession, value, vtype: str, m: int, k: int
+) -> list[int]:
+    """The probe value's k bit positions, computed BY SPARK with the
+    value cast to the table's recorded column type — xxhash64(5L) !=
+    xxhash64('5') != xxhash64(5 int), so hashing probe-side in Python
+    (or at a drifted type) would silently never match the build-side
+    bits. One 1-row local job; returns k ints."""
+    row = (
+        spark.range(1)
+        .select(
+            *[
+                F.pmod(
+                    F.xxhash64(F.lit(value).cast(vtype), F.lit(i)), F.lit(m)
+                ).alias(f"p{i}")
+                for i in range(k)
+            ]
+        )
+        .first()
+    )
+    return [row[f"p{i}"] for i in range(k)]
+
+
+def prune_files_by_bloom(
+    manifest: dict, positions: list[int]
+) -> tuple[list, list]:
+    """Plan a point-lookup from the manifest's per-file blooms:
+    (kept, skipped) file lists. A file is skipped ONLY when some probe
+    bit is provably absent from its recorded filter; files without a
+    bloom entry (written before the table had bloom_col — impossible
+    under init-time declaration, but cheap to honor) are always kept.
+    Python's arbitrary-precision ints read two's-complement longs
+    correctly: (word >> bit) & 1 is exact even for negative words."""
+    blooms = manifest.get("file_blooms", {})
+    kept, skipped = [], []
+    for fs in manifest["buckets"].values():
+        for f in fs:
+            b = blooms.get(f)
+            if b is None:
+                kept.append(f)
+                continue
+            hit = all(
+                (b.get(str(p // 64), 0) >> (p % 64)) & 1 for p in positions
+            )
+            (kept if hit else skipped).append(f)
+    return kept, skipped
+
+
+def read_snapshot_point(
+    spark: SparkSession,
+    base_dir: str,
+    value,
+    version: int | None = None,
+    include_tombstones: bool = False,
+) -> DataFrame:
+    """Point lookup on the table's bloom column, planned from the
+    manifest's per-file Bloom filters: files whose filter provably
+    lacks the value are never opened, then the exact equality filter
+    applies on what remains — a false-keep costs one file read, never
+    a wrong row (the secondary-index face of read_snapshot_range;
+    bucket pruning already serves point lookups on the TABLE KEY, the
+    bloom serves every other high-cardinality column). Requires a
+    table initialized with ``bloom_col``."""
+    manifest = load_manifest(base_dir, version)
+    bcol = manifest.get("bloom_col")
+    if bcol is None:
+        raise ValueError(
+            f"table at {base_dir} has no bloom_col; init with one to "
+            "get bloom-pruned point lookups"
+        )
+    positions = _bloom_positions(
+        spark,
+        value,
+        manifest["column_types"][bcol],
+        manifest["bloom_m"],
+        manifest["bloom_k"],
+    )
+    kept, _ = prune_files_by_bloom(manifest, positions)
+    if not kept:
+        # no file can hold the value: an empty frame at the pinned
+        # schema, zero files opened
+        ddl = ", ".join(
+            f"`{c}` {manifest['column_types'][c]}" for c in manifest["columns"]
+        )
+        df = spark.createDataFrame([], ddl)
+        return df if include_tombstones else _visible_rows(df)
+    df = _read_files_aligned(
+        spark, kept, manifest["columns"], manifest["column_types"]
+    ).filter(F.col(bcol) == F.lit(value))
+    if not include_tombstones:
+        df = _visible_rows(df)
+    return df
+
+
+def _attach_sidecars(
+    spark: SparkSession,
+    snap: dict,
+    manifest: dict,
+    buckets: dict,
+    staging: str,
+    carry: bool = True,
+) -> None:
+    """Propagate the table-wide layout properties (cluster stats,
+    bloom index) from the pinned snapshot onto the next manifest:
+    fresh entries computed for the staged files, carried entries for
+    still-referenced files. ``carry=False`` for full-rewrite commits
+    (rebucket), where every visible file is staged and a carry would
+    resurrect dead paths."""
+    if snap.get("cluster_col") is not None:
+        manifest["cluster_col"] = snap["cluster_col"]
+        manifest["cluster_bins"] = snap.get("cluster_bins", 4)
+        new = _staged_cluster_stats(spark, staging, snap["cluster_col"])
+        manifest["file_stats"] = (
+            _carry_file_stats(snap, buckets, new) if carry else new
+        )
+    if snap.get("bloom_col") is not None:
+        manifest["bloom_col"] = snap["bloom_col"]
+        manifest["bloom_m"] = snap["bloom_m"]
+        manifest["bloom_k"] = snap["bloom_k"]
+        newb = _staged_file_blooms(
+            spark, staging, snap["bloom_col"], snap["bloom_m"], snap["bloom_k"]
+        )
+        manifest["file_blooms"] = (
+            _carry_file_stats(snap, buckets, newb, key="file_blooms")
+            if carry
+            else newb
+        )
 
 
 def prune_files_by_range(manifest: dict, lo, hi) -> tuple[list, list]:
@@ -474,6 +661,9 @@ def init_table(
     n_buckets: int,
     cluster_col: str | None = None,
     cluster_bins: int = 4,
+    bloom_col: str | None = None,
+    bloom_m: int = BLOOM_M,
+    bloom_k: int = BLOOM_K,
 ) -> dict:
     """Commit version 1 of a manifest-tracked bucketed table.
 
@@ -487,7 +677,17 @@ def init_table(
     rebucket) range-bins each bucket's rows by this column and records
     per-file (min, max) in the manifest, so read_snapshot_range plans
     stats-pruned scans — the property is table-wide and writer-
-    independent, like the bucket count."""
+    independent, like the bucket count.
+
+    ``bloom_col`` (optional) declares the table's point-lookup
+    secondary index: every commit path builds a per-file Bloom filter
+    over this column for the files it writes and carries untouched
+    files' filters forward, so read_snapshot_point opens only files
+    whose filter holds the probe value (equality's answer to
+    cluster_col's ranges — min/max stats cannot prune a
+    high-cardinality equality probe whose value sits inside every
+    file's span). Blooming the KEY column is redundant (bucket pruning
+    already answers key lookups) but harmless."""
     import shutil
 
     os.makedirs(base_dir, exist_ok=True)
@@ -502,6 +702,11 @@ def init_table(
                 f"({_CLUSTERABLE}); got {t!r} — (min, max) stats must "
                 "JSON-roundtrip and compare at plan time"
             )
+    if bloom_col is not None and bloom_col not in types0:
+        raise ValueError(
+            f"bloom_col {bloom_col!r} is not a table column "
+            f"({sorted(types0)})"
+        )
     # attempt-private staging + clustered write (see _staging_path /
     # _write_clustered for the two hazard classes they close): a shared
     # 'commit_v1' dir with mode(overwrite) would let a concurrent-init
@@ -551,6 +756,13 @@ def init_table(
         manifest["cluster_bins"] = cluster_bins
         manifest["file_stats"] = _staged_cluster_stats(
             df.sparkSession, staging, cluster_col
+        )
+    if bloom_col is not None:
+        manifest["bloom_col"] = bloom_col
+        manifest["bloom_m"] = bloom_m
+        manifest["bloom_k"] = bloom_k
+        manifest["file_blooms"] = _staged_file_blooms(
+            df.sparkSession, staging, bloom_col, bloom_m, bloom_k
         )
     if not _publish_manifest(base_dir, manifest):
         shutil.rmtree(staging, ignore_errors=True)  # loser leaves nothing
@@ -809,6 +1021,21 @@ def merge_upsert_manifest(
             res_columns, res_types = _resolve_evolved_schema(
                 expected, expected_types, updates, key_col
             )
+            bcol = snap.get("bloom_col")
+            if bcol is not None and res_types.get(bcol) != expected_types.get(
+                bcol
+            ):
+                # cluster stats survive a widening (values preserved,
+                # <= still true); bloom bits do NOT — they are xxhash64
+                # over the BUILT type, and xxhash64(5 int) !=
+                # xxhash64(5L), so a probe at the widened type would
+                # silently skip files that hold the value
+                raise ValueError(
+                    f"schema evolution may not change the bloom column "
+                    f"{bcol!r}'s type ({expected_types.get(bcol)} -> "
+                    f"{res_types.get(bcol)}): per-file bloom bits hash "
+                    "the built type; re-init or rebucket to re-index"
+                )
         else:
             if (
                 patch_cols is None
@@ -979,13 +1206,7 @@ def merge_upsert_manifest(
             # work (at 100 TB that scan would dwarf the compaction)
             "tombstone_buckets": tomb_buckets,
         }
-        if snap.get("cluster_col") is not None:
-            manifest["cluster_col"] = snap["cluster_col"]
-            manifest["cluster_bins"] = snap.get("cluster_bins", 4)
-            manifest["file_stats"] = _carry_file_stats(
-                snap, buckets,
-                _staged_cluster_stats(spark, staging, snap["cluster_col"]),
-            )
+        _attach_sidecars(spark, snap, manifest, buckets, staging)
         if before_commit is not None:
             before_commit(attempt)
         if _publish_manifest(base_dir, manifest):
@@ -1092,13 +1313,7 @@ def compact_tombstones(
             "buckets": {k: buckets[k] for k in sorted(buckets, key=int)},
             "tombstone_buckets": [],
         }
-        if snap.get("cluster_col") is not None:
-            manifest["cluster_col"] = snap["cluster_col"]
-            manifest["cluster_bins"] = snap.get("cluster_bins", 4)
-            manifest["file_stats"] = _carry_file_stats(
-                snap, buckets,
-                _staged_cluster_stats(spark, staging, snap["cluster_col"]),
-            )
+        _attach_sidecars(spark, snap, manifest, buckets, staging)
         if _publish_manifest(base_dir, manifest):
             return {
                 "version": next_version,
@@ -1783,13 +1998,10 @@ def rebucket_table(
             "buckets": {str(b): fs for b, fs in sorted(new_files.items())},
             "tombstone_buckets": tomb_buckets,
         }
-        if snap.get("cluster_col") is not None:
-            # a rebucket replaces EVERY file: all stats are fresh
-            manifest["cluster_col"] = snap["cluster_col"]
-            manifest["cluster_bins"] = snap.get("cluster_bins", 4)
-            manifest["file_stats"] = _staged_cluster_stats(
-                spark, staging, snap["cluster_col"]
-            )
+        # a rebucket replaces EVERY file: all sidecar entries are fresh
+        _attach_sidecars(
+            spark, snap, manifest, manifest["buckets"], staging, carry=False
+        )
         if before_commit is not None:
             before_commit(attempt)
         if _publish_manifest(base_dir, manifest):
@@ -2185,4 +2397,102 @@ def merge_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("qty").alias("sum_qty"),
         )
         .orderBy("status")
+    )
+
+
+@register(
+    "merge_bloom_point_lookup",
+    oracle="""
+    -- closed form of the final table state: one merge patches every
+    -- 100th orderkey (ver 2, price+1000); the probes read custkeys
+    -- 0/1/2 — the bloom pruning is invisible to the values, which is
+    -- exactly the claim
+    SELECT o_custkey                                      AS custkey,
+           COUNT(*)                                       AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey % 100 = 1
+                         THEN 2 ELSE 1 END) AS BIGINT)    AS sum_ver,
+           ROUND(SUM(CASE WHEN o_orderkey % 100 = 1
+                          THEN o_totalprice + 1000
+                          ELSE o_totalprice END), 2)      AS sum_price
+    FROM orders
+    WHERE o_custkey IN (0, 1, 2)
+    GROUP BY o_custkey ORDER BY o_custkey
+    """,
+)
+def merge_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of the per-file Bloom point-lookup index
+    (``bloom_col`` at init_table + ``read_snapshot_point`` — the
+    file-level form of Parquet column bloom filters / Delta's
+    bloom-filter index): orders keyed on o_orderkey (32 buckets) with
+    a bloom over o_custkey — the NON-key lookup bucket pruning cannot
+    serve (a customer's ~10 orders hash across every bucket) and
+    min/max stats cannot serve either (any file's custkey span covers
+    the probe). One merge (every 100th orderkey: ver 2, price+1000)
+    exercises the sidecar carry: rewritten files get fresh blooms,
+    untouched files keep theirs. Three point lookups (custkeys 0/1/2)
+    then plan from the manifest blooms; the face inline-asserts that
+    the planner skipped at least a third of the files per probe, that
+    kept ∪ skipped covers the manifest exactly, and (via the oracle)
+    that pruning never changed a value — a false-keep costs one file
+    read, a false-skip is impossible because skipping requires a
+    provably-absent probe bit.
+
+    Scale shape: bloom build is one distributed pass per commit over
+    the STAGED files only (explode k=4 positions → map-side-combinable
+    bit_or per (file, word)); the driver collect is O(files × m/64)
+    words of metadata, independent of row count. Probe planning is
+    manifest-only; the read opens O(rows-with-value / rows-per-file)
+    files instead of O(table).
+    Reference provenance: generalizes the reference's Pinecone id
+    point-fetch (ra/agent.py:115-119) to a lakehouse secondary index.
+    """
+    import shutil
+
+    from .scans import _adir
+
+    base_dir = _adir(sf_dir, "merge_bloom_table")
+    shutil.rmtree(base_dir, ignore_errors=True)
+
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("ver"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").alias("price"),
+    )
+    init_table(orders, base_dir, key_col="k", n_buckets=32, bloom_col="custkey")
+
+    upd = orders.filter(F.col("k") % 100 == 1).select(
+        "k", F.lit(2).alias("ver"), "custkey",
+        (F.col("price") + 1000).alias("price"),
+    )
+    merge_upsert_manifest(
+        base_dir, upd, ver_col="ver", tiebreak_col="custkey", writer_id="u1"
+    )
+
+    manifest = load_manifest(base_dir)
+    all_files = {f for fs in manifest["buckets"].values() for f in fs}
+    out = None
+    for c in (0, 1, 2):
+        positions = _bloom_positions(
+            spark, c, manifest["column_types"]["custkey"],
+            manifest["bloom_m"], manifest["bloom_k"],
+        )
+        kept, skipped = prune_files_by_bloom(manifest, positions)
+        if set(kept) | set(skipped) != all_files or (set(kept) & set(skipped)):
+            raise AssertionError("bloom plan must partition the file set")
+        if len(skipped) < len(all_files) // 3:
+            raise AssertionError(
+                f"bloom index skipped only {len(skipped)}/{len(all_files)} "
+                f"files for custkey={c} — the index is not pruning"
+            )
+        probe = read_snapshot_point(spark, base_dir, c)
+        out = probe if out is None else out.unionByName(probe)
+    return (
+        out.groupBy("custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("ver").alias("sum_ver"),
+            F.round(F.sum("price"), 2).alias("sum_price"),
+        )
+        .orderBy("custkey")
     )

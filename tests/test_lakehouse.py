@@ -1215,3 +1215,134 @@ def test_partial_update_reinserts_tombstoned_key_live(spark, tmp_path):
     assert (rows[3].price, rows[3].status) == (999.0, None), (
         "tombstoned key must re-insert live with NULL carry columns"
     )
+
+
+def _mk_bloom_table(spark, tmp_path, n=400, n_buckets=8):
+    base = str(tmp_path / "btbl")
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.lit(1).alias("ver"),
+        (F.col("id") % 40).alias("grp"),
+        (F.col("id") * 1.5).alias("val"),
+    )
+    init_table(df, base, key_col="k", n_buckets=n_buckets, bloom_col="grp")
+    return base
+
+
+def test_bloom_point_lookup_exact_and_prunes(spark, tmp_path):
+    """read_snapshot_point must equal the unpruned filter for present
+    values (pruning is invisible), return empty for absent values, and
+    actually skip files."""
+    from assignment4_spark.operators.lakehouse import (
+        _bloom_positions,
+        load_manifest,
+        prune_files_by_bloom,
+        read_snapshot_point,
+    )
+
+    base = _mk_bloom_table(spark, tmp_path)
+    full = read_snapshot(spark, base)
+    for g in (0, 7, 39):
+        got = sorted(r.k for r in read_snapshot_point(spark, base, g).collect())
+        want = sorted(r.k for r in full.filter(F.col("grp") == g).collect())
+        assert got == want and len(got) == 10
+    assert read_snapshot_point(spark, base, 12345).count() == 0
+    m = load_manifest(base)
+    pos = _bloom_positions(spark, 7, "bigint", m["bloom_m"], m["bloom_k"])
+    kept, skipped = prune_files_by_bloom(m, pos)
+    n_files = sum(len(fs) for fs in m["buckets"].values())
+    assert len(kept) + len(skipped) == n_files and skipped, (
+        "bloom must skip at least one file on a sparse value"
+    )
+
+
+def test_bloom_carry_and_recompute_across_merge(spark, tmp_path):
+    """A merge touching few buckets must keep untouched files' bloom
+    entries BY IDENTITY and index the rewritten files fresh — a lookup
+    for a value moved INTO a rewritten file must find it."""
+    from assignment4_spark.operators.lakehouse import (
+        load_manifest,
+        read_snapshot_point,
+    )
+
+    base = _mk_bloom_table(spark, tmp_path)
+    m1 = load_manifest(base)
+    # single-key update: touches exactly one bucket; grp flips to 999
+    upd = spark.createDataFrame(
+        [(5, 2, 999, 0.0)], "k long, ver int, grp long, val double"
+    )
+    merge_upsert_manifest(base, upd, "ver", "grp", writer_id="u")
+    m2 = load_manifest(base)
+    untouched = [
+        b for b in m1["buckets"] if m1["buckets"][b] == m2["buckets"][b]
+    ]
+    assert untouched, "a 1-key merge must leave some buckets untouched"
+    for b in untouched:
+        for f in m1["buckets"][b]:
+            assert m2["file_blooms"][f] == m1["file_blooms"][f]
+    got = [r.k for r in read_snapshot_point(spark, base, 999).collect()]
+    assert got == [5], "fresh bloom must index the rewritten file"
+    # key 5 left grp 5: the OLD file's bloom still says maybe (blooms
+    # cannot unset bits) but the exact filter hides it
+    assert sorted(
+        r.k for r in read_snapshot_point(spark, base, 5).collect()
+    ) == [45, 85, 125, 165, 205, 245, 285, 325, 365]
+
+
+def test_bloom_missing_entry_is_kept(spark, tmp_path):
+    """A file without a bloom entry (pre-index commits) must always be
+    kept — pruning is an optimization, never a filter."""
+    from assignment4_spark.operators.lakehouse import prune_files_by_bloom
+
+    manifest = {
+        "buckets": {"0": ["/a", "/b"]},
+        "file_blooms": {"/a": {}},  # /b has no entry at all
+    }
+    kept, skipped = prune_files_by_bloom(manifest, [1, 2, 3])
+    assert kept == ["/b"] and skipped == ["/a"], (
+        "empty filter skips, missing filter keeps"
+    )
+
+
+def test_bloom_survives_compaction_and_rebucket(spark, tmp_path):
+    """compact_tombstones and rebucket_table must republish a working
+    bloom index (fresh entries for rewritten files), and evolution may
+    not change the bloom column's type."""
+    from assignment4_spark.operators.lakehouse import (
+        TOMBSTONE_COL,
+        compact_tombstones,
+        load_manifest,
+        read_snapshot_point,
+        rebucket_table,
+    )
+
+    base = str(tmp_path / "ctbl")
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.lit(1).alias("ver"),
+        (F.col("id") % 10).cast("int").alias("grp"),
+        F.lit(False).alias(TOMBSTONE_COL),
+    )
+    init_table(df, base, key_col="k", n_buckets=4, bloom_col="grp")
+    tomb = spark.createDataFrame(
+        [(7, 2, None, True)], f"k long, ver int, grp int, {TOMBSTONE_COL} boolean"
+    )
+    merge_upsert_manifest(base, tomb, "ver", "grp", writer_id="del")
+    compact_tombstones(spark, base)
+    assert load_manifest(base).get("file_blooms"), "compaction dropped the index"
+    assert sorted(
+        r.k for r in read_snapshot_point(spark, base, 7).collect()
+    ) == [17, 27, 37, 47, 57, 67, 77, 87, 97]
+    rebucket_table(spark, base, 8)
+    m = load_manifest(base)
+    assert m["n_buckets"] == 8 and m.get("file_blooms")
+    assert sorted(
+        r.k for r in read_snapshot_point(spark, base, 3).collect()
+    ) == [3, 13, 23, 33, 43, 53, 63, 73, 83, 93]
+    widen = spark.createDataFrame(
+        [(1, 9, 5, False)], f"k long, ver int, grp long, {TOMBSTONE_COL} boolean"
+    )
+    with pytest.raises(ValueError, match="bloom column"):
+        merge_upsert_manifest(
+            base, widen, "ver", "grp", writer_id="w", evolve_schema=True
+        )
