@@ -37,8 +37,10 @@ from .operators.lakehouse import (  # noqa: F401
     latest_version,
     load_manifest,
     merge_upsert_manifest,
+    prune_files_by_bloom,
     prune_files_by_range,
     read_snapshot,
+    read_snapshot_point,
     read_snapshot_range,
     rebucket_table,
     vacuum,
@@ -158,6 +160,8 @@ __all__ = [
     "read_idempotent_sink",
     "prune_files_by_range",
     "read_snapshot",
+    "prune_files_by_bloom",
+    "read_snapshot_point",
     "read_snapshot_range",
     "rebucket_table",
     "scd2_changes",

@@ -638,3 +638,120 @@ def join_nearest_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", F.col("best.cid").alias("nn_id"), F.col("best.d2").alias("nn_dist2"))
     )
     return phase1.unionByName(residual).orderBy("qid")
+
+
+@register(
+    "join_asof_directional",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, value,
+             (event_type = 'purchase') AS is_right
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ), back AS (
+      SELECT *,
+             LAST_VALUE(CASE WHEN is_right THEN struct_pack(t := ts, v := value) END
+                        IGNORE NULLS) OVER wb AS b_s
+      FROM tagged
+      WINDOW wb AS (PARTITION BY user_id
+                    ORDER BY ts, is_right DESC, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), fwd AS (
+      SELECT *,
+             FIRST_VALUE(CASE WHEN is_right THEN struct_pack(t := ts, v := value) END
+                         IGNORE NULLS) OVER wf AS f_s
+      FROM back
+      WINDOW wf AS (PARTITION BY user_id
+                    ORDER BY ts, is_right ASC, event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ), tol AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN date_diff('second', b_s['t'], ts) <= 21600
+                  THEN b_s END AS b_s,
+             CASE WHEN date_diff('second', ts, f_s['t']) <= 21600
+                  THEN f_s END AS f_s
+      FROM fwd WHERE NOT is_right
+    )
+    SELECT event_id, user_id, ts,
+           b_s['v'] AS back_value,
+           f_s['v'] AS fwd_value,
+           CASE
+             WHEN b_s IS NULL THEN f_s['v']
+             WHEN f_s IS NULL THEN b_s['v']
+             WHEN date_diff('second', b_s['t'], ts)
+                  <= date_diff('second', ts, f_s['t']) THEN b_s['v']
+             ELSE f_s['v']
+           END AS nearest_value
+    FROM tol
+    ORDER BY event_id
+    """,
+)
+def join_asof_directional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional as-of join with tolerance — the full pandas
+    ``merge_asof`` semantics set (direction backward / forward /
+    nearest, tolerance 6 h) that join_asof_nearest's single
+    at-or-before carry does not cover: each click gets the latest
+    purchase at-or-before (backward), the earliest at-or-after
+    (forward), both NULLed beyond the 6-hour tolerance, and nearest =
+    whichever survives with the smaller gap (tie → backward, pandas'
+    rule). Ties at the click's own timestamp count for BOTH
+    directions, which forces TWO orderings of one partition: backward
+    sorts purchases BEFORE clicks at equal ts (frame ...CURRENT ROW
+    catches them), forward sorts them AFTER (frame CURRENT ROW...
+    catches them) — one user_id exchange, two sorts, zero joins
+    (plan-gated). The (ts, value) carry stays a single struct per
+    direction for the same NULL-value atomicity join_asof_nearest
+    documents.
+    Reference provenance: none; SURVEY §2 Part B join family
+    (round 8) — trades/quotes enrichment at cluster scale.
+    """
+    ev = table(spark, sf_dir, "events")
+    tol = 21600  # seconds
+    tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        (F.col("event_type") == "purchase").alias("is_right"),
+    )
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_right").desc(), F.col("event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_right").asc(), F.col("event_id"))
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    right_struct = F.when(
+        F.col("is_right"), F.struct(F.col("ts"), F.col("value"))
+    )
+    enriched = tagged.select(
+        "*",
+        F.last(right_struct, ignorenulls=True).over(wb).alias("b_s"),
+        F.first(right_struct, ignorenulls=True).over(wf).alias("f_s"),
+    )
+    back_gap = F.col("ts").cast("long") - F.col("b_s")["ts"].cast("long")
+    fwd_gap = F.col("f_s")["ts"].cast("long") - F.col("ts").cast("long")
+    tol_ok = enriched.filter(~F.col("is_right")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(back_gap <= tol, F.col("b_s")).alias("b_s"),
+        F.when(fwd_gap <= tol, F.col("f_s")).alias("f_s"),
+    )
+    back_gap2 = F.col("ts").cast("long") - F.col("b_s")["ts"].cast("long")
+    fwd_gap2 = F.col("f_s")["ts"].cast("long") - F.col("ts").cast("long")
+    return tol_ok.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("b_s")["value"].alias("back_value"),
+        F.col("f_s")["value"].alias("fwd_value"),
+        F.when(F.col("b_s").isNull(), F.col("f_s")["value"])
+        .when(F.col("f_s").isNull(), F.col("b_s")["value"])
+        .when(back_gap2 <= fwd_gap2, F.col("b_s")["value"])
+        .otherwise(F.col("f_s")["value"])
+        .alias("nearest_value"),
+    ).orderBy("event_id")

@@ -806,3 +806,97 @@ def sample_cluster_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "sample_poisson_bootstrap",
+    oracle="""
+    -- same algebra as the Spark side: u = first 6 hex chars of
+    -- md5('doc_id:replicate'); fixed-length lowercase hex compares
+    -- lexicographically exactly as its numeric value, so the Poisson(1)
+    -- CDF thresholds are 6-hex-digit string literals shared verbatim
+    -- by both engines
+    WITH reps AS (SELECT UNNEST(generate_series(0, 7)) AS b),
+    drawn AS (
+      SELECT r.b,
+             SUBSTRING(md5(CAST(d.doc_id AS VARCHAR) || ':'
+                           || CAST(r.b AS VARCHAR)), 1, 6) AS u,
+             d.n_chars
+      FROM documents d CROSS JOIN reps r
+    ), counted AS (
+      SELECT b, n_chars,
+             CASE WHEN u < '5e2d58' THEN 0
+                  WHEN u < 'bc5ab1' THEN 1
+                  WHEN u < 'eb715e' THEN 2
+                  WHEN u < 'fb2397' THEN 3
+                  ELSE 4 END AS cnt
+      FROM drawn
+    )
+    SELECT CAST(b AS INTEGER)                 AS replicate,
+           CAST(SUM(cnt) AS BIGINT)           AS n_rows,
+           CAST(SUM(cnt * n_chars) AS BIGINT) AS sum_chars
+    FROM counted
+    GROUP BY b ORDER BY replicate
+    """,
+)
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online Poisson bootstrap (Oza-Russell): each document enters
+    bootstrap replicate b with multiplicity ~ Poisson(1), drawn
+    DETERMINISTICALLY from md5(doc_id:b) — the streaming-friendly
+    bootstrap that never materializes a resampled corpus (the count IS
+    the sample; downstream weights by it), and the standard way to get
+    uncertainty estimates / bagging ensembles over a 100 TB corpus in
+    ONE pass instead of B shuffled copies. The inverse-CDF lookup
+    compares the hash's first 6 hex chars against Poisson(1) CDF
+    thresholds embedded as fixed-length hex LITERALS — lowercase hex of
+    fixed length orders lexicographically as its numeric value, so both
+    engines share the draw verbatim (the sample_split_hash md5-algebra
+    discipline). Counts cap at 4 (P = 1.9e-2 mass folded into the cap;
+    identical truncation both engines, so parity stays exact; at B
+    replicates the cap biases each replicate's size identically and
+    cancels in variance CONTRASTS, which is what bootstraps consume).
+
+    Scale shape: replicate fan-out is a narrow 8× explode (no shuffle);
+    the only exchange carries 8 partial sums per partition — map-side
+    combinable to O(B) rows. Per-replicate aggregates here; the same
+    cnt column weights any downstream estimator.
+    Reference provenance: none; SURVEY §2 Part B sampling family
+    (round 8) — training-data pipeline uncertainty estimation.
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    drawn = docs.select(
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("b"),
+        F.col("doc_id"),
+    ).select(
+        "b",
+        "n_chars",
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            6,
+        ).alias("u"),
+    )
+    cnt = (
+        F.when(F.col("u") < "5e2d58", 0)
+        .when(F.col("u") < "bc5ab1", 1)
+        .when(F.col("u") < "eb715e", 2)
+        .when(F.col("u") < "fb2397", 3)
+        .otherwise(4)
+    )
+    return (
+        drawn.select(F.col("b").cast("int").alias("replicate"),
+                     cnt.alias("cnt"), "n_chars")
+        .groupBy("replicate")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+            F.sum(F.col("cnt") * F.col("n_chars")).cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("replicate")
+    )

@@ -1118,3 +1118,32 @@ def test_pattern_match_single_data_exchange(spark, sf_oracle):
     assert len(re.findall(r"\(\d+\) Window", body)) == 2, body
     assert len(re.findall(r"\(\d+\) Exchange", body)) == 2, body
     assert "Join" not in body, body
+
+
+def test_asof_directional_single_exchange_no_join(spark, sf_oracle):
+    """Directional as-of: the backward and forward carries must ride
+    ONE user_id exchange (two sorts — the two tie orderings — but no
+    re-partitioning between them) and contain NO join: a join here
+    means the union+window as-of idiom regressed to a range join."""
+    import re
+
+    plan = formatted_plan(spark, "join_asof_directional", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert len(re.findall(r"\(\d+\) Window", body)) == 2, body
+    assert len(re.findall(r"\(\d+\) Exchange", body)) == 2, body  # data + sort
+    assert "Join" not in body, body
+
+
+def test_poisson_bootstrap_narrow_fanout(spark, sf_oracle):
+    """The 8x replicate fan-out must be a narrow generator explode (no
+    shuffle before the aggregate): exactly the partial-agg exchange
+    plus the presentation sort, no join, and the scan must prune to
+    (doc_id, n_chars) — drawing from the hash never reads the text."""
+    import re
+
+    plan = formatted_plan(spark, "sample_poisson_bootstrap", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert len(re.findall(r"\(\d+\) Exchange", body)) == 2, body
+    assert "Join" not in body, body
+    read = next(l for l in body.splitlines() if "ReadSchema" in l)
+    assert "text" not in read, read
