@@ -160,6 +160,51 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_band_postings(s: DataFrame) -> DataFrame:
+    """(doc_id, band_key) LSH postings from a (doc_id, sh) shingle-set
+    frame — the signature stage shared by minhash_lsh_pairs and the
+    incremental index (dedup_incremental_index).
+
+    Signatures: explode shingles, hash each ONCE, then N_HASHES
+    codegen'd MIN aggregates with map-side partial aggregation. (A
+    per-row nested higher-order formulation re-evaluates the
+    shingle/hash expression per hash function in the interpreted
+    expression evaluator — ~100× slower; measured 110s → <2s at 500
+    docs.) The groupBy shuffles one N_HASHES-long row per document —
+    negligible vs the corpus itself.
+
+    minhash_i = min_h ((2i+3)·h + 1000003·i + 12345 mod p) — no
+    overflow even at N_HASHES=128: (2·128+3)·2^31 ≪ 2^63, safe under
+    ANSI mode. Band key = xxhash64(band_index, minhash_pair): an
+    8-byte join key instead of a built string (~17% faster
+    end-to-end). A key collision across bands only adds a spurious
+    CANDIDATE, which the exact Jaccard verification downstream
+    filters — zero correctness exposure."""
+    hashed = s.select(
+        "doc_id", F.explode("sh").alias("shingle")
+    ).select(
+        "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P)).alias("h")
+    )
+    sigs = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.pmod(
+                    F.col("h") * (2 * i + 3) + F.lit(i * 1000003 + 12345),
+                    F.lit(MERSENNE_P),
+                )
+            ).alias(f"m{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    bands = F.array(
+        *[
+            F.xxhash64(F.lit(b), F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}"))
+            for b in range(N_BANDS)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(bands).alias("band_key"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -198,42 +243,7 @@ def minhash_lsh_pairs(
     similarity dedup (A16/A18)."""
     d = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     s = d.select("doc_id", _shingles().alias("sh")).persist()
-
-    # Signatures: explode shingles, hash each ONCE, then N_HASHES codegen'd
-    # MIN aggregates with map-side partial aggregation. (A per-row nested
-    # higher-order formulation re-evaluates the shingle/hash expression
-    # per hash function in the interpreted expression evaluator — ~100×
-    # slower; measured 110s → <2s at 500 docs.) The groupBy shuffles one
-    # N_HASHES-long row per document — negligible vs the corpus itself.
-    hashed = s.select(
-        "doc_id", F.explode("sh").alias("shingle")
-    ).select(
-        "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P)).alias("h")
-    )
-    # minhash_i = min_h ((2i+3)·h + 1000003·i + 12345 mod p)  — no overflow
-    # even at N_HASHES=128: (2·128+3)·2^31 ≪ 2^63, safe under ANSI mode.
-    sigs = hashed.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.pmod(
-                    F.col("h") * (2 * i + 3) + F.lit(i * 1000003 + 12345),
-                    F.lit(MERSENNE_P),
-                )
-            ).alias(f"m{i}")
-            for i in range(N_HASHES)
-        ]
-    )
-    # band key = xxhash64(band_index, minhash_pair): an 8-byte join key
-    # instead of a built string (~17% faster end-to-end). A key collision
-    # across bands only adds a spurious CANDIDATE, which the exact
-    # Jaccard verification below filters — zero correctness exposure.
-    bands = F.array(
-        *[
-            F.xxhash64(F.lit(b), F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}"))
-            for b in range(N_BANDS)
-        ]
-    )
-    banded = sigs.select("doc_id", F.explode(bands).alias("band_key")).persist()
+    banded = minhash_band_postings(s).persist()
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), "band_key")
@@ -1302,3 +1312,152 @@ def dedup_paragraph_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
     )
     return out
+
+
+@register(
+    "dedup_incremental_index",
+    oracle=f"""
+    -- brute-force cross-side pairs: corpus (doc_id % 3 <> 0) vs the
+    -- admitted batch (doc_id % 3 = 0) — the banded index path's recall
+    -- argument is dedup_minhash_lsh's (miss prob ~1e-4 at exactly
+    -- J=0.5, ~1e-23 at the fixture's J>=0.9), so the exact SQL doubles
+    -- as the oracle
+    WITH s AS ({_SHINGLE_SQL})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE
+                 / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 6) AS jaccard
+    FROM s a JOIN s b ON a.doc_id % 3 <> 0 AND b.doc_id % 3 = 0
+    WHERE LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE
+          / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup INDEX: the MinHash LSH band postings
+    persisted as a manifest table (band_key → sorted doc list, keyed
+    and bucketed on band_key) so new batches are admitted by joining
+    against the INDEX — cost O(batch bands + touched buckets' index
+    rows) — instead of re-running LSH over the whole corpus, and the
+    index itself is maintained by one transactional MERGE per batch
+    (the corpus-recompute dedup_minhash_lsh and the stream-static
+    admission gate stream_neardup_gate both lack a persisted,
+    incrementally-maintained candidate structure; this is the missing
+    third face — what a 100 TB always-ingesting corpus actually runs).
+
+    Face: seed the index from corpus docs (doc_id % 3 != 0), admit the
+    batch (doc_id % 3 == 0): (1) batch postings via the SAME
+    minhash_band_postings stage the corpus used; (2) candidate pairs
+    from a BUCKET-PRUNED read of the index — only manifest buckets
+    holding some batch band key are opened (the bucket-id collect is
+    bounded at n_buckets) — exploded against the batch postings;
+    (3) exact-Jaccard verification at J>=0.5 over the shared shingle
+    sets; (4) index MERGE: per touched band, old ∪ batch doc list as a
+    latest-wins row — untouched buckets' files carry over by identity
+    (the merge invariant tests/test_lakehouse.py pins). Re-admitting
+    the same batch against the UPDATED index must additionally surface
+    the identity pairs — proven in
+    tests/test_rag_ops.py::test_incremental_index_readmission.
+
+    Recall is dedup_minhash_lsh's banding math (shared stage, shared
+    parameters); candidate inflation from band-key collisions is
+    filtered by the exact verification, zero correctness exposure.
+    Reference provenance: A16/A18 generalized — the reference
+    re-embeds and re-upserts the whole corpus per ingest
+    (parser_pinecone_storage.py:118-190); the index admits a batch
+    touching only its own band buckets."""
+    import shutil
+
+    from .lakehouse import (
+        _bucket_of,
+        _read_files_aligned,
+        init_table,
+        load_manifest,
+        merge_upsert_manifest,
+    )
+    from .scans import _adir
+
+    base_dir = _adir(sf_dir, "dedup_index_table")
+    shutil.rmtree(base_dir, ignore_errors=True)
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    s = docs.select("doc_id", _shingles().alias("sh")).persist()
+    corpus_post = minhash_band_postings(s.filter(F.col("doc_id") % 3 != 0))
+    idx_seed = corpus_post.groupBy("band_key").agg(
+        F.lit(1).alias("ver"),
+        F.lit("seed").alias("src"),
+        F.sort_array(
+            F.array_distinct(F.collect_list("doc_id"))
+        ).alias("docs"),
+    )
+    init_table(idx_seed, base_dir, key_col="band_key", n_buckets=16)
+
+    batch_post = minhash_band_postings(
+        s.filter(F.col("doc_id") % 3 == 0)
+    ).persist()
+
+    man = load_manifest(base_dir)
+    n_buckets = man["n_buckets"]
+    touched = sorted(
+        r.b
+        for r in batch_post.select(
+            _bucket_of("band_key", n_buckets).alias("b")
+        )
+        .distinct()
+        .collect()  # bounded O(n_buckets) bucket ids — plan metadata
+    )
+    files = [f for b in touched for f in man["buckets"].get(str(b), [])]
+    idx_rows = _read_files_aligned(
+        spark, files, man["columns"], man["column_types"]
+    ) if files else idx_seed.limit(0)
+
+    cand = (
+        batch_post.join(idx_rows.select("band_key", "docs"), "band_key")
+        .select(
+            F.explode("docs").alias("doc_a"), F.col("doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter.cast("double") / union
+    pairs = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+    # maintain the index: old ∪ batch per touched band, one commit;
+    # latest-wins full-row replacement carries the merged list
+    batch_lists = batch_post.groupBy("band_key").agg(
+        F.array_distinct(F.collect_list("doc_id")).alias("new_docs")
+    )
+    upd = (
+        batch_lists.join(
+            idx_rows.select("band_key", F.col("docs").alias("old_docs")),
+            "band_key",
+            "left",
+        )
+        .select(
+            "band_key",
+            F.lit(2).alias("ver"),
+            F.lit("u1").alias("src"),
+            F.sort_array(
+                F.array_distinct(
+                    F.concat(
+                        F.coalesce("old_docs", F.array().cast("array<bigint>")),
+                        F.col("new_docs"),
+                    )
+                )
+            ).alias("docs"),
+        )
+    )
+    v, _ = merge_upsert_manifest(
+        base_dir, upd, ver_col="ver", tiebreak_col="src", writer_id="u1"
+    )
+    if v != 2:
+        raise AssertionError(f"index merge must commit v2, got {v}")
+    return pairs

@@ -615,3 +615,55 @@ def test_bpe_train_registered_head_is_pair_counts_top1(spark, sf_oracle):
     r1 = registry.QUERIES["text_bpe_train"](spark, sf_oracle).head(1)[0]
     assert r1.rank == 1
     assert r1.left + r1.right == top.pair
+
+
+def test_incremental_index_readmission(spark, sf_oracle):
+    """The index must actually LEARN the admitted batch: running the
+    face builds corpus index (v1) and merges the batch in (v2);
+    re-admitting the same batch postings against the UPDATED index
+    must surface every original cross-side pair PLUS each batch doc's
+    identity pair (jaccard 1.0 with itself) — proof the merge landed
+    and the candidate path reads the new rows."""
+    from assignment4_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _shingles,
+        minhash_band_postings,
+    )
+    from assignment4_spark.operators.lakehouse import (
+        latest_version,
+        read_snapshot,
+    )
+    from assignment4_spark.operators.scans import _adir
+    from assignment4_spark.io_util import table
+
+    first = registry.QUERIES["dedup_incremental_index"](spark, sf_oracle)
+    first_pairs = {(r.doc_a, r.doc_b) for r in first.collect()}
+    base_dir = _adir(sf_oracle, "dedup_index_table")
+    assert latest_version(base_dir) == 2
+
+    docs = table(spark, sf_oracle, "documents").select("doc_id", "text")
+    s = docs.select("doc_id", _shingles().alias("sh")).persist()
+    batch_post = minhash_band_postings(s.filter(F.col("doc_id") % 3 == 0))
+    idx = read_snapshot(spark, base_dir)
+    cand = (
+        batch_post.join(idx.select("band_key", "docs"), "band_key")
+        .select(F.explode("docs").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b"))
+    )
+    again = {
+        (r.doc_a, r.doc_b)
+        for r in cand.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    batch_ids = {r.doc_id for r in batch_post.select("doc_id").distinct().collect()}
+    assert first_pairs <= again, "updated index lost original pairs"
+    identity = {(b, b) for b in batch_ids}
+    assert identity <= again, "batch docs must now match themselves"
