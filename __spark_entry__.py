@@ -50,6 +50,10 @@ _PRIORITY = [
     # round-8 additions: never driver-checked, oracled
     "stream_changes_feed", "merge_rebucket", "merge_clustered_read",
     "stream_cdf_materialize",
+    # round-8 late-session additions: never driver-checked, oracled
+    "merge_partial_update", "win_pattern_match", "merge_bloom_point_lookup",
+    "join_asof_directional", "sample_poisson_bootstrap",
+    "dedup_incremental_index",
     # stalest greens
     "sort_multikey_nulls", "win_first_last", "win_lag_lead",
     "win_moving_avg_range", "win_ntile_cume", "win_rank_dense_rownum",
