@@ -1367,13 +1367,7 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     touching only its own band buckets."""
     import shutil
 
-    from .lakehouse import (
-        _bucket_of,
-        _read_files_aligned,
-        init_table,
-        load_manifest,
-        merge_upsert_manifest,
-    )
+    from .lakehouse import init_table
     from .scans import _adir
 
     base_dir = _adir(sf_dir, "dedup_index_table")
@@ -1394,6 +1388,37 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_post = minhash_band_postings(
         s.filter(F.col("doc_id") % 3 == 0)
     ).persist()
+    pairs, v = admit_batch_into_index(
+        spark, base_dir, batch_post, s, ver=2, src="u1"
+    )
+    if v != 2:
+        raise AssertionError(f"index merge must commit v2, got {v}")
+    return pairs.orderBy("doc_a", "doc_b")
+
+
+def admit_batch_into_index(
+    spark: SparkSession,
+    base_dir: str,
+    batch_post: DataFrame,
+    s: DataFrame,
+    ver: int,
+    src: str,
+) -> tuple[DataFrame, int]:
+    """One admission step against the persisted LSH index (the body
+    dedup_incremental_index and stream_index_admission share):
+    (1) bucket-pruned read of the index for the batch's band keys,
+    (2) candidate pairs (index doc, batch doc) via posting explode,
+    (3) exact-Jaccard verification at J>=threshold over the shared
+    shingle-set frame ``s``, (4) index MERGE of old ∪ batch per
+    touched band at version ``ver``. Returns (pairs, committed
+    version); pairs stay valid after the merge because committed files
+    are immutable (the plan pins the pre-merge file list eagerly)."""
+    from .lakehouse import (
+        _bucket_of,
+        _read_files_aligned,
+        load_manifest,
+        merge_upsert_manifest,
+    )
 
     man = load_manifest(base_dir)
     n_buckets = man["n_buckets"]
@@ -1406,9 +1431,14 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()  # bounded O(n_buckets) bucket ids — plan metadata
     )
     files = [f for b in touched for f in man["buckets"].get(str(b), [])]
-    idx_rows = _read_files_aligned(
-        spark, files, man["columns"], man["column_types"]
-    ) if files else idx_seed.limit(0)
+    if files:
+        idx_rows = _read_files_aligned(
+            spark, files, man["columns"], man["column_types"]
+        )
+    else:
+        idx_rows = spark.createDataFrame(
+            [], "band_key bigint, ver int, src string, docs array<bigint>"
+        )
 
     cand = (
         batch_post.join(idx_rows.select("band_key", "docs"), "band_key")
@@ -1427,7 +1457,6 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "doc_b")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
     )
 
     # maintain the index: old ∪ batch per touched band, one commit;
@@ -1443,8 +1472,8 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "band_key",
-            F.lit(2).alias("ver"),
-            F.lit("u1").alias("src"),
+            F.lit(ver).alias("ver"),
+            F.lit(src).alias("src"),
             F.sort_array(
                 F.array_distinct(
                     F.concat(
@@ -1456,8 +1485,6 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     v, _ = merge_upsert_manifest(
-        base_dir, upd, ver_col="ver", tiebreak_col="src", writer_id="u1"
+        base_dir, upd, ver_col="ver", tiebreak_col="src", writer_id=src
     )
-    if v != 2:
-        raise AssertionError(f"index merge must commit v2, got {v}")
-    return pairs
+    return pairs, v

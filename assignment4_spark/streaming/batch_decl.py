@@ -27,7 +27,9 @@ from pyspark.sql.window import Window as W
 from ..io_util import table
 from ..registry import register
 from ..operators.dedup import (
+    JACCARD_THRESHOLD as _JACCARD,
     SIMHASH_SIGS_SQL,
+    _SHINGLE_SQL as _DEDUP_SHINGLE_SQL,
     simhash_band_keys,
     simhash_signatures,
 )
@@ -1062,3 +1064,81 @@ def stream_cdf_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("status", "n_rows", "sum_price_cents")
         .orderBy("status")
     )
+
+
+@register(
+    "stream_index_admission",
+    oracle=f"""
+    -- arrival-order pair set: the corpus (doc_id % 3 <> 0) is indexed
+    -- first, then the batch arrives as three slices in doc_id % 9
+    -- order (0, then 3, then 6). A batch doc b can only match docs
+    -- ALREADY in the index when its slice is admitted: corpus docs, or
+    -- batch docs from a strictly earlier slice — same-slice docs never
+    -- pair (detection runs before the slice's own merge). That total
+    -- order is the associativity claim the oracle checks.
+    WITH s AS ({_DEDUP_SHINGLE_SQL})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE
+                 / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 6) AS jaccard
+    FROM s a JOIN s b
+      ON b.doc_id % 3 = 0
+     AND (a.doc_id % 3 <> 0 OR (a.doc_id % 9) < (b.doc_id % 9))
+    WHERE LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE
+          / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= {_JACCARD}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def stream_index_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming admission against the PERSISTED LSH index (B.9 ×
+    dedup × lakehouse — the foreachBatch face of
+    dedup_incremental_index): the corpus seeds the index, then the
+    batch arrives as THREE micro-batch slices (doc_id % 9 = 0, 3, 6,
+    admitted in that order); each slice is detected against the
+    index-so-far (bucket-pruned read) and then MERGEd in, so a slice's
+    docs match corpus docs AND earlier slices' docs but never their
+    own slice — the index is the stream's only state (no watermark, no
+    keyed store; the offset/ordering lives in the table versions, the
+    stream_merge_sink idiom applied to dedup). The oracle encodes that
+    arrival-order pair set in closed form — slicing-order
+    determinism IS what it checks; the real readStream twin
+    (maxFilesPerTrigger=1 file replay → foreachBatch admit+merge)
+    reproduces it in tests/test_streaming.py, including a restart.
+    Reference provenance: the reference re-embeds and re-upserts the
+    whole corpus per ingest (parser_pinecone_storage.py:118-190); this
+    admits each arriving slice touching only its own band buckets.
+    """
+    import shutil
+
+    from ..operators.dedup import (
+        _shingles,
+        admit_batch_into_index,
+        minhash_band_postings,
+    )
+    from ..operators.lakehouse import init_table
+    from ..operators.scans import _adir
+
+    base_dir = _adir(sf_dir, "stream_index_table")
+    shutil.rmtree(base_dir, ignore_errors=True)
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    s = docs.select("doc_id", _shingles().alias("sh")).persist()
+    corpus_post = minhash_band_postings(s.filter(F.col("doc_id") % 3 != 0))
+    idx_seed = corpus_post.groupBy("band_key").agg(
+        F.lit(1).alias("ver"),
+        F.lit("seed").alias("src"),
+        F.sort_array(F.array_distinct(F.collect_list("doc_id"))).alias("docs"),
+    )
+    init_table(idx_seed, base_dir, key_col="band_key", n_buckets=16)
+
+    out = None
+    for i, sl in enumerate((0, 3, 6)):
+        batch_post = minhash_band_postings(
+            s.filter(F.col("doc_id") % 9 == sl)
+        ).persist()
+        pairs, v = admit_batch_into_index(
+            spark, base_dir, batch_post, s, ver=2 + i, src=f"slice{sl}"
+        )
+        if v != 2 + i:
+            raise AssertionError(f"slice {sl} must commit v{2 + i}, got {v}")
+        out = pairs if out is None else out.unionByName(pairs)
+    return out.orderBy("doc_a", "doc_b")

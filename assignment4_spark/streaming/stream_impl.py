@@ -631,3 +631,47 @@ def run_merge_sink(
     )
     q.awaitTermination()
     return read_snapshot(spark, base_dir)
+
+
+def run_index_admission(
+    spark: SparkSession, docs_stream: DataFrame, base_dir: str, s: DataFrame
+) -> list:
+    """Real-streaming twin of stream_index_admission via foreachBatch:
+    each micro-batch's band postings are detected against the
+    index-so-far then MERGEd in — the stream's only state is the TABLE
+    (no watermark, no keyed store; versions derive from the table's own
+    latest_version, so a crash-restart resumes the live index and a
+    replayed batch's old ∪ batch doc-list union is idempotent — the
+    index CONTENT converges even though replay surfaces extra
+    already-known pairs, which is why the restart assertion pins the
+    snapshot, not the pair list). Returns the accumulated pair rows."""
+    from ..operators.dedup import (
+        _shingles,
+        admit_batch_into_index,
+        minhash_band_postings,
+    )
+    from ..operators.lakehouse import latest_version
+
+    collected: list = []
+
+    def admit(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        post = minhash_band_postings(
+            batch_df.select("doc_id", _shingles().alias("sh"))
+        )
+        ver = latest_version(base_dir) + 1
+        pairs, _ = admit_batch_into_index(
+            spark, base_dir, post, s, ver=ver, src=f"b{batch_id}"
+        )
+        collected.extend(pairs.collect())
+
+    name = f"idx_{uuid.uuid4().hex[:8]}"
+    q = (
+        docs_stream.writeStream.foreachBatch(admit)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(SCRATCH, f"ckpt_{name}"))
+        .start()
+    )
+    q.awaitTermination()
+    return collected

@@ -75,6 +75,7 @@ def main() -> None:
     # runs them for MINUTES at sf0.1. Timed once via SLOW_ORACLE_SECONDS
     # (scripts/time_slow_oracles.py), injected here instead of re-run.
     from scripts.time_slow_oracles import SLOW as slow_names
+    from scripts.time_slow_oracles import WRITE_PATH_PROTOCOL as wp_names
 
     slow = {n: None for n in slow_names}
     slow_path = os.path.join(REPO, "scripts", "slow_oracle_seconds.txt")
@@ -95,6 +96,7 @@ def main() -> None:
     rows = []
     spark_total = duck_total = 0.0
     sane_spark = sane_duck = 0.0
+    rp_spark = rp_duck = 0.0
     for name in sorted(registry.QUERIES):
         fn = registry.QUERIES[name]
         # one untimed warm run per query: the first execution pays plan
@@ -129,6 +131,9 @@ def main() -> None:
             duck_total += d
             sane_spark += s
             sane_duck += d
+            if name not in wp_names:
+                rp_spark += s
+                rp_duck += d
             ratio = f"{s / d:.1f}×" if d > 0 else "—"
             note = ""
             # >2x tripwire, but only for data-proportional queries — a
@@ -155,6 +160,7 @@ def main() -> None:
     )
     body = "\n".join(f"| `{n}` | {d} | {s} | {r} | {note} |" for n, d, s, r, note in rows)
     sane_ratio = sane_spark / sane_duck if sane_duck else float("nan")
+    rp_ratio = rp_spark / rp_duck if rp_duck else float("nan")
     totals = (
         f"\n| **total (oracled queries)** | **{duck_total:.2f}** | "
         f"**{spark_total:.2f}** | **{ratio_total:.3g}×** | per-query min of {N_RUNS} "
@@ -162,6 +168,10 @@ def main() -> None:
         f"\n| **total (sane-oracle subset — excludes the O(N²) brute-force-oracle rows)** | "
         f"**{sane_duck:.2f}** | **{sane_spark:.2f}** | **{sane_ratio:.3g}×** | "
         f"the committed headline vs the 2× bar (BASELINE.md §2) |"
+        f"\n| **total (read-path subset — additionally excludes the {len(wp_names)} write-path protocol rows)** | "
+        f"**{rp_duck:.2f}** | **{rp_spark:.2f}** | **{rp_ratio:.3g}×** | "
+        f"multi-commit MERGE/CDC protocol faces timed against one-SELECT replay oracles "
+        f"(adjudicated category mismatch, VERDICT r7; flat across the 100× sweep) |"
     )
     table = header + body + totals
 

@@ -46,6 +46,7 @@ def main() -> None:
     # DuckDB oracles are never re-timed here — reuse the cached seconds
     # (scripts/time_slow_oracles.py) or mark the row pending.
     from scripts.time_slow_oracles import SLOW as slow_names
+    from scripts.time_slow_oracles import WRITE_PATH_PROTOCOL as wp_names
 
     slow_secs: dict[str, float] = {}
     slow_path = os.path.join(REPO, "scripts", "slow_oracle_seconds.txt")
@@ -111,6 +112,7 @@ def main() -> None:
     body = [kept[k] for k in sorted(kept)]
     duck_total = spark_total = 0.0
     sane_duck = sane_spark = 0.0
+    rp_duck = rp_spark = 0.0
     for l in body:
         key = l.split("`")[1]
         cells = [c.strip() for c in l.split("|")[1:-1]]
@@ -131,11 +133,15 @@ def main() -> None:
         if d_v is not None and s_v is not None and key not in slow_names:
             sane_duck += d_v
             sane_spark += s_v
+            if key not in wp_names:
+                rp_duck += d_v
+                rp_spark += s_v
     # same zero guards as make_baseline.py — a table whose oracled rows
     # are all slow-oracle/rows-only must not lose the finished timing
     # sweep to a ZeroDivisionError in the f-string
     total_ratio = spark_total / duck_total if duck_total else float("nan")
     sane_ratio = sane_spark / sane_duck if sane_duck else float("nan")
+    rp_ratio = rp_spark / rp_duck if rp_duck else float("nan")
     totals = (
         f"| **total (oracled queries)** | **{duck_total:.2f}** | "
         f"**{spark_total:.2f}** | **{total_ratio:.3g}×** | "
@@ -144,7 +150,12 @@ def main() -> None:
         f"| **total (sane-oracle subset — excludes the O(N²) brute-force-oracle rows)** | "
         f"**{sane_duck:.2f}** | **{sane_spark:.2f}** | "
         f"**{sane_ratio:.3g}×** | "
-        "the committed headline vs the 2× bar (BASELINE.md §2) |"
+        "the committed headline vs the 2× bar (BASELINE.md §2) |\n"
+        f"| **total (read-path subset — additionally excludes the {len(wp_names)} write-path protocol rows)** | "
+        f"**{rp_duck:.2f}** | **{rp_spark:.2f}** | "
+        f"**{rp_ratio:.3g}×** | "
+        "multi-commit MERGE/CDC protocol faces timed against one-SELECT replay oracles "
+        "(adjudicated category mismatch, VERDICT r7; flat across the 100× sweep) |"
     )
     table = "\n".join([header, sep] + body + [totals])
     text = text[: m.start()] + f"<!-- BASELINE_TABLE -->\n{table}\n<!-- /BASELINE_TABLE -->" + text[m.end():]

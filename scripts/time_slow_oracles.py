@@ -21,7 +21,34 @@ import duckdb
 from assignment4_spark import registry
 from assignment4_spark.schemas import TABLES
 
-SLOW = ["dedup_minhash_lsh", "dedup_near_embedding", "dedup_pipeline_survivors"]
+SLOW = [
+    "dedup_minhash_lsh",
+    "dedup_near_embedding",
+    "dedup_pipeline_survivors",
+    "dedup_incremental_index",
+    "stream_index_admission",
+]
+
+# Write-path protocol faces: each performs 3-5 real TABLE COMMITS
+# (parquet writes + CAS manifest publishes; some build their own
+# multi-version fixture first) and is timed against a one-SELECT
+# replay oracle — an adjudicated category mismatch, not a slow plan
+# (VERDICT r7; SCALING.md shows each flat across the 100x sweep). The
+# baseline scripts surface a read-path totals row excluding them so
+# the headline separates plan quality from protocol cost.
+WRITE_PATH_PROTOCOL = [
+    "merge_upsert",
+    "merge_schema_evolve",
+    "merge_delete_tombstones",
+    "merge_changes_feed",
+    "merge_partial_update",
+    "merge_bloom_point_lookup",
+    "merge_rebucket",
+    "merge_clustered_read",
+    "stream_merge_sink",
+    "stream_cdf_materialize",
+    "stream_changes_feed",
+]
 
 
 def main() -> None:

@@ -968,3 +968,74 @@ def test_stream_cdf_materialize_exactly_once_replay(spark, tmp_path):
     run("ckpt2")
     rows2 = sorted(map(tuple, read_snapshot(spark, target).collect()))
     assert rows1 == rows2, "replayed stream mutated the maintained table"
+
+
+def test_stream_index_admission(spark, tmp_path):
+    """Micro-batch slices admitted against the persisted LSH index via
+    foreachBatch must reproduce the batch declaration's arrival-order
+    pair set exactly, and a full crash-restart replay (fresh
+    checkpoint, same table) must leave the index CONTENT bit-identical
+    — doc-list union is idempotent even though replay re-surfaces
+    already-known pairs."""
+    import os
+
+    from assignment4_spark.io_util import table as load_table
+    from assignment4_spark.operators.dedup import (
+        _shingles,
+        minhash_band_postings,
+    )
+    from assignment4_spark.operators.lakehouse import (
+        init_table,
+        read_snapshot,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    s = docs.select("doc_id", _shingles().alias("sh")).persist()
+
+    # seed the index from the corpus side, exactly like the batch decl
+    base = str(tmp_path / "idx_tbl")
+    corpus_post = minhash_band_postings(s.filter(F.col("doc_id") % 3 != 0))
+    seed = corpus_post.groupBy("band_key").agg(
+        F.lit(1).alias("ver"),
+        F.lit("seed").alias("src"),
+        F.sort_array(F.array_distinct(F.collect_list("doc_id"))).alias("docs"),
+    )
+    init_table(seed, base, key_col="band_key", n_buckets=16)
+
+    # batch slices as ordered replay files (one micro-batch each)
+    replay = str(tmp_path / "doc_slices")
+    os.makedirs(replay)
+    for i, sl in enumerate((0, 3, 6)):
+        part = docs.filter(F.col("doc_id") % 9 == sl).toPandas()
+        p = os.path.join(replay, f"slice_{i:04d}.parquet")
+        part.to_parquet(p, index=False)
+        os.utime(p, (1700000000 + i * 60, 1700000000 + i * 60))
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+
+    got = si.run_index_admission(spark, stream, base, s)
+    got_set = {(r.doc_a, r.doc_b, r.jaccard) for r in got}
+    want = registry.QUERIES["stream_index_admission"](spark, SF)
+    want_set = {(r.doc_a, r.doc_b, r.jaccard) for r in want.collect()}
+    assert got_set == want_set, (
+        f"stream≠batch: +{got_set - want_set} / -{want_set - got_set}"
+    )
+
+    # crash-restart: fresh checkpoint, same live table — every batch
+    # replays; the index content must not change
+    content = sorted(
+        (r.band_key, tuple(r.docs)) for r in read_snapshot(spark, base).collect()
+    )
+    stream2 = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    si.run_index_admission(spark, stream2, base, s)
+    content2 = sorted(
+        (r.band_key, tuple(r.docs)) for r in read_snapshot(spark, base).collect()
+    )
+    assert content2 == content, "replayed admission must not change the index"
