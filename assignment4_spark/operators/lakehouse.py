@@ -2496,3 +2496,114 @@ def merge_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+@register(
+    "merge_vacuum_retention",
+    oracle="""
+    -- closed form of the LATEST snapshot: u1 doubles price for every
+    -- 4th key (ver 2), u2 flags every 6th key 'X' (ver 3, price+1000
+    -- over the CURRENT price — sequential, so %12 keys compound);
+    -- the vacuum between the reads is invisible to values, which is
+    -- the retention contract itself
+    WITH final AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 6 = 0 THEN 3
+                  WHEN o_orderkey % 4 = 0 THEN 2
+                  ELSE 1 END AS ver,
+             CASE WHEN o_orderkey % 6 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS status,
+             CASE WHEN o_orderkey % 6 = 0 THEN
+                    (CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice * 2
+                          ELSE o_totalprice END) + 1000
+                  WHEN o_orderkey % 4 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS price
+      FROM orders
+    )
+    SELECT status,
+           COUNT(*)                 AS n_rows,
+           CAST(SUM(ver) AS BIGINT) AS sum_ver,
+           ROUND(SUM(price), 2)     AS sum_price
+    FROM final
+    GROUP BY status ORDER BY status
+    """,
+)
+def merge_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of VACUUM — the retention half of the MERGE
+    story (Delta VACUUM / Iceberg expire_snapshots), putting a driver
+    row on the one lakehouse code path previously covered only by unit
+    tests: seed orders (v1), two sequential merges (v2: every 4th key
+    price*2; v3: every 6th key status 'X', price+1000 — %12 keys
+    compound), then ``vacuum(keep_last=2)``. The face inline-asserts
+    the full retention contract: the expired version is exactly v1 and
+    at least one replaced file was physically deleted; v2 — pinned
+    INSIDE the window — still reads its exact pre-v3 row count; a
+    second vacuum is an idempotent no-op (0 files, 0 versions); and
+    reading the expired v1 now fails LOUDLY (the documented contract —
+    readers pinned past retention lose their snapshot, they never get
+    silently re-routed). The returned aggregate reads the LATEST
+    snapshot after all of it — the oracle seeing exact values proves
+    vacuum deleted only unreachable files.
+
+    Scale shape: vacuum is manifest arithmetic + unlink — O(versions ×
+    buckets) metadata, no data read; the files-first/manifests-last
+    deletion order (lakehouse.py:vacuum) makes a mid-crash re-runnable.
+    Reference provenance: the reference's storage grows forever
+    (parser_pinecone_storage.py re-upserts under fresh ids, nothing is
+    ever reclaimed); this is the reclamation knob with a contract.
+    """
+    import shutil
+
+    from .scans import _adir
+
+    base_dir = _adir(sf_dir, "merge_vacuum_table")
+    shutil.rmtree(base_dir, ignore_errors=True)
+
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("ver"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    init_table(orders, base_dir, key_col="k", n_buckets=8)
+    u1 = orders.filter(F.col("k") % 4 == 0).select(
+        "k", F.lit(2).alias("ver"), "status",
+        (F.col("price") * 2).alias("price"),
+    )
+    merge_upsert_manifest(base_dir, u1, "ver", "status", writer_id="u1")
+    n_v2 = read_snapshot(spark, base_dir).count()
+    u2 = (
+        read_snapshot(spark, base_dir)
+        .filter(F.col("k") % 6 == 0)
+        .select(
+            "k", F.lit(3).alias("ver"), F.lit("X").alias("status"),
+            (F.col("price") + 1000).alias("price"),
+        )
+    )
+    merge_upsert_manifest(base_dir, u2, "ver", "status", writer_id="u2")
+
+    out = vacuum(base_dir, keep_last=2)
+    if out["deleted_versions"] != [1] or out["deleted_files"] < 1:
+        raise AssertionError(f"vacuum must expire exactly v1: {out}")
+    if read_snapshot(spark, base_dir, version=2).count() != n_v2:
+        raise AssertionError("v2 (inside the window) must survive vacuum")
+    again = vacuum(base_dir, keep_last=2)
+    if again["deleted_versions"] or again["deleted_files"]:
+        raise AssertionError(f"vacuum must be idempotent: {again}")
+    try:
+        read_snapshot(spark, base_dir, version=1).count()
+    except Exception:
+        pass
+    else:
+        raise AssertionError("expired v1 must fail loudly, not read")
+
+    return (
+        read_snapshot(spark, base_dir)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("ver").alias("sum_ver"),
+            F.round(F.sum("price"), 2).alias("sum_price"),
+        )
+        .orderBy("status")
+    )

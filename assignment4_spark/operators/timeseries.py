@@ -1247,3 +1247,104 @@ def ts_attribution_lasttouch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+# Holt's linear-trend one-step-ahead forecast as FIXED impulse weights:
+# the recursion l_t = a·y_t + (1-a)(l_{t-1}+b_{t-1}),
+# b_t = β(l_t-l_{t-1}) + (1-β)b_{t-1}, f = l_t + b_t is linear and
+# time-invariant, so the forecast is exactly Σ_k w_k·y_{t-k} with w_k
+# the impulse response — computed ONCE here and embedded as repr()
+# literals in both engines (shortest-round-trip float text parses to
+# the identical double on both sides, the ts_ewma discipline). K=10
+# truncation drops ~5% absolute weight mass — a documented, identical
+# truncation on both engines, so oracle parity stays exact; rows
+# without a full K-lag history are excluded rather than ramp-corrected
+# (the ramp-state coefficients are t-dependent, unlike ts_ewma's).
+_HOLT_ALPHA, _HOLT_BETA, _HOLT_K = 0.5, 0.3, 10
+
+
+def _holt_weights() -> list[float]:
+    n = 3 * _HOLT_K
+    out = []
+    for k in range(_HOLT_K):
+        level = trend = 0.0
+        for t in range(n):
+            y = 1.0 if t == n - 1 - k else 0.0
+            nl = _HOLT_ALPHA * y + (1 - _HOLT_ALPHA) * (level + trend)
+            trend = _HOLT_BETA * (nl - level) + (1 - _HOLT_BETA) * trend
+            level = nl
+        out.append(level + trend)
+    return out
+
+
+_HOLT_W = _holt_weights()
+# ::DOUBLE — a bare decimal literal is DECIMAL in DuckDB, and a
+# DECIMAL-typed dot product ROUNDs to Decimal cells (the r01 lesson);
+# the cast text still parses to the bit-identical double
+_holt_sql = " + ".join(
+    f"{w!r}::DOUBLE * LAG(cnt, {i}) OVER w" for i, w in enumerate(_HOLT_W)
+)
+
+
+@register(
+    "ts_holt_forecast",
+    oracle=f"""
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+                   FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    numbered AS (
+      SELECT event_type, day, cnt,
+             ROW_NUMBER() OVER w AS rn,
+             {_holt_sql} AS forecast
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, day, CAST(cnt AS BIGINT) AS cnt,
+           ROUND(forecast, 6) AS next_day_forecast
+    FROM numbered
+    WHERE rn >= {_HOLT_K}
+    ORDER BY event_type, day
+    """,
+)
+def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend (double-exponential) one-step-ahead forecast
+    of daily event counts per series — the level+trend smoother
+    telemetry forecasting uses where ts_ewma's level-only smoothing
+    lags a trending series. Expressed as a FIXED K=10 lag-weight dot
+    product (see _holt_weights above): the recursion is linear
+    time-invariant, so its impulse response is exact per lag, both
+    engines evaluate the identical left-associated literal expression,
+    and the whole op is one bounded ROWS window — O(K) state per row,
+    no recursion state to carry, no per-row Python.
+
+    Scale shape: daily pre-aggregation (map-side combinable) shrinks
+    events to O(series × days) rows BEFORE the window; the lag window
+    partitions on event_type — bounded frames only, the
+    unpartitioned-window ban holds. Rows with fewer than K-1 prior
+    observations are excluded (ramp coefficients are t-dependent;
+    truncating the ramp identically on both engines would silently
+    bless a biased warm-up — exclusion is the honest contract).
+    Reference provenance: none; SURVEY §2 Part B time-series family
+    (round 8) — trend-aware forecasting over the monitoring surface.
+    """
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    forecast = None
+    for i, wt in enumerate(_HOLT_W):
+        term = F.lit(wt) * F.lag("cnt", i).over(w)
+        forecast = term if forecast is None else forecast + term
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.row_number().over(w).alias("rn"),
+            F.round(forecast, 6).alias("next_day_forecast"),
+        )
+        .filter(F.col("rn") >= _HOLT_K)
+        .drop("rn")
+        .orderBy("event_type", "day")
+    )

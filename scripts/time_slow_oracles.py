@@ -48,6 +48,7 @@ WRITE_PATH_PROTOCOL = [
     "stream_merge_sink",
     "stream_cdf_materialize",
     "stream_changes_feed",
+    "merge_vacuum_retention",
 ]
 
 
