@@ -54,7 +54,8 @@ _PRIORITY = [
     "merge_partial_update", "win_pattern_match", "merge_bloom_point_lookup",
     "join_asof_directional", "sample_poisson_bootstrap",
     "dedup_incremental_index", "stream_index_admission",
-    "ts_holt_forecast", "merge_vacuum_retention",
+    "ts_holt_forecast", "merge_vacuum_retention", "date_calendar_dim",
+    "vec_ann_recall_report",
     # stalest greens
     "sort_multikey_nulls", "win_first_last", "win_lag_lead",
     "win_moving_avg_range", "win_ntile_cume", "win_rank_dense_rownum",

@@ -328,3 +328,69 @@ def cond_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.coalesce("parsed", F.lit(0.0))), 6).alias("sum_parsed"),
         )
     )
+
+
+@register(
+    "date_calendar_dim",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi
+      FROM events
+    ), spine AS (
+      SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds
+    ), daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY CAST(ts AS DATE)
+    )
+    SELECT s.day,
+           CAST(QUARTER(s.day) AS INTEGER)      AS quarter,
+           CAST(WEEK(s.day) AS INTEGER)         AS iso_week,
+           CAST(ISODOW(s.day) AS INTEGER)       AS iso_dow,
+           (ISODOW(s.day) >= 6)                 AS is_weekend,
+           CAST(DAY(LAST_DAY(s.day)) AS INTEGER) AS days_in_month,
+           CAST(COALESCE(d.n, 0) AS BIGINT)     AS n_events
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    ORDER BY s.day
+    """,
+)
+def date_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar dimension build — the date spine + attributes every
+    warehouse model needs (quarter, ISO week, ISO day-of-week, weekend
+    flag, month length) over the events table's date range, left-joined
+    to per-day event counts with zero fill. ISO day-of-week is the one
+    cross-engine trap: Spark's dayofweek() is 1=Sunday while DuckDB's
+    dayofweek() is 0=Sunday — both sides use the ISO form instead
+    (Spark weekday()+1, DuckDB ISODOW; Monday=1) so the semantics are
+    pinned, not coincidental.
+
+    Scale shape: the spine is a generated sequence from ONE 2-column
+    aggregate (days, not data — a century is ~36.5k rows); the daily
+    counts pre-aggregate map-side before the broadcast-sized join.
+    Reference provenance: none; SURVEY §2 Part B scalar/date family
+    (round 8) — the dimension-table build feeding every ts_* rollup.
+    """
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    iso_dow = F.weekday("day") + F.lit(1)
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            F.quarter("day").alias("quarter"),
+            F.weekofyear("day").alias("iso_week"),
+            iso_dow.cast("int").alias("iso_dow"),
+            (iso_dow >= 6).alias("is_weekend"),
+            F.dayofmonth(F.last_day("day")).alias("days_in_month"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        )
+        .orderBy("day")
+    )

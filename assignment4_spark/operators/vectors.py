@@ -1996,3 +1996,65 @@ def vec_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sim_r",
         (F.col("top1_id") == full_top1).cast("int").alias("agree_full"),
     ).orderBy("level", "query_id")
+
+
+@register("vec_ann_recall_report")  # scores engine-defined ANN → rows-only; pinned
+def vec_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality as a first-class operator: recall@5 of each
+    approximate index path (IVF-Flat, RP-LSH, multi-probe RP-LSH)
+    against the exact cosine scan over the SAME query set (vec_ids
+    100-104) — the eval loop every production vector deployment runs
+    before trusting an index, in-engine instead of in a notebook.
+    Output: (method, n_queries, macro_recall_at5, min_query_recall),
+    one row per method, recall = |approx∩exact| / 5 per query, macro
+    averaged. Deterministic end to end (every path is seeded and
+    rank-stable), but the values grade engine-defined indexes, so the
+    op is rows-only like the indexes themselves — pinned instead by
+    tests/test_rag_ops.py::test_ann_recall_report_floors_and_dominance
+    (IVF/LSH floors from the §5.2.6 recall pins; multiprobe ≥
+    single-probe by candidate-superset dominance).
+
+    Scale shape: the exact side is one broadcast-query corpus scan
+    (knn_topk); each comparison joins two ≤(queries×5)-row frames —
+    evaluation cost is O(queries), never a second corpus pass.
+    Reference provenance: the reference trusts Pinecone blindly
+    (ra/agent.py:115-119 consumes scores unvalidated); this is the
+    missing measurement."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    exact = knn_topk(e, q, k=5).select("query_id", "neighbor_id")
+    methods = [
+        ("ivf_flat", vec_ann_ivf_topk),
+        ("rp_lsh", vec_ann_rp_lsh_topk),
+        ("rp_lsh_multiprobe", vec_ann_rp_lsh_multiprobe),
+    ]
+    out = None
+    for name, fn in methods:
+        approx = fn(spark, sf_dir).select("query_id", "neighbor_id")
+        per_q = (
+            exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("hits"))
+        )
+        # queries with zero hits drop out of the semi-join group-by:
+        # re-anchor on the full query list so recall=0 counts as 0,
+        # not as a silently missing row
+        rep = (
+            q.select("query_id")
+            .join(per_q, "query_id", "left")
+            .select(
+                F.lit(name).alias("method"),
+                F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+            )
+            .groupBy("method")
+            .agg(
+                F.count(F.lit(1)).alias("n_queries"),
+                F.round(F.avg(F.col("hits") / 5.0), 6).alias("macro_recall_at5"),
+                F.round(F.min(F.col("hits") / 5.0), 6).alias("min_query_recall"),
+            )
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out.orderBy("method")

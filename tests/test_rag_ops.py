@@ -667,3 +667,28 @@ def test_incremental_index_readmission(spark, sf_oracle):
     assert first_pairs <= again, "updated index lost original pairs"
     identity = {(b, b) for b in batch_ids}
     assert identity <= again, "batch docs must now match themselves"
+
+
+def test_ann_recall_report_floors_and_dominance(spark, sf_oracle):
+    """The registered eval op must report the same quality the §5.2.6
+    pins assert directly: IVF macro recall clears its ~nprobe/K-derived
+    floor, RP-LSH clears its wiring floor, multiprobe macro-dominates
+    single-probe (candidate superset), and every method reports the
+    full 5-query panel (zero-hit queries count as 0.0, not as missing
+    rows)."""
+    rows = {
+        r.method: r
+        for r in registry.QUERIES["vec_ann_recall_report"](
+            spark, sf_oracle
+        ).collect()
+    }
+    assert set(rows) == {"ivf_flat", "rp_lsh", "rp_lsh_multiprobe"}
+    assert all(r.n_queries == 5 for r in rows.values())
+    assert rows["ivf_flat"].macro_recall_at5 >= 0.45
+    assert rows["rp_lsh"].macro_recall_at5 >= 0.25
+    assert (
+        rows["rp_lsh_multiprobe"].macro_recall_at5
+        >= rows["rp_lsh"].macro_recall_at5
+    )
+    for r in rows.values():
+        assert 0.0 <= r.min_query_recall <= r.macro_recall_at5 <= 1.0
