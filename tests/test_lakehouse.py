@@ -1346,3 +1346,34 @@ def test_bloom_survives_compaction_and_rebucket(spark, tmp_path):
         merge_upsert_manifest(
             base, widen, "ver", "grp", writer_id="w", evolve_schema=True
         )
+
+
+def test_bloom_survives_two_writer_race(spark, tmp_path):
+    """Sidecar consistency under optimistic concurrency: B commits a
+    bloom-indexed value inside A's pre-commit window; A's retry rebuilds
+    its staged blooms against B's manifest, so the final index must
+    locate BOTH writers' values — a loser that carried its first
+    attempt's sidecars would orphan B's."""
+    from assignment4_spark.operators.lakehouse import read_snapshot_point
+
+    base = _mk_bloom_table(spark, tmp_path)
+    a_upd = spark.createDataFrame(
+        [(401, 2, 777, 1.0)], "k long, ver int, grp long, val double"
+    )
+    b_upd = spark.createDataFrame(
+        [(402, 2, 888, 2.0)], "k long, ver int, grp long, val double"
+    )
+    b_result = {}
+
+    def interleave(attempt):
+        if attempt == 0:
+            b_result["commit"] = merge_upsert_manifest(
+                base, b_upd, "ver", "val", writer_id="B"
+            )
+
+    v, tries = merge_upsert_manifest(
+        base, a_upd, "ver", "val", writer_id="A", before_commit=interleave
+    )
+    assert b_result["commit"] == (2, 1) and (v, tries) == (3, 2)
+    assert [r.k for r in read_snapshot_point(spark, base, 777).collect()] == [401]
+    assert [r.k for r in read_snapshot_point(spark, base, 888).collect()] == [402]
