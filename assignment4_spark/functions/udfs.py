@@ -333,3 +333,70 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.mapInArrow(
         net_batches, schema="l_orderkey long, l_linenumber int, net double"
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@udtf(returnType="tok_idx: int, token: string, char_start: int")
+class TokenOffsetsUDTF:
+    """Tokenizer-with-offsets table function: one row per
+    space-delimited token with its position and CHARACTER OFFSET into
+    the original text — the running-state-per-row shape a UDTF
+    expresses naturally (the offset accumulates across yielded rows;
+    a pure projection cannot carry it without a window). Single-space
+    split by construction so the DuckDB oracle reproduces offsets with
+    a windowed length sum."""
+
+    def eval(self, text: str):  # noqa: D102
+        if text is None:
+            return
+        pos = 0
+        for i, tok in enumerate(text.split(" ")):
+            yield i, tok, pos
+            pos += len(tok) + 1
+
+
+@register(
+    "udtf_token_offsets",
+    oracle="""
+    WITH parts AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS toks
+      FROM documents WHERE doc_id < 20
+    ), exploded AS (
+      SELECT doc_id,
+             CAST(i - 1 AS INTEGER) AS tok_idx,
+             toks[i]                AS token
+      FROM parts, UNNEST(generate_series(1, LEN(toks))) AS t(i)
+    )
+    SELECT doc_id, tok_idx, token,
+           CAST(COALESCE(SUM(LENGTH(token) + 1) OVER (
+                  PARTITION BY doc_id ORDER BY tok_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS INTEGER) AS char_start
+    FROM exploded
+    ORDER BY doc_id, tok_idx
+    """,
+)
+def udtf_token_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second UDTF face (B.10): LATERAL tokenization with character
+    offsets — content-dependent fan-out where each yielded row carries
+    RUNNING STATE (the cumulative offset), the shape that separates a
+    table function from a projection+explode (udtf_split_explode's
+    chunker is fixed-stride and stateless). The oracle reproduces the
+    offsets with a windowed length sum — same rows, two idioms, which
+    is itself the point: span annotations (NER offsets, PII spans,
+    highlight ranges) need exactly this token→offset map.
+    Scale: the UDTF runs inside the lateral join per partition — no
+    shuffle before the presentation sort; fan-out bounded by document
+    length.
+    Reference provenance: Docling's per-document span extraction (A3)
+    as a pluggable table function."""
+    spark.udtf.register("token_offsets", TokenOffsetsUDTF)
+    table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20).createOrReplaceTempView(
+        "docs_for_token_udtf"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.tok_idx, s.token, s.char_start
+        FROM docs_for_token_udtf d, LATERAL token_offsets(d.text) s
+        ORDER BY d.doc_id, s.tok_idx
+        """
+    )

@@ -900,3 +900,70 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("replicate")
     )
+
+
+@register(
+    "sample_kfold_assign",
+    oracle="""
+    -- same algebra as the Spark side: fold = first hex digit of
+    -- md5(doc_id) mod 5 — deterministic, engine-portable, and
+    -- reassignment-free under any repartitioning
+    WITH assigned AS (
+      SELECT doc_id, lang, n_chars,
+             CASE SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+               WHEN '0' THEN 0 WHEN '1' THEN 1 WHEN '2' THEN 2
+               WHEN '3' THEN 3 WHEN '4' THEN 4 WHEN '5' THEN 0
+               WHEN '6' THEN 1 WHEN '7' THEN 2 WHEN '8' THEN 3
+               WHEN '9' THEN 4 WHEN 'a' THEN 0 WHEN 'b' THEN 1
+               WHEN 'c' THEN 2 WHEN 'd' THEN 3 WHEN 'e' THEN 4
+               ELSE 0 END AS fold
+      FROM documents
+    )
+    SELECT CAST(fold AS INTEGER)                       AS fold,
+           COUNT(*)                                    AS n_test,
+           CAST((SELECT COUNT(*) FROM documents) - COUNT(*)
+                AS BIGINT)                             AS n_train,
+           CAST(COUNT(DISTINCT lang) AS BIGINT)        AS n_langs,
+           CAST(SUM(n_chars) AS BIGINT)                AS test_chars
+    FROM assigned
+    GROUP BY fold ORDER BY fold
+    """,
+)
+def sample_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment (k=5): fold =
+    first md5(doc_id) hex digit mod 5 — the sample_split_hash algebra
+    extended to CV, so fold membership is reproducible across engines,
+    runs, and repartitionings (a fold computed on the cluster equals
+    the fold computed in the eval notebook), and every doc is in
+    exactly one test fold and k-1 train folds. The hex digit covers
+    '0'-'f' (16 values) mod 5 — folds 0-2 get 4/16 of hash space,
+    folds 3-4 get 3/16 and 'f' folds to 0 via the ELSE; the slight
+    imbalance is the price of digit-level portability and is IDENTICAL
+    on both engines (the fixture-measured split is asserted by the
+    oracle row counts themselves).
+
+    Output per fold: test size, complementary train size, language
+    coverage, test character mass — the sanity panel a CV harness
+    checks before burning GPU-hours on a bad split.
+    Scale shape: one projection + one tiny groupBy; the train count is
+    total − test (no second scan — the scalar total broadcasts).
+    Reference provenance: none; SURVEY §2 Part B sampling family
+    (round 8) — evaluation-protocol face of the split family.
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    hexd = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    # conv(hex,16,10) mod 5, with 'f' (15) folded to 0 to mirror the
+    # oracle's explicit CASE (15 % 5 == 0 — the ELSE arm is exact)
+    fold = (F.conv(hexd, 16, 10).cast("int") % 5).alias("fold")
+    assigned = docs.select("lang", "n_chars", fold)
+    total = docs.count()
+    return (
+        assigned.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            (F.lit(total) - F.count(F.lit(1))).cast("bigint").alias("n_train"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_chars").cast("bigint").alias("test_chars"),
+        )
+        .orderBy("fold")
+    )

@@ -1348,3 +1348,84 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "ts_dow_anomaly",
+    oracle="""
+    WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+                   FROM events GROUP BY day, event_type),
+    stats AS (SELECT day, event_type, n,
+                     CAST(ISODOW(day) AS INTEGER) AS iso_dow,
+                     AVG(n)         OVER w AS mu,
+                     STDDEV_SAMP(n) OVER w AS sd,
+                     COUNT(*)       OVER w AS n_hist
+              FROM daily
+              WINDOW w AS (PARTITION BY event_type, ISODOW(day)
+                           ORDER BY day
+                           ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING))
+    SELECT day, event_type, iso_dow, CAST(n AS BIGINT) AS n,
+           ROUND(mu, 6) AS dow_baseline,
+           ROUND((n - mu) / NULLIF(sd, 0), 6) AS z,
+           (ROUND(ABS((n - mu) / NULLIF(sd, 0)), 6) > 1.5) AS is_anomaly
+    FROM stats
+    WHERE n_hist = 3
+    ORDER BY event_type, day
+    """,
+)
+def ts_dow_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week-adjusted anomaly scoring: each day's count is
+    z-scored against the trailing 3 observations of the SAME weekday
+    for that series — the seasonality-aware variant ts_anomaly_zscore's
+    flat trailing window cannot express (a quiet Sunday is normal FOR
+    SUNDAYS; scoring it against a Mon-Sat baseline flags weekends
+    forever). Partitioning the window by (event_type, ISO dow) IS the
+    seasonal adjustment — no decomposition pass, no model state beyond
+    3 rows per (series, weekday).
+
+    Emits every fully-baselined day with its weekday baseline, z, and
+    the 6-dp-rounded |z| > 1.5 flag (rounded MEMBERSHIP on both
+    engines — the ts_anomaly_zscore ulp discipline; zero-variance
+    baselines yield NULL z via NULLIF, never a division error).
+    Scale shape: daily pre-agg map-side, then one bounded ROWS window
+    on a (series × 7)-key partitioning — finer, hence better spread,
+    than the flat anomaly window.
+    Reference provenance: none; SURVEY §2 Part B time-series family
+    (round 8) — composes the date_calendar_dim weekday semantics into
+    the monitoring surface.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.withColumn("day", F.to_date("ts"))
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("iso_dow", (F.weekday("day") + F.lit(1)).cast("int"))
+    )
+    w = (
+        W.partitionBy("event_type", "iso_dow")
+        .orderBy("day")
+        .rowsBetween(-3, -1)
+    )
+    stats = daily.select(
+        "day",
+        "event_type",
+        "iso_dow",
+        F.col("n").cast("bigint").alias("n"),
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n_hist"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.nullif(F.col("sd"), F.lit(0.0))
+    return (
+        stats.filter(F.col("n_hist") == 3)
+        .select(
+            "day",
+            "event_type",
+            "iso_dow",
+            "n",
+            F.round("mu", 6).alias("dow_baseline"),
+            F.round(z, 6).alias("z"),
+            (F.round(F.abs(z), 6) > 1.5).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )
