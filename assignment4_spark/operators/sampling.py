@@ -967,3 +967,99 @@ def sample_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+@register(
+    "agg_bootstrap_ci",
+    oracle="""
+    -- replicate means under the deterministic Poisson bootstrap
+    -- (sample_poisson_bootstrap's draw, verbatim), then the spread of
+    -- the 8 replicate means brackets the point estimate: a bootstrap
+    -- standard error and min/max band with no closed-form variance
+    -- formula anywhere
+    WITH reps AS (SELECT UNNEST(generate_series(0, 7)) AS b),
+    drawn AS (
+      SELECT r.b,
+             SUBSTRING(md5(CAST(d.doc_id AS VARCHAR) || ':'
+                           || CAST(r.b AS VARCHAR)), 1, 6) AS u,
+             d.n_chars
+      FROM documents d CROSS JOIN reps r
+    ), counted AS (
+      SELECT b, n_chars,
+             CASE WHEN u < '5e2d58' THEN 0
+                  WHEN u < 'bc5ab1' THEN 1
+                  WHEN u < 'eb715e' THEN 2
+                  WHEN u < 'fb2397' THEN 3
+                  ELSE 4 END AS cnt
+      FROM drawn
+    ), rep_means AS (
+      SELECT b,
+             SUM(cnt * n_chars)::DOUBLE / NULLIF(SUM(cnt), 0) AS mean_chars
+      FROM counted GROUP BY b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)            AS n_replicates,
+           ROUND(AVG(mean_chars), 6)           AS boot_mean,
+           ROUND(STDDEV_SAMP(mean_chars), 6)   AS boot_se,
+           ROUND(MIN(mean_chars), 6)           AS boot_lo,
+           ROUND(MAX(mean_chars), 6)           AS boot_hi
+    FROM rep_means
+    """,
+)
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap uncertainty for an aggregate — the CONSUMER of
+    sample_poisson_bootstrap's one-pass draw: each replicate's
+    count-weighted mean document length, then the spread of the 8
+    replicate means (bootstrap SE + min/max band) as the uncertainty
+    estimate no closed-form variance covers once the pipeline between
+    data and estimate stops being a textbook mean (dedup gates,
+    quality filters, mixing weights — swap the inner aggregate, keep
+    the harness). Deterministic end to end: the Poisson draw is the
+    same md5-hex-threshold algebra, so both engines produce identical
+    replicate means and the 6-dp-rounded spread matches exactly.
+
+    Scale shape: ONE corpus pass fans out 8 narrow replicate rows per
+    doc (no shuffle before the two-level aggregate); replicate means
+    are 8 rows, their spread a single-row fold.
+    Reference provenance: none; SURVEY §2 Part B sampling family
+    (round 8) — closes the draw→estimate loop.
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    drawn = docs.select(
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("b"),
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            6,
+        ).alias("u"),
+    )
+    cnt = (
+        F.when(F.col("u") < "5e2d58", 0)
+        .when(F.col("u") < "bc5ab1", 1)
+        .when(F.col("u") < "eb715e", 2)
+        .when(F.col("u") < "fb2397", 3)
+        .otherwise(4)
+    )
+    rep_means = (
+        drawn.select("b", cnt.alias("cnt"), "n_chars")
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("cnt") * F.col("n_chars")).cast("double")
+                / F.nullif(F.sum("cnt"), F.lit(0))
+            ).alias("mean_chars")
+        )
+    )
+    return rep_means.agg(
+        F.count(F.lit(1)).alias("n_replicates"),
+        F.round(F.avg("mean_chars"), 6).alias("boot_mean"),
+        F.round(F.stddev_samp("mean_chars"), 6).alias("boot_se"),
+        F.round(F.min("mean_chars"), 6).alias("boot_lo"),
+        F.round(F.max("mean_chars"), 6).alias("boot_hi"),
+    )
