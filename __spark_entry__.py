@@ -56,7 +56,7 @@ _PRIORITY = [
     "dedup_incremental_index", "stream_index_admission",
     "ts_holt_forecast", "merge_vacuum_retention", "date_calendar_dim",
     "vec_ann_recall_report", "sample_kfold_assign", "ts_dow_anomaly",
-    "udtf_token_offsets", "agg_bootstrap_ci",
+    "udtf_token_offsets", "agg_bootstrap_ci", "ts_forecast_backtest",
     # stalest greens
     "sort_multikey_nulls", "win_first_last", "win_lag_lead",
     "win_moving_avg_range", "win_ntile_cume", "win_rank_dense_rownum",

@@ -1429,3 +1429,85 @@ def ts_dow_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "ts_forecast_backtest",
+    oracle=f"""
+    -- rolling-origin backtest of the Holt forecast: at every day with
+    -- full lag history, the K-weight dot product over days t-1..t-K
+    -- (shifted one step back from ts_holt_forecast's frame) predicts
+    -- day t; the error aggregates per series. Same literals, shifted
+    -- lags — the backtest never peeks at the day it scores.
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+                   FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    numbered AS (
+      SELECT event_type, day, cnt,
+             ROW_NUMBER() OVER w AS rn,
+             {" + ".join(f"{w!r}::DOUBLE * LAG(cnt, {i + 1}) OVER w" for i, w in enumerate(_HOLT_W))} AS forecast
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ), scored AS (
+      SELECT event_type, cnt, forecast
+      FROM numbered WHERE rn >= {_HOLT_K + 1}
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)                     AS n_scored,
+           ROUND(AVG(ABS(cnt - forecast)), 6)           AS mae,
+           ROUND(AVG(ABS(cnt - forecast)
+                 / NULLIF(cnt, 0)) * 100, 6)            AS mape_pct,
+           ROUND(AVG(cnt - forecast), 6)                AS bias
+    FROM scored
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of ts_holt_forecast — forecasting
+    evaluated as an OPERATOR, not a notebook ritual: at every day with
+    full history, the same K-weight Holt dot product (shifted one lag
+    back, so the scored day is never inside its own forecast window)
+    predicts the day's count, and the residuals aggregate to per-series
+    MAE / MAPE / signed bias — bias is the number that catches a
+    systematically trend-lagging model that MAE alone hides. Identical
+    literals as ts_holt_forecast, shifted frames; every row of the
+    backtest is deterministic on both engines.
+
+    Scale shape: same as the forecaster — daily pre-agg, one bounded
+    per-series ROWS window, then a per-series rollup; backtesting N
+    days costs ONE window pass, not N model refits (the fixed-weight
+    reduction is what buys this).
+    Reference provenance: none; SURVEY §2 Part B time-series family
+    (round 8) — the evaluation half of the forecasting story.
+    """
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    forecast = None
+    for i, wt in enumerate(_HOLT_W):
+        term = F.lit(wt) * F.lag("cnt", i + 1).over(w)
+        forecast = term if forecast is None else forecast + term
+    scored = (
+        daily.select(
+            "event_type",
+            "cnt",
+            F.row_number().over(w).alias("rn"),
+            forecast.alias("forecast"),
+        )
+        .filter(F.col("rn") >= _HOLT_K + 1)
+    )
+    err = F.col("cnt") - F.col("forecast")
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.round(F.avg(F.abs(err)), 6).alias("mae"),
+            F.round(
+                F.avg(F.abs(err) / F.nullif(F.col("cnt"), F.lit(0))) * 100, 6
+            ).alias("mape_pct"),
+            F.round(F.avg(err), 6).alias("bias"),
+        )
+        .orderBy("event_type")
+    )
