@@ -22,8 +22,10 @@ DataFrames with non-fixture column names.
 from __future__ import annotations
 
 from .operators.dedup import (  # noqa: F401
+    admit_batch_into_index,
     canonical_url,
     connected_components,
+    minhash_band_postings,
     minhash_lsh_pairs,
     simhash_pairs,
 )
@@ -118,6 +120,7 @@ __all__ = [
     "bloom_prefilter",
     "bottomk_by_hash",
     "bpe_train",
+    "admit_batch_into_index",
     "canonical_url",
     "apply_cdf_deltas",
     "cdf_deltas",
@@ -143,6 +146,7 @@ __all__ = [
     "latest_version",
     "load_manifest",
     "merge_upsert_manifest",
+    "minhash_band_postings",
     "minhash_lsh_pairs",
     "mutual_information",
     "near_dup_pairs_exact",
