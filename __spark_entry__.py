@@ -57,6 +57,7 @@ _PRIORITY = [
     "ts_holt_forecast", "merge_vacuum_retention", "date_calendar_dim",
     "vec_ann_recall_report", "sample_kfold_assign", "ts_dow_anomaly",
     "udtf_token_offsets", "agg_bootstrap_ci", "ts_forecast_backtest",
+    "merge_identity_assign",
     # stalest greens
     "sort_multikey_nulls", "win_first_last", "win_lag_lead",
     "win_moving_avg_range", "win_ntile_cume", "win_rank_dense_rownum",

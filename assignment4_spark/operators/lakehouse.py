@@ -536,6 +536,13 @@ def _attach_sidecars(
             if carry
             else newb
         )
+    if snap.get("identity_col") is not None:
+        # pure metadata carry: compaction/rebucket never mint ids, and
+        # the merge path sets these keys itself before calling here
+        manifest.setdefault("identity_col", snap["identity_col"])
+        manifest.setdefault(
+            "identity_high_water", snap.get("identity_high_water", 0)
+        )
 
 
 def prune_files_by_range(manifest: dict, lo, hi) -> tuple[list, list]:
@@ -664,6 +671,7 @@ def init_table(
     bloom_col: str | None = None,
     bloom_m: int = BLOOM_M,
     bloom_k: int = BLOOM_K,
+    identity_col: str | None = None,
 ) -> dict:
     """Commit version 1 of a manifest-tracked bucketed table.
 
@@ -687,7 +695,17 @@ def init_table(
     cluster_col's ranges — min/max stats cannot prune a
     high-cardinality equality probe whose value sits inside every
     file's span). Blooming the KEY column is redundant (bucket pruning
-    already answers key lookups) but harmless."""
+    already answers key lookups) but harmless.
+
+    ``identity_col`` (integral, optional) declares a surrogate-key
+    column with Delta/Iceberg identity semantics: the manifest carries
+    an ``identity_high_water`` mark (max assigned id), and every
+    partial-update MERGE assigns ``high_water + rank`` to NEW keys
+    while matched keys keep their id via the carry join — assignment
+    is transactional because the mark lives in the manifest the CAS
+    publishes (a lost race re-pins the winner's mark and re-assigns;
+    no global max(id) table scan, ever). The seed provides its own
+    ids; init records their max as the initial mark."""
     import shutil
 
     os.makedirs(base_dir, exist_ok=True)
@@ -707,6 +725,19 @@ def init_table(
             f"bloom_col {bloom_col!r} is not a table column "
             f"({sorted(types0)})"
         )
+    if identity_col is not None:
+        t = types0.get(identity_col)
+        if t not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"identity_col {identity_col!r} must be an integral "
+                f"table column; got {t!r}"
+            )
+        if identity_col == key_col:
+            raise ValueError(
+                "identity_col cannot be the key column: the key buckets "
+                "the table and arrives with the batch; the identity is "
+                "ASSIGNED"
+            )
     # attempt-private staging + clustered write (see _staging_path /
     # _write_clustered for the two hazard classes they close): a shared
     # 'commit_v1' dir with mode(overwrite) would let a concurrent-init
@@ -764,6 +795,10 @@ def init_table(
         manifest["file_blooms"] = _staged_file_blooms(
             df.sparkSession, staging, bloom_col, bloom_m, bloom_k
         )
+    if identity_col is not None:
+        manifest["identity_col"] = identity_col
+        hw = df.agg(F.max(identity_col).alias("hw")).first().hw
+        manifest["identity_high_water"] = int(hw) if hw is not None else 0
     if not _publish_manifest(base_dir, manifest):
         shutil.rmtree(staging, ignore_errors=True)  # loser leaves nothing
         raise ValueError(f"concurrent init of {base_dir}")
@@ -1004,12 +1039,14 @@ def merge_upsert_manifest(
             bad = [
                 c
                 for c in patch_cols
-                if c not in expected or c in (key_col, "bucket", "rn")
+                if c not in expected
+                or c in (key_col, "bucket", "rn")
+                or c == snap.get("identity_col")
             ]
             if bad:
                 raise ValueError(
-                    f"patch_cols {bad} must be existing non-key table "
-                    f"columns (table: {sorted(expected)})"
+                    f"patch_cols {bad} must be existing non-key, "
+                    f"non-identity table columns (table: {sorted(expected)})"
                 )
             need = sorted({key_col, ver_col, tiebreak_col, *patch_cols})
             if sorted(updates.columns) != need:
@@ -1160,6 +1197,48 @@ def merge_upsert_manifest(
                     upd = upd.withColumn(
                         TOMBSTONE_COL, F.lit(None).cast(res_types[TOMBSTONE_COL])
                     )
+            ident = snap.get("identity_col")
+            # legacy manifests (identity declared, mark missing) start
+            # at 0 rather than crashing the arithmetic below
+            new_hw = (
+                int(snap.get("identity_high_water") or 0)
+                if ident is not None
+                else None
+            )
+            if (
+                patch_cols is not None
+                and ident is not None
+                and ident not in updates.columns
+            ):
+                # identity assignment: matched keys carried their id in
+                # the join above; NEW keys (NULL id) take
+                # high_water + rank-by-key — a window over ONLY the
+                # batch's unmatched rows (bounded by batch size, the one
+                # place a single-partition window is provably bounded),
+                # and the advanced mark publishes WITH this commit's
+                # manifest, so a lost CAS re-pins the winner's mark and
+                # re-assigns — two racing inserters can never mint the
+                # same id (raced in tests/test_lakehouse.py)
+                n_new = upd.filter(F.col(ident).isNull()).count()
+                wnew = Window.partitionBy(F.col(ident).isNull()).orderBy(
+                    F.col(key_col)
+                )
+                upd = upd.withColumn(
+                    ident,
+                    F.coalesce(
+                        F.col(ident),
+                        (F.lit(new_hw) + F.row_number().over(wnew)).cast(
+                            res_types[ident]
+                        ),
+                    ),
+                )
+                new_hw = new_hw + n_new
+            elif ident is not None and ident in upd.columns:
+                # full-row mode: the batch carries caller-managed ids —
+                # keep the invariant hw >= every assigned id
+                bmax = upd.agg(F.max(ident).alias("m")).first().m
+                if bmax is not None:
+                    new_hw = max(new_hw or 0, int(bmax))
             unioned = upd
             if base_df is not None:
                 unioned = base_df.withColumn(
@@ -1206,6 +1285,9 @@ def merge_upsert_manifest(
             # work (at 100 TB that scan would dwarf the compaction)
             "tombstone_buckets": tomb_buckets,
         }
+        if ident is not None:
+            manifest["identity_col"] = ident
+            manifest["identity_high_water"] = int(new_hw or 0)
         _attach_sidecars(spark, snap, manifest, buckets, staging)
         if before_commit is not None:
             before_commit(attempt)
@@ -2606,4 +2688,122 @@ def merge_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("price"), 2).alias("sum_price"),
         )
         .orderBy("status")
+    )
+
+
+@register(
+    "merge_identity_assign",
+    oracle="""
+    -- closed form: seed = even orderkeys with dense ids in key order;
+    -- the patch touches every 3rd key — matched evens keep their id
+    -- (price +1000), odd multiples of 3 INSERT and take
+    -- high_water + rank-in-key-order
+    WITH evens AS (
+      SELECT o_orderkey AS k, o_totalprice AS p,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) AS sid
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), inserts AS (
+      SELECT o_orderkey AS k, o_totalprice AS p,
+             (SELECT COUNT(*) FROM evens)
+             + ROW_NUMBER() OVER (ORDER BY o_orderkey) AS sid
+      FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 0
+    ), final AS (
+      SELECT sid, CASE WHEN k % 3 = 0 THEN p + 1000 ELSE p END AS price,
+             'seed' AS origin
+      FROM evens
+      UNION ALL
+      SELECT sid, p + 1000, 'inserted' FROM inserts
+    )
+    SELECT origin,
+           COUNT(*)                   AS n_rows,
+           CAST(SUM(sid) AS BIGINT)   AS sum_sid,
+           CAST(MAX(sid) AS BIGINT)   AS max_sid,
+           ROUND(SUM(price), 2)       AS sum_price
+    FROM final GROUP BY origin ORDER BY origin
+    """,
+)
+def merge_identity_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of IDENTITY columns (Delta GENERATED ALWAYS AS
+    IDENTITY / Iceberg sequence semantics on the manifest table): the
+    table declares ``identity_col='sid'`` and the manifest carries an
+    ``identity_high_water`` mark, so a partial-update MERGE assigns
+    ``high_water + rank-by-key`` to NEW keys transactionally while
+    matched keys KEEP their id through the carry join — no global
+    max(id) scan ever runs (the mark is manifest metadata), and a lost
+    CAS re-pins the winner's mark before re-assigning, so two racing
+    inserters cannot mint the same id
+    (tests/test_lakehouse.py::test_identity_two_writer_race_unique_ids).
+
+    Face: even orderkeys seed the table with dense ids; one patch
+    batch touches every 3rd key — the matched evens must keep their
+    seed id under the price update (``sum_sid`` over 'seed' is the
+    stability probe: one reassigned row shifts it) and the odd
+    multiples of 3 insert with contiguous post-high-water ids
+    (``max_sid`` pins the mark arithmetic). The oracle derives both
+    populations in closed form. Inline asserts pin the mark after each
+    commit and id uniqueness across the final snapshot.
+    Reference provenance: the reference mints wall-clock-salted string
+    ids (parser_pinecone_storage.py:154) — non-reproducible and
+    collision-prone under retry; this is the transactional version.
+    """
+    import shutil
+
+    from .scans import _adir
+
+    base_dir = _adir(sf_dir, "merge_identity_table")
+    shutil.rmtree(base_dir, ignore_errors=True)
+
+    orders = table(spark, sf_dir, "orders")
+    seed = (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.lit(1).alias("ver"),
+            F.lit("seed").alias("src"),
+            F.col("o_totalprice").alias("price"),
+        )
+        # fixture seed ids via one global row_number — face SETUP, not
+        # the operator (a production table starts empty and lets the
+        # merge path mint every id)
+        .withColumn("sid", F.row_number().over(Window.orderBy("k")).cast("bigint"))
+    )
+    init_table(seed, base_dir, key_col="k", n_buckets=16, identity_col="sid")
+    n_seed = seed.count()
+    if load_manifest(base_dir)["identity_high_water"] != n_seed:
+        raise AssertionError("init mark must equal the seed max id")
+
+    upd = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(2).alias("ver"),
+        F.lit("u1").alias("src"),
+        (F.col("o_totalprice") + 1000).alias("price"),
+    )
+    merge_upsert_manifest(
+        base_dir, upd, ver_col="ver", tiebreak_col="src",
+        writer_id="u1", patch_cols=["price"],
+    )
+    snap = read_snapshot(spark, base_dir)
+    n_rows = snap.count()
+    man = load_manifest(base_dir)
+    if man["identity_high_water"] != n_rows:
+        raise AssertionError(
+            f"mark {man['identity_high_water']} must equal row count "
+            f"{n_rows} (dense ids, no gaps in this scenario)"
+        )
+    if snap.select("sid").distinct().count() != n_rows:
+        raise AssertionError("identity ids must be unique")
+
+    return (
+        snap.groupBy(
+            F.when(F.col("k") % 2 == 0, "seed")
+            .otherwise("inserted")
+            .alias("origin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("sid").alias("sum_sid"),
+            F.max("sid").alias("max_sid"),
+            F.round(F.sum("price"), 2).alias("sum_price"),
+        )
+        .orderBy("origin")
     )

@@ -49,6 +49,7 @@ WRITE_PATH_PROTOCOL = [
     "stream_cdf_materialize",
     "stream_changes_feed",
     "merge_vacuum_retention",
+    "merge_identity_assign",
 ]
 
 

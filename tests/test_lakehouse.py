@@ -1377,3 +1377,100 @@ def test_bloom_survives_two_writer_race(spark, tmp_path):
     assert b_result["commit"] == (2, 1) and (v, tries) == (3, 2)
     assert [r.k for r in read_snapshot_point(spark, base, 777).collect()] == [401]
     assert [r.k for r in read_snapshot_point(spark, base, 888).collect()] == [402]
+
+
+def test_identity_two_writer_race_unique_ids(spark, tmp_path):
+    """Two writers inserting DIFFERENT new keys race; B commits inside
+    A's pre-commit window. A's retry must re-pin B's ADVANCED
+    high-water mark before re-assigning, so the union of minted ids is
+    gap-free and collision-free — an assignment computed outside the
+    retry loop would give both writers the same id block."""
+    from assignment4_spark.operators.lakehouse import load_manifest
+
+    base = str(tmp_path / "idtbl")
+    seed = spark.range(1, 11).select(
+        F.col("id").alias("k"),
+        F.lit(1).alias("ver"),
+        F.lit("s").alias("src"),
+        F.col("id").cast("bigint").alias("sid"),
+        (F.col("id") * 1.0).alias("price"),
+    )
+    init_table(seed, base, key_col="k", n_buckets=4, identity_col="sid")
+    a_upd = spark.createDataFrame(
+        [(101, 2, "A", 1.0), (102, 2, "A", 2.0)],
+        "k long, ver int, src string, price double",
+    )
+    b_upd = spark.createDataFrame(
+        [(201, 2, "B", 3.0), (202, 2, "B", 4.0), (203, 2, "B", 5.0)],
+        "k long, ver int, src string, price double",
+    )
+    b_result = {}
+
+    def interleave(attempt):
+        if attempt == 0:
+            b_result["commit"] = merge_upsert_manifest(
+                base, b_upd, "ver", "src", writer_id="B",
+                patch_cols=["price"],
+            )
+
+    v, tries = merge_upsert_manifest(
+        base, a_upd, "ver", "src", writer_id="A",
+        before_commit=interleave, patch_cols=["price"],
+    )
+    assert b_result["commit"] == (2, 1) and (v, tries) == (3, 2)
+    rows = {r.k: r.sid for r in read_snapshot(spark, base).collect()}
+    minted = sorted(rows[k] for k in (101, 102, 201, 202, 203))
+    assert minted == [11, 12, 13, 14, 15], (
+        f"ids must be gap-free and collision-free across the race: {minted}"
+    )
+    # B won the race: B's keys hold the first block (11-13), A re-pinned
+    # and took 14-15
+    assert sorted(rows[k] for k in (201, 202, 203)) == [11, 12, 13]
+    assert load_manifest(base)["identity_high_water"] == 15
+
+
+def test_identity_gates_and_survival(spark, tmp_path):
+    """Identity gates: non-integral/key identity columns rejected at
+    init, identity col rejected in patch_cols; the mark survives
+    compaction and rebucket as pure metadata."""
+    from assignment4_spark.operators.lakehouse import (
+        load_manifest,
+        rebucket_table,
+    )
+
+    bad = spark.range(3).select(
+        F.col("id").alias("k"), F.lit(1).alias("ver"),
+        F.lit("s").alias("src"), F.col("id").cast("string").alias("sid"),
+    )
+    with pytest.raises(ValueError, match="integral"):
+        init_table(bad, str(tmp_path / "b1"), key_col="k", n_buckets=2,
+                   identity_col="sid")
+    with pytest.raises(ValueError, match="cannot be the key"):
+        init_table(
+            spark.range(3).select(F.col("id").alias("k"), F.lit(1).alias("v")),
+            str(tmp_path / "b2"), key_col="k", n_buckets=2, identity_col="k",
+        )
+
+    base = str(tmp_path / "g1")
+    seed = spark.range(1, 6).select(
+        F.col("id").alias("k"), F.lit(1).alias("ver"),
+        F.lit("s").alias("src"), F.col("id").cast("bigint").alias("sid"),
+        (F.col("id") * 1.0).alias("price"),
+    )
+    init_table(seed, base, key_col="k", n_buckets=2, identity_col="sid")
+    good = spark.createDataFrame(
+        [(1, 2, "u", 9.0)], "k long, ver int, src string, price double"
+    )
+    with pytest.raises(ValueError, match="non-identity"):
+        merge_upsert_manifest(base, good, "ver", "src", patch_cols=["sid"])
+    rebucket_table(spark, base, 4)
+    m = load_manifest(base)
+    assert m["identity_col"] == "sid" and m["identity_high_water"] == 5
+    # and the mark still drives assignment after the rebucket
+    merge_upsert_manifest(
+        base,
+        spark.createDataFrame([(99, 2, "u", 1.0)],
+                              "k long, ver int, src string, price double"),
+        "ver", "src", patch_cols=["price"],
+    )
+    assert {r.k: r.sid for r in read_snapshot(spark, base).collect()}[99] == 6
