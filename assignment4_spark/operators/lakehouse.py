@@ -842,6 +842,34 @@ def _visible_rows(df: DataFrame) -> DataFrame:
     ).drop(TOMBSTONE_COL)
 
 
+def _mint_identities(
+    upd: DataFrame, ident: str, key_col: str, hw: int, ident_type
+) -> tuple[DataFrame, int]:
+    """Assign identities to the NULL-``ident`` rows of a commit batch:
+    each distinct NULL-id key takes ``hw + dense_rank(key)`` — one id
+    per KEY (duplicate batch rows for the same new key share it), so
+    the high-water mark advances by exactly the distinct-key count and
+    never leaves gaps, and which duplicate the latest-wins window
+    keeps cannot change the key's identity. The window partitions on
+    isNull so it ranks ONLY the unmatched rows — bounded by batch
+    size, the one place a single-partition window is provably bounded.
+    Returns (batch with ids filled, advanced high-water mark)."""
+    n_new = (
+        upd.filter(F.col(ident).isNull()).select(key_col).distinct().count()
+    )
+    if n_new == 0:
+        return upd, hw
+    wnew = Window.partitionBy(F.col(ident).isNull()).orderBy(F.col(key_col))
+    upd = upd.withColumn(
+        ident,
+        F.coalesce(
+            F.col(ident),
+            (F.lit(hw) + F.dense_rank().over(wnew)).cast(ident_type),
+        ),
+    )
+    return upd, hw + n_new
+
+
 def vacuum(base_dir: str, keep_last: int = 2) -> dict:
     """Retention cleanup — the VACUUM half of the MERGE story: expire
     every manifest older than the newest ``keep_last`` versions and
@@ -1177,8 +1205,10 @@ def merge_upsert_manifest(
                 # fill the carry columns from the pinned snapshot's
                 # visible rows (one row per key by the merge invariant).
                 # Duplicate batch keys need no pre-dedup: both rows get
-                # identical carry values and the final latest-wins
-                # window picks the same winner it would after a dedup.
+                # identical carry values — and, under identity_col, the
+                # same minted id (dense_rank below is per-key) — so the
+                # final latest-wins window picks the same winner it
+                # would after a dedup, with the same identity.
                 carry = [c for c in cols if c not in upd.columns]
                 carry_data = [c for c in carry if c != TOMBSTONE_COL]
                 if base_df is not None and carry_data:
@@ -1212,33 +1242,53 @@ def merge_upsert_manifest(
             ):
                 # identity assignment: matched keys carried their id in
                 # the join above; NEW keys (NULL id) take
-                # high_water + rank-by-key — a window over ONLY the
-                # batch's unmatched rows (bounded by batch size, the one
-                # place a single-partition window is provably bounded),
-                # and the advanced mark publishes WITH this commit's
-                # manifest, so a lost CAS re-pins the winner's mark and
-                # re-assigns — two racing inserters can never mint the
-                # same id (raced in tests/test_lakehouse.py)
-                n_new = upd.filter(F.col(ident).isNull()).count()
-                wnew = Window.partitionBy(F.col(ident).isNull()).orderBy(
-                    F.col(key_col)
+                # high_water + dense_rank-by-key — a window over ONLY
+                # the batch's unmatched rows (bounded by batch size, the
+                # one place a single-partition window is provably
+                # bounded); dense_rank (not row_number) so duplicate
+                # batch rows for the same new key mint ONE id — no
+                # high-water gaps, and the latest-wins winner's id is
+                # tiebreak-independent. The advanced mark publishes WITH
+                # this commit's manifest, so a lost CAS re-pins the
+                # winner's mark and re-assigns — two racing inserters
+                # can never mint the same id (raced in
+                # tests/test_lakehouse.py)
+                upd, new_hw = _mint_identities(
+                    upd, ident, key_col, new_hw, res_types[ident]
                 )
-                upd = upd.withColumn(
-                    ident,
-                    F.coalesce(
-                        F.col(ident),
-                        (F.lit(new_hw) + F.row_number().over(wnew)).cast(
-                            res_types[ident]
-                        ),
-                    ),
-                )
-                new_hw = new_hw + n_new
             elif ident is not None and ident in upd.columns:
                 # full-row mode: the batch carries caller-managed ids —
-                # keep the invariant hw >= every assigned id
+                # keep the invariant hw >= every assigned id, then close
+                # the NULL-id hole: rows arriving without an id first
+                # re-adopt the key's existing id from the pinned
+                # snapshot (so a full-row rewrite cannot silently change
+                # a key's identity), and genuinely new keys mint from
+                # the raised mark exactly like the patch path — a
+                # full-row batch can never publish NULL identities
                 bmax = upd.agg(F.max(ident).alias("m")).first().m
                 if bmax is not None:
                     new_hw = max(new_hw or 0, int(bmax))
+                if upd.filter(F.col(ident).isNull()).limit(1).count() > 0:
+                    if base_df is not None:
+                        existing = _visible_rows(base_df).select(
+                            key_col, F.col(ident).alias("__existing_id")
+                        )
+                        upd = (
+                            upd.join(existing, on=key_col, how="left")
+                            .withColumn(
+                                ident,
+                                F.coalesce(
+                                    F.col(ident),
+                                    F.col("__existing_id").cast(
+                                        res_types[ident]
+                                    ),
+                                ),
+                            )
+                            .drop("__existing_id")
+                        )
+                    upd, new_hw = _mint_identities(
+                        upd, ident, key_col, new_hw, res_types[ident]
+                    )
             unioned = upd
             if base_df is not None:
                 unioned = base_df.withColumn(

@@ -936,8 +936,9 @@ def sample_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs, and repartitionings (a fold computed on the cluster equals
     the fold computed in the eval notebook), and every doc is in
     exactly one test fold and k-1 train folds. The hex digit covers
-    '0'-'f' (16 values) mod 5 — folds 0-2 get 4/16 of hash space,
-    folds 3-4 get 3/16 and 'f' folds to 0 via the ELSE; the slight
+    '0'-'f' (16 values) mod 5 — fold 0 gets 4/16 of hash space
+    ({0,5,a,f}), folds 1-4 get 3/16 each, 'f' folding to 0 via the
+    ELSE (15 % 5 == 0); the slight
     imbalance is the price of digit-level portability and is IDENTICAL
     on both engines (the fixture-measured split is asserted by the
     oracle row counts themselves).

@@ -1474,3 +1474,62 @@ def test_identity_gates_and_survival(spark, tmp_path):
         "ver", "src", patch_cols=["price"],
     )
     assert {r.k: r.sid for r in read_snapshot(spark, base).collect()}[99] == 6
+
+
+def _mk_identity_table(spark, tmp_path, name="idt"):
+    from assignment4_spark.operators.lakehouse import init_table
+
+    base = str(tmp_path / name)
+    seed = spark.range(1, 6).select(
+        F.col("id").alias("k"), F.lit(1).alias("ver"),
+        F.lit("s").alias("src"), F.col("id").cast("bigint").alias("sid"),
+        (F.col("id") * 1.0).alias("price"),
+    )
+    init_table(seed, base, key_col="k", n_buckets=2, identity_col="sid")
+    return base
+
+
+def test_identity_duplicate_new_keys_mint_one_id(spark, tmp_path):
+    """A patch batch carrying the same NEW key twice (latest-wins race
+    inside one batch) must mint exactly ONE id for that key: the
+    high-water mark advances by the distinct-key count (no permanent
+    gaps) and the surviving row's id is tiebreak-independent."""
+    from assignment4_spark.operators.lakehouse import load_manifest
+
+    base = _mk_identity_table(spark, tmp_path)
+    batch = spark.createDataFrame(
+        [(101, 2, "a", 1.0), (101, 3, "b", 2.0), (102, 2, "c", 3.0)],
+        "k long, ver int, src string, price double",
+    )
+    merge_upsert_manifest(base, batch, "ver", "src", patch_cols=["price"])
+    rows = {r.k: r.sid for r in read_snapshot(spark, base).collect()}
+    # 2 distinct new keys → ids 6 and 7, hw == 7 (a row_number over the
+    # 3 NULL-id rows would have burnt 8 and left a gap)
+    assert sorted([rows[101], rows[102]]) == [6, 7]
+    assert load_manifest(base)["identity_high_water"] == 7
+
+
+def test_identity_full_row_null_ids_assigned(spark, tmp_path):
+    """Full-row batches may arrive with NULL ids: an existing key must
+    re-adopt its current id (a full-row rewrite cannot change a key's
+    identity), a new key mints from the high-water mark, and the mark
+    keeps the hw >= max(assigned) invariant when the batch also carries
+    caller-managed ids above it. No NULL identity is ever published."""
+    from assignment4_spark.operators.lakehouse import load_manifest
+
+    base = _mk_identity_table(spark, tmp_path)
+    batch = spark.createDataFrame(
+        [
+            (3, 2, "u", None, 9.0),      # existing key, NULL id → keeps 3
+            (201, 2, "u", None, 1.0),    # new key, NULL id → mints
+            (202, 2, "u", 50, 2.0),      # caller-managed id raises hw
+        ],
+        "k long, ver int, src string, sid long, price double",
+    )
+    merge_upsert_manifest(base, batch, "ver", "src")
+    rows = {r.k: r.sid for r in read_snapshot(spark, base).collect()}
+    assert rows[3] == 3 and rows[202] == 50
+    # hw was raised to 50 by the caller-managed id BEFORE minting
+    assert rows[201] == 51
+    assert all(v is not None for v in rows.values())
+    assert load_manifest(base)["identity_high_water"] == 51
