@@ -43,6 +43,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # independent of any files present at run time; unknown names are
 # ignored (robust to renames).
 _PRIORITY = [
+    # round-9 additions: never driver-checked, oracled
+    "merge_restore_version", "merge_shallow_clone",
+    "merge_serializable_check",
+    "merge_expectations_gate",
     "text_lang_id", "text_lang_stats", "text_ngram_freq", "text_pii_redact",
     "text_quality_score", "text_tfidf", "text_token_count",
     "text_unigram_logprob", "text_winnow_fingerprint", "text_word_count",

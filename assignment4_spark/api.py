@@ -30,10 +30,14 @@ from .operators.dedup import (  # noqa: F401
     simhash_pairs,
 )
 from .operators.lakehouse import (  # noqa: F401
+    MergeConflictError,
+    QUARANTINE_REASON_COL,
+    SerializationConflictError,
     TOMBSTONE_COL,
     apply_cdf_deltas,
     cdf_deltas,
     changes_between,
+    clone_table,
     compact_tombstones,
     init_table,
     latest_version,
@@ -41,10 +45,12 @@ from .operators.lakehouse import (  # noqa: F401
     merge_upsert_manifest,
     prune_files_by_bloom,
     prune_files_by_range,
+    read_quarantine,
     read_snapshot,
     read_snapshot_point,
     read_snapshot_range,
     rebucket_table,
+    restore_table,
     vacuum,
 )
 from .operators.multimodal import (  # noqa: F401

@@ -73,6 +73,14 @@ _STAGING_SEQ = itertools.count()
 # deletion markers for a retention window)
 TOMBSTONE_COL = "_deleted"
 
+# reserved quarantine reason column (write-side expectations gate): a
+# batch row that fails one or more of a merge's declared expectations
+# is diverted to the commit's quarantine side table with the sorted,
+# comma-joined names of the failed expectations here — never into the
+# bucket files (the Delta CHECK-constraint story, but quarantine-not-
+# abort so one bad row cannot wedge an ingestion pipeline)
+QUARANTINE_REASON_COL = "_violation"
+
 # safe automatic type widenings under evolve_schema=True — value-
 # preserving upcasts only, the same lattice Delta's mergeSchema allows;
 # anything else (narrowing, string↔numeric, timestamp changes) must be
@@ -631,7 +639,18 @@ def _publish_manifest(base_dir: str, manifest: dict) -> bool:
     hard-linked to the version path: the link either materializes the
     COMPLETE manifest atomically or fails with FileExistsError because
     a competing writer won the version — the two outcomes of a
-    conditional PUT. Returns False on a lost race (caller retries)."""
+    conditional PUT. Returns False on a lost race (caller retries).
+
+    Slot-reuse guard: vacuum deletes expired manifests, which REOPENS
+    their version slots — a straggler pinned far in the past could
+    link v{N}.json "successfully" while v{N+k} is already latest,
+    publishing an invisible commit into history (and claiming success
+    to its caller). After the link, verify the slot is still the
+    HEAD: if any higher version exists, unlink and report a lost race
+    so the caller re-pins. The unlink closes the hole vacuum opened;
+    the microwindow in which an explicit-version reader could see the
+    transient manifest is the same class as reading any expired
+    version (the files it names exist throughout)."""
     final = _manifest_path(base_dir, manifest["version"])
     tmp = os.path.join(
         base_dir,
@@ -641,11 +660,14 @@ def _publish_manifest(base_dir: str, manifest: dict) -> bool:
         json.dump(manifest, fh)
     try:
         os.link(tmp, final)
-        return True
     except FileExistsError:
         return False
     finally:
         os.unlink(tmp)
+    if latest_version(base_dir) > manifest["version"]:
+        os.unlink(final)
+        return False
+    return True
 
 
 def _list_bucket_files(staging_dir: str) -> dict[int, list[str]]:
@@ -842,6 +864,92 @@ def _visible_rows(df: DataFrame) -> DataFrame:
     ).drop(TOMBSTONE_COL)
 
 
+def _gate_expectations(
+    updates: DataFrame, expectations: dict[str, str]
+) -> tuple[DataFrame, DataFrame, dict]:
+    """Split a commit batch on write-side expectations — Delta CHECK
+    constraints / Great Expectations moved to the write path: each
+    value is a SQL boolean expression over the BATCH's columns, and a
+    row passes an expectation iff it evaluates to exactly TRUE (NULL
+    counts as a violation — invariant semantics, deliberately stricter
+    than ANSI CHECK's unknown-passes, because a quality gate that
+    waves NULLs through protects no downstream consumer).
+
+    Returns ``(passing, quarantined, stats)``: passing rows keep the
+    batch schema; quarantined rows gain QUARANTINE_REASON_COL holding
+    the sorted comma-joined failed names; stats carries the batch
+    size, quarantined count, and per-expectation violation counts from
+    ONE aggregate pass over the (bounded) batch. The split is a
+    deterministic function of the batch alone — snapshot-independent,
+    so merge evaluates it ONCE outside the CAS retry loop and a lost
+    race never re-gates."""
+    if not expectations:
+        raise ValueError("expectations must be a non-empty mapping")
+    names = sorted(expectations)
+    bad = [n for n in names if not n or "," in n]
+    if bad:
+        raise ValueError(
+            f"expectation names must be non-empty and comma-free "
+            f"(the reason column joins them with commas): {bad}"
+        )
+    if QUARANTINE_REASON_COL in updates.columns:
+        raise ValueError(
+            f"update batch may not carry the reserved quarantine "
+            f"reason column {QUARANTINE_REASON_COL!r}"
+        )
+    failed = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    ~F.expr(expectations[n]).eqNullSafe(F.lit(True)),
+                    F.lit(n),
+                )
+                for n in names
+            ]
+        )
+    )
+    tagged = updates.withColumn("__failed", failed)
+    row = tagged.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum((F.size("__failed") > 0).cast("int")).alias("__q"),
+        *[
+            F.sum(F.array_contains("__failed", n).cast("int")).alias(f"__e{i}")
+            for i, n in enumerate(names)
+        ],
+    ).first()
+    stats = {
+        "checked": names,
+        "n_batch": int(row["__n"]),
+        "quarantined": int(row["__q"] or 0),
+        "by_expectation": {
+            n: int(row[f"__e{i}"] or 0) for i, n in enumerate(names)
+        },
+    }
+    passing = tagged.filter(F.size("__failed") == 0).drop("__failed")
+    quarantined = (
+        tagged.filter(F.size("__failed") > 0)
+        .withColumn(QUARANTINE_REASON_COL, F.concat_ws(",", "__failed"))
+        .drop("__failed")
+    )
+    return passing, quarantined, stats
+
+
+def read_quarantine(
+    spark: SparkSession, base_dir: str, version: int | None = None
+) -> DataFrame | None:
+    """Rows the expectations gate diverted at commit ``version``
+    (default: the latest version), with QUARANTINE_REASON_COL naming
+    the failed expectations per row — the triage surface an ingestion
+    on-call reads to decide re-submit vs drop. Returns None when that
+    commit carried no expectations or quarantined nothing (callers
+    branch on the manifest's counters without a scan either way)."""
+    snap = load_manifest(base_dir, version)
+    info = snap.get("expectations")
+    if not info or not info.get("path"):
+        return None
+    return spark.read.parquet(info["path"])
+
+
 def _mint_identities(
     upd: DataFrame, ident: str, key_col: str, hw: int, ident_type
 ) -> tuple[DataFrame, int]:
@@ -870,10 +978,143 @@ def _mint_identities(
     return upd, hw + n_new
 
 
+def restore_table(
+    base_dir: str, to_version: int, max_retries: int = 5, before_commit=None
+) -> tuple[int, int]:
+    """RESTORE the table to the logical state of ``to_version`` by
+    COMMITTING A NEW VERSION whose manifest re-points at the old
+    version's files (Delta ``RESTORE TABLE ... TO VERSION AS OF``):
+    metadata-only — zero data rewritten, safe because committed files
+    are immutable — and history-preserving: the versions between
+    ``to_version`` and the restore stay readable via time travel until
+    retention expires them (a restore is an ordinary commit through
+    the same CAS, losing races and retrying like any writer).
+
+    Two invariants survive the rewind:
+
+    * ``identity_high_water`` takes max(old, current) — ids minted by
+      the undone commits may already live in exports/clones, so a
+      restore must never allow them to be re-minted;
+    * the undone commits' ``expectations`` quarantine record is NOT
+      carried (it describes a different commit's batch); the restored
+      manifest records ``restored_from`` instead.
+
+    Requires ``to_version`` to still exist (inside retention) — a
+    vacuumed version cannot be restored, by definition of retention.
+
+    Returns ``(committed_version, attempts)``."""
+    old = load_manifest(base_dir, to_version)  # raises if expired
+    for attempt in range(max_retries + 1):
+        snap = load_manifest(base_dir)
+        manifest = {**old, "version": snap["version"] + 1}
+        manifest.pop("expectations", None)
+        manifest["restored_from"] = to_version
+        if snap.get("identity_col") is not None:
+            manifest["identity_high_water"] = max(
+                int(old.get("identity_high_water") or 0),
+                int(snap.get("identity_high_water") or 0),
+            )
+        if before_commit is not None:
+            before_commit(attempt)
+        if _publish_manifest(base_dir, manifest):
+            return manifest["version"], attempt + 1
+    raise MergeConflictError(
+        f"restore to v{to_version} lost the commit race "
+        f"{max_retries + 1} times"
+    )
+
+
+def clone_table(
+    base_dir: str, target_dir: str, version: int | None = None
+) -> dict:
+    """SHALLOW CLONE: create a new manifest table at ``target_dir``
+    whose v1 manifest is the source's manifest at ``version`` (default
+    latest) — metadata only, ZERO data copied (Delta SHALLOW CLONE /
+    Iceberg snapshot-ref semantics). Safe by the protocol's core
+    invariant: committed data files are IMMUTABLE (commits only add
+    files and publish manifests), so two tables referencing the same
+    files can never corrupt each other. The clone evolves
+    independently — its merges rewrite touched buckets into ITS OWN
+    directory and carry untouched buckets by reference.
+
+    Cross-table retention is handled on both sides:
+
+    * source side — the clone registers a pin record under
+      ``base_dir/clones/``; ``vacuum`` on the source treats every live
+      clone's pinned version as KEPT (manifest and files survive any
+      ``keep_last``), and drops records whose target table no longer
+      exists. Vacuum on the source therefore cannot break a live clone
+      (tests/test_lakehouse.py pins this).
+    * clone side — ``vacuum`` only ever deletes files INSIDE its own
+      table directory (ownership = directory containment), so expiring
+      clone history merely drops references to source files, never the
+      files themselves.
+
+    The retention contract matches merge's: creating a clone
+    concurrently with a vacuum that is expiring the very version being
+    cloned is a race the retention window must prevent (clone inside
+    the window, always). Refuses an existing ``target_dir``.
+
+    Returns ``{"target", "source_version"}``."""
+    snap = load_manifest(base_dir, version)
+    v = snap["version"]
+    os.makedirs(target_dir, exist_ok=False)
+    manifest = {
+        **snap,
+        "version": 1,
+        "cloned_from": {
+            "base_dir": os.path.abspath(base_dir),
+            "version": v,
+        },
+    }
+    if not _publish_manifest(target_dir, manifest):
+        raise RuntimeError(f"clone target {target_dir} already has a v1")
+    cdir = os.path.join(base_dir, "clones")
+    os.makedirs(cdir, exist_ok=True)
+    rec_path = os.path.join(
+        cdir,
+        f"clone_{os.getpid()}_{threading.get_ident()}_"
+        f"s{next(_STAGING_SEQ)}.json",
+    )
+    with open(rec_path, "w") as fh:
+        json.dump(
+            {"target": os.path.abspath(target_dir), "version": v}, fh
+        )
+    return {"target": os.path.abspath(target_dir), "source_version": v}
+
+
+def _clone_pinned_versions(base_dir: str) -> set[int]:
+    """Source versions pinned by LIVE clones (records under
+    ``base_dir/clones/``); records whose target table vanished are
+    garbage-collected here, so an rm -rf'd clone stops blocking
+    retention at the next vacuum."""
+    cdir = os.path.join(base_dir, "clones")
+    pins: set[int] = set()
+    if not os.path.isdir(cdir):
+        return pins
+    for fn in sorted(os.listdir(cdir)):
+        path = os.path.join(cdir, fn)
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if latest_version(rec.get("target", "")) > 0:
+            pins.add(int(rec["version"]))
+        else:
+            os.remove(path)
+    return pins
+
+
 def vacuum(base_dir: str, keep_last: int = 2) -> dict:
     """Retention cleanup — the VACUUM half of the MERGE story: expire
     every manifest older than the newest ``keep_last`` versions and
     delete the data files ONLY those expired versions reference.
+
+    Versions pinned by LIVE shallow clones (see ``clone_table``) are
+    always kept regardless of ``keep_last``; only files INSIDE this
+    table's own directory are ever deleted (a clone's manifests
+    reference the source's files — containment is ownership).
 
     A file is deleted iff it appears in some expired manifest and in NO
     kept manifest — untouched-bucket files carried forward across
@@ -887,6 +1128,8 @@ def vacuum(base_dir: str, keep_last: int = 2) -> dict:
 
     Returns ``{"deleted_versions": [...], "deleted_files": N,
     "kept_versions": [...]}``."""
+    import shutil
+
     latest = latest_version(base_dir)
     if latest == 0:
         raise ValueError(f"no committed table at {base_dir}")
@@ -899,21 +1142,47 @@ def vacuum(base_dir: str, keep_last: int = 2) -> dict:
         for fn in os.listdir(base_dir)
         if fn.startswith("v") and fn.endswith(".json") and fn[1:-5].isdigit()
     )
-    kept = [v for v in existing if v > latest - keep_last]
+    pins = _clone_pinned_versions(base_dir)
+    kept = [v for v in existing if v > latest - keep_last or v in pins]
     expired = [v for v in existing if v not in kept]
     kept_files: set[str] = set()
+    kept_qdirs: set[str] = set()
     for v in kept:
-        for fs in load_manifest(base_dir, v)["buckets"].values():
+        m = load_manifest(base_dir, v)
+        for fs in m["buckets"].values():
             kept_files.update(fs)
+        q = (m.get("expectations") or {}).get("path")
+        if q:
+            kept_qdirs.add(q)
     doomed: set[str] = set()
+    doomed_qdirs: set[str] = set()
+    own = os.path.abspath(base_dir) + os.sep
     for v in expired:
-        for fs in load_manifest(base_dir, v)["buckets"].values():
-            doomed.update(f for f in fs if f not in kept_files)
+        m = load_manifest(base_dir, v)
+        for fs in m["buckets"].values():
+            # ownership = directory containment: a CLONE's manifests
+            # reference files inside the SOURCE table's directory;
+            # expiring clone history must drop the references, never
+            # delete another table's files
+            doomed.update(
+                f
+                for f in fs
+                if f not in kept_files and os.path.abspath(f).startswith(own)
+            )
+        q = (m.get("expectations") or {}).get("path")
+        if q and q not in kept_qdirs:
+            # quarantine side tables expire with their commit — same
+            # kept-reference guard as data files (paths are attempt-
+            # private so sharing is impossible today, but the guard
+            # keeps the invariant structural, not accidental)
+            doomed_qdirs.add(q)
     for f in sorted(doomed):
         try:
             os.remove(f)
         except FileNotFoundError:
             pass  # an earlier interrupted vacuum already got it
+    for q in sorted(doomed_qdirs):
+        shutil.rmtree(q, ignore_errors=True)
     for v in expired:
         os.remove(_manifest_path(base_dir, v))
     return {
@@ -981,6 +1250,61 @@ class MergeConflictError(RuntimeError):
     times in a row (livelock guard; production backs off instead)."""
 
 
+class SerializationConflictError(MergeConflictError):
+    """Raised under ``isolation='serializable'`` when a competing
+    commit logically changed a key this merge also writes (or when
+    retention expired the pinned version, making disjointness
+    unprovable) — the WriteSerializable conflict Delta raises as
+    ConcurrentAppendException. Subclasses MergeConflictError so callers
+    treating every merge conflict uniformly keep working."""
+
+
+def _check_serializable(
+    spark: SparkSession,
+    base_dir: str,
+    pinned_version: int,
+    updates: DataFrame,
+    key_col: str,
+    writer_id: str,
+) -> None:
+    """Serializable-mode gate run after a lost CAS, BEFORE rebasing:
+    diff the manifests committed since the pinned version
+    (changes_between — O(changed data): only buckets whose file sets
+    differ are read, so a metadata-only or compaction commit costs
+    nothing) and raise if any logically-changed key intersects this
+    writer's key set. Logical diffing is the precision that makes the
+    mode usable: a concurrent compaction/rebucket churns every file
+    yet changes no key, so it must NOT conflict — file-level
+    comparison would deadlock maintenance against every writer."""
+    current = latest_version(base_dir)
+    try:
+        delta = changes_between(spark, base_dir, pinned_version, current)
+    except (FileNotFoundError, OSError) as ex:
+        raise SerializationConflictError(
+            f"serializable merge by {writer_id!r}: retention expired "
+            f"pinned v{pinned_version}, so disjointness against "
+            f"v{current} cannot be proven; re-read and re-merge"
+        ) from ex
+    hit = (
+        delta.select(key_col)
+        .distinct()
+        .join(
+            F.broadcast(updates.select(key_col).distinct()),
+            on=key_col,
+            how="inner",
+        )
+        .limit(5)
+        .collect()
+    )
+    if hit:
+        raise SerializationConflictError(
+            f"serializable merge by {writer_id!r}: keys "
+            f"{sorted(r[0] for r in hit)} (sample) were changed by a "
+            f"commit between pinned v{pinned_version} and v{current}; "
+            "re-read and re-merge"
+        )
+
+
 def merge_upsert_manifest(
     base_dir: str,
     updates: DataFrame,
@@ -992,6 +1316,8 @@ def merge_upsert_manifest(
     evolve_schema: bool = False,
     write_salt: int = 1,
     patch_cols: list[str] | None = None,
+    expectations: dict[str, str] | None = None,
+    isolation: str = "latest_wins",
 ) -> tuple[int, int]:
     """MERGE INTO the manifest table at ``base_dir``: latest-wins per
     key across (pinned snapshot ∪ updates), ordered by ``ver_col`` DESC
@@ -1030,6 +1356,38 @@ def merge_upsert_manifest(
     latest-wins like any row, hides its key from default reads while
     it lives, and is reclaimed by compact_tombstones.
 
+    ``expectations`` ({name: SQL boolean over the batch's columns})
+    arms the write-side quality gate: rows failing any expectation are
+    QUARANTINED — written to a commit-private side table tagged with
+    QUARANTINE_REASON_COL (the sorted failed names) — and the commit
+    carries only the passing subset; the manifest records the checked
+    names, quarantine count, per-expectation violation counts, and the
+    side table's path (``read_quarantine`` is the triage surface).
+    Delta's CHECK-constraint semantics (a row passes iff the predicate
+    is exactly TRUE — NULL violates), but quarantine-not-abort, so one
+    bad row cannot wedge an ingestion pipeline while every downstream
+    incremental consumer (CDC, CDF materialization) sees only clean
+    rows. The split is computed ONCE before the CAS loop (it depends
+    only on the batch); the quarantine files are staged per attempt and
+    cleaned on a lost race exactly like commit staging. An
+    all-violating batch still commits: version advances, no bucket is
+    touched, and the manifest's quarantine record IS the result.
+
+    ``isolation`` selects the conflict policy on a lost CAS:
+    ``'latest_wins'`` (default) silently rebases — re-pin the winner's
+    manifest, re-derive, retry — correct when updates are full-state
+    ("the row IS this"); ``'serializable'`` additionally diffs the
+    commits that landed since the pinned version (changes_between —
+    O(changed data)) against this writer's key set and raises
+    SerializationConflictError on overlap — required when updates are
+    read-modify-write (increments, balance math), where silent rebase
+    commits a lost update. Disjoint writers and key-preserving
+    maintenance commits (compaction, rebucket) never conflict: the
+    diff is LOGICAL, not file-level. If retention expired the pinned
+    version, disjointness is unprovable and the merge conflicts
+    conservatively. Delta's WriteSerializable / Iceberg's
+    serializable-isolation validation, on the manifest CAS.
+
     ``before_commit(attempt)`` is a test seam invoked after the new
     files are written but before the CAS — the window in which a
     competing commit causes this writer to lose the race and retry.
@@ -1051,6 +1409,18 @@ def merge_upsert_manifest(
             "patch_cols and evolve_schema are mutually exclusive: a "
             "column-subset patch is defined over the table's existing "
             "schema"
+        )
+    if isolation not in ("latest_wins", "serializable"):
+        raise ValueError(
+            f"isolation must be 'latest_wins' or 'serializable', got "
+            f"{isolation!r}"
+        )
+    gate_stats = quarantined = None
+    if expectations is not None:
+        # snapshot-independent: gate once, OUTSIDE the retry loop — a
+        # lost CAS re-merges the same passing subset, never re-gates
+        updates, quarantined, gate_stats = _gate_expectations(
+            updates, expectations
         )
     for attempt in range(max_retries + 1):
         snap = load_manifest(base_dir)
@@ -1338,6 +1708,18 @@ def merge_upsert_manifest(
         if ident is not None:
             manifest["identity_col"] = ident
             manifest["identity_high_water"] = int(new_hw or 0)
+        qpath = None
+        if gate_stats is not None:
+            if gate_stats["quarantined"]:
+                # attempt-private like commit staging (same collision
+                # reasoning as _staging_path's docstring); the manifest
+                # pins the winning attempt's dir, vacuum reclaims it
+                # with the version
+                qpath = _staging_path(
+                    base_dir, "quarantine", next_version, writer_id, attempt
+                )
+                quarantined.write.mode("error").parquet(qpath)
+            manifest["expectations"] = {**gate_stats, "path": qpath}
         _attach_sidecars(spark, snap, manifest, buckets, staging)
         if before_commit is not None:
             before_commit(attempt)
@@ -1348,6 +1730,15 @@ def merge_upsert_manifest(
         # so vacuum would never reclaim them) and re-merge against the
         # winner's manifest
         shutil.rmtree(staging, ignore_errors=True)
+        if qpath is not None:
+            shutil.rmtree(qpath, ignore_errors=True)
+        if isolation == "serializable":
+            # gated on the POST-expectations batch: quarantined rows
+            # never commit, so they cannot lose an update either
+            _check_serializable(
+                spark, base_dir, snap["version"], updates, key_col,
+                writer_id,
+            )
     raise MergeConflictError(
         f"merge by {writer_id} lost the commit race {max_retries + 1} times"
     )
@@ -2856,4 +3247,540 @@ def merge_identity_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("price"), 2).alias("sum_price"),
         )
         .orderBy("origin")
+    )
+
+
+@register(
+    "merge_expectations_gate",
+    oracle="""
+    -- closed form of one gated full-row MERGE: the batch touches every
+    -- 3rd orderkey (ver 2, price+100); rows where k%9=0 arrive with a
+    -- negated price (violates price_nonneg) and rows where k%15=0 with
+    -- status 'X' (violates status_domain) — those quarantine and the
+    -- table keeps the seed row, so the committed state is exactly the
+    -- keys divisible by 3 but by neither 9 nor 15 updated, all else
+    -- seed. k%45=0 rows violate BOTH (sorted comma-joined reason).
+    WITH final AS (
+      SELECT CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0
+                       AND o_orderkey % 15 <> 0 THEN 2 ELSE 1 END AS ver,
+             o_orderstatus AS status,
+             CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0
+                       AND o_orderkey % 15 <> 0 THEN o_totalprice + 100
+                  ELSE o_totalprice END AS price
+      FROM orders
+    ), t AS (
+      SELECT 'table' AS part, status AS grp,
+             COUNT(*) AS n_rows, CAST(SUM(ver) AS BIGINT) AS sum_ver,
+             ROUND(SUM(price), 2) AS sum_price
+      FROM final GROUP BY status
+    ), bad AS (
+      SELECT CASE WHEN o_orderkey % 9 = 0 THEN -o_totalprice
+                  ELSE o_totalprice + 100 END AS price,
+             CASE WHEN o_orderkey % 45 = 0 THEN 'price_nonneg,status_domain'
+                  WHEN o_orderkey % 9  = 0 THEN 'price_nonneg'
+                  ELSE 'status_domain' END AS reason
+      FROM orders
+      WHERE o_orderkey % 3 = 0
+        AND (o_orderkey % 9 = 0 OR o_orderkey % 15 = 0)
+    ), q AS (
+      SELECT 'quarantine' AS part, reason AS grp,
+             COUNT(*) AS n_rows, CAST(2 * COUNT(*) AS BIGINT) AS sum_ver,
+             ROUND(SUM(price), 2) AS sum_price
+      FROM bad GROUP BY reason
+    )
+    SELECT part, grp, n_rows, sum_ver, sum_price FROM t
+    UNION ALL
+    SELECT part, grp, n_rows, sum_ver, sum_price FROM q
+    ORDER BY part, grp
+    """,
+)
+def merge_expectations_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of write-side expectations on MERGE (Delta CHECK
+    constraints / Great Expectations at the write path, quarantine-not-
+    abort): ``merge_upsert_manifest(..., expectations={...})`` splits
+    the batch BEFORE the CAS loop — rows failing any declared SQL
+    predicate are diverted to a commit-private quarantine side table
+    tagged with the sorted failed-expectation names (_violation), the
+    commit carries only the passing subset, and the manifest records
+    the checked names + per-expectation violation counts + the side
+    table path (``read_quarantine`` is the triage surface). NULL
+    predicate results VIOLATE (invariant semantics, stricter than ANSI
+    CHECK) — a gate that waves NULLs through protects no consumer.
+
+    Face: orders seeds the table; one full-row batch updates every 3rd
+    key but arrives dirty — k%9=0 rows carry a negated price
+    (price_nonneg) and k%15=0 rows a status outside {O,F,P}
+    (status_domain); k%45=0 rows violate BOTH and must show the
+    comma-joined reason. The declared result is the post-gate table
+    (only clean updates committed; violating keys keep their SEED row —
+    the property an abort-style CHECK cannot give without failing the
+    whole batch) UNION the per-reason quarantine summary. Inline
+    asserts pin the manifest's quarantine counters to the side table's
+    actual contents.
+
+    Scale shape: the gate is one projection + one aggregate over the
+    (bounded) batch — never the table; the quarantine write is
+    batch-sized; the merge itself stays bucket-pruned. Downstream
+    incremental consumers (changes_between / stream_cdf_materialize)
+    see only gated rows by construction, which is the point.
+    Reference provenance: none (the reference ingests unvalidated —
+    SURVEY §0 gap); public recipe = Delta constraints quarantine
+    pattern / Great Expectations checkpoints.
+    """
+    import shutil
+
+    from .scans import _adir
+
+    base_dir = _adir(sf_dir, "merge_expectations_table")
+    shutil.rmtree(base_dir, ignore_errors=True)
+
+    orders = table(spark, sf_dir, "orders")
+    seed = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("ver"),
+        F.lit("seed").alias("src"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        (F.col("o_orderkey") % 100).cast("int").alias("qty"),
+    )
+    init_table(seed, base_dir, key_col="k", n_buckets=16)
+
+    batch = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(2).alias("ver"),
+        F.lit("u1").alias("src"),
+        F.when(F.col("o_orderkey") % 15 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+        F.when(F.col("o_orderkey") % 9 == 0, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice") + 100)
+        .alias("price"),
+        (F.col("o_orderkey") % 100).cast("int").alias("qty"),
+    )
+    merge_upsert_manifest(
+        base_dir, batch, ver_col="ver", tiebreak_col="src", writer_id="u1",
+        expectations={
+            "price_nonneg": "price >= 0",
+            "status_domain": "status IN ('O','F','P')",
+        },
+    )
+    info = load_manifest(base_dir)["expectations"]
+    quar = read_quarantine(spark, base_dir)
+    n_quar = quar.count()
+    if info["quarantined"] != n_quar:
+        raise AssertionError(
+            f"manifest quarantine count {info['quarantined']} != side "
+            f"table rows {n_quar}"
+        )
+    by = {
+        r.e: r.n
+        for r in quar.select(
+            F.explode(F.split(QUARANTINE_REASON_COL, ",")).alias("e")
+        )
+        .groupBy("e")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if by != info["by_expectation"]:
+        raise AssertionError(
+            f"per-expectation counters {info['by_expectation']} != side "
+            f"table breakdown {by}"
+        )
+
+    tbl = (
+        read_snapshot(spark, base_dir)
+        .groupBy(F.col("status").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("ver").cast("bigint").alias("sum_ver"),
+            F.round(F.sum("price"), 2).alias("sum_price"),
+        )
+        .select(F.lit("table").alias("part"), "grp", "n_rows", "sum_ver",
+                "sum_price")
+    )
+    qsum = (
+        quar.groupBy(F.col(QUARANTINE_REASON_COL).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("ver").cast("bigint").alias("sum_ver"),
+            F.round(F.sum("price"), 2).alias("sum_price"),
+        )
+        .select(F.lit("quarantine").alias("part"), "grp", "n_rows",
+                "sum_ver", "sum_price")
+    )
+    return tbl.unionByName(qsum).orderBy("part", "grp")
+
+
+@register(
+    "merge_serializable_check",
+    oracle="""
+    -- closed form of the two-scenario race: B commits keys %20=0
+    -- (price+5) inside A's window; A (serializable) also writes every
+    -- %10=0 key — overlap {%20=0} is non-empty, so A ABORTS whole
+    -- (its %10=0-but-not-%20=0 keys stay seed). C writes %10=5 keys
+    -- (price+2) while D commits the disjoint %10=3 set (price+3):
+    -- C proves disjointness and rebases — both land.
+    WITH final AS (
+      SELECT CASE WHEN o_orderkey % 20 = 0 THEN 'B'
+                  WHEN o_orderkey % 10 = 5 THEN 'C'
+                  WHEN o_orderkey % 10 = 3 THEN 'D'
+                  ELSE 'seed' END AS src,
+             CASE WHEN o_orderkey % 20 = 0
+                       OR o_orderkey % 10 IN (3, 5) THEN 2
+                  ELSE 1 END AS ver,
+             CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 5
+                  WHEN o_orderkey % 10 = 5 THEN o_totalprice + 2
+                  WHEN o_orderkey % 10 = 3 THEN o_totalprice + 3
+                  ELSE o_totalprice END AS price
+      FROM orders
+    )
+    SELECT src, COUNT(*) AS n_rows, CAST(SUM(ver) AS BIGINT) AS sum_ver,
+           ROUND(SUM(price), 2) AS sum_price
+    FROM final GROUP BY src ORDER BY src
+    """,
+)
+def merge_serializable_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of serializable conflict detection on the CAS
+    loop (Delta's WriteSerializable ConcurrentAppendException /
+    Iceberg's serializable-isolation validation):
+    ``merge_upsert_manifest(..., isolation='serializable')`` diffs the
+    commits that landed since the pinned version (changes_between —
+    O(changed data), LOGICAL keys not files) against the writer's key
+    set on every lost CAS — overlap raises SerializationConflictError
+    instead of the silent rebase latest_wins performs, which is the
+    difference between correct and lost-update for read-modify-write
+    batches (increments, balance math). Disjoint writers rebase
+    exactly like latest_wins; key-preserving maintenance (compaction,
+    rebucket) never conflicts
+    (tests/test_lakehouse.py::test_serializable_maintenance_commit_no_conflict);
+    an expired pin conflicts conservatively.
+
+    Face: orders seeds the table; writer B commits the %20=0 keys
+    inside serializable writer A's pre-commit window — A writes every
+    %10=0 key, the overlap is provably non-empty, and A must ABORT
+    WHOLE (all-or-nothing: its non-overlapping keys stay seed — a
+    partial landing would be worse than either policy). Writers C
+    (%10=5) and D (%10=3) race disjointly — C proves disjointness
+    against D's commit and rebases to v4. The declared result is the
+    final table grouped by writer tag; the conflict path contributes
+    by its ABSENCE (any A row means the gate failed), pinned by inline
+    asserts on the raised error type and the exact version/attempt
+    pairs. Also exercised in the same race harness: the vacuum
+    slot-reuse publish guard
+    (tests/test_lakehouse.py::test_vacuum_reopened_slot_cannot_resurrect_history).
+    Scale shape: the conflict probe reads only buckets whose file sets
+    changed between the two manifests, then a broadcast semi-join of
+    the bounded batch key set — O(concurrent churn), never O(table).
+    Reference provenance: none (the reference has no concurrent-writer
+    story); public recipe = Delta WriteSerializable conflict detection.
+    """
+    import shutil
+
+    from .scans import _adir
+
+    base_dir = _adir(sf_dir, "merge_serializable_table")
+    shutil.rmtree(base_dir, ignore_errors=True)
+
+    orders = table(spark, sf_dir, "orders")
+    seed = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("ver"),
+        F.lit("seed").alias("src"),
+        F.col("o_totalprice").alias("price"),
+    )
+    init_table(seed, base_dir, key_col="k", n_buckets=16)
+
+    def batch(mod, rem, tag, bump):
+        return orders.filter(F.col("o_orderkey") % mod == rem).select(
+            F.col("o_orderkey").alias("k"),
+            F.lit(2).alias("ver"),
+            F.lit(tag).alias("src"),
+            (F.col("o_totalprice") + bump).alias("price"),
+        )
+
+    results = {}
+
+    def b_commits(attempt):
+        if attempt == 0:
+            results["B"] = merge_upsert_manifest(
+                base_dir, batch(20, 0, "B", 5), "ver", "src", writer_id="B"
+            )
+
+    conflicted = False
+    try:
+        merge_upsert_manifest(
+            base_dir, batch(10, 0, "A", 1), "ver", "src", writer_id="A",
+            before_commit=b_commits, isolation="serializable",
+        )
+    except SerializationConflictError:
+        conflicted = True
+    if not conflicted or results["B"] != (2, 1):
+        raise AssertionError(
+            f"overlapping serializable writer must conflict "
+            f"(conflicted={conflicted}, B={results.get('B')})"
+        )
+
+    def d_commits(attempt):
+        if attempt == 0:
+            results["D"] = merge_upsert_manifest(
+                base_dir, batch(10, 3, "D", 3), "ver", "src", writer_id="D"
+            )
+
+    results["C"] = merge_upsert_manifest(
+        base_dir, batch(10, 5, "C", 2), "ver", "src", writer_id="C",
+        before_commit=d_commits, isolation="serializable",
+    )
+    if results["D"] != (3, 1) or results["C"] != (4, 2):
+        raise AssertionError(
+            f"disjoint serializable writers must both land "
+            f"(D={results['D']}, C={results['C']})"
+        )
+
+    return (
+        read_snapshot(spark, base_dir)
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("ver").cast("bigint").alias("sum_ver"),
+            F.round(F.sum("price"), 2).alias("sum_price"),
+        )
+        .orderBy("src")
+    )
+
+
+@register(
+    "merge_shallow_clone",
+    oracle="""
+    -- closed form of the clone scenario. SOURCE: v2 updates %4=0
+    -- (price+10), clone pins v2, v3 updates %6=0 (+20), v4 updates
+    -- %10=0 (+30), then vacuum keep_last=1 (keeps v4 + the pinned v2).
+    -- CLONE: evolves independently with %5=0 (+50) on top of the
+    -- pinned v2 state — it must see NEITHER v3 nor v4, and the source
+    -- vacuum must not break it.
+    WITH src AS (
+      SELECT 'source' AS side,
+             CASE WHEN o_orderkey % 10 = 0 THEN 's4'
+                  WHEN o_orderkey % 6  = 0 THEN 's3'
+                  WHEN o_orderkey % 4  = 0 THEN 's2'
+                  ELSE 'seed' END AS src,
+             CASE WHEN o_orderkey % 10 = 0 THEN 4
+                  WHEN o_orderkey % 6  = 0 THEN 3
+                  WHEN o_orderkey % 4  = 0 THEN 2
+                  ELSE 1 END AS ver,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 30
+                  WHEN o_orderkey % 6  = 0 THEN o_totalprice + 20
+                  WHEN o_orderkey % 4  = 0 THEN o_totalprice + 10
+                  ELSE o_totalprice END AS price
+      FROM orders
+    ), cln AS (
+      SELECT 'clone' AS side,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'c3'
+                  WHEN o_orderkey % 4 = 0 THEN 's2'
+                  ELSE 'seed' END AS src,
+             CASE WHEN o_orderkey % 5 = 0 THEN 3
+                  WHEN o_orderkey % 4 = 0 THEN 2
+                  ELSE 1 END AS ver,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 50
+                  WHEN o_orderkey % 4 = 0 THEN o_totalprice + 10
+                  ELSE o_totalprice END AS price
+      FROM orders
+    ), u AS (
+      SELECT * FROM src UNION ALL SELECT * FROM cln
+    )
+    SELECT side, src, COUNT(*) AS n_rows,
+           CAST(SUM(ver) AS BIGINT) AS sum_ver,
+           ROUND(SUM(price), 2) AS sum_price
+    FROM u GROUP BY side, src ORDER BY side, src
+    """,
+)
+def merge_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of SHALLOW CLONE (Delta SHALLOW CLONE / Iceberg
+    snapshot refs): ``clone_table`` writes ONE manifest into the target
+    directory — zero data copied (the face asserts the clone dir holds
+    exactly v1.json) — safe by the protocol's file-immutability
+    invariant. The clone evolves independently (its merges write into
+    its own directory, untouched buckets stay source references), and
+    retention is two-sided: vacuum on the SOURCE keeps every version a
+    live clone pins (the face vacuums keep_last=1 AFTER cloning and
+    the clone must still read its exact pinned state — the
+    pre-migration-backup use case), while vacuum on the CLONE only
+    deletes files inside its own directory (ownership = containment).
+
+    Face: orders seeds the source; v2 lands, the clone pins it; v3/v4
+    land on the source only; source vacuum keep_last=1 must keep
+    {pinned v2, head v4} and delete {v1, v3}; the clone layers its own
+    update over the pinned state. The declared result is both tables'
+    states side-by-side — any v3/v4 leakage into the clone, or any
+    clone write visible in the source, is a wrong row. Inline asserts
+    pin the kept/deleted version sets and the metadata-only property.
+    Scale shape: clone cost is one manifest write — O(1) regardless of
+    table size (the 100 TB reason this exists); the pinned-version
+    retention check is manifest metadata only.
+    Reference provenance: none; public recipe = Delta/Iceberg CLONE
+    before risky migrations.
+    """
+    import shutil
+
+    from .scans import _adir
+
+    base_dir = _adir(sf_dir, "merge_clone_source_table")
+    clone_dir = _adir(sf_dir, "merge_clone_target_table")
+    shutil.rmtree(base_dir, ignore_errors=True)
+    shutil.rmtree(clone_dir, ignore_errors=True)
+
+    orders = table(spark, sf_dir, "orders")
+    seed = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("ver"),
+        F.lit("seed").alias("src"),
+        F.col("o_totalprice").alias("price"),
+    )
+    init_table(seed, base_dir, key_col="k", n_buckets=16)
+
+    def batch(mod, ver, tag, bump):
+        return orders.filter(F.col("o_orderkey") % mod == 0).select(
+            F.col("o_orderkey").alias("k"),
+            F.lit(ver).alias("ver"),
+            F.lit(tag).alias("src"),
+            (F.col("o_totalprice") + bump).alias("price"),
+        )
+
+    merge_upsert_manifest(base_dir, batch(4, 2, "s2", 10), "ver", "src")
+    info = clone_table(base_dir, clone_dir)
+    if info["source_version"] != 2:
+        raise AssertionError(f"clone must pin v2, got {info}")
+    if sorted(os.listdir(clone_dir)) != ["v1.json"]:
+        raise AssertionError(
+            f"clone must be metadata-only: {os.listdir(clone_dir)}"
+        )
+    merge_upsert_manifest(base_dir, batch(6, 3, "s3", 20), "ver", "src")
+    merge_upsert_manifest(base_dir, batch(10, 4, "s4", 30), "ver", "src")
+    out = vacuum(base_dir, keep_last=1)
+    if set(out["deleted_versions"]) != {1, 3} or 2 not in out["kept_versions"]:
+        raise AssertionError(
+            f"source vacuum must keep the clone-pinned v2 and head v4, "
+            f"expire v1/v3: {out}"
+        )
+    merge_upsert_manifest(clone_dir, batch(5, 3, "c3", 50), "ver", "src")
+
+    def summarize(path, side):
+        return (
+            read_snapshot(spark, path)
+            .groupBy("src")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("ver").cast("bigint").alias("sum_ver"),
+                F.round(F.sum("price"), 2).alias("sum_price"),
+            )
+            .select(F.lit(side).alias("side"), "src", "n_rows", "sum_ver",
+                    "sum_price")
+        )
+
+    return (
+        summarize(base_dir, "source")
+        .unionByName(summarize(clone_dir, "clone"))
+        .orderBy("side", "src")
+    )
+
+
+@register(
+    "merge_restore_version",
+    oracle="""
+    -- closed form: v2 updates %4=0 (+10), v3 updates %6=0 (+20),
+    -- RESTORE to v2 (undoes u3 logically, history stays readable),
+    -- then u5 updates %10=0 (ver 4, +30) on top of the restored state
+    -- — u3 must be invisible in the final table.
+    WITH final AS (
+      SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'u5'
+                  WHEN o_orderkey % 4  = 0 THEN 'u2'
+                  ELSE 'seed' END AS src,
+             CASE WHEN o_orderkey % 10 = 0 THEN 4
+                  WHEN o_orderkey % 4  = 0 THEN 2
+                  ELSE 1 END AS ver,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 30
+                  WHEN o_orderkey % 4  = 0 THEN o_totalprice + 10
+                  ELSE o_totalprice END AS price
+      FROM orders
+    )
+    SELECT src, COUNT(*) AS n_rows, CAST(SUM(ver) AS BIGINT) AS sum_ver,
+           ROUND(SUM(price), 2) AS sum_price
+    FROM final GROUP BY src ORDER BY src
+    """,
+)
+def merge_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of RESTORE (Delta ``RESTORE TABLE ... TO VERSION
+    AS OF``): ``restore_table`` commits a NEW version whose manifest
+    re-points at the target version's files — metadata-only (zero data
+    rewritten; immutable files make the re-point safe) and
+    history-preserving (the undone versions stay time-travel-readable
+    until retention expires them, because a restore is an ordinary
+    commit through the same CAS). The write half of the time-travel
+    story whose read half is ``scan_snapshot_time_travel``.
+
+    Face: v2 updates the %4=0 keys, v3 the %6=0 keys; restore to v2
+    lands as v4 (inline-asserted), a fresh update (%10=0, ver 4) lands
+    as v5 on the RESTORED base — the declared result must show u3
+    nowhere while the inline time-travel read of v3 still sees u3's
+    rows intact (bad-deploy rollback without losing forensics). The
+    oracle derives the final state in closed form.
+    Scale shape: restore = one manifest write, O(1) in table size —
+    rolling back a 100 TB table costs the same as a 100 MB one; the
+    undone data files are reclaimed later by ordinary vacuum
+    retention, never eagerly.
+    Reference provenance: none; public recipe = Delta RESTORE /
+    Iceberg rollback-to-snapshot.
+    """
+    import shutil
+
+    from .scans import _adir
+
+    base_dir = _adir(sf_dir, "merge_restore_table")
+    shutil.rmtree(base_dir, ignore_errors=True)
+
+    orders = table(spark, sf_dir, "orders")
+    seed = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("ver"),
+        F.lit("seed").alias("src"),
+        F.col("o_totalprice").alias("price"),
+    )
+    init_table(seed, base_dir, key_col="k", n_buckets=16)
+
+    def batch(mod, ver, tag, bump):
+        return orders.filter(F.col("o_orderkey") % mod == 0).select(
+            F.col("o_orderkey").alias("k"),
+            F.lit(ver).alias("ver"),
+            F.lit(tag).alias("src"),
+            (F.col("o_totalprice") + bump).alias("price"),
+        )
+
+    merge_upsert_manifest(base_dir, batch(4, 2, "u2", 10), "ver", "src")
+    merge_upsert_manifest(base_dir, batch(6, 3, "u3", 20), "ver", "src")
+    rv, tries = restore_table(base_dir, 2)
+    if (rv, tries) != (4, 1):
+        raise AssertionError(f"restore must land as v4 first-try: {(rv, tries)}")
+    n_u3_restored = (
+        read_snapshot(spark, base_dir).filter(F.col("src") == "u3").count()
+    )
+    n_u3_history = (
+        read_snapshot(spark, base_dir, version=3)
+        .filter(F.col("src") == "u3")
+        .count()
+    )
+    if n_u3_restored != 0 or n_u3_history == 0:
+        raise AssertionError(
+            f"restore must undo u3 logically ({n_u3_restored} rows) while "
+            f"v3 stays time-travel-readable ({n_u3_history} rows)"
+        )
+    merge_upsert_manifest(base_dir, batch(10, 4, "u5", 30), "ver", "src")
+
+    return (
+        read_snapshot(spark, base_dir)
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("ver").cast("bigint").alias("sum_ver"),
+            F.round(F.sum("price"), 2).alias("sum_price"),
+        )
+        .orderBy("src")
     )

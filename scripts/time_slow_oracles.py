@@ -50,6 +50,10 @@ WRITE_PATH_PROTOCOL = [
     "stream_changes_feed",
     "merge_vacuum_retention",
     "merge_identity_assign",
+    "merge_expectations_gate",
+    "merge_serializable_check",
+    "merge_shallow_clone",
+    "merge_restore_version",
 ]
 
 

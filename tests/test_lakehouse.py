@@ -1533,3 +1533,444 @@ def test_identity_full_row_null_ids_assigned(spark, tmp_path):
     assert rows[201] == 51
     assert all(v is not None for v in rows.values())
     assert load_manifest(base)["identity_high_water"] == 51
+
+
+def test_expectations_gate_commits_clean_subset_once(spark, tmp_path):
+    """A violating batch commits its CLEAN subset exactly once: one new
+    version, passing rows visible, violating rows quarantined with the
+    sorted comma-joined reasons, the violating key's SEED row untouched,
+    and the manifest's counters match the side table exactly."""
+    from assignment4_spark.operators.lakehouse import (
+        QUARANTINE_REASON_COL,
+        read_quarantine,
+    )
+
+    base = _mk_table(spark, tmp_path, n=20)
+    batch = spark.createDataFrame(
+        [(1, 2, "ok"), (2, 2, ""), (3, 2, None), (21, 2, "new")],
+        "k long, ver int, payload string",
+    )
+    exp = {
+        "payload_not_null": "payload IS NOT NULL",
+        "payload_nonempty": "length(payload) > 0",
+    }
+    v, tries = merge_upsert_manifest(
+        base, batch, "ver", "payload", writer_id="g", expectations=exp
+    )
+    assert (v, tries) == (2, 1) and latest_version(base) == 2
+    rows = {r.k: (r.ver, r.payload) for r in read_snapshot(spark, base).collect()}
+    assert rows[1] == (2, "ok") and rows[21] == (2, "new")
+    # violating keys keep their seed rows — quarantine, not abort
+    assert rows[2] == (1, "p2") and rows[3] == (1, "p3")
+    quar = {
+        r.k: r[QUARANTINE_REASON_COL]
+        for r in read_quarantine(spark, base).collect()
+    }
+    # NULL predicate result (length(NULL)>0) VIOLATES: k=3 fails BOTH
+    assert quar == {
+        2: "payload_nonempty",
+        3: "payload_nonempty,payload_not_null",
+    }
+    info = load_manifest(base)["expectations"]
+    assert info["checked"] == ["payload_nonempty", "payload_not_null"]
+    assert info["n_batch"] == 4 and info["quarantined"] == 2
+    assert info["by_expectation"] == {
+        "payload_nonempty": 2,
+        "payload_not_null": 1,
+    }
+
+
+def test_expectations_gate_all_violating_batch_still_commits(spark, tmp_path):
+    """An all-violating batch advances the version with NO bucket
+    rewritten: the quarantine record IS the commit, every data file
+    carries over untouched, and a clean follow-up merge still works."""
+    from assignment4_spark.operators.lakehouse import read_quarantine
+
+    base = _mk_table(spark, tmp_path, n=10)
+    before = load_manifest(base)["buckets"]
+    bad = _upd(spark, [1, 2], 2, "x")
+    v, _ = merge_upsert_manifest(
+        base, bad, "ver", "payload",
+        expectations={"never": "1 = 0"},
+    )
+    m = load_manifest(base)
+    assert v == 2 and m["buckets"] == before
+    assert m["expectations"]["quarantined"] == 2
+    assert read_quarantine(spark, base).count() == 2
+    assert {r.ver for r in read_snapshot(spark, base).collect()} == {1}
+    v3, _ = merge_upsert_manifest(base, _upd(spark, [1], 3, "y"), "ver", "payload")
+    assert v3 == 3
+    # a commit WITHOUT expectations records no quarantine
+    assert read_quarantine(spark, base) is None
+
+
+def test_expectations_gate_lost_race_cleans_loser_quarantine(spark, tmp_path):
+    """A gated writer that loses the CAS must delete its attempt's
+    quarantine files (they are referenced by NO manifest, so vacuum
+    could never reclaim them) and the retry re-commits the SAME passing
+    subset — the gate ran once, outside the loop."""
+    import os
+
+    from assignment4_spark.operators.lakehouse import read_quarantine
+
+    base = _mk_table(spark, tmp_path, n=20)
+    a_upd = spark.createDataFrame(
+        [(5, 2, "Apass"), (6, 2, "")], "k long, ver int, payload string"
+    )
+    b_result = {}
+
+    def interleave(attempt):
+        if attempt == 0:
+            b_result["commit"] = merge_upsert_manifest(
+                base, _upd(spark, [15], 2, "B"), "ver", "payload",
+                writer_id="B",
+            )
+
+    v, tries = merge_upsert_manifest(
+        base, a_upd, "ver", "payload", writer_id="A",
+        before_commit=interleave,
+        expectations={"nonempty": "length(payload) > 0"},
+    )
+    assert b_result["commit"] == (2, 1) and (v, tries) == (3, 2)
+    rows = {r.k: r.payload for r in read_snapshot(spark, base).collect()}
+    assert rows[5] == "Apass" and rows[15] == "B15" and rows[6] == "p6"
+    assert [r.k for r in read_quarantine(spark, base).collect()] == [6]
+    # exactly ONE quarantine dir survives: the winning attempt's
+    qdirs = [d for d in os.listdir(base) if d.startswith("quarantine_")]
+    assert len(qdirs) == 1 and "_a1" in qdirs[0]
+
+
+def test_expectations_gate_vacuum_reclaims_expired_quarantine(spark, tmp_path):
+    """Quarantine side tables expire with their manifest: vacuum deletes
+    the dirs only expired versions reference and keeps the window's."""
+    import os
+
+    from assignment4_spark.operators.lakehouse import read_quarantine, vacuum
+
+    base = _mk_table(spark, tmp_path, n=10)
+    exp = {"nonempty": "length(payload) > 0"}
+    for ver, tag in ((2, "a"), (3, "b"), (4, "c")):
+        batch = spark.createDataFrame(
+            [(1, ver, f"{tag}1"), (2, ver, "")],
+            "k long, ver int, payload string",
+        )
+        merge_upsert_manifest(
+            base, batch, "ver", "payload", expectations=exp
+        )
+    paths = {
+        v: load_manifest(base, v)["expectations"]["path"] for v in (2, 3, 4)
+    }
+    assert all(os.path.isdir(p) for p in paths.values())
+    out = vacuum(base, keep_last=2)
+    assert out["deleted_versions"] == [1, 2]
+    assert not os.path.exists(paths[2])
+    assert os.path.isdir(paths[3]) and os.path.isdir(paths[4])
+    assert read_quarantine(spark, base).count() == 1
+
+
+def test_expectations_gate_rejects_bad_declarations(spark, tmp_path):
+    from assignment4_spark.operators.lakehouse import QUARANTINE_REASON_COL
+
+    base = _mk_table(spark, tmp_path, n=5)
+    u = _upd(spark, [1], 2, "x")
+    with pytest.raises(ValueError, match="non-empty mapping"):
+        merge_upsert_manifest(base, u, "ver", "payload", expectations={})
+    with pytest.raises(ValueError, match="comma-free"):
+        merge_upsert_manifest(
+            base, u, "ver", "payload", expectations={"a,b": "1=1"}
+        )
+    with pytest.raises(ValueError, match="reserved quarantine"):
+        merge_upsert_manifest(
+            base,
+            u.withColumn(QUARANTINE_REASON_COL, F.lit("x")),
+            "ver", "payload", expectations={"ok": "1=1"},
+        )
+
+
+def test_serializable_overlapping_keys_conflict(spark, tmp_path):
+    """Under isolation='serializable', a competing commit that changed
+    a key this writer also writes must raise instead of silently
+    rebasing — the lost-update anomaly latest_wins accepts. The loser's
+    staging is cleaned and the winner's row survives untouched."""
+    import os
+
+    from assignment4_spark.operators.lakehouse import (
+        SerializationConflictError,
+    )
+
+    base = _mk_table(spark, tmp_path, n=20)
+
+    def interleave(attempt):
+        if attempt == 0:
+            merge_upsert_manifest(
+                base, _upd(spark, [5, 15], 2, "B"), "ver", "payload",
+                writer_id="B",
+            )
+
+    with pytest.raises(SerializationConflictError, match=r"keys \[5\]"):
+        merge_upsert_manifest(
+            base, _upd(spark, [5, 6], 2, "A"), "ver", "payload",
+            writer_id="A", before_commit=interleave,
+            isolation="serializable",
+        )
+    rows = {r.k: r.payload for r in read_snapshot(spark, base).collect()}
+    assert rows[5] == "B5" and rows[15] == "B15" and rows[6] == "p6"
+    assert latest_version(base) == 2
+    leftovers = [d for d in os.listdir(base) if d.startswith("commit_v3")]
+    assert leftovers == [], f"loser left staging behind: {leftovers}"
+
+
+def test_serializable_disjoint_keys_both_commit(spark, tmp_path):
+    """Disjoint writers under serializable behave exactly like
+    latest_wins: the loser proves disjointness against the winner's
+    commit and rebases."""
+    base = _mk_table(spark, tmp_path, n=20)
+    b_result = {}
+
+    def interleave(attempt):
+        if attempt == 0:
+            b_result["commit"] = merge_upsert_manifest(
+                base, _upd(spark, [15], 2, "B"), "ver", "payload",
+                writer_id="B",
+            )
+
+    v, tries = merge_upsert_manifest(
+        base, _upd(spark, [5, 6], 2, "A"), "ver", "payload",
+        writer_id="A", before_commit=interleave, isolation="serializable",
+    )
+    assert b_result["commit"] == (2, 1) and (v, tries) == (3, 2)
+    rows = {r.k: r.payload for r in read_snapshot(spark, base).collect()}
+    assert rows[5] == "A5" and rows[6] == "A6" and rows[15] == "B15"
+
+
+def test_serializable_maintenance_commit_no_conflict(spark, tmp_path):
+    """A concurrent REBUCKET rewrites every file but changes no key —
+    the serializable gate diffs LOGICALLY, so maintenance never
+    deadlocks writers (file-level comparison would conflict here)."""
+    from assignment4_spark.operators.lakehouse import rebucket_table
+
+    base = _mk_table(spark, tmp_path, n=20, n_buckets=4)
+
+    def interleave(attempt):
+        if attempt == 0:
+            rebucket_table(spark, base, 8)
+
+    v, tries = merge_upsert_manifest(
+        base, _upd(spark, [5], 2, "A"), "ver", "payload",
+        writer_id="A", before_commit=interleave, isolation="serializable",
+    )
+    assert (v, tries) == (3, 2)
+    m = load_manifest(base)
+    assert m["n_buckets"] == 8
+    rows = {r.k: r.payload for r in read_snapshot(spark, base).collect()}
+    assert rows[5] == "A5" and len(rows) == 20
+
+
+def test_serializable_expired_pin_conflicts(spark, tmp_path):
+    """If retention expired the pinned version, disjointness cannot be
+    proven — the merge must conflict conservatively, never guess."""
+    from assignment4_spark.operators.lakehouse import (
+        SerializationConflictError,
+        vacuum,
+    )
+
+    base = _mk_table(spark, tmp_path, n=20)
+
+    def interleave(attempt):
+        if attempt == 0:
+            merge_upsert_manifest(
+                base, _upd(spark, [15], 2, "B"), "ver", "payload",
+            )
+            merge_upsert_manifest(
+                base, _upd(spark, [16], 3, "B"), "ver", "payload",
+            )
+            vacuum(base, keep_last=1)
+
+    with pytest.raises(SerializationConflictError, match="retention"):
+        merge_upsert_manifest(
+            base, _upd(spark, [5], 2, "A"), "ver", "payload",
+            writer_id="A", before_commit=interleave,
+            isolation="serializable",
+        )
+
+
+def test_isolation_value_validated(spark, tmp_path):
+    base = _mk_table(spark, tmp_path, n=5)
+    with pytest.raises(ValueError, match="isolation"):
+        merge_upsert_manifest(
+            base, _upd(spark, [1], 2, "x"), "ver", "payload",
+            isolation="snapshot",
+        )
+
+
+def test_vacuum_reopened_slot_cannot_resurrect_history(spark, tmp_path):
+    """Vacuum deleting an expired manifest REOPENS its version slot: a
+    straggler pinned far in the past would link v2.json 'successfully'
+    while v3 is latest — an invisible commit into history that the
+    writer reports as success. The publish guard must detect the
+    higher version, treat it as a lost race, and land the straggler's
+    commit at the real head instead."""
+    import os
+
+    from assignment4_spark.operators.lakehouse import vacuum
+
+    base = _mk_table(spark, tmp_path, n=20)
+
+    def interleave(attempt):
+        if attempt == 0:
+            merge_upsert_manifest(
+                base, _upd(spark, [15], 2, "B"), "ver", "payload",
+            )
+            merge_upsert_manifest(
+                base, _upd(spark, [16], 3, "B"), "ver", "payload",
+            )
+            vacuum(base, keep_last=1)  # deletes v1+v2 → v2 slot reopens
+
+    v, tries = merge_upsert_manifest(
+        base, _upd(spark, [5], 4, "A"), "ver", "payload",
+        writer_id="A", before_commit=interleave,
+    )
+    assert (v, tries) == (4, 2), "straggler must land at the head, not v2"
+    assert not os.path.exists(os.path.join(base, "v2.json")), (
+        "resurrected v2 manifest left behind"
+    )
+    rows = {r.k: r.payload for r in read_snapshot(spark, base).collect()}
+    assert rows[5] == "A5" and rows[15] == "B15" and rows[16] == "B16"
+
+
+def test_shallow_clone_reads_pinned_state_and_evolves(spark, tmp_path):
+    """A shallow clone is metadata-only: zero data files copied, reads
+    the pinned source state exactly, and evolves independently — its
+    merges never touch the source and vice versa."""
+    import os
+
+    from assignment4_spark.operators.lakehouse import clone_table
+
+    base = _mk_table(spark, tmp_path, n=20)
+    merge_upsert_manifest(base, _upd(spark, [1, 2], 2, "s"), "ver", "payload")
+    clone = str(tmp_path / "clone")
+    out = clone_table(base, clone)
+    assert out["source_version"] == 2
+    # metadata-only: the clone dir holds ONE manifest, no parquet
+    assert sorted(os.listdir(clone)) == ["v1.json"]
+    crows = {r.k: r.payload for r in read_snapshot(spark, clone).collect()}
+    assert crows[1] == "s1" and len(crows) == 20
+    # both sides evolve independently
+    merge_upsert_manifest(base, _upd(spark, [3], 3, "src"), "ver", "payload")
+    merge_upsert_manifest(clone, _upd(spark, [4], 3, "cln"), "ver", "payload")
+    srows = {r.k: r.payload for r in read_snapshot(spark, base).collect()}
+    crows = {r.k: r.payload for r in read_snapshot(spark, clone).collect()}
+    assert srows[3] == "src3" and srows[4] == "p4"
+    assert crows[4] == "cln4" and crows[3] == "p3"
+    with pytest.raises(FileExistsError):
+        clone_table(base, clone)
+
+
+def test_vacuum_on_source_cannot_break_live_clone(spark, tmp_path):
+    """Vacuum on the source must keep every version a live clone pins
+    (manifest AND files), however aggressive keep_last is; once the
+    clone is deleted, the next vacuum reclaims the pin."""
+    import shutil
+
+    from assignment4_spark.operators.lakehouse import clone_table, vacuum
+
+    base = _mk_table(spark, tmp_path, n=20)
+    merge_upsert_manifest(base, _upd(spark, [1], 2, "a"), "ver", "payload")
+    clone = str(tmp_path / "clone")
+    clone_table(base, clone)  # pins v2
+    merge_upsert_manifest(base, _upd(spark, [2], 3, "b"), "ver", "payload")
+    merge_upsert_manifest(base, _upd(spark, [3], 4, "c"), "ver", "payload")
+    out = vacuum(base, keep_last=1)
+    assert 2 in out["kept_versions"], "clone-pinned version must survive"
+    assert set(out["deleted_versions"]) == {1, 3}
+    # the clone still reads its exact pinned state AFTER the vacuum
+    crows = {r.k: r.payload for r in read_snapshot(spark, clone).collect()}
+    assert crows[1] == "a1" and crows[2] == "p2" and len(crows) == 20
+    # deleting the clone table releases the pin
+    shutil.rmtree(clone)
+    out2 = vacuum(base, keep_last=1)
+    assert out2["deleted_versions"] == [2]
+
+
+def test_vacuum_on_clone_never_deletes_source_files(spark, tmp_path):
+    """Expiring CLONE history drops references to source files, never
+    the files: after the clone churns versions and vacuums with
+    keep_last=1, the SOURCE still reads perfectly."""
+    from assignment4_spark.operators.lakehouse import clone_table, vacuum
+
+    base = _mk_table(spark, tmp_path, n=20)
+    clone = str(tmp_path / "clone")
+    clone_table(base, clone)
+    for ver, keys in ((2, [1]), (3, [2]), (4, [3])):
+        merge_upsert_manifest(
+            clone, _upd(spark, keys, ver, "c"), "ver", "payload"
+        )
+    out = vacuum(clone, keep_last=1)
+    assert out["deleted_versions"] == [1, 2, 3]
+    srows = {r.k: r.payload for r in read_snapshot(spark, base).collect()}
+    assert len(srows) == 20 and srows[1] == "p1"
+    crows = {r.k: r.payload for r in read_snapshot(spark, clone).collect()}
+    assert crows[1] == "c1" and crows[3] == "c3"
+
+
+def test_restore_preserves_invariants(spark, tmp_path):
+    """RESTORE rewinds logical state metadata-only while (a) keeping
+    identity_high_water monotonic (undone commits' minted ids may live
+    in exports — never re-mintable), (b) dropping the undone commit's
+    quarantine record, (c) keeping undone versions time-travel-readable,
+    and (d) losing CAS races like any writer."""
+    from assignment4_spark.operators.lakehouse import restore_table
+
+    base = str(tmp_path / "rt")
+    seed = spark.range(1, 6).select(
+        F.col("id").alias("k"), F.lit(1).alias("ver"),
+        F.lit("s").alias("src"), F.col("id").cast("bigint").alias("sid"),
+        (F.col("id") * 1.0).alias("price"),
+    )
+    init_table(seed, base, key_col="k", n_buckets=2, identity_col="sid")
+    # v2: gated commit that quarantines + mints ids 6-7 via new keys
+    batch = spark.createDataFrame(
+        [(101, 2, "a", 1.0), (102, 2, "b", -5.0)],
+        "k long, ver int, src string, price double",
+    )
+    merge_upsert_manifest(
+        base, batch, "ver", "src", patch_cols=["price"],
+        expectations={"nonneg": "price >= 0"},
+    )
+    m2 = load_manifest(base)
+    assert m2["identity_high_water"] == 6 and m2["expectations"]["quarantined"] == 1
+    v, tries = restore_table(base, 1)
+    m3 = load_manifest(base)
+    assert (v, tries) == (3, 1)
+    # (a) the mark NEVER rewinds; (b) no stale quarantine record
+    assert m3["identity_high_water"] == 6
+    assert "expectations" not in m3 and m3["restored_from"] == 1
+    assert read_snapshot(spark, base).count() == 5
+    # (c) the undone v2 stays readable
+    assert read_snapshot(spark, base, version=2).count() == 6
+    # (d) a competing commit inside the restore window forces a retry
+    def interleave(attempt):
+        if attempt == 0:
+            merge_upsert_manifest(
+                base,
+                spark.createDataFrame(
+                    [(1, 9, "z", 9.0)],
+                    "k long, ver int, src string, price double",
+                ),
+                "ver", "src", patch_cols=["price"],
+            )
+
+    v2, tries2 = restore_table(base, 1, before_commit=interleave)
+    assert (v2, tries2) == (5, 2)
+    assert read_snapshot(spark, base).count() == 5
+
+
+def test_restore_expired_version_refused(spark, tmp_path):
+    from assignment4_spark.operators.lakehouse import restore_table, vacuum
+
+    base = _mk_table(spark, tmp_path, n=10)
+    merge_upsert_manifest(base, _upd(spark, [1], 2, "a"), "ver", "payload")
+    merge_upsert_manifest(base, _upd(spark, [2], 3, "b"), "ver", "payload")
+    vacuum(base, keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        restore_table(base, 1)
