@@ -51,6 +51,7 @@ from .operators.lakehouse import (  # noqa: F401
     read_snapshot_range,
     rebucket_table,
     restore_table,
+    table_history,
     vacuum,
 )
 from .operators.multimodal import (  # noqa: F401

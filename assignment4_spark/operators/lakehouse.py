@@ -772,6 +772,8 @@ def init_table(
     )
     manifest = {
         "version": 1,
+        "commit_kind": "init",
+        "writer_id": "init",
         "n_buckets": n_buckets,
         "key_col": key_col,
         "columns": df.columns,
@@ -978,8 +980,47 @@ def _mint_identities(
     return upd, hw + n_new
 
 
+def table_history(base_dir: str) -> list[dict]:
+    """DESCRIBE HISTORY for the manifest table (Delta DESCRIBE HISTORY
+    / Iceberg snapshots metadata table): one entry per manifest version
+    still on disk (vacuum-expired versions drop out — history IS the
+    retention window), ordered oldest-first. Pure manifest metadata —
+    zero data I/O, O(versions) regardless of table size. Every commit
+    path stamps ``commit_kind`` (init / merge / compact / rebucket /
+    restore / clone) and ``writer_id``; per-commit records surface as
+    ``quarantined`` (expectations gate) and ``restored_from``. Legacy
+    pre-stamp manifests read back with kind None rather than failing."""
+    versions = sorted(
+        int(fn[1:-5])
+        for fn in os.listdir(base_dir)
+        if fn.startswith("v") and fn.endswith(".json") and fn[1:-5].isdigit()
+    )
+    out = []
+    for v in versions:
+        m = load_manifest(base_dir, v)
+        out.append(
+            {
+                "version": v,
+                "kind": m.get("commit_kind"),
+                "writer_id": m.get("writer_id"),
+                "n_buckets": int(m["n_buckets"]),
+                "n_files": sum(len(fs) for fs in m["buckets"].values()),
+                "quarantined": (m.get("expectations") or {}).get(
+                    "quarantined"
+                ),
+                "restored_from": m.get("restored_from"),
+                "identity_high_water": m.get("identity_high_water"),
+            }
+        )
+    return out
+
+
 def restore_table(
-    base_dir: str, to_version: int, max_retries: int = 5, before_commit=None
+    base_dir: str,
+    to_version: int,
+    max_retries: int = 5,
+    before_commit=None,
+    writer_id: str = "w0",
 ) -> tuple[int, int]:
     """RESTORE the table to the logical state of ``to_version`` by
     COMMITTING A NEW VERSION whose manifest re-points at the old
@@ -1008,6 +1049,8 @@ def restore_table(
         snap = load_manifest(base_dir)
         manifest = {**old, "version": snap["version"] + 1}
         manifest.pop("expectations", None)
+        manifest["commit_kind"] = "restore"
+        manifest["writer_id"] = writer_id
         manifest["restored_from"] = to_version
         if snap.get("identity_col") is not None:
             manifest["identity_high_water"] = max(
@@ -1062,11 +1105,15 @@ def clone_table(
     manifest = {
         **snap,
         "version": 1,
+        "commit_kind": "clone",
+        "writer_id": "clone",
         "cloned_from": {
             "base_dir": os.path.abspath(base_dir),
             "version": v,
         },
     }
+    manifest.pop("expectations", None)
+    manifest.pop("restored_from", None)
     if not _publish_manifest(target_dir, manifest):
         raise RuntimeError(f"clone target {target_dir} already has a v1")
     cdir = os.path.join(base_dir, "clones")
@@ -1694,6 +1741,8 @@ def merge_upsert_manifest(
             buckets[str(b)] = new_files.get(b, [])
         manifest = {
             "version": next_version,
+            "commit_kind": "merge",
+            "writer_id": writer_id,
             "n_buckets": n_buckets,
             "key_col": key_col,
             "columns": list(res_columns),
@@ -1804,7 +1853,12 @@ def compact_tombstones(
                 # tombstones lost latest-wins at some later merge) —
                 # clear them with a metadata-only commit
                 manifest = {**snap, "version": next_version,
+                            "commit_kind": "compact",
+                            "writer_id": writer_id,
                             "tombstone_buckets": []}
+                # per-commit records never carry into a new commit
+                manifest.pop("expectations", None)
+                manifest.pop("restored_from", None)
                 if _publish_manifest(base_dir, manifest):
                     return {
                         "version": next_version,
@@ -1829,6 +1883,8 @@ def compact_tombstones(
             buckets[str(b)] = new_files.get(b, [])
         manifest = {
             "version": next_version,
+            "commit_kind": "compact",
+            "writer_id": writer_id,
             "n_buckets": n_buckets,
             "key_col": key_col,
             "columns": list(cols_),
@@ -2514,6 +2570,8 @@ def rebucket_table(
         new_files = _list_bucket_files(staging)
         manifest = {
             "version": next_version,
+            "commit_kind": "rebucket",
+            "writer_id": writer_id,
             "n_buckets": new_n_buckets,
             "key_col": key_col,
             "columns": list(cols),
@@ -3784,3 +3842,117 @@ def merge_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src")
     )
+
+
+@register(
+    "scan_manifest_history",
+    oracle="""
+    -- closed form of the scripted six-commit history: the version
+    -- ladder's kinds/writers are constants; the data-derived cells are
+    -- the gated commit's quarantine count (every %9=0 orderkey — the
+    -- batch is %3=0 with %9=0 prices negated, and 9|k implies 3|k) and
+    -- the live row count, which only moves when v5 INSERTS the %50=0
+    -- shadow keys.
+    WITH n AS (
+      SELECT COUNT(*) AS c,
+             COUNT(*) FILTER (WHERE o_orderkey % 9 = 0)  AS q9,
+             COUNT(*) FILTER (WHERE o_orderkey % 50 = 0) AS i50
+      FROM orders
+    )
+    SELECT * FROM (
+      SELECT 1 AS version, 'init' AS kind, 'init' AS writer,
+             CAST(NULL AS BIGINT) AS quarantined,
+             CAST(NULL AS BIGINT) AS restored_from,
+             c AS n_live FROM n
+      UNION ALL SELECT 2, 'merge', 'u2', NULL, NULL, c FROM n
+      UNION ALL SELECT 3, 'merge', 'u3', q9, NULL, c FROM n
+      UNION ALL SELECT 4, 'restore', 'ops', NULL, 2, c FROM n
+      UNION ALL SELECT 5, 'merge', 'u5', NULL, NULL, c + i50 FROM n
+      UNION ALL SELECT 6, 'rebucket', 'maint', NULL, NULL, c + i50 FROM n
+    ) ORDER BY version
+    """,
+)
+def scan_manifest_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of DESCRIBE HISTORY (`table_history` — Delta
+    DESCRIBE HISTORY / Iceberg's snapshots metadata table): every
+    commit path stamps its kind and writer into the manifest, so the
+    audit surface an on-call reads ("who wrote v3, did it quarantine
+    anything, what did the restore undo") is pure manifest metadata —
+    zero data I/O, O(versions) whatever the table size.
+
+    Face: a scripted six-commit ladder on orders — init; plain merge;
+    GATED merge (every %9=0 price arrives negated → quarantined =
+    count(%9=0), recorded in the manifest); RESTORE to v2
+    (restored_from surfaces); an INSERT merge (%50=0 shadow keys — the
+    one commit that moves the live count); a REBUCKET (maintenance
+    kind). Declared result = the history joined with each version's
+    live row count (read_snapshot AS OF — proving every history row is
+    still time-travel-consistent, not just present). The oracle derives
+    all six rows in closed form from orders aggregates.
+    Scale shape: history = one manifest read per version; the per-
+    version counts here are fixture-scale proof reads, not part of the
+    operator's cost model.
+    Reference provenance: none; public recipe = Delta DESCRIBE HISTORY.
+    """
+    import shutil
+
+    from .scans import _adir
+
+    base_dir = _adir(sf_dir, "scan_history_table")
+    shutil.rmtree(base_dir, ignore_errors=True)
+
+    orders = table(spark, sf_dir, "orders")
+    seed = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("ver"),
+        F.lit("seed").alias("src"),
+        F.col("o_totalprice").alias("price"),
+    )
+    init_table(seed, base_dir, key_col="k", n_buckets=8)
+    merge_upsert_manifest(
+        base_dir,
+        orders.filter(F.col("o_orderkey") % 4 == 0).select(
+            F.col("o_orderkey").alias("k"), F.lit(2).alias("ver"),
+            F.lit("u2").alias("src"),
+            (F.col("o_totalprice") + 10).alias("price"),
+        ),
+        "ver", "src", writer_id="u2",
+    )
+    merge_upsert_manifest(
+        base_dir,
+        orders.filter(F.col("o_orderkey") % 3 == 0).select(
+            F.col("o_orderkey").alias("k"), F.lit(3).alias("ver"),
+            F.lit("u3").alias("src"),
+            F.when(F.col("o_orderkey") % 9 == 0, -F.col("o_totalprice"))
+            .otherwise(F.col("o_totalprice") + 20)
+            .alias("price"),
+        ),
+        "ver", "src", writer_id="u3",
+        expectations={"price_nonneg": "price >= 0"},
+    )
+    restore_table(base_dir, 2, writer_id="ops")
+    merge_upsert_manifest(
+        base_dir,
+        orders.filter(F.col("o_orderkey") % 50 == 0).select(
+            (F.col("o_orderkey") + 10_000_000).alias("k"),
+            F.lit(3).alias("ver"), F.lit("u5").alias("src"),
+            F.col("o_totalprice").alias("price"),
+        ),
+        "ver", "src", writer_id="u5",
+    )
+    rebucket_table(spark, base_dir, 16, writer_id="maint")
+
+    hist = table_history(base_dir)
+    rows = [
+        (
+            h["version"], h["kind"], h["writer_id"], h["quarantined"],
+            h["restored_from"],
+            read_snapshot(spark, base_dir, version=h["version"]).count(),
+        )
+        for h in hist
+    ]
+    return spark.createDataFrame(
+        rows,
+        "version int, kind string, writer string, quarantined long, "
+        "restored_from long, n_live long",
+    ).orderBy("version")

@@ -1142,3 +1142,136 @@ def stream_index_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError(f"slice {sl} must commit v{2 + i}, got {v}")
         out = pairs if out is None else out.unionByName(pairs)
     return out.orderBy("doc_a", "doc_b")
+
+
+@register(
+    "stream_expectations_gate",
+    oracle="""
+    -- clean rows (event_id % 7 <> 0) fold into latest-per-user exactly
+    -- as the ungated merge sink; violating rows (value arrives negated)
+    -- quarantine in whichever slice carries them, so the CUMULATIVE
+    -- quarantine is slicing-invariant too: all %7=0 events, once each.
+    WITH clean AS (
+      SELECT user_id, event_type, value,
+             EPOCH_US(ts) AS ver, event_id
+      FROM events WHERE event_id % 7 <> 0
+    ), latest AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ver DESC, event_id) AS rn
+        FROM clean
+      ) WHERE rn = 1
+    ), t AS (
+      SELECT 'table' AS part, event_type AS grp,
+             COUNT(*) AS n_rows, ROUND(SUM(value), 2) AS sum_value
+      FROM latest GROUP BY event_type
+    ), q AS (
+      SELECT 'quarantine' AS part, 'value_nonneg' AS grp,
+             COUNT(*) AS n_rows, ROUND(SUM(-value), 2) AS sum_value
+      FROM events WHERE event_id % 7 = 0
+    )
+    SELECT part, grp, n_rows, sum_value FROM t
+    UNION ALL
+    SELECT part, grp, n_rows, sum_value FROM q
+    ORDER BY part, grp
+    """,
+)
+def stream_expectations_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming admission through the write-side expectations gate —
+    the merge-sink fold (stream_merge_sink) with per-micro-batch CHECK
+    constraints: every slice merges via ``merge_upsert_manifest(...,
+    expectations=...)``, so dirty rows (here: events whose value
+    arrives negated — every event_id % 7 = 0) divert to that COMMIT's
+    quarantine side table instead of poisoning the latest-per-user
+    state, and every downstream incremental consumer (changes_between /
+    the CDF streaming source) sees only gated rows by construction —
+    inline-asserted here by diffing v1→v4: zero negative values in the
+    feed. Both halves of the result are slicing-invariant: the clean
+    fold is associative (latest-wins total order), and the cumulative
+    quarantine is the disjoint union of per-commit quarantines — each
+    violating row lands exactly once, in whichever slice carried it
+    (tests/test_lakehouse.py::test_stream_expectations_slicing_invariance).
+
+    Batch declaration: empty CREATE, three event_id%3 slices merged
+    with {'value_nonneg': 'value >= 0'}, then the final snapshot per
+    event_type UNION the quarantine-union-across-commits per reason.
+    The oracle never sees the slicing OR the gate mechanics: clean
+    global replay + one closed-form violating population.
+
+    Scale shape: gate cost is one projection + one aggregate per
+    BOUNDED micro-batch; quarantine writes are batch-sized; state
+    lives in the table (no watermark state). The ingestion-contract
+    pattern for a 100 TB/day feed: bad rows triaged per commit, never
+    reprocessed, never blocking the stream.
+    Reference provenance: none (the reference ingests unvalidated);
+    public recipe = Delta constraints + foreachBatch MERGE.
+    """
+    import shutil
+
+    from ..operators.lakehouse import (
+        changes_between,
+        init_table,
+        latest_version,
+        merge_upsert_manifest,
+        read_quarantine,
+        read_snapshot,
+    )
+    from ..operators.scans import _adir
+
+    base_dir = _adir(sf_dir, "stream_expectations_table")
+    shutil.rmtree(base_dir, ignore_errors=True)
+
+    ev = table(spark, sf_dir, "events")
+    upd = merge_sink_updates(ev).withColumn(
+        "value",
+        F.when(F.col("tie") % 7 == 0, -F.col("value")).otherwise(
+            F.col("value")
+        ),
+    )
+    init_table(upd.limit(0), base_dir, key_col="k", n_buckets=16)
+    for i in range(3):
+        merge_upsert_manifest(
+            base_dir,
+            upd.filter(F.col("tie") % 3 == i),
+            ver_col="ver",
+            tiebreak_col="tie",
+            writer_id=f"slice{i}",
+            expectations={"value_nonneg": "value >= 0"},
+        )
+    if latest_version(base_dir) != 4:
+        raise AssertionError("empty init + 3 gated merges must land at v4")
+    n_dirty_in_feed = (
+        changes_between(spark, base_dir, 1, 4)
+        .filter(F.col("new_value") < 0)
+        .count()
+    )
+    if n_dirty_in_feed != 0:
+        raise AssertionError(
+            f"incremental consumers must see only gated rows; the CDF "
+            f"carried {n_dirty_in_feed} negative values"
+        )
+
+    quar = None
+    for v in (2, 3, 4):
+        q = read_quarantine(spark, base_dir, v)
+        if q is not None:
+            quar = q if quar is None else quar.unionByName(q)
+    tbl = (
+        read_snapshot(spark, base_dir)
+        .groupBy(F.col("event_type").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.lit("table").alias("part"), "grp", "n_rows", "sum_value")
+    )
+    qsum = (
+        quar.groupBy(F.col("_violation").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.lit("quarantine").alias("part"), "grp", "n_rows",
+                "sum_value")
+    )
+    return tbl.unionByName(qsum).orderBy("part", "grp")

@@ -54,6 +54,8 @@ WRITE_PATH_PROTOCOL = [
     "merge_serializable_check",
     "merge_shallow_clone",
     "merge_restore_version",
+    "stream_expectations_gate",
+    "scan_manifest_history",
 ]
 
 

@@ -1974,3 +1974,110 @@ def test_restore_expired_version_refused(spark, tmp_path):
     vacuum(base, keep_last=1)
     with pytest.raises(FileNotFoundError):
         restore_table(base, 1)
+
+
+def test_stream_expectations_slicing_invariance(spark, tmp_path):
+    """The gated merge-sink fold is slicing-invariant on BOTH halves:
+    any slicing of the feed into micro-batches converges to the same
+    final table AND the same cumulative quarantine (each violating row
+    lands exactly once, in whichever slice carried it)."""
+    from assignment4_spark.operators.lakehouse import (
+        init_table,
+        latest_version,
+        merge_upsert_manifest,
+        read_quarantine,
+        read_snapshot,
+    )
+
+    rows = [
+        (i % 7, 1000 + i, i, float((-1 if i % 5 == 0 else 1) * (i + 1)))
+        for i in range(30)
+    ]
+    feed = spark.createDataFrame(
+        rows, "k long, ver long, tie long, value double"
+    )
+    exp = {"value_nonneg": "value >= 0"}
+
+    def run(n_slices, name):
+        base = str(tmp_path / name)
+        init_table(feed.limit(0), base, key_col="k", n_buckets=4)
+        for i in range(n_slices):
+            merge_upsert_manifest(
+                base, feed.filter(F.col("tie") % n_slices == i),
+                "ver", "tie", writer_id=f"s{i}", expectations=exp,
+            )
+        table_rows = sorted(
+            (r.k, r.ver, r.tie, r.value)
+            for r in read_snapshot(spark, base).collect()
+        )
+        quar = []
+        for v in range(2, latest_version(base) + 1):
+            q = read_quarantine(spark, base, v)
+            if q is not None:
+                quar.extend(
+                    (r.k, r.tie, r.value, r._violation) for r in q.collect()
+                )
+        return table_rows, sorted(quar)
+
+    t2, q2 = run(2, "two")
+    t5, q5 = run(5, "five")
+    assert t2 == t5, "final table must be slicing-invariant"
+    assert q2 == q5 and len(q2) == 6, (
+        f"cumulative quarantine must be slicing-invariant: {len(q2)} vs "
+        f"{len(q5)}"
+    )
+    assert all(v < 0 for (_, _, v, _) in q2)
+
+
+def test_table_history_stamps_every_commit_kind(spark, tmp_path):
+    """Every commit path stamps kind+writer; per-commit records
+    (quarantine, restored_from) never leak into later commits that
+    copy a prior manifest (metadata-only compact, clone)."""
+    from assignment4_spark.operators.lakehouse import (
+        TOMBSTONE_COL,
+        clone_table,
+        compact_tombstones,
+        restore_table,
+        table_history,
+    )
+
+    base = str(tmp_path / "ht")
+    df = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(1).alias("ver"),
+        F.concat(F.lit("p"), F.col("id")).alias("payload"),
+        F.lit(False).alias(TOMBSTONE_COL),
+    )
+    init_table(df, base, key_col="k", n_buckets=2)
+    merge_upsert_manifest(
+        base,
+        spark.createDataFrame(
+            [(1, 2, "", False), (2, 2, "x2", False)],
+            f"k long, ver int, payload string, {TOMBSTONE_COL} boolean",
+        ),
+        "ver", "payload", writer_id="w1",
+        expectations={"nonempty": "length(payload) > 0"},
+    )
+    restore_table(base, 1, writer_id="ops")
+    merge_upsert_manifest(
+        base,
+        spark.createDataFrame(
+            [(3, 9, "del", True)],
+            f"k long, ver int, payload string, {TOMBSTONE_COL} boolean",
+        ),
+        "ver", "payload", writer_id="w2",
+    )
+    compact_tombstones(spark, base, writer_id="gc")
+    clone = str(tmp_path / "htc")
+    clone_table(base, clone)
+
+    hist = table_history(base)
+    assert [(h["version"], h["kind"], h["writer_id"]) for h in hist] == [
+        (1, "init", "init"), (2, "merge", "w1"), (3, "restore", "ops"),
+        (4, "merge", "w2"), (5, "compact", "gc"),
+    ]
+    assert hist[1]["quarantined"] == 1 and hist[2]["restored_from"] == 1
+    # copies of prior manifests must not leak per-commit records
+    assert hist[4]["quarantined"] is None and hist[4]["restored_from"] is None
+    chist = table_history(clone)
+    assert [(h["version"], h["kind"]) for h in chist] == [(1, "clone")]
+    assert chist[0]["quarantined"] is None and chist[0]["restored_from"] is None
