@@ -1511,3 +1511,116 @@ def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "ts_stl_decompose",
+    oracle="""
+    -- additive STL-lite replay: daily means per type, trend = centered
+    -- 7-day moving average (ROWS frame, partial at the edges — both
+    -- engines average over PRESENT rows), seasonal = mean detrended
+    -- per weekday (0=Monday on both sides: DuckDB isodow-1, Spark
+    -- weekday()), residual = y - trend - seasonal.
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             ISODOW(ts) - 1 AS dow,
+             SUM(value) / COUNT(*) AS y
+      FROM events GROUP BY 1, 2, 3
+    ), trended AS (
+      SELECT *,
+             AVG(y) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS trend
+      FROM daily
+    ), seasonal AS (
+      SELECT event_type, dow, AVG(y - trend) AS s
+      FROM trended GROUP BY event_type, dow
+    )
+    SELECT t.event_type,
+           CAST(t.dow AS INT)                                  AS dow,
+           COUNT(*)                                            AS n_days,
+           ROUND(MIN(se.s), 6)                                 AS seasonal,
+           ROUND(SQRT(AVG(POWER(t.y - t.trend - se.s, 2))), 4) AS resid_rmse
+    FROM trended t JOIN seasonal se USING (event_type, dow)
+    GROUP BY t.event_type, t.dow
+    ORDER BY t.event_type, t.dow
+    """,
+)
+def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive STL-lite decomposition of each event type's daily
+    series — trend (centered 7-day moving average), weekly seasonal
+    (mean detrended value per weekday), residual (what anomaly
+    detection should actually score; feeding raw values into a z-score
+    flags every Saturday): the classic decomposition every
+    training-data freshness/drift dashboard runs before alerting.
+    Generalizes ts_seasonal_profile (level-only hour-of-day indices)
+    and ts_dow_anomaly (window-frame adjustment) into the explicit
+    three-component model; loess is replaced by the moving average —
+    the standard scalable simplification, keeping every step a
+    windowed/grouped aggregate.
+
+    Output per (event_type, weekday): the seasonal component and the
+    residual RMSE — a seasonal row far from 0 means real weekly
+    structure; a large RMSE flags a type whose variance the model
+    does not explain.
+
+    Scale shape: ONE scan → (type, day) hash agg (output bounded by
+    the key space, not rows), then two partition-bounded windows — the
+    7-row ROWS-frame trend per type and the unbounded per-(type,
+    weekday) seasonal mean — and the final tiny groupBy; no join, no
+    second scan, no global sort. Weekday convention pinned to
+    0=Monday on BOTH engines (Spark weekday() / DuckDB isodow-1) —
+    dayofweek() would silently disagree across engines.
+    Reference provenance: none; SURVEY §2 B.11 timeseries family
+    (round 9); public recipe = classical seasonal decomposition
+    (Cleveland STL, MA-trend variant).
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            F.expr("weekday(ts)").alias("dow"),
+        )
+        .agg((F.sum("value") / F.count(F.lit(1))).alias("y"))
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    # seasonal as a SECOND window (unbounded over (type, dow)) instead
+    # of an aggregate + self-join back: one events scan total — the
+    # join form re-computes the daily agg subtree on both sides (plan
+    # gate in tests/test_plans.py pins the single scan)
+    w2 = W.partitionBy("event_type", "dow")
+    dec = daily.withColumn("trend", F.avg("y").over(w)).withColumn(
+        "s", F.avg(F.col("y") - F.col("trend")).over(w2)
+    )
+    return (
+        dec.groupBy("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.min("s"), 6).alias("seasonal"),
+            F.round(
+                F.sqrt(
+                    F.avg(
+                        F.pow(
+                            F.col("y") - F.col("trend") - F.col("s"),
+                            F.lit(2),
+                        )
+                    )
+                ),
+                4,
+            ).alias("resid_rmse"),
+        )
+        .select(
+            "event_type",
+            F.col("dow").cast("int").alias("dow"),
+            "n_days",
+            "seasonal",
+            "resid_rmse",
+        )
+        .orderBy("event_type", "dow")
+    )

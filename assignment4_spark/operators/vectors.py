@@ -2058,3 +2058,85 @@ def vec_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = rep if out is None else out.unionByName(rep)
     return out.orderBy("method")
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle="""
+    -- brute-force O(N^2) cosine replay (the only exact verification),
+    -- swept over the candidate thresholds: per threshold, the pair
+    -- count and the number of distinct flagged docs. LEFT JOIN +
+    -- COALESCE so a threshold with zero pairs still reports 0 on both
+    -- engines.
+    WITH sims AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             ROUND(LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 6) AS s
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ), t(thr) AS (
+      VALUES (0.30), (0.35), (0.40), (0.45), (0.50)
+    ), hits AS (
+      SELECT thr, va, vb FROM t JOIN sims ON s >= thr
+    ), p AS (
+      SELECT thr, COUNT(*) AS n_pairs FROM hits GROUP BY thr
+    ), f AS (
+      SELECT thr, COUNT(DISTINCT doc) AS n_flagged
+      FROM (SELECT thr, va AS doc FROM hits
+            UNION ALL SELECT thr, vb FROM hits)
+      GROUP BY thr
+    )
+    SELECT CAST(t.thr AS DOUBLE)                 AS threshold,
+           CAST(COALESCE(p.n_pairs, 0) AS BIGINT)   AS n_pairs,
+           CAST(COALESCE(f.n_flagged, 0) AS BIGINT) AS n_flagged
+    FROM t LEFT JOIN p USING (thr) LEFT JOIN f USING (thr)
+    ORDER BY threshold
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold sensitivity sweep — the table a curator reads
+    BEFORE committing a 100 TB dedup pass to one cosine cutoff: for
+    each candidate threshold, how many pairs fire and how many distinct
+    documents get flagged (the removal upper bound). The cliff between
+    two adjacent rows is the decision: a threshold on the cliff's edge
+    deletes a corpus; one past it deletes nothing.
+
+    Spark shape: ONE distributed block-pair BLAS scan at the LOWEST
+    candidate threshold (near_dup_pairs_exact — the O(N²) compute is
+    paid once, not once per threshold), then the sweep is a
+    broadcast-joined re-bucketing of the pair list: O(pairs ×
+    thresholds), metadata-sized next to the scan. Flagged-doc counts
+    via explode([a,b]) + COUNT(DISTINCT). Zero-pair thresholds report
+    0 via LEFT JOIN on both engines. Round-before-compare (6 dp) makes
+    the ≥-membership decision identical across Spark's BLAS
+    accumulation order and DuckDB's.
+    Reference provenance: none; SURVEY §2 B.11 dedup family (round 9) —
+    the tuning face over the dedup_near_embedding primitive.
+    """
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    thresholds = [0.30, 0.35, 0.40, 0.45, 0.50]
+    pairs = near_dup_pairs_exact(e, threshold=min(thresholds))
+    t = spark.createDataFrame([(x,) for x in thresholds], "thr double")
+    # ONE consumption of the BLAS pair list: broadcast-replicate each
+    # pair to the thresholds it clears, explode to (thr, doc), and take
+    # BOTH counters from the same grouped pass — each pair contributes
+    # exactly two doc rows, so n_pairs = rows/2 (a second branch over
+    # `pairs` would re-run the O(N²) cogroup subtree per branch: the
+    # plan gate in tests/test_plans.py pins exactly one FlatMapCoGroups)
+    agg = (
+        pairs.join(F.broadcast(t), pairs["cos_sim"] >= t["thr"])
+        .select("thr", F.explode(F.array("vec_a", "vec_b")).alias("doc"))
+        .groupBy("thr")
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_pairs"),
+            F.countDistinct("doc").alias("n_flagged"),
+        )
+    )
+    return (
+        t.join(agg, on="thr", how="left")
+        .select(
+            F.col("thr").alias("threshold"),
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce(F.col("n_flagged"), F.lit(0)).cast("bigint").alias("n_flagged"),
+        )
+        .orderBy("threshold")
+    )

@@ -1147,3 +1147,42 @@ def test_poisson_bootstrap_narrow_fanout(spark, sf_oracle):
     assert "Join" not in body, body
     read = next(l for l in body.splitlines() if "ReadSchema" in l)
     assert "text" not in read, read
+
+
+def test_stl_decompose_partitioned_window_pruned_scan(spark, sf_oracle):
+    """ts_stl_decompose: the trend window must be PARTITIONED (per
+    event_type — no all-to-one-partition global window), and the events
+    scan must prune to the three used columns."""
+    plan = formatted_plan(spark, "ts_stl_decompose", sf_oracle)
+    assert "Window" in plan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "props" not in read and "event_id" not in read
+    # every window spec must carry the event_type partition key (a
+    # global window renders windowspecdefinition(day ASC...) with no
+    # partition column — the all-to-one-partition shape)
+    specs = [l for l in plan.splitlines() if "windowspecdefinition(" in l]
+    assert specs and all(
+        "windowspecdefinition(event_type" in l for l in specs
+    ), "every window must partition by event_type"
+    # the seasonal component is a second window, NOT an agg+self-join:
+    # exactly one events scan node in the whole plan (formatted explain
+    # prints each node twice — tree line + numbered detail block)
+    import re as _re
+
+    assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) == 1, (
+        "events must be scanned once"
+    )
+
+
+def test_threshold_sweep_broadcasts_threshold_relation(spark, sf_oracle):
+    """dedup_threshold_sweep: the 5-row threshold relation must join
+    broadcast (never shuffle the pair list by threshold), and the
+    O(N^2) BLAS stage appears once (FlatMapCoGroups), not once per
+    threshold."""
+    import re as _re
+
+    plan = formatted_plan(spark, "dedup_threshold_sweep", sf_oracle)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert len(_re.findall(r"\(\d+\) FlatMapCoGroupsInPandas", plan)) == 1, (
+        "the O(N^2) BLAS stage must appear exactly once in the plan"
+    )
