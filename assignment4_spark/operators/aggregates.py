@@ -979,3 +979,133 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("col_a", "col_b", F.round("raw", AVG_DP).alias("corr"))
         .orderBy("col_a", "col_b")
     )
+
+
+@register(
+    "agg_kmv_set_ops",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS hv
+      FROM events WHERE user_id IS NOT NULL
+    ), t AS (
+      SELECT DISTINCT event_type FROM h
+    ), p AS (
+      SELECT a.event_type AS ta, b.event_type AS tb
+      FROM t a JOIN t b ON a.event_type < b.event_type
+    ), m AS (
+      SELECT p.ta, p.tb, h.hv,
+             MAX(CASE WHEN h.event_type = p.ta THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN h.event_type = p.tb THEN 1 ELSE 0 END) AS in_b
+      FROM p JOIN h ON h.event_type IN (p.ta, p.tb)
+      GROUP BY p.ta, p.tb, h.hv
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY hv) AS rn
+      FROM m
+    ), kept AS (
+      SELECT ta, tb, MAX(hv) AS kth, COUNT(*) AS cnt,
+             CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+      FROM r WHERE rn <= {_KMV_K} GROUP BY ta, tb
+    )
+    SELECT ta AS etype_a, tb AS etype_b,
+           CASE WHEN cnt < {_KMV_K} THEN CAST(cnt AS DOUBLE)
+                ELSE ROUND(({_KMV_K - 1} * 4294967296.0) / kth, 2)
+           END AS union_est,
+           CASE WHEN cnt < {_KMV_K} THEN CAST(n_both AS DOUBLE)
+                ELSE ROUND((n_both / CAST({_KMV_K} AS DOUBLE))
+                           * (({_KMV_K - 1} * 4294967296.0) / kth), 2)
+           END AS inter_est,
+           ROUND(n_both / CAST(LEAST(cnt, {_KMV_K}) AS DOUBLE), 6)
+             AS jaccard_est
+    FROM kept ORDER BY etype_a, etype_b
+    """,
+)
+def agg_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET OPERATIONS — union size, intersection size, and
+    Jaccard estimates for every event-type audience pair (the
+    "audience overlap" question a naive COUNT(DISTINCT) join answers
+    at O(|A|+|B|) memory; the sketch answers at O(k)): merge the two
+    groups' hash sets, keep the k smallest of the UNION, estimate
+    |A∪B| = (k-1)/h_(k), and read the intersection off the same kept
+    sample — |A∩B| ≈ (both-flagged fraction of the k kept) × |A∪B|,
+    Jaccard ≈ n_both/k. Theta-sketch algebra, but over md5 like
+    agg_approx_distinct, so every estimate is BIT-REPRODUCIBLE in any
+    engine and the oracle checks exact values, not error bands. Pairs
+    whose union has fewer than k distinct hashes fall back to exact
+    counts (the same branch both engines CASE on).
+
+    Scale shape: one distinct on (type, hash) (map-side combinable),
+    a broadcast of the tiny type-pair relation (|types|² rows), a
+    per-pair hash dedup carrying two OR-flags, then the same literal
+    rank≤k window as kmv_estimate — WindowGroupLimit prunes to k rows
+    per (pair, map task) BEFORE the exchange, so per-pair memory is
+    bounded at any cardinality. Replication factor is |types|-1 (each
+    group joins its pairs), bounded by the key space, never rows².
+    Reference provenance: none; SURVEY §2 B.11 sketches family
+    (round 9); public recipe = Apache DataSketches theta set ops.
+    """
+    ev = table(spark, sf_dir, "events")
+    h = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16, 10,
+            ).cast("long").alias("hv"),
+        )
+        .distinct()
+    )
+    t = h.select("event_type").distinct()
+    pairs = (
+        t.alias("a")
+        .join(t.alias("b"), F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+        )
+    )
+    m = (
+        h.join(
+            F.broadcast(pairs),
+            (F.col("event_type") == F.col("ta"))
+            | (F.col("event_type") == F.col("tb")),
+        )
+        .groupBy("ta", "tb", "hv")
+        .agg(
+            F.max((F.col("event_type") == F.col("ta")).cast("int")).alias("in_a"),
+            F.max((F.col("event_type") == F.col("tb")).cast("int")).alias("in_b"),
+        )
+    )
+    w = Window.partitionBy("ta", "tb").orderBy("hv")
+    kept = (
+        m.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.lit(_KMV_K))
+        .groupBy("ta", "tb")
+        .agg(
+            F.max("hv").alias("kth"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("n_both"),
+        )
+    )
+    raw_union = F.lit(float((_KMV_K - 1) * 4294967296)) / F.col("kth")
+    small = F.col("cnt") < F.lit(_KMV_K)
+    return kept.select(
+        F.col("ta").alias("etype_a"),
+        F.col("tb").alias("etype_b"),
+        F.when(small, F.col("cnt").cast("double"))
+        .otherwise(F.round(raw_union, 2))
+        .alias("union_est"),
+        F.when(small, F.col("n_both").cast("double"))
+        .otherwise(
+            F.round(
+                (F.col("n_both") / F.lit(float(_KMV_K))) * raw_union, 2
+            )
+        )
+        .alias("inter_est"),
+        F.round(
+            F.col("n_both") / F.least(F.col("cnt"), F.lit(_KMV_K)).cast("double"),
+            6,
+        ).alias("jaccard_est"),
+    ).orderBy("etype_a", "etype_b")

@@ -1186,3 +1186,12 @@ def test_threshold_sweep_broadcasts_threshold_relation(spark, sf_oracle):
     assert len(_re.findall(r"\(\d+\) FlatMapCoGroupsInPandas", plan)) == 1, (
         "the O(N^2) BLAS stage must appear exactly once in the plan"
     )
+
+
+def test_kmv_set_ops_window_group_limit_and_broadcast(spark, sf_oracle):
+    """agg_kmv_set_ops: the rank<=k window must prune map-side
+    (WindowGroupLimit) so per-pair memory is bounded at any
+    cardinality, and the type-pair relation must broadcast."""
+    plan = formatted_plan(spark, "agg_kmv_set_ops", sf_oracle)
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
