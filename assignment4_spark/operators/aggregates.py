@@ -1109,3 +1109,231 @@ def agg_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jaccard_est"),
     ).orderBy("etype_a", "etype_b")
+
+
+# SPRT decision boundaries for alpha = beta = 0.05: ln((1-b)/a) and
+# ln(b/(1-a)) — written as literals so both engines use the identical
+# double (DuckDB's ln() and the JVM's may differ in the last ulp, and
+# the boundary COMPARISON is the decision)
+_SPRT_UPPER = 2.9444389791664403
+_SPRT_LOWER = -2.9444389791664403
+
+
+@register(
+    "agg_sprt_sequential",
+    oracle=f"""
+    -- normal-mean SPRT replay: H0 mean = global mean (rounded to 2 dp
+    -- BEFORE use — kills accumulation-order ulps in every term), H1 =
+    -- 1.1x, sigma = global stddev rounded the same way; LLR is the
+    -- running sum over (ts, event_id) order, rounded to 6 dp BEFORE
+    -- the boundary compare (round-before-compare discipline).
+    WITH s AS (
+      SELECT ROUND(AVG(value), 2) AS mu0, ROUND(STDDEV_SAMP(value), 2) AS sig
+      FROM events
+    ), walk AS (
+      SELECT e.event_type, e.ts, e.event_id,
+             ROUND(SUM((POWER(e.value - s.mu0, 2)
+                        - POWER(e.value - 1.1 * s.mu0, 2))
+                       / (2 * s.sig * s.sig))
+                   OVER (PARTITION BY e.event_type
+                         ORDER BY e.ts, e.event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   6) AS llr,
+             ROW_NUMBER() OVER (PARTITION BY e.event_type
+                                ORDER BY e.ts, e.event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY e.event_type) AS n
+      FROM events e CROSS JOIN s
+    ), crossing AS (
+      SELECT event_type, MIN(rn) AS n_at_decision
+      FROM walk
+      WHERE llr >= {_SPRT_UPPER} OR llr <= {_SPRT_LOWER}
+      GROUP BY event_type
+    ), final AS (
+      SELECT w.event_type, w.n AS n_events, w.llr AS llr_final,
+             c.n_at_decision,
+             (SELECT llr FROM walk x
+              WHERE x.event_type = w.event_type
+                AND x.rn = c.n_at_decision) AS llr_at
+      FROM walk w LEFT JOIN crossing c USING (event_type)
+      WHERE w.rn = w.n
+    )
+    SELECT event_type,
+           CAST(n_events AS BIGINT)                        AS n_events,
+           ROUND(llr_final, 4)                             AS llr_final,
+           CASE WHEN n_at_decision IS NULL THEN 'continue'
+                WHEN llr_at >= {_SPRT_UPPER} THEN 'accept_h1'
+                ELSE 'accept_h0' END                       AS decision,
+           CAST(n_at_decision AS BIGINT)                   AS n_at_decision
+    FROM final ORDER BY event_type
+    """,
+)
+def agg_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential probability ratio test (Wald's SPRT) per event type —
+    the A/B early-stopping walk an experimentation platform runs so a
+    clearly-winning (or clearly-flat) arm stops BEFORE the fixed-horizon
+    sample is spent: each event moves the cumulative log-likelihood
+    ratio between H0 (type mean = global mean) and H1 (mean 10%
+    higher, normal model with pooled sigma); the first crossing of the
+    +/-ln(19) boundaries (alpha = beta = 0.05) is the decision, and its
+    position IS the sample saved. Output per type: final LLR, the
+    decision (accept_h1 / accept_h0 / continue), and how many events
+    the decision took.
+
+    Cross-engine determinism: the pooled scalars round to 2 dp BEFORE
+    use (double aggregates accumulate in engine-specific order — the
+    rounding makes every downstream term a pure function of identical
+    inputs); the running LLR rounds to 6 dp BEFORE the boundary
+    compare, and the boundaries are literal doubles (LN(19) differs in
+    the last ulp between libm and the JVM).
+
+    Scale shape: one scalar aggregate (broadcast), then ONE
+    partition-bounded running-sum window over (ts, event_id) per type
+    and a rank-1 crossing lookup — no self-join over events, no global
+    sort; the decision row is found with a conditional min over the
+    same window output.
+    Reference provenance: none; SURVEY §2 B.11 aggregates family
+    (round 9); public recipe = Wald SPRT, normal-mean form.
+    """
+    ev = table(spark, sf_dir, "events")
+    s = ev.agg(
+        F.round(F.avg("value"), 2).alias("mu0"),
+        F.round(F.stddev_samp("value"), 2).alias("sig"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    walk = (
+        ev.crossJoin(F.broadcast(s))
+        .withColumn(
+            "term",
+            (
+                F.pow(F.col("value") - F.col("mu0"), F.lit(2))
+                - F.pow(F.col("value") - 1.1 * F.col("mu0"), F.lit(2))
+            )
+            / (2 * F.col("sig") * F.col("sig")),
+        )
+        .select(
+            "event_type",
+            F.round(
+                F.sum("term").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+                6,
+            ).alias("llr"),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("event_type"))
+            .alias("n"),
+        )
+    )
+    crossed = F.when(
+        (F.col("llr") >= F.lit(_SPRT_UPPER))
+        | (F.col("llr") <= F.lit(_SPRT_LOWER)),
+        F.struct(F.col("rn"), F.col("llr")),
+    )
+    summary = walk.groupBy("event_type").agg(
+        F.max("n").alias("n_events"),
+        F.max(F.when(F.col("rn") == F.col("n"), F.col("llr"))).alias(
+            "llr_final"
+        ),
+        F.min(crossed).alias("first_cross"),
+    )
+    return summary.select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round("llr_final", 4).alias("llr_final"),
+        F.when(F.col("first_cross").isNull(), F.lit("continue"))
+        .when(
+            F.col("first_cross.llr") >= F.lit(_SPRT_UPPER), F.lit("accept_h1")
+        )
+        .otherwise(F.lit("accept_h0"))
+        .alias("decision"),
+        F.col("first_cross.rn").cast("bigint").alias("n_at_decision"),
+    ).orderBy("event_type")
+
+
+@register(
+    "agg_cuped_adjustment",
+    oracle="""
+    -- CUPED replay: per (type, user) the pre-period covariate x and
+    -- post-period metric y (fixed literal split date), then per type
+    -- theta = cov(x,y)/var(x) and the variance reduction 100*corr^2 —
+    -- derived in closed form from the (rounded-before-use) moment
+    -- aggregates, never by re-aggregating adjusted rows.
+    WITH u AS (
+      SELECT event_type, user_id,
+             AVG(value) FILTER (WHERE ts <  TIMESTAMP '2024-01-16') AS x,
+             AVG(value) FILTER (WHERE ts >= TIMESTAMP '2024-01-16') AS y
+      FROM events GROUP BY event_type, user_id
+    ), m AS (
+      SELECT event_type,
+             COUNT(*)                        AS n_users,
+             ROUND(COVAR_SAMP(x, y), 6)      AS cxy,
+             ROUND(VAR_SAMP(x), 6)           AS vx,
+             ROUND(VAR_SAMP(y), 6)           AS vy
+      FROM u WHERE x IS NOT NULL AND y IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_users AS BIGINT)                          AS n_users,
+           ROUND(cxy / vx, 4)                               AS theta,
+           ROUND(vy, 2)                                     AS var_raw,
+           ROUND(vy - cxy * cxy / vx, 2)                    AS var_adj,
+           ROUND(100 * cxy * cxy / (vx * vy), 4)            AS reduction_pct
+    FROM m ORDER BY event_type
+    """,
+)
+def agg_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction per event type (Deng et al. 2013 — the
+    standard pre-experiment-covariate adjustment every experimentation
+    platform applies before a t-test): per (type, user), the
+    pre-period mean value is the covariate x and the post-period mean
+    the metric y (fixed calendar split); theta = cov(x,y)/var(x) is
+    the adjustment coefficient, and the variance of the adjusted
+    metric falls by exactly 100·corr(x,y)² percent — reported per type
+    so the platform knows which metrics CUPED actually helps (a
+    near-zero reduction means the covariate is uninformative and the
+    adjustment just adds plumbing). Pairs with agg_ttest_ab /
+    agg_sprt_sequential: the reduction directly shrinks their
+    required sample.
+
+    Determinism: the three moment aggregates round to 6 dp BEFORE the
+    theta / reduction arithmetic (double accumulation order is
+    engine-specific); the adjusted variance comes from the closed form
+    vy − cov²/varx — re-aggregating per-row adjusted values would
+    accumulate a second engine-specific float pass for zero
+    information.
+
+    Scale shape: one scan → per-(type, user) conditional means
+    (map-side combinable hash agg, output bounded by the key space) →
+    per-type moment agg over that bounded set. No window, no join.
+    Reference provenance: none; SURVEY §2 B.11 aggregates family
+    (round 9); public recipe = CUPED (Deng, Xu, Kohavi, Walker 2013).
+    """
+    ev = table(spark, sf_dir, "events")
+    split = F.lit("2024-01-16").cast("timestamp")
+    u = ev.groupBy("event_type", "user_id").agg(
+        F.avg(F.when(F.col("ts") < split, F.col("value"))).alias("x"),
+        F.avg(F.when(F.col("ts") >= split, F.col("value"))).alias("y"),
+    )
+    m = (
+        u.filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.covar_samp("x", "y"), 6).alias("cxy"),
+            F.round(F.var_samp("x"), 6).alias("vx"),
+            F.round(F.var_samp("y"), 6).alias("vy"),
+        )
+    )
+    return m.select(
+        "event_type",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.round(F.col("cxy") / F.col("vx"), 4).alias("theta"),
+        F.round(F.col("vy"), 2).alias("var_raw"),
+        F.round(
+            F.col("vy") - F.col("cxy") * F.col("cxy") / F.col("vx"), 2
+        ).alias("var_adj"),
+        F.round(
+            100 * F.col("cxy") * F.col("cxy") / (F.col("vx") * F.col("vy")),
+            4,
+        ).alias("reduction_pct"),
+    ).orderBy("event_type")

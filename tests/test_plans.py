@@ -1195,3 +1195,31 @@ def test_kmv_set_ops_window_group_limit_and_broadcast(spark, sf_oracle):
     plan = formatted_plan(spark, "agg_kmv_set_ops", sf_oracle)
     assert "WindowGroupLimit" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_sprt_single_window_no_self_join(spark, sf_oracle):
+    """agg_sprt_sequential: the LLR walk is ONE partition-bounded
+    window pass — the scalar priors broadcast, events are scanned once,
+    and no join over events appears (a naive crossing lookup would
+    self-join the walk)."""
+    import re as _re
+
+    plan = formatted_plan(spark, "agg_sprt_sequential", sf_oracle)
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row scalar cross join
+    # exactly TWO scans: one map-side-combinable scalar-prior pass and
+    # the walk itself (a global window for the priors would be the
+    # all-to-one-partition shape — strictly worse than the re-scan);
+    # more than two would mean the crossing lookup self-joined the walk
+    assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_cuped_is_two_hash_aggs_no_join(spark, sf_oracle):
+    """agg_cuped_adjustment: one events scan feeding two chained hash
+    aggregates — no join, no window (the closed-form variance identity
+    is what makes the adjusted-variance re-aggregation unnecessary)."""
+    import re as _re
+
+    plan = formatted_plan(spark, "agg_cuped_adjustment", sf_oracle)
+    assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan and "Window" not in plan
