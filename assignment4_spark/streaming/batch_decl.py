@@ -175,6 +175,62 @@ def stream_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gated_sink_updates(ev: DataFrame) -> DataFrame:
+    """Shared transform for the GATED merge sink (batch slices AND the
+    readStream twin): the merge-sink update shape with the face's
+    deterministic dirt — every event_id % 7 = 0 value arrives negated,
+    so the value_nonneg expectation quarantines exactly those rows."""
+    return merge_sink_updates(ev).withColumn(
+        "value",
+        F.when(F.col("tie") % 7 == 0, -F.col("value")).otherwise(
+            F.col("value")
+        ),
+    )
+
+
+GATE_EXPECTATIONS = {"value_nonneg": "value >= 0"}
+
+
+def cumulative_quarantine(spark: SparkSession, base_dir: str) -> DataFrame:
+    """Union of every committed version's quarantine side table — the
+    disjoint per-commit quarantines make this the full violating set
+    regardless of how the feed was sliced into commits."""
+    from ..operators.lakehouse import latest_version, read_quarantine
+
+    quar = None
+    for v in range(2, latest_version(base_dir) + 1):
+        q = read_quarantine(spark, base_dir, v)
+        if q is not None:
+            quar = q if quar is None else quar.unionByName(q)
+    return quar
+
+
+def expectations_gate_summary(
+    snapshot: DataFrame, quarantine: DataFrame
+) -> DataFrame:
+    """ONE definition of the gated sink's oracle-checked output shape,
+    shared by the registered batch declaration and the readStream
+    twin's equality assertion (tests/test_streaming.py)."""
+    tbl = (
+        snapshot.groupBy(F.col("event_type").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.lit("table").alias("part"), "grp", "n_rows", "sum_value")
+    )
+    qsum = (
+        quarantine.groupBy(F.col("_violation").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.lit("quarantine").alias("part"), "grp", "n_rows",
+                "sum_value")
+    )
+    return tbl.unionByName(qsum).orderBy("part", "grp")
+
+
 @register(
     "stream_late_data",
     oracle="""
@@ -1190,7 +1246,11 @@ def stream_expectations_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold is associative (latest-wins total order), and the cumulative
     quarantine is the disjoint union of per-commit quarantines — each
     violating row lands exactly once, in whichever slice carried it
-    (tests/test_lakehouse.py::test_stream_expectations_slicing_invariance).
+    (tests/test_lakehouse.py::test_stream_expectations_slicing_invariance),
+    and the REAL readStream twin (run_gated_merge_sink — foreachBatch
+    through the same gated merge, ts-range micro-batches, different
+    bucket count) reproduces this declaration exactly on both halves
+    (tests/test_streaming.py::test_stream_expectations_gate_twin).
 
     Batch declaration: empty CREATE, three event_id%3 slices merged
     with {'value_nonneg': 'value >= 0'}, then the final snapshot per
@@ -1222,12 +1282,7 @@ def stream_expectations_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(base_dir, ignore_errors=True)
 
     ev = table(spark, sf_dir, "events")
-    upd = merge_sink_updates(ev).withColumn(
-        "value",
-        F.when(F.col("tie") % 7 == 0, -F.col("value")).otherwise(
-            F.col("value")
-        ),
-    )
+    upd = gated_sink_updates(ev)
     init_table(upd.limit(0), base_dir, key_col="k", n_buckets=16)
     for i in range(3):
         merge_upsert_manifest(
@@ -1236,7 +1291,7 @@ def stream_expectations_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ver_col="ver",
             tiebreak_col="tie",
             writer_id=f"slice{i}",
-            expectations={"value_nonneg": "value >= 0"},
+            expectations=GATE_EXPECTATIONS,
         )
     if latest_version(base_dir) != 4:
         raise AssertionError("empty init + 3 gated merges must land at v4")
@@ -1251,27 +1306,7 @@ def stream_expectations_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"carried {n_dirty_in_feed} negative values"
         )
 
-    quar = None
-    for v in (2, 3, 4):
-        q = read_quarantine(spark, base_dir, v)
-        if q is not None:
-            quar = q if quar is None else quar.unionByName(q)
-    tbl = (
-        read_snapshot(spark, base_dir)
-        .groupBy(F.col("event_type").alias("grp"))
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        )
-        .select(F.lit("table").alias("part"), "grp", "n_rows", "sum_value")
+    return expectations_gate_summary(
+        read_snapshot(spark, base_dir),
+        cumulative_quarantine(spark, base_dir),
     )
-    qsum = (
-        quar.groupBy(F.col("_violation").alias("grp"))
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        )
-        .select(F.lit("quarantine").alias("part"), "grp", "n_rows",
-                "sum_value")
-    )
-    return tbl.unionByName(qsum).orderBy("part", "grp")

@@ -675,3 +675,58 @@ def run_index_admission(
     )
     q.awaitTermination()
     return collected
+
+
+def run_gated_merge_sink(
+    spark: SparkSession, events_stream: DataFrame, base_dir: str
+) -> DataFrame:
+    """Real-streaming twin of stream_expectations_gate via foreachBatch:
+    every micro-batch runs through the SAME gated merge
+    (merge_upsert_manifest + GATE_EXPECTATIONS over the shared
+    gated_sink_updates transform) the batch declaration uses — dirty
+    rows land in each COMMIT's quarantine side table, clean rows fold
+    latest-wins into the manifest table, and the cumulative quarantine
+    is the disjoint union across commits, so BOTH halves of the result
+    are slicing-invariant and the twin must reproduce the batch
+    declaration exactly (tests/test_streaming.py). Same restart-safety
+    story as run_merge_sink: state lives in the table, replays are
+    data no-ops. Returns the final snapshot."""
+    from ..operators.lakehouse import (
+        init_table,
+        latest_version,
+        merge_upsert_manifest,
+    )
+    from .batch_decl import GATE_EXPECTATIONS, gated_sink_updates
+
+    if latest_version(base_dir) == 0:
+        init_table(
+            gated_sink_updates(
+                spark.createDataFrame([], events_stream.schema)
+            ),
+            base_dir,
+            key_col="k",
+            n_buckets=8,
+        )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        upd = gated_sink_updates(batch_df)
+        if upd.isEmpty():
+            return
+        merge_upsert_manifest(
+            base_dir, upd, ver_col="ver", tiebreak_col="tie",
+            writer_id=f"b{batch_id}", expectations=GATE_EXPECTATIONS,
+        )
+
+    q = (
+        events_stream.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            os.path.join(SCRATCH, f"ckpt_gatedsink_{uuid.uuid4().hex[:8]}"),
+        )
+        .start()
+    )
+    q.awaitTermination()
+    from ..operators.lakehouse import read_snapshot
+
+    return read_snapshot(spark, base_dir)

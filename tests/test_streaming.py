@@ -1039,3 +1039,24 @@ def test_stream_index_admission(spark, tmp_path):
         (r.band_key, tuple(r.docs)) for r in read_snapshot(spark, base).collect()
     )
     assert content2 == content, "replayed admission must not change the index"
+
+
+def test_stream_expectations_gate_twin(spark, replay, tmp_path):
+    """The GATED merge sink's readStream twin must reproduce the batch
+    declaration on BOTH halves — the clean latest-wins table AND the
+    cumulative quarantine — despite different slicing (ts-range replay
+    micro-batches vs event_id%3 batch slices) and a different bucket
+    count: the clean fold is associative and each violating row
+    quarantines exactly once, in whichever commit carried it."""
+    from assignment4_spark.streaming import batch_decl as bd
+
+    base = str(tmp_path / "gated_sink_tbl")
+    snap = si.run_gated_merge_sink(spark, si.read_stream(spark, replay), base)
+    got = bd.expectations_gate_summary(
+        snap, bd.cumulative_quarantine(spark, base)
+    )
+    want = registry.QUERIES["stream_expectations_gate"](spark, SF)
+    assert_frames_equal(got, want)
+    # no negative value ever reached the table — the gate, not the
+    # summary, is what protected it
+    assert snap.filter(F.col("value") < 0).count() == 0
