@@ -867,3 +867,60 @@ def test_stateful_rounding_matches_spark_half_up(spark):
     assert got == want, list(zip(ties, got, want))
     # and the built-in would indeed have diverged on the half-even ties
     assert round(0.125, 2) != _round2_half_up(0.125)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 30),                      # key
+            st.one_of(st.none(), st.integers(-50, 50)),  # v1
+            st.one_of(st.none(), st.integers(-50, 50)),  # v2
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_expectations_gate_partitions_batch_exactly(spark, rows):
+    """_gate_expectations is an exact partition of the batch: every row
+    lands in passing XOR quarantined, a row passes iff EVERY predicate
+    is exactly TRUE (NULL violates), the reason column is the sorted
+    comma-joined failed names, and the stats counters equal the
+    per-row replay."""
+    from assignment4_spark.operators.lakehouse import (
+        QUARANTINE_REASON_COL,
+        _gate_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(i, k, v1, v2) for i, (k, v1, v2) in enumerate(rows)],
+        "rid long, k long, v1 long, v2 long",
+    )
+    exp = {"v1_nonneg": "v1 >= 0", "v2_small": "v2 < 25"}
+    passing, quarantined, stats = _gate_expectations(df, exp)
+    got_pass = {r.rid for r in passing.collect()}
+    quar_rows = {r.rid: r[QUARANTINE_REASON_COL] for r in quarantined.collect()}
+
+    def failed(v1, v2):
+        out = []
+        if not (v1 is not None and v1 >= 0):
+            out.append("v1_nonneg")
+        if not (v2 is not None and v2 < 25):
+            out.append("v2_small")
+        return out
+
+    want_pass, want_quar, by = set(), {}, {"v1_nonneg": 0, "v2_small": 0}
+    for i, (k, v1, v2) in enumerate(rows):
+        f = failed(v1, v2)
+        for name in f:
+            by[name] += 1
+        if f:
+            want_quar[i] = ",".join(sorted(f))
+        else:
+            want_pass.add(i)
+    assert got_pass == want_pass
+    assert quar_rows == want_quar
+    assert stats["n_batch"] == len(rows)
+    assert stats["quarantined"] == len(want_quar)
+    assert stats["by_expectation"] == by
+    assert stats["checked"] == ["v1_nonneg", "v2_small"]
