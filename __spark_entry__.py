@@ -44,7 +44,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # ignored (robust to renames).
 _PRIORITY = [
     # round-9 additions: never driver-checked, oracled
-    "agg_cuped_adjustment", "agg_sprt_sequential", "agg_kmv_set_ops",
+    "merge_wap_publish", "agg_cuped_adjustment",
+    "agg_sprt_sequential", "agg_kmv_set_ops",
     "dedup_threshold_sweep", "ts_stl_decompose",
     "scan_manifest_history", "stream_expectations_gate",
     "merge_restore_version", "merge_shallow_clone",

@@ -45,6 +45,7 @@ from .operators.lakehouse import (  # noqa: F401
     merge_upsert_manifest,
     prune_files_by_bloom,
     prune_files_by_range,
+    publish_from,
     read_quarantine,
     read_snapshot,
     read_snapshot_point,

@@ -1130,6 +1130,77 @@ def clone_table(
     return {"target": os.path.abspath(target_dir), "source_version": v}
 
 
+def publish_from(
+    main_dir: str,
+    source_dir: str,
+    version: int | None = None,
+    writer_id: str = "wap",
+    max_retries: int = 5,
+    before_commit=None,
+) -> tuple[int, int]:
+    """FAST-FORWARD PUBLISH (Iceberg write-audit-publish / branch
+    fast-forward): commit ``main_dir``'s next version whose manifest
+    is ``source_dir``'s manifest at ``version`` (default latest) —
+    metadata-only, zero data copied. The WAP pattern this enables:
+    clone main to a staging branch, merge the candidate batch into the
+    BRANCH (with expectations — the audit is the branch commit's
+    quarantine record), inspect, then publish; main never exposes the
+    unaudited intermediate state, and an audit failure simply abandons
+    the branch.
+
+    Cross-table retention mirrors clone_table's, in the reverse
+    direction: BEFORE the CAS, main registers a pin record under
+    ``source_dir/clones/`` on the published version, so vacuum on the
+    source/branch can never delete files main now references (and
+    main's own vacuum only deletes main-directory files — containment
+    ownership). The pin registers first so no vacuum window exists
+    between publish and protection. Per-commit records (expectations,
+    restored_from) are stripped exactly as restore does;
+    ``published_from`` and commit kind 'publish' are recorded instead;
+    ``identity_high_water`` takes max(source, main) so ids minted on
+    either line are never re-mintable. A publish that ultimately fails
+    leaves its pin behind — an over-conservative hold (released when
+    the target table is deleted), never a correctness hazard: safety
+    beats eager reclamation on the retention side.
+
+    Returns ``(committed_version, attempts)``."""
+    snap_src = load_manifest(source_dir, version)  # raises if expired
+    v = snap_src["version"]
+    cdir = os.path.join(source_dir, "clones")
+    os.makedirs(cdir, exist_ok=True)
+    rec_path = os.path.join(
+        cdir,
+        f"clone_{os.getpid()}_{threading.get_ident()}_"
+        f"s{next(_STAGING_SEQ)}.json",
+    )
+    with open(rec_path, "w") as fh:
+        json.dump({"target": os.path.abspath(main_dir), "version": v}, fh)
+    for attempt in range(max_retries + 1):
+        snap_main = load_manifest(main_dir)
+        manifest = {**snap_src, "version": snap_main["version"] + 1}
+        manifest.pop("expectations", None)
+        manifest.pop("restored_from", None)
+        manifest["commit_kind"] = "publish"
+        manifest["writer_id"] = writer_id
+        manifest["published_from"] = {
+            "base_dir": os.path.abspath(source_dir),
+            "version": v,
+        }
+        if snap_src.get("identity_col") is not None:
+            manifest["identity_high_water"] = max(
+                int(snap_src.get("identity_high_water") or 0),
+                int(snap_main.get("identity_high_water") or 0),
+            )
+        if before_commit is not None:
+            before_commit(attempt)
+        if _publish_manifest(main_dir, manifest):
+            return manifest["version"], attempt + 1
+    raise MergeConflictError(
+        f"publish from {source_dir} v{v} lost the commit race "
+        f"{max_retries + 1} times"
+    )
+
+
 def _clone_pinned_versions(base_dir: str) -> set[int]:
     """Source versions pinned by LIVE clones (records under
     ``base_dir/clones/``); records whose target table vanished are
@@ -3956,3 +4027,176 @@ def scan_manifest_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version int, kind string, writer string, quarantined long, "
         "restored_from long, n_live long",
     ).orderBy("version")
+
+
+@register(
+    "merge_wap_publish",
+    oracle="""
+    -- closed form of the audited publish: the branch's gated merge
+    -- updates every 5th key (ver 2, price+100), rows with k%25=0
+    -- arrive price-negated (price_nonneg) and k%35=0 with status 'Z'
+    -- (status_domain) — those quarantine ON THE BRANCH, the publish
+    -- fast-forwards main to the branch's clean state, so the final
+    -- main table equals the gate's closed form (k%175=0 violates
+    -- BOTH — sorted comma-joined reason).
+    WITH final AS (
+      SELECT CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 25 <> 0
+                       AND o_orderkey % 35 <> 0 THEN 2 ELSE 1 END AS ver,
+             o_orderstatus AS status,
+             CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 25 <> 0
+                       AND o_orderkey % 35 <> 0 THEN o_totalprice + 100
+                  ELSE o_totalprice END AS price
+      FROM orders
+    ), t AS (
+      SELECT 'table' AS part, status AS grp,
+             COUNT(*) AS n_rows, CAST(SUM(ver) AS BIGINT) AS sum_ver,
+             ROUND(SUM(price), 2) AS sum_price
+      FROM final GROUP BY status
+    ), bad AS (
+      SELECT CASE WHEN o_orderkey % 25 = 0 THEN -o_totalprice
+                  ELSE o_totalprice + 100 END AS price,
+             CASE WHEN o_orderkey % 175 = 0 THEN 'price_nonneg,status_domain'
+                  WHEN o_orderkey % 25  = 0 THEN 'price_nonneg'
+                  ELSE 'status_domain' END AS reason
+      FROM orders
+      WHERE o_orderkey % 5 = 0
+        AND (o_orderkey % 25 = 0 OR o_orderkey % 35 = 0)
+    ), q AS (
+      SELECT 'quarantine' AS part, reason AS grp,
+             COUNT(*) AS n_rows, CAST(2 * COUNT(*) AS BIGINT) AS sum_ver,
+             ROUND(SUM(price), 2) AS sum_price
+      FROM bad GROUP BY reason
+    )
+    SELECT part, grp, n_rows, sum_ver, sum_price FROM t
+    UNION ALL
+    SELECT part, grp, n_rows, sum_ver, sum_price FROM q
+    ORDER BY part, grp
+    """,
+)
+def merge_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of WRITE-AUDIT-PUBLISH (Iceberg's WAP pattern /
+    branch fast-forward, composed from this round's primitives): main
+    is cloned to a staging BRANCH (metadata-only), the candidate batch
+    merges into the branch under the expectations gate (the AUDIT is
+    the branch commit's quarantine record — inspected before anyone
+    depends on it), and ``publish_from`` fast-forwards main to the
+    audited branch state in one metadata-only commit. Main NEVER
+    exposes the unaudited intermediate state — inline-asserted by
+    time-traveling main v1 (zero updated rows) and by main's history
+    (v1 init → v2 publish, nothing between); an audit failure would
+    simply abandon the branch, costing main nothing.
+
+    Retention safety is exercised live: after the publish, the branch
+    takes another commit and vacuums keep_last=1 — the publish-pinned
+    branch version must survive (main references its files), which the
+    face asserts by re-reading main AFTER the branch vacuum.
+
+    Face batch: every 5th orderkey updates (ver 2, price+100); k%25=0
+    rows arrive price-negated, k%35=0 with an out-of-domain status,
+    k%175=0 violate both. Declared result = main's published table +
+    the branch audit's per-reason quarantine summary, both closed-form.
+    Scale shape: clone + publish are one manifest write each — the
+    audit isolation costs O(1) in table size (the 100 TB reason WAP
+    exists); the gate and merge costs are the batch-bounded ones the
+    component ops document.
+    Reference provenance: none; public recipe = Iceberg WAP /
+    Databricks staging-branch publish.
+    """
+    import shutil
+
+    from .scans import _adir
+
+    main_dir = _adir(sf_dir, "merge_wap_main_table")
+    branch_dir = _adir(sf_dir, "merge_wap_branch_table")
+    shutil.rmtree(main_dir, ignore_errors=True)
+    shutil.rmtree(branch_dir, ignore_errors=True)
+
+    orders = table(spark, sf_dir, "orders")
+    seed = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("ver"),
+        F.lit("seed").alias("src"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    init_table(seed, main_dir, key_col="k", n_buckets=16)
+    clone_table(main_dir, branch_dir)
+
+    batch = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(2).alias("ver"),
+        F.lit("wap").alias("src"),
+        F.when(F.col("o_orderkey") % 35 == 0, F.lit("Z"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+        F.when(F.col("o_orderkey") % 25 == 0, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice") + 100)
+        .alias("price"),
+    )
+    merge_upsert_manifest(
+        base_dir=branch_dir, updates=batch, ver_col="ver",
+        tiebreak_col="src", writer_id="wap",
+        expectations={
+            "price_nonneg": "price >= 0",
+            "status_domain": "status IN ('O','F','P')",
+        },
+    )
+    # AUDIT: the branch commit's quarantine record gates the publish
+    audit = load_manifest(branch_dir)["expectations"]
+    if audit["quarantined"] == 0 or audit["quarantined"] >= audit["n_batch"]:
+        raise AssertionError(f"audit fixture must be mixed: {audit}")
+    quar = read_quarantine(spark, branch_dir)
+
+    pv, tries = publish_from(main_dir, branch_dir, writer_id="wap")
+    if (pv, tries) != (2, 1):
+        raise AssertionError(f"publish must land as main v2: {(pv, tries)}")
+    hist = table_history(main_dir)
+    if [(h["version"], h["kind"]) for h in hist] != [
+        (1, "init"), (2, "publish"),
+    ]:
+        raise AssertionError(f"main must go init→publish, nothing between: {hist}")
+    if hist[1]["quarantined"] is not None:
+        raise AssertionError("publish must not carry the branch's record")
+    n_before = (
+        read_snapshot(spark, main_dir, version=1)
+        .filter(F.col("ver") == 2)
+        .count()
+    )
+    if n_before != 0:
+        raise AssertionError("main v1 must never expose the unaudited batch")
+
+    # retention: branch moves on and vacuums aggressively — the
+    # publish-pinned version must survive for main
+    merge_upsert_manifest(
+        branch_dir,
+        orders.filter(F.col("o_orderkey") % 500 == 1).select(
+            F.col("o_orderkey").alias("k"), F.lit(3).alias("ver"),
+            F.lit("b3").alias("src"), F.col("o_orderstatus").alias("status"),
+            (F.col("o_totalprice") + 1).alias("price"),
+        ),
+        "ver", "src", writer_id="b3",
+    )
+    vacuum(branch_dir, keep_last=1)
+
+    tbl = (
+        read_snapshot(spark, main_dir)
+        .groupBy(F.col("status").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("ver").cast("bigint").alias("sum_ver"),
+            F.round(F.sum("price"), 2).alias("sum_price"),
+        )
+        .select(F.lit("table").alias("part"), "grp", "n_rows", "sum_ver",
+                "sum_price")
+    )
+    qsum = (
+        quar.groupBy(F.col(QUARANTINE_REASON_COL).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("ver").cast("bigint").alias("sum_ver"),
+            F.round(F.sum("price"), 2).alias("sum_price"),
+        )
+        .select(F.lit("quarantine").alias("part"), "grp", "n_rows",
+                "sum_ver", "sum_price")
+    )
+    return tbl.unionByName(qsum).orderBy("part", "grp")

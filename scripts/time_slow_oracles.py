@@ -56,6 +56,7 @@ WRITE_PATH_PROTOCOL = [
     "merge_restore_version",
     "stream_expectations_gate",
     "scan_manifest_history",
+    "merge_wap_publish",
 ]
 
 

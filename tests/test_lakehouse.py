@@ -2081,3 +2081,83 @@ def test_table_history_stamps_every_commit_kind(spark, tmp_path):
     chist = table_history(clone)
     assert [(h["version"], h["kind"]) for h in chist] == [(1, "clone")]
     assert chist[0]["quarantined"] is None and chist[0]["restored_from"] is None
+
+
+def test_publish_from_races_pins_and_survives_vacuum(spark, tmp_path):
+    """publish_from: (a) loses the CAS like any writer and retries onto
+    the new head; (b) records published_from and takes max identity
+    mark across both lines; (c) the publish-pin survives source vacuum
+    AND main's own vacuum only deletes main-directory files, so the
+    published state outlives retention on both sides."""
+    from assignment4_spark.operators.lakehouse import (
+        clone_table,
+        publish_from,
+        table_history,
+        vacuum,
+    )
+
+    main = str(tmp_path / "wmain")
+    seed = spark.range(1, 6).select(
+        F.col("id").alias("k"), F.lit(1).alias("ver"),
+        F.lit("s").alias("src"), F.col("id").cast("bigint").alias("sid"),
+        (F.col("id") * 1.0).alias("price"),
+    )
+    init_table(seed, main, key_col="k", n_buckets=2, identity_col="sid")
+    branch = str(tmp_path / "wbranch")
+    clone_table(main, branch)
+    # branch mints ids 6-7 via two new keys (patch path)
+    merge_upsert_manifest(
+        branch,
+        spark.createDataFrame(
+            [(101, 2, "b", 1.0), (102, 2, "b", 2.0)],
+            "k long, ver int, src string, price double",
+        ),
+        "ver", "src", patch_cols=["price"],
+    )
+    # main independently mints id 6 too (divergent lines)
+    merge_upsert_manifest(
+        main,
+        spark.createDataFrame(
+            [(201, 2, "m", 3.0)], "k long, ver int, src string, price double"
+        ),
+        "ver", "src", patch_cols=["price"],
+    )
+
+    def interleave(attempt):
+        if attempt == 0:
+            merge_upsert_manifest(
+                main,
+                spark.createDataFrame(
+                    [(202, 3, "m2", 4.0)],
+                    "k long, ver int, src string, price double",
+                ),
+                "ver", "src", patch_cols=["price"],
+            )
+
+    v, tries = publish_from(main, branch, before_commit=interleave)
+    assert (v, tries) == (4, 2), "publish must rebase onto the new head"
+    m = load_manifest(main)
+    assert m["published_from"]["version"] == 2
+    # branch hw = 7 (ids 6,7), main hw was 7 after its two inserts —
+    # the publish takes the max so NO line's minted ids are reusable
+    assert m["identity_high_water"] == 7
+    rows = {r.k: r.sid for r in read_snapshot(spark, main).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5, 101, 102}, rows
+    # retention, both directions
+    merge_upsert_manifest(
+        branch,
+        spark.createDataFrame(
+            [(1, 9, "z", 0.0)], "k long, ver int, src string, price double"
+        ),
+        "ver", "src", patch_cols=["price"],
+    )
+    out_b = vacuum(branch, keep_last=1)
+    assert 2 in out_b["kept_versions"], "publish pin must hold on the branch"
+    out_m = vacuum(main, keep_last=1)
+    # v1 is ALSO kept: the live branch is a clone of main v1 (its
+    # untouched buckets reference main-directory files) — the pin
+    # system protects the reverse direction too
+    assert out_m["kept_versions"] == [1, 4]
+    after = {r.k: r.sid for r in read_snapshot(spark, main).collect()}
+    assert after == rows, "published state must survive both vacuums"
+    assert table_history(main)[-1]["kind"] == "publish"
