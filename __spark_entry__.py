@@ -44,6 +44,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # ignored (robust to renames).
 _PRIORITY = [
     # round-9 additions: never driver-checked, oracled
+    "agg_diff_in_diff", "graph_copurchase_pairs",
     "merge_wap_publish", "agg_cuped_adjustment",
     "agg_sprt_sequential", "agg_kmv_set_ops",
     "dedup_threshold_sweep", "ts_stl_decompose",

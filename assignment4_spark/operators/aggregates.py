@@ -1337,3 +1337,120 @@ def agg_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("reduction_pct"),
     ).orderBy("event_type")
+
+
+@register(
+    "agg_diff_in_diff",
+    oracle="""
+    -- 2x2 DiD replay: treated = {purchase, signup}, period split at a
+    -- literal calendar date; the four cell moments round to 6 dp
+    -- BEFORE the estimate/SE arithmetic (engine-specific double
+    -- accumulation), the normal SE comes from the four-cell variance
+    -- sum, and the decision compares the ROUNDED |did| to 1.96*se.
+    WITH cells AS (
+      SELECT (event_type IN ('purchase', 'signup'))        AS treated,
+             (ts >= TIMESTAMP '2024-01-16')                AS post,
+             COUNT(*)                                      AS n,
+             ROUND(AVG(value), 6)                          AS m,
+             ROUND(VAR_SAMP(value), 6)                     AS v
+      FROM events GROUP BY 1, 2
+    ), w AS (
+      SELECT
+        MAX(CASE WHEN treated AND NOT post THEN n END)     AS n_pre_t,
+        MAX(CASE WHEN treated AND post     THEN n END)     AS n_post_t,
+        MAX(CASE WHEN NOT treated AND NOT post THEN n END) AS n_pre_c,
+        MAX(CASE WHEN NOT treated AND post THEN n END)     AS n_post_c,
+        MAX(CASE WHEN treated AND NOT post THEN m END)     AS pre_t,
+        MAX(CASE WHEN treated AND post     THEN m END)     AS post_t,
+        MAX(CASE WHEN NOT treated AND NOT post THEN m END) AS pre_c,
+        MAX(CASE WHEN NOT treated AND post THEN m END)     AS post_c,
+        MAX(CASE WHEN treated AND NOT post THEN v / n END)
+          + MAX(CASE WHEN treated AND post THEN v / n END)
+          + MAX(CASE WHEN NOT treated AND NOT post THEN v / n END)
+          + MAX(CASE WHEN NOT treated AND post THEN v / n END) AS var_sum
+      FROM cells
+    )
+    SELECT CAST(n_pre_t AS BIGINT)  AS n_pre_t,
+           CAST(n_post_t AS BIGINT) AS n_post_t,
+           CAST(n_pre_c AS BIGINT)  AS n_pre_c,
+           CAST(n_post_c AS BIGINT) AS n_post_c,
+           ROUND(pre_t, 4)  AS pre_t,
+           ROUND(post_t, 4) AS post_t,
+           ROUND(pre_c, 4)  AS pre_c,
+           ROUND(post_c, 4) AS post_c,
+           ROUND((post_t - pre_t) - (post_c - pre_c), 4) AS did,
+           ROUND(SQRT(var_sum), 4)                       AS se,
+           ABS(ROUND((post_t - pre_t) - (post_c - pre_c), 4))
+             > 1.96 * ROUND(SQRT(var_sum), 4)            AS significant
+    FROM w
+    """,
+)
+def agg_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator (the quasi-experimental
+    workhorse when randomization is impossible — a feature shipped to
+    one cohort on a date): treated event types vs control, pre vs post
+    a literal calendar cut; the estimate is the classic 2x2
+    (post_T − pre_T) − (post_C − pre_C), its normal SE the four-cell
+    variance sum, and `significant` the 95% z-decision. Completes the
+    causal/experimentation suite (agg_ttest_ab randomized two-sample,
+    agg_sprt_sequential sequential stopping, agg_cuped_adjustment
+    variance reduction, this for observational rollouts).
+
+    Determinism: the four cell moments round to 6 dp BEFORE the
+    estimate/SE arithmetic; the significance compare uses the ROUNDED
+    did and se on both engines (round-before-compare).
+
+    Scale shape: ONE scan → a 4-group conditional aggregate (map-side
+    combinable, output is 4 rows) pivoted to one row with conditional
+    MAXes — no join, no window, no second pass.
+    Reference provenance: none; SURVEY §2 B.11 aggregates family
+    (round 9); public recipe = Card-Krueger 2x2 DiD with normal SE.
+    """
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").isin("purchase", "signup").alias("treated"),
+        (F.col("ts") >= F.lit("2024-01-16").cast("timestamp")).alias("post"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("m"),
+        F.round(F.var_samp("value"), 6).alias("v"),
+    )
+
+    def cell(t, p, col):
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("post") == p), F.col(col))
+        )
+
+    w = cells.agg(
+        cell(True, False, "n").alias("n_pre_t"),
+        cell(True, True, "n").alias("n_post_t"),
+        cell(False, False, "n").alias("n_pre_c"),
+        cell(False, True, "n").alias("n_post_c"),
+        cell(True, False, "m").alias("pre_t"),
+        cell(True, True, "m").alias("post_t"),
+        cell(False, False, "m").alias("pre_c"),
+        cell(False, True, "m").alias("post_c"),
+        (
+            F.max(F.when((F.col("treated")) & (~F.col("post")), F.col("v") / F.col("n")))
+            + F.max(F.when((F.col("treated")) & (F.col("post")), F.col("v") / F.col("n")))
+            + F.max(F.when((~F.col("treated")) & (~F.col("post")), F.col("v") / F.col("n")))
+            + F.max(F.when((~F.col("treated")) & (F.col("post")), F.col("v") / F.col("n")))
+        ).alias("var_sum"),
+    )
+    did = F.round(
+        (F.col("post_t") - F.col("pre_t")) - (F.col("post_c") - F.col("pre_c")), 4
+    )
+    se = F.round(F.sqrt(F.col("var_sum")), 4)
+    return w.select(
+        F.col("n_pre_t").cast("bigint").alias("n_pre_t"),
+        F.col("n_post_t").cast("bigint").alias("n_post_t"),
+        F.col("n_pre_c").cast("bigint").alias("n_pre_c"),
+        F.col("n_post_c").cast("bigint").alias("n_post_c"),
+        F.round("pre_t", 4).alias("pre_t"),
+        F.round("post_t", 4).alias("post_t"),
+        F.round("pre_c", 4).alias("pre_c"),
+        F.round("post_c", 4).alias("post_c"),
+        did.alias("did"),
+        se.alias("se"),
+        (F.abs(did) > 1.96 * se).alias("significant"),
+    )

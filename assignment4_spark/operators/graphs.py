@@ -694,3 +694,58 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_vertices").desc(), "community")
         .limit(20)
     )
+
+
+@register(
+    "graph_copurchase_pairs",
+    oracle="""
+    -- bipartite projection replay: parts co-occurring in one order
+    -- form an edge; weight = number of orders sharing the pair. Top-20
+    -- by (weight DESC, part_a, part_b) — integer counts, no floats.
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), pairs AS (
+      SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS weight
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+    )
+    SELECT part_a, part_b, CAST(weight AS BIGINT) AS weight
+    FROM pairs
+    ORDER BY weight DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def graph_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection of the order→part graph onto part-part
+    co-purchase edges (market-basket co-occurrence — the input to
+    item-to-item collaborative filtering and frequent-pair mining):
+    two parts are connected iff some order contains both, weighted by
+    how many orders do; output = the top-20 heaviest pairs with a full
+    deterministic tiebreak. Distinct from the user-graph family
+    (degree/triangles/pagerank run on the synthetic edge fixture);
+    this derives its graph from the RELATIONAL tables.
+
+    Scale shape: distinct (order, part) → an equi self-join on the
+    ORDER key, so each order only meets itself — the pair blowup is
+    bounded by per-order basket size squared (TPC-H ~7 items → ≤21
+    pairs per order), never |parts|²; the count groupBy is map-side
+    combinable and the top-20 is a TakeOrdered, not a global sort.
+    Integer weights — no float discipline needed.
+    Reference provenance: none; SURVEY §2 B.11 graph family (round 9);
+    public recipe = bipartite projection / co-occurrence mining.
+    """
+    items = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(
+            F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("weight"))
+        .orderBy(F.col("weight").desc(), "part_a", "part_b")
+        .limit(20)
+    )

@@ -1223,3 +1223,23 @@ def test_cuped_is_two_hash_aggs_no_join(spark, sf_oracle):
     plan = formatted_plan(spark, "agg_cuped_adjustment", sf_oracle)
     assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_diff_in_diff_single_scan_no_join(spark, sf_oracle):
+    """agg_diff_in_diff: one events scan, two chained aggregates, no
+    join/window — the 2x2 pivot is conditional MAXes over 4 rows."""
+    import re as _re
+
+    plan = formatted_plan(spark, "agg_diff_in_diff", sf_oracle)
+    assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_copurchase_equi_join_and_take_ordered(spark, sf_oracle):
+    """graph_copurchase_pairs: the self-join must be an equi join on
+    the order key (nested-loop would be |parts|^2), and the top-20 a
+    TakeOrdered, never a global sort."""
+    plan = formatted_plan(spark, "graph_copurchase_pairs", sf_oracle)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
