@@ -632,6 +632,56 @@ def load_manifest(base_dir: str, version: int | None = None) -> dict:
         return json.load(fh)
 
 
+def _floor_path(base_dir: str) -> str:
+    return os.path.join(base_dir, "_vacuum_floor.json")
+
+
+def _version_floor(base_dir: str) -> int:
+    """Highest version slot ever reopened by a vacuum on this table
+    (0 = no vacuum has expired anything). Vacuum persists this marker
+    BEFORE deleting manifests, so by the time a slot <= floor is open
+    for reuse the floor already forbids committing into it."""
+    try:
+        with open(_floor_path(base_dir)) as fh:
+            return int(json.load(fh)["floor"])
+    except (OSError, ValueError, KeyError, TypeError):
+        return 0
+
+
+def _raise_version_floor(base_dir: str, floor: int) -> None:
+    """Monotonically raise the table's version floor (atomic replace)."""
+    if floor <= _version_floor(base_dir):
+        return
+    tmp = os.path.join(
+        base_dir,
+        f"._floor.{os.getpid()}.{threading.get_ident()}.tmp",
+    )
+    with open(tmp, "w") as fh:
+        json.dump({"floor": floor}, fh)
+    os.replace(tmp, _floor_path(base_dir))
+
+
+#: Manifest keys that describe ONE specific commit (its quarantine
+#: record, its restore/publish/clone lineage) and must never survive
+#: a {**old_manifest} copy into a NEW commit — each commit path
+#: re-stamps the subset that describes itself.
+_PER_COMMIT_KEYS = (
+    "expectations",
+    "restored_from",
+    "published_from",
+    "cloned_from",
+)
+
+
+def _strip_commit_records(manifest: dict) -> dict:
+    """Drop per-commit records copied from a source manifest, so a
+    restore of a publish commit (say) doesn't carry the publish's
+    ``published_from`` into a commit stamped ``kind='restore'``."""
+    for k in _PER_COMMIT_KEYS:
+        manifest.pop(k, None)
+    return manifest
+
+
 def _publish_manifest(base_dir: str, manifest: dict) -> bool:
     """Atomic CAS commit of ``manifest`` at its version slot.
 
@@ -645,13 +695,23 @@ def _publish_manifest(base_dir: str, manifest: dict) -> bool:
     their version slots — a straggler pinned far in the past could
     link v{N}.json "successfully" while v{N+k} is already latest,
     publishing an invisible commit into history (and claiming success
-    to its caller). After the link, verify the slot is still the
-    HEAD: if any higher version exists, unlink and report a lost race
-    so the caller re-pins. The unlink closes the hole vacuum opened;
-    the microwindow in which an explicit-version reader could see the
-    transient manifest is the same class as reading any expired
-    version (the files it names exist throughout)."""
+    to its caller). Vacuum persists a VERSION FLOOR (the highest slot
+    it ever reopened) before deleting any manifest, so the guard is a
+    pre-link floor check: a target slot <= floor can only be a
+    vacuum-reopened one — reject it as a lost race so the caller
+    re-pins at the real head. A successfully linked manifest ABOVE the
+    floor is never unlinked: once the link lands, the commit is live
+    history a competing writer may already have built v+1 on — the
+    earlier post-link ``latest_version`` compare could not tell that
+    apart from slot reuse and would unlink a manifest other commits
+    reference (a time-travel hole) while reporting a lost race for a
+    commit that took effect. The floor re-check after the link only
+    narrows the read-floor/raise-floor TOCTOU: a version <= floor can
+    never be HEAD, so nobody builds on it and unlinking (guarded
+    against a concurrent vacuum having expired it first) is safe."""
     final = _manifest_path(base_dir, manifest["version"])
+    if manifest["version"] <= _version_floor(base_dir):
+        return False
     tmp = os.path.join(
         base_dir,
         f".v{manifest['version']}.{os.getpid()}.{threading.get_ident()}.tmp",
@@ -664,8 +724,11 @@ def _publish_manifest(base_dir: str, manifest: dict) -> bool:
         return False
     finally:
         os.unlink(tmp)
-    if latest_version(base_dir) > manifest["version"]:
-        os.unlink(final)
+    if manifest["version"] <= _version_floor(base_dir):
+        try:
+            os.unlink(final)
+        except FileNotFoundError:
+            pass  # a concurrent vacuum already expired the slot again
         return False
     return True
 
@@ -1047,8 +1110,9 @@ def restore_table(
     old = load_manifest(base_dir, to_version)  # raises if expired
     for attempt in range(max_retries + 1):
         snap = load_manifest(base_dir)
-        manifest = {**old, "version": snap["version"] + 1}
-        manifest.pop("expectations", None)
+        manifest = _strip_commit_records(
+            {**old, "version": snap["version"] + 1}
+        )
         manifest["commit_kind"] = "restore"
         manifest["writer_id"] = writer_id
         manifest["restored_from"] = to_version
@@ -1102,18 +1166,15 @@ def clone_table(
     snap = load_manifest(base_dir, version)
     v = snap["version"]
     os.makedirs(target_dir, exist_ok=False)
-    manifest = {
-        **snap,
-        "version": 1,
-        "commit_kind": "clone",
-        "writer_id": "clone",
-        "cloned_from": {
+    manifest = _strip_commit_records({**snap, "version": 1})
+    manifest.update(
+        commit_kind="clone",
+        writer_id="clone",
+        cloned_from={
             "base_dir": os.path.abspath(base_dir),
             "version": v,
         },
-    }
-    manifest.pop("expectations", None)
-    manifest.pop("restored_from", None)
+    )
     if not _publish_manifest(target_dir, manifest):
         raise RuntimeError(f"clone target {target_dir} already has a v1")
     cdir = os.path.join(base_dir, "clones")
@@ -1177,9 +1238,9 @@ def publish_from(
         json.dump({"target": os.path.abspath(main_dir), "version": v}, fh)
     for attempt in range(max_retries + 1):
         snap_main = load_manifest(main_dir)
-        manifest = {**snap_src, "version": snap_main["version"] + 1}
-        manifest.pop("expectations", None)
-        manifest.pop("restored_from", None)
+        manifest = _strip_commit_records(
+            {**snap_src, "version": snap_main["version"] + 1}
+        )
         manifest["commit_kind"] = "publish"
         manifest["writer_id"] = writer_id
         manifest["published_from"] = {
@@ -1217,10 +1278,19 @@ def _clone_pinned_versions(base_dir: str) -> set[int]:
                 rec = json.load(fh)
         except (OSError, ValueError):
             continue
-        if latest_version(rec.get("target", "")) > 0:
+        target = rec.get("target", "")
+        if latest_version(target) > 0:
             pins.add(int(rec["version"]))
-        else:
+        elif target and not os.path.exists(target):
+            # target truly gone (ENOENT) → release the pin. A target
+            # that EXISTS but lists no manifests (permission denied,
+            # transient mount failure — latest_version swallows every
+            # OSError as 0) keeps its pin conservatively: releasing it
+            # on a transient error would let the next vacuum delete
+            # files a live clone still references.
             os.remove(path)
+        else:
+            pins.add(int(rec["version"]))
     return pins
 
 
@@ -1301,6 +1371,12 @@ def vacuum(base_dir: str, keep_last: int = 2) -> dict:
             pass  # an earlier interrupted vacuum already got it
     for q in sorted(doomed_qdirs):
         shutil.rmtree(q, ignore_errors=True)
+    if expired:
+        # persist the reopened-slot ceiling BEFORE any manifest
+        # deletion: _publish_manifest rejects commits at versions
+        # <= floor, so a straggler can never link into a slot this
+        # vacuum is about to reopen (see _publish_manifest docstring)
+        _raise_version_floor(base_dir, max(expired))
     for v in expired:
         os.remove(_manifest_path(base_dir, v))
     return {
@@ -1923,13 +1999,13 @@ def compact_tombstones(
                 # flags were conservative over-approximations (the
                 # tombstones lost latest-wins at some later merge) —
                 # clear them with a metadata-only commit
-                manifest = {**snap, "version": next_version,
-                            "commit_kind": "compact",
-                            "writer_id": writer_id,
-                            "tombstone_buckets": []}
                 # per-commit records never carry into a new commit
-                manifest.pop("expectations", None)
-                manifest.pop("restored_from", None)
+                manifest = _strip_commit_records(
+                    {**snap, "version": next_version,
+                     "commit_kind": "compact",
+                     "writer_id": writer_id,
+                     "tombstone_buckets": []}
+                )
                 if _publish_manifest(base_dir, manifest):
                     return {
                         "version": next_version,

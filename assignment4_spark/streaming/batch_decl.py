@@ -178,11 +178,14 @@ def stream_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def gated_sink_updates(ev: DataFrame) -> DataFrame:
     """Shared transform for the GATED merge sink (batch slices AND the
     readStream twin): the merge-sink update shape with the face's
-    deterministic dirt — every event_id % 7 = 0 value arrives negated,
-    so the value_nonneg expectation quarantines exactly those rows."""
+    deterministic dirt — every event_id % 7 = 0 value arrives as
+    -value - 1, STRICTLY negative even when value = 0 (a bare negation
+    would let a zero-value row pass ``value >= 0`` while the oracle
+    counts it quarantined — fixture-dependent flakiness), so the
+    value_nonneg expectation quarantines exactly those rows."""
     return merge_sink_updates(ev).withColumn(
         "value",
-        F.when(F.col("tie") % 7 == 0, -F.col("value")).otherwise(
+        F.when(F.col("tie") % 7 == 0, -F.col("value") - 1).otherwise(
             F.col("value")
         ),
     )
@@ -194,14 +197,29 @@ GATE_EXPECTATIONS = {"value_nonneg": "value >= 0"}
 def cumulative_quarantine(spark: SparkSession, base_dir: str) -> DataFrame:
     """Union of every committed version's quarantine side table — the
     disjoint per-commit quarantines make this the full violating set
-    regardless of how the feed was sliced into commits."""
-    from ..operators.lakehouse import latest_version, read_quarantine
+    regardless of how the feed was sliced into commits. Iterates only
+    the manifest versions STILL ON DISK (``table_history``) — a dense
+    range(2, latest+1) would FileNotFoundError on any vacuumed table.
+    When no commit quarantined anything, returns an EMPTY frame in the
+    quarantine shape (never None) so aggregating callers like
+    expectations_gate_summary work unconditionally."""
+    from ..operators.lakehouse import read_quarantine, table_history
 
     quar = None
-    for v in range(2, latest_version(base_dir) + 1):
-        q = read_quarantine(spark, base_dir, v)
+    for h in table_history(base_dir):
+        q = read_quarantine(spark, base_dir, h["version"])
         if q is not None:
             quar = q if quar is None else quar.unionByName(q)
+    if quar is None:
+        from ..operators.lakehouse import QUARANTINE_REASON_COL
+
+        return spark.createDataFrame(
+            [],
+            schema=(
+                "k bigint, ver bigint, tie bigint, event_type string, "
+                f"value double, {QUARANTINE_REASON_COL} string"
+            ),
+        )
     return quar
 
 
@@ -1204,7 +1222,8 @@ def stream_index_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_expectations_gate",
     oracle="""
     -- clean rows (event_id % 7 <> 0) fold into latest-per-user exactly
-    -- as the ungated merge sink; violating rows (value arrives negated)
+    -- as the ungated merge sink; violating rows (value arrives as
+    -- -value - 1, strictly negative even at value = 0)
     -- quarantine in whichever slice carries them, so the CUMULATIVE
     -- quarantine is slicing-invariant too: all %7=0 events, once each.
     WITH clean AS (
@@ -1223,7 +1242,7 @@ def stream_index_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM latest GROUP BY event_type
     ), q AS (
       SELECT 'quarantine' AS part, 'value_nonneg' AS grp,
-             COUNT(*) AS n_rows, ROUND(SUM(-value), 2) AS sum_value
+             COUNT(*) AS n_rows, ROUND(SUM(-value - 1), 2) AS sum_value
       FROM events WHERE event_id % 7 = 0
     )
     SELECT part, grp, n_rows, sum_value FROM t
@@ -1237,7 +1256,7 @@ def stream_expectations_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the merge-sink fold (stream_merge_sink) with per-micro-batch CHECK
     constraints: every slice merges via ``merge_upsert_manifest(...,
     expectations=...)``, so dirty rows (here: events whose value
-    arrives negated — every event_id % 7 = 0) divert to that COMMIT's
+    arrives as -value - 1 — every event_id % 7 = 0) divert to that COMMIT's
     quarantine side table instead of poisoning the latest-per-user
     state, and every downstream incremental consumer (changes_between /
     the CDF streaming source) sees only gated rows by construction —

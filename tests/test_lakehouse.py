@@ -2161,3 +2161,151 @@ def test_publish_from_races_pins_and_survives_vacuum(spark, tmp_path):
     after = {r.k: r.sid for r in read_snapshot(spark, main).collect()}
     assert after == rows, "published state must survive both vacuums"
     assert table_history(main)[-1]["kind"] == "publish"
+
+
+def test_publish_never_unlinks_live_history(spark, tmp_path):
+    """ADVICE r9 (medium): a successfully LINKED manifest is live
+    history — a competing writer may already have committed v+1 on top
+    of it. The old post-link latest_version compare couldn't tell that
+    apart from a vacuum-reopened slot and would unlink a manifest other
+    commits reference (time-travel hole) while reporting a lost race
+    for a commit that took effect. Deterministic emulation of the race
+    window: the higher version already exists when the straggler's
+    link lands — with NO vacuum in play the commit must stand."""
+    import json
+    import os
+
+    from assignment4_spark.operators.lakehouse import _publish_manifest
+
+    base = _mk_table(spark, tmp_path, n=20)
+    merge_upsert_manifest(base, _upd(spark, [1], 2, "b"), "ver", "payload")
+    m2 = load_manifest(base, 2)
+    merge_upsert_manifest(base, _upd(spark, [2], 3, "c"), "ver", "payload")
+    # simulate: my v2 link landed, THEN the competitor's v3 appeared
+    # before my liveness re-check ran (same on-disk state)
+    os.unlink(os.path.join(base, "v2.json"))
+    assert _publish_manifest(base, m2) is True, (
+        "a linked commit above the vacuum floor took effect — reporting "
+        "a lost race invites a double-apply under serializable isolation"
+    )
+    assert os.path.exists(os.path.join(base, "v2.json"))
+    with open(os.path.join(base, "v2.json")) as fh:
+        assert json.load(fh)["version"] == 2
+
+
+def test_publish_rejects_vacuum_reopened_slot_before_link(spark, tmp_path):
+    """Vacuum persists a version floor BEFORE deleting manifests; a
+    straggler targeting a slot <= floor is rejected WITHOUT linking
+    (no transient manifest ever appears in the reopened slot)."""
+    import os
+
+    from assignment4_spark.operators.lakehouse import (
+        _publish_manifest,
+        _version_floor,
+        vacuum,
+    )
+
+    base = _mk_table(spark, tmp_path, n=20)
+    merge_upsert_manifest(base, _upd(spark, [1], 2, "b"), "ver", "payload")
+    m2 = load_manifest(base, 2)
+    merge_upsert_manifest(base, _upd(spark, [2], 3, "c"), "ver", "payload")
+    vacuum(base, keep_last=1)  # expires v1+v2 → floor = 2
+    assert _version_floor(base) == 2
+    assert _publish_manifest(base, m2) is False
+    assert not os.path.exists(os.path.join(base, "v2.json"))
+
+
+def test_publish_unlink_survives_concurrent_vacuum(monkeypatch, spark, tmp_path):
+    """The post-link floor re-check (the read-floor/raise-floor TOCTOU
+    narrowing) unlinks its own transient manifest — if a concurrent
+    vacuum expired that slot first, the unlink must swallow
+    FileNotFoundError and still report the lost race, not crash."""
+    import os
+
+    from assignment4_spark.operators import lakehouse
+
+    base = _mk_table(spark, tmp_path, n=20)
+    m2 = dict(load_manifest(base, 1), version=2)
+    final = os.path.join(base, "v2.json")
+    calls = {"n": 0}
+
+    def racing_floor(base_dir):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return 0  # pre-link: no vacuum yet
+        # post-link: a vacuum raised the floor past us AND already
+        # expired our just-linked manifest
+        if os.path.exists(final):
+            os.unlink(final)
+        return 99
+
+    monkeypatch.setattr(lakehouse, "_version_floor", racing_floor)
+    assert lakehouse._publish_manifest(base, m2) is False
+    assert calls["n"] == 2
+    assert not os.path.exists(final)
+
+
+def test_restore_strips_stale_lineage_keys(spark, tmp_path):
+    """ADVICE r9: restoring TO a publish/clone commit must not carry
+    that commit's published_from/cloned_from into the new manifest —
+    the restore commit's lineage is restored_from, nothing else."""
+    import json
+    import os
+
+    from assignment4_spark.operators.lakehouse import restore_table
+
+    base = _mk_table(spark, tmp_path, n=20)
+    merge_upsert_manifest(base, _upd(spark, [1], 2, "b"), "ver", "payload")
+    # doctor v2 into a publish-commit shape (cheaper than building a
+    # real WAP branch; only the key hygiene is under test)
+    p2 = os.path.join(base, "v2.json")
+    with open(p2) as fh:
+        m2 = json.load(fh)
+    m2["published_from"] = {"base_dir": "/elsewhere", "version": 7}
+    m2["cloned_from"] = {"base_dir": "/old", "version": 1}
+    with open(p2, "w") as fh:
+        json.dump(m2, fh)
+    merge_upsert_manifest(base, _upd(spark, [2], 3, "c"), "ver", "payload")
+    v, _ = restore_table(base, 2)
+    m = load_manifest(base, v)
+    assert m["commit_kind"] == "restore" and m["restored_from"] == 2
+    assert "published_from" not in m and "cloned_from" not in m
+    rows = {r.k: r.payload for r in read_snapshot(spark, base).collect()}
+    assert rows[1] == "b1" and rows[2] == "p2"
+
+
+def test_clone_pin_survives_unreadable_target(spark, tmp_path):
+    """ADVICE r9: a pin whose target is temporarily UNREADABLE (an
+    OSError that is not ENOENT — here a file where a directory should
+    be, raising NotADirectoryError from listdir) must be KEPT; only a
+    target that truly no longer exists releases the pin."""
+    import json
+    import os
+
+    from assignment4_spark.operators.lakehouse import (
+        _clone_pinned_versions,
+        clone_table,
+    )
+
+    base = _mk_table(spark, tmp_path, n=20)
+    merge_upsert_manifest(base, _upd(spark, [1], 2, "b"), "ver", "payload")
+    clone_table(base, str(tmp_path / "clone"))
+    cdir = os.path.join(base, "clones")
+    rec = os.path.join(cdir, sorted(os.listdir(cdir))[0])
+
+    # unreadable-but-existing target: pin kept, record kept
+    blocker = str(tmp_path / "blocker")
+    with open(blocker, "w") as fh:
+        fh.write("not a directory")
+    with open(rec) as fh:
+        r = json.load(fh)
+    with open(rec, "w") as fh:
+        json.dump({**r, "target": blocker}, fh)
+    assert _clone_pinned_versions(base) == {2}
+    assert os.path.exists(rec), "transient error must not GC the pin"
+
+    # truly-gone target (ENOENT): pin released, record GC'd
+    with open(rec, "w") as fh:
+        json.dump({**r, "target": str(tmp_path / "gone")}, fh)
+    assert _clone_pinned_versions(base) == set()
+    assert not os.path.exists(rec)

@@ -1060,3 +1060,62 @@ def test_stream_expectations_gate_twin(spark, replay, tmp_path):
     # no negative value ever reached the table — the gate, not the
     # summary, is what protected it
     assert snap.filter(F.col("value") < 0).count() == 0
+
+
+def test_gated_dirt_strictly_negative_even_at_zero(spark):
+    """ADVICE r9: a bare negation of a zero value passes the
+    value_nonneg gate (-0.0 >= 0 is TRUE) while the oracle counts the
+    row quarantined — fixture luck. The dirt is -value - 1, strictly
+    negative for every value >= 0, so a zero landing on the %7 grid
+    quarantines deterministically."""
+    from assignment4_spark.streaming import batch_decl as bd
+
+    ev = spark.createDataFrame(
+        [(7, 1, "2024-01-01 00:00:00", "click", 0.0),
+         (14, 2, "2024-01-01 00:00:01", "view", 3.5),
+         (15, 3, "2024-01-01 00:00:02", "view", 0.0)],
+        "event_id long, user_id long, ts string, event_type string, "
+        "value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.tie: r.value for r in bd.gated_sink_updates(ev).collect()}
+    assert out[7] == -1.0 and out[7] < 0, "zero on the grid must violate"
+    assert out[14] == -4.5 and out[15] == 0.0
+
+
+def test_cumulative_quarantine_survives_vacuum_and_empty(spark, tmp_path):
+    """ADVICE r9: cumulative_quarantine must iterate only manifests
+    still on disk (a vacuumed table made the dense range crash) and
+    return an EMPTY frame — never None — when no commit quarantined."""
+    from assignment4_spark.operators.lakehouse import (
+        init_table,
+        merge_upsert_manifest,
+        vacuum,
+    )
+    from assignment4_spark.streaming import batch_decl as bd
+
+    base = str(tmp_path / "quar_tbl")
+    df = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(1).alias("ver"),
+        F.lit(1.0).alias("value"),
+    )
+    init_table(df, base, key_col="k", n_buckets=4)
+
+    def upd(keys, ver, value):
+        return spark.createDataFrame(
+            [(k, ver, value) for k in keys], "k long, ver int, value double"
+        )
+
+    # clean commits only → empty frame, not None
+    merge_upsert_manifest(base, upd([1], 2, 2.0), "ver", "value",
+                          expectations={"pos": "value >= 0"})
+    q = bd.cumulative_quarantine(spark, base)
+    assert q is not None and q.count() == 0
+
+    # a violating commit, then vacuum expiring early versions: the
+    # union must still read without FileNotFoundError and keep the
+    # quarantines of surviving commits
+    merge_upsert_manifest(base, upd([2], 3, -5.0), "ver", "value",
+                          expectations={"pos": "value >= 0"})
+    vacuum(base, keep_last=2)  # expires v1 (and its slot)
+    q2 = bd.cumulative_quarantine(spark, base)
+    assert q2.count() == 1 and q2.collect()[0].k == 2
