@@ -1184,70 +1184,160 @@ def agg_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding makes every downstream term a pure function of identical
     inputs); the running LLR rounds to 6 dp BEFORE the boundary
     compare, and the boundaries are literal doubles (LN(19) differs in
-    the last ulp between libm and the JVM).
+    the last ulp between libm and the JVM). The 6-dp contract is also
+    what licenses the decomposition below: every engine/plan pairing
+    accumulates the prefix in a different float order, and all of them
+    agree once rounded.
 
-    Scale shape: one scalar aggregate (broadcast), then ONE
-    partition-bounded running-sum window over (ts, event_id) per type
-    and a rank-1 crossing lookup — no self-join over events, no global
-    sort; the decision row is found with a conditional min over the
-    same window output.
+    Scale shape — selection by partial sums (the agg_weighted_median
+    plan applied to a PREFIX walk; event_type has ~5 values, so a
+    window partitioned by type alone would sort one type's ENTIRE
+    100 TB history inside a single task): (1) every row's LLR term is
+    bucketed by (type, hour-of-ts) and walked only WITHIN its bucket —
+    the per-row window partitions on the 2-key (type, bucket), so the
+    sort is bounded by bucket size, never by type size; each bucket
+    reduces to (partial sum, count, running-max, running-min);
+    (2) a tiny ordered window over the O(buckets) summaries per type
+    computes each bucket's preceding-prefix and flags candidates —
+    since max_k(round(P + w_k, 6)) = round(P + max_k(w_k), 6) (double
+    addition and 6-dp rounding are both monotone and operate on the
+    same operands), a bucket contains a boundary crossing IFF its
+    shifted running-max/min crosses, so the FIRST candidate bucket
+    provably holds the first crossing row; (3) only that one bucket's
+    rows per type are re-read (broadcast semi-join on the candidate
+    list) and walked exactly for the decision row. Totals (n_events,
+    final LLR) come from plain map-side-combinable aggregates of the
+    bucket summaries — no global sort, no unbounded window anywhere.
     Reference provenance: none; SURVEY §2 B.11 aggregates family
-    (round 9); public recipe = Wald SPRT, normal-mean form.
+    (round 9; decomposed round 10 per VERDICT r9 item 3); public
+    recipe = Wald SPRT, normal-mean form.
     """
     ev = table(spark, sf_dir, "events")
     s = ev.agg(
         F.round(F.avg("value"), 2).alias("mu0"),
         F.round(F.stddev_samp("value"), 2).alias("sig"),
     )
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    walk = (
+    rows = (
         ev.crossJoin(F.broadcast(s))
-        .withColumn(
-            "term",
+        .select(
+            "event_type",
+            "ts",
+            "event_id",
             (
-                F.pow(F.col("value") - F.col("mu0"), F.lit(2))
-                - F.pow(F.col("value") - 1.1 * F.col("mu0"), F.lit(2))
+                (
+                    F.pow(F.col("value") - F.col("mu0"), F.lit(2))
+                    - F.pow(F.col("value") - 1.1 * F.col("mu0"), F.lit(2))
+                )
+                / (2 * F.col("sig") * F.col("sig"))
+            ).alias("term"),
+            F.date_trunc("hour", F.col("ts")).alias("bkt"),
+        )
+    )
+    # (1) within-bucket walk: partitions are (type, hour) — bounded
+    wb = Window.partitionBy("event_type", "bkt").orderBy("ts", "event_id")
+    pref = rows.withColumn(
+        "wp",
+        F.sum("term").over(
+            wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    bstats = pref.groupBy("event_type", "bkt").agg(
+        F.sum("term").alias("psum"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.max("wp").alias("maxrun"),
+        F.min("wp").alias("minrun"),
+    )
+    # (2) ordered window over O(buckets) summaries per type
+    wt = Window.partitionBy("event_type").orderBy("bkt")
+    before = wt.rowsBetween(Window.unboundedPreceding, -1)
+    cands = (
+        bstats.withColumn(
+            "prefix_before", F.coalesce(F.sum("psum").over(before), F.lit(0.0))
+        )
+        .withColumn(
+            "rn_before",
+            F.coalesce(F.sum("cnt").over(before), F.lit(0).cast("bigint")),
+        )
+        .filter(
+            (
+                F.round(F.col("prefix_before") + F.col("maxrun"), 6)
+                >= F.lit(_SPRT_UPPER)
             )
-            / (2 * F.col("sig") * F.col("sig")),
+            | (
+                F.round(F.col("prefix_before") + F.col("minrun"), 6)
+                <= F.lit(_SPRT_LOWER)
+            )
+        )
+    )
+    first_bkt = cands.groupBy("event_type").agg(
+        F.min_by(
+            F.struct("bkt", "prefix_before", "rn_before"), F.col("bkt")
+        ).alias("fb")
+    ).select(
+        # disambiguated names: rows and first_bkt share lineage, so the
+        # join below must not reference same-named columns on both sides
+        F.col("event_type").alias("c_type"),
+        F.col("fb.bkt").alias("c_bkt"),
+        F.col("fb.prefix_before").alias("prefix_before"),
+        F.col("fb.rn_before").alias("rn_before"),
+    )
+    # (3) exact walk inside ONLY the first candidate bucket per type
+    wc = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    walk = (
+        rows.join(
+            F.broadcast(first_bkt),
+            (F.col("event_type") == F.col("c_type"))
+            & (F.col("bkt") == F.col("c_bkt")),
         )
         .select(
             "event_type",
+            "ts",
+            "event_id",
+            "term",
+            "prefix_before",
+            "rn_before",
+        )
+        .withColumn(
+            "llr",
             F.round(
-                F.sum("term").over(
-                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                F.col("prefix_before")
+                + F.sum("term").over(
+                    wc.rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow
+                    )
                 ),
                 6,
-            ).alias("llr"),
-            F.row_number().over(w).alias("rn"),
-            F.count(F.lit(1))
-            .over(Window.partitionBy("event_type"))
-            .alias("n"),
+            ),
         )
+        .withColumn("rn", F.col("rn_before") + F.row_number().over(wc))
     )
-    crossed = F.when(
+    first_cross = walk.filter(
         (F.col("llr") >= F.lit(_SPRT_UPPER))
-        | (F.col("llr") <= F.lit(_SPRT_LOWER)),
-        F.struct(F.col("rn"), F.col("llr")),
+        | (F.col("llr") <= F.lit(_SPRT_LOWER))
+    ).groupBy("event_type").agg(
+        F.min_by(F.struct("rn", "llr"), F.col("rn")).alias("first_cross")
     )
-    summary = walk.groupBy("event_type").agg(
-        F.max("n").alias("n_events"),
-        F.max(F.when(F.col("rn") == F.col("n"), F.col("llr"))).alias(
-            "llr_final"
-        ),
-        F.min(crossed).alias("first_cross"),
+    totals = bstats.groupBy("event_type").agg(
+        F.sum("cnt").alias("n_events"),
+        F.round(F.sum("psum"), 6).alias("llr_final"),
     )
-    return summary.select(
-        "event_type",
-        F.col("n_events").cast("bigint").alias("n_events"),
-        F.round("llr_final", 4).alias("llr_final"),
-        F.when(F.col("first_cross").isNull(), F.lit("continue"))
-        .when(
-            F.col("first_cross.llr") >= F.lit(_SPRT_UPPER), F.lit("accept_h1")
+    return (
+        totals.join(first_cross, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.round("llr_final", 4).alias("llr_final"),
+            F.when(F.col("first_cross").isNull(), F.lit("continue"))
+            .when(
+                F.col("first_cross.llr") >= F.lit(_SPRT_UPPER),
+                F.lit("accept_h1"),
+            )
+            .otherwise(F.lit("accept_h0"))
+            .alias("decision"),
+            F.col("first_cross.rn").cast("bigint").alias("n_at_decision"),
         )
-        .otherwise(F.lit("accept_h0"))
-        .alias("decision"),
-        F.col("first_cross.rn").cast("bigint").alias("n_at_decision"),
-    ).orderBy("event_type")
+        .orderBy("event_type")
+    )
 
 
 @register(

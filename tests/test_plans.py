@@ -1197,21 +1197,45 @@ def test_kmv_set_ops_window_group_limit_and_broadcast(spark, sf_oracle):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
-def test_sprt_single_window_no_self_join(spark, sf_oracle):
-    """agg_sprt_sequential: the LLR walk is ONE partition-bounded
-    window pass — the scalar priors broadcast, events are scanned once,
-    and no join over events appears (a naive crossing lookup would
-    self-join the walk)."""
+def test_sprt_partial_sums_selection_plan(spark, sf_oracle):
+    """agg_sprt_sequential (VERDICT r9 item 3): event_type has ~5
+    values, so a running-LLR window partitioned by type alone would
+    sort one type's ENTIRE history in a single task. The committed
+    plan is selection-by-partial-sums: the ONLY window that touches
+    raw events partitions on the 2-key (event_type, bkt); every
+    type-only window runs either over the O(buckets) summary
+    aggregate or over the single candidate bucket sliced out by a
+    BROADCAST join (never sort-merge)."""
     import re as _re
 
     plan = formatted_plan(spark, "agg_sprt_sequential", sf_oracle)
-    assert "BroadcastNestedLoopJoin" in plan  # the 1-row scalar cross join
-    # exactly TWO scans: one map-side-combinable scalar-prior pass and
-    # the walk itself (a global window for the priors would be the
-    # all-to-one-partition shape — strictly worse than the re-scan);
-    # more than two would mean the crossing lookup self-joined the walk
-    assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) == 2
     assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row scalar priors
+    assert "BroadcastHashJoin" in plan  # the candidate-bucket slice
+    # the formatted listing numbers nodes in subtree order, so a node
+    # is above another iff its id is larger
+    bhj_ids = [
+        int(m.group(1))
+        for m in _re.finditer(r"\((\d+)\) BroadcastHashJoin", plan)
+    ]
+    # Window details: Arguments: [...], [PARTITION], [ORDER]
+    wins = _re.findall(
+        r"\((\d+)\) Window\n.*?\nArguments: .*\], \[([^\]]*)\], "
+        r"\[([^\]]*)\]",
+        plan,
+    )
+    assert wins, plan
+    assert any(
+        "event_type#" in part and "bkt#" in part for _, part, _o in wins
+    ), f"no (event_type, bkt)-partitioned walk found: {wins}"
+    for nid, part, order in wins:
+        if "ts#" in order and "bkt#" not in part:
+            # a per-row walk partitioned by type ALONE is legal only
+            # over the single candidate bucket, i.e. above the slice's
+            # broadcast join — never over the raw scan
+            assert any(b < int(nid) for b in bhj_ids), (
+                f"unbounded type-only walk at node {nid}: [{part}]"
+            )
 
 
 def test_cuped_is_two_hash_aggs_no_join(spark, sf_oracle):
