@@ -39,6 +39,9 @@ from .operators.lakehouse import (  # noqa: F401
     changes_between,
     clone_table,
     compact_tombstones,
+    optimize_compact,
+    prune_files_by_column,
+    read_snapshot_where,
     init_table,
     latest_version,
     load_manifest,
@@ -138,6 +141,9 @@ __all__ = [
     "CHUNK_SIZE",
     "chunk_text",
     "compact_tombstones",
+    "optimize_compact",
+    "prune_files_by_column",
+    "read_snapshot_where",
     "compose_markdown",
     "compose_pdf",
     "connected_components",

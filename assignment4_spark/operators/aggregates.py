@@ -1340,6 +1340,331 @@ def agg_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# O'Brien-Fleming shape constant for K=5 looks at two-sided alpha=0.05
+# (the tabulated C_B(5, 0.05) from the group-sequential literature,
+# e.g. Jennison & Turnbull table 2.3) — a literal so both engines
+# compare against the identical double.
+_OBF_C = 2.04
+
+
+@register(
+    "agg_group_sequential",
+    oracle=f"""
+    -- group-sequential replay (O'Brien-Fleming, K=5 equally-spaced
+    -- calendar looks): per (type, day) partial sums roll up to per-look
+    -- cumulative (n, mean); Z_k = (mean_k - mu0) / (sig / sqrt(n_k)),
+    -- boundary u_k = C * sqrt(K/k); both sides ROUND 6dp before the
+    -- compare. Scalars round 2dp before use (accumulation-order ulps).
+    WITH s AS (
+      SELECT ROUND(AVG(value), 2) AS mu0, ROUND(STDDEV_SAMP(value), 2) AS sig
+      FROM events
+    ), looks AS (
+      SELECT e.event_type,
+             CAST(CEIL(EXTRACT(day FROM e.ts) / 6.0) AS BIGINT) AS look,
+             SUM(e.value) AS psum, COUNT(*) AS cnt
+      FROM events e GROUP BY 1, 2
+    ), cum AS (
+      SELECT l.event_type, l.look,
+             SUM(psum) OVER w AS csum,
+             SUM(cnt)  OVER w AS n_k
+      FROM looks l
+      WINDOW w AS (PARTITION BY event_type ORDER BY look
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), z AS (
+      SELECT c.event_type, c.look, c.n_k,
+             ROUND((c.csum / c.n_k - s.mu0) / (s.sig / SQRT(c.n_k)), 6) AS zk,
+             ROUND({_OBF_C} * SQRT(5.0 / c.look), 6) AS bound
+      FROM cum c CROSS JOIN s
+    ), hit AS (
+      SELECT event_type, MIN(look) AS look_at_decision
+      FROM z WHERE ABS(zk) >= bound GROUP BY event_type
+    ), last AS (
+      SELECT event_type, n_k AS n_events, zk AS z_final
+      FROM z WHERE look = 5
+    )
+    SELECT l.event_type,
+           CAST(l.n_events AS BIGINT)       AS n_events,
+           l.z_final                        AS z_final,
+           CASE WHEN h.look_at_decision IS NULL THEN 'continue'
+                ELSE 'stop' END             AS decision,
+           CAST(h.look_at_decision AS BIGINT) AS look_at_decision,
+           CAST((SELECT n_k FROM z x
+                 WHERE x.event_type = l.event_type
+                   AND x.look = h.look_at_decision) AS BIGINT)
+                                            AS n_at_decision
+    FROM last l LEFT JOIN hit h USING (event_type)
+    ORDER BY l.event_type
+    """,
+)
+def agg_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential test per event type (O'Brien-Fleming boundary,
+    K=5 equally-spaced calendar looks) — the interim-analysis design an
+    experimentation platform runs when decisions happen at scheduled
+    reviews rather than per event (Wald SPRT's continuous-monitoring
+    sibling, `agg_sprt_sequential`): at look k the cumulative
+    z-statistic against the pooled H0 mean compares to the OBF shape
+    boundary C·sqrt(K/k) — very conservative early (nearly impossible
+    to stop at look 1), relaxing toward the fixed-horizon critical
+    value at the final look, which is what preserves the overall alpha
+    across 5 peeks. Output per type: total events, final z, stop /
+    continue, the stopping look and the sample it took.
+
+    Cross-engine determinism: pooled scalars ROUND 2dp before use;
+    z_k and the boundary both ROUND 6dp before the compare; the OBF
+    constant is a literal; sqrt is IEEE-correctly-rounded on both
+    engines (unlike pow/ln, which differ in the last ulp).
+
+    Scale shape — the SPRT partial-sums skeleton with the walk gone
+    entirely: group-sequential only EVER evaluates at look boundaries,
+    so per-(type, day) partial sums (ONE map-side-combinable agg,
+    key-space bounded) roll up through a window over the O(days)
+    summary rows — no per-row window anywhere, no join over events,
+    nothing grows with row count past the first aggregate.
+    Reference provenance: none; SURVEY §2 B.11 aggregates family
+    (round 10); public recipe = O'Brien-Fleming 1979 / Jennison &
+    Turnbull group-sequential boundaries.
+    """
+    ev = table(spark, sf_dir, "events")
+    s = ev.agg(
+        F.round(F.avg("value"), 2).alias("mu0"),
+        F.round(F.stddev_samp("value"), 2).alias("sig"),
+    )
+    looks = ev.groupBy(
+        "event_type",
+        F.ceil(F.dayofmonth("ts") / 6.0).cast("bigint").alias("look"),
+    ).agg(F.sum("value").alias("psum"), F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("look")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    z = (
+        looks.select(
+            "event_type",
+            "look",
+            F.sum("psum").over(w).alias("csum"),
+            F.sum("cnt").over(w).alias("n_k"),
+        )
+        .crossJoin(F.broadcast(s))
+        .select(
+            "event_type",
+            "look",
+            "n_k",
+            F.round(
+                (F.col("csum") / F.col("n_k") - F.col("mu0"))
+                / (F.col("sig") / F.sqrt(F.col("n_k"))),
+                6,
+            ).alias("zk"),
+            F.round(F.lit(_OBF_C) * F.sqrt(F.lit(5.0) / F.col("look")), 6)
+            .alias("bound"),
+        )
+    )
+    hit = (
+        z.filter(F.abs(F.col("zk")) >= F.col("bound"))
+        .groupBy("event_type")
+        .agg(
+            F.min_by(F.struct("look", "n_k"), F.col("look")).alias("h")
+        )
+        .select(
+            F.col("event_type").alias("h_type"),
+            F.col("h.look").alias("look_at_decision"),
+            F.col("h.n_k").alias("n_at_decision"),
+        )
+    )
+    last = z.filter(F.col("look") == 5).select(
+        "event_type",
+        F.col("n_k").alias("n_events"),
+        F.col("zk").alias("z_final"),
+    )
+    return (
+        last.join(
+            F.broadcast(hit),
+            last["event_type"] == hit["h_type"],
+            "left",
+        )
+        .select(
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            "z_final",
+            F.when(F.col("look_at_decision").isNull(), F.lit("continue"))
+            .otherwise(F.lit("stop"))
+            .alias("decision"),
+            F.col("look_at_decision").cast("bigint").alias(
+                "look_at_decision"
+            ),
+            F.col("n_at_decision").cast("bigint").alias("n_at_decision"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# mSPRT parameters: normal mixture variance tau^2 = 1 and the
+# always-valid rejection threshold log(1/alpha) at alpha = 0.05 —
+# literals so both engines compare against identical doubles.
+_MSPRT_TAU2 = 1.0
+_MSPRT_LOG_THRESH = 2.995732273553991  # ln(20)
+
+
+@register(
+    "agg_msprt_always_valid",
+    oracle=f"""
+    -- mixture-SPRT replay (normal mixture, tau^2 = {_MSPRT_TAU2}),
+    -- evaluated at daily boundaries from per-(type, day) partial sums:
+    -- log L_n = 0.5*ln(V/(V+n*t2)) + n^2*t2*(mean-mu0)^2/(2*V*(V+n*t2)),
+    -- stop when ROUND(log L, 6) >= ln(1/alpha). Scalars round 2dp
+    -- before use; the always-valid p is exp-free: min(1, e^-logL)
+    -- reported as ROUND(-logL, 6) in log space.
+    WITH s AS (
+      SELECT ROUND(AVG(value), 2) AS mu0, ROUND(STDDEV_SAMP(value), 2) AS sig
+      FROM events
+    ), days AS (
+      SELECT event_type, CAST(EXTRACT(day FROM ts) AS BIGINT) AS d,
+             SUM(value) AS psum, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, d,
+             SUM(psum) OVER w AS csum, SUM(cnt) OVER w AS n
+      FROM days
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), ll AS (
+      SELECT c.event_type, c.d, c.n,
+             ROUND(
+               0.5 * LN(s.sig * s.sig
+                        / (s.sig * s.sig + c.n * {_MSPRT_TAU2}))
+               + (c.n * c.n * {_MSPRT_TAU2}
+                  * POWER(c.csum / c.n - s.mu0, 2))
+                 / (2 * s.sig * s.sig
+                    * (s.sig * s.sig + c.n * {_MSPRT_TAU2})),
+               6) AS logl
+      FROM cum c CROSS JOIN s
+    ), hit AS (
+      SELECT event_type, MIN(d) AS day_at_decision
+      FROM ll WHERE logl >= {_MSPRT_LOG_THRESH} GROUP BY event_type
+    ), fin AS (
+      SELECT l.event_type, l.n AS n_events, l.logl AS logl_final
+      FROM ll l
+      JOIN (SELECT event_type, MAX(d) AS d FROM ll GROUP BY event_type) m
+        USING (event_type, d)
+    )
+    SELECT f.event_type,
+           CAST(f.n_events AS BIGINT)        AS n_events,
+           f.logl_final                      AS logl_final,
+           CASE WHEN h.day_at_decision IS NULL THEN 'continue'
+                ELSE 'stop' END              AS decision,
+           CAST(h.day_at_decision AS BIGINT) AS day_at_decision,
+           CAST((SELECT n FROM ll x
+                 WHERE x.event_type = f.event_type
+                   AND x.d = h.day_at_decision) AS BIGINT)
+                                             AS n_at_decision
+    FROM fin f LEFT JOIN hit h USING (event_type)
+    ORDER BY f.event_type
+    """,
+)
+def agg_msprt_always_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture SPRT (mSPRT) per event type — the ALWAYS-VALID
+    sequential test behind 'peeking-safe' A/B dashboards (Johari,
+    Koomen, Pekelis, Walsh 2017): the likelihood-ratio martingale
+    against H0 (type mean = pooled mean) under a normal mixture prior
+    (tau² = 1) may be inspected at ANY stopping rule without alpha
+    inflation; here it is evaluated at daily boundaries, stopping the
+    first day ROUND(log Λ, 6) ≥ ln(1/alpha). Completes the sequential
+    family: Wald SPRT (simple-vs-simple, continuous walk),
+    O'Brien-Fleming (scheduled looks), mSPRT (anytime-valid).
+
+    Cross-engine determinism: pooled scalars ROUND 2dp before use, so
+    every ln/power argument is the identical double on both engines;
+    log Λ rounds 6dp BEFORE the literal-threshold compare (ln may
+    differ in the last ulp between libm and the JVM — a 6dp round
+    absorbs it except at a measure-zero knife edge, the same contract
+    agg_mutual_information ships with).
+
+    Scale shape: the group-sequential skeleton — ONE map-side-
+    combinable per-(type, day) aggregate, a window over the O(days)
+    summary rows, broadcast scalars; no per-row window, no join over
+    events, nothing downstream grows with row count.
+    Reference provenance: none; SURVEY §2 B.11 aggregates family
+    (round 10); public recipe = Johari et al., 'Peeking at A/B
+    Tests' (KDD 2017), normal-mixture closed form.
+    """
+    ev = table(spark, sf_dir, "events")
+    s = ev.agg(
+        F.round(F.avg("value"), 2).alias("mu0"),
+        F.round(F.stddev_samp("value"), 2).alias("sig"),
+    )
+    days = ev.groupBy(
+        "event_type",
+        F.dayofmonth("ts").cast("bigint").alias("d"),
+    ).agg(F.sum("value").alias("psum"), F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v = F.col("sig") * F.col("sig")
+    denom = v + F.col("n") * F.lit(_MSPRT_TAU2)
+    ll = (
+        days.select(
+            "event_type",
+            "d",
+            F.sum("psum").over(w).alias("csum"),
+            F.sum("cnt").over(w).alias("n"),
+        )
+        .crossJoin(F.broadcast(s))
+        .select(
+            "event_type",
+            "d",
+            "n",
+            F.round(
+                F.lit(0.5) * F.log(v / denom)
+                + (
+                    F.col("n")
+                    * F.col("n")
+                    * F.lit(_MSPRT_TAU2)
+                    * F.pow(
+                        F.col("csum") / F.col("n") - F.col("mu0"), F.lit(2)
+                    )
+                )
+                / (F.lit(2) * v * denom),
+                6,
+            ).alias("logl"),
+        )
+    )
+    hit = (
+        ll.filter(F.col("logl") >= F.lit(_MSPRT_LOG_THRESH))
+        .groupBy("event_type")
+        .agg(F.min_by(F.struct("d", "n"), F.col("d")).alias("h"))
+        .select(
+            F.col("event_type").alias("h_type"),
+            F.col("h.d").alias("day_at_decision"),
+            F.col("h.n").alias("n_at_decision"),
+        )
+    )
+    fin = (
+        ll.groupBy("event_type")
+        .agg(F.max_by(F.struct("n", "logl"), F.col("d")).alias("f"))
+        .select(
+            "event_type",
+            F.col("f.n").alias("n_events"),
+            F.col("f.logl").alias("logl_final"),
+        )
+    )
+    return (
+        fin.join(F.broadcast(hit), fin["event_type"] == hit["h_type"], "left")
+        .select(
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            "logl_final",
+            F.when(F.col("day_at_decision").isNull(), F.lit("continue"))
+            .otherwise(F.lit("stop"))
+            .alias("decision"),
+            F.col("day_at_decision").cast("bigint").alias("day_at_decision"),
+            F.col("n_at_decision").cast("bigint").alias("n_at_decision"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @register(
     "agg_cuped_adjustment",
     oracle="""

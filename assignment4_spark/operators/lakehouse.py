@@ -360,6 +360,127 @@ def _carry_file_stats(
     return {f: s for f, s in old.items() if f in live} | new_stats
 
 
+# Column types whose per-file (min, max) survive a JSON manifest
+# roundtrip AND compare correctly with plain </> after it: numerics
+# as-is; dates as fixed-width ISO strings; timestamps as ISO strings
+# (a prefix sorts before its extensions, so second-precision probes
+# compare correctly against microsecond stats); plain strings
+# lexicographically. Decimals are EXCLUDED — a float()-coerced
+# min/max could round past a boundary value and wrongly skip a file.
+_COLUMN_STATS_TYPES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "date", "timestamp", "timestamp_ntz", "string",
+)
+
+
+def _json_stat(v):
+    """JSON-safe stat value (see _COLUMN_STATS_TYPES for the compare
+    contract each conversion preserves)."""
+    import datetime
+
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    return v
+
+
+def _staged_column_stats(
+    spark: SparkSession, staging: str, types: dict[str, str]
+) -> dict[str, dict[str, list]]:
+    """Delta-style per-file column statistics for a just-staged commit:
+    [min, max, null_count] for EVERY stats-eligible column, computed in
+    ONE column-pruned distributed pass grouped on input_file_name (cost
+    O(staged data), the same class as the write that produced it; the
+    collect is O(files × columns) metadata). A file whose column is
+    all-NULL gets no entry for it — conservatively unprunable, matching
+    the cluster-stats contract."""
+    from urllib.parse import unquote, urlparse
+
+    cols = [
+        c
+        for c, t in types.items()
+        if t in _COLUMN_STATS_TYPES and c != "bucket"
+    ]
+    # a staged commit can legitimately hold ZERO files (an empty update
+    # slice, an all-tombstone bucket compacting away) — reading the
+    # empty dir would raise UNABLE_TO_INFER_SCHEMA
+    if not cols or not any(_list_bucket_files(staging).values()):
+        return {}
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs += [
+            F.min(c).alias(f"_lo{i}"),
+            F.max(c).alias(f"_hi{i}"),
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"_nn{i}"),
+        ]
+    rows = (
+        spark.read.parquet(staging)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(*aggs)
+        .collect()
+    )
+    out: dict[str, dict[str, list]] = {}
+    for r in rows:
+        d = {}
+        for i, c in enumerate(cols):
+            lo = r[f"_lo{i}"]
+            if lo is None:
+                continue
+            d[c] = [
+                _json_stat(lo),
+                _json_stat(r[f"_hi{i}"]),
+                int(r[f"_nn{i}"] or 0),
+            ]
+        out[unquote(urlparse(r.f).path)] = d
+    return out
+
+
+def prune_files_by_column(
+    manifest: dict, col: str, lo, hi
+) -> tuple[list, list]:
+    """Plan a range read over ANY stats-covered column from the
+    manifest's all-column file statistics: (kept, skipped) file lists.
+    A file is skipped ONLY when its recorded [min, max] provably
+    misses [lo, hi]; files or columns without stats are always kept —
+    pruning is an optimization, never a filter."""
+    stats = manifest.get("column_stats", {})
+    kept, skipped = [], []
+    for fs in manifest["buckets"].values():
+        for f in fs:
+            s = stats.get(f, {}).get(col)
+            if s is not None and (s[0] > hi or s[1] < lo):
+                skipped.append(f)
+            else:
+                kept.append(f)
+    return kept, skipped
+
+
+def read_snapshot_where(
+    spark: SparkSession,
+    base_dir: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+    include_tombstones: bool = False,
+) -> DataFrame:
+    """Range read over ANY column, planned from the manifest's
+    all-column file statistics (read_snapshot_range generalized beyond
+    the declared cluster_col — Delta data skipping): files whose
+    recorded value slice misses [lo, hi] are never opened, then the
+    exact row filter applies on what remains. Works on any
+    stats-eligible column; correlation with the physical layout
+    (cluster bins, per-commit ingest slices) determines how much
+    skips — correctness never depends on it."""
+    manifest = load_manifest(base_dir, version)
+    kept, _ = prune_files_by_column(manifest, col, lo, hi)
+    df = _read_files_aligned(
+        spark, kept, manifest["columns"], manifest["column_types"]
+    ).filter(F.col(col).between(lo, hi))
+    if not include_tombstones:
+        df = _visible_rows(df)
+    return df
+
+
 # Bloom sizing for the per-file point-lookup index: 32 Ki bits (512
 # words) / 4 probes per file. At the ~5k rows-per-file the clustered
 # commit write targets, that is n/m ≈ 0.15 → ~4% false-keep per file —
@@ -525,6 +646,17 @@ def _attach_sidecars(
     still-referenced files. ``carry=False`` for full-rewrite commits
     (rebucket), where every visible file is staged and a carry would
     resurrect dead paths."""
+    # all-column file statistics (Delta data skipping): recorded by
+    # EVERY commit path, not just clustered tables — one distributed
+    # metadata pass over the staged files
+    newc = _staged_column_stats(
+        spark, staging, manifest.get("column_types", snap["column_types"])
+    )
+    manifest["column_stats"] = (
+        _carry_file_stats(snap, buckets, newc, key="column_stats")
+        if carry
+        else newc
+    )
     if snap.get("cluster_col") is not None:
         manifest["cluster_col"] = snap["cluster_col"]
         manifest["cluster_bins"] = snap.get("cluster_bins", 4)
@@ -869,6 +1001,11 @@ def init_table(
             else []
         ),
     }
+    # all-column file statistics (Delta data skipping) — every commit
+    # path records them; init is the first
+    manifest["column_stats"] = _staged_column_stats(
+        df.sparkSession, staging, types0
+    )
     if cluster_col is not None:
         manifest["cluster_col"] = cluster_col
         manifest["cluster_bins"] = cluster_bins
@@ -2052,6 +2189,106 @@ def compact_tombstones(
     )
 
 
+def optimize_compact(
+    spark: SparkSession,
+    base_dir: str,
+    max_files_per_bucket: int = 1,
+    writer_id: str = "w0",
+    max_retries: int = 5,
+) -> dict:
+    """OPTIMIZE — bin-pack fragmented buckets into right-sized files,
+    as a first-class manifest commit (Delta OPTIMIZE / Iceberg
+    rewrite_data_files). The per-commit file bound is O(buckets ×
+    salt/bins), but salted hot-bucket merges and high-parallelism
+    writes leave MORE than the steady-state file count per bucket;
+    every extra file is a parquet footer open on every later read of
+    that bucket. This commit face reclaims that: it reads ONLY the
+    buckets whose manifest file list exceeds ``max_files_per_bucket``
+    (a manifest inspection, never a table scan), rewrites each through
+    the table's standard clustered write — a clustered table stays
+    clustered (bins files per bucket, fresh zone-map stats); an
+    unclustered one packs to one file per bucket — and commits
+    ``commit_kind='optimize'`` through the same CAS loop as MERGE.
+
+    Invariants (pinned in tests/test_lakehouse.py):
+    * byte-identical visible rows — tombstone rows INCLUDED (dropping
+      them is compact_tombstones' job, gated by its straggler
+      contract); the CDF between pre/post versions diffs EMPTY
+      (changes_between's file-churn invariance);
+    * ``tombstone_buckets`` flags carry unchanged (rows unchanged ⇒
+      flags stay exactly as conservative as they were);
+    * pinned readers and clones are untouched (old manifests + files
+      remain; vacuum reclaims the splinter files after retention).
+
+    Returns ``{"version", "buckets_optimized", "files_before",
+    "files_after"}``; an unfragmented table returns its current
+    version with no new commit."""
+    import shutil
+
+    for attempt in range(max_retries + 1):
+        snap = load_manifest(base_dir)
+        key_col, n_buckets = snap["key_col"], snap["n_buckets"]
+        cols_, types_ = snap["columns"], snap["column_types"]
+        fragmented = sorted(
+            int(b)
+            for b, fs in snap["buckets"].items()
+            if len(fs) > max(1, max_files_per_bucket)
+        )
+        n_before = sum(len(fs) for fs in snap["buckets"].values())
+        if not fragmented:
+            return {
+                "version": snap["version"],
+                "buckets_optimized": [],
+                "files_before": n_before,
+                "files_after": n_before,
+            }
+        next_version = snap["version"] + 1
+        staging = _staging_path(
+            base_dir, "optimize", next_version, writer_id, attempt
+        )
+        try:
+            files = [
+                f for b in fragmented for f in snap["buckets"][str(b)]
+            ]
+            df = _read_files_aligned(spark, files, cols_, types_).withColumn(
+                "bucket", _bucket_of(key_col, n_buckets)
+            )
+            _write_clustered(
+                df, staging, key_col, 1, n_buckets,
+                snap.get("cluster_col"), snap.get("cluster_bins", 4),
+            )
+        except Exception as ex:
+            shutil.rmtree(staging, ignore_errors=True)
+            if _is_missing_file_error(ex):
+                continue  # vacuum expired the pin mid-read: re-pin
+            raise
+        new_files = _list_bucket_files(staging)
+        buckets = dict(snap["buckets"])
+        for b in fragmented:
+            buckets[str(b)] = new_files.get(b, [])
+        manifest = _strip_commit_records(
+            {
+                **snap,
+                "version": next_version,
+                "commit_kind": "optimize",
+                "writer_id": writer_id,
+                "buckets": {k: buckets[k] for k in sorted(buckets, key=int)},
+            }
+        )
+        _attach_sidecars(spark, snap, manifest, buckets, staging)
+        if _publish_manifest(base_dir, manifest):
+            return {
+                "version": next_version,
+                "buckets_optimized": fragmented,
+                "files_before": n_before,
+                "files_after": sum(len(fs) for fs in buckets.values()),
+            }
+        shutil.rmtree(staging, ignore_errors=True)
+    raise MergeConflictError(
+        f"optimize by {writer_id} lost the commit race {max_retries + 1} times"
+    )
+
+
 @register(
     "merge_upsert",
     oracle="""
@@ -2842,6 +3079,229 @@ def merge_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("price"), 2).alias("sum_price"),
         )
         .orderBy("status")
+    )
+
+
+@register(
+    "merge_optimize_compact",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, 1 AS ver, o_orderstatus AS status,
+             o_totalprice AS price
+      FROM orders
+    ), u1 AS (
+      SELECT o_orderkey, 2, o_orderstatus, o_totalprice + 1000
+      FROM orders WHERE o_orderkey % 4 = 0
+    ), u2 AS (
+      SELECT o_orderkey, 3, 'Z', o_totalprice / 2
+      FROM orders WHERE o_orderkey % 11 = 0
+    ), u AS (
+      SELECT * FROM base UNION ALL SELECT * FROM u1 UNION ALL SELECT * FROM u2
+    ), latest AS (
+      SELECT k, ver, status, price,
+             ROW_NUMBER() OVER (PARTITION BY k
+                                ORDER BY ver DESC, status) AS rn
+      FROM u
+    )
+    SELECT status,
+           COUNT(*)                 AS n_rows,
+           CAST(SUM(ver) AS BIGINT) AS sum_ver,
+           ROUND(SUM(price), 2)     AS sum_price
+    FROM latest
+    WHERE rn = 1
+    GROUP BY status
+    ORDER BY status
+    """,
+)
+def merge_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of OPTIMIZE bin-packing: seed orders at 8
+    buckets (v1), merge every 4th key with write_salt=4 — the
+    hot-bucket escape hatch that deliberately trades files for write
+    parallelism, leaving up to 4 splinter files in every touched
+    bucket (v2) — OPTIMIZE back to ≤1 file per bucket (v3,
+    commit_kind='optimize'), then merge every 11th key AGAINST the
+    packed layout (v4) and aggregate the final snapshot. The oracle
+    never sees the salt OR the optimize: it is the plain latest-wins
+    replay of base+u1+u2 — contents are invariant under file
+    re-packing, and THAT equality is the correctness claim.
+
+    Inline protocol asserts: v2 really is fragmented (> 1 file in
+    some bucket) and OPTIMIZE strictly shrinks the file count to
+    ≤ 1/bucket; changes_between(2, 3) is EMPTY (the CDC feed must not
+    invent changes from pure file churn); the history row stamps
+    kind='optimize'; and the pinned v2 manifest still lists the
+    splinter files (pinned readers unaffected — vacuum reclaims the
+    splinters only after retention).
+
+    Scale shape: OPTIMIZE reads only manifest-flagged fragmented
+    buckets (manifest arithmetic, never a scan), rewrites O(flagged
+    buckets) of data through the standard clustered write, and costs
+    one CAS commit — the maintenance face Delta OPTIMIZE / Iceberg
+    rewrite_data_files schedule nightly so read amplification never
+    compounds.
+    Reference provenance: none (the reference has no storage layer);
+    public recipe = Delta OPTIMIZE bin-packing semantics."""
+    import shutil
+
+    from .scans import _adir
+
+    base_dir = _adir(sf_dir, "merge_optimize_table")
+    shutil.rmtree(base_dir, ignore_errors=True)
+
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("ver"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    init_table(orders, base_dir, key_col="k", n_buckets=8)
+
+    u1 = orders.filter(F.col("k") % 4 == 0).select(
+        "k", F.lit(2).alias("ver"), "status",
+        (F.col("price") + 1000).alias("price"),
+    )
+    merge_upsert_manifest(
+        base_dir, u1, ver_col="ver", tiebreak_col="status",
+        writer_id="u1", write_salt=4,
+    )
+    m2 = load_manifest(base_dir, 2)
+    frag = {b: len(fs) for b, fs in m2["buckets"].items() if len(fs) > 1}
+    if not frag:
+        raise AssertionError("salted merge must fragment some bucket")
+
+    out = optimize_compact(spark, base_dir, max_files_per_bucket=1)
+    if out["version"] != 3 or out["files_after"] >= out["files_before"]:
+        raise AssertionError(f"optimize must shrink files: {out}")
+    m3 = load_manifest(base_dir, 3)
+    if any(len(fs) > 1 for fs in m3["buckets"].values()):
+        raise AssertionError("optimize must leave <= 1 file per bucket")
+    if changes_between(spark, base_dir, 2, 3).count() != 0:
+        raise AssertionError("optimize must be a logical no-op in the CDC feed")
+    if table_history(base_dir)[-1]["kind"] != "optimize":
+        raise AssertionError("history must stamp the optimize commit")
+    if load_manifest(base_dir, 2)["buckets"] != m2["buckets"]:
+        raise AssertionError("pinned v2 must keep its splinter files")
+
+    u2 = orders.filter(F.col("k") % 11 == 0).select(
+        "k", F.lit(3).alias("ver"), F.lit("Z").alias("status"),
+        (F.col("price") / 2).alias("price"),
+    )
+    merge_upsert_manifest(
+        base_dir, u2, ver_col="ver", tiebreak_col="status", writer_id="u2"
+    )
+
+    return (
+        read_snapshot(spark, base_dir)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("ver").alias("sum_ver"),
+            F.round(F.sum("price"), 2).alias("sum_price"),
+        )
+        .orderBy("status")
+    )
+
+
+@register(
+    "scan_stats_pruned_filter",
+    oracle="""
+    -- latest-wins replay of seed + the value-bump batch, then the
+    -- time-window filter the engine answers with stats-pruned file
+    -- skipping on a NON-cluster column
+    WITH base AS (
+      SELECT event_id AS k, 1 AS ver, EPOCH_US(ts) AS ts_us,
+             event_type AS etype, value
+      FROM events
+    ), u1 AS (
+      SELECT event_id, 2, EPOCH_US(ts), event_type, value + 0.5
+      FROM events WHERE event_id % 5 = 0
+    ), u AS (
+      SELECT * FROM base UNION ALL SELECT * FROM u1
+    ), latest AS (
+      SELECT k, ver, ts_us, etype, value,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY ver DESC) AS rn
+      FROM u
+    )
+    SELECT etype,
+           COUNT(*)                 AS n_rows,
+           CAST(SUM(ver) AS BIGINT) AS sum_ver,
+           ROUND(SUM(value), 2)     AS sum_value
+    FROM latest
+    WHERE rn = 1
+      AND ts_us BETWEEN 1704844800000000 AND 1705104000000000
+    GROUP BY etype
+    ORDER BY etype
+    """,
+)
+def scan_stats_pruned_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of generalized per-file column statistics
+    (Delta data skipping): every commit path records [min, max,
+    null_count] for EVERY stats-eligible column, so range predicates
+    on columns OTHER than the declared cluster layout still plan
+    file-skipping scans. The table buckets events by event_id and
+    range-bins each bucket's files by event_id (cluster_col = the
+    key); the read filters on ts_us — the event-time column, which
+    carries NO declared index. Because event ids are minted in
+    arrival order (id ~ ts correlation 0.99998 in the fixture — the
+    monotonic-surrogate-id shape nearly every ingest pipeline has),
+    each file's recorded ts_us slice is narrow and a 3-day window
+    prunes most files; the inline assert pins files-read <
+    files-written ON A NON-CLUSTER predicate — the thing the
+    cluster-only zone maps (scan_file_skipping_stats,
+    merge_clustered_read) cannot do. A value-bump merge (every 5th
+    key, +0.5) proves stats are re-recorded at the merge commit path:
+    every bucket is rewritten and its files' FRESH ts_us stats still
+    prune. The oracle is the plain latest-wins replay + filter —
+    pruning is invisible to results, by construction.
+
+    Scale shape: stats cost one column-pruned metadata pass per
+    commit (same class as the write); the read opens only surviving
+    footers. At 100 TB this is the difference between scanning a
+    table and scanning a predicate's slice of it.
+    Reference provenance: none (the reference has no storage layer);
+    public recipe = Delta file statistics / Iceberg manifests'
+    lower_bounds-upper_bounds."""
+    import shutil
+
+    from .scans import _adir
+
+    base_dir = _adir(sf_dir, "scan_stats_pruned_table")
+    shutil.rmtree(base_dir, ignore_errors=True)
+
+    ev = table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("k"),
+        F.lit(1).alias("ver"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("event_type").alias("etype"),
+        F.col("value"),
+    )
+    init_table(
+        ev, base_dir, key_col="k", n_buckets=8,
+        cluster_col="k", cluster_bins=8,
+    )
+    u1 = ev.filter(F.col("k") % 5 == 0).select(
+        "k", F.lit(2).alias("ver"), "ts_us", "etype",
+        (F.col("value") + 0.5).alias("value"),
+    )
+    merge_upsert_manifest(base_dir, u1, ver_col="ver", tiebreak_col="etype")
+
+    lo, hi = 1704844800000000, 1705104000000000  # 2024-01-10 .. -13 UTC
+    m = load_manifest(base_dir)
+    kept, skipped = prune_files_by_column(m, "ts_us", lo, hi)
+    if not skipped:
+        raise AssertionError(
+            f"non-cluster predicate must skip files: kept={len(kept)}"
+        )
+
+    return (
+        read_snapshot_where(spark, base_dir, "ts_us", lo, hi)
+        .groupBy("etype")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("ver").alias("sum_ver"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("etype")
     )
 
 

@@ -57,6 +57,8 @@ WRITE_PATH_PROTOCOL = [
     "stream_expectations_gate",
     "scan_manifest_history",
     "merge_wap_publish",
+    "merge_optimize_compact",
+    "scan_stats_pruned_filter",
 ]
 
 

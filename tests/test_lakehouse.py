@@ -2309,3 +2309,222 @@ def test_clone_pin_survives_unreadable_target(spark, tmp_path):
         json.dump({**r, "target": str(tmp_path / "gone")}, fh)
     assert _clone_pinned_versions(base) == set()
     assert not os.path.exists(rec)
+
+
+def test_optimize_compact_binpacks_and_preserves_rows(spark, tmp_path):
+    """OPTIMIZE is a physical-only commit: byte-identical visible rows
+    (tombstones included — dropping them is compact_tombstones' job),
+    empty CDF, carried tombstone flags, and vacuum reclaims the
+    splinter files after retention while the packed snapshot reads."""
+    import os
+
+    from assignment4_spark.operators.lakehouse import (
+        changes_between,
+        optimize_compact,
+        table_history,
+        vacuum,
+    )
+
+    base = _mk_table(spark, tmp_path, n=100)
+    merge_upsert_manifest(
+        base, _upd(spark, list(range(0, 100, 3)), 2, "u"),
+        "ver", "payload", write_salt=4,
+    )
+    m2 = load_manifest(base)
+    assert any(len(fs) > 1 for fs in m2["buckets"].values()), (
+        "salted merge must fragment"
+    )
+    pre = sorted(
+        (r.k, r.ver, r.payload) for r in read_snapshot(spark, base).collect()
+    )
+
+    out = optimize_compact(spark, base, max_files_per_bucket=1)
+    assert out["version"] == 3
+    assert out["files_after"] < out["files_before"]
+    m3 = load_manifest(base, 3)
+    assert all(len(fs) <= 1 for fs in m3["buckets"].values())
+    assert table_history(base)[-1]["kind"] == "optimize"
+    # rows byte-identical, CDF empty
+    post = sorted(
+        (r.k, r.ver, r.payload) for r in read_snapshot(spark, base).collect()
+    )
+    assert post == pre
+    assert changes_between(spark, base, 2, 3).count() == 0
+    # idempotent: already-packed table commits nothing
+    again = optimize_compact(spark, base, max_files_per_bucket=1)
+    assert again["version"] == 3 and again["buckets_optimized"] == []
+    # vacuum reclaims the splinters; the packed snapshot still reads
+    splinters = {
+        f for fs in m2["buckets"].values() for f in fs
+    } - {f for fs in m3["buckets"].values() for f in fs}
+    assert splinters
+    vacuum(base, keep_last=1)
+    assert all(not os.path.exists(f) for f in splinters)
+    assert sorted(
+        (r.k, r.ver, r.payload) for r in read_snapshot(spark, base).collect()
+    ) == pre
+
+
+def test_optimize_preserves_tombstone_flags_and_rows(spark, tmp_path):
+    """A bucket flagged possibly-tombstoned stays flagged across
+    OPTIMIZE (rows unchanged ⇒ flags exactly as conservative as
+    before), and the tombstone rows themselves survive the rewrite so
+    the late-straggler guard still holds."""
+    from assignment4_spark.operators.lakehouse import (
+        TOMBSTONE_COL,
+        init_table,
+        optimize_compact,
+    )
+
+    base = str(tmp_path / "ttbl")
+    seed = spark.range(60).select(
+        F.col("id").alias("k"), F.lit(1).alias("ver"),
+        F.concat(F.lit("p"), F.col("id")).alias("payload"),
+        F.lit(False).alias(TOMBSTONE_COL),
+    )
+    init_table(seed, base, key_col="k", n_buckets=8)
+
+    def tupd(keys, ver, tag, dead):
+        return spark.createDataFrame(
+            [(k, ver, f"{tag}{k}", dead) for k in keys],
+            f"k long, ver int, payload string, {TOMBSTONE_COL} boolean",
+        )
+
+    merge_upsert_manifest(base, tupd([5, 17], 2, "d", True), "ver", "payload")
+    merge_upsert_manifest(
+        base, tupd(list(range(0, 60, 2)), 3, "u", False),
+        "ver", "payload", write_salt=3,
+    )
+    m = load_manifest(base)
+    flagged = set(m.get("tombstone_buckets", []))
+    assert flagged, "delete must flag buckets"
+    out = optimize_compact(spark, base, max_files_per_bucket=1)
+    m2 = load_manifest(base, out["version"])
+    assert set(m2.get("tombstone_buckets", [])) == flagged
+    rows = {r.k for r in read_snapshot(spark, base).collect()}
+    assert 5 not in rows and 17 not in rows
+    # straggler older than the delete still loses latest-wins
+    merge_upsert_manifest(base, tupd([5], 1, "late", False), "ver", "payload")
+    rows = {r.k for r in read_snapshot(spark, base).collect()}
+    assert 5 not in rows, "optimize must not drop the tombstone guard"
+
+
+def test_optimize_preserves_cluster_layout_and_stats(spark, tmp_path):
+    """On a clustered table OPTIMIZE re-packs THROUGH the clustered
+    write: bins per bucket survive, fresh per-file stats land in the
+    manifest, and range pruning still skips files afterwards."""
+    from assignment4_spark.operators.lakehouse import (
+        init_table,
+        optimize_compact,
+        prune_files_by_range,
+    )
+
+    base = str(tmp_path / "ctbl")
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        F.lit(1).alias("ver"),
+        (F.col("id") * 10).cast("double").alias("price"),
+    )
+    init_table(df, base, key_col="k", n_buckets=4, cluster_col="price")
+    merge_upsert_manifest(
+        base,
+        spark.range(0, 400, 2).select(
+            F.col("id").alias("k"), F.lit(2).alias("ver"),
+            (F.col("id") * 10.0 + 1).alias("price"),
+        ),
+        "ver", "price", write_salt=4,
+    )
+    out = optimize_compact(spark, base, max_files_per_bucket=4)
+    assert out["version"] == 3 and out["buckets_optimized"]
+    m = load_manifest(base, 3)
+    for b in out["buckets_optimized"]:
+        # clustered steady-state: one file per bin (+1 for the
+        # width_bucket hi-edge overflow bin), never unbounded splinters
+        assert 1 <= len(m["buckets"][str(b)]) <= 5
+        for f in m["buckets"][str(b)]:
+            assert f in m["file_stats"], "fresh stats must cover new files"
+    kept, skipped = prune_files_by_range(m, 0.0, 100.0)
+    assert skipped, "zone-map pruning must survive the optimize"
+
+
+def test_column_stats_recorded_carried_and_refreshed(spark, tmp_path):
+    """All-column file stats (Delta data skipping): init records
+    [min, max, null_count] for every eligible column; a merge
+    REPLACES the rewritten buckets' entries and CARRIES untouched
+    buckets' entries verbatim; pruning on a never-declared column
+    skips provably-missing files and keeps stats-less ones."""
+    from assignment4_spark.operators.lakehouse import (
+        init_table,
+        prune_files_by_column,
+        read_snapshot_where,
+    )
+
+    base = str(tmp_path / "cstbl")
+    df = spark.range(200).select(
+        F.col("id").alias("k"),
+        F.lit(1).alias("ver"),
+        (F.col("id") * 2.0).alias("x"),
+        F.concat(F.lit("s"), F.format_string("%03d", F.col("id"))).alias("s"),
+        F.when(F.col("id") % 4 == 0, F.col("id")).alias("maybe"),
+    )
+    init_table(df, base, key_col="k", n_buckets=4, cluster_col="x")
+    m1 = load_manifest(base)
+    allfiles = [f for fs in m1["buckets"].values() for f in fs]
+    assert set(m1["column_stats"]) == set(allfiles)
+    some = m1["column_stats"][allfiles[0]]
+    assert set(some) >= {"k", "ver", "x", "s", "maybe"}
+    assert some["maybe"][2] > 0, "null_count must be recorded"
+    # string stats compare lexicographically
+    assert some["s"][0].startswith("s")
+
+    upd = spark.createDataFrame(
+        [(7, 2, 14.0, "zz", None)],
+        "k long, ver int, x double, s string, maybe long",
+    )
+    merge_upsert_manifest(base, upd, "ver", "s")
+    m2 = load_manifest(base)
+    changed = [
+        b for b in m1["buckets"] if m1["buckets"][b] != m2["buckets"][b]
+    ]
+    assert len(changed) == 1
+    for b in m1["buckets"]:
+        for f in m2["buckets"][b]:
+            assert f in m2["column_stats"], f
+            if b not in changed:
+                assert m2["column_stats"][f] == m1["column_stats"][f]
+    # prune on the never-declared string column
+    kept, skipped = prune_files_by_column(m2, "s", "zz", "zz")
+    assert skipped, "most files cannot hold 'zz'"
+    got = {
+        r.k for r in read_snapshot_where(spark, base, "s", "zz", "zz").collect()
+    }
+    assert got == {7}
+
+
+def test_column_stats_fresh_after_rebucket_and_all_null(spark, tmp_path):
+    """Rebucket (carry=False) rebuilds stats fresh for every file — no
+    dead paths carried; an all-NULL column gets no stats entry and its
+    files are conservatively kept by pruning."""
+    from assignment4_spark.operators.lakehouse import (
+        init_table,
+        prune_files_by_column,
+        rebucket_table,
+    )
+
+    base = str(tmp_path / "rbtbl")
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.lit(1).alias("ver"),
+        F.lit(None).cast("double").alias("allnull"),
+        (F.col("id") % 10).cast("double").alias("y"),
+    )
+    init_table(df, base, key_col="k", n_buckets=4)
+    rebucket_table(spark, base, 8)
+    m = load_manifest(base)
+    allfiles = {f for fs in m["buckets"].values() for f in fs}
+    assert set(m["column_stats"]) == allfiles
+    for f, d in m["column_stats"].items():
+        assert "allnull" not in d
+        assert "y" in d
+    kept, skipped = prune_files_by_column(m, "allnull", 0.0, 1.0)
+    assert skipped == [] and len(kept) == len(allfiles)

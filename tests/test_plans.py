@@ -1238,6 +1238,32 @@ def test_sprt_partial_sums_selection_plan(spark, sf_oracle):
             )
 
 
+@pytest.mark.parametrize(
+    "name", ["agg_group_sequential", "agg_msprt_always_valid"]
+)
+def test_sequential_family_windows_only_over_summaries(
+    spark, sf_oracle, name
+):
+    """Group-sequential / mSPRT: the only windows run over the
+    per-(type, day) HashAggregate SUMMARY (O(days) rows), never over
+    raw events — every Window node must sit ABOVE a HashAggregate in
+    the same subtree (the formatted listing numbers nodes in subtree
+    order), and no sort-merge join or per-row walk may appear."""
+    import re as _re
+
+    plan = formatted_plan(spark, name, sf_oracle)
+    assert "SortMergeJoin" not in plan
+    assert "(1) Window" not in plan and " Window\nInput" in plan, plan
+    # summary windows order by the look/day bucket (a post-aggregate
+    # column); a per-row walk would order by ts/event_id — forbid it
+    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for s in specs:
+        assert "ts#" not in s and "event_id#" not in s, (
+            f"{name}: window walks raw event rows: {s[:120]}"
+        )
+
+
 def test_cuped_is_two_hash_aggs_no_join(spark, sf_oracle):
     """agg_cuped_adjustment: one events scan feeding two chained hash
     aggregates — no join, no window (the closed-form variance identity
