@@ -39,6 +39,7 @@ from .operators.lakehouse import (  # noqa: F401
     changes_between,
     clone_table,
     compact_tombstones,
+    delete_keys_mor,
     optimize_compact,
     prune_files_by_column,
     read_snapshot_where,
@@ -141,6 +142,7 @@ __all__ = [
     "CHUNK_SIZE",
     "chunk_text",
     "compact_tombstones",
+    "delete_keys_mor",
     "optimize_compact",
     "prune_files_by_column",
     "read_snapshot_where",

@@ -476,6 +476,7 @@ def read_snapshot_where(
     df = _read_files_aligned(
         spark, kept, manifest["columns"], manifest["column_types"]
     ).filter(F.col(col).between(lo, hi))
+    df = _apply_mor_deletes(spark, df, manifest)
     if not include_tombstones:
         df = _visible_rows(df)
     return df
@@ -627,6 +628,7 @@ def read_snapshot_point(
     df = _read_files_aligned(
         spark, kept, manifest["columns"], manifest["column_types"]
     ).filter(F.col(bcol) == F.lit(value))
+    df = _apply_mor_deletes(spark, df, manifest)
     if not include_tombstones:
         df = _visible_rows(df)
     return df
@@ -728,6 +730,7 @@ def read_snapshot_range(
     df = _read_files_aligned(
         spark, kept, manifest["columns"], manifest["column_types"]
     ).filter(F.col(ccol).between(lo, hi))
+    df = _apply_mor_deletes(spark, df, manifest)
     if not include_tombstones:
         df = _visible_rows(df)
     return df
@@ -1048,6 +1051,7 @@ def read_snapshot(
         df = spark.read.parquet(*files)
     else:
         df = _read_files_aligned(spark, files, cols, types)
+    df = _apply_mor_deletes(spark, df, manifest)
     if not include_tombstones:
         df = _visible_rows(df)
     return df
@@ -1064,6 +1068,34 @@ def _visible_rows(df: DataFrame) -> DataFrame:
     return df.filter(
         ~F.coalesce(F.col(TOMBSTONE_COL).cast("boolean"), F.lit(False))
     ).drop(TOMBSTONE_COL)
+
+
+def _mor_delete_files(manifest: dict) -> list[str]:
+    """Every equality-delete sidecar the manifest references (the
+    merge-on-read pending-delete set), flattened."""
+    return [
+        f
+        for fs in (manifest.get("delete_files") or {}).values()
+        for f in fs
+    ]
+
+
+def _apply_mor_deletes(
+    spark: SparkSession, df: DataFrame, manifest: dict
+) -> DataFrame:
+    """Apply the manifest's PENDING merge-on-read deletes to a read:
+    anti-join the union of equality-delete sidecars on the table key.
+    Delete keys are bucket-scoped by construction (a key's sidecar
+    lives in its own derived bucket), so the global anti-join is
+    exactly the per-bucket application; the delete set is broadcast —
+    it is O(pending deleted keys), the very quantity MOR keeps small
+    between rewrites. No pending deletes → the plan is untouched."""
+    files = _mor_delete_files(manifest)
+    if not files:
+        return df
+    key_col = manifest["key_col"]
+    dk = spark.read.parquet(*files).select(key_col).distinct()
+    return df.join(F.broadcast(dk), key_col, "left_anti")
 
 
 def _gate_expectations(
@@ -1476,6 +1508,8 @@ def vacuum(base_dir: str, keep_last: int = 2) -> dict:
         m = load_manifest(base_dir, v)
         for fs in m["buckets"].values():
             kept_files.update(fs)
+        for fs in (m.get("delete_files") or {}).values():
+            kept_files.update(fs)  # MOR sidecars live like data files
         q = (m.get("expectations") or {}).get("path")
         if q:
             kept_qdirs.add(q)
@@ -1484,7 +1518,9 @@ def vacuum(base_dir: str, keep_last: int = 2) -> dict:
     own = os.path.abspath(base_dir) + os.sep
     for v in expired:
         m = load_manifest(base_dir, v)
-        for fs in m["buckets"].values():
+        for fs in list(m["buckets"].values()) + list(
+            (m.get("delete_files") or {}).values()
+        ):
             # ownership = directory containment: a CLONE's manifests
             # reference files inside the SOURCE table's directory;
             # expiring clone history must drop the references, never
@@ -1900,8 +1936,16 @@ def merge_upsert_manifest(
             if base_files:
                 # aligned, not a plain read: files written before a
                 # schema evolution physically lack added columns / carry
-                # narrower widened types
-                base_df = _read_files_aligned(spark, base_files, cols, res_types)
+                # narrower widened types — and pending MOR deletes apply
+                # BEFORE the merge fold, so this rewrite applies them
+                # physically (its buckets' sidecars clear below) and a
+                # deleted key patched/updated here re-inserts fresh
+                # rather than carrying dead values
+                base_df = _apply_mor_deletes(
+                    spark,
+                    _read_files_aligned(spark, base_files, cols, res_types),
+                    snap,
+                )
             if patch_cols is not None:
                 # fill the carry columns from the pinned snapshot's
                 # visible rows (one row per key by the merge invariant).
@@ -2038,6 +2082,18 @@ def merge_upsert_manifest(
             # work (at 100 TB that scan would dwarf the compaction)
             "tombstone_buckets": tomb_buckets,
         }
+        # pending MOR deletes: this rewrite applied the touched
+        # buckets' sidecars physically (base_df above), so only
+        # untouched buckets' sidecars carry forward
+        dels = {
+            b: fs
+            for b, fs in (snap.get("delete_files") or {}).items()
+            if int(b) not in set(touched) and fs
+        }
+        if dels:
+            manifest["delete_files"] = {
+                k: dels[k] for k in sorted(dels, key=int)
+            }
         if ident is not None:
             manifest["identity_col"] = ident
             manifest["identity_high_water"] = int(new_hw or 0)
@@ -2121,9 +2177,9 @@ def compact_tombstones(
             files = [
                 f for b in candidates for f in snap["buckets"].get(str(b), [])
             ]
-            df = _read_files_aligned(spark, files, cols_, types_).withColumn(
-                "bucket", _bucket_of(key_col, n_buckets)
-            )
+            df = _apply_mor_deletes(
+                spark, _read_files_aligned(spark, files, cols_, types_), snap
+            ).withColumn("bucket", _bucket_of(key_col, n_buckets))
             per = {
                 r.bucket: r.n
                 for r in df.groupBy("bucket")
@@ -2176,6 +2232,17 @@ def compact_tombstones(
             "buckets": {k: buckets[k] for k in sorted(buckets, key=int)},
             "tombstone_buckets": [],
         }
+        # rewritten buckets applied their pending MOR deletes; carry
+        # the rest
+        dels = {
+            b: fs
+            for b, fs in (snap.get("delete_files") or {}).items()
+            if int(b) not in set(doomed) and fs
+        }
+        if dels:
+            manifest["delete_files"] = {
+                k: dels[k] for k in sorted(dels, key=int)
+            }
         _attach_sidecars(spark, snap, manifest, buckets, staging)
         if _publish_manifest(base_dir, manifest):
             return {
@@ -2250,9 +2317,12 @@ def optimize_compact(
             files = [
                 f for b in fragmented for f in snap["buckets"][str(b)]
             ]
-            df = _read_files_aligned(spark, files, cols_, types_).withColumn(
-                "bucket", _bucket_of(key_col, n_buckets)
-            )
+            # pending MOR deletes of the rewritten buckets apply
+            # physically here (visible rows unchanged — they were
+            # already hidden at read); their sidecars clear below
+            df = _apply_mor_deletes(
+                spark, _read_files_aligned(spark, files, cols_, types_), snap
+            ).withColumn("bucket", _bucket_of(key_col, n_buckets))
             _write_clustered(
                 df, staging, key_col, 1, n_buckets,
                 snap.get("cluster_col"), snap.get("cluster_bins", 4),
@@ -2275,6 +2345,16 @@ def optimize_compact(
                 "buckets": {k: buckets[k] for k in sorted(buckets, key=int)},
             }
         )
+        dels = {
+            b: fs
+            for b, fs in (snap.get("delete_files") or {}).items()
+            if int(b) not in set(fragmented) and fs
+        }
+        manifest.pop("delete_files", None)
+        if dels:
+            manifest["delete_files"] = {
+                k: dels[k] for k in sorted(dels, key=int)
+            }
         _attach_sidecars(spark, snap, manifest, buckets, staging)
         if _publish_manifest(base_dir, manifest):
             return {
@@ -2286,6 +2366,83 @@ def optimize_compact(
         shutil.rmtree(staging, ignore_errors=True)
     raise MergeConflictError(
         f"optimize by {writer_id} lost the commit race {max_retries + 1} times"
+    )
+
+
+def delete_keys_mor(
+    spark: SparkSession,
+    base_dir: str,
+    keys_df: DataFrame,
+    writer_id: str = "w0",
+    max_retries: int = 5,
+) -> tuple[int, int]:
+    """Merge-on-read DELETE (Iceberg equality-delete files / Delta
+    deletion-vector intent): commit the DELETED KEYS as per-bucket
+    sidecar parquets and leave every data file untouched — the commit
+    costs O(deleted keys), not O(touched buckets) of rewrite. Readers
+    anti-join the pending delete set (``_apply_mor_deletes`` — wired
+    into every read face and both CDF paths); any later rewrite of a
+    bucket (merge / compact / optimize / rebucket) applies that
+    bucket's pending deletes physically and clears its sidecars, so
+    the read-side anti-join stays O(pending keys between rewrites).
+
+    Contract vs tombstone DELETE (`merge_upsert_manifest` with
+    ``_deleted`` rows): a tombstone is a versioned row — it wins
+    latest-wins against lower-version stragglers until compaction. A
+    MOR delete removes the key's CURRENT row immediately and keeps no
+    guard: any later insert of the key resurrects it regardless of
+    version (Delta DELETE semantics). Choose tombstones when
+    out-of-order stragglers exist; choose MOR when delete latency and
+    write amplification dominate (the GDPR-erasure shape: tiny key
+    sets against huge buckets).
+
+    Returns ``(committed_version, attempts)``. Keys are deduplicated;
+    deleting an absent key is a harmless no-op at read time."""
+    import shutil
+
+    for attempt in range(max_retries + 1):
+        snap = load_manifest(base_dir)
+        key_col, n_buckets = snap["key_col"], snap["n_buckets"]
+        key_type = snap["column_types"][key_col]
+        next_version = snap["version"] + 1
+        staging = _staging_path(
+            base_dir, "mordel", next_version, writer_id, attempt
+        )
+        keys = (
+            keys_df.select(
+                F.col(keys_df.columns[0]).cast(key_type).alias(key_col)
+            )
+            .distinct()
+            .withColumn("bucket", _bucket_of(key_col, n_buckets))
+        )
+        (
+            keys.repartition(F.col("bucket"))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(staging)
+        )
+        new_files = _list_bucket_files(staging)
+        dels = {
+            b: list(fs)
+            for b, fs in (snap.get("delete_files") or {}).items()
+        }
+        for b, fs in new_files.items():
+            dels[str(b)] = dels.get(str(b), []) + fs
+        manifest = _strip_commit_records(
+            {
+                **snap,
+                "version": next_version,
+                "commit_kind": "delete",
+                "writer_id": writer_id,
+                "delete_files": {k: dels[k] for k in sorted(dels, key=int)},
+            }
+        )
+        if _publish_manifest(base_dir, manifest):
+            return next_version, attempt + 1
+        shutil.rmtree(staging, ignore_errors=True)
+    raise MergeConflictError(
+        f"MOR delete by {writer_id} lost the commit race "
+        f"{max_retries + 1} times"
     )
 
 
@@ -2677,23 +2834,35 @@ def changes_between(
         types = _column_types(derived)
     data_cols = [c for c in cols if c != key_col and c != TOMBSTONE_COL]
 
+    # a bucket is unchanged only when BOTH its data-file set and its
+    # pending MOR-delete sidecar set are identical — a merge-on-read
+    # delete commit changes visibility without touching a data file
+    d_from = m_from.get("delete_files") or {}
+    d_to = m_to.get("delete_files") or {}
     changed = [
         b
         for b in set(m_from["buckets"]) | set(m_to["buckets"])
         if m_from["buckets"].get(b, []) != m_to["buckets"].get(b, [])
+        or d_from.get(b, []) != d_to.get(b, [])
     ]
     files_from = [f for b in changed for f in m_from["buckets"].get(b, [])]
     files_to = [f for b in changed for f in m_to["buckets"].get(b, [])]
 
-    def visible(files):
-        return _visible_rows(_read_files_aligned(spark, files, cols, types))
+    def visible(files, manifest):
+        return _visible_rows(
+            _apply_mor_deletes(
+                spark,
+                _read_files_aligned(spark, files, cols, types),
+                manifest,
+            )
+        )
 
-    old = visible(files_from).select(
+    old = visible(files_from, m_from).select(
         F.col(key_col).alias("_k"),
         *[F.col(c).alias(f"old_{c}") for c in data_cols],
         F.lit(True).alias("_in_old"),
     )
-    new = visible(files_to).select(
+    new = visible(files_to, m_to).select(
         F.col(key_col).alias("_k"),
         *[F.col(c).alias(f"new_{c}") for c in data_cols],
         F.lit(True).alias("_in_new"),
@@ -2923,10 +3092,11 @@ def rebucket_table(
                 types = _column_types(derived)
             # include_tombstones semantics: NO visibility filter — a
             # live tombstone must keep suppressing lower-version
-            # stragglers after the rewrite
-            df = _read_files_aligned(spark, files, cols, types).withColumn(
-                "bucket", _bucket_of(key_col, new_n_buckets)
-            )
+            # stragglers after the rewrite. Pending MOR deletes DO
+            # apply (full rewrite = every sidecar applied + cleared)
+            df = _apply_mor_deletes(
+                spark, _read_files_aligned(spark, files, cols, types), snap
+            ).withColumn("bucket", _bucket_of(key_col, new_n_buckets))
             _write_clustered(
                 df, staging, key_col, write_salt, new_n_buckets,
                 snap.get("cluster_col"), snap.get("cluster_bins", 4),
@@ -3302,6 +3472,126 @@ def scan_stats_pruned_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
         .orderBy("etype")
+    )
+
+
+@register(
+    "merge_delete_mor",
+    oracle="""
+    -- MOR delete replay: the delete removes every %7 key's CURRENT
+    -- row; a later merge re-inserts/updates every %1000 key (keys on
+    -- both grids resurrect — the documented no-straggler-guard
+    -- contract); latest-wins over (surviving base ∪ update batch).
+    WITH base AS (
+      SELECT o_orderkey AS k, 1 AS ver, o_orderstatus AS status,
+             o_totalprice AS price
+      FROM orders
+    ), vis0 AS (
+      SELECT * FROM base WHERE k % 7 <> 0
+    ), u AS (
+      SELECT o_orderkey, 2, 'M', o_totalprice + 55
+      FROM orders WHERE o_orderkey % 1000 = 0
+    ), latest AS (
+      SELECT k, ver, status, price,
+             ROW_NUMBER() OVER (PARTITION BY k
+                                ORDER BY ver DESC, status) AS rn
+      FROM (SELECT * FROM vis0 UNION ALL SELECT * FROM u)
+    )
+    SELECT status,
+           COUNT(*)                 AS n_rows,
+           CAST(SUM(ver) AS BIGINT) AS sum_ver,
+           ROUND(SUM(price), 2)     AS sum_price
+    FROM latest
+    WHERE rn = 1
+    GROUP BY status
+    ORDER BY status
+    """,
+)
+def merge_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of merge-on-read DELETE (Iceberg equality-delete
+    files / the Delta deletion-vector intent): seed orders at 32
+    buckets (v1), MOR-delete every 7th key (v2 — the commit writes
+    ONLY per-bucket key sidecars; the inline assert pins that v2's
+    data-file map is BYTE-IDENTICAL to v1's, the O(deleted keys) claim
+    that distinguishes MOR from copy-on-write), then merge every
+    1000th key (v3 — rewritten buckets apply their pending deletes
+    physically and clear their sidecars; untouched buckets keep
+    theirs, asserted both ways) and aggregate the final snapshot.
+
+    Contract surfaced by the oracle: keys on BOTH grids (%7000)
+    resurrect — a MOR delete removes the current row and keeps no
+    straggler guard (Delta DELETE semantics); the tombstone path
+    (merge_delete_tombstones) is the guarded alternative. The CDC
+    feed sees the delete commit as real deletes (changes_between
+    detects delete-sidecar changes even though no data file moved —
+    inline-asserted), and DESCRIBE HISTORY stamps kind='delete'.
+
+    Scale shape: the GDPR-erasure shape — a tiny key set against huge
+    buckets costs one sidecar write per touched bucket instead of a
+    bucket rewrite; reads pay one broadcast anti-join of O(pending
+    keys) until the next rewrite absorbs them.
+    Reference provenance: the reference's Pinecone index deletes by
+    id with no reconciliation (SURVEY §2 A15); public recipe =
+    Iceberg equality deletes / Delta deletion vectors."""
+    import shutil
+
+    from .scans import _adir
+
+    base_dir = _adir(sf_dir, "merge_mor_table")
+    shutil.rmtree(base_dir, ignore_errors=True)
+
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("ver"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    init_table(orders, base_dir, key_col="k", n_buckets=32)
+    m1 = load_manifest(base_dir)
+
+    doomed_keys = orders.filter(F.col("k") % 7 == 0).select("k")
+    v2, tries = delete_keys_mor(spark, base_dir, doomed_keys)
+    if (v2, tries) != (2, 1):
+        raise AssertionError(f"MOR delete must commit v2 first-try: {(v2, tries)}")
+    m2 = load_manifest(base_dir, 2)
+    if m2["buckets"] != m1["buckets"]:
+        raise AssertionError("MOR delete must not touch any data file")
+    if not m2.get("delete_files"):
+        raise AssertionError("MOR delete must record sidecars")
+    if table_history(base_dir)[-1]["kind"] != "delete":
+        raise AssertionError("history must stamp the delete commit")
+    feed = changes_between(spark, base_dir, 1, 2)
+    n_del = doomed_keys.count()
+    if feed.filter(F.col("change_type") != "delete").count() != 0:
+        raise AssertionError("the delete commit's CDF must be pure deletes")
+    if feed.count() != n_del:
+        raise AssertionError("CDF must surface every MOR-deleted key")
+
+    u = orders.filter(F.col("k") % 1000 == 0).select(
+        "k", F.lit(2).alias("ver"), F.lit("M").alias("status"),
+        (F.col("price") + 55).alias("price"),
+    )
+    merge_upsert_manifest(base_dir, u, ver_col="ver", tiebreak_col="status")
+    m3 = load_manifest(base_dir, 3)
+    touched = {
+        b for b in m1["buckets"] if m3["buckets"][b] != m2["buckets"][b]
+    }
+    d3 = m3.get("delete_files") or {}
+    if any(b in d3 for b in touched):
+        raise AssertionError("rewritten buckets must clear their sidecars")
+    survivors = set(m2["delete_files"]) - touched
+    if survivors and not all(b in d3 for b in survivors):
+        raise AssertionError("untouched buckets must keep their sidecars")
+
+    return (
+        read_snapshot(spark, base_dir)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("ver").alias("sum_ver"),
+            F.round(F.sum("price"), 2).alias("sum_price"),
+        )
+        .orderBy("status")
     )
 
 

@@ -112,7 +112,8 @@ class _StepBucketDiff(InputPartition):
     so read() needs no driver callback and no SparkSession."""
 
     def __init__(self, files_from, files_to, commit_version,
-                 key_col, data_cols, types, tombstone_col):
+                 key_col, data_cols, types, tombstone_col,
+                 dels_from=(), dels_to=()):
         self.files_from = files_from
         self.files_to = files_to
         self.commit_version = commit_version
@@ -120,6 +121,10 @@ class _StepBucketDiff(InputPartition):
         self.data_cols = data_cols
         self.types = types
         self.tombstone_col = tombstone_col
+        # per-side equality-delete sidecars for THIS bucket (merge-on-
+        # read deletes change visibility without touching data files)
+        self.dels_from = list(dels_from)
+        self.dels_to = list(dels_to)
 
 
 def _diff_bucket(part: _StepBucketDiff):
@@ -129,14 +134,29 @@ def _diff_bucket(part: _StepBucketDiff):
     'same'; copied-but-unchanged rows never report)."""
     key, data = part.key_col, part.data_cols
     cols = [key] + data + [part.tombstone_col]
+
+    def _minus_mor(df, del_files):
+        # apply the side's pending MOR deletes: anti-filter on the key
+        # (the pandas mirror of _apply_mor_deletes)
+        if not del_files or df.empty:
+            return df
+        dead = _read_aligned_pandas(del_files, [key], part.types)
+        return df[~df[key].isin(set(dead[key]))]
+
     # tombstone col may predate tombstone support in old files; the
     # aligned read backfills it as NULL either way
     old = _visible_pandas(
-        _read_aligned_pandas(part.files_from, cols, part.types),
+        _minus_mor(
+            _read_aligned_pandas(part.files_from, cols, part.types),
+            part.dels_from,
+        ),
         part.tombstone_col,
     )
     new = _visible_pandas(
-        _read_aligned_pandas(part.files_to, cols, part.types),
+        _minus_mor(
+            _read_aligned_pandas(part.files_to, cols, part.types),
+            part.dels_to,
+        ),
         part.tombstone_col,
     )
     # indicator name must not start with '_' (itertuples would mangle
@@ -269,14 +289,22 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
                     f"but it was vacuumed past retention at {self._base}; "
                     "restart the stream from a retained start_version"
                 ) from ex
+            d_from_all = m_from.get("delete_files") or {}
+            d_to_all = m_to.get("delete_files") or {}
             for b in sorted(set(m_from["buckets"]) | set(m_to["buckets"])):
                 f_from = m_from["buckets"].get(b, [])
                 f_to = m_to["buckets"].get(b, [])
-                if f_from != f_to:  # manifest pruning: identical file
-                    parts.append(  # sets cannot hold a logical change
+                d_from = d_from_all.get(b, [])
+                d_to = d_to_all.get(b, [])
+                # manifest pruning: identical data-file AND delete-
+                # sidecar sets cannot hold a logical change (a MOR
+                # delete changes visibility without touching data)
+                if f_from != f_to or d_from != d_to:
+                    parts.append(
                         _StepBucketDiff(
                             f_from, f_to, v + 1,
                             key_col, data_cols, types, tomb,
+                            d_from, d_to,
                         )
                     )
         return parts

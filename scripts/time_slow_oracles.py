@@ -59,6 +59,7 @@ WRITE_PATH_PROTOCOL = [
     "merge_wap_publish",
     "merge_optimize_compact",
     "scan_stats_pruned_filter",
+    "merge_delete_mor",
 ]
 
 

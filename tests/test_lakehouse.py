@@ -2528,3 +2528,194 @@ def test_column_stats_fresh_after_rebucket_and_all_null(spark, tmp_path):
         assert "y" in d
     kept, skipped = prune_files_by_column(m, "allnull", 0.0, 1.0)
     assert skipped == [] and len(kept) == len(allfiles)
+
+
+def test_mor_delete_removes_now_and_resurrects_on_insert(spark, tmp_path):
+    """MOR delete contract: the key's CURRENT row vanishes from every
+    read immediately (no data file rewritten), and — unlike tombstones
+    — a later insert resurrects it regardless of version (Delta DELETE
+    semantics, no straggler guard). Two MOR deletes stack."""
+    from assignment4_spark.operators.lakehouse import delete_keys_mor
+
+    base = _mk_table(spark, tmp_path, n=100)
+    m1 = load_manifest(base)
+    v, tries = delete_keys_mor(
+        spark, base, spark.createDataFrame([(5,), (17,)], "k long")
+    )
+    assert (v, tries) == (2, 1)
+    m2 = load_manifest(base)
+    assert m2["buckets"] == m1["buckets"], "no data file may move"
+    rows = {r.k for r in read_snapshot(spark, base).collect()}
+    assert 5 not in rows and 17 not in rows and len(rows) == 98
+    # pinned v1 still sees everything
+    assert len(read_snapshot(spark, base, version=1).collect()) == 100
+    # second MOR delete stacks
+    delete_keys_mor(spark, base, spark.createDataFrame([(30,)], "k long"))
+    rows = {r.k for r in read_snapshot(spark, base).collect()}
+    assert rows.isdisjoint({5, 17, 30}) and len(rows) == 97
+    # resurrection: ver=0 is LOWER than the seed's ver=1 — a tombstone
+    # would suppress it; MOR must not
+    merge_upsert_manifest(base, _upd(spark, [5], 0, "back"), "ver", "payload")
+    rows = {r.k: r.payload for r in read_snapshot(spark, base).collect()}
+    assert rows[5] == "back5" and 17 not in rows
+
+
+def test_mor_rewrite_applies_and_clears_sidecars(spark, tmp_path):
+    """Any bucket rewrite applies that bucket's pending deletes
+    PHYSICALLY (the key is gone from the new files, not just hidden)
+    and clears its sidecars; untouched buckets keep theirs."""
+    from assignment4_spark.operators.lakehouse import (
+        _bucket_of,
+        _read_files_aligned,
+        delete_keys_mor,
+    )
+
+    base = _mk_table(spark, tmp_path, n=200, n_buckets=8)
+    delete_keys_mor(
+        spark, base, spark.createDataFrame([(7,), (8,), (9,)], "k long")
+    )
+    m2 = load_manifest(base)
+    assert m2.get("delete_files")
+    # which bucket holds key 7?
+    b7 = spark.range(1).select(
+        F.lit(7).cast("long").alias("k")
+    ).withColumn("b", _bucket_of("k", 8)).first().b
+    # rewrite key 7's bucket by updating a key that hashes there — key
+    # 7 itself works (an update of a MOR-deleted key re-inserts it, so
+    # use a DIFFERENT key in the same bucket if any; key 7+8k hashing
+    # is not guaranteed, so update key 7 and check keys 8/9 instead)
+    merge_upsert_manifest(base, _upd(spark, [7], 2, "u"), "ver", "payload")
+    m3 = load_manifest(base)
+    assert str(b7) not in (m3.get("delete_files") or {}), "sidecar must clear"
+    # the rewritten bucket's files physically lack every OTHER pending
+    # key of that bucket
+    dead_in_b7 = {
+        k for k in (8, 9)
+        if spark.range(1).select(F.lit(k).cast("long").alias("k"))
+        .withColumn("b", _bucket_of("k", 8)).first().b == b7
+    }
+    files = m3["buckets"][str(b7)]
+    physical = {
+        r.k
+        for r in _read_files_aligned(
+            spark, files, m3["columns"], m3["column_types"]
+        ).collect()
+    }
+    assert 7 in physical and physical.isdisjoint(dead_in_b7)
+    rows = {r.k: r.payload for r in read_snapshot(spark, base).collect()}
+    assert rows[7] == "u7" and 8 not in rows and 9 not in rows
+
+
+def test_mor_applies_on_every_pruned_read_face(spark, tmp_path):
+    """read_snapshot_range / read_snapshot_where / read_snapshot_point
+    all anti-join the pending delete set — a stats- or bloom-pruned
+    scan must never leak a deleted row."""
+    from assignment4_spark.operators.lakehouse import (
+        delete_keys_mor,
+        init_table,
+        read_snapshot_point,
+        read_snapshot_range,
+        read_snapshot_where,
+    )
+
+    base = str(tmp_path / "mor_pruned")
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        F.lit(1).alias("ver"),
+        (F.col("id") * 1.0).alias("x"),
+        F.concat(F.lit("u"), F.col("id")).alias("tag"),
+    )
+    init_table(
+        df, base, key_col="k", n_buckets=4, cluster_col="x",
+        bloom_col="tag",
+    )
+    delete_keys_mor(spark, base, spark.createDataFrame([(50,)], "k long"))
+    assert 50 not in {
+        r.k for r in read_snapshot_range(spark, base, 40.0, 60.0).collect()
+    }
+    assert 50 not in {
+        r.k for r in read_snapshot_where(spark, base, "x", 40.0, 60.0).collect()
+    }
+    assert read_snapshot_point(spark, base, "u50").count() == 0
+
+
+def test_mor_vacuum_retention_of_sidecars(spark, tmp_path):
+    """Delete sidecars live like data files under retention: kept
+    versions' sidecars survive vacuum; expired-only sidecars are
+    reclaimed; a post-rewrite vacuum reclaims the applied sidecars."""
+    import os
+
+    from assignment4_spark.operators.lakehouse import (
+        _mor_delete_files,
+        delete_keys_mor,
+        vacuum,
+    )
+
+    base = _mk_table(spark, tmp_path, n=60)
+    delete_keys_mor(spark, base, spark.createDataFrame([(3,)], "k long"))
+    m2 = load_manifest(base)
+    sidecars = _mor_delete_files(m2)
+    assert sidecars
+    merge_upsert_manifest(base, _upd(spark, [40], 2, "u"), "ver", "payload")
+    vacuum(base, keep_last=2)  # keeps v2+v3; v2's sidecars still live
+    assert all(os.path.exists(f) for f in sidecars)
+    rows = {r.k for r in read_snapshot(spark, base).collect()}
+    assert 3 not in rows
+    # rebucket applies EVERY pending delete and clears all sidecars;
+    # the next vacuum (expiring the pre-rewrite versions) reclaims them
+    from assignment4_spark.operators.lakehouse import rebucket_table
+
+    rebucket_table(spark, base, 16)
+    assert load_manifest(base).get("delete_files") in (None, {})
+    vacuum(base, keep_last=1)
+    assert all(not os.path.exists(f) for f in sidecars)
+    rows = {r.k for r in read_snapshot(spark, base).collect()}
+    assert 3 not in rows and 40 in rows
+
+
+def test_mor_optimize_applies_pending_deletes(spark, tmp_path):
+    """OPTIMIZE of a fragmented bucket with pending MOR deletes keeps
+    visible rows byte-identical, clears the bucket's sidecars, and the
+    pre/post CDF still diffs empty."""
+    from assignment4_spark.operators.lakehouse import (
+        changes_between,
+        delete_keys_mor,
+        optimize_compact,
+    )
+
+    base = _mk_table(spark, tmp_path, n=100)
+    merge_upsert_manifest(
+        base, _upd(spark, list(range(0, 100, 2)), 2, "u"),
+        "ver", "payload", write_salt=4,
+    )
+    delete_keys_mor(
+        spark, base, spark.createDataFrame([(2,), (4,)], "k long")
+    )
+    pre = sorted(
+        (r.k, r.ver, r.payload) for r in read_snapshot(spark, base).collect()
+    )
+    out = optimize_compact(spark, base, max_files_per_bucket=1)
+    assert out["version"] == 4
+    assert load_manifest(base).get("delete_files") in (None, {})
+    post = sorted(
+        (r.k, r.ver, r.payload) for r in read_snapshot(spark, base).collect()
+    )
+    assert post == pre and all(k not in (2, 4) for k, _, _ in post)
+    assert changes_between(spark, base, 3, 4).count() == 0
+
+
+def test_mor_cdf_surfaces_delete_without_file_churn(spark, tmp_path):
+    """changes_between must detect a MOR delete commit even though NO
+    data file changed — the sidecar diff is the change signal."""
+    from assignment4_spark.operators.lakehouse import (
+        changes_between,
+        delete_keys_mor,
+    )
+
+    base = _mk_table(spark, tmp_path, n=50)
+    delete_keys_mor(
+        spark, base, spark.createDataFrame([(10,), (11,)], "k long")
+    )
+    feed = changes_between(spark, base, 1, 2).collect()
+    assert {r.k for r in feed} == {10, 11}
+    assert all(r.change_type == "delete" for r in feed)

@@ -1119,3 +1119,72 @@ def test_cumulative_quarantine_survives_vacuum_and_empty(spark, tmp_path):
     vacuum(base, keep_last=2)  # expires v1 (and its slot)
     q2 = bd.cumulative_quarantine(spark, base)
     assert q2.count() == 1 and q2.collect()[0].k == 2
+
+
+def test_stream_cdf_surfaces_mor_delete_commit(spark, tmp_path):
+    """The streaming CDF source must emit a merge-on-read delete
+    commit's rows even though the commit touched NO data file — the
+    per-bucket delete-sidecar diff is the partition-planning signal,
+    and the pandas diff task anti-filters each side's pending keys
+    (mirroring _apply_mor_deletes)."""
+    import time as _t
+
+    from assignment4_spark.operators.lakehouse import (
+        delete_keys_mor,
+        init_table,
+        merge_upsert_manifest,
+    )
+    from assignment4_spark.sources import register_once
+    from assignment4_spark.sources.lakehouse_cdf import LakehouseCDFDataSource
+
+    register_once(spark, LakehouseCDFDataSource)
+    base = str(tmp_path / "mor_cdc_tbl")
+    seed = spark.range(40).select(
+        F.col("id").alias("k"), F.lit(1).alias("ver"),
+        (F.col("id") * 10).cast("double").alias("val"),
+    )
+    init_table(seed, base, key_col="k", n_buckets=8)
+    merge_upsert_manifest(
+        base,
+        spark.range(0, 40, 5).select(
+            F.col("id").alias("k"), F.lit(2).alias("ver"),
+            (F.col("id") * 10 + 100).cast("double").alias("val"),
+        ),
+        "ver", "val",
+    )
+    delete_keys_mor(
+        spark, base, spark.createDataFrame([(3,), (5,), (7,)], "k long")
+    )
+    want = _cdf_expected(spark, base, 1, 3)
+    n_want = want.count()
+
+    feed = (
+        spark.readStream.format("lakehouse_cdf")
+        .option("path", base)
+        .option("start_version", 1)
+        .option("versions_per_batch", 1)
+        .load()
+    )
+    name = "sink_cdf_mor"
+    q = (
+        feed.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(processingTime="0 seconds").start()
+    )
+    try:
+        deadline = _t.time() + 120
+        while _t.time() < deadline:
+            if spark.table(name).count() == n_want:
+                break
+            _t.sleep(0.5)
+        assert_frames_equal(spark.table(name), want)
+        got_del = (
+            spark.table(name)
+            .filter(
+                (F.col("_commit_version") == 3)
+                & (F.col("change_type") == "delete")
+            )
+            .collect()
+        )
+        assert {r.k for r in got_del} == {3, 5, 7}
+    finally:
+        q.stop()
