@@ -42,6 +42,8 @@ from .operators.lakehouse import (  # noqa: F401
     delete_keys_mor,
     optimize_compact,
     prune_files_by_column,
+    prune_files_by_null,
+    read_snapshot_null,
     read_snapshot_where,
     init_table,
     latest_version,
@@ -145,6 +147,8 @@ __all__ = [
     "delete_keys_mor",
     "optimize_compact",
     "prune_files_by_column",
+    "prune_files_by_null",
+    "read_snapshot_null",
     "read_snapshot_where",
     "compose_markdown",
     "compose_pdf",

@@ -454,6 +454,64 @@ def prune_files_by_column(
     return kept, skipped
 
 
+def prune_files_by_null(
+    manifest: dict, col: str, want_null: bool
+) -> tuple[list, list]:
+    """Plan an IS [NOT] NULL read from the all-column file statistics:
+    (kept, skipped). For ``IS NULL``: a file whose recorded null_count
+    is 0 provably holds no NULL row — skip it; a file with NO stats
+    entry for the column is either all-NULL (stats skip all-NULL
+    columns) or stats-less — kept either way. For ``IS NOT NULL``:
+    only a file with NO entry AND stats for some other column can be
+    proven all-NULL... which the [min,max,nulls] shape cannot
+    distinguish from 'column added after this file was written', so
+    IS NOT NULL conservatively skips nothing with an absent entry and
+    skips a present entry only when null_count equals... unknown row
+    count — also never. Net: IS NULL prunes (the useful direction —
+    completeness audits scan for missing values), IS NOT NULL keeps
+    all; both stay exact because pruning is only ever an optimization
+    over the row filter that follows."""
+    stats = manifest.get("column_stats", {})
+    kept, skipped = [], []
+    for fs in manifest["buckets"].values():
+        for f in fs:
+            s = stats.get(f, {}).get(col)
+            if want_null and s is not None and s[2] == 0:
+                skipped.append(f)
+            else:
+                kept.append(f)
+    return kept, skipped
+
+
+def read_snapshot_null(
+    spark: SparkSession,
+    base_dir: str,
+    col: str,
+    version: int | None = None,
+    include_tombstones: bool = False,
+) -> DataFrame:
+    """Completeness-audit read: the rows where ``col`` IS NULL, planned
+    from the per-file null counts — files recording zero NULLs for the
+    column are never opened (the data-quality scan that at 100 TB
+    should cost O(files with holes), not O(table))."""
+    manifest = load_manifest(base_dir, version)
+    kept, _ = prune_files_by_null(manifest, col, want_null=True)
+    if not kept:
+        ddl = ", ".join(
+            f"`{c}` {manifest['column_types'][c]}"
+            for c in manifest["columns"]
+        )
+        df = spark.createDataFrame([], ddl)
+    else:
+        df = _read_files_aligned(
+            spark, kept, manifest["columns"], manifest["column_types"]
+        ).filter(F.col(col).isNull())
+        df = _apply_mor_deletes(spark, df, manifest)
+    if not include_tombstones:
+        df = _visible_rows(df)
+    return df
+
+
 def read_snapshot_where(
     spark: SparkSession,
     base_dir: str,
@@ -3585,6 +3643,92 @@ def merge_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         read_snapshot(spark, base_dir)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("ver").alias("sum_ver"),
+            F.round(F.sum("price"), 2).alias("sum_price"),
+        )
+        .orderBy("status")
+    )
+
+
+@register(
+    "scan_null_pruned_audit",
+    oracle="""
+    -- latest-wins replay, then the IS NULL completeness audit the
+    -- engine answers with null-count file skipping
+    WITH base AS (
+      SELECT o_orderkey AS k, 1 AS ver, o_orderstatus AS status,
+             o_totalprice AS price, 'ok' AS note
+      FROM orders
+    ), u AS (
+      SELECT o_orderkey, 2, o_orderstatus, o_totalprice,
+             CAST(NULL AS VARCHAR)
+      FROM orders WHERE o_orderkey % 3750 = 0
+    ), latest AS (
+      SELECT k, ver, status, price, note,
+             ROW_NUMBER() OVER (PARTITION BY k
+                                ORDER BY ver DESC, status) AS rn
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM u)
+    )
+    SELECT status,
+           COUNT(*)                 AS n_rows,
+           CAST(SUM(ver) AS BIGINT) AS sum_ver,
+           ROUND(SUM(price), 2)     AS sum_price
+    FROM latest
+    WHERE rn = 1 AND note IS NULL
+    GROUP BY status
+    ORDER BY status
+    """,
+)
+def scan_null_pruned_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of null-count file skipping — the completeness
+    audit ('which rows are missing this attribute?') planned from the
+    per-file column statistics' null_count: files recording ZERO nulls
+    for the column are never opened. Seed orders with a fully-populated
+    note column (64 buckets), merge a sparse hole batch (every 3750th
+    key, note = NULL — touching a few buckets at every fixture scale),
+    then read the IS NULL
+    rows via read_snapshot_null: only the rewritten buckets' files
+    record nulls, so the untouched majority of files skip — inline
+    assert pins files-read < files-written. At 100 TB this turns a
+    data-quality sweep from O(table) into O(files with holes).
+    The oracle is the plain latest-wins replay + IS NULL filter —
+    pruning is invisible to results, by construction.
+    Reference provenance: none (the reference has no storage layer);
+    public recipe = Delta file statistics nullCount skipping."""
+    import shutil
+
+    from .scans import _adir
+
+    base_dir = _adir(sf_dir, "scan_null_audit_table")
+    shutil.rmtree(base_dir, ignore_errors=True)
+
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("ver"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        F.lit("ok").alias("note"),
+    )
+    init_table(orders, base_dir, key_col="k", n_buckets=64)
+    u = orders.filter(F.col("k") % 3750 == 0).select(
+        "k", F.lit(2).alias("ver"), "status", "price",
+        F.lit(None).cast("string").alias("note"),
+    )
+    merge_upsert_manifest(base_dir, u, ver_col="ver", tiebreak_col="status")
+
+    m = load_manifest(base_dir)
+    kept, skipped = prune_files_by_null(m, "note", want_null=True)
+    if not skipped or not kept:
+        raise AssertionError(
+            f"null audit must skip hole-free files and keep hole files: "
+            f"kept={len(kept)} skipped={len(skipped)}"
+        )
+
+    return (
+        read_snapshot_null(spark, base_dir, "note")
         .groupBy("status")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

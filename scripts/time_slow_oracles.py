@@ -60,6 +60,7 @@ WRITE_PATH_PROTOCOL = [
     "merge_optimize_compact",
     "scan_stats_pruned_filter",
     "merge_delete_mor",
+    "scan_null_pruned_audit",
 ]
 
 

@@ -2719,3 +2719,38 @@ def test_mor_cdf_surfaces_delete_without_file_churn(spark, tmp_path):
     feed = changes_between(spark, base, 1, 2).collect()
     assert {r.k for r in feed} == {10, 11}
     assert all(r.change_type == "delete" for r in feed)
+
+
+def test_null_pruning_conservative_and_exact(spark, tmp_path):
+    """IS NULL pruning: zero-null files skip, files with holes keep,
+    stats-less/all-null files keep conservatively; the read's rows
+    equal the unpruned filter exactly, and MOR deletes still apply."""
+    from assignment4_spark.operators.lakehouse import (
+        delete_keys_mor,
+        init_table,
+        prune_files_by_null,
+        read_snapshot_null,
+    )
+
+    base = str(tmp_path / "nulltbl")
+    df = spark.range(120).select(
+        F.col("id").alias("k"),
+        F.lit(1).alias("ver"),
+        F.when(F.col("id") % 40 == 0, None)
+        .otherwise(F.concat(F.lit("v"), F.col("id")))
+        .alias("attr"),
+        F.lit(None).cast("double").alias("allnull"),
+    )
+    init_table(df, base, key_col="k", n_buckets=6)
+    m = load_manifest(base)
+    kept, skipped = prune_files_by_null(m, "attr", want_null=True)
+    got = {r.k for r in read_snapshot_null(spark, base, "attr").collect()}
+    assert got == {0, 40, 80}
+    # all-null column: no stats entry → every file kept, all rows out
+    k2, s2 = prune_files_by_null(m, "allnull", want_null=True)
+    assert s2 == []
+    assert read_snapshot_null(spark, base, "allnull").count() == 120
+    # MOR delete applies on the audit read too
+    delete_keys_mor(spark, base, spark.createDataFrame([(40,)], "k long"))
+    got = {r.k for r in read_snapshot_null(spark, base, "attr").collect()}
+    assert got == {0, 80}
