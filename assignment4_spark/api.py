@@ -40,6 +40,7 @@ from .operators.lakehouse import (  # noqa: F401
     clone_table,
     compact_tombstones,
     delete_keys_mor,
+    drop_column,
     optimize_compact,
     prune_files_by_column,
     prune_files_by_null,
@@ -145,6 +146,7 @@ __all__ = [
     "chunk_text",
     "compact_tombstones",
     "delete_keys_mor",
+    "drop_column",
     "optimize_compact",
     "prune_files_by_column",
     "prune_files_by_null",

@@ -156,8 +156,23 @@ def _resolve_evolved_schema(
     return columns, types
 
 
+def _group_version(group_dir: str) -> int | None:
+    """Commit version parsed from a staging-directory name
+    (``{prefix}_v{N}_{writer}_…`` — see _staging_path). None for
+    unparseable legacy paths (callers then trust the file's physical
+    columns, the pre-epoch behavior)."""
+    import re as _re
+
+    m = _re.match(r"[a-z]+_v(\d+)_", os.path.basename(group_dir))
+    return int(m.group(1)) if m else None
+
+
 def _read_files_aligned(
-    spark: SparkSession, files: list, columns: list, column_types: dict
+    spark: SparkSession,
+    files: list,
+    columns: list,
+    column_types: dict,
+    column_epochs: dict | None = None,
 ) -> DataFrame:
     """Read manifest files and align every row to the manifest's
     LOGICAL schema. Files written before a schema evolution physically
@@ -182,9 +197,23 @@ def _read_files_aligned(
         # …/commit_vN_*/bucket=B/part-*.parquet → group on the commit dir
         groups.setdefault(os.path.dirname(os.path.dirname(f)), []).append(f)
     parts = []
-    for _, fs in sorted(groups.items()):
+    for gdir, fs in sorted(groups.items()):
         df = spark.read.parquet(*fs)
         have = set(df.columns)
+        if column_epochs:
+            # column-epoch guard (DROP COLUMN + re-add): a file group
+            # written BEFORE a column's (re-)introduction may still
+            # physically carry same-named bytes from the dropped
+            # incarnation — those are the OLD epoch's values and must
+            # read as NULL, exactly as if the file lacked the column
+            # (Delta column-mapping reads by field id for the same
+            # reason). Groups with unparseable legacy names keep the
+            # trust-the-file behavior.
+            gv = _group_version(gdir)
+            if gv is not None:
+                have = {
+                    c for c in have if int(column_epochs.get(c, 0)) <= gv
+                }
         parts.append(
             df.select(
                 *[
@@ -504,7 +533,8 @@ def read_snapshot_null(
         df = spark.createDataFrame([], ddl)
     else:
         df = _read_files_aligned(
-            spark, kept, manifest["columns"], manifest["column_types"]
+            spark, kept, manifest["columns"], manifest["column_types"],
+            manifest.get("column_epochs"),
         ).filter(F.col(col).isNull())
         df = _apply_mor_deletes(spark, df, manifest)
     if not include_tombstones:
@@ -532,7 +562,8 @@ def read_snapshot_where(
     manifest = load_manifest(base_dir, version)
     kept, _ = prune_files_by_column(manifest, col, lo, hi)
     df = _read_files_aligned(
-        spark, kept, manifest["columns"], manifest["column_types"]
+        spark, kept, manifest["columns"], manifest["column_types"],
+        manifest.get("column_epochs"),
     ).filter(F.col(col).between(lo, hi))
     df = _apply_mor_deletes(spark, df, manifest)
     if not include_tombstones:
@@ -684,7 +715,8 @@ def read_snapshot_point(
         df = spark.createDataFrame([], ddl)
         return df if include_tombstones else _visible_rows(df)
     df = _read_files_aligned(
-        spark, kept, manifest["columns"], manifest["column_types"]
+        spark, kept, manifest["columns"], manifest["column_types"],
+        manifest.get("column_epochs"),
     ).filter(F.col(bcol) == F.lit(value))
     df = _apply_mor_deletes(spark, df, manifest)
     if not include_tombstones:
@@ -786,7 +818,8 @@ def read_snapshot_range(
         )
     kept, _ = prune_files_by_range(manifest, lo, hi)
     df = _read_files_aligned(
-        spark, kept, manifest["columns"], manifest["column_types"]
+        spark, kept, manifest["columns"], manifest["column_types"],
+        manifest.get("column_epochs"),
     ).filter(F.col(ccol).between(lo, hi))
     df = _apply_mor_deletes(spark, df, manifest)
     if not include_tombstones:
@@ -1062,6 +1095,9 @@ def init_table(
             else []
         ),
     }
+    # every column is first-epoch at init (see _read_files_aligned's
+    # column-epoch guard — DROP + re-add needs per-column birth versions)
+    manifest["column_epochs"] = {c: 1 for c in df.columns}
     # all-column file statistics (Delta data skipping) — every commit
     # path records them; init is the first
     manifest["column_stats"] = _staged_column_stats(
@@ -1108,7 +1144,9 @@ def read_snapshot(
     if cols is None or types is None:
         df = spark.read.parquet(*files)
     else:
-        df = _read_files_aligned(spark, files, cols, types)
+        df = _read_files_aligned(
+            spark, files, cols, types, manifest.get("column_epochs")
+        )
     df = _apply_mor_deletes(spark, df, manifest)
     if not include_tombstones:
         df = _visible_rows(df)
@@ -2001,7 +2039,10 @@ def merge_upsert_manifest(
                 # rather than carrying dead values
                 base_df = _apply_mor_deletes(
                     spark,
-                    _read_files_aligned(spark, base_files, cols, res_types),
+                    _read_files_aligned(
+                        spark, base_files, cols, res_types,
+                        snap.get("column_epochs"),
+                    ),
                     snap,
                 )
             if patch_cols is not None:
@@ -2140,6 +2181,19 @@ def merge_upsert_manifest(
             # work (at 100 TB that scan would dwarf the compaction)
             "tombstone_buckets": tomb_buckets,
         }
+        # column epochs: carried columns keep their birth version;
+        # columns NEW to this commit (evolve-add, or a RE-ADD of a
+        # previously dropped name) are born at next_version, so the
+        # epoch guard NULLs same-named stale bytes in older file groups
+        snap_epochs = snap.get("column_epochs") or {}
+        manifest["column_epochs"] = {
+            c: (
+                int(snap_epochs.get(c, 1))
+                if expected is not None and c in expected
+                else next_version
+            )
+            for c in res_columns
+        }
         # pending MOR deletes: this rewrite applied the touched
         # buckets' sidecars physically (base_df above), so only
         # untouched buckets' sidecars carry forward
@@ -2236,7 +2290,11 @@ def compact_tombstones(
                 f for b in candidates for f in snap["buckets"].get(str(b), [])
             ]
             df = _apply_mor_deletes(
-                spark, _read_files_aligned(spark, files, cols_, types_), snap
+                spark,
+                _read_files_aligned(
+                    spark, files, cols_, types_, snap.get("column_epochs")
+                ),
+                snap,
             ).withColumn("bucket", _bucket_of(key_col, n_buckets))
             per = {
                 r.bucket: r.n
@@ -2289,6 +2347,8 @@ def compact_tombstones(
             "column_types": dict(types_),
             "buckets": {k: buckets[k] for k in sorted(buckets, key=int)},
             "tombstone_buckets": [],
+            "column_epochs": snap.get("column_epochs")
+            or {c: 1 for c in cols_},
         }
         # rewritten buckets applied their pending MOR deletes; carry
         # the rest
@@ -2379,7 +2439,11 @@ def optimize_compact(
             # physically here (visible rows unchanged — they were
             # already hidden at read); their sidecars clear below
             df = _apply_mor_deletes(
-                spark, _read_files_aligned(spark, files, cols_, types_), snap
+                spark,
+                _read_files_aligned(
+                    spark, files, cols_, types_, snap.get("column_epochs")
+                ),
+                snap,
             ).withColumn("bucket", _bucket_of(key_col, n_buckets))
             _write_clustered(
                 df, staging, key_col, 1, n_buckets,
@@ -2424,6 +2488,83 @@ def optimize_compact(
         shutil.rmtree(staging, ignore_errors=True)
     raise MergeConflictError(
         f"optimize by {writer_id} lost the commit race {max_retries + 1} times"
+    )
+
+
+def drop_column(
+    base_dir: str,
+    col: str,
+    writer_id: str = "w0",
+    max_retries: int = 5,
+) -> tuple[int, int]:
+    """DROP COLUMN as a metadata-only commit (Delta column-mapping
+    drop / Iceberg drop-column): the new manifest simply omits the
+    column from the logical schema — zero data files rewritten, O(1)
+    in table size. The aligned read projects each file group to the
+    MANIFEST's columns, so files still carrying the dropped column's
+    bytes serve reads without it, readers pinned before the drop keep
+    their epoch's schema (time travel shows the column), and the bytes
+    are physically reclaimed whenever ordinary rewrites (merge /
+    compact / optimize / rebucket) rewrite their buckets. A later
+    evolving merge may re-add the name as a fresh column (NULL for
+    existing rows) — Delta's re-add semantics.
+
+    Structural columns refuse to drop: the table key, cluster_col,
+    bloom_col, identity_col, and the tombstone marker.
+
+    Returns ``(committed_version, attempts)``."""
+    for attempt in range(max_retries + 1):
+        snap = load_manifest(base_dir)
+        if col not in (snap.get("columns") or []):
+            raise ValueError(
+                f"column {col!r} not in table schema {snap.get('columns')}"
+            )
+        protected = {
+            snap["key_col"],
+            snap.get("cluster_col"),
+            snap.get("bloom_col"),
+            snap.get("identity_col"),
+            TOMBSTONE_COL,
+        }
+        if col in protected:
+            raise ValueError(
+                f"column {col!r} is structural (key/cluster/bloom/"
+                "identity/tombstone) and cannot be dropped"
+            )
+        manifest = _strip_commit_records(
+            {
+                **snap,
+                "version": snap["version"] + 1,
+                "commit_kind": "evolve",
+                "writer_id": writer_id,
+                "columns": [c for c in snap["columns"] if c != col],
+                "column_types": {
+                    c: t
+                    for c, t in snap["column_types"].items()
+                    if c != col
+                },
+            }
+        )
+        manifest["column_epochs"] = {
+            c: e
+            for c, e in (
+                snap.get("column_epochs")
+                or {c: 1 for c in snap["columns"]}
+            ).items()
+            if c != col
+        }
+        if snap.get("column_stats"):
+            # stats hygiene: the dropped column's per-file entries go
+            # with it (a re-added column's stats must not alias these)
+            manifest["column_stats"] = {
+                f: {c: s for c, s in d.items() if c != col}
+                for f, d in snap["column_stats"].items()
+            }
+        if _publish_manifest(base_dir, manifest):
+            return manifest["version"], attempt + 1
+    raise MergeConflictError(
+        f"drop_column({col!r}) by {writer_id} lost the commit race "
+        f"{max_retries + 1} times"
     )
 
 
@@ -2907,10 +3048,16 @@ def changes_between(
     files_to = [f for b in changed for f in m_to["buckets"].get(b, [])]
 
     def visible(files, manifest):
+        # both sides align to v_to's LOGICAL schema (cols/types AND
+        # column epochs): a column re-added at R reads as NULL from
+        # any group older than R on either side
         return _visible_rows(
             _apply_mor_deletes(
                 spark,
-                _read_files_aligned(spark, files, cols, types),
+                _read_files_aligned(
+                    spark, files, cols, types,
+                    m_to.get("column_epochs"),
+                ),
                 manifest,
             )
         )
@@ -3153,7 +3300,11 @@ def rebucket_table(
             # stragglers after the rewrite. Pending MOR deletes DO
             # apply (full rewrite = every sidecar applied + cleared)
             df = _apply_mor_deletes(
-                spark, _read_files_aligned(spark, files, cols, types), snap
+                spark,
+                _read_files_aligned(
+                    spark, files, cols, types, snap.get("column_epochs")
+                ),
+                snap,
             ).withColumn("bucket", _bucket_of(key_col, new_n_buckets))
             _write_clustered(
                 df, staging, key_col, write_salt, new_n_buckets,
@@ -3190,6 +3341,8 @@ def rebucket_table(
             "column_types": dict(types),
             "buckets": {str(b): fs for b, fs in sorted(new_files.items())},
             "tombstone_buckets": tomb_buckets,
+            "column_epochs": snap.get("column_epochs")
+            or {c: 1 for c in cols},
         }
         # a rebucket replaces EVERY file: all sidecar entries are fresh
         _attach_sidecars(
@@ -3729,6 +3882,115 @@ def scan_null_pruned_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         read_snapshot_null(spark, base_dir, "note")
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("ver").alias("sum_ver"),
+            F.round(F.sum("price"), 2).alias("sum_price"),
+        )
+        .orderBy("status")
+    )
+
+
+@register(
+    "merge_schema_drop",
+    oracle="""
+    -- the dropped column never appears: latest-wins replay over the
+    -- surviving schema only (the drop is invisible to values — THAT
+    -- is the correctness claim)
+    WITH base AS (
+      SELECT o_orderkey AS k, 1 AS ver, o_orderstatus AS status,
+             o_totalprice AS price
+      FROM orders
+    ), u1 AS (
+      SELECT o_orderkey, 2, o_orderstatus, o_totalprice * 2
+      FROM orders WHERE o_orderkey % 6 = 0
+    ), u2 AS (
+      SELECT o_orderkey, 3, 'D', o_totalprice + 11
+      FROM orders WHERE o_orderkey % 13 = 0
+    ), latest AS (
+      SELECT k, ver, status, price,
+             ROW_NUMBER() OVER (PARTITION BY k
+                                ORDER BY ver DESC, status) AS rn
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM u1
+            UNION ALL SELECT * FROM u2)
+    )
+    SELECT status,
+           COUNT(*)                 AS n_rows,
+           CAST(SUM(ver) AS BIGINT) AS sum_ver,
+           ROUND(SUM(price), 2)     AS sum_price
+    FROM latest
+    WHERE rn = 1
+    GROUP BY status
+    ORDER BY status
+    """,
+)
+def merge_schema_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of DROP COLUMN (the shrink half of schema
+    evolution — merge_schema_evolve is the grow half): seed orders
+    WITH a legacy column (v1), merge a batch still carrying it (v2),
+    `drop_column` (v3 — METADATA-ONLY, inline-asserted byte-identical
+    bucket map and empty CDF: a schema shrink is not a data change),
+    then merge a batch WITHOUT the column against the narrowed schema
+    (v4) and aggregate the final snapshot. Pinned protocol asserts:
+    the v2 reader still sees the legacy column (time travel keeps each
+    epoch's schema); the post-drop snapshot does not; DESCRIBE HISTORY
+    stamps kind='evolve'. The oracle replays latest-wins over the
+    SURVIVING schema only — values are invariant under the drop.
+
+    Scale shape: dropping a column from a 100 TB table costs one
+    manifest write; the dead bytes reclaim incrementally as ordinary
+    rewrites touch their buckets (Delta column-mapping semantics).
+    Reference provenance: none (the reference has no schema
+    management); public recipe = Delta DROP COLUMN / Iceberg
+    drop-column metadata evolution."""
+    import shutil
+
+    from .scans import _adir
+
+    base_dir = _adir(sf_dir, "merge_schema_drop_table")
+    shutil.rmtree(base_dir, ignore_errors=True)
+
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("ver"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        F.concat(F.lit("legacy-"), F.col("o_orderkey")).alias("legacy"),
+    )
+    init_table(orders, base_dir, key_col="k", n_buckets=8)
+    u1 = orders.filter(F.col("k") % 6 == 0).select(
+        "k", F.lit(2).alias("ver"), "status",
+        (F.col("price") * 2).alias("price"), "legacy",
+    )
+    merge_upsert_manifest(base_dir, u1, ver_col="ver", tiebreak_col="status")
+    m2 = load_manifest(base_dir)
+
+    v3, tries = drop_column(base_dir, "legacy")
+    if (v3, tries) != (3, 1):
+        raise AssertionError(f"drop must commit v3 first-try: {(v3, tries)}")
+    m3 = load_manifest(base_dir, 3)
+    if m3["buckets"] != m2["buckets"]:
+        raise AssertionError("DROP COLUMN must be metadata-only")
+    if "legacy" in m3["columns"]:
+        raise AssertionError("dropped column still in schema")
+    if "legacy" not in read_snapshot(spark, base_dir, version=2).columns:
+        raise AssertionError("pinned pre-drop reader must keep its epoch")
+    if "legacy" in read_snapshot(spark, base_dir).columns:
+        raise AssertionError("post-drop reader must not see the column")
+    if changes_between(spark, base_dir, 2, 3).count() != 0:
+        raise AssertionError("a schema shrink is not a data change")
+    if table_history(base_dir)[-1]["kind"] != "evolve":
+        raise AssertionError("history must stamp the evolve commit")
+
+    u2 = orders.filter(F.col("k") % 13 == 0).select(
+        "k", F.lit(3).alias("ver"), F.lit("D").alias("status"),
+        (F.col("price") + 11).alias("price"),
+    )
+    merge_upsert_manifest(base_dir, u2, ver_col="ver", tiebreak_col="status")
+
+    return (
+        read_snapshot(spark, base_dir)
         .groupBy("status")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

@@ -60,19 +60,34 @@ from pyspark.sql.datasource import (
 # ---------------------------------------------------------------------------
 
 
-def _read_aligned_pandas(files: list, columns: list, types: dict):
+def _read_aligned_pandas(files: list, columns: list, types: dict,
+                         epochs: dict | None = None):
     """Read parquet ``files`` with pyarrow and align every frame to the
     logical ``columns`` (missing columns — files written before a
     schema evolution — become NULL, the pandas mirror of
-    operators.lakehouse._read_files_aligned)."""
+    operators.lakehouse._read_files_aligned, including its
+    column-epoch guard: a column (re-)introduced at version R reads
+    as NULL from any file group older than R)."""
+    import os as _os
+    import re as _re
+
     import pandas as pd
     import pyarrow.parquet as pq
 
     frames = []
     for f in files:
         df = pq.read_table(f).to_pandas()
+        gv = None
+        if epochs:
+            m = _re.match(
+                r"[a-z]+_v(\d+)_",
+                _os.path.basename(_os.path.dirname(_os.path.dirname(f))),
+            )
+            gv = int(m.group(1)) if m else None
         for c in columns:
-            if c not in df.columns:
+            if c not in df.columns or (
+                epochs and gv is not None and int(epochs.get(c, 0)) > gv
+            ):
                 df[c] = None
         frames.append(df[columns])
     if not frames:
@@ -113,7 +128,7 @@ class _StepBucketDiff(InputPartition):
 
     def __init__(self, files_from, files_to, commit_version,
                  key_col, data_cols, types, tombstone_col,
-                 dels_from=(), dels_to=()):
+                 dels_from=(), dels_to=(), epochs=None):
         self.files_from = files_from
         self.files_to = files_to
         self.commit_version = commit_version
@@ -125,6 +140,8 @@ class _StepBucketDiff(InputPartition):
         # read deletes change visibility without touching data files)
         self.dels_from = list(dels_from)
         self.dels_to = list(dels_to)
+        # v_to's column birth versions (the epoch guard's input)
+        self.epochs = dict(epochs or {})
 
 
 def _diff_bucket(part: _StepBucketDiff):
@@ -147,14 +164,18 @@ def _diff_bucket(part: _StepBucketDiff):
     # aligned read backfills it as NULL either way
     old = _visible_pandas(
         _minus_mor(
-            _read_aligned_pandas(part.files_from, cols, part.types),
+            _read_aligned_pandas(
+                part.files_from, cols, part.types, part.epochs
+            ),
             part.dels_from,
         ),
         part.tombstone_col,
     )
     new = _visible_pandas(
         _minus_mor(
-            _read_aligned_pandas(part.files_to, cols, part.types),
+            _read_aligned_pandas(
+                part.files_to, cols, part.types, part.epochs
+            ),
             part.dels_to,
         ),
         part.tombstone_col,
@@ -305,6 +326,7 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
                             f_from, f_to, v + 1,
                             key_col, data_cols, types, tomb,
                             d_from, d_to,
+                            m_to.get("column_epochs"),
                         )
                     )
         return parts

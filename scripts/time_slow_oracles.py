@@ -61,6 +61,7 @@ WRITE_PATH_PROTOCOL = [
     "scan_stats_pruned_filter",
     "merge_delete_mor",
     "scan_null_pruned_audit",
+    "merge_schema_drop",
 ]
 
 

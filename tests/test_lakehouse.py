@@ -2754,3 +2754,38 @@ def test_null_pruning_conservative_and_exact(spark, tmp_path):
     delete_keys_mor(spark, base, spark.createDataFrame([(40,)], "k long"))
     got = {r.k for r in read_snapshot_null(spark, base, "attr").collect()}
     assert got == {0, 80}
+
+
+def test_drop_column_guards_and_readd(spark, tmp_path):
+    """DROP COLUMN: structural columns refuse; a later evolving merge
+    re-adds the name as a FRESH column (NULL for untouched rows —
+    Delta re-add semantics); the dropped column's per-file stats go
+    with it so the re-added column's stats cannot alias stale bounds."""
+    from assignment4_spark.operators.lakehouse import drop_column
+
+    base = str(tmp_path / "droptbl")
+    df = spark.range(40).select(
+        F.col("id").alias("k"),
+        F.lit(1).alias("ver"),
+        (F.col("id") * 1.0).alias("x"),
+        F.concat(F.lit("old"), F.col("id")).alias("attr"),
+    )
+    from assignment4_spark.operators.lakehouse import init_table
+
+    init_table(df, base, key_col="k", n_buckets=4, cluster_col="x")
+    with pytest.raises(ValueError, match="structural"):
+        drop_column(base, "k")
+    with pytest.raises(ValueError, match="structural"):
+        drop_column(base, "x")
+    with pytest.raises(ValueError, match="not in table schema"):
+        drop_column(base, "nope")
+    drop_column(base, "attr")
+    m = load_manifest(base)
+    assert all("attr" not in d for d in m["column_stats"].values())
+    # re-add via evolving merge: fresh column, NULL for old rows
+    upd = spark.createDataFrame(
+        [(1, 2, 2.0, "fresh")], "k long, ver int, x double, attr string"
+    )
+    merge_upsert_manifest(base, upd, "ver", "x", evolve_schema=True)
+    rows = {r.k: r.attr for r in read_snapshot(spark, base).collect()}
+    assert rows[1] == "fresh" and rows[2] is None
