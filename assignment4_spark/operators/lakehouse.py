@@ -1888,6 +1888,15 @@ def merge_upsert_manifest(
     for attempt in range(max_retries + 1):
         snap = load_manifest(base_dir)
         key_col, n_buckets = snap["key_col"], snap["n_buckets"]
+        if tiebreak_col == key_col:
+            # within a key every row shares the key, so it cannot break
+            # ties — the resulting latest-wins winner among equal
+            # versions would be partition-order-dependent (and the
+            # duplicated projection breaks analysis downstream)
+            raise ValueError(
+                "tiebreak_col must differ from the table key "
+                f"({key_col!r}): a key cannot break its own ties"
+            )
         expected = snap.get("columns")
         expected_types = snap.get("column_types")
         if patch_cols is not None:
@@ -2028,6 +2037,25 @@ def merge_upsert_manifest(
             base_files = [
                 f for b in touched for f in snap["buckets"].get(str(b), [])
             ]
+            # THIS commit's column epochs, computed BEFORE the base
+            # read: carried columns keep their birth version; columns
+            # NEW to this commit (evolve-add, or a RE-ADD of a dropped
+            # name) are born at next_version. The base read must use
+            # THESE epochs, not the pinned snapshot's — the snapshot
+            # has no entry for a column this merge introduces, and an
+            # entry-less column would default to trusted, so a re-add
+            # would read the dropped incarnation's stale bytes out of
+            # old file groups and PERSIST them into the rewrite
+            # (caught by the protocol model fuzz, seed 1337).
+            snap_epochs = snap.get("column_epochs") or {}
+            new_epochs = {
+                c: (
+                    int(snap_epochs.get(c, 1))
+                    if expected is not None and c in expected
+                    else next_version
+                )
+                for c in res_columns
+            }
             base_df = None
             if base_files:
                 # aligned, not a plain read: files written before a
@@ -2040,8 +2068,7 @@ def merge_upsert_manifest(
                 base_df = _apply_mor_deletes(
                     spark,
                     _read_files_aligned(
-                        spark, base_files, cols, res_types,
-                        snap.get("column_epochs"),
+                        spark, base_files, cols, res_types, new_epochs
                     ),
                     snap,
                 )
@@ -2181,19 +2208,8 @@ def merge_upsert_manifest(
             # work (at 100 TB that scan would dwarf the compaction)
             "tombstone_buckets": tomb_buckets,
         }
-        # column epochs: carried columns keep their birth version;
-        # columns NEW to this commit (evolve-add, or a RE-ADD of a
-        # previously dropped name) are born at next_version, so the
-        # epoch guard NULLs same-named stale bytes in older file groups
-        snap_epochs = snap.get("column_epochs") or {}
-        manifest["column_epochs"] = {
-            c: (
-                int(snap_epochs.get(c, 1))
-                if expected is not None and c in expected
-                else next_version
-            )
-            for c in res_columns
-        }
+        # column epochs: computed above, BEFORE the base read used them
+        manifest["column_epochs"] = new_epochs
         # pending MOR deletes: this rewrite applied the touched
         # buckets' sidecars physically (base_df above), so only
         # untouched buckets' sidecars carry forward

@@ -2789,3 +2789,144 @@ def test_drop_column_guards_and_readd(spark, tmp_path):
     merge_upsert_manifest(base, upd, "ver", "x", evolve_schema=True)
     rows = {r.k: r.attr for r in read_snapshot(spark, base).collect()}
     assert rows[1] == "fresh" and rows[2] is None
+
+
+@pytest.mark.parametrize("seed", [11, 42, 1337])
+def test_protocol_model_fuzz(spark, tmp_path, seed):
+    """Model-based fuzz of the full commit-protocol interaction matrix:
+    a seeded random sequence of MERGE / tombstone-DELETE / MOR-DELETE /
+    OPTIMIZE / REBUCKET / DROP+re-add / VACUUM steps runs against both
+    the real table and a 40-line in-memory model of the declared
+    semantics; after EVERY step the visible snapshot must equal the
+    model exactly. Individual tests pin each pairwise interaction —
+    this pins the whole matrix (e.g. a MOR delete pending across a
+    rebucket that follows a tombstone compact after a column drop)."""
+    import random
+
+    from assignment4_spark.operators.lakehouse import (
+        TOMBSTONE_COL,
+        delete_keys_mor,
+        drop_column,
+        init_table,
+        optimize_compact,
+        rebucket_table,
+        vacuum,
+    )
+
+    rng = random.Random(seed)
+    base = str(tmp_path / "fuzz_tbl")
+    keys = list(range(60))
+
+    # model: k -> dict(ver=..., attr=..., dead=bool). Latest-wins on
+    # ver (vers strictly increase per step, so no tiebreak ambiguity);
+    # a tombstone row is a versioned row (guards lower-ver stragglers);
+    # a MOR delete removes the current row NOW with no guard.
+    model: dict[int, dict] = {
+        k: {"ver": 1, "attr": f"a{k}", "dead": False} for k in keys
+    }
+    seed_df = spark.createDataFrame(
+        [(k, 1, f"a{k}", False) for k in keys],
+        f"k long, ver int, attr string, {TOMBSTONE_COL} boolean",
+    )
+    init_table(seed_df, base, key_col="k", n_buckets=8)
+    attr_live = True  # is the attr column currently in the schema?
+    ver = 1
+
+    def batch(rows):
+        cols = (
+            f"k long, ver int, attr string, {TOMBSTONE_COL} boolean"
+            if attr_live
+            else f"k long, ver int, {TOMBSTONE_COL} boolean"
+        )
+        return spark.createDataFrame(rows, cols)
+
+    def check(step):
+        got = {
+            r.k: (r.ver, (r.attr if attr_live else None))
+            for r in read_snapshot(spark, base).collect()
+        }
+        want = {
+            k: (v["ver"], (v["attr"] if attr_live else None))
+            for k, v in model.items()
+            if not v["dead"]
+        }
+        assert got == want, (
+            f"seed={seed} step={step}: snapshot diverged from model\n"
+            f"extra={set(got) - set(want)} missing={set(want) - set(got)}"
+        )
+
+    for step in range(18):
+        op = rng.choice(
+            ["merge", "merge", "tomb", "mor", "optimize",
+             "rebucket", "dropadd", "vacuum"]
+        )
+        ver += 1
+        if op == "merge":
+            ks = rng.sample(keys, rng.randint(1, 10))
+            rows = [
+                (k, ver, *((f"s{step}k{k}",) if attr_live else ()), False)
+                for k in ks
+            ]
+            merge_upsert_manifest(base, batch(rows), "ver", TOMBSTONE_COL)
+            for k in ks:
+                cur = model.get(k)
+                if cur is None or ver >= cur["ver"]:
+                    model[k] = {
+                        "ver": ver,
+                        "attr": f"s{step}k{k}" if attr_live else None,
+                        "dead": False,
+                    }
+        elif op == "tomb":
+            ks = rng.sample(keys, rng.randint(1, 4))
+            rows = [
+                (k, ver, *((None,) if attr_live else ()), True) for k in ks
+            ]
+            merge_upsert_manifest(base, batch(rows), "ver", TOMBSTONE_COL)
+            for k in ks:
+                cur = model.get(k)
+                if cur is None or ver >= cur["ver"]:
+                    model[k] = {"ver": ver, "attr": None, "dead": True}
+        elif op == "mor":
+            ks = rng.sample(keys, rng.randint(1, 5))
+            delete_keys_mor(
+                spark, base, spark.createDataFrame([(k,) for k in ks], "k long")
+            )
+            for k in ks:
+                model.pop(k, None)
+        elif op == "optimize":
+            optimize_compact(spark, base, max_files_per_bucket=1)
+        elif op == "rebucket":
+            rebucket_table(spark, base, rng.choice([4, 8, 16]))
+        elif op == "dropadd":
+            if attr_live:
+                drop_column(base, "attr")
+                attr_live = False
+                for v in model.values():
+                    v["attr"] = None
+            else:
+                # re-add via evolving merge: fresh column, NULL for
+                # every row this batch does not touch
+                ks = rng.sample(keys, 3)
+                rows = [(k, ver, f"re{step}k{k}", False) for k in ks]
+                merge_upsert_manifest(
+                    base,
+                    spark.createDataFrame(
+                        rows,
+                        "k long, ver int, attr string, "
+                        f"{TOMBSTONE_COL} boolean",
+                    ),
+                    "ver", TOMBSTONE_COL, evolve_schema=True,
+                )
+                attr_live = True
+                for k, v in model.items():
+                    v["attr"] = None
+                for k in ks:
+                    cur = model.get(k)
+                    if cur is None or ver >= cur["ver"]:
+                        model[k] = {
+                            "ver": ver, "attr": f"re{step}k{k}",
+                            "dead": False,
+                        }
+        elif op == "vacuum":
+            vacuum(base, keep_last=rng.choice([1, 2]))
+        check(step)
