@@ -2803,6 +2803,8 @@ def test_protocol_model_fuzz(spark, tmp_path, seed):
     rebucket that follows a tombstone compact after a column drop)."""
     import random
 
+    import copy
+
     from assignment4_spark.operators.lakehouse import (
         TOMBSTONE_COL,
         delete_keys_mor,
@@ -2810,6 +2812,8 @@ def test_protocol_model_fuzz(spark, tmp_path, seed):
         init_table,
         optimize_compact,
         rebucket_table,
+        restore_table,
+        table_history,
         vacuum,
     )
 
@@ -2831,6 +2835,10 @@ def test_protocol_model_fuzz(spark, tmp_path, seed):
     init_table(seed_df, base, key_col="k", n_buckets=8)
     attr_live = True  # is the attr column currently in the schema?
     ver = 1
+    # per-committed-version model snapshots: the RESTORE arm jumps the
+    # model (and the live column set) back to exactly what the target
+    # version recorded — time travel composed with every other op
+    hist = {1: (copy.deepcopy(model), attr_live)}
 
     def batch(rows):
         cols = (
@@ -2858,7 +2866,7 @@ def test_protocol_model_fuzz(spark, tmp_path, seed):
     for step in range(18):
         op = rng.choice(
             ["merge", "merge", "tomb", "mor", "optimize",
-             "rebucket", "dropadd", "vacuum"]
+             "rebucket", "dropadd", "vacuum", "restore"]
         )
         ver += 1
         if op == "merge":
@@ -2929,4 +2937,16 @@ def test_protocol_model_fuzz(spark, tmp_path, seed):
                         }
         elif op == "vacuum":
             vacuum(base, keep_last=rng.choice([1, 2]))
+        elif op == "restore":
+            cur = latest_version(base)
+            retained = [
+                h["version"] for h in table_history(base)
+                if h["version"] < cur and h["version"] in hist
+            ]
+            if retained:
+                target = rng.choice(retained)
+                restore_table(base, target)
+                model = copy.deepcopy(hist[target][0])
+                attr_live = hist[target][1]
+        hist[latest_version(base)] = (copy.deepcopy(model), attr_live)
         check(step)
