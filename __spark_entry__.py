@@ -49,7 +49,7 @@ _PRIORITY = [
     "merge_optimize_compact", "scan_stats_pruned_filter",
     "agg_group_sequential", "agg_msprt_always_valid",
     "merge_delete_mor", "scan_null_pruned_audit",
-    "merge_schema_drop",
+    "merge_schema_drop", "agg_bayes_ab_posterior",
     "join_interval_overlap", "join_skew_salted", "join_theta_range",
     "map_funcs", "math_funcs", "scan_dynamic_partition_prune",
     "scan_partition_pruning", "set_except", "set_unpivot",

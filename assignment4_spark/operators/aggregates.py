@@ -1498,6 +1498,156 @@ def agg_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Abramowitz-Stegun 26.2.17 normal-CDF coefficients (literals so both
+# engines evaluate the identical polynomial) and the posterior decision
+# thresholds for the Bayesian A/B readout.
+_AS_B = (0.319381530, -0.356563782, 1.781477937,
+         -1.821255978, 1.330274429)
+_AS_K = 0.2316419
+_SQRT_2PI = 2.5066282746310002
+_BAYES_SHIP = 0.95
+
+
+@register(
+    "agg_bayes_ab_posterior",
+    oracle=f"""
+    -- Bayesian A/B readout per event type (normal approximation, flat
+    -- prior): P(mean_A > mean_B) = Phi(z) with z the Welch statistic;
+    -- Phi via the Abramowitz-Stegun 26.2.17 polynomial — pure
+    -- +,*,EXP over the SAME 4dp-rounded z on both engines. Moments
+    -- round 6dp before z (CUPED precedent); prob rounds 6dp; the
+    -- ship/stop/continue decision compares the ROUNDED prob.
+    WITH m AS (
+      SELECT event_type,
+             COUNT(value) FILTER (user_id % 2 = 0)            AS n_a,
+             COUNT(value) FILTER (user_id % 2 = 1)            AS n_b,
+             ROUND(AVG(value) FILTER (user_id % 2 = 0), 6)    AS mean_a,
+             ROUND(AVG(value) FILTER (user_id % 2 = 1), 6)    AS mean_b,
+             ROUND(VAR_SAMP(value) FILTER (user_id % 2 = 0), 6) AS var_a,
+             ROUND(VAR_SAMP(value) FILTER (user_id % 2 = 1), 6) AS var_b
+      FROM events GROUP BY event_type
+    ), z AS (
+      SELECT event_type, n_a, n_b,
+             ROUND(mean_a - mean_b, 6) AS mean_diff,
+             ROUND((mean_a - mean_b) / SQRT(var_a / n_a + var_b / n_b),
+                   4) AS z
+      FROM m
+    ), phi AS (
+      SELECT event_type, n_a, n_b, mean_diff, z,
+             1.0 / (1.0 + {_AS_K} * ABS(z)) AS t
+      FROM z
+    ), p AS (
+      SELECT event_type, n_a, n_b, mean_diff, z,
+             1.0 - EXP(-z * z / 2) / {_SQRT_2PI}
+                   * (({_AS_B[0]}) * t + ({_AS_B[1]}) * t * t
+                      + ({_AS_B[2]}) * t * t * t
+                      + ({_AS_B[3]}) * t * t * t * t
+                      + ({_AS_B[4]}) * t * t * t * t * t) AS phi_abs
+      FROM phi
+    )
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           mean_diff,
+           z,
+           ROUND(CASE WHEN z >= 0 THEN phi_abs ELSE 1.0 - phi_abs END,
+                 6) AS prob_a_wins,
+           CASE
+             WHEN ROUND(CASE WHEN z >= 0 THEN phi_abs
+                             ELSE 1.0 - phi_abs END, 6) >= {_BAYES_SHIP}
+               THEN 'ship_a'
+             WHEN ROUND(CASE WHEN z >= 0 THEN phi_abs
+                             ELSE 1.0 - phi_abs END, 6)
+                  <= {round(1 - _BAYES_SHIP, 6)}
+               THEN 'ship_b'
+             ELSE 'continue'
+           END AS decision
+    FROM p ORDER BY event_type
+    """,
+)
+def agg_bayes_ab_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian A/B readout per event type — the posterior probability
+    of superiority P(mean_A > mean_B) a product team actually reads
+    off an experimentation dashboard (arms = user_id parity): under
+    the normal approximation with a flat prior the posterior of the
+    mean difference is N(d, s²) with d the mean difference and s the
+    Welch standard error, so P(A wins) = Φ(d/s). Completes the
+    experimentation suite's fifth lens: frequentist t (agg_ttest_ab),
+    continuous SPRT, scheduled-look OBF, anytime-valid mSPRT, and now
+    the posterior-decision readout with ship_a / ship_b / continue at
+    the 95% threshold.
+
+    Cross-engine determinism: Φ is the Abramowitz-Stegun 26.2.17
+    polynomial — literal coefficients, pure +,*,exp over a z that is
+    ROUNDED 4dp first (itself from 6dp-rounded moments), so both
+    engines evaluate the identical expression on identical doubles;
+    the final prob rounds 6dp before the threshold compare (the mSPRT
+    ln contract: a last-ulp exp drift is absorbed except at a
+    measure-zero knife edge).
+
+    Scale shape: one map-side-combinable conditional aggregate per
+    type (count/mean/variance sufficient statistics), then scalar
+    arithmetic on the O(types) summary — no window, no join, nothing
+    downstream grows with row count.
+    Reference provenance: none; SURVEY §2 B.11 statistics family
+    (round 10); public recipe = normal-approximation posterior
+    probability of superiority (Stucchio, 'Bayesian A/B Testing at
+    VWO', 2015) + A&S 26.2.17 Φ.
+    """
+    ev = table(spark, sf_dir, "events")
+    a = F.col("user_id") % 2 == 0
+    m = ev.groupBy("event_type").agg(
+        F.count(F.when(a, F.col("value"))).alias("n_a"),
+        F.count(F.when(~a, F.col("value"))).alias("n_b"),
+        F.round(F.avg(F.when(a, F.col("value"))), 6).alias("mean_a"),
+        F.round(F.avg(F.when(~a, F.col("value"))), 6).alias("mean_b"),
+        F.round(F.var_samp(F.when(a, F.col("value"))), 6).alias("var_a"),
+        F.round(F.var_samp(F.when(~a, F.col("value"))), 6).alias("var_b"),
+    )
+    z = F.round(
+        (F.col("mean_a") - F.col("mean_b"))
+        / F.sqrt(F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")),
+        4,
+    )
+    zc = m.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(F.col("mean_a") - F.col("mean_b"), 6).alias("mean_diff"),
+        z.alias("z"),
+    ).withColumn("t", F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_K) * F.abs("z")))
+    poly = (
+        F.lit(_AS_B[0]) * F.col("t")
+        + F.lit(_AS_B[1]) * F.col("t") * F.col("t")
+        + F.lit(_AS_B[2]) * F.col("t") * F.col("t") * F.col("t")
+        + F.lit(_AS_B[3]) * F.col("t") * F.col("t") * F.col("t") * F.col("t")
+        + F.lit(_AS_B[4])
+        * F.col("t") * F.col("t") * F.col("t") * F.col("t") * F.col("t")
+    )
+    phi_abs = (
+        F.lit(1.0)
+        - F.exp(-F.col("z") * F.col("z") / 2) / F.lit(_SQRT_2PI) * poly
+    )
+    prob = F.round(
+        F.when(F.col("z") >= 0, phi_abs).otherwise(F.lit(1.0) - phi_abs), 6
+    )
+    return (
+        zc.select(
+            "event_type",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            "mean_diff",
+            "z",
+            prob.alias("prob_a_wins"),
+            F.when(prob >= F.lit(_BAYES_SHIP), F.lit("ship_a"))
+            .when(prob <= F.lit(round(1 - _BAYES_SHIP, 6)), F.lit("ship_b"))
+            .otherwise(F.lit("continue"))
+            .alias("decision"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # mSPRT parameters: normal mixture variance tau^2 = 1 and the
 # always-valid rejection threshold log(1/alpha) at alpha = 0.05 —
 # literals so both engines compare against identical doubles.
