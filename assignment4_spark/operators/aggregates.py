@@ -1358,11 +1358,17 @@ _OBF_C = 2.04
     WITH s AS (
       SELECT ROUND(AVG(value), 2) AS mu0, ROUND(STDDEV_SAMP(value), 2) AS sig
       FROM events
+    ), m AS (
+      SELECT MIN(CAST(ts AS DATE)) AS d0,
+             DATEDIFF('day', MIN(CAST(ts AS DATE)),
+                      MAX(CAST(ts AS DATE))) + 1 AS span
+      FROM events
     ), looks AS (
       SELECT e.event_type,
-             CAST(CEIL(EXTRACT(day FROM e.ts) / 6.0) AS BIGINT) AS look,
+             CAST(FLOOR(DATEDIFF('day', m.d0, CAST(e.ts AS DATE))
+                        * 5.0 / m.span) AS BIGINT) + 1 AS look,
              SUM(e.value) AS psum, COUNT(*) AS cnt
-      FROM events e GROUP BY 1, 2
+      FROM events e CROSS JOIN m GROUP BY 1, 2
     ), cum AS (
       SELECT l.event_type, l.look,
              SUM(psum) OVER w AS csum,
@@ -1429,10 +1435,34 @@ def agg_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value"), 2).alias("mu0"),
         F.round(F.stddev_samp("value"), 2).alias("sig"),
     )
-    looks = ev.groupBy(
-        "event_type",
-        F.ceil(F.dayofmonth("ts") / 6.0).cast("bigint").alias("look"),
-    ).agg(F.sum("value").alias("psum"), F.count(F.lit(1)).alias("cnt"))
+    # look boundaries derive from the OBSERVED date span (K equal
+    # slices of [min_date, max_date]), not raw dayofmonth — a day-31
+    # event or multi-month data would alias calendar days across looks
+    # while the fixture's exact Jan-1..30 span hid it (ADVICE r10).
+    # On a 30-day span this reproduces ceil(day/6) exactly.
+    m = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        (
+            F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))) + 1
+        ).alias("span"),
+    )
+    looks = (
+        ev.crossJoin(F.broadcast(m))
+        .groupBy(
+            "event_type",
+            (
+                F.floor(
+                    F.datediff(F.to_date("ts"), F.col("d0"))
+                    * 5.0
+                    / F.col("span")
+                )
+                + 1
+            )
+            .cast("bigint")
+            .alias("look"),
+        )
+        .agg(F.sum("value").alias("psum"), F.count(F.lit(1)).alias("cnt"))
+    )
     w = (
         Window.partitionBy("event_type")
         .orderBy("look")
@@ -1667,10 +1697,13 @@ _MSPRT_LOG_THRESH = 2.995732273553991  # ln(20)
     WITH s AS (
       SELECT ROUND(AVG(value), 2) AS mu0, ROUND(STDDEV_SAMP(value), 2) AS sig
       FROM events
+    ), m AS (
+      SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events
     ), days AS (
-      SELECT event_type, CAST(EXTRACT(day FROM ts) AS BIGINT) AS d,
-             SUM(value) AS psum, COUNT(*) AS cnt
-      FROM events GROUP BY 1, 2
+      SELECT e.event_type,
+             DATEDIFF('day', m.d0, CAST(e.ts AS DATE)) + 1 AS d,
+             SUM(e.value) AS psum, COUNT(*) AS cnt
+      FROM events e CROSS JOIN m GROUP BY 1, 2
     ), cum AS (
       SELECT event_type, d,
              SUM(psum) OVER w AS csum, SUM(cnt) OVER w AS n
@@ -1742,10 +1775,20 @@ def agg_msprt_always_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value"), 2).alias("mu0"),
         F.round(F.stddev_samp("value"), 2).alias("sig"),
     )
-    days = ev.groupBy(
-        "event_type",
-        F.dayofmonth("ts").cast("bigint").alias("d"),
-    ).agg(F.sum("value").alias("psum"), F.count(F.lit(1)).alias("cnt"))
+    # daily boundaries as a sequential experiment-day index (days since
+    # the observed min date, 1-based) — raw dayofmonth aliases across
+    # months; on the single-month fixture this is identical (ADVICE r10)
+    m = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    days = (
+        ev.crossJoin(F.broadcast(m))
+        .groupBy(
+            "event_type",
+            (F.datediff(F.to_date("ts"), F.col("d0")) + 1)
+            .cast("bigint")
+            .alias("d"),
+        )
+        .agg(F.sum("value").alias("psum"), F.count(F.lit(1)).alias("cnt"))
+    )
     w = (
         Window.partitionBy("event_type")
         .orderBy("d")

@@ -156,23 +156,13 @@ def _resolve_evolved_schema(
     return columns, types
 
 
-def _group_version(group_dir: str) -> int | None:
-    """Commit version parsed from a staging-directory name
-    (``{prefix}_v{N}_{writer}_…`` — see _staging_path). None for
-    unparseable legacy paths (callers then trust the file's physical
-    columns, the pre-epoch behavior)."""
-    import re as _re
-
-    m = _re.match(r"[a-z]+_v(\d+)_", os.path.basename(group_dir))
-    return int(m.group(1)) if m else None
-
-
 def _read_files_aligned(
     spark: SparkSession,
     files: list,
     columns: list,
     column_types: dict,
     column_epochs: dict | None = None,
+    file_versions: dict | None = None,
 ) -> DataFrame:
     """Read manifest files and align every row to the manifest's
     LOGICAL schema. Files written before a schema evolution physically
@@ -192,6 +182,13 @@ def _read_files_aligned(
         # an empty frame with the manifest schema IS the snapshot
         ddl = ", ".join(f"`{c}` {column_types[c]}" for c in columns)
         return spark.createDataFrame([], ddl)
+    # the epoch guard only has work when some column was (re-)born
+    # AFTER v1 — for the common never-evolved table every epoch is 1
+    # and any committed file has version >= 1, so the guard is inert
+    # and no birth-version lookup is needed
+    guard = bool(column_epochs) and any(
+        int(v) > 1 for v in column_epochs.values()
+    )
     groups: dict[str, list] = {}
     for f in files:
         # …/commit_vN_*/bucket=B/part-*.parquet → group on the commit dir
@@ -200,20 +197,33 @@ def _read_files_aligned(
     for gdir, fs in sorted(groups.items()):
         df = spark.read.parquet(*fs)
         have = set(df.columns)
-        if column_epochs:
+        if guard:
             # column-epoch guard (DROP COLUMN + re-add): a file group
             # written BEFORE a column's (re-)introduction may still
             # physically carry same-named bytes from the dropped
             # incarnation — those are the OLD epoch's values and must
             # read as NULL, exactly as if the file lacked the column
             # (Delta column-mapping reads by field id for the same
-            # reason). Groups with unparseable legacy names keep the
-            # trust-the-file behavior.
-            gv = _group_version(gdir)
-            if gv is not None:
-                have = {
-                    c for c in have if int(column_epochs.get(c, 0)) <= gv
-                }
+            # reason). Birth versions come from the MANIFEST's
+            # file_versions records — never from the directory name,
+            # which a rename/relocation would silently invalidate
+            # (would degrade to trust-the-file, re-opening the
+            # stale-byte-resurrection class the protocol fuzz caught).
+            gvs = {
+                int((file_versions or {}).get(f, -1)) for f in fs
+            }
+            if -1 in gvs or len(gvs) != 1:
+                raise ValueError(
+                    "column-epoch read needs the manifest's per-file "
+                    f"birth versions, but group {gdir!r} has "
+                    f"{'missing' if -1 in gvs else 'conflicting'} "
+                    "file_versions entries — refusing to trust "
+                    "physical bytes on an epoch-evolved table"
+                )
+            gv = gvs.pop()
+            have = {
+                c for c in have if int(column_epochs.get(c, 0)) <= gv
+            }
         parts.append(
             df.select(
                 *[
@@ -463,6 +473,32 @@ def _staged_column_stats(
     return out
 
 
+def _coerce_probe(manifest: dict, col: str, v):
+    """Align a caller-supplied range probe with the stats encoding.
+
+    Stats store dates/timestamps via ``_json_stat`` as 'T'-separated
+    isoformat strings. A raw ``datetime``/``date`` probe would raise
+    TypeError against them, and a space-separated datetime STRING —
+    which the Spark row filter happily accepts — sorts BEFORE 'T'
+    (0x20 < 0x54), so ``stat_min > hi`` could wrongly skip a file
+    that holds matching rows (ADVICE r10). Coerce objects through the
+    same isoformat, and for timestamp-typed columns rewrite the one
+    ambiguous string shape ('YYYY-MM-DD HH:MM:SS…') to its ISO twin."""
+    import datetime
+
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    ctype = (manifest.get("column_types") or {}).get(col, "")
+    if (
+        ctype.startswith("timestamp")
+        and isinstance(v, str)
+        and len(v) > 10
+        and v[10] == " "
+    ):
+        return v[:10] + "T" + v[11:]
+    return v
+
+
 def prune_files_by_column(
     manifest: dict, col: str, lo, hi
 ) -> tuple[list, list]:
@@ -472,6 +508,8 @@ def prune_files_by_column(
     misses [lo, hi]; files or columns without stats are always kept —
     pruning is an optimization, never a filter."""
     stats = manifest.get("column_stats", {})
+    lo = _coerce_probe(manifest, col, lo)
+    hi = _coerce_probe(manifest, col, hi)
     kept, skipped = [], []
     for fs in manifest["buckets"].values():
         for f in fs:
@@ -535,6 +573,7 @@ def read_snapshot_null(
         df = _read_files_aligned(
             spark, kept, manifest["columns"], manifest["column_types"],
             manifest.get("column_epochs"),
+            manifest.get("file_versions"),
         ).filter(F.col(col).isNull())
         df = _apply_mor_deletes(spark, df, manifest)
     if not include_tombstones:
@@ -564,6 +603,7 @@ def read_snapshot_where(
     df = _read_files_aligned(
         spark, kept, manifest["columns"], manifest["column_types"],
         manifest.get("column_epochs"),
+        manifest.get("file_versions"),
     ).filter(F.col(col).between(lo, hi))
     df = _apply_mor_deletes(spark, df, manifest)
     if not include_tombstones:
@@ -717,6 +757,7 @@ def read_snapshot_point(
     df = _read_files_aligned(
         spark, kept, manifest["columns"], manifest["column_types"],
         manifest.get("column_epochs"),
+        manifest.get("file_versions"),
     ).filter(F.col(bcol) == F.lit(value))
     df = _apply_mor_deletes(spark, df, manifest)
     if not include_tombstones:
@@ -741,9 +782,28 @@ def _attach_sidecars(
     # all-column file statistics (Delta data skipping): recorded by
     # EVERY commit path, not just clustered tables — one distributed
     # metadata pass over the staged files
-    newc = _staged_column_stats(
-        spark, staging, manifest.get("column_types", snap["column_types"])
+    # per-file BIRTH VERSIONS — the durable source for the column-epoch
+    # guard (_read_files_aligned). Recorded in the manifest at every
+    # staging commit path and carried like the other sidecar maps;
+    # parsing the staging-directory NAME instead would silently degrade
+    # to trust-the-file on a renamed/relocated dir — re-opening the
+    # stale-byte-resurrection class the protocol fuzz caught (r10).
+    newv = {
+        f: int(manifest["version"])
+        for fs in _list_bucket_files(staging).values()
+        for f in fs
+    }
+    manifest["file_versions"] = (
+        _carry_file_stats(snap, buckets, newv, key="file_versions")
+        if carry
+        else newv
     )
+    # legacy pre-schema manifests record no column_types: no stats
+    # eligibility is derivable, so skip the stats pass (files stay
+    # conservatively unprunable — pruning is an optimization, never a
+    # filter) rather than KeyError the whole commit
+    types = manifest.get("column_types") or snap.get("column_types")
+    newc = _staged_column_stats(spark, staging, types) if types else {}
     manifest["column_stats"] = (
         _carry_file_stats(snap, buckets, newc, key="column_stats")
         if carry
@@ -820,6 +880,7 @@ def read_snapshot_range(
     df = _read_files_aligned(
         spark, kept, manifest["columns"], manifest["column_types"],
         manifest.get("column_epochs"),
+        manifest.get("file_versions"),
     ).filter(F.col(ccol).between(lo, hi))
     df = _apply_mor_deletes(spark, df, manifest)
     if not include_tombstones:
@@ -870,7 +931,13 @@ def _version_floor(base_dir: str) -> int:
     try:
         with open(_floor_path(base_dir)) as fh:
             return int(json.load(fh)["floor"])
-    except (OSError, ValueError, KeyError, TypeError):
+    except FileNotFoundError:
+        # genuinely no vacuum has ever run — the only absence that
+        # means floor 0. Any OTHER failure (permission denied, transient
+        # mount error, corrupt contents) must propagate: treating it as
+        # 0 would let a straggler _publish_manifest link into a
+        # vacuum-reopened slot — the exact history-resurrection hazard
+        # the floor exists to close (ADVICE r10).
         return 0
 
 
@@ -1098,6 +1165,11 @@ def init_table(
     # every column is first-epoch at init (see _read_files_aligned's
     # column-epoch guard — DROP + re-add needs per-column birth versions)
     manifest["column_epochs"] = {c: 1 for c in df.columns}
+    # every staged file is born at v1 — the manifest-backed source the
+    # epoch guard reads (never the staging-directory name)
+    manifest["file_versions"] = {
+        f: 1 for fs in manifest["buckets"].values() for f in fs
+    }
     # all-column file statistics (Delta data skipping) — every commit
     # path records them; init is the first
     manifest["column_stats"] = _staged_column_stats(
@@ -1145,7 +1217,8 @@ def read_snapshot(
         df = spark.read.parquet(*files)
     else:
         df = _read_files_aligned(
-            spark, files, cols, types, manifest.get("column_epochs")
+            spark, files, cols, types, manifest.get("column_epochs"),
+            manifest.get("file_versions"),
         )
     df = _apply_mor_deletes(spark, df, manifest)
     if not include_tombstones:
@@ -2048,11 +2121,17 @@ def merge_upsert_manifest(
             # old file groups and PERSIST them into the rewrite
             # (caught by the protocol model fuzz, seed 1337).
             snap_epochs = snap.get("column_epochs") or {}
+            # legacy manifests record no schema (expected is None): every
+            # batch column is a carried column there — stamping them at
+            # next_version would make _read_files_aligned NULL every base
+            # column (key included) and fold the table into NULL-keyed
+            # rows. Only a column absent from a RECORDED prior schema is
+            # genuinely new.
             new_epochs = {
                 c: (
-                    int(snap_epochs.get(c, 1))
-                    if expected is not None and c in expected
-                    else next_version
+                    next_version
+                    if expected is not None and c not in expected
+                    else int(snap_epochs.get(c, 1))
                 )
                 for c in res_columns
             }
@@ -2068,7 +2147,8 @@ def merge_upsert_manifest(
                 base_df = _apply_mor_deletes(
                     spark,
                     _read_files_aligned(
-                        spark, base_files, cols, res_types, new_epochs
+                        spark, base_files, cols, res_types, new_epochs,
+                        snap.get("file_versions"),
                     ),
                     snap,
                 )
@@ -2308,7 +2388,8 @@ def compact_tombstones(
             df = _apply_mor_deletes(
                 spark,
                 _read_files_aligned(
-                    spark, files, cols_, types_, snap.get("column_epochs")
+                    spark, files, cols_, types_,
+                    snap.get("column_epochs"), snap.get("file_versions"),
                 ),
                 snap,
             ).withColumn("bucket", _bucket_of(key_col, n_buckets))
@@ -2421,9 +2502,17 @@ def optimize_compact(
     * pinned readers and clones are untouched (old manifests + files
       remain; vacuum reclaims the splinter files after retention).
 
+    OPTIMIZE also COALESCES accumulated merge-on-read delete sidecars:
+    a bucket that is NOT being rewritten but carries more than one
+    pending sidecar parquet gets them folded into ONE (distinct keys,
+    one metadata-sized job) — without this, a client issuing many tiny
+    ``delete_keys_mor`` commits between rewrites would inflate every
+    read's anti-join fan-in unboundedly (rewritten buckets need no
+    coalesce: their deletes apply physically and their sidecars clear).
+
     Returns ``{"version", "buckets_optimized", "files_before",
-    "files_after"}``; an unfragmented table returns its current
-    version with no new commit."""
+    "files_after", "sidecars_coalesced"}``; a table with nothing to
+    pack or coalesce returns its current version with no new commit."""
     import shutil
 
     for attempt in range(max_retries + 1):
@@ -2435,42 +2524,78 @@ def optimize_compact(
             for b, fs in snap["buckets"].items()
             if len(fs) > max(1, max_files_per_bucket)
         )
+        dels_all = snap.get("delete_files") or {}
+        side_frag = sorted(
+            int(b)
+            for b, fs in dels_all.items()
+            if len(fs) > 1 and int(b) not in set(fragmented)
+        )
         n_before = sum(len(fs) for fs in snap["buckets"].values())
-        if not fragmented:
+        if not fragmented and not side_frag:
             return {
                 "version": snap["version"],
                 "buckets_optimized": [],
                 "files_before": n_before,
                 "files_after": n_before,
+                "sidecars_coalesced": [],
             }
         next_version = snap["version"] + 1
         staging = _staging_path(
             base_dir, "optimize", next_version, writer_id, attempt
         )
+        del_staging = None
         try:
-            files = [
-                f for b in fragmented for f in snap["buckets"][str(b)]
-            ]
-            # pending MOR deletes of the rewritten buckets apply
-            # physically here (visible rows unchanged — they were
-            # already hidden at read); their sidecars clear below
-            df = _apply_mor_deletes(
-                spark,
-                _read_files_aligned(
-                    spark, files, cols_, types_, snap.get("column_epochs")
-                ),
-                snap,
-            ).withColumn("bucket", _bucket_of(key_col, n_buckets))
-            _write_clustered(
-                df, staging, key_col, 1, n_buckets,
-                snap.get("cluster_col"), snap.get("cluster_bins", 4),
-            )
+            if fragmented:
+                files = [
+                    f for b in fragmented for f in snap["buckets"][str(b)]
+                ]
+                # pending MOR deletes of the rewritten buckets apply
+                # physically here (visible rows unchanged — they were
+                # already hidden at read); their sidecars clear below
+                df = _apply_mor_deletes(
+                    spark,
+                    _read_files_aligned(
+                        spark, files, cols_, types_,
+                        snap.get("column_epochs"),
+                        snap.get("file_versions"),
+                    ),
+                    snap,
+                ).withColumn("bucket", _bucket_of(key_col, n_buckets))
+                _write_clustered(
+                    df, staging, key_col, 1, n_buckets,
+                    snap.get("cluster_col"), snap.get("cluster_bins", 4),
+                )
+            del_new: dict[int, list] = {}
+            if side_frag:
+                # one job over O(pending deleted keys): keys re-derive
+                # their own bucket (sidecars are bucket-scoped by the
+                # same hash), so the rewrite is the delete_keys_mor
+                # write shape with a fresh attempt-private dir
+                del_staging = _staging_path(
+                    base_dir, "optdel", next_version, writer_id, attempt
+                )
+                side_files = [
+                    f for b in side_frag for f in dels_all[str(b)]
+                ]
+                (
+                    spark.read.parquet(*side_files)
+                    .select(key_col)
+                    .distinct()
+                    .withColumn("bucket", _bucket_of(key_col, n_buckets))
+                    .repartition(F.col("bucket"))
+                    .write.mode("overwrite")
+                    .partitionBy("bucket")
+                    .parquet(del_staging)
+                )
+                del_new = _list_bucket_files(del_staging)
         except Exception as ex:
             shutil.rmtree(staging, ignore_errors=True)
+            if del_staging is not None:
+                shutil.rmtree(del_staging, ignore_errors=True)
             if _is_missing_file_error(ex):
                 continue  # vacuum expired the pin mid-read: re-pin
             raise
-        new_files = _list_bucket_files(staging)
+        new_files = _list_bucket_files(staging) if fragmented else {}
         buckets = dict(snap["buckets"])
         for b in fragmented:
             buckets[str(b)] = new_files.get(b, [])
@@ -2485,23 +2610,34 @@ def optimize_compact(
         )
         dels = {
             b: fs
-            for b, fs in (snap.get("delete_files") or {}).items()
+            for b, fs in dels_all.items()
             if int(b) not in set(fragmented) and fs
         }
+        for b in side_frag:
+            # an all-duplicate sidecar set can coalesce to zero files
+            # for a bucket whose keys were empty — drop the entry
+            dels[str(b)] = del_new.get(b, [])
+        dels = {b: fs for b, fs in dels.items() if fs}
         manifest.pop("delete_files", None)
         if dels:
             manifest["delete_files"] = {
                 k: dels[k] for k in sorted(dels, key=int)
             }
-        _attach_sidecars(spark, snap, manifest, buckets, staging)
+        if fragmented:
+            _attach_sidecars(spark, snap, manifest, buckets, staging)
+        # sidecar-only commits change no data files: every per-file
+        # sidecar map carried verbatim by the {**snap} copy stays exact
         if _publish_manifest(base_dir, manifest):
             return {
                 "version": next_version,
                 "buckets_optimized": fragmented,
                 "files_before": n_before,
                 "files_after": sum(len(fs) for fs in buckets.values()),
+                "sidecars_coalesced": side_frag,
             }
         shutil.rmtree(staging, ignore_errors=True)
+        if del_staging is not None:
+            shutil.rmtree(del_staging, ignore_errors=True)
     raise MergeConflictError(
         f"optimize by {writer_id} lost the commit race {max_retries + 1} times"
     )
@@ -3066,13 +3202,16 @@ def changes_between(
     def visible(files, manifest):
         # both sides align to v_to's LOGICAL schema (cols/types AND
         # column epochs): a column re-added at R reads as NULL from
-        # any group older than R on either side
+        # any group older than R on either side. Birth versions come
+        # from each SIDE's manifest (a file's birth version is
+        # invariant; each manifest records its own referenced files)
         return _visible_rows(
             _apply_mor_deletes(
                 spark,
                 _read_files_aligned(
                     spark, files, cols, types,
                     m_to.get("column_epochs"),
+                    manifest.get("file_versions"),
                 ),
                 manifest,
             )
@@ -3318,7 +3457,8 @@ def rebucket_table(
             df = _apply_mor_deletes(
                 spark,
                 _read_files_aligned(
-                    spark, files, cols, types, snap.get("column_epochs")
+                    spark, files, cols, types,
+                    snap.get("column_epochs"), snap.get("file_versions"),
                 ),
                 snap,
             ).withColumn("bucket", _bucket_of(key_col, new_n_buckets))

@@ -61,32 +61,38 @@ from pyspark.sql.datasource import (
 
 
 def _read_aligned_pandas(files: list, columns: list, types: dict,
-                         epochs: dict | None = None):
+                         epochs: dict | None = None,
+                         file_versions: dict | None = None):
     """Read parquet ``files`` with pyarrow and align every frame to the
     logical ``columns`` (missing columns — files written before a
     schema evolution — become NULL, the pandas mirror of
     operators.lakehouse._read_files_aligned, including its
     column-epoch guard: a column (re-)introduced at version R reads
-    as NULL from any file group older than R)."""
-    import os as _os
-    import re as _re
-
+    as NULL from any file older than R). Birth versions come from the
+    manifest's ``file_versions`` records shipped in the partition —
+    never parsed from directory names, which a rename would silently
+    invalidate (the stale-byte-resurrection class the protocol fuzz
+    caught)."""
     import pandas as pd
     import pyarrow.parquet as pq
 
+    guard = bool(epochs) and any(int(v) > 1 for v in epochs.values())
     frames = []
     for f in files:
         df = pq.read_table(f).to_pandas()
         gv = None
-        if epochs:
-            m = _re.match(
-                r"[a-z]+_v(\d+)_",
-                _os.path.basename(_os.path.dirname(_os.path.dirname(f))),
-            )
-            gv = int(m.group(1)) if m else None
+        if guard:
+            gv = (file_versions or {}).get(f)
+            if gv is None:
+                raise ValueError(
+                    "column-epoch read needs the manifest's per-file "
+                    f"birth versions, but {f!r} has no file_versions "
+                    "entry — refusing to trust physical bytes on an "
+                    "epoch-evolved table"
+                )
         for c in columns:
             if c not in df.columns or (
-                epochs and gv is not None and int(epochs.get(c, 0)) > gv
+                guard and int(epochs.get(c, 0)) > int(gv)
             ):
                 df[c] = None
         frames.append(df[columns])
@@ -128,7 +134,8 @@ class _StepBucketDiff(InputPartition):
 
     def __init__(self, files_from, files_to, commit_version,
                  key_col, data_cols, types, tombstone_col,
-                 dels_from=(), dels_to=(), epochs=None):
+                 dels_from=(), dels_to=(), epochs=None,
+                 file_versions=None):
         self.files_from = files_from
         self.files_to = files_to
         self.commit_version = commit_version
@@ -140,8 +147,11 @@ class _StepBucketDiff(InputPartition):
         # read deletes change visibility without touching data files)
         self.dels_from = list(dels_from)
         self.dels_to = list(dels_to)
-        # v_to's column birth versions (the epoch guard's input)
+        # v_to's column birth versions (the epoch guard's input) and
+        # this bucket's per-file birth versions (the guard's manifest-
+        # backed file side)
         self.epochs = dict(epochs or {})
+        self.file_versions = dict(file_versions or {})
 
 
 def _diff_bucket(part: _StepBucketDiff):
@@ -165,7 +175,8 @@ def _diff_bucket(part: _StepBucketDiff):
     old = _visible_pandas(
         _minus_mor(
             _read_aligned_pandas(
-                part.files_from, cols, part.types, part.epochs
+                part.files_from, cols, part.types, part.epochs,
+                part.file_versions,
             ),
             part.dels_from,
         ),
@@ -174,7 +185,8 @@ def _diff_bucket(part: _StepBucketDiff):
     new = _visible_pandas(
         _minus_mor(
             _read_aligned_pandas(
-                part.files_to, cols, part.types, part.epochs
+                part.files_to, cols, part.types, part.epochs,
+                part.file_versions,
             ),
             part.dels_to,
         ),
@@ -312,6 +324,12 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
                 ) from ex
             d_from_all = m_from.get("delete_files") or {}
             d_to_all = m_to.get("delete_files") or {}
+            # a file's birth version is invariant; union the two sides'
+            # records so each bucket task ships only its own files' rows
+            fv_all = {
+                **(m_from.get("file_versions") or {}),
+                **(m_to.get("file_versions") or {}),
+            }
             for b in sorted(set(m_from["buckets"]) | set(m_to["buckets"])):
                 f_from = m_from["buckets"].get(b, [])
                 f_to = m_to["buckets"].get(b, [])
@@ -327,6 +345,11 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
                             key_col, data_cols, types, tomb,
                             d_from, d_to,
                             m_to.get("column_epochs"),
+                            {
+                                f: fv_all[f]
+                                for f in set(f_from) | set(f_to)
+                                if f in fv_all
+                            },
                         )
                     )
         return parts

@@ -845,6 +845,35 @@ def test_changes_between_tolerates_legacy_manifest(spark, tmp_path):
     assert d == {3: "update", 999: "insert"}
 
 
+def test_legacy_manifest_merge_preserves_base_rows(spark, tmp_path):
+    """MERGE against a pre-schema manifest (no columns/column_types/
+    column_epochs recorded) must treat every batch column as CARRIED —
+    not born-at-next-version. Stamping them new would make
+    _read_files_aligned NULL every base column (key included) and fold
+    the table into NULL-keyed wreckage (ADVICE r10 medium)."""
+    import json as _json
+    import os as _os
+
+    from assignment4_spark.operators.lakehouse import _manifest_path
+
+    base = _mk_table(spark, tmp_path, n=50, n_buckets=4)
+    p = _manifest_path(base, 1)
+    with open(p) as fh:
+        m = _json.load(fh)
+    for key in ("columns", "column_types", "column_epochs"):
+        m.pop(key, None)
+    _os.remove(p)
+    with open(p, "w") as fh:
+        _json.dump(m, fh)
+
+    merge_upsert_manifest(base, _upd(spark, [3, 999], 2, "u"), "ver", "payload")
+    rows = {r.k: (r.ver, r.payload) for r in read_snapshot(spark, base).collect()}
+    assert len(rows) == 51, f"base rows destroyed: {len(rows)} keys"
+    assert rows[3] == (2, "u3") and rows[999] == (2, "u999")
+    # untouched base rows keep their original bytes
+    assert rows[4] == (1, "p4") and rows[49] == (1, "p49")
+
+
 def test_rebucket_preserves_contents_and_old_epoch(spark, tmp_path):
     """rebucket_table: contents are invariant, the new manifest carries
     the new bucket count, PINNED readers keep the old epoch's bucket
@@ -2501,6 +2530,78 @@ def test_column_stats_recorded_carried_and_refreshed(spark, tmp_path):
     assert got == {7}
 
 
+def test_column_prune_timestamp_probe_shapes(spark, tmp_path):
+    """Timestamp stats are stored as 'T'-separated isoformat strings; a
+    probe supplied as a datetime OBJECT (TypeError against str) or as a
+    space-separated datetime STRING (' ' sorts before 'T', so a raw
+    compare wrongly skips files holding matching rows) must both prune
+    EXACTLY like the canonical ISO probe (ADVICE r10)."""
+    import datetime
+
+    from assignment4_spark.operators.lakehouse import (
+        init_table,
+        prune_files_by_column,
+        read_snapshot_where,
+    )
+
+    base = str(tmp_path / "tstbl")
+    df = spark.range(96).select(
+        F.col("id").alias("k"),
+        F.lit(1).alias("ver"),
+        (
+            F.lit("2024-03-01 00:00:00").cast("timestamp")
+            + F.make_interval(hours=F.col("id"))
+        ).alias("ts"),
+    )
+    init_table(df, base, key_col="k", n_buckets=4)
+    m = load_manifest(base)
+    iso_lo, iso_hi = "2024-03-02T05:00:00", "2024-03-02T07:00:00"
+    ref_kept, ref_skip = prune_files_by_column(m, "ts", iso_lo, iso_hi)
+    probes = [
+        ("2024-03-02 05:00:00", "2024-03-02 07:00:00"),
+        (
+            datetime.datetime(2024, 3, 2, 5),
+            datetime.datetime(2024, 3, 2, 7),
+        ),
+    ]
+    for lo, hi in probes:
+        kept, skipped = prune_files_by_column(m, "ts", lo, hi)
+        assert (sorted(kept), sorted(skipped)) == (
+            sorted(ref_kept),
+            sorted(ref_skip),
+        ), f"probe shape {type(lo).__name__} diverged"
+    # end-to-end: the space-separated read returns the matching rows
+    got = {
+        r.k
+        for r in read_snapshot_where(
+            spark, base, "ts", "2024-03-02 05:00:00", "2024-03-02 07:00:00"
+        ).collect()
+    }
+    assert got == {29, 30, 31}, got
+
+
+def test_version_floor_propagates_read_errors(tmp_path):
+    """Only FileNotFoundError means 'no vacuum ever ran' (floor 0); any
+    other read failure must PROPAGATE — swallowing it as 0 would let a
+    straggler commit link into a vacuum-reopened slot, the exact
+    history-resurrection hazard the floor closes (ADVICE r10)."""
+    import os as _os
+
+    from assignment4_spark.operators.lakehouse import (
+        _floor_path,
+        _version_floor,
+    )
+
+    base = str(tmp_path / "floortbl")
+    _os.makedirs(base)
+    assert _version_floor(base) == 0  # genuinely absent
+    # a directory at the floor path raises IsADirectoryError (OSError,
+    # not FileNotFoundError) on open — must not be treated as floor 0
+    _os.makedirs(_floor_path(base))
+    with pytest.raises(OSError):
+        _version_floor(base)
+
+
 def test_column_stats_fresh_after_rebucket_and_all_null(spark, tmp_path):
     """Rebucket (carry=False) rebuilds stats fresh for every file — no
     dead paths carried; an all-NULL column gets no stats entry and its
@@ -2789,6 +2890,130 @@ def test_drop_column_guards_and_readd(spark, tmp_path):
     merge_upsert_manifest(base, upd, "ver", "x", evolve_schema=True)
     rows = {r.k: r.attr for r in read_snapshot(spark, base).collect()}
     assert rows[1] == "fresh" and rows[2] is None
+
+
+def test_optimize_coalesces_mor_sidecars(spark, tmp_path):
+    """N tiny MOR-delete commits pile up N sidecar parquets per touched
+    bucket; OPTIMIZE must fold them to <= 1 per bucket (the read-side
+    anti-join fan-in stays O(buckets), not O(delete commits)) with
+    byte-identical visible rows and an EMPTY change feed — and stay a
+    no-op when there is nothing to pack or coalesce."""
+    from assignment4_spark.operators.lakehouse import (
+        changes_between,
+        delete_keys_mor,
+        optimize_compact,
+    )
+
+    base = _mk_table(spark, tmp_path, n=200, n_buckets=4)
+    for k in (3, 7, 11, 15, 19):
+        delete_keys_mor(
+            spark, base, spark.createDataFrame([(k,)], "k long")
+        )
+    m = load_manifest(base)
+    assert sum(len(fs) for fs in m["delete_files"].values()) >= 5
+    multi = [b for b, fs in m["delete_files"].items() if len(fs) > 1]
+    assert multi, "fixture must pile >1 sidecar on some bucket"
+    before = {
+        r.k: (r.ver, r.payload)
+        for r in read_snapshot(spark, base).collect()
+    }
+    assert len(before) == 195
+
+    res = optimize_compact(spark, base)
+    assert sorted(res["sidecars_coalesced"]) == sorted(int(b) for b in multi)
+    m2 = load_manifest(base)
+    assert all(len(fs) <= 1 for fs in (m2.get("delete_files") or {}).values())
+    after = {
+        r.k: (r.ver, r.payload)
+        for r in read_snapshot(spark, base).collect()
+    }
+    assert after == before, "sidecar coalesce changed visible rows"
+    assert (
+        changes_between(
+            spark, base, res["version"] - 1, res["version"]
+        ).count()
+        == 0
+    ), "metadata-only coalesce must produce an empty CDF"
+    # idempotent: nothing left to do -> no new commit
+    res2 = optimize_compact(spark, base)
+    assert res2["version"] == res["version"]
+    assert res2["sidecars_coalesced"] == []
+    # the deletes still apply after coalesce + a later rewrite clears
+    merge_upsert_manifest(base, _upd(spark, [3], 2, "back"), "ver", "payload")
+    rows = {r.k: r.payload for r in read_snapshot(spark, base).collect()}
+    assert rows[3] == "back3" and 7 not in rows and len(rows) == 196
+
+
+def test_epoch_guard_is_manifest_backed_not_name_parsed(spark, tmp_path):
+    """The column-epoch guard must read birth versions from the
+    manifest's ``file_versions`` records, NEVER from the staging-
+    directory name: (a) a file group under an arbitrary, pattern-free
+    directory name still NULLs old-epoch bytes when the manifest says
+    so; (b) an epoch-evolved read with NO file_versions entry raises
+    loudly instead of silently trusting physical bytes (VERDICT r10
+    item 3 — a rename degrading the guard re-opens the fuzz-caught
+    stale-byte-resurrection class)."""
+    import os as _os
+
+    from assignment4_spark.operators.lakehouse import _read_files_aligned
+
+    # stage a parquet file under a name _staging_path would never emit
+    gdir = str(tmp_path / "relocated-data" / "bucket=0")
+    _os.makedirs(gdir)
+    spark.createDataFrame(
+        [(1, 1, "stale")], "k long, ver int, attr string"
+    ).coalesce(1).write.mode("overwrite").parquet(gdir)
+    f = [
+        _os.path.join(gdir, x)
+        for x in _os.listdir(gdir)
+        if x.endswith(".parquet")
+    ]
+    assert len(f) == 1
+    cols = ["k", "ver", "attr"]
+    types = {"k": "bigint", "ver": "int", "attr": "string"}
+    epochs = {"k": 1, "ver": 1, "attr": 3}  # attr re-added at v3
+
+    # (a) manifest says the group was born at v1 -> attr is the
+    # DROPPED incarnation's bytes and must read NULL
+    rows = _read_files_aligned(
+        spark, f, cols, types, epochs, {f[0]: 1}
+    ).collect()
+    assert rows[0].attr is None, "old-epoch bytes leaked through"
+    # ...born at v3 -> same-named bytes are the fresh incarnation
+    rows = _read_files_aligned(
+        spark, f, cols, types, epochs, {f[0]: 3}
+    ).collect()
+    assert rows[0].attr == "stale"
+
+    # (b) no recorded birth version on an epoch-evolved table: loud
+    with pytest.raises(ValueError, match="file_versions"):
+        _read_files_aligned(spark, f, cols, types, epochs, None)
+    # inert guard (never-evolved table): no records needed
+    rows = _read_files_aligned(
+        spark, f, cols, types, {c: 1 for c in cols}, None
+    ).collect()
+    assert rows[0].attr == "stale"
+
+
+def test_file_versions_recorded_and_carried(spark, tmp_path):
+    """Every commit path records per-file birth versions covering
+    exactly the manifest's referenced files: init stamps v1, a merge
+    stamps only its rewritten buckets' files at the new version and
+    carries untouched entries verbatim."""
+    base = _mk_table(spark, tmp_path, n=200, n_buckets=8)
+    m1 = load_manifest(base)
+    files1 = {f for fs in m1["buckets"].values() for f in fs}
+    assert set(m1["file_versions"]) == files1
+    assert set(m1["file_versions"].values()) == {1}
+
+    merge_upsert_manifest(base, _upd(spark, [7], 2, "u"), "ver", "payload")
+    m2 = load_manifest(base)
+    files2 = {f for fs in m2["buckets"].values() for f in fs}
+    assert set(m2["file_versions"]) == files2
+    fresh = files2 - files1
+    assert fresh and all(m2["file_versions"][f] == 2 for f in fresh)
+    for f in files2 & files1:
+        assert m2["file_versions"][f] == 1
 
 
 @pytest.mark.parametrize("seed", [11, 42, 1337])
