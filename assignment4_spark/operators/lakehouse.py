@@ -2477,6 +2477,7 @@ def optimize_compact(
     max_files_per_bucket: int = 1,
     writer_id: str = "w0",
     max_retries: int = 5,
+    before_commit=None,
 ) -> dict:
     """OPTIMIZE — bin-pack fragmented buckets into right-sized files,
     as a first-class manifest commit (Delta OPTIMIZE / Iceberg
@@ -2627,6 +2628,8 @@ def optimize_compact(
             _attach_sidecars(spark, snap, manifest, buckets, staging)
         # sidecar-only commits change no data files: every per-file
         # sidecar map carried verbatim by the {**snap} copy stays exact
+        if before_commit is not None:
+            before_commit(attempt)
         if _publish_manifest(base_dir, manifest):
             return {
                 "version": next_version,
@@ -2726,6 +2729,7 @@ def delete_keys_mor(
     keys_df: DataFrame,
     writer_id: str = "w0",
     max_retries: int = 5,
+    before_commit=None,
 ) -> tuple[int, int]:
     """Merge-on-read DELETE (Iceberg equality-delete files / Delta
     deletion-vector intent): commit the DELETED KEYS as per-bucket
@@ -2788,6 +2792,8 @@ def delete_keys_mor(
                 "delete_files": {k: dels[k] for k in sorted(dels, key=int)},
             }
         )
+        if before_commit is not None:
+            before_commit(attempt)
         if _publish_manifest(base_dir, manifest):
             return next_version, attempt + 1
         shutil.rmtree(staging, ignore_errors=True)

@@ -3175,3 +3175,210 @@ def test_protocol_model_fuzz(spark, tmp_path, seed):
                 attr_live = hist[target][1]
         hist[latest_version(base)] = (copy.deepcopy(model), attr_live)
         check(step)
+
+
+@pytest.mark.parametrize("seed", [7, 23, 4242])
+def test_protocol_two_writer_fuzz(spark, tmp_path, seed):
+    """Two-writer CAS-race fuzz: every step, writer A (merge / tombstone
+    / PATCH / MOR delete / OPTIMIZE) starts a commit and writer B
+    (merge / tombstone / MOR delete) commits INSIDE A's pre-CAS window
+    via the before_commit seam — forcing A to lose and rebase.
+    Declared semantics: the outcome equals SERIAL B-then-A (the rebase
+    re-pins, re-reads, and re-derives patch carries against B's
+    state), and under isolation='serializable' an overlapping-key loss
+    ABORTS A with only B's commit applied. The pairwise conflict tests
+    pin individual races; this pins the matrix (e.g. a PATCH racing a
+    tombstone of its carry row, a MOR delete racing an OPTIMIZE that
+    coalesces the sidecar it is appending next to)."""
+    import random
+
+    from assignment4_spark.operators.lakehouse import (
+        TOMBSTONE_COL,
+        SerializationConflictError,
+        delete_keys_mor,
+        init_table,
+        optimize_compact,
+    )
+
+    rng = random.Random(seed)
+    base = str(tmp_path / "fuzz2w")
+    keys = list(range(50))
+    model: dict[int, dict] = {
+        k: {"ver": 1, "attr": f"a{k}", "val": float(k), "dead": False}
+        for k in keys
+    }
+    seed_df = spark.createDataFrame(
+        [(k, 1, f"a{k}", float(k), False) for k in keys],
+        f"k long, ver int, attr string, val double, {TOMBSTONE_COL} boolean",
+    )
+    init_table(seed_df, base, key_col="k", n_buckets=8)
+    ver = 1
+    SCHEMA = (
+        f"k long, ver int, attr string, val double, {TOMBSTONE_COL} boolean"
+    )
+
+    def apply_merge(m, rows):
+        # latest-wins fold of full rows (k, ver, attr, val, dead)
+        for k, v, attr, val, dead in rows:
+            cur = m.get(k)
+            if cur is None or v >= cur["ver"]:
+                m[k] = {"ver": v, "attr": attr, "val": val, "dead": dead}
+
+    def apply_patch(m, rows):
+        # (k, ver, val): live upsert patching val, carrying attr from
+        # the VISIBLE row (None when the key is absent or tombstoned)
+        for k, v, val in rows:
+            cur = m.get(k)
+            carry = (
+                cur["attr"] if cur is not None and not cur["dead"] else None
+            )
+            if cur is None or v >= cur["ver"]:
+                m[k] = {"ver": v, "attr": carry, "val": val, "dead": False}
+
+    def apply_mor(m, ks):
+        for k in ks:
+            m.pop(k, None)
+
+    def run_b(bop, bver, bks):
+        """Writer B's plain commit + its model application."""
+        if bop == "b_merge":
+            rows = [(k, bver, f"b{bver}k{k}", k + 0.5, False) for k in bks]
+            merge_upsert_manifest(
+                base, spark.createDataFrame(rows, SCHEMA),
+                "ver", TOMBSTONE_COL, writer_id="B",
+            )
+            apply_merge(model, rows)
+        elif bop == "b_tomb":
+            rows = [(k, bver, None, None, True) for k in bks]
+            merge_upsert_manifest(
+                base, spark.createDataFrame(rows, SCHEMA),
+                "ver", TOMBSTONE_COL, writer_id="B",
+            )
+            apply_merge(model, rows)
+        else:  # b_mor
+            delete_keys_mor(
+                spark, base,
+                spark.createDataFrame([(k,) for k in bks], "k long"),
+                writer_id="B",
+            )
+            apply_mor(model, bks)
+
+    def check(step):
+        got = {
+            r.k: (r.ver, r.attr, r.val)
+            for r in read_snapshot(spark, base).collect()
+        }
+        want = {
+            k: (v["ver"], v["attr"], v["val"])
+            for k, v in model.items()
+            if not v["dead"]
+        }
+        assert got == want, (
+            f"seed={seed} step={step}: diverged\n"
+            f"extra={set(got) - set(want)} missing={set(want) - set(got)}\n"
+            f"diffs={ {k: (got.get(k), want.get(k)) for k in (set(got) | set(want)) if got.get(k) != want.get(k)} }"
+        )
+
+    for step in range(10):
+        aop = rng.choice(["a_merge", "a_tomb", "a_patch", "a_mor",
+                          "a_optimize", "a_serial"])
+        bop = rng.choice(["b_merge", "b_tomb", "b_mor"])
+        bks = rng.sample(keys, rng.randint(1, 6))
+        double = rng.random() < 0.3  # occasionally force TWO losses
+        bks2 = rng.sample(keys, rng.randint(1, 4)) if double else []
+        bver = ver + 1
+        bver2 = ver + 2 if double else None
+        aver = ver + (3 if double else 2)
+        ver = aver
+        fired = []
+
+        def interleave(attempt):
+            if attempt == 0:
+                fired.append(0)
+                run_b(bop, bver, bks)
+            elif attempt == 1 and double:
+                fired.append(1)
+                run_b("b_merge", bver2, bks2)
+
+        if aop == "a_merge":
+            aks = rng.sample(keys, rng.randint(1, 8))
+            rows = [(k, aver, f"A{aver}k{k}", k + 0.25, False) for k in aks]
+            merge_upsert_manifest(
+                base, spark.createDataFrame(rows, SCHEMA),
+                "ver", TOMBSTONE_COL, writer_id="A",
+                before_commit=interleave,
+            )
+            apply_merge(model, rows)
+        elif aop == "a_tomb":
+            aks = rng.sample(keys, rng.randint(1, 3))
+            rows = [(k, aver, None, None, True) for k in aks]
+            merge_upsert_manifest(
+                base, spark.createDataFrame(rows, SCHEMA),
+                "ver", TOMBSTONE_COL, writer_id="A",
+                before_commit=interleave,
+            )
+            apply_merge(model, rows)
+        elif aop == "a_patch":
+            aks = rng.sample(keys, rng.randint(1, 5))
+            rows = [(k, aver, k + 0.125) for k in aks]
+            merge_upsert_manifest(
+                base,
+                spark.createDataFrame(rows, "k long, ver int, val double")
+                .withColumn(TOMBSTONE_COL, F.lit(None).cast("boolean"))
+                .select("k", "ver", TOMBSTONE_COL, "val"),
+                "ver", TOMBSTONE_COL, writer_id="A",
+                before_commit=interleave, patch_cols=["val"],
+            )
+            # the rebase re-derives the carry against B's state: B ran
+            # first in the serial order, so apply B's model before A's
+            apply_patch(model, rows)
+        elif aop == "a_mor":
+            aks = rng.sample(keys, rng.randint(1, 5))
+            delete_keys_mor(
+                spark, base,
+                spark.createDataFrame([(k,) for k in aks], "k long"),
+                writer_id="A", before_commit=interleave,
+            )
+            apply_mor(model, aks)
+        elif aop == "a_optimize":
+            optimize_compact(
+                spark, base, max_files_per_bucket=1,
+                before_commit=interleave,
+            )
+        elif aop == "a_serial":
+            # serializable MERGE racing B: overlap -> A aborts, only B
+            # lands; disjoint -> serial B-then-A like latest_wins
+            aks = rng.sample(keys, rng.randint(1, 6))
+            rows = [(k, aver, f"S{aver}k{k}", k + 0.75, False) for k in aks]
+            overlap = (bop != "b_mor" and set(aks) & set(bks)) or (
+                double and set(aks) & set(bks2)
+            )
+            try:
+                merge_upsert_manifest(
+                    base, spark.createDataFrame(rows, SCHEMA),
+                    "ver", TOMBSTONE_COL, writer_id="A",
+                    before_commit=interleave, isolation="serializable",
+                )
+                committed = True
+            except SerializationConflictError:
+                committed = False
+            assert committed == (not overlap), (
+                f"seed={seed} step={step}: serializable outcome "
+                f"committed={committed} but overlap={bool(overlap)}"
+            )
+            if committed:
+                apply_merge(model, rows)
+        # an OPTIMIZE with nothing to pack or coalesce early-returns
+        # without opening a CAS window (and a mid-retry re-pin can find
+        # its work gone) — any unfired B commit then just runs serially
+        # after A; for every other arm B must have fired inside A's
+        # window. Model outcomes agree because optimize is identity.
+        if aop != "a_optimize":
+            assert fired == ([0, 1] if double else [0]), (
+                f"seed={seed} step={step} aop={aop}: B fired {fired}"
+            )
+        if 0 not in fired:
+            run_b(bop, bver, bks)
+        if double and 1 not in fired:
+            run_b("b_merge", bver2, bks2)
+        check(step)
