@@ -42,6 +42,8 @@ _PRIORITY = [
     # design ops at the BACK (they cannot earn a hash row; re-checking
     # burns a window slot -- VERDICT r6). New round-11 ops, when added,
     # go at the FRONT (never-driver-checked outranks stale).
+    # round-11 additions: never driver-checked, oracled
+    "merge_delete_dv", "stream_cdf_pruned",
     "dedup_exact_substring", "dedup_pipeline_survivors",
     "dedup_semantic_cluster", "graph_bfs_layers", "graph_degree_hist",
     "graph_jaccard_neighbors", "graph_pagerank", "graph_triangle_count",

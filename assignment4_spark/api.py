@@ -39,6 +39,7 @@ from .operators.lakehouse import (  # noqa: F401
     changes_between,
     clone_table,
     compact_tombstones,
+    delete_keys_dv,
     delete_keys_mor,
     drop_column,
     optimize_compact,
@@ -145,6 +146,7 @@ __all__ = [
     "CHUNK_SIZE",
     "chunk_text",
     "compact_tombstones",
+    "delete_keys_dv",
     "delete_keys_mor",
     "drop_column",
     "optimize_compact",

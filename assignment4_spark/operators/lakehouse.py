@@ -163,6 +163,7 @@ def _read_files_aligned(
     column_types: dict,
     column_epochs: dict | None = None,
     file_versions: dict | None = None,
+    carry_positions: bool = False,
 ) -> DataFrame:
     """Read manifest files and align every row to the manifest's
     LOGICAL schema. Files written before a schema evolution physically
@@ -224,18 +225,26 @@ def _read_files_aligned(
             have = {
                 c for c in have if int(column_epochs.get(c, 0)) <= gv
             }
-        parts.append(
-            df.select(
-                *[
-                    (
-                        F.col(c).cast(column_types[c])
-                        if c in have
-                        else F.lit(None).cast(column_types[c])
-                    ).alias(c)
-                    for c in columns
-                ]
-            )
-        )
+        sel = [
+            (
+                F.col(c).cast(column_types[c])
+                if c in have
+                else F.lit(None).cast(column_types[c])
+            ).alias(c)
+            for c in columns
+        ]
+        if carry_positions:
+            # native parquet-reader row positions (Spark's _metadata
+            # hidden struct) — what makes positional deletion vectors
+            # possible without any per-file sort. The scheme prefix is
+            # stripped so write- and read-side paths compare equal.
+            sel += [
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:", ""
+                ).alias(DV_FILE_COL),
+                F.col("_metadata.row_index").alias(DV_POS_COL),
+            ]
+        parts.append(df.select(*sel))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -570,12 +579,12 @@ def read_snapshot_null(
         )
         df = spark.createDataFrame([], ddl)
     else:
-        df = _read_files_aligned(
-            spark, kept, manifest["columns"], manifest["column_types"],
+        df = _read_visible_base(
+            spark, manifest, kept,
+            manifest["columns"], manifest["column_types"],
             manifest.get("column_epochs"),
             manifest.get("file_versions"),
         ).filter(F.col(col).isNull())
-        df = _apply_mor_deletes(spark, df, manifest)
     if not include_tombstones:
         df = _visible_rows(df)
     return df
@@ -600,12 +609,12 @@ def read_snapshot_where(
     skips — correctness never depends on it."""
     manifest = load_manifest(base_dir, version)
     kept, _ = prune_files_by_column(manifest, col, lo, hi)
-    df = _read_files_aligned(
-        spark, kept, manifest["columns"], manifest["column_types"],
+    df = _read_visible_base(
+        spark, manifest, kept,
+        manifest["columns"], manifest["column_types"],
         manifest.get("column_epochs"),
         manifest.get("file_versions"),
     ).filter(F.col(col).between(lo, hi))
-    df = _apply_mor_deletes(spark, df, manifest)
     if not include_tombstones:
         df = _visible_rows(df)
     return df
@@ -754,12 +763,12 @@ def read_snapshot_point(
         )
         df = spark.createDataFrame([], ddl)
         return df if include_tombstones else _visible_rows(df)
-    df = _read_files_aligned(
-        spark, kept, manifest["columns"], manifest["column_types"],
+    df = _read_visible_base(
+        spark, manifest, kept,
+        manifest["columns"], manifest["column_types"],
         manifest.get("column_epochs"),
         manifest.get("file_versions"),
     ).filter(F.col(bcol) == F.lit(value))
-    df = _apply_mor_deletes(spark, df, manifest)
     if not include_tombstones:
         df = _visible_rows(df)
     return df
@@ -877,12 +886,12 @@ def read_snapshot_range(
             "get stats-pruned range reads"
         )
     kept, _ = prune_files_by_range(manifest, lo, hi)
-    df = _read_files_aligned(
-        spark, kept, manifest["columns"], manifest["column_types"],
+    df = _read_visible_base(
+        spark, manifest, kept,
+        manifest["columns"], manifest["column_types"],
         manifest.get("column_epochs"),
         manifest.get("file_versions"),
     ).filter(F.col(ccol).between(lo, hi))
-    df = _apply_mor_deletes(spark, df, manifest)
     if not include_tombstones:
         df = _visible_rows(df)
     return df
@@ -1214,13 +1223,17 @@ def read_snapshot(
     files = [f for fs in manifest["buckets"].values() for f in fs]
     cols, types = manifest.get("columns"), manifest.get("column_types")
     if cols is None or types is None:
-        df = spark.read.parquet(*files)
+        # legacy pre-schema manifest: plain read, pending equality
+        # deletes still apply (legacy tables cannot have DVs)
+        df = _apply_mor_deletes(
+            spark, spark.read.parquet(*files), manifest
+        )
     else:
-        df = _read_files_aligned(
-            spark, files, cols, types, manifest.get("column_epochs"),
+        df = _read_visible_base(
+            spark, manifest, files, cols, types,
+            manifest.get("column_epochs"),
             manifest.get("file_versions"),
         )
-    df = _apply_mor_deletes(spark, df, manifest)
     if not include_tombstones:
         df = _visible_rows(df)
     return df
@@ -1265,6 +1278,98 @@ def _apply_mor_deletes(
     key_col = manifest["key_col"]
     dk = spark.read.parquet(*files).select(key_col).distinct()
     return df.join(F.broadcast(dk), key_col, "left_anti")
+
+
+#: internal column names carrying the parquet reader's native file /
+#: row-index metadata through an aligned read for DV application
+DV_FILE_COL = "__dv_file"
+DV_POS_COL = "__dv_pos"
+
+
+def _dv_sidecar_files(manifest: dict) -> list[str]:
+    """Every positional deletion-vector sidecar the manifest
+    references (pending position deletes), flattened."""
+    return [
+        f
+        for fs in (manifest.get("dv_files") or {}).values()
+        for f in fs
+    ]
+
+
+def _apply_dv_deletes(
+    spark: SparkSession,
+    df: DataFrame,
+    manifest: dict,
+    keep_positions: bool = False,
+) -> DataFrame:
+    """Apply the manifest's pending POSITIONAL deletion vectors to an
+    aligned read that carried ``carry_positions=True``: per-file
+    64-bit word bitmaps (file, word index, word) anti-filter rows by
+    their native parquet row index. Cost: a broadcast of O(deleted
+    rows / 64) bitmap words joined on the COARSE (file, word) key —
+    per surviving row the test is one AND+compare, independent of how
+    many deletes are pending (the property equality-delete sidecars
+    lack: their anti-join fan-in grows with every delete commit).
+    Sidecars from separate commits may carry words for the same
+    (file, word) slot — folded with bit_or before the join."""
+    files = _dv_sidecar_files(manifest)
+    if not files:
+        return (
+            df
+            if keep_positions
+            else df.drop(DV_FILE_COL, DV_POS_COL)
+        )
+    dv = (
+        spark.read.parquet(*files)
+        .groupBy("file", "w")
+        .agg(F.bit_or("word").alias("word"))
+    )
+    out = (
+        df.withColumn("__dv_w", (F.col(DV_POS_COL) / 64).cast("int"))
+        .join(
+            F.broadcast(dv),
+            (F.col(DV_FILE_COL) == dv["file"])
+            & (F.col("__dv_w") == dv["w"]),
+            "left",
+        )
+        .filter(
+            F.col("word").isNull()
+            | (
+                F.expr(
+                    "word & shiftleft(CAST(1 AS BIGINT), "
+                    f"CAST({DV_POS_COL} % 64 AS INT)) "
+                )
+                == 0
+            )
+        )
+        .drop("file", "w", "word", "__dv_w")
+    )
+    return out if keep_positions else out.drop(DV_FILE_COL, DV_POS_COL)
+
+
+def _read_visible_base(
+    spark: SparkSession,
+    manifest: dict,
+    files: list,
+    columns: list,
+    column_types: dict,
+    column_epochs: dict | None = None,
+    file_versions: dict | None = None,
+) -> DataFrame:
+    """Aligned manifest read with BOTH pending-delete representations
+    applied: positional deletion vectors (bitmap anti-filter on native
+    row indexes) then equality-delete sidecars (broadcast key
+    anti-join). The single choke point every read face and every
+    rewrite's base read goes through, so no path can forget one
+    representation."""
+    has_dv = bool(files) and bool(manifest.get("dv_files"))
+    df = _read_files_aligned(
+        spark, files, columns, column_types, column_epochs,
+        file_versions, carry_positions=has_dv,
+    )
+    if has_dv:
+        df = _apply_dv_deletes(spark, df, manifest)
+    return _apply_mor_deletes(spark, df, manifest)
 
 
 def _gate_expectations(
@@ -1679,6 +1784,8 @@ def vacuum(base_dir: str, keep_last: int = 2) -> dict:
             kept_files.update(fs)
         for fs in (m.get("delete_files") or {}).values():
             kept_files.update(fs)  # MOR sidecars live like data files
+        for fs in (m.get("dv_files") or {}).values():
+            kept_files.update(fs)  # DV sidecars likewise
         q = (m.get("expectations") or {}).get("path")
         if q:
             kept_qdirs.add(q)
@@ -1687,8 +1794,10 @@ def vacuum(base_dir: str, keep_last: int = 2) -> dict:
     own = os.path.abspath(base_dir) + os.sep
     for v in expired:
         m = load_manifest(base_dir, v)
-        for fs in list(m["buckets"].values()) + list(
-            (m.get("delete_files") or {}).values()
+        for fs in (
+            list(m["buckets"].values())
+            + list((m.get("delete_files") or {}).values())
+            + list((m.get("dv_files") or {}).values())
         ):
             # ownership = directory containment: a CLONE's manifests
             # reference files inside the SOURCE table's directory;
@@ -2144,13 +2253,9 @@ def merge_upsert_manifest(
                 # physically (its buckets' sidecars clear below) and a
                 # deleted key patched/updated here re-inserts fresh
                 # rather than carrying dead values
-                base_df = _apply_mor_deletes(
-                    spark,
-                    _read_files_aligned(
-                        spark, base_files, cols, res_types, new_epochs,
-                        snap.get("file_versions"),
-                    ),
-                    snap,
+                base_df = _read_visible_base(
+                    spark, snap, base_files, cols, res_types,
+                    new_epochs, snap.get("file_versions"),
                 )
             if patch_cols is not None:
                 # fill the carry columns from the pinned snapshot's
@@ -2302,6 +2407,16 @@ def merge_upsert_manifest(
             manifest["delete_files"] = {
                 k: dels[k] for k in sorted(dels, key=int)
             }
+        # positional deletion vectors follow the same rewrite contract
+        dvs = {
+            b: fs
+            for b, fs in (snap.get("dv_files") or {}).items()
+            if int(b) not in set(touched) and fs
+        }
+        if dvs:
+            manifest["dv_files"] = {
+                k: dvs[k] for k in sorted(dvs, key=int)
+            }
         if ident is not None:
             manifest["identity_col"] = ident
             manifest["identity_high_water"] = int(new_hw or 0)
@@ -2385,13 +2500,9 @@ def compact_tombstones(
             files = [
                 f for b in candidates for f in snap["buckets"].get(str(b), [])
             ]
-            df = _apply_mor_deletes(
-                spark,
-                _read_files_aligned(
-                    spark, files, cols_, types_,
-                    snap.get("column_epochs"), snap.get("file_versions"),
-                ),
-                snap,
+            df = _read_visible_base(
+                spark, snap, files, cols_, types_,
+                snap.get("column_epochs"), snap.get("file_versions"),
             ).withColumn("bucket", _bucket_of(key_col, n_buckets))
             per = {
                 r.bucket: r.n
@@ -2457,6 +2568,15 @@ def compact_tombstones(
         if dels:
             manifest["delete_files"] = {
                 k: dels[k] for k in sorted(dels, key=int)
+            }
+        dvs = {
+            b: fs
+            for b, fs in (snap.get("dv_files") or {}).items()
+            if int(b) not in set(doomed) and fs
+        }
+        if dvs:
+            manifest["dv_files"] = {
+                k: dvs[k] for k in sorted(dvs, key=int)
             }
         _attach_sidecars(spark, snap, manifest, buckets, staging)
         if _publish_manifest(base_dir, manifest):
@@ -2531,20 +2651,28 @@ def optimize_compact(
             for b, fs in dels_all.items()
             if len(fs) > 1 and int(b) not in set(fragmented)
         )
+        dvs_all = snap.get("dv_files") or {}
+        dv_frag = sorted(
+            int(b)
+            for b, fs in dvs_all.items()
+            if len(fs) > 1 and int(b) not in set(fragmented)
+        )
         n_before = sum(len(fs) for fs in snap["buckets"].values())
-        if not fragmented and not side_frag:
+        if not fragmented and not side_frag and not dv_frag:
             return {
                 "version": snap["version"],
                 "buckets_optimized": [],
                 "files_before": n_before,
                 "files_after": n_before,
                 "sidecars_coalesced": [],
+                "dv_coalesced": [],
             }
         next_version = snap["version"] + 1
         staging = _staging_path(
             base_dir, "optimize", next_version, writer_id, attempt
         )
         del_staging = None
+        dv_staging = None
         try:
             if fragmented:
                 files = [
@@ -2553,20 +2681,53 @@ def optimize_compact(
                 # pending MOR deletes of the rewritten buckets apply
                 # physically here (visible rows unchanged — they were
                 # already hidden at read); their sidecars clear below
-                df = _apply_mor_deletes(
-                    spark,
-                    _read_files_aligned(
-                        spark, files, cols_, types_,
-                        snap.get("column_epochs"),
-                        snap.get("file_versions"),
-                    ),
-                    snap,
+                df = _read_visible_base(
+                    spark, snap, files, cols_, types_,
+                    snap.get("column_epochs"),
+                    snap.get("file_versions"),
                 ).withColumn("bucket", _bucket_of(key_col, n_buckets))
                 _write_clustered(
                     df, staging, key_col, 1, n_buckets,
                     snap.get("cluster_col"), snap.get("cluster_bins", 4),
                 )
             del_new: dict[int, list] = {}
+            dv_new: dict[int, list] = {}
+            if dv_frag:
+                # deletion-vector sidecars coalesce by BIT_OR folding
+                # the per-(file, word) bitmap slots — one job over
+                # O(pending deleted rows / 64) words. The file column
+                # keys each word to its data file, and a file belongs
+                # to exactly one bucket, so re-deriving the bucket from
+                # the sidecar's own partition layout is unnecessary:
+                # fold per bucket's files directly
+                dv_staging = _staging_path(
+                    base_dir, "optdv", next_version, writer_id, attempt
+                )
+                bdf = spark.createDataFrame(
+                    [
+                        (f, int(b))
+                        for b in dv_frag
+                        for f in snap["buckets"].get(str(b), [])
+                    ],
+                    "file string, bucket int",
+                )
+                dv_files_in = [
+                    f for b in dv_frag for f in dvs_all[str(b)]
+                ]
+                (
+                    spark.read.parquet(*dv_files_in)
+                    .groupBy("file", "w")
+                    .agg(F.bit_or("word").alias("word"))
+                    # vectors only survive while their bucket is
+                    # unrewritten, so every referenced file is still a
+                    # current bucket file — the inner join drops nothing
+                    .join(F.broadcast(bdf), "file")
+                    .repartition(F.col("bucket"))
+                    .write.mode("overwrite")
+                    .partitionBy("bucket")
+                    .parquet(dv_staging)
+                )
+                dv_new = _list_bucket_files(dv_staging)
             if side_frag:
                 # one job over O(pending deleted keys): keys re-derive
                 # their own bucket (sidecars are bucket-scoped by the
@@ -2593,6 +2754,8 @@ def optimize_compact(
             shutil.rmtree(staging, ignore_errors=True)
             if del_staging is not None:
                 shutil.rmtree(del_staging, ignore_errors=True)
+            if dv_staging is not None:
+                shutil.rmtree(dv_staging, ignore_errors=True)
             if _is_missing_file_error(ex):
                 continue  # vacuum expired the pin mid-read: re-pin
             raise
@@ -2624,6 +2787,19 @@ def optimize_compact(
             manifest["delete_files"] = {
                 k: dels[k] for k in sorted(dels, key=int)
             }
+        dvs = {
+            b: fs
+            for b, fs in dvs_all.items()
+            if int(b) not in set(fragmented) and fs
+        }
+        for b in dv_frag:
+            dvs[str(b)] = dv_new.get(b, [])
+        dvs = {b: fs for b, fs in dvs.items() if fs}
+        manifest.pop("dv_files", None)
+        if dvs:
+            manifest["dv_files"] = {
+                k: dvs[k] for k in sorted(dvs, key=int)
+            }
         if fragmented:
             _attach_sidecars(spark, snap, manifest, buckets, staging)
         # sidecar-only commits change no data files: every per-file
@@ -2637,10 +2813,13 @@ def optimize_compact(
                 "files_before": n_before,
                 "files_after": sum(len(fs) for fs in buckets.values()),
                 "sidecars_coalesced": side_frag,
+                "dv_coalesced": dv_frag,
             }
         shutil.rmtree(staging, ignore_errors=True)
         if del_staging is not None:
             shutil.rmtree(del_staging, ignore_errors=True)
+        if dv_staging is not None:
+            shutil.rmtree(dv_staging, ignore_errors=True)
     raise MergeConflictError(
         f"optimize by {writer_id} lost the commit race {max_retries + 1} times"
     )
@@ -2799,6 +2978,147 @@ def delete_keys_mor(
         shutil.rmtree(staging, ignore_errors=True)
     raise MergeConflictError(
         f"MOR delete by {writer_id} lost the commit race "
+        f"{max_retries + 1} times"
+    )
+
+
+def delete_keys_dv(
+    spark: SparkSession,
+    base_dir: str,
+    keys_df: DataFrame,
+    writer_id: str = "w0",
+    max_retries: int = 5,
+    before_commit=None,
+) -> tuple[int, int]:
+    """Positional-deletion-vector DELETE (the representation Delta
+    actually ships): find each doomed key's (file, row position) via
+    ONE bucket-pruned, column-pruned read using the parquet reader's
+    native row indexes, fold the positions into per-file 64-bit word
+    BITMAPS, and commit them as per-bucket sidecar parquets — zero
+    data files touched. Reads apply the bitmaps by POSITION
+    anti-filter (_apply_dv_deletes): one AND+compare per row against
+    a broadcast of O(deleted rows / 64) words, independent of how
+    many delete commits are pending — the read-side property the
+    equality-delete path (delete_keys_mor) lacks, where every commit
+    grows the anti-join key set.
+
+    Same retention contract as MOR: no straggler guard — a later
+    insert of the key resurrects it (the new row lives in a NEW file
+    the vector never references); tombstones are the guarded mode.
+    Deleting an already-hidden key (tombstoned, MOR-pending, or
+    DV-pending) finds no visible position and is a harmless no-op.
+    Any bucket rewrite applies its pending vectors physically and
+    clears them (the base read goes through _read_visible_base);
+    vacuum retains/reclaims DV sidecars like data files.
+
+    Write cost: O(touched buckets' data) for the position-finding
+    scan — key + row-index columns only, never the payload — then
+    O(deleted rows / 64) sidecar bytes. Choose DV over equality MOR
+    when reads between rewrites dominate; choose MOR when even the
+    pruned position scan at delete time is too much.
+
+    Returns ``(committed_version, attempts)``."""
+    import shutil
+
+    for attempt in range(max_retries + 1):
+        snap = load_manifest(base_dir)
+        key_col, n_buckets = snap["key_col"], snap["n_buckets"]
+        key_type = snap["column_types"][key_col]
+        cols_, types_ = snap["columns"], snap["column_types"]
+        next_version = snap["version"] + 1
+        staging = _staging_path(
+            base_dir, "dv", next_version, writer_id, attempt
+        )
+        keys = (
+            keys_df.select(
+                F.col(keys_df.columns[0]).cast(key_type).alias(key_col)
+            )
+            .distinct()
+            .withColumn("bucket", _bucket_of(key_col, n_buckets))
+        )
+        try:
+            touched = sorted(
+                r.bucket
+                for r in keys.select("bucket").distinct().collect()
+            )
+            files = [
+                f for b in touched for f in snap["buckets"].get(str(b), [])
+            ]
+            if files:
+                # position-finding read: key + tombstone visibility +
+                # native row indexes ONLY (column-pruned); every
+                # pending delete representation applies first, so an
+                # already-hidden key yields no position
+                sub = [key_col] + (
+                    [TOMBSTONE_COL] if TOMBSTONE_COL in types_ else []
+                )
+                df = _read_files_aligned(
+                    spark, files, sub,
+                    {c: types_[c] for c in sub},
+                    snap.get("column_epochs"),
+                    snap.get("file_versions"),
+                    carry_positions=True,
+                )
+                if snap.get("dv_files"):
+                    df = _apply_dv_deletes(
+                        spark, df, snap, keep_positions=True
+                    )
+                df = _apply_mor_deletes(spark, df, snap)
+                df = _visible_rows(df)
+                hits = df.join(
+                    F.broadcast(keys.select(key_col)), key_col, "inner"
+                ).select(
+                    _bucket_of(key_col, n_buckets).alias("bucket"),
+                    F.col(DV_FILE_COL).alias("file"),
+                    (F.col(DV_POS_COL) / 64).cast("int").alias("w"),
+                    F.expr(
+                        "shiftleft(CAST(1 AS BIGINT), "
+                        f"CAST({DV_POS_COL} % 64 AS INT))"
+                    ).alias("bit"),
+                )
+                words = hits.groupBy("bucket", "file", "w").agg(
+                    F.bit_or("bit").alias("word")
+                )
+                (
+                    words.repartition(F.col("bucket"))
+                    .write.mode("overwrite")
+                    .partitionBy("bucket")
+                    .parquet(staging)
+                )
+                new_files = _list_bucket_files(staging)
+            else:
+                new_files = {}
+        except Exception as ex:
+            shutil.rmtree(staging, ignore_errors=True)
+            if _is_missing_file_error(ex):
+                continue  # vacuum expired the pin mid-read: re-pin
+            raise
+        dvs = {
+            b: list(fs)
+            for b, fs in (snap.get("dv_files") or {}).items()
+        }
+        for b, fs in new_files.items():
+            dvs[str(b)] = dvs.get(str(b), []) + fs
+        manifest = _strip_commit_records(
+            {
+                **snap,
+                "version": next_version,
+                "commit_kind": "delete",
+                "writer_id": writer_id,
+            }
+        )
+        manifest.pop("dv_files", None)
+        if dvs:
+            manifest["dv_files"] = {
+                k: dvs[k] for k in sorted(dvs, key=int)
+            }
+        if before_commit is not None:
+            before_commit(attempt)
+        if _publish_manifest(base_dir, manifest):
+            return next_version, attempt + 1
+        shutil.rmtree(staging, ignore_errors=True)
+    raise MergeConflictError(
+        f"DV delete by {writer_id} lost the commit race "
         f"{max_retries + 1} times"
     )
 
@@ -3196,11 +3516,14 @@ def changes_between(
     # delete commit changes visibility without touching a data file
     d_from = m_from.get("delete_files") or {}
     d_to = m_to.get("delete_files") or {}
+    v_from = m_from.get("dv_files") or {}
+    v_to = m_to.get("dv_files") or {}
     changed = [
         b
         for b in set(m_from["buckets"]) | set(m_to["buckets"])
         if m_from["buckets"].get(b, []) != m_to["buckets"].get(b, [])
         or d_from.get(b, []) != d_to.get(b, [])
+        or v_from.get(b, []) != v_to.get(b, [])
     ]
     files_from = [f for b in changed for f in m_from["buckets"].get(b, [])]
     files_to = [f for b in changed for f in m_to["buckets"].get(b, [])]
@@ -3212,14 +3535,10 @@ def changes_between(
         # from each SIDE's manifest (a file's birth version is
         # invariant; each manifest records its own referenced files)
         return _visible_rows(
-            _apply_mor_deletes(
-                spark,
-                _read_files_aligned(
-                    spark, files, cols, types,
-                    m_to.get("column_epochs"),
-                    manifest.get("file_versions"),
-                ),
-                manifest,
+            _read_visible_base(
+                spark, manifest, files, cols, types,
+                m_to.get("column_epochs"),
+                manifest.get("file_versions"),
             )
         )
 
@@ -3460,13 +3779,9 @@ def rebucket_table(
             # live tombstone must keep suppressing lower-version
             # stragglers after the rewrite. Pending MOR deletes DO
             # apply (full rewrite = every sidecar applied + cleared)
-            df = _apply_mor_deletes(
-                spark,
-                _read_files_aligned(
-                    spark, files, cols, types,
-                    snap.get("column_epochs"), snap.get("file_versions"),
-                ),
-                snap,
+            df = _read_visible_base(
+                spark, snap, files, cols, types,
+                snap.get("column_epochs"), snap.get("file_versions"),
             ).withColumn("bucket", _bucket_of(key_col, new_n_buckets))
             _write_clustered(
                 df, staging, key_col, write_salt, new_n_buckets,
@@ -3955,6 +4270,129 @@ def merge_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = set(m2["delete_files"]) - touched
     if survivors and not all(b in d3 for b in survivors):
         raise AssertionError("untouched buckets must keep their sidecars")
+
+    return (
+        read_snapshot(spark, base_dir)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("ver").alias("sum_ver"),
+            F.round(F.sum("price"), 2).alias("sum_price"),
+        )
+        .orderBy("status")
+    )
+
+
+@register(
+    "merge_delete_dv",
+    oracle="""
+    -- positional-DV delete replay: the delete removes every %9 key's
+    -- CURRENT row; a later merge re-inserts/updates every %1500 key
+    -- (keys on both grids resurrect — the documented
+    -- no-straggler-guard contract shared with equality MOR);
+    -- latest-wins over (surviving base ∪ update batch).
+    WITH base AS (
+      SELECT o_orderkey AS k, 1 AS ver, o_orderstatus AS status,
+             o_totalprice AS price
+      FROM orders
+    ), vis0 AS (
+      SELECT * FROM base WHERE k % 9 <> 0
+    ), u AS (
+      SELECT o_orderkey, 2, 'V', o_totalprice + 77
+      FROM orders WHERE o_orderkey % 1500 = 0
+    ), latest AS (
+      SELECT k, ver, status, price,
+             ROW_NUMBER() OVER (PARTITION BY k
+                                ORDER BY ver DESC, status) AS rn
+      FROM (SELECT * FROM vis0 UNION ALL SELECT * FROM u)
+    )
+    SELECT status,
+           COUNT(*)                 AS n_rows,
+           CAST(SUM(ver) AS BIGINT) AS sum_ver,
+           ROUND(SUM(price), 2)     AS sum_price
+    FROM latest
+    WHERE rn = 1
+    GROUP BY status
+    ORDER BY status
+    """,
+)
+def merge_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of positional deletion vectors — the THIRD
+    delete representation next to versioned tombstones and equality-
+    key sidecars, and the one Delta ships as 'deletion vectors':
+    per-FILE 64-bit-word bitmaps over the parquet reader's native row
+    indexes, written at delete time by one bucket- and column-pruned
+    position-finding scan, applied at read time by a position
+    anti-filter (one AND+compare per row against a broadcast of
+    O(deleted rows / 64) words — independent of how many delete
+    commits are pending, unlike the equality anti-join whose fan-in
+    grows with every commit).
+
+    Seed orders at 32 buckets (v1), DV-delete every 9th key (v2 — the
+    inline assert pins that v2's data-file map is BYTE-IDENTICAL to
+    v1's and the bitmap sidecars are recorded), then merge every
+    1500th key (v3 — rewritten buckets apply their pending vectors
+    physically and clear them; untouched buckets keep theirs,
+    asserted both ways) and aggregate the final snapshot. Keys on
+    BOTH grids (%4500) resurrect — a positional delete references the
+    OLD file, and the re-insert lives in a new file the vector never
+    names (Delta DELETE semantics; tombstones are the guarded mode).
+    The CDC feed surfaces the vector commit as real deletes
+    (changes_between detects dv-sidecar changes even though no data
+    file moved — inline-asserted) and DESCRIBE HISTORY stamps
+    kind='delete'.
+    Reference provenance: the reference's Pinecone index deletes by
+    id with no reconciliation (SURVEY §2 A15); public recipe = Delta
+    deletion vectors / Iceberg positional delete files."""
+    import shutil
+
+    from .scans import _adir
+
+    base_dir = _adir(sf_dir, "merge_dv_table")
+    shutil.rmtree(base_dir, ignore_errors=True)
+
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("ver"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    init_table(orders, base_dir, key_col="k", n_buckets=32)
+    m1 = load_manifest(base_dir)
+
+    doomed_keys = orders.filter(F.col("k") % 9 == 0).select("k")
+    v2, tries = delete_keys_dv(spark, base_dir, doomed_keys)
+    if (v2, tries) != (2, 1):
+        raise AssertionError(f"DV delete must commit v2 first-try: {(v2, tries)}")
+    m2 = load_manifest(base_dir, 2)
+    if m2["buckets"] != m1["buckets"]:
+        raise AssertionError("DV delete must not touch any data file")
+    if not m2.get("dv_files"):
+        raise AssertionError("DV delete must record bitmap sidecars")
+    if table_history(base_dir)[-1]["kind"] != "delete":
+        raise AssertionError("history must stamp the delete commit")
+    feed = changes_between(spark, base_dir, 1, 2)
+    n_del = doomed_keys.count()
+    if feed.filter(F.col("change_type") != "delete").count() != 0:
+        raise AssertionError("the DV commit's CDF must be pure deletes")
+    if feed.count() != n_del:
+        raise AssertionError("CDF must surface every DV-deleted key")
+
+    u = orders.filter(F.col("k") % 1500 == 0).select(
+        "k", F.lit(2).alias("ver"), F.lit("V").alias("status"),
+        (F.col("price") + 77).alias("price"),
+    )
+    merge_upsert_manifest(base_dir, u, ver_col="ver", tiebreak_col="status")
+    m3 = load_manifest(base_dir, 3)
+    touched = {
+        b for b in m1["buckets"] if m3["buckets"][b] != m2["buckets"][b]
+    }
+    v3map = m3.get("dv_files") or {}
+    if any(b in v3map for b in touched):
+        raise AssertionError("rewritten buckets must clear their vectors")
+    survivors = set(m2["dv_files"]) - touched
+    if survivors and not all(b in v3map for b in survivors):
+        raise AssertionError("untouched buckets must keep their vectors")
 
     return (
         read_snapshot(spark, base_dir)

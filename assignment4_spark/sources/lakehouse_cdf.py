@@ -60,9 +60,29 @@ from pyspark.sql.datasource import (
 # ---------------------------------------------------------------------------
 
 
+def _dv_positions(dv_files: list) -> dict:
+    """Decode positional deletion-vector sidecars — rows of
+    (file, word index, 64-bit word) — into {file: set(row positions)}
+    (the pandas mirror of _apply_dv_deletes's bitmap anti-filter;
+    sidecars from separate commits OR together)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, set] = {}
+    for f in dv_files:
+        t = pq.read_table(f).to_pandas()
+        for file, w, word in zip(t["file"], t["w"], t["word"]):
+            base, word = int(w) * 64, int(word)
+            s = out.setdefault(file, set())
+            for b in range(64):
+                if (word >> b) & 1:
+                    s.add(base + b)
+    return out
+
+
 def _read_aligned_pandas(files: list, columns: list, types: dict,
                          epochs: dict | None = None,
-                         file_versions: dict | None = None):
+                         file_versions: dict | None = None,
+                         drop_positions: dict | None = None):
     """Read parquet ``files`` with pyarrow and align every frame to the
     logical ``columns`` (missing columns — files written before a
     schema evolution — become NULL, the pandas mirror of
@@ -80,6 +100,12 @@ def _read_aligned_pandas(files: list, columns: list, types: dict,
     frames = []
     for f in files:
         df = pq.read_table(f).to_pandas()
+        dead = (drop_positions or {}).get(f)
+        if dead:
+            # pyarrow preserves physical row order, so the frame index
+            # IS the parquet row position Spark's _metadata.row_index
+            # reports — drop the vectored positions
+            df = df[~df.reset_index(drop=True).index.isin(dead)]
         gv = None
         if guard:
             gv = (file_versions or {}).get(f)
@@ -135,7 +161,8 @@ class _StepBucketDiff(InputPartition):
     def __init__(self, files_from, files_to, commit_version,
                  key_col, data_cols, types, tombstone_col,
                  dels_from=(), dels_to=(), epochs=None,
-                 file_versions=None):
+                 file_versions=None, dvs_from=(), dvs_to=(),
+                 band=None):
         self.files_from = files_from
         self.files_to = files_to
         self.commit_version = commit_version
@@ -152,6 +179,12 @@ class _StepBucketDiff(InputPartition):
         # backed file side)
         self.epochs = dict(epochs or {})
         self.file_versions = dict(file_versions or {})
+        # per-side positional deletion-vector sidecars for THIS bucket
+        self.dvs_from = list(dvs_from)
+        self.dvs_to = list(dvs_to)
+        # optional (col, lo, hi) band: the diff is then RELATIVE TO THE
+        # BAND-VISIBLE state (filtered-view maintenance semantics)
+        self.band = tuple(band) if band else None
 
 
 def _diff_bucket(part: _StepBucketDiff):
@@ -161,6 +194,18 @@ def _diff_bucket(part: _StepBucketDiff):
     'same'; copied-but-unchanged rows never report)."""
     key, data = part.key_col, part.data_cols
     cols = [key] + data + [part.tombstone_col]
+
+    def _in_band(df):
+        # band-visible state: rows whose prune column is inside
+        # [lo, hi] (NULL is never in band, matching SQL BETWEEN).
+        # Classification shifts at band crossings — a row moving INTO
+        # the band is an insert, OUT a delete — which is exactly the
+        # upsert/remove feed a band-filtered materialization applies.
+        if part.band is None or df.empty:
+            return df
+        col, lo, hi = part.band
+        s = df[col]
+        return df[s.notna() & (s >= lo) & (s <= hi)]
 
     def _minus_mor(df, del_files):
         # apply the side's pending MOR deletes: anti-filter on the key
@@ -174,9 +219,11 @@ def _diff_bucket(part: _StepBucketDiff):
     # aligned read backfills it as NULL either way
     old = _visible_pandas(
         _minus_mor(
-            _read_aligned_pandas(
-                part.files_from, cols, part.types, part.epochs,
-                part.file_versions,
+            _in_band(
+                _read_aligned_pandas(
+                    part.files_from, cols, part.types, part.epochs,
+                    part.file_versions, _dv_positions(part.dvs_from),
+                )
             ),
             part.dels_from,
         ),
@@ -184,9 +231,11 @@ def _diff_bucket(part: _StepBucketDiff):
     )
     new = _visible_pandas(
         _minus_mor(
-            _read_aligned_pandas(
-                part.files_to, cols, part.types, part.epochs,
-                part.file_versions,
+            _in_band(
+                _read_aligned_pandas(
+                    part.files_to, cols, part.types, part.epochs,
+                    part.file_versions, _dv_positions(part.dvs_to),
+                )
             ),
             part.dels_to,
         ),
@@ -255,7 +304,17 @@ class LakehouseCDFDataSource(DataSource):
     Options: ``path`` (required) — the manifest table's base_dir;
     ``start_version`` (default: latest at attach — consume only new
     commits); ``versions_per_batch`` (default unbounded) — admission
-    control, at most N commit steps per micro-batch."""
+    control, at most N commit steps per micro-batch;
+    ``prune_column`` / ``prune_lo`` / ``prune_hi`` (optional) — a
+    numeric band turning the feed into BAND-RELATIVE CDC for
+    filtered-view maintenance: partition planning keeps only files
+    whose per-file column statistics can hold a band row (the
+    streaming face of read_snapshot_where's pruning — a clustered
+    table's out-of-band files are never opened), the executor diff
+    runs over the band-visible state, and change_type is relative to
+    the band (a row crossing INTO the band is an insert, OUT a
+    delete — exactly the upsert/remove feed the downstream filtered
+    materialization applies)."""
 
     @classmethod
     def name(cls) -> str:
@@ -287,6 +346,22 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
         # manifest ladder itself is the authoritative cursor
         self._cur = self._start
         self._meta = _table_meta(self._base)
+        self._band = None
+        pcol = options.get("prune_column")
+        if pcol:
+            types = self._meta[2]
+            if types.get(pcol) not in (
+                "tinyint", "smallint", "int", "bigint", "float", "double",
+            ):
+                raise ValueError(
+                    f"prune_column {pcol!r} must be a numeric table "
+                    f"column (got {types.get(pcol)!r})"
+                )
+            self._band = (
+                pcol,
+                float(options["prune_lo"]),
+                float(options["prune_hi"]),
+            )
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
@@ -324,21 +399,42 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
                 ) from ex
             d_from_all = m_from.get("delete_files") or {}
             d_to_all = m_to.get("delete_files") or {}
+            v_from_all = m_from.get("dv_files") or {}
+            v_to_all = m_to.get("dv_files") or {}
             # a file's birth version is invariant; union the two sides'
             # records so each bucket task ships only its own files' rows
             fv_all = {
                 **(m_from.get("file_versions") or {}),
                 **(m_to.get("file_versions") or {}),
             }
+            kept_from = kept_to = None
+            if self._band is not None:
+                from ..operators.lakehouse import prune_files_by_column
+
+                col, lo, hi = self._band
+                kept_from = set(
+                    prune_files_by_column(m_from, col, lo, hi)[0]
+                )
+                kept_to = set(
+                    prune_files_by_column(m_to, col, lo, hi)[0]
+                )
             for b in sorted(set(m_from["buckets"]) | set(m_to["buckets"])):
                 f_from = m_from["buckets"].get(b, [])
                 f_to = m_to["buckets"].get(b, [])
+                if kept_from is not None:
+                    # stats pruning is sound here because the diff is
+                    # over the BAND-VISIBLE state: a file provably out
+                    # of band holds no band-visible row on its side
+                    f_from = [f for f in f_from if f in kept_from]
+                    f_to = [f for f in f_to if f in kept_to]
                 d_from = d_from_all.get(b, [])
                 d_to = d_to_all.get(b, [])
+                dv_from = v_from_all.get(b, [])
+                dv_to = v_to_all.get(b, [])
                 # manifest pruning: identical data-file AND delete-
-                # sidecar sets cannot hold a logical change (a MOR
-                # delete changes visibility without touching data)
-                if f_from != f_to or d_from != d_to:
+                # sidecar sets (equality keys AND deletion vectors)
+                # cannot hold a logical change
+                if f_from != f_to or d_from != d_to or dv_from != dv_to:
                     parts.append(
                         _StepBucketDiff(
                             f_from, f_to, v + 1,
@@ -350,6 +446,8 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
                                 for f in set(f_from) | set(f_to)
                                 if f in fv_all
                             },
+                            dv_from, dv_to,
+                            self._band,
                         )
                     )
         return parts

@@ -1329,3 +1329,214 @@ def stream_expectations_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_snapshot(spark, base_dir),
         cumulative_quarantine(spark, base_dir),
     )
+
+
+# the band the filtered-CDC face maintains: a mid-range price window
+# wide enough that every fixture scale has rows on both sides and
+# band-crossing updates in both directions
+_CDF_BAND_LO = 50000.0
+_CDF_BAND_HI = 150000.0
+
+
+@register(
+    "stream_cdf_pruned",
+    oracle=f"""
+    -- band-relative CDC replay: each cut is the BAND-FILTERED visible
+    -- state; the feed is the per-step diff of those cuts (a row
+    -- crossing INTO the band is an insert, OUT a delete — the
+    -- upsert/remove stream a band-filtered materialization applies)
+    WITH base AS (
+      SELECT o_orderkey AS k, 1 AS ver, o_orderstatus AS status,
+             o_totalprice AS price
+      FROM orders
+    ), u1 AS (
+      SELECT o_orderkey, 2, o_orderstatus, o_totalprice * 2
+      FROM orders WHERE o_orderkey % 5 = 0
+    ), u2 AS (
+      SELECT o_orderkey, 3, 'B', o_totalprice + 100000
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    cut1 AS (
+      SELECT k, status, price FROM base
+      WHERE price BETWEEN {_CDF_BAND_LO} AND {_CDF_BAND_HI}
+    ),
+    cut2 AS (
+      SELECT k, status, price FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                                     ORDER BY ver DESC, status) AS rn
+        FROM (SELECT * FROM base UNION ALL SELECT * FROM u1)
+      ) WHERE rn = 1
+        AND price BETWEEN {_CDF_BAND_LO} AND {_CDF_BAND_HI}
+    ),
+    cut3 AS (
+      SELECT k, status, price FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                                     ORDER BY ver DESC, status) AS rn
+        FROM (SELECT * FROM base UNION ALL SELECT * FROM u1
+              UNION ALL SELECT * FROM u2)
+      ) WHERE rn = 1
+        AND price BETWEEN {_CDF_BAND_LO} AND {_CDF_BAND_HI}
+    ),
+    d12 AS (
+      SELECT COALESCE(o.k, n.k) AS k,
+             CASE WHEN o.k IS NULL THEN 'insert'
+                  WHEN n.k IS NULL THEN 'delete'
+                  WHEN o.status IS DISTINCT FROM n.status
+                    OR o.price IS DISTINCT FROM n.price THEN 'update'
+             END AS change_type,
+             o.status AS old_status, o.price AS old_price,
+             n.status AS new_status, n.price AS new_price,
+             CAST(2 AS BIGINT) AS _commit_version
+      FROM cut1 o FULL JOIN cut2 n ON o.k = n.k
+    ),
+    d23 AS (
+      SELECT COALESCE(o.k, n.k) AS k,
+             CASE WHEN o.k IS NULL THEN 'insert'
+                  WHEN n.k IS NULL THEN 'delete'
+                  WHEN o.status IS DISTINCT FROM n.status
+                    OR o.price IS DISTINCT FROM n.price THEN 'update'
+             END AS change_type,
+             o.status AS old_status, o.price AS old_price,
+             n.status AS new_status, n.price AS new_price,
+             CAST(3 AS BIGINT) AS _commit_version
+      FROM cut2 o FULL JOIN cut3 n ON o.k = n.k
+    )
+    SELECT * FROM (
+      SELECT * FROM d12 WHERE change_type IS NOT NULL
+      UNION ALL
+      SELECT * FROM d23 WHERE change_type IS NOT NULL
+    ) ORDER BY _commit_version, k
+    """,
+)
+def stream_cdf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-filtered CDC consumption with STATS-PRUNED partition
+    planning — the streaming face of read_snapshot_where's file
+    skipping (VERDICT r10 item 7). A consumer maintaining a
+    band-filtered materialization (price in [lo, hi]) attaches the
+    lakehouse_cdf source with ``prune_column``/``prune_lo``/
+    ``prune_hi``: partition planning intersects every (commit step,
+    changed bucket) task's file lists with the per-file column
+    statistics' band survivors — on a price-CLUSTERED table the
+    out-of-band files are never opened — and the executor diff runs
+    over the BAND-VISIBLE state, so change_type is relative to the
+    band (a row crossing INTO the band surfaces as insert, OUT as
+    delete: exactly the upsert/remove feed the downstream filtered
+    view applies; classification at crossings deliberately differs
+    from unfiltered-CDF-then-filter, which would emit updates naming
+    values the view never holds).
+
+    Batch declaration: a 3-version ladder on a price-clustered table
+    (v2 doubles every 5th key's price, v3 adds 100k + status 'B' to
+    every 7th — both commits cross the band in both directions), then
+    the per-step diff of band-filtered visible snapshots. The inline
+    assert pins the PLANNING claim: the band-pruned stream reader
+    ships strictly fewer files than the unpruned one for the same
+    version range. Streaming equivalence (real readStream, memory
+    sink) is proven in tests/test_streaming.py.
+
+    Scale shape: per micro-batch cost drops from O(changed buckets'
+    data) to O(changed buckets' IN-BAND files' data) — on a clustered
+    100 TB table with a selective band that is the difference between
+    re-reading every rewritten bucket and opening one file per
+    bucket; the row-level band filter stays because stats pruning is
+    an optimization, never a filter.
+    Reference provenance: none (the reference re-reads everything;
+    SURVEY §2 A15); public recipe = Delta readChangeFeed + data
+    skipping, Flink filtered CDC views."""
+    import shutil
+
+    from ..operators.lakehouse import (
+        init_table,
+        merge_upsert_manifest,
+        read_snapshot,
+    )
+    from ..operators.scans import _adir
+    from ..sources.lakehouse_cdf import LakehouseCDFStreamReader
+
+    base_dir = _adir(sf_dir, "stream_cdf_pruned_table")
+    shutil.rmtree(base_dir, ignore_errors=True)
+
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("ver"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    init_table(orders, base_dir, key_col="k", n_buckets=8,
+               cluster_col="price")
+    u1 = orders.filter(F.col("k") % 5 == 0).select(
+        "k", F.lit(2).alias("ver"), "status",
+        (F.col("price") * 2).alias("price"),
+    )
+    merge_upsert_manifest(base_dir, u1, ver_col="ver", tiebreak_col="status")
+    u2 = orders.filter(F.col("k") % 7 == 0).select(
+        "k", F.lit(3).alias("ver"), F.lit("B").alias("status"),
+        (F.col("price") + 100000).alias("price"),
+    )
+    merge_upsert_manifest(base_dir, u2, ver_col="ver", tiebreak_col="status")
+
+    # the planning claim, asserted inline on the REAL stream reader:
+    # same version range, strictly fewer files shipped with the band
+    def shipped(opts):
+        r = LakehouseCDFStreamReader({"path": base_dir,
+                                      "start_version": "1", **opts})
+        parts = r.partitions({"version": 1}, {"version": 3})
+        return sum(len(p.files_from) + len(p.files_to) for p in parts)
+
+    n_all = shipped({})
+    n_band = shipped({
+        "prune_column": "price",
+        "prune_lo": str(_CDF_BAND_LO),
+        "prune_hi": str(_CDF_BAND_HI),
+    })
+    if not n_band < n_all:
+        raise AssertionError(
+            f"band pruning must ship fewer files: {n_band} vs {n_all}"
+        )
+
+    # batch declaration: per-step diff of band-filtered visible cuts
+    def cut(version):
+        return (
+            read_snapshot(spark, base_dir, version=version)
+            .filter(
+                F.col("price").between(_CDF_BAND_LO, _CDF_BAND_HI)
+            )
+            .select("k", "status", "price")
+        )
+
+    def step(v):
+        o = cut(v).select(
+            F.col("k").alias("_k"),
+            F.col("status").alias("old_status"),
+            F.col("price").alias("old_price"),
+            F.lit(True).alias("_in_old"),
+        )
+        nn = cut(v + 1).select(
+            F.col("k").alias("_k"),
+            F.col("status").alias("new_status"),
+            F.col("price").alias("new_price"),
+            F.lit(True).alias("_in_new"),
+        )
+        j = o.join(nn, "_k", "full_outer")
+        same = F.struct("old_status", "old_price").eqNullSafe(
+            F.struct(
+                F.col("new_status").alias("old_status"),
+                F.col("new_price").alias("old_price"),
+            )
+        )
+        change = (
+            F.when(F.col("_in_old").isNull(), F.lit("insert"))
+            .when(F.col("_in_new").isNull(), F.lit("delete"))
+            .when(~same, F.lit("update"))
+        )
+        return (
+            j.withColumn("change_type", change)
+            .filter(F.col("change_type").isNotNull())
+            .select(
+                F.col("_k").alias("k"), "change_type",
+                "old_status", "old_price", "new_status", "new_price",
+                F.lit(v + 1).cast("bigint").alias("_commit_version"),
+            )
+        )
+
+    return step(1).unionByName(step(2)).orderBy("_commit_version", "k")

@@ -62,6 +62,8 @@ WRITE_PATH_PROTOCOL = [
     "merge_delete_mor",
     "scan_null_pruned_audit",
     "merge_schema_drop",
+    "merge_delete_dv",
+    "stream_cdf_pruned",
 ]
 
 

@@ -3032,6 +3032,7 @@ def test_protocol_model_fuzz(spark, tmp_path, seed):
 
     from assignment4_spark.operators.lakehouse import (
         TOMBSTONE_COL,
+        delete_keys_dv,
         delete_keys_mor,
         drop_column,
         init_table,
@@ -3090,7 +3091,7 @@ def test_protocol_model_fuzz(spark, tmp_path, seed):
 
     for step in range(18):
         op = rng.choice(
-            ["merge", "merge", "tomb", "mor", "optimize",
+            ["merge", "merge", "tomb", "mor", "dv", "optimize",
              "rebucket", "dropadd", "vacuum", "restore"]
         )
         ver += 1
@@ -3126,6 +3127,17 @@ def test_protocol_model_fuzz(spark, tmp_path, seed):
             )
             for k in ks:
                 model.pop(k, None)
+        elif op == "dv":
+            ks = rng.sample(keys, rng.randint(1, 5))
+            delete_keys_dv(
+                spark, base, spark.createDataFrame([(k,) for k in ks], "k long")
+            )
+            for k in ks:
+                # a DV deletes the key's VISIBLE row; a tombstoned
+                # key has none, so its (hidden, guarding) row persists
+                cur = model.get(k)
+                if cur is not None and not cur["dead"]:
+                    model.pop(k)
         elif op == "optimize":
             optimize_compact(spark, base, max_files_per_bucket=1)
         elif op == "rebucket":
@@ -3195,6 +3207,7 @@ def test_protocol_two_writer_fuzz(spark, tmp_path, seed):
     from assignment4_spark.operators.lakehouse import (
         TOMBSTONE_COL,
         SerializationConflictError,
+        delete_keys_dv,
         delete_keys_mor,
         init_table,
         optimize_compact,
@@ -3239,6 +3252,12 @@ def test_protocol_two_writer_fuzz(spark, tmp_path, seed):
         for k in ks:
             m.pop(k, None)
 
+    def apply_dv(m, ks):
+        for k in ks:
+            cur = m.get(k)
+            if cur is not None and not cur["dead"]:
+                m.pop(k)
+
     def run_b(bop, bver, bks):
         """Writer B's plain commit + its model application."""
         if bop == "b_merge":
@@ -3255,13 +3274,20 @@ def test_protocol_two_writer_fuzz(spark, tmp_path, seed):
                 "ver", TOMBSTONE_COL, writer_id="B",
             )
             apply_merge(model, rows)
-        else:  # b_mor
+        elif bop == "b_mor":
             delete_keys_mor(
                 spark, base,
                 spark.createDataFrame([(k,) for k in bks], "k long"),
                 writer_id="B",
             )
             apply_mor(model, bks)
+        else:  # b_dv
+            delete_keys_dv(
+                spark, base,
+                spark.createDataFrame([(k,) for k in bks], "k long"),
+                writer_id="B",
+            )
+            apply_dv(model, bks)
 
     def check(step):
         got = {
@@ -3281,8 +3307,8 @@ def test_protocol_two_writer_fuzz(spark, tmp_path, seed):
 
     for step in range(10):
         aop = rng.choice(["a_merge", "a_tomb", "a_patch", "a_mor",
-                          "a_optimize", "a_serial"])
-        bop = rng.choice(["b_merge", "b_tomb", "b_mor"])
+                          "a_dv", "a_optimize", "a_serial"])
+        bop = rng.choice(["b_merge", "b_tomb", "b_mor", "b_dv"])
         bks = rng.sample(keys, rng.randint(1, 6))
         double = rng.random() < 0.3  # occasionally force TWO losses
         bks2 = rng.sample(keys, rng.randint(1, 4)) if double else []
@@ -3340,19 +3366,37 @@ def test_protocol_two_writer_fuzz(spark, tmp_path, seed):
                 writer_id="A", before_commit=interleave,
             )
             apply_mor(model, aks)
+        elif aop == "a_dv":
+            aks = rng.sample(keys, rng.randint(1, 5))
+            delete_keys_dv(
+                spark, base,
+                spark.createDataFrame([(k,) for k in aks], "k long"),
+                writer_id="A", before_commit=interleave,
+            )
+            apply_dv(model, aks)
         elif aop == "a_optimize":
             optimize_compact(
                 spark, base, max_files_per_bucket=1,
                 before_commit=interleave,
             )
         elif aop == "a_serial":
-            # serializable MERGE racing B: overlap -> A aborts, only B
-            # lands; disjoint -> serial B-then-A like latest_wins
+            # serializable MERGE racing B: the conflict gate is a
+            # LOGICAL diff, so the expected outcome derives from the
+            # model — A aborts iff some key whose VISIBLE state B's
+            # commit(s) actually changed intersects A's keys (a
+            # delete of an already-hidden key or a re-tombstone
+            # changes nothing and must not conflict)
             aks = rng.sample(keys, rng.randint(1, 6))
             rows = [(k, aver, f"S{aver}k{k}", k + 0.75, False) for k in aks]
-            overlap = (bop != "b_mor" and set(aks) & set(bks)) or (
-                double and set(aks) & set(bks2)
-            )
+
+            def vis():
+                return {
+                    k: (v["ver"], v["attr"], v["val"])
+                    for k, v in model.items()
+                    if not v["dead"]
+                }
+
+            vis_pre = vis()
             try:
                 merge_upsert_manifest(
                     base, spark.createDataFrame(rows, SCHEMA),
@@ -3362,9 +3406,16 @@ def test_protocol_two_writer_fuzz(spark, tmp_path, seed):
                 committed = True
             except SerializationConflictError:
                 committed = False
+            vis_post = vis()  # model now carries B's effect, not A's
+            changed = {
+                k
+                for k in set(vis_pre) | set(vis_post)
+                if vis_pre.get(k) != vis_post.get(k)
+            }
+            overlap = changed & set(aks)
             assert committed == (not overlap), (
                 f"seed={seed} step={step}: serializable outcome "
-                f"committed={committed} but overlap={bool(overlap)}"
+                f"committed={committed} but overlap={sorted(overlap)}"
             )
             if committed:
                 apply_merge(model, rows)
@@ -3382,3 +3433,149 @@ def test_protocol_two_writer_fuzz(spark, tmp_path, seed):
         if double and 1 not in fired:
             run_b("b_merge", bver2, bks2)
         check(step)
+
+
+def test_dv_delete_contract(spark, tmp_path):
+    """Positional deletion vectors: the commit touches ZERO data files
+    (byte-identical bucket map), hides the keys from every read, CDFs
+    as pure deletes, stacks across commits, resurrects on later insert
+    (no straggler guard — the documented MOR-family semantics), and a
+    bucket rewrite applies its pending vectors physically and clears
+    them while untouched buckets keep theirs."""
+    from assignment4_spark.operators.lakehouse import (
+        _bucket_of,
+        changes_between,
+        delete_keys_dv,
+        table_history,
+    )
+
+    base = _mk_table(spark, tmp_path, n=100, n_buckets=8)
+    m1 = load_manifest(base)
+    v, tries = delete_keys_dv(
+        spark, base, spark.createDataFrame([(7,), (8,), (9,), (500,)], "k long")
+    )
+    assert (v, tries) == (2, 1)
+    m2 = load_manifest(base)
+    assert m2["buckets"] == m1["buckets"], "data files must be untouched"
+    assert m2.get("dv_files"), "bitmap sidecars must be recorded"
+    assert table_history(base)[-1]["kind"] == "delete"
+    rows = {r.k for r in read_snapshot(spark, base).collect()}
+    assert len(rows) == 97 and not {7, 8, 9} & rows
+    d = {
+        r.k: r.change_type
+        for r in changes_between(spark, base, 1, 2).collect()
+    }
+    assert d == {7: "delete", 8: "delete", 9: "delete"}, d
+
+    # stacking: a second DV commit; deleting an already-hidden key is
+    # a no-op at read time
+    delete_keys_dv(spark, base, spark.createDataFrame([(9,), (10,)], "k long"))
+    rows = {r.k for r in read_snapshot(spark, base).collect()}
+    assert len(rows) == 96 and 10 not in rows
+
+    # rewrite absorption + resurrect: merging key 7 re-inserts it (the
+    # new row lives in a file no vector references) and clears its
+    # bucket's vectors; other buckets' vectors keep applying
+    merge_upsert_manifest(base, _upd(spark, [7], 2, "back"), "ver", "payload")
+    m4 = load_manifest(base)
+    b7 = (
+        spark.range(1)
+        .select(F.lit(7).cast("long").alias("k"))
+        .withColumn("b", _bucket_of("k", 8))
+        .first()
+        .b
+    )
+    assert str(b7) not in (m4.get("dv_files") or {})
+    rows = {r.k: r.payload for r in read_snapshot(spark, base).collect()}
+    assert rows[7] == "back7"
+    others = {
+        k
+        for k in (8, 9, 10)
+        if spark.range(1)
+        .select(F.lit(k).cast("long").alias("k"))
+        .withColumn("b", _bucket_of("k", 8))
+        .first()
+        .b
+        != b7
+    }
+    assert others.isdisjoint(rows), f"leaked through rewrite: {others & set(rows)}"
+
+
+def test_dv_applies_on_every_pruned_read_face(spark, tmp_path):
+    """Every pruned read face (range / where / point / null) must
+    apply pending deletion vectors — a stats- or bloom-pruned scan
+    never leaks a position-deleted row."""
+    from assignment4_spark.operators.lakehouse import (
+        delete_keys_dv,
+        init_table,
+        read_snapshot_null,
+        read_snapshot_point,
+        read_snapshot_range,
+        read_snapshot_where,
+    )
+
+    base = str(tmp_path / "dv_pruned")
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        F.lit(1).alias("ver"),
+        (F.col("id") * 1.0).alias("x"),
+        F.concat(F.lit("u"), F.col("id")).alias("tag"),
+        F.when(F.col("id") == 50, None).otherwise(F.col("id")).alias("maybe"),
+    )
+    init_table(
+        df, base, key_col="k", n_buckets=4, cluster_col="x",
+        bloom_col="tag",
+    )
+    delete_keys_dv(spark, base, spark.createDataFrame([(50,)], "k long"))
+    assert 50 not in {
+        r.k for r in read_snapshot_range(spark, base, 40.0, 60.0).collect()
+    }
+    assert 50 not in {
+        r.k for r in read_snapshot_where(spark, base, "x", 40.0, 60.0).collect()
+    }
+    assert read_snapshot_point(spark, base, "u50").count() == 0
+    assert read_snapshot_null(spark, base, "maybe").count() == 0
+
+
+def test_optimize_coalesces_dv_sidecars(spark, tmp_path):
+    """N tiny DV commits pile up N bitmap sidecars per touched bucket;
+    OPTIMIZE folds them to <= 1 per bucket by bit_or over (file, word)
+    slots — identical visible rows, empty CDF, and the vectors still
+    apply afterwards."""
+    from assignment4_spark.operators.lakehouse import (
+        changes_between,
+        delete_keys_dv,
+        optimize_compact,
+    )
+
+    base = _mk_table(spark, tmp_path, n=200, n_buckets=4)
+    for k in (3, 7, 11, 15, 19):
+        delete_keys_dv(
+            spark, base, spark.createDataFrame([(k,)], "k long")
+        )
+    m = load_manifest(base)
+    multi = [b for b, fs in m["dv_files"].items() if len(fs) > 1]
+    assert multi, "fixture must pile >1 DV sidecar on some bucket"
+    before = {
+        r.k: (r.ver, r.payload)
+        for r in read_snapshot(spark, base).collect()
+    }
+    assert len(before) == 195
+
+    res = optimize_compact(spark, base)
+    assert sorted(res["dv_coalesced"]) == sorted(int(b) for b in multi)
+    m2 = load_manifest(base)
+    assert all(len(fs) <= 1 for fs in (m2.get("dv_files") or {}).values())
+    after = {
+        r.k: (r.ver, r.payload)
+        for r in read_snapshot(spark, base).collect()
+    }
+    assert after == before
+    assert (
+        changes_between(
+            spark, base, res["version"] - 1, res["version"]
+        ).count()
+        == 0
+    )
+    res2 = optimize_compact(spark, base)
+    assert res2["version"] == res["version"] and res2["dv_coalesced"] == []

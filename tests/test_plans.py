@@ -1293,3 +1293,20 @@ def test_copurchase_equi_join_and_take_ordered(spark, sf_oracle):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_delete_dv_read_broadcasts_bitmap_words(spark, sf_oracle):
+    """merge_delete_dv: the returned snapshot read applies the pending
+    deletion vectors as a BROADCAST hash join on the coarse
+    (file, word-index) key — never a sort-merge join (the word
+    relation is O(deleted rows / 64), always broadcastable) — with
+    the per-row position test inlined as one AND+compare (shiftleft
+    in the filter), no window, and the final status aggregate
+    unchanged from the plain-merge read shape."""
+    plan = formatted_plan(spark, "merge_delete_dv", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "SortMergeJoin" not in body, body
+    assert "BroadcastHashJoin" in body, body
+    assert "shiftleft" in body, body
+    assert "Window" not in body, body
+    assert "HashAggregate" in body, body

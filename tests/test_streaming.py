@@ -1188,3 +1188,129 @@ def test_stream_cdf_surfaces_mor_delete_commit(spark, tmp_path):
         assert {r.k for r in got_del} == {3, 5, 7}
     finally:
         q.stop()
+
+
+def test_stream_cdf_band_pruned_planning_and_equivalence(spark, tmp_path):
+    """Band-filtered CDC (prune_column/lo/hi): (1) PLANNING — the
+    pruned reader ships strictly fewer files than the unpruned one for
+    the same version range on a value-clustered table (the streaming
+    face of stats file skipping); (2) EQUIVALENCE — a real readStream
+    with the band delivers exactly the per-step diff of band-filtered
+    visible snapshots, including insert-on-entry / delete-on-exit
+    classification at band crossings."""
+    import time as _t
+
+    from assignment4_spark.operators.lakehouse import (
+        TOMBSTONE_COL,
+        init_table,
+        merge_upsert_manifest,
+        read_snapshot,
+    )
+    from assignment4_spark.sources import register_once
+    from assignment4_spark.sources.lakehouse_cdf import (
+        LakehouseCDFDataSource,
+        LakehouseCDFStreamReader,
+    )
+
+    register_once(spark, LakehouseCDFDataSource)
+    base = str(tmp_path / "cdc_band_tbl")
+    n = 64
+    seed = spark.range(n).select(
+        F.col("id").alias("k"), F.lit(1).alias("ver"),
+        (F.col("id") * 10).cast("double").alias("val"),
+        F.lit(False).alias(TOMBSTONE_COL),
+    )
+    # val-clustered so per-file stats are band-separable
+    init_table(seed, base, key_col="k", n_buckets=4, cluster_col="val")
+    lo, hi = 200.0, 400.0
+    # v2: band crossings both ways — key 10 (100 -> 250, enters), key
+    # 25 (250 -> 450, exits), key 30 (300 -> 350, moves inside), key 1
+    # (10 -> 50, stays outside)
+    u1 = spark.createDataFrame(
+        [(10, 2, 250.0, False), (25, 2, 450.0, False),
+         (30, 2, 350.0, False), (1, 2, 50.0, False)],
+        f"k long, ver int, val double, {TOMBSTONE_COL} boolean",
+    )
+    merge_upsert_manifest(base, u1, ver_col="ver", tiebreak_col="val")
+    # v3: tombstone an in-band key + insert an in-band newcomer
+    u2 = spark.createDataFrame(
+        [(30, 3, 0.0, True), (999, 3, 333.0, False)],
+        f"k long, ver int, val double, {TOMBSTONE_COL} boolean",
+    )
+    merge_upsert_manifest(base, u2, ver_col="ver", tiebreak_col="val")
+
+    # (1) planning
+    def shipped(opts):
+        r = LakehouseCDFStreamReader(
+            {"path": base, "start_version": "1", **opts}
+        )
+        parts = r.partitions({"version": 1}, {"version": 3})
+        return sum(len(p.files_from) + len(p.files_to) for p in parts)
+
+    n_all = shipped({})
+    n_band = shipped({"prune_column": "val", "prune_lo": str(lo),
+                      "prune_hi": str(hi)})
+    assert n_band < n_all, (n_band, n_all)
+
+    # (2) equivalence vs the batch band-relative diff
+    def cut(version):
+        return (
+            read_snapshot(spark, base, version=version)
+            .filter(F.col("val").between(lo, hi))
+            .select("k", "val")
+        )
+
+    def stepdiff(v):
+        o = cut(v).select(F.col("k").alias("_k"),
+                          F.col("val").alias("old_val"),
+                          F.lit(True).alias("_io"))
+        nn = cut(v + 1).select(F.col("k").alias("_k"),
+                               F.col("val").alias("new_val"),
+                               F.lit(True).alias("_in"))
+        j = o.join(nn, "_k", "full_outer")
+        change = (
+            F.when(F.col("_io").isNull(), F.lit("insert"))
+            .when(F.col("_in").isNull(), F.lit("delete"))
+            .when(~F.col("old_val").eqNullSafe(F.col("new_val")),
+                  F.lit("update"))
+        )
+        return (
+            j.withColumn("change_type", change)
+            .filter(F.col("change_type").isNotNull())
+            .select(F.col("_k").alias("k"), "change_type",
+                    "old_val", "new_val",
+                    F.lit(v + 1).cast("bigint").alias("_commit_version"))
+        )
+
+    want = stepdiff(1).unionByName(stepdiff(2))
+    # sanity: the fixture exercises all crossing classes
+    wmap = {(r.k, r._commit_version): r.change_type for r in want.collect()}
+    assert wmap[(10, 2)] == "insert" and wmap[(25, 2)] == "delete"
+    assert wmap[(30, 2)] == "update"
+    assert wmap[(30, 3)] == "delete" and wmap[(999, 3)] == "insert"
+    assert (1, 2) not in wmap  # stayed outside the band: never reported
+
+    feed = (
+        spark.readStream.format("lakehouse_cdf")
+        .option("path", base)
+        .option("start_version", 1)
+        .option("prune_column", "val")
+        .option("prune_lo", str(lo))
+        .option("prune_hi", str(hi))
+        .load()
+        .select("k", "change_type", "old_val", "new_val",
+                "_commit_version")
+    )
+    name = "sink_cdf_band"
+    q = (
+        feed.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(processingTime="0 seconds").start()
+    )
+    try:
+        n_want = want.count()
+        deadline = _t.time() + 120
+        while _t.time() < deadline and spark.table(name).count() < n_want:
+            _t.sleep(0.5)
+        assert_frames_equal(spark.table(name), want)
+    finally:
+        q.stop()
