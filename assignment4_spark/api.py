@@ -40,6 +40,8 @@ from .operators.lakehouse import (  # noqa: F401
     clone_table,
     compact_tombstones,
     delete_keys_dv,
+    replace_where_range,
+    version_as_of,
     delete_keys_mor,
     drop_column,
     optimize_compact,
@@ -147,6 +149,8 @@ __all__ = [
     "chunk_text",
     "compact_tombstones",
     "delete_keys_dv",
+    "replace_where_range",
+    "version_as_of",
     "delete_keys_mor",
     "drop_column",
     "optimize_compact",

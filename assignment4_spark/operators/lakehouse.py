@@ -53,6 +53,7 @@ import itertools
 import json
 import os
 import threading
+import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -921,6 +922,36 @@ def latest_version(base_dir: str) -> int:
     return best
 
 
+def version_as_of(base_dir: str, ts: float) -> int:
+    """TIMESTAMP AS OF resolution (Delta time travel by timestamp):
+    the LATEST version whose commit stamp is <= ``ts`` — what the
+    table looked like at that moment. O(retained versions) manifest
+    metadata, zero data I/O. Raises if ``ts`` predates the oldest
+    RETAINED commit (vacuum-expired history cannot be resolved —
+    the same retention contract as version-based travel). Legacy
+    pre-stamp manifests count as epoch 0 (always eligible), so a
+    probe after their retention never misses them."""
+    versions = sorted(
+        int(fn[1:-5])
+        for fn in os.listdir(base_dir)
+        if fn.startswith("v") and fn.endswith(".json") and fn[1:-5].isdigit()
+    )
+    if not versions:
+        raise ValueError(f"no committed table at {base_dir}")
+    best = None
+    for v in versions:
+        m = load_manifest(base_dir, v)
+        if float(m.get("committed_at") or 0.0) <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts} predates the oldest retained commit at "
+            f"{base_dir} (v{versions[0]}); history before it was "
+            "vacuum-expired or never existed"
+        )
+    return best
+
+
 def load_manifest(base_dir: str, version: int | None = None) -> dict:
     if version is None:
         version = latest_version(base_dir)
@@ -1014,6 +1045,11 @@ def _publish_manifest(base_dir: str, manifest: dict) -> bool:
     final = _manifest_path(base_dir, manifest["version"])
     if manifest["version"] <= _version_floor(base_dir):
         return False
+    # commit wall-clock stamp (Delta's timestamp per table version):
+    # set HERE, unconditionally, so every commit path gets one and a
+    # manifest-copying commit (clone/restore/publish) cannot carry its
+    # source's stamp — the basis for TIMESTAMP AS OF resolution
+    manifest["committed_at"] = time.time()
     tmp = os.path.join(
         base_dir,
         f".v{manifest['version']}.{os.getpid()}.{threading.get_ident()}.tmp",
@@ -1509,6 +1545,7 @@ def table_history(base_dir: str) -> list[dict]:
                 "version": v,
                 "kind": m.get("commit_kind"),
                 "writer_id": m.get("writer_id"),
+                "committed_at": m.get("committed_at"),
                 "n_buckets": int(m["n_buckets"]),
                 "n_files": sum(len(fs) for fs in m["buckets"].values()),
                 "quarantined": (m.get("expectations") or {}).get(
@@ -2978,6 +3015,221 @@ def delete_keys_mor(
         shutil.rmtree(staging, ignore_errors=True)
     raise MergeConflictError(
         f"MOR delete by {writer_id} lost the commit race "
+        f"{max_retries + 1} times"
+    )
+
+
+def replace_where_range(
+    spark: SparkSession,
+    base_dir: str,
+    col: str,
+    lo,
+    hi,
+    new_rows: DataFrame,
+    writer_id: str = "w0",
+    max_retries: int = 5,
+    before_commit=None,
+) -> tuple[int, int]:
+    """REPLACE WHERE — atomically swap the slice ``col BETWEEN lo AND
+    hi`` for ``new_rows`` (Delta ``replaceWhere`` / dynamic partition
+    overwrite, generalized from partitions to ANY stats-covered range):
+    one commit after which the visible table is (rows outside the
+    slice) ∪ ``new_rows``.
+
+    Scale shape — FILE-level rewrite pruning from the all-column
+    statistics: a file whose recorded [min, max] provably misses the
+    slice is CARRIED VERBATIM (same file object in the next manifest,
+    never opened); only possibly-matching files are read and
+    rewritten without their in-slice rows, plus one new file group for
+    the batch. On a ``cluster_col``-clustered table that is the
+    difference between rewriting the table and rewriting one bin per
+    bucket. Buckets carrying pending MOR/DV delete sidecars fall back
+    to a FULL bucket rewrite (apply + clear): a partial rewrite would
+    re-home surviving rows to new files and strand the positional
+    vectors that hide them — resurrection, the class the protocol
+    fuzz polices.
+
+    Contract:
+    * every ``new_rows`` row must lie INSIDE the slice (loud error —
+      Delta's replaceWhere constraint);
+    * a batch key whose existing VISIBLE row sits OUTSIDE the slice is
+      a conflict (loud error): silently dropping it would be an
+      undeclared upsert, keeping it would break the one-live-row-per-
+      key invariant every merge relies on (checked column-pruned over
+      only the batch keys' buckets);
+    * tombstone rows are PRESERVED regardless of the predicate — they
+      are invisible guards, not slice content; replacing them would
+      re-open the straggler window compact_tombstones closes.
+
+    Returns ``(committed_version, attempts)``."""
+    import shutil
+
+    for attempt in range(max_retries + 1):
+        snap = load_manifest(base_dir)
+        key_col, n_buckets = snap["key_col"], snap["n_buckets"]
+        cols_, types_ = snap["columns"], snap["column_types"]
+        if col not in types_:
+            raise ValueError(
+                f"replace column {col!r} not in table schema {cols_}"
+            )
+        if sorted(new_rows.columns) != sorted(cols_):
+            raise ValueError(
+                f"replacement batch columns {sorted(new_rows.columns)} "
+                f"must match table columns {sorted(cols_)} exactly"
+            )
+        batch = new_rows.select(
+            *[F.col(c).cast(types_[c]).alias(c) for c in cols_]
+        )
+        out_of_slice = ~F.col(col).between(F.lit(lo), F.lit(hi)) | F.col(
+            col
+        ).isNull()
+        n_bad = batch.filter(out_of_slice).count()
+        if n_bad:
+            raise ValueError(
+                f"replaceWhere constraint: {n_bad} batch rows lie "
+                f"outside {col} BETWEEN {lo!r} AND {hi!r}"
+            )
+        next_version = snap["version"] + 1
+        staging = _staging_path(
+            base_dir, "replace", next_version, writer_id, attempt
+        )
+        try:
+            kept, _skipped = prune_files_by_column(snap, col, lo, hi)
+            keptset = set(kept)
+            bb = batch.withColumn("bucket", _bucket_of(key_col, n_buckets))
+            new_buckets = {
+                r.bucket for r in bb.select("bucket").distinct().collect()
+            }
+            dels_all = snap.get("delete_files") or {}
+            dvs_all = snap.get("dv_files") or {}
+            plan: dict[str, str] = {}
+            for b, fs in snap["buckets"].items():
+                has_kept = any(f in keptset for f in fs)
+                gets_new = int(b) in new_buckets
+                if not has_kept and not gets_new:
+                    plan[b] = "carry"
+                elif dels_all.get(b) or dvs_all.get(b):
+                    plan[b] = "full"
+                else:
+                    plan[b] = "partial"
+            # out-of-slice key-conflict check: visible rows sharing a
+            # batch key, restricted to the batch keys' buckets and the
+            # (key, col) columns — never a table scan
+            check_files = [
+                f
+                for b, fs in snap["buckets"].items()
+                if int(b) in new_buckets
+                for f in fs
+            ]
+            if check_files:
+                sub = list(
+                    dict.fromkeys(
+                        [key_col, col]
+                        + ([TOMBSTONE_COL] if TOMBSTONE_COL in types_ else [])
+                    )
+                )
+                probe = _visible_rows(
+                    _read_visible_base(
+                        spark, snap, check_files, sub,
+                        {c: types_[c] for c in sub},
+                        snap.get("column_epochs"),
+                        snap.get("file_versions"),
+                    )
+                )
+                clash = (
+                    probe.filter(out_of_slice)
+                    .join(
+                        F.broadcast(batch.select(key_col).distinct()),
+                        key_col,
+                        "inner",
+                    )
+                    .limit(5)
+                    .collect()
+                )
+                if clash:
+                    raise ValueError(
+                        "replaceWhere key conflict: batch keys "
+                        f"{sorted(r[0] for r in clash)} (sample) have "
+                        "visible rows OUTSIDE the slice; replace would "
+                        "either drop them (undeclared upsert) or "
+                        "duplicate the key"
+                    )
+            to_rewrite = [
+                f
+                for b, fs in snap["buckets"].items()
+                for f in fs
+                if plan[b] == "full" or (plan[b] == "partial" and f in keptset)
+            ]
+            parts = []
+            if to_rewrite:
+                base_df = _read_visible_base(
+                    spark, snap, to_rewrite, cols_, types_,
+                    snap.get("column_epochs"), snap.get("file_versions"),
+                )
+                tomb = (
+                    F.coalesce(
+                        F.col(TOMBSTONE_COL).cast("boolean"), F.lit(False)
+                    )
+                    if TOMBSTONE_COL in types_
+                    else F.lit(False)
+                )
+                parts.append(base_df.filter(tomb | out_of_slice))
+            parts.append(batch)
+            out = parts[0]
+            for p_ in parts[1:]:
+                out = out.unionByName(p_)
+            _write_clustered(
+                out.withColumn("bucket", _bucket_of(key_col, n_buckets)),
+                staging, key_col, 1, n_buckets,
+                snap.get("cluster_col"), snap.get("cluster_bins", 4),
+            )
+        except Exception as ex:
+            shutil.rmtree(staging, ignore_errors=True)
+            if _is_missing_file_error(ex):
+                continue  # vacuum expired the pin mid-read: re-pin
+            raise
+        new_files = _list_bucket_files(staging)
+        buckets: dict[str, list] = {}
+        for b, fs in snap["buckets"].items():
+            if plan[b] == "carry":
+                buckets[b] = fs
+            elif plan[b] == "full":
+                buckets[b] = new_files.get(int(b), [])
+            else:
+                buckets[b] = [f for f in fs if f not in keptset] + (
+                    new_files.get(int(b), [])
+                )
+        manifest = _strip_commit_records(
+            {
+                **snap,
+                "version": next_version,
+                "commit_kind": "replace",
+                "writer_id": writer_id,
+                "buckets": {k: buckets[k] for k in sorted(buckets, key=int)},
+            }
+        )
+        dels = {
+            b: fs for b, fs in dels_all.items() if plan.get(b) != "full" and fs
+        }
+        manifest.pop("delete_files", None)
+        if dels:
+            manifest["delete_files"] = {
+                k: dels[k] for k in sorted(dels, key=int)
+            }
+        dvs = {
+            b: fs for b, fs in dvs_all.items() if plan.get(b) != "full" and fs
+        }
+        manifest.pop("dv_files", None)
+        if dvs:
+            manifest["dv_files"] = {k: dvs[k] for k in sorted(dvs, key=int)}
+        _attach_sidecars(spark, snap, manifest, buckets, staging)
+        if before_commit is not None:
+            before_commit(attempt)
+        if _publish_manifest(base_dir, manifest):
+            return next_version, attempt + 1
+        shutil.rmtree(staging, ignore_errors=True)
+    raise MergeConflictError(
+        f"replaceWhere by {writer_id} lost the commit race "
         f"{max_retries + 1} times"
     )
 
@@ -4482,6 +4734,221 @@ def scan_null_pruned_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         read_snapshot_null(spark, base_dir, "note")
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("ver").alias("sum_ver"),
+            F.round(F.sum("price"), 2).alias("sum_price"),
+        )
+        .orderBy("status")
+    )
+
+
+@register(
+    "scan_time_travel_ts",
+    oracle="""
+    -- AS OF TIMESTAMP resolves to v2 (after the first update batch,
+    -- before the second): latest-wins replay of base + u1 only
+    WITH base AS (
+      SELECT o_orderkey AS k, 1 AS ver, o_orderstatus AS status,
+             o_totalprice AS price
+      FROM orders
+    ), u1 AS (
+      SELECT o_orderkey, 2, 'T', o_totalprice * 3
+      FROM orders WHERE o_orderkey % 11 = 0
+    ), latest AS (
+      SELECT k, ver, status, price,
+             ROW_NUMBER() OVER (PARTITION BY k
+                                ORDER BY ver DESC, status) AS rn
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM u1)
+    )
+    SELECT status,
+           COUNT(*)                 AS n_rows,
+           CAST(SUM(ver) AS BIGINT) AS sum_ver,
+           ROUND(SUM(price), 2)     AS sum_price
+    FROM latest
+    WHERE rn = 1
+    GROUP BY status
+    ORDER BY status
+    """,
+)
+def scan_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP AS OF time travel (Delta's second travel axis next to
+    VERSION AS OF, which scan_snapshot_time_travel covers): every
+    commit path stamps ``committed_at`` wall-clock at the one choke
+    point (_publish_manifest — a manifest-copying clone/restore can
+    never carry its source's stamp), and ``version_as_of(base, ts)``
+    resolves the LATEST version whose stamp is <= ts from O(retained
+    versions) manifest metadata — zero data I/O, then the read is the
+    ordinary pinned-version snapshot.
+
+    Ladder: v1 = seed, v2 = every-11th-key update, v3 = every-13th-key
+    update. Inline asserts pin the resolution contract: AS OF v2's
+    exact stamp -> v2; AS OF the v2/v3 midpoint -> v2 (not v3); AS OF
+    now -> v3 (latest); AS OF a pre-table instant -> loud ValueError
+    (vacuum-expired or never-existed history is unresolvable — the
+    retention contract). The returned aggregate is the v2 snapshot,
+    so the oracle pins that timestamp resolution reads the RIGHT
+    version's bytes, not just a version.
+    Reference provenance: A13 has no version pinning at all (SURVEY
+    §2); public recipe = Delta TIMESTAMP AS OF / Iceberg
+    snapshot-at-timestamp lookup."""
+    import shutil
+
+    from .scans import _adir
+
+    base_dir = _adir(sf_dir, "time_travel_ts_table")
+    shutil.rmtree(base_dir, ignore_errors=True)
+
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("ver"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    init_table(orders, base_dir, key_col="k", n_buckets=16)
+    u1 = orders.filter(F.col("k") % 11 == 0).select(
+        "k", F.lit(2).alias("ver"), F.lit("T").alias("status"),
+        (F.col("price") * 3).alias("price"),
+    )
+    merge_upsert_manifest(base_dir, u1, ver_col="ver", tiebreak_col="status")
+    u2 = orders.filter(F.col("k") % 13 == 0).select(
+        "k", F.lit(3).alias("ver"), F.lit("U").alias("status"),
+        (F.col("price") + 1).alias("price"),
+    )
+    merge_upsert_manifest(base_dir, u2, ver_col="ver", tiebreak_col="status")
+
+    hist = {h["version"]: h["committed_at"] for h in table_history(base_dir)}
+    t1, t2, t3 = hist[1], hist[2], hist[3]
+    if not (t1 <= t2 < t3):
+        raise AssertionError(f"commit stamps must increase: {t1} {t2} {t3}")
+    if version_as_of(base_dir, t2) != 2:
+        raise AssertionError("AS OF v2's own stamp must resolve v2")
+    if version_as_of(base_dir, (t2 + t3) / 2) != 2:
+        raise AssertionError("AS OF between v2 and v3 must resolve v2")
+    if version_as_of(base_dir, time.time() + 60) != 3:
+        raise AssertionError("AS OF the future must resolve latest")
+    try:
+        version_as_of(base_dir, t1 - 3600)
+        raise AssertionError("pre-table timestamp must be unresolvable")
+    except ValueError:
+        pass
+
+    return (
+        read_snapshot(spark, base_dir, version=version_as_of(base_dir, t2))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("ver").alias("sum_ver"),
+            F.round(F.sum("price"), 2).alias("sum_price"),
+        )
+        .orderBy("status")
+    )
+
+
+@register(
+    "merge_replace_where",
+    oracle="""
+    -- REPLACE WHERE replay: the visible table after the commit is
+    -- (rows outside the slice, untouched) ∪ (the replacement batch)
+    WITH base AS (
+      SELECT o_orderkey AS k, 1 AS ver, o_orderstatus AS status,
+             o_totalprice AS price
+      FROM orders
+    ), replaced AS (
+      SELECT k, ver, status, price FROM base
+      WHERE price IS NULL OR price < 250000 OR price > 550000
+      UNION ALL
+      SELECT k, 2, 'R', price FROM base
+      WHERE price BETWEEN 250000 AND 550000
+    )
+    SELECT status,
+           COUNT(*)                 AS n_rows,
+           CAST(SUM(ver) AS BIGINT) AS sum_ver,
+           ROUND(SUM(price), 2)     AS sum_price
+    FROM replaced
+    GROUP BY status
+    ORDER BY status
+    """,
+)
+def merge_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPLACE WHERE as a first-class commit (Delta ``replaceWhere`` /
+    dynamic partition overwrite, generalized from partitions to any
+    stats-covered range): one atomic commit swaps the slice
+    ``price BETWEEN 250k AND 550k`` for a recomputed batch (same keys,
+    status 'R', ver 2) on a price-CLUSTERED table.
+
+    The claim the inline asserts pin is the FILE-level rewrite
+    pruning: files whose [min, max] price provably misses the slice
+    are CARRIED VERBATIM into the new manifest (same file objects —
+    asserted), never opened; only possibly-matching files rewrite. On
+    a clustered 100 TB table that is rewriting one bin per bucket
+    instead of the table. Also asserted: the CDF between the two
+    versions is pure updates of exactly the slice keys (file churn on
+    carried-vs-rewritten boundaries must not invent changes), and
+    DESCRIBE HISTORY stamps kind='replace'.
+
+    Contract (loud errors, pinned in tests/test_lakehouse.py): batch
+    rows outside the slice refuse; a batch key whose visible row sits
+    outside the slice refuses (undeclared upsert / duplicate key);
+    tombstone rows survive regardless of predicate; sidecar-carrying
+    buckets fall back to full rewrite (no stranded deletion vectors).
+    Reference provenance: the reference re-upserts the whole corpus
+    per run (SURVEY §2 A15); public recipe = Delta replaceWhere /
+    Iceberg overwrite-by-filter."""
+    import shutil
+
+    from .scans import _adir
+
+    base_dir = _adir(sf_dir, "replace_where_table")
+    shutil.rmtree(base_dir, ignore_errors=True)
+
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("ver"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    init_table(orders, base_dir, key_col="k", n_buckets=16,
+               cluster_col="price")
+    m1 = load_manifest(base_dir)
+
+    lo, hi = 250000.0, 550000.0
+    batch = orders.filter(F.col("price").between(lo, hi)).select(
+        "k", F.lit(2).alias("ver"), F.lit("R").alias("status"), "price"
+    )
+    v2, tries = replace_where_range(
+        spark, base_dir, "price", lo, hi, batch
+    )
+    if (v2, tries) != (2, 1):
+        raise AssertionError(f"replace must commit v2 first-try: {(v2, tries)}")
+    m2 = load_manifest(base_dir)
+    carried = sum(
+        1
+        for b in m1["buckets"]
+        for f in m1["buckets"][b]
+        if f in set(m2["buckets"].get(b, []))
+    )
+    total = sum(len(fs) for fs in m1["buckets"].values())
+    if not (0 < carried < total):
+        raise AssertionError(
+            f"file-level pruning must carry SOME files verbatim and "
+            f"rewrite the rest: carried {carried} of {total}"
+        )
+    if table_history(base_dir)[-1]["kind"] != "replace":
+        raise AssertionError("history must stamp kind='replace'")
+    feed = changes_between(spark, base_dir, 1, 2)
+    n_slice = batch.count()
+    if feed.filter(F.col("change_type") != "update").count() != 0:
+        raise AssertionError("replace CDF must be pure updates here")
+    if feed.count() != n_slice:
+        raise AssertionError(
+            "CDF must cover exactly the slice keys (no invented "
+            "changes from carried/rewritten file churn)"
+        )
+
+    return (
+        read_snapshot(spark, base_dir)
         .groupBy("status")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

@@ -64,6 +64,8 @@ WRITE_PATH_PROTOCOL = [
     "merge_schema_drop",
     "merge_delete_dv",
     "stream_cdf_pruned",
+    "scan_time_travel_ts",
+    "merge_replace_where",
 ]
 
 

@@ -3038,6 +3038,7 @@ def test_protocol_model_fuzz(spark, tmp_path, seed):
         init_table,
         optimize_compact,
         rebucket_table,
+        replace_where_range,
         restore_table,
         table_history,
         vacuum,
@@ -3092,7 +3093,7 @@ def test_protocol_model_fuzz(spark, tmp_path, seed):
     for step in range(18):
         op = rng.choice(
             ["merge", "merge", "tomb", "mor", "dv", "optimize",
-             "rebucket", "dropadd", "vacuum", "restore"]
+             "rebucket", "dropadd", "vacuum", "restore", "replace"]
         )
         ver += 1
         if op == "merge":
@@ -3172,6 +3173,34 @@ def test_protocol_model_fuzz(spark, tmp_path, seed):
                             "ver": ver, "attr": f"re{step}k{k}",
                             "dead": False,
                         }
+        elif op == "replace":
+            # slice on the KEY itself: containment/conflict-free by
+            # construction; a random subset of slice keys is recomputed
+            # and the rest of the slice's LIVE rows vanish; tombstoned
+            # slice rows survive as guards (dead entries keep)
+            a = rng.randint(0, 50)
+            b_hi = a + rng.randint(2, 9)
+            cand = [k for k in keys if a <= k <= b_hi]
+            chosen = [k for k in cand if rng.random() < 0.6]
+            rows = [
+                (k, ver, *((f"r{step}k{k}",) if attr_live else ()), False)
+                for k in chosen
+            ]
+            replace_where_range(
+                spark, base, "k", a, b_hi, batch(rows)
+            )
+            for k in cand:
+                cur = model.get(k)
+                if cur is not None and not cur["dead"]:
+                    del model[k]
+            for k in chosen:
+                cur = model.get(k)
+                if cur is None or ver >= cur["ver"]:
+                    model[k] = {
+                        "ver": ver,
+                        "attr": f"r{step}k{k}" if attr_live else None,
+                        "dead": False,
+                    }
         elif op == "vacuum":
             vacuum(base, keep_last=rng.choice([1, 2]))
         elif op == "restore":
@@ -3211,6 +3240,7 @@ def test_protocol_two_writer_fuzz(spark, tmp_path, seed):
         delete_keys_mor,
         init_table,
         optimize_compact,
+        replace_where_range,
     )
 
     rng = random.Random(seed)
@@ -3307,7 +3337,7 @@ def test_protocol_two_writer_fuzz(spark, tmp_path, seed):
 
     for step in range(10):
         aop = rng.choice(["a_merge", "a_tomb", "a_patch", "a_mor",
-                          "a_dv", "a_optimize", "a_serial"])
+                          "a_dv", "a_optimize", "a_serial", "a_replace"])
         bop = rng.choice(["b_merge", "b_tomb", "b_mor", "b_dv"])
         bks = rng.sample(keys, rng.randint(1, 6))
         double = rng.random() < 0.3  # occasionally force TWO losses
@@ -3379,6 +3409,33 @@ def test_protocol_two_writer_fuzz(spark, tmp_path, seed):
                 spark, base, max_files_per_bucket=1,
                 before_commit=interleave,
             )
+        elif aop == "a_replace":
+            # slice on the key (conflict-free); the rebase after B's
+            # interleaved commit must re-plan pruning and re-read the
+            # slice against B's state — serial model: B, then replace
+            a = rng.randint(0, 40)
+            b_hi = a + rng.randint(2, 8)
+            chosen = [
+                k for k in keys if a <= k <= b_hi and rng.random() < 0.6
+            ]
+            rows = [
+                (k, aver, f"R{aver}k{k}", k + 0.5, False) for k in chosen
+            ]
+            replace_where_range(
+                spark, base, "k", a, b_hi,
+                spark.createDataFrame(rows, SCHEMA),
+                before_commit=interleave,
+            )
+            for k in [k for k in keys if a <= k <= b_hi]:
+                cur = model.get(k)
+                if cur is not None and not cur["dead"]:
+                    del model[k]
+            for k, v, attr, val, dead in rows:
+                cur = model.get(k)
+                if cur is None or v >= cur["ver"]:
+                    model[k] = {
+                        "ver": v, "attr": attr, "val": val, "dead": dead,
+                    }
         elif aop == "a_serial":
             # serializable MERGE racing B: the conflict gate is a
             # LOGICAL diff, so the expected outcome derives from the
@@ -3579,3 +3636,165 @@ def test_optimize_coalesces_dv_sidecars(spark, tmp_path):
     )
     res2 = optimize_compact(spark, base)
     assert res2["version"] == res["version"] and res2["dv_coalesced"] == []
+
+
+def test_version_as_of_timestamp_resolution(spark, tmp_path):
+    """TIMESTAMP AS OF: every commit stamps committed_at at the
+    publish choke point (clone/restore cannot carry a source stamp);
+    resolution returns the latest version at-or-before the probe,
+    raises before the oldest RETAINED commit, and vacuum moves that
+    boundary forward (expired history is unresolvable — the retention
+    contract)."""
+    import time as _t
+
+    from assignment4_spark.operators.lakehouse import (
+        clone_table,
+        load_manifest,
+        vacuum,
+        version_as_of,
+    )
+
+    base = _mk_table(spark, tmp_path, n=40, n_buckets=4)
+    merge_upsert_manifest(base, _upd(spark, [3], 2, "u"), "ver", "payload")
+    merge_upsert_manifest(base, _upd(spark, [4], 3, "w"), "ver", "payload")
+    stamps = {
+        v: load_manifest(base, v)["committed_at"] for v in (1, 2, 3)
+    }
+    assert stamps[1] <= stamps[2] <= stamps[3]
+    assert version_as_of(base, stamps[1]) == 1
+    assert version_as_of(base, stamps[3]) == 3
+    assert version_as_of(base, _t.time() + 60) == 3
+    with pytest.raises(ValueError, match="predates"):
+        version_as_of(base, stamps[1] - 3600)
+
+    # a clone's manifest carries its OWN commit stamp, not the source's
+    clone = str(tmp_path / "ttclone")
+    clone_table(base, clone)
+    assert load_manifest(clone, 1)["committed_at"] >= stamps[3]
+
+    # vacuum expires v1 -> its stamp becomes unresolvable
+    vacuum(base, keep_last=2)
+    with pytest.raises(ValueError, match="predates"):
+        version_as_of(base, stamps[1])
+    assert version_as_of(base, stamps[3]) == 3
+
+
+def test_replace_where_contract(spark, tmp_path):
+    """REPLACE WHERE: file-level stats pruning carries out-of-slice
+    files verbatim; visible table = outside-slice ∪ batch; CDF is the
+    exact slice diff; out-of-slice batch rows and out-of-slice key
+    conflicts refuse loudly; a DV-pending bucket falls back to full
+    rewrite without resurrecting vectored rows."""
+    from assignment4_spark.operators.lakehouse import (
+        changes_between,
+        delete_keys_dv,
+        init_table,
+        replace_where_range,
+    )
+
+    base = str(tmp_path / "rwtbl")
+    df = spark.range(200).select(
+        F.col("id").alias("k"), F.lit(1).alias("ver"),
+        (F.col("id") * 10.0).alias("x"),
+        F.concat(F.lit("p"), F.col("id")).alias("payload"),
+    )
+    init_table(df, base, key_col="k", n_buckets=4, cluster_col="x")
+    m1 = load_manifest(base)
+    newb = df.filter(F.col("x").between(500, 1000)).select(
+        "k", F.lit(2).alias("ver"), "x", F.lit("R").alias("payload")
+    )
+    v, tries = replace_where_range(spark, base, "x", 500.0, 1000.0, newb)
+    assert (v, tries) == (2, 1)
+    m2 = load_manifest(base)
+    carried = sum(
+        1 for b in m1["buckets"] for f in m1["buckets"][b]
+        if f in set(m2["buckets"][b])
+    )
+    total = sum(len(fs) for fs in m1["buckets"].values())
+    assert 0 < carried < total, (carried, total)
+    rows = {r.k: (r.ver, r.payload) for r in read_snapshot(spark, base).collect()}
+    assert len(rows) == 200
+    assert rows[60] == (2, "R") and rows[10] == (1, "p10")
+    d = {r.k: r.change_type for r in changes_between(spark, base, 1, 2).collect()}
+    assert set(d.values()) == {"update"} and set(d) == set(range(50, 101))
+
+    with pytest.raises(ValueError, match="outside"):
+        replace_where_range(
+            spark, base, "x", 500.0, 1000.0,
+            df.filter(F.col("k") == 5).select(
+                "k", F.lit(3).alias("ver"), "x", F.lit("Z").alias("payload")
+            ),
+        )
+    with pytest.raises(ValueError, match="key conflict"):
+        replace_where_range(
+            spark, base, "x", 500.0, 1000.0,
+            spark.createDataFrame(
+                [(10, 3, 600.0, "C")],
+                "k long, ver int, x double, payload string",
+            ),
+        )
+
+    # DV-pending bucket: full-rewrite fallback, no resurrection
+    delete_keys_dv(
+        spark, base, spark.createDataFrame([(20,), (70,)], "k long")
+    )
+    replace_where_range(
+        spark, base, "x", 650.0, 750.0,
+        spark.createDataFrame(
+            [(70, 4, 700.0, "R2")],
+            "k long, ver int, x double, payload string",
+        ),
+    )
+    rows = {r.k: r.payload for r in read_snapshot(spark, base).collect()}
+    assert 20 not in rows, "pending DV must keep hiding key 20"
+    assert rows[70] == "R2"
+
+
+def test_replace_where_preserves_tombstone_guard(spark, tmp_path):
+    """A tombstone row inside the replaced slice must SURVIVE the
+    replace (it is an invisible straggler guard, not slice content):
+    after replacing the slice without that key, a LOWER-version
+    straggler update of the tombstoned key still loses latest-wins."""
+    from assignment4_spark.operators.lakehouse import (
+        TOMBSTONE_COL,
+        init_table,
+        replace_where_range,
+    )
+
+    base = str(tmp_path / "rwtomb")
+    df = spark.range(40).select(
+        F.col("id").alias("k"), F.lit(1).alias("ver"),
+        (F.col("id") * 10.0).alias("x"),
+        F.concat(F.lit("p"), F.col("id")).alias("payload"),
+        F.lit(False).alias(TOMBSTONE_COL),
+    )
+    init_table(df, base, key_col="k", n_buckets=4)
+    # tombstone key 12 (x=120) at ver 5
+    merge_upsert_manifest(
+        base,
+        spark.createDataFrame(
+            [(12, 5, None, None, True)],
+            f"k long, ver int, x double, payload string, {TOMBSTONE_COL} boolean",
+        ),
+        "ver", "payload",
+    )
+    # replace slice x in [100, 200] WITHOUT key 12
+    batch = (
+        df.filter(F.col("x").between(100, 200) & (F.col("k") != 12))
+        .select("k", F.lit(6).alias("ver"), "x",
+                F.lit("R").alias("payload"), F.col(TOMBSTONE_COL))
+    )
+    replace_where_range(spark, base, "x", 100.0, 200.0, batch)
+    rows = {r.k for r in read_snapshot(spark, base).collect()}
+    assert 12 not in rows
+    # straggler with ver 3 < tombstone's 5: must stay dead
+    merge_upsert_manifest(
+        base,
+        spark.createDataFrame(
+            [(12, 3, 120.0, "straggle", False)],
+            f"k long, ver int, x double, payload string, {TOMBSTONE_COL} boolean",
+        ),
+        "ver", "payload",
+    )
+    rows = {r.k for r in read_snapshot(spark, base).collect()}
+    assert 12 not in rows, "tombstone guard must survive the replace"

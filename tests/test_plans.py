@@ -1310,3 +1310,16 @@ def test_delete_dv_read_broadcasts_bitmap_words(spark, sf_oracle):
     assert "shiftleft" in body, body
     assert "Window" not in body, body
     assert "HashAggregate" in body, body
+
+
+def test_replace_where_read_pruned_no_join(spark, sf_oracle):
+    """merge_replace_where: the returned snapshot read is the plain
+    pinned-version aggregate — the REPLACE work happened at commit
+    time, so the read plans no join and no window, keeps the partial
+    agg, and prunes the key column from the scan."""
+    plan = formatted_plan(spark, "merge_replace_where", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    read = next(l for l in body.splitlines() if "ReadSchema" in l)
+    assert "k:" not in read, read
+    assert "SortMergeJoin" not in body and "Window" not in body, body
+    assert "HashAggregate" in body, body
