@@ -44,7 +44,7 @@ _PRIORITY = [
     # go at the FRONT (never-driver-checked outranks stale).
     # round-11 additions: never driver-checked, oracled
     "merge_delete_dv", "stream_cdf_pruned", "scan_time_travel_ts",
-    "merge_replace_where",
+    "merge_replace_where", "merge_delete_where",
     "dedup_exact_substring", "dedup_pipeline_survivors",
     "dedup_semantic_cluster", "graph_bfs_layers", "graph_degree_hist",
     "graph_jaccard_neighbors", "graph_pagerank", "graph_triangle_count",

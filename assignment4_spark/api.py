@@ -40,6 +40,7 @@ from .operators.lakehouse import (  # noqa: F401
     clone_table,
     compact_tombstones,
     delete_keys_dv,
+    delete_where_range,
     replace_where_range,
     version_as_of,
     delete_keys_mor,
@@ -149,6 +150,7 @@ __all__ = [
     "chunk_text",
     "compact_tombstones",
     "delete_keys_dv",
+    "delete_where_range",
     "replace_where_range",
     "version_as_of",
     "delete_keys_mor",

@@ -819,10 +819,15 @@ def _attach_sidecars(
         if carry
         else newc
     )
+    staged_any = any(_list_bucket_files(staging).values())
     if snap.get("cluster_col") is not None:
         manifest["cluster_col"] = snap["cluster_col"]
         manifest["cluster_bins"] = snap.get("cluster_bins", 4)
-        new = _staged_cluster_stats(spark, staging, snap["cluster_col"])
+        new = (
+            _staged_cluster_stats(spark, staging, snap["cluster_col"])
+            if staged_any
+            else {}
+        )
         manifest["file_stats"] = (
             _carry_file_stats(snap, buckets, new) if carry else new
         )
@@ -830,8 +835,13 @@ def _attach_sidecars(
         manifest["bloom_col"] = snap["bloom_col"]
         manifest["bloom_m"] = snap["bloom_m"]
         manifest["bloom_k"] = snap["bloom_k"]
-        newb = _staged_file_blooms(
-            spark, staging, snap["bloom_col"], snap["bloom_m"], snap["bloom_k"]
+        newb = (
+            _staged_file_blooms(
+                spark, staging, snap["bloom_col"],
+                snap["bloom_m"], snap["bloom_k"],
+            )
+            if staged_any
+            else {}
         )
         manifest["file_blooms"] = (
             _carry_file_stats(snap, buckets, newb, key="file_blooms")
@@ -1774,7 +1784,11 @@ def _clone_pinned_versions(base_dir: str) -> set[int]:
     return pins
 
 
-def vacuum(base_dir: str, keep_last: int = 2) -> dict:
+def vacuum(
+    base_dir: str,
+    keep_last: int = 2,
+    orphan_grace_seconds: float | None = None,
+) -> dict:
     """Retention cleanup — the VACUUM half of the MERGE story: expire
     every manifest older than the newest ``keep_last`` versions and
     delete the data files ONLY those expired versions reference.
@@ -1794,8 +1808,22 @@ def vacuum(base_dir: str, keep_last: int = 2) -> dict:
     manifests last, so a crash mid-vacuum can never leave a live
     manifest naming a deleted file... only an expired one.
 
+    ``orphan_grace_seconds`` additionally sweeps ORPHANED staging
+    directories — debris of commit attempts that crashed between the
+    staging write and the CAS (a lost race cleans after itself; a
+    killed process cannot), plus directories whose last referenced
+    file this vacuum just expired. A directory is swept iff NO file
+    under it is referenced by ANY retained manifest (buckets, delete
+    sidecars, deletion vectors, quarantine) AND its mtime is older
+    than the grace window — the grace is what keeps an IN-FLIGHT
+    attempt's staging (unreferenced by design until its CAS) safe,
+    exactly Delta VACUUM's uncommitted-file retention-hours contract.
+    Clone-referenced source files are protected transitively: clones
+    pin their source VERSIONS, so those manifests sit in the kept set
+    and their files count as referenced.
+
     Returns ``{"deleted_versions": [...], "deleted_files": N,
-    "kept_versions": [...]}``."""
+    "kept_versions": [...], "orphan_dirs_deleted": N}``."""
     import shutil
 
     latest = latest_version(base_dir)
@@ -1867,10 +1895,50 @@ def vacuum(base_dir: str, keep_last: int = 2) -> dict:
         _raise_version_floor(base_dir, max(expired))
     for v in expired:
         os.remove(_manifest_path(base_dir, v))
+    orphans: list[str] = []
+    if orphan_grace_seconds is not None:
+        import re as _re
+        import shutil as _shutil
+
+        referenced: set[str] = set()
+        for v in kept:
+            m = load_manifest(base_dir, v)
+            for fs in (
+                list(m["buckets"].values())
+                + list((m.get("delete_files") or {}).values())
+                + list((m.get("dv_files") or {}).values())
+            ):
+                referenced.update(os.path.abspath(f) for f in fs)
+            q = (m.get("expectations") or {}).get("path")
+            if q:
+                referenced.add(os.path.abspath(q))
+        cutoff = time.time() - max(0.0, orphan_grace_seconds)
+        for entry in sorted(os.listdir(base_dir)):
+            d = os.path.join(base_dir, entry)
+            if not os.path.isdir(d):
+                continue
+            if not _re.match(r"[a-z]+_v\d+_", entry):
+                continue  # clones/, tmp files, anything non-staging
+            if os.path.abspath(d) in referenced:
+                continue  # a referenced quarantine dir
+            try:
+                if os.path.getmtime(d) >= cutoff:
+                    continue  # possibly an in-flight attempt
+                has_ref = any(
+                    os.path.abspath(os.path.join(root, f)) in referenced
+                    for root, _dirs, fnames in os.walk(d)
+                    for f in fnames
+                )
+                if not has_ref:
+                    _shutil.rmtree(d, ignore_errors=True)
+                    orphans.append(entry)
+            except FileNotFoundError:
+                continue  # a concurrent sweep got it
     return {
         "deleted_versions": expired,
         "deleted_files": len(doomed),
         "kept_versions": kept,
+        "orphan_dirs_deleted": len(orphans),
     }
 
 
@@ -3160,6 +3228,7 @@ def replace_where_range(
                 for f in fs
                 if plan[b] == "full" or (plan[b] == "partial" and f in keptset)
             ]
+            nothing_staged = not to_rewrite and not new_buckets
             parts = []
             if to_rewrite:
                 base_df = _read_visible_base(
@@ -3175,20 +3244,25 @@ def replace_where_range(
                 )
                 parts.append(base_df.filter(tomb | out_of_slice))
             parts.append(batch)
-            out = parts[0]
-            for p_ in parts[1:]:
-                out = out.unionByName(p_)
-            _write_clustered(
-                out.withColumn("bucket", _bucket_of(key_col, n_buckets)),
-                staging, key_col, 1, n_buckets,
-                snap.get("cluster_col"), snap.get("cluster_bins", 4),
-            )
+            if not nothing_staged:
+                out = parts[0]
+                for p_ in parts[1:]:
+                    out = out.unionByName(p_)
+                _write_clustered(
+                    out.withColumn(
+                        "bucket", _bucket_of(key_col, n_buckets)
+                    ),
+                    staging, key_col, 1, n_buckets,
+                    snap.get("cluster_col"), snap.get("cluster_bins", 4),
+                )
         except Exception as ex:
             shutil.rmtree(staging, ignore_errors=True)
             if _is_missing_file_error(ex):
                 continue  # vacuum expired the pin mid-read: re-pin
             raise
-        new_files = _list_bucket_files(staging)
+        new_files = (
+            _list_bucket_files(staging) if not nothing_staged else {}
+        )
         buckets: dict[str, list] = {}
         for b, fs in snap["buckets"].items():
             if plan[b] == "carry":
@@ -3222,7 +3296,11 @@ def replace_where_range(
         manifest.pop("dv_files", None)
         if dvs:
             manifest["dv_files"] = {k: dvs[k] for k in sorted(dvs, key=int)}
-        _attach_sidecars(spark, snap, manifest, buckets, staging)
+        if not nothing_staged:
+            _attach_sidecars(spark, snap, manifest, buckets, staging)
+        # an empty slice over an empty batch stages nothing: the
+        # {**snap} copy's sidecar maps stay exact, like OPTIMIZE's
+        # metadata-only commits
         if before_commit is not None:
             before_commit(attempt)
         if _publish_manifest(base_dir, manifest):
@@ -3231,6 +3309,40 @@ def replace_where_range(
     raise MergeConflictError(
         f"replaceWhere by {writer_id} lost the commit race "
         f"{max_retries + 1} times"
+    )
+
+
+def delete_where_range(
+    spark: SparkSession,
+    base_dir: str,
+    col: str,
+    lo,
+    hi,
+    writer_id: str = "w0",
+    max_retries: int = 5,
+    before_commit=None,
+) -> tuple[int, int]:
+    """Copy-on-write DELETE WHERE — drop every visible row with
+    ``col BETWEEN lo AND hi`` (SQL ``DELETE FROM t WHERE ...``; Delta
+    COW delete): REPLACE WHERE with an empty replacement batch, so it
+    inherits the whole machinery — FILE-level stats pruning (provably
+    out-of-slice files carry verbatim, never opened), sidecar-bucket
+    full-rewrite fallback, tombstone-guard preservation, CAS retry.
+    Unlike the key-based deletes (tombstone / equality MOR / positional
+    DV) the predicate needs no key list and the removal is PHYSICAL in
+    one commit — the right shape when the slice is cheap to locate by
+    stats and re-reads should not pay a pending-delete filter.
+
+    Returns ``(committed_version, attempts)``."""
+    snap = load_manifest(base_dir)
+    cols_, types_ = snap["columns"], snap["column_types"]
+    empty = spark.createDataFrame(
+        [], ", ".join(f"`{c}` {types_[c]}" for c in cols_)
+    )
+    return replace_where_range(
+        spark, base_dir, col, lo, hi, empty,
+        writer_id=writer_id, max_retries=max_retries,
+        before_commit=before_commit,
     )
 
 
@@ -4946,6 +5058,101 @@ def merge_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CDF must cover exactly the slice keys (no invented "
             "changes from carried/rewritten file churn)"
         )
+
+    return (
+        read_snapshot(spark, base_dir)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("ver").alias("sum_ver"),
+            F.round(F.sum("price"), 2).alias("sum_price"),
+        )
+        .orderBy("status")
+    )
+
+
+@register(
+    "merge_delete_where",
+    oracle="""
+    -- COW DELETE WHERE replay: visible table = rows outside the slice
+    WITH base AS (
+      SELECT o_orderkey AS k, 1 AS ver, o_orderstatus AS status,
+             o_totalprice AS price
+      FROM orders
+    )
+    SELECT status,
+           COUNT(*)                 AS n_rows,
+           CAST(SUM(ver) AS BIGINT) AS sum_ver,
+           ROUND(SUM(price), 2)     AS sum_price
+    FROM base
+    WHERE price IS NULL OR price < 300000 OR price > 520000
+    GROUP BY status
+    ORDER BY status
+    """,
+)
+def merge_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DELETE WHERE (SQL ``DELETE FROM t WHERE price
+    BETWEEN lo AND hi``; Delta COW delete) — the FOURTH delete face,
+    predicate-shaped where the other three are key-shaped: no key
+    list, physical removal in one commit, file-level stats pruning
+    from the price-clustered layout (out-of-slice files carry
+    verbatim — inline-asserted; only possibly-matching files rewrite
+    without their in-slice rows).
+
+    When to choose which delete: versioned tombstones when stragglers
+    exist (guarded), equality MOR when delete latency dominates,
+    positional DVs when reads between rewrites dominate, COW DELETE
+    WHERE when the doomed rows are a stats-locatable SLICE — the
+    retention purge / GDPR-date-range shape, where pending-delete
+    filters on every later read would cost more than one pruned
+    rewrite. Also asserted: CDF between the versions is pure deletes
+    of exactly the slice keys, DESCRIBE HISTORY stamps the commit
+    (kind='replace' — DELETE WHERE is REPLACE WHERE with an empty
+    batch and inherits its machinery, sidecar fallback and tombstone
+    guard included).
+    Reference provenance: the reference deletes by id only (SURVEY
+    §2 A15); public recipe = Delta DELETE (copy-on-write path) /
+    Iceberg delete-by-filter."""
+    import shutil
+
+    from .scans import _adir
+
+    base_dir = _adir(sf_dir, "delete_where_table")
+    shutil.rmtree(base_dir, ignore_errors=True)
+
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("ver"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    init_table(orders, base_dir, key_col="k", n_buckets=16,
+               cluster_col="price")
+    m1 = load_manifest(base_dir)
+
+    lo, hi = 300000.0, 520000.0
+    n_slice = orders.filter(F.col("price").between(lo, hi)).count()
+    v2, tries = delete_where_range(spark, base_dir, "price", lo, hi)
+    if (v2, tries) != (2, 1):
+        raise AssertionError(f"delete must commit v2 first-try: {(v2, tries)}")
+    m2 = load_manifest(base_dir)
+    carried = sum(
+        1
+        for b in m1["buckets"]
+        for f in m1["buckets"][b]
+        if f in set(m2["buckets"].get(b, []))
+    )
+    total = sum(len(fs) for fs in m1["buckets"].values())
+    if not (0 < carried < total):
+        raise AssertionError(
+            f"stats pruning must carry SOME files and rewrite the "
+            f"rest: carried {carried} of {total}"
+        )
+    feed = changes_between(spark, base_dir, 1, 2)
+    if feed.filter(F.col("change_type") != "delete").count() != 0:
+        raise AssertionError("DELETE WHERE CDF must be pure deletes")
+    if feed.count() != n_slice:
+        raise AssertionError("CDF must cover exactly the slice keys")
 
     return (
         read_snapshot(spark, base_dir)

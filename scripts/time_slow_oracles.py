@@ -66,6 +66,7 @@ WRITE_PATH_PROTOCOL = [
     "stream_cdf_pruned",
     "scan_time_travel_ts",
     "merge_replace_where",
+    "merge_delete_where",
 ]
 
 

@@ -3798,3 +3798,86 @@ def test_replace_where_preserves_tombstone_guard(spark, tmp_path):
     )
     rows = {r.k for r in read_snapshot(spark, base).collect()}
     assert 12 not in rows, "tombstone guard must survive the replace"
+
+
+def test_delete_where_cow_contract(spark, tmp_path):
+    """COW DELETE WHERE: physical slice removal in one commit with
+    file-level stats carry; CDF pure deletes of exactly the slice;
+    empty-slice delete is a clean no-op commit."""
+    from assignment4_spark.operators.lakehouse import (
+        changes_between,
+        delete_where_range,
+        init_table,
+    )
+
+    base = str(tmp_path / "dwtbl")
+    df = spark.range(200).select(
+        F.col("id").alias("k"), F.lit(1).alias("ver"),
+        (F.col("id") * 10.0).alias("x"),
+        F.concat(F.lit("p"), F.col("id")).alias("payload"),
+    )
+    init_table(df, base, key_col="k", n_buckets=4, cluster_col="x")
+    m1 = load_manifest(base)
+    v, tries = delete_where_range(spark, base, "x", 500.0, 1000.0)
+    assert (v, tries) == (2, 1)
+    m2 = load_manifest(base)
+    carried = sum(
+        1 for b in m1["buckets"] for f in m1["buckets"][b]
+        if f in set(m2["buckets"][b])
+    )
+    assert 0 < carried < sum(len(fs) for fs in m1["buckets"].values())
+    rows = {r.k for r in read_snapshot(spark, base).collect()}
+    assert len(rows) == 149 and not (set(range(50, 101)) & rows)
+    d = {r.k: r.change_type for r in changes_between(spark, base, 1, 2).collect()}
+    assert set(d.values()) == {"delete"} and set(d) == set(range(50, 101))
+    # empty slice: commits a no-change version, CDF empty
+    v3, _ = delete_where_range(spark, base, "x", 90000.0, 99000.0)
+    assert changes_between(spark, base, v, v3).count() == 0
+    assert read_snapshot(spark, base).count() == 149
+
+
+def test_vacuum_sweeps_orphaned_staging(spark, tmp_path):
+    """Orphan sweep: a crashed attempt's staging dir (unreferenced,
+    old mtime) is reclaimed; a FRESH unreferenced dir survives the
+    grace window (in-flight protection); referenced commit dirs are
+    never touched; a dir whose files this vacuum just expired becomes
+    an orphan and goes too."""
+    import os as _os
+    import time as _t
+
+    from assignment4_spark.operators.lakehouse import vacuum
+
+    base = _mk_table(spark, tmp_path, n=50, n_buckets=4)
+    merge_upsert_manifest(base, _upd(spark, [3], 2, "u"), "ver", "payload")
+    merge_upsert_manifest(base, _upd(spark, [4], 3, "w"), "ver", "payload")
+
+    # crashed attempt: staged files, no manifest link
+    dead = _os.path.join(base, "commit_v99_dead_1_1_s999_a0")
+    _os.makedirs(_os.path.join(dead, "bucket=0"))
+    with open(_os.path.join(dead, "bucket=0", "part-0.parquet"), "w") as fh:
+        fh.write("x")
+    old = _t.time() - 7200
+    _os.utime(dead, (old, old))
+    # fresh in-flight attempt
+    fresh = _os.path.join(base, "commit_v98_live_1_1_s998_a0")
+    _os.makedirs(fresh)
+
+    res = vacuum(base, keep_last=2, orphan_grace_seconds=3600)
+    assert res["orphan_dirs_deleted"] >= 1
+    assert not _os.path.exists(dead), "crashed staging must be swept"
+    assert _os.path.exists(fresh), "fresh staging must survive grace"
+    # live table intact
+    assert read_snapshot(spark, base).count() == 50
+
+    # v1's dirs: expired by the version vacuum above; their remaining
+    # unreferenced dirs sweep once old enough
+    _os.utime(fresh, (old, old))
+    for entry in _os.listdir(base):
+        d = _os.path.join(base, entry)
+        if _os.path.isdir(d):
+            _os.utime(d, (old, old))
+    res2 = vacuum(base, keep_last=2, orphan_grace_seconds=3600)
+    assert not _os.path.exists(fresh), "aged-out unreferenced dir sweeps"
+    # every remaining staging dir holds a referenced file
+    assert read_snapshot(spark, base).count() == 50
+    assert read_snapshot(spark, base, version=2).count() == 50

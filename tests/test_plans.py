@@ -1323,3 +1323,16 @@ def test_replace_where_read_pruned_no_join(spark, sf_oracle):
     assert "k:" not in read, read
     assert "SortMergeJoin" not in body and "Window" not in body, body
     assert "HashAggregate" in body, body
+
+
+def test_delete_where_read_pruned_no_join(spark, sf_oracle):
+    """merge_delete_where: like the replace face, the returned read is
+    the plain pinned-snapshot aggregate — deletion happened physically
+    at commit time, so no join, no window, no pending-delete filter."""
+    plan = formatted_plan(spark, "merge_delete_where", sf_oracle)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "SortMergeJoin" not in body and "Window" not in body, body
+    assert "BroadcastHashJoin" not in body, (
+        "COW delete must leave NO read-side delete filter"
+    )
+    assert "HashAggregate" in body, body
