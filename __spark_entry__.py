@@ -45,6 +45,7 @@ _PRIORITY = [
     # round-11 additions: never driver-checked, oracled
     "merge_delete_dv", "stream_cdf_pruned", "scan_time_travel_ts",
     "merge_replace_where", "merge_delete_where",
+    "scan_partition_overwrite",
     "dedup_exact_substring", "dedup_pipeline_survivors",
     "dedup_semantic_cluster", "graph_bfs_layers", "graph_degree_hist",
     "graph_jaccard_neighbors", "graph_pagerank", "graph_triangle_count",

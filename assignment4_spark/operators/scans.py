@@ -259,6 +259,105 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_partition_overwrite",
+    oracle="""
+    -- dynamic partition overwrite replay: only the 'F' partition is
+    -- replaced (recomputed at doubled price, ver 2); every other
+    -- partition's rows are byte-untouched
+    WITH final AS (
+      SELECT o_orderstatus AS status, 1 AS ver, o_totalprice AS price
+      FROM orders WHERE o_orderstatus <> 'F'
+      UNION ALL
+      SELECT o_orderstatus, 2, o_totalprice * 2
+      FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT status,
+           COUNT(*)                 AS n_rows,
+           CAST(SUM(ver) AS BIGINT) AS sum_ver,
+           ROUND(SUM(price), 2)     AS sum_price
+    FROM final
+    GROUP BY status
+    ORDER BY status
+    """,
+)
+def scan_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — Spark's NATIVE
+    ``partitionOverwriteMode=dynamic`` sink (INSERT OVERWRITE that
+    replaces only the partitions the incoming batch actually touches,
+    instead of truncating the table — the Hive-style backfill idiom
+    and the hive-layout sibling of the manifest table's REPLACE
+    WHERE): seed orders hive-partitioned by status, then overwrite a
+    RECOMPUTED status='F' slice (doubled price, ver 2) in dynamic
+    mode. Inline asserts pin the mode's contract — the untouched
+    partitions keep their EXACT file sets (names compared before and
+    after; static mode would have truncated them away) and the
+    overwritten partition's files are replaced.
+
+    Scale shape: the overwrite costs O(recomputed partition), not
+    O(table) — on a date-partitioned 100 TB log this is the
+    idempotent daily-backfill write; the write itself is one
+    shuffle-free pass of the batch (partitionBy routes rows, no
+    pre-repartition needed at one partition).
+    Reference provenance: none (the reference re-upserts everything;
+    SURVEY §2 A15); public recipe = SPARK-20236 dynamic partition
+    overwrite / Hive INSERT OVERWRITE ... PARTITION.
+    """
+    import shutil
+
+    base = _adir(sf_dir, "orders_dyn_overwrite")
+    shutil.rmtree(base, ignore_errors=True)
+
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.lit(1).alias("ver"),
+        F.col("o_totalprice").alias("price"),
+    )
+    orders.write.mode("overwrite").partitionBy("status").parquet(base)
+
+    def part_files(status):
+        d = os.path.join(base, f"status={status}")
+        return sorted(os.listdir(d)) if os.path.isdir(d) else []
+
+    before = {s: part_files(s) for s in ("O", "P")}
+    f_before = part_files("F")
+
+    patch = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.lit(2).alias("ver"),
+            (F.col("o_totalprice") * 2).alias("price"),
+        )
+    )
+    (
+        patch.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("status")
+        .parquet(base)
+    )
+
+    for s, fs in before.items():
+        if part_files(s) != fs:
+            raise AssertionError(
+                f"dynamic overwrite must leave partition {s} untouched"
+            )
+    if part_files("F") == f_before:
+        raise AssertionError("the touched partition must be replaced")
+
+    return (
+        spark.read.parquet(base)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("ver").alias("sum_ver"),
+            F.round(F.sum("price"), 2).alias("sum_price"),
+        )
+        .orderBy("status")
+    )
+
+
+@register(
     "scan_text_sink",
     oracle="""
     SELECT COUNT(*)                                                AS n_lines,

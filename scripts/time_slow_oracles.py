@@ -67,6 +67,7 @@ WRITE_PATH_PROTOCOL = [
     "scan_time_travel_ts",
     "merge_replace_where",
     "merge_delete_where",
+    "scan_partition_overwrite",
 ]
 
 
