@@ -185,22 +185,28 @@ def minhash_band_postings(s: DataFrame) -> DataFrame:
     ).select(
         "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P)).alias("h")
     )
+    # expressions as SQL strings, one py4j round trip each: the Column-
+    # algebra formulation cost ~6 driver round trips per hash function
+    # (×N_HASHES ×every caller ≈ 0.9 s of pure plan-construction per
+    # call, measured in the stream_index_admission profile); the plan —
+    # and therefore every band_key value — is unchanged, only how it is
+    # built (int literals keep the exact same implicit bigint casts)
     sigs = hashed.groupBy("doc_id").agg(
         *[
-            F.min(
-                F.pmod(
-                    F.col("h") * (2 * i + 3) + F.lit(i * 1000003 + 12345),
-                    F.lit(MERSENNE_P),
-                )
-            ).alias(f"m{i}")
+            F.expr(
+                f"min(pmod(h * {2 * i + 3} + {i * 1000003 + 12345}, "
+                f"{MERSENNE_P})) AS m{i}"
+            )
             for i in range(N_HASHES)
         ]
     )
-    bands = F.array(
-        *[
-            F.xxhash64(F.lit(b), F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}"))
+    bands = F.expr(
+        "array("
+        + ", ".join(
+            f"xxhash64({b}, m{2 * b}, m{2 * b + 1})"
             for b in range(N_BANDS)
-        ]
+        )
+        + ")"
     )
     return sigs.select("doc_id", F.explode(bands).alias("band_key"))
 

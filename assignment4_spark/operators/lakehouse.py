@@ -157,6 +157,76 @@ def _resolve_evolved_schema(
     return columns, types
 
 
+def _arrow_ddl_type(t) -> str | None:
+    """Spark DDL name of an arrow footer type, or None when the mapping
+    is not exact (the caller must then fall back to schema inference —
+    guessing here would silently misread bytes)."""
+    import pyarrow as pa
+
+    if pa.types.is_int8(t):
+        return "tinyint"
+    if pa.types.is_int16(t):
+        return "smallint"
+    if pa.types.is_int32(t):
+        return "int"
+    if pa.types.is_int64(t):
+        return "bigint"
+    if pa.types.is_float32(t):
+        return "float"
+    if pa.types.is_float64(t):
+        return "double"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_date32(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        # micros only; INT96 legacy files surface as nanos -> fallback
+        if t.unit == "us":
+            return "timestamp" if t.tz is not None else "timestamp_ntz"
+        return None
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    return None
+
+
+def _uniform_schema_read(
+    spark: SparkSession,
+    groups: dict[str, list],
+    columns: list,
+    column_types: dict,
+) -> DataFrame | None:
+    """Fast path for the never-evolved (epoch-inert) common case: when
+    every commit group's PHYSICAL schema agrees exactly with the
+    manifest's logical types (checked from one parquet footer per
+    group — driver-side metadata, no Spark job), all files read as ONE
+    explicit-schema relation: no per-group schema-inference job, no
+    union of per-group plans (guide §1.2 — at 10 commits retained this
+    was 10 tiny inference jobs and a 10-way union per snapshot read).
+    Files physically missing a manifest column are filled with NULLs
+    by the reader's by-name resolution, exactly as the per-group
+    projection did. Any divergence (widened types, INT96 legacy
+    timestamps, unmappable arrow types) returns None -> caller falls
+    back to the per-group path."""
+    import pyarrow.parquet as pq
+
+    for fs in groups.values():
+        try:
+            sch = pq.read_schema(fs[0])
+        except Exception:
+            return None
+        names = set(sch.names)
+        for c in columns:
+            if c not in names:
+                continue  # pre-evolution file: reader null-fills
+            if _arrow_ddl_type(sch.field(c).type) != column_types[c]:
+                return None
+    ddl = ", ".join(f"`{c}` {column_types[c]}" for c in columns)
+    all_files = sorted(f for fs in groups.values() for f in fs)
+    return spark.read.schema(ddl).parquet(*all_files)
+
+
 def _read_files_aligned(
     spark: SparkSession,
     files: list,
@@ -195,6 +265,18 @@ def _read_files_aligned(
     for f in files:
         # …/commit_vN_*/bucket=B/part-*.parquet → group on the commit dir
         groups.setdefault(os.path.dirname(os.path.dirname(f)), []).append(f)
+    if not guard:
+        fast = _uniform_schema_read(spark, groups, columns, column_types)
+        if fast is not None:
+            sel = [F.col(c) for c in columns]
+            if carry_positions:
+                sel += [
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:", ""
+                    ).alias(DV_FILE_COL),
+                    F.col("_metadata.row_index").alias(DV_POS_COL),
+                ]
+            return fast.select(*sel)
     parts = []
     for gdir, fs in sorted(groups.items()):
         df = spark.read.parquet(*fs)
@@ -320,6 +402,46 @@ def _write_clustered(
     Uniform bins are the 'lite' part — Delta's OPTIMIZE ZORDER uses
     range partitioning over sampled quantiles; at fixture scale
     uniform slices skip just as provably."""
+    spark = df.sparkSession
+    # AQE bypass for the commit write only (restored in the finally):
+    # the staged write's partitioning is fully user-pinned — an
+    # explicit repartition on the bucket expression feeding a
+    # partitionBy(bucket) sink — so adaptive re-planning has nothing
+    # to decide, while its per-exchange stage-materialization barrier
+    # costs a driver re-optimization round per commit (measured
+    # paired on merge_upsert at sf0.1: ~0.25 s per commit write,
+    # ~20% of the op). File counts are unchanged: partitionBy splits
+    # per bucket value regardless of task count. On a cluster where
+    # staged batches are large enough that writer-task right-sizing
+    # matters more than commit latency, export
+    # SPARK_GRAFT_COMMIT_AQE=on to keep AQE coalescing inside commit
+    # writes (every other query path keeps AQE regardless).
+    prev_aqe = None
+    if os.environ.get("SPARK_GRAFT_COMMIT_AQE", "off") != "on":
+        try:
+            prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+        except Exception:
+            prev_aqe = None
+    try:
+        _write_clustered_body(
+            df, staging, key_col, salt, n_buckets, cluster_col,
+            cluster_bins,
+        )
+    finally:
+        if prev_aqe is not None:
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def _write_clustered_body(
+    df: DataFrame,
+    staging: str,
+    key_col: str | None,
+    salt: int,
+    n_buckets: int | None,
+    cluster_col: str | None,
+    cluster_bins: int,
+) -> None:
     if cluster_col is not None:
         if n_buckets is None:
             raise ValueError("cluster-binned write requires n_buckets")
@@ -374,12 +496,23 @@ def _staged_cluster_stats(
     spark: SparkSession, staging: str, cluster_col: str
 ) -> dict[str, list]:
     """Per-file (min, max) of the cluster column for a just-staged
-    commit — ONE column-pruned distributed pass grouped on
-    input_file_name (cost O(new files' data in one column), the same
-    class as the write that produced them); files holding only NULLs
-    get no entry (conservatively unprunable)."""
+    commit, read from the parquet footers (zero Spark jobs — see
+    _staged_column_stats; the cluster column is numeric-only per
+    _CLUSTERABLE, so footer stats always exist for it). Files holding
+    only NULLs get no entry (conservatively unprunable)."""
     from urllib.parse import unquote, urlparse
 
+    files = [
+        f for fs in _list_bucket_files(staging).values() for f in fs
+    ]
+    if files:
+        stats, fallback = _footer_column_stats(files, [cluster_col])
+        if not fallback:
+            return {
+                f: d[cluster_col][:2]
+                for f, d in stats.items()
+                if cluster_col in d
+            }
     rows = (
         spark.read.parquet(staging)
         .select(
@@ -432,28 +565,130 @@ def _json_stat(v):
     return v
 
 
-def _staged_column_stats(
-    spark: SparkSession, staging: str, types: dict[str, str]
+def _py_stat(v):
+    """Align a pyarrow footer stat with what the Spark aggregation pass
+    returns: Spark hands back session-UTC *naive* datetimes, pyarrow
+    hands back tz-aware UTC ones (isAdjustedToUTC micros) — normalize
+    so the two stats sources are byte-identical in the manifest."""
+    import datetime
+
+    if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+        return v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    return v
+
+
+def _footer_column_stats(
+    files: list[str], cols: list[str]
+) -> tuple[dict[str, dict[str, list]], set[str]]:
+    """Per-file [min, max, null_count] for ``cols`` read straight from
+    the parquet FOOTERS — O(files) driver-side metadata reads, ZERO
+    Spark jobs (guide §1.2: the distributed pass this replaces re-read
+    every staged byte and paid a job-scheduling round per commit; the
+    numbers it produced were already sitting in the footers the write
+    had just sealed — the same stats source Iceberg's commit path
+    uses). Returns (stats, fallback_cols): parquet-java OMITS binary
+    min/max when a value exceeds ~2 KiB (combined 4 KiB footer cap), so
+    any column where some footer has non-null rows but no min/max goes
+    into ``fallback_cols`` for the caller to re-derive distributed —
+    the manifest must be byte-identical to the aggregation pass, never
+    merely conservative, because declared ops surface skipped-file
+    counts."""
+    import pyarrow.parquet as pq
+
+    want = set(cols)
+    out: dict[str, dict[str, list]] = {}
+    fallback: set[str] = set()
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        # col -> [lo, hi, null_count, usable]
+        acc: dict[str, list] = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                name = c.path_in_schema
+                if name not in want:
+                    continue
+                a = acc.setdefault(name, [None, None, 0, True])
+                st = c.statistics
+                if st is None or not st.has_null_count:
+                    a[3] = False
+                    continue
+                a[2] += st.null_count
+                if st.has_min_max:
+                    lo, hi = _py_stat(st.min), _py_stat(st.max)
+                    if a[0] is None or lo < a[0]:
+                        a[0] = lo
+                    if a[1] is None or hi > a[1]:
+                        a[1] = hi
+                elif st.null_count != c.num_values:
+                    # non-null rows but no min/max: value too large for
+                    # the footer (or a writer that skipped stats) —
+                    # only the data itself can answer now
+                    a[3] = False
+        d = {}
+        for name, (lo, hi, nn, usable) in acc.items():
+            if not usable:
+                fallback.add(name)
+            elif lo is not None:
+                # all-NULL columns get no entry (conservatively
+                # unprunable), matching the aggregation-pass contract
+                d[name] = [_json_stat(lo), _json_stat(hi), int(nn)]
+        out[f] = d
+    # a column that fell back in ANY file is re-derived for EVERY file:
+    # per-file mixing of two stats sources is a parity bug magnet
+    if fallback:
+        for d in out.values():
+            for name in fallback:
+                d.pop(name, None)
+    return out, fallback
+
+
+def _footer_col_max(
+    files: list[str], col: str
+) -> tuple[dict[str, object], bool]:
+    """Per-file NULL-skipping max of one column from the parquet
+    footers: ({file: max_or_None}, usable). ``usable=False`` when any
+    footer lacks trustworthy stats for the column — caller must fall
+    back to a distributed pass (never guess)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, object] = {}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        hi = None
+        seen = False
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                if c.path_in_schema != col:
+                    continue
+                seen = True
+                st = c.statistics
+                if st is None or not st.has_null_count:
+                    return {}, False
+                if st.has_min_max:
+                    v = _py_stat(st.max)
+                    if hi is None or v > hi:
+                        hi = v
+                elif st.null_count != c.num_values:
+                    return {}, False  # stats omitted on non-null data
+        if not seen:
+            return {}, False  # column missing from the file's schema
+        out[f] = hi
+    return out, True
+
+
+def _spark_column_stats(
+    spark: SparkSession, staging: str, cols: list[str]
 ) -> dict[str, dict[str, list]]:
-    """Delta-style per-file column statistics for a just-staged commit:
-    [min, max, null_count] for EVERY stats-eligible column, computed in
-    ONE column-pruned distributed pass grouped on input_file_name (cost
-    O(staged data), the same class as the write that produced it; the
-    collect is O(files × columns) metadata). A file whose column is
-    all-NULL gets no entry for it — conservatively unprunable, matching
-    the cluster-stats contract."""
+    """The distributed stats pass: ONE column-pruned scan grouped on
+    input_file_name (cost O(staged data in ``cols``); the collect is
+    O(files × columns) metadata). Fallback for columns whose footer
+    stats are absent (values over parquet-java's ~2 KiB footer cap)."""
     from urllib.parse import unquote, urlparse
 
-    cols = [
-        c
-        for c, t in types.items()
-        if t in _COLUMN_STATS_TYPES and c != "bucket"
-    ]
-    # a staged commit can legitimately hold ZERO files (an empty update
-    # slice, an all-tombstone bucket compacting away) — reading the
-    # empty dir would raise UNABLE_TO_INFER_SCHEMA
-    if not cols or not any(_list_bucket_files(staging).values()):
-        return {}
     aggs = []
     for i, c in enumerate(cols):
         aggs += [
@@ -480,6 +715,41 @@ def _staged_column_stats(
                 int(r[f"_nn{i}"] or 0),
             ]
         out[unquote(urlparse(r.f).path)] = d
+    return out
+
+
+def _staged_column_stats(
+    spark: SparkSession, staging: str, types: dict[str, str]
+) -> dict[str, dict[str, list]]:
+    """Delta-style per-file column statistics for a just-staged commit:
+    [min, max, null_count] for EVERY stats-eligible column. Read from
+    the parquet FOOTERS the write just sealed — O(files) driver-side
+    metadata, zero Spark jobs (guide §1.2: this ran as a full re-scan
+    of the staged data plus a job-scheduling round on EVERY commit
+    path; the footers already hold the exact same numbers). Columns
+    whose footer stats are absent (single values over ~2 KiB) fall
+    back to the distributed aggregation pass so the manifest stays
+    byte-identical to the old implementation. A file whose column is
+    all-NULL gets no entry for it — conservatively unprunable,
+    matching the cluster-stats contract."""
+    cols = [
+        c
+        for c, t in types.items()
+        if t in _COLUMN_STATS_TYPES and c != "bucket"
+    ]
+    files = [
+        f for fs in _list_bucket_files(staging).values() for f in fs
+    ]
+    # a staged commit can legitimately hold ZERO files (an empty update
+    # slice, an all-tombstone bucket compacting away) — reading the
+    # empty dir would raise UNABLE_TO_INFER_SCHEMA
+    if not cols or not files:
+        return {}
+    out, fallback = _footer_column_stats(files, cols)
+    if fallback:
+        slow = _spark_column_stats(spark, staging, sorted(fallback))
+        for f, d in slow.items():
+            out.setdefault(f, {}).update(d)
     return out
 
 
@@ -821,13 +1091,20 @@ def _attach_sidecars(
     )
     staged_any = any(_list_bucket_files(staging).values())
     if snap.get("cluster_col") is not None:
-        manifest["cluster_col"] = snap["cluster_col"]
+        ccol = snap["cluster_col"]
+        manifest["cluster_col"] = ccol
         manifest["cluster_bins"] = snap.get("cluster_bins", 4)
-        new = (
-            _staged_cluster_stats(spark, staging, snap["cluster_col"])
-            if staged_any
-            else {}
-        )
+        if not staged_any:
+            new = {}
+        elif (types or {}).get(ccol) in _CLUSTERABLE:
+            # cluster columns are numeric-only (_CLUSTERABLE), so the
+            # all-column stats just computed already hold the exact
+            # per-file (min, max) — no second pass of any kind
+            new = {
+                f: d[ccol][:2] for f, d in newc.items() if ccol in d
+            }
+        else:
+            new = _staged_cluster_stats(spark, staging, ccol)
         manifest["file_stats"] = (
             _carry_file_stats(snap, buckets, new) if carry else new
         )
@@ -1081,6 +1358,42 @@ def _publish_manifest(base_dir: str, manifest: dict) -> bool:
     return True
 
 
+def _staged_tombstone_buckets(
+    spark: SparkSession, staging: str, types: dict[str, str]
+) -> list[int]:
+    """Buckets of a just-staged commit that hold at least one live
+    tombstone row — read from the footers' boolean max when the column
+    is a plain boolean (zero Spark jobs; footer max is NULL-skipping
+    and an all-NULL chunk contributes nothing, exactly matching the
+    ``max(coalesce(cast(_deleted as boolean), false))`` the distributed
+    pass computes); any other physical type, or a footer without
+    usable stats, falls back to the scan."""
+    by_bucket = _list_bucket_files(staging)
+    if types.get(TOMBSTONE_COL) == "boolean":
+        files = [f for fs in by_bucket.values() for f in fs]
+        maxes, usable = _footer_col_max(files, TOMBSTONE_COL)
+        if usable:
+            return sorted(
+                b
+                for b, fs in by_bucket.items()
+                if any(maxes.get(f) is True for f in fs)
+            )
+    return sorted(
+        r.bucket
+        for r in spark.read.parquet(staging)
+        .groupBy("bucket")
+        .agg(
+            F.max(
+                F.coalesce(
+                    F.col(TOMBSTONE_COL).cast("boolean"), F.lit(False)
+                )
+            ).alias("has_tomb")
+        )
+        .collect()
+        if r.has_tomb
+    )
+
+
 def _list_bucket_files(staging_dir: str) -> dict[int, list[str]]:
     out: dict[int, list[str]] = {}
     for entry in os.listdir(staging_dir):
@@ -1201,18 +1514,7 @@ def init_table(
         # The staging dir's partition column IS the bucket, so this is
         # one column-pruned scan of what was written.
         "tombstone_buckets": (
-            sorted(
-                r.bucket
-                for r in df.sparkSession.read.parquet(staging)
-                .groupBy("bucket")
-                .agg(
-                    F.max(
-                        F.coalesce(F.col(TOMBSTONE_COL).cast("boolean"), F.lit(False))
-                    ).alias("has_tomb")
-                )
-                .collect()
-                if r.has_tomb
-            )
+            _staged_tombstone_buckets(df.sparkSession, staging, types0)
             if TOMBSTONE_COL in df.columns
             else []
         ),
@@ -1233,9 +1535,13 @@ def init_table(
     if cluster_col is not None:
         manifest["cluster_col"] = cluster_col
         manifest["cluster_bins"] = cluster_bins
-        manifest["file_stats"] = _staged_cluster_stats(
-            df.sparkSession, staging, cluster_col
-        )
+        # cluster columns are numeric-only (validated above), so the
+        # all-column stats already hold the exact per-file (min, max)
+        manifest["file_stats"] = {
+            f: d[cluster_col][:2]
+            for f, d in manifest["column_stats"].items()
+            if cluster_col in d
+        }
     if bloom_col is not None:
         manifest["bloom_col"] = bloom_col
         manifest["bloom_m"] = bloom_m
@@ -1245,7 +1551,17 @@ def init_table(
         )
     if identity_col is not None:
         manifest["identity_col"] = identity_col
-        hw = df.agg(F.max(identity_col).alias("hw")).first().hw
+        # integral column (validated above): the staged footers hold
+        # the exact max — avoid re-executing the seed frame for it
+        maxes, usable = _footer_col_max(
+            [f for fs in manifest["buckets"].values() for f in fs],
+            identity_col,
+        )
+        if usable:
+            vals = [v for v in maxes.values() if v is not None]
+            hw = max(vals) if vals else None
+        else:
+            hw = df.agg(F.max(identity_col).alias("hw")).first().hw
         manifest["identity_high_water"] = int(hw) if hw is not None else 0
     if not _publish_manifest(base_dir, manifest):
         shutil.rmtree(staging, ignore_errors=True)  # loser leaves nothing

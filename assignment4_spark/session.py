@@ -26,6 +26,12 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # INT64 micros instead of the legacy INT96: identical values at
+    # Spark's microsecond precision, but INT96 chunks carry NO footer
+    # min/max — the lakehouse commit path reads per-file stats straight
+    # from the footers (guide §1.2: zero extra Spark jobs per commit),
+    # which needs timestamp columns to actually have them.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 

@@ -3881,3 +3881,105 @@ def test_vacuum_sweeps_orphaned_staging(spark, tmp_path):
     # every remaining staging dir holds a referenced file
     assert read_snapshot(spark, base).count() == 50
     assert read_snapshot(spark, base, version=2).count() == 50
+
+
+def test_footer_stats_parity_with_spark_pass(spark, tmp_path):
+    """The footer-read stats path (zero Spark jobs per commit) must be
+    BYTE-IDENTICAL to the distributed aggregation pass for every
+    stats-eligible type — including the >2 KiB string case, where
+    parquet-java omits footer min/max and the implementation must fall
+    back to the scan for that column (identical manifests, not merely
+    conservative ones: declared ops surface skipped-file counts)."""
+    import datetime
+
+    from assignment4_spark.operators.lakehouse import (
+        _bucket_of,
+        _column_types,
+        _COLUMN_STATS_TYPES,
+        _footer_column_stats,
+        _list_bucket_files,
+        _spark_column_stats,
+        _staged_column_stats,
+        _write_clustered,
+    )
+
+    big = "B" * 3000  # over parquet-java's footer stats cap -> fallback
+    rows = []
+    for i in range(60):
+        rows.append(
+            (
+                i,
+                i * (1 << 33),
+                float(i) / 7.0 if i % 5 else None,
+                f"s{i:03d}" if i % 7 else None,
+                big + str(i),
+                datetime.date(2024, 1 + i % 12, 1 + i % 28),
+                datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=i),
+                None,
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "k int, l bigint, d double, s string, huge string, "
+        "dt date, ts timestamp, dead string",
+    )
+    staging = str(tmp_path / "staged")
+    _write_clustered(df.withColumn("bucket", _bucket_of("k", 4)), staging)
+
+    types = _column_types(df)
+    eligible = sorted(
+        c for c, t in types.items() if t in _COLUMN_STATS_TYPES
+    )
+    fast = _staged_column_stats(spark, staging, types)
+    slow = _spark_column_stats(spark, staging, eligible)
+    assert fast == slow
+
+    # and the footer reader itself must have flagged ONLY the huge col
+    files = [f for fs in _list_bucket_files(staging).values() for f in fs]
+    _, fallback = _footer_column_stats(files, eligible)
+    assert fallback == {"huge"}
+
+
+def test_footer_tombstone_and_identity_parity(spark, tmp_path):
+    """init_table's footer-derived tombstone flags and identity
+    high-water must match what the distributed scans computed."""
+    from assignment4_spark.operators.lakehouse import (
+        init_table,
+        load_manifest,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, False),
+            (2, 25, None),
+            (3, 7, True),  # the only live tombstone
+            (4, 99, False),
+        ],
+        "k int, ident int, _deleted boolean",
+    )
+    base = str(tmp_path / "tbl")
+    init_table(df, base, key_col="k", n_buckets=4, identity_col="ident")
+    m = load_manifest(base)
+    assert m["identity_high_water"] == 99
+    # recompute the flags the old way from the committed files
+    flagged = sorted(
+        r.bucket
+        for r in spark.read.parquet(
+            *[f for fs in m["buckets"].values() for f in fs]
+        )
+        .withColumn(
+            "bucket",
+            F.regexp_extract(F.input_file_name(), r"bucket=(\d+)", 1).cast(
+                "int"
+            ),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.max(
+                F.coalesce(F.col("_deleted").cast("boolean"), F.lit(False))
+            ).alias("has_tomb")
+        )
+        .collect()
+        if r.has_tomb
+    )
+    assert m["tombstone_buckets"] == flagged and len(flagged) == 1
