@@ -478,6 +478,14 @@ def _write_clustered_body(
             F.col("bucket"),
             F.pmod(F.xxhash64(F.col(key_col), F.lit("salt")), F.lit(salt)),
         )
+    elif n_buckets is not None:
+        # the exchange hashes on the bucket expression ALONE, so its
+        # effective parallelism is <= n_buckets at any scale — the
+        # default spark.sql.shuffle.partitions count just adds
+        # guaranteed-empty tasks to both stages (at fixture scale,
+        # 16 - n_buckets task launches per commit for nothing; on a
+        # cluster, thousands). Pin the exchange to n_buckets.
+        clustered = df.repartition(n_buckets, F.col("bucket"))
     else:
         clustered = df.repartition(F.col("bucket"))
     (
@@ -4644,7 +4652,25 @@ def merge_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT status,
            COUNT(*)                 AS n_rows,
            CAST(SUM(ver) AS BIGINT) AS sum_ver,
-           ROUND(SUM(price), 2)     AS sum_price
+           -- EXACT decimal sum, not double: the u2 branch's price/2
+           -- creates half-cent values, so the Z group's true sum ends
+           -- in .xx5 — a double SUM lands one ulp either side of that
+           -- rounding boundary depending on accumulation order, and
+           -- BOTH engines aggregate in parallel (measured: DuckDB at
+           -- threads=8 returned .15 seven and .16 eight times in 15
+           -- runs of this query; Spark's answer moves with core
+           -- count). Decimal addition is associative, so the rounded
+           -- cent is order-independent and engine-identical. The
+           -- per-row double->DECIMAL(30,10) cast cannot tie-break
+           -- differently across engines: a tie would need a double
+           -- equal to x.00000000005 exactly, which is not a dyadic
+           -- rational. The matching engine aggregation casts the same
+           -- way; every other sum_price face sums 2dp-scale values
+           -- whose exact sums sit a full half-cent from any boundary
+           -- (oracle-stability sweep: this op was the suite's only
+           -- thread-count flipper).
+           CAST(ROUND(SUM(CAST(price AS DECIMAL(30,10))), 2) AS DOUBLE)
+                                    AS sum_price
     FROM latest
     WHERE rn = 1
     GROUP BY status
@@ -4734,7 +4760,12 @@ def merge_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum("ver").alias("sum_ver"),
-            F.round(F.sum("price"), 2).alias("sum_price"),
+            # exact decimal sum — see the oracle comment: price/2
+            # puts this group's true sum ON the half-cent boundary,
+            # and a parallel double SUM is a coin flip there
+            F.round(F.sum(F.col("price").cast("decimal(30,10)")), 2)
+            .cast("double")
+            .alias("sum_price"),
         )
         .orderBy("status")
     )

@@ -1336,3 +1336,25 @@ def test_delete_where_read_pruned_no_join(spark, sf_oracle):
         "COW delete must leave NO read-side delete filter"
     )
     assert "HashAggregate" in body, body
+
+
+def test_optimize_compact_sums_price_in_decimal(spark, sf_oracle):
+    """merge_optimize_compact's sum_price must aggregate in EXACT
+    decimal, not double: its u2 branch (price/2) puts the Z group's
+    true sum on the half-cent rounding boundary, where a parallel
+    double SUM is a coin flip on BOTH engines (measured: DuckDB at
+    threads=8 split 7/8 across .15/.16 over 15 runs of the r10 oracle;
+    Spark's answer moved with core count). Decimal addition is
+    associative — order-independent, engine-identical. Reverting to a
+    double sum re-arms a driver-hash coin flip."""
+    from assignment4_spark import registry
+
+    registry.load_all()
+    df = registry.QUERIES["merge_optimize_compact"](spark, sf_oracle)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "decimal(30,10)" in plan, plan
+    assert "decimal(30,10)" in registry.ORACLES["merge_optimize_compact"].replace(
+        "DECIMAL(30,10)", "decimal(30,10)"
+    )
