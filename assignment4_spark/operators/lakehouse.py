@@ -416,21 +416,62 @@ def _write_clustered(
     # matters more than commit latency, export
     # SPARK_GRAFT_COMMIT_AQE=on to keep AQE coalescing inside commit
     # writes (every other query path keeps AQE regardless).
-    prev_aqe = None
-    if os.environ.get("SPARK_GRAFT_COMMIT_AQE", "off") != "on":
-        try:
-            prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-            spark.conf.set("spark.sql.adaptive.enabled", "false")
-        except Exception:
-            prev_aqe = None
+    toggled = os.environ.get("SPARK_GRAFT_COMMIT_AQE", "off") != "on"
+    if toggled:
+        _aqe_off_enter(spark)
     try:
         _write_clustered_body(
             df, staging, key_col, salt, n_buckets, cluster_col,
             cluster_bins,
         )
     finally:
-        if prev_aqe is not None:
-            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        if toggled:
+            _aqe_off_exit(spark)
+
+
+# Depth-counted AQE toggle: concurrent commit writers (the session conf
+# is session-global, and the two-writer CAS fuzz really does overlap
+# writes on threads) must not capture each other's 'false' as the value
+# to restore — a naive per-call save/restore interleaving leaves AQE
+# permanently off for the whole session (caught by the full suite: the
+# threaded fuzz ran before the plan gates and test_whole_stage_codegen_
+# covers_flagship then saw a non-adaptive flagship plan). Only the
+# OUTERMOST writer captures and restores; nested/overlapping writers
+# just bump the depth. An unrelated query planned while a commit write
+# is in flight sees AQE off — a performance-only effect, never a
+# correctness one.
+_AQE_LOCK = threading.Lock()
+_AQE_STATE: dict[int, list] = {}  # id(session) -> [depth, prev_value]
+
+
+def _aqe_off_enter(spark: SparkSession) -> None:
+    with _AQE_LOCK:
+        st = _AQE_STATE.get(id(spark))
+        if st is not None:
+            st[0] += 1
+            return
+        try:
+            prev = spark.conf.get("spark.sql.adaptive.enabled")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+        except Exception:
+            prev = None
+        _AQE_STATE[id(spark)] = [1, prev]
+
+
+def _aqe_off_exit(spark: SparkSession) -> None:
+    with _AQE_LOCK:
+        st = _AQE_STATE.get(id(spark))
+        if st is None:
+            return
+        st[0] -= 1
+        if st[0] > 0:
+            return
+        del _AQE_STATE[id(spark)]
+        if st[1] is not None:
+            try:
+                spark.conf.set("spark.sql.adaptive.enabled", st[1])
+            except Exception:
+                pass
 
 
 def _write_clustered_body(

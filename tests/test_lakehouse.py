@@ -3983,3 +3983,41 @@ def test_footer_tombstone_and_identity_parity(spark, tmp_path):
         if r.has_tomb
     )
     assert m["tombstone_buckets"] == flagged and len(flagged) == 1
+
+
+def test_concurrent_commit_writes_restore_aqe(spark, tmp_path):
+    """Overlapping commit writes (session conf is session-global; the
+    two-writer fuzz really does overlap them on threads) must restore
+    spark.sql.adaptive.enabled once the LAST writer exits — a naive
+    per-call save/restore interleaving captures the other writer's
+    'false' as the value to restore and leaves AQE off for the rest of
+    the session (caught by the full suite: the threaded fuzz ran before
+    the plan gates, which then saw non-adaptive plans)."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from assignment4_spark.operators.lakehouse import (
+        _bucket_of,
+        _write_clustered,
+    )
+
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    df = spark.range(500).select(
+        F.col("id").alias("k"), F.lit("x").alias("v")
+    ).withColumn("bucket", _bucket_of("k", 4))
+    errs = []
+
+    def write(i):
+        try:
+            _write_clustered(df, str(tmp_path / f"w{i}"), "k", 1, 4)
+        except Exception as e:  # surface thread failures in the assert
+            errs.append(e)
+
+    threads = [threading.Thread(target=write, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == []
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
