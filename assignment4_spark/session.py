@@ -2,9 +2,12 @@
 
 Local-mode session tuned for the fixture scale; on a real cluster the
 same settings (AQE on, UTC, Arrow) remain correct — only master/memory
-change. Shuffle partitions are pinned to 16 (RUNTIME_CONFS — measured
-fastest at fixture scale; size to ~2× total cores on a cluster), and
-AQE coalesces further at runtime.
+change. Shuffle partitions are DERIVED from the session's core count
+(~2× — guide §2.2), never a constant: a number tuned for one machine is
+a scale bug in either direction (16 reducers on a 100 TB cluster
+serializes every wide exchange; a cluster-sized constant on a laptop
+drowns in empty tasks). AQE coalesces below the derived count at
+runtime, so it is an upper hint, not a commitment.
 """
 
 from __future__ import annotations
@@ -18,11 +21,6 @@ from pyspark.sql import SparkSession
 # (the driver passes its own SparkSession into queries()).
 RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
-    # 16 measured fastest at fixture scale (32 threads, ≤600k rows:
-    # scheduling overhead dominates past ~16 reducers). On a cluster
-    # size this to ~2× total cores; AQE coalesces/splits at runtime
-    # either way, so the initial number is a hint, not a commitment.
-    "spark.sql.shuffle.partitions": "16",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
@@ -33,6 +31,16 @@ RUNTIME_CONFS = {
     # which needs timestamp columns to actually have them.
     "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
+
+
+def _shuffle_partitions_for(cores: int) -> str:
+    """Initial shuffle-partition count for a session with ``cores``
+    threads: ~2× cores (guide §2.2 — enough reducers that every core
+    holds work through stage tails, few enough that fixture-scale
+    exchanges aren't dominated by task launches). AQE's partition
+    coalescing shrinks small shuffles below this at runtime either
+    way, so the derived number is the ceiling, not the target."""
+    return str(max(2 * cores, 2))
 
 
 def get_spark(app_name: str = "assignment4_spark", cpus: int | None = None) -> SparkSession:
@@ -48,6 +56,7 @@ def get_spark(app_name: str = "assignment4_spark", cpus: int | None = None) -> S
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.sql.shuffle.partitions", _shuffle_partitions_for(cpus))
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
@@ -73,7 +82,22 @@ def ensure_confs(spark: SparkSession) -> SparkSession:
     if spark in _CONFS_APPLIED:
         return spark
     all_applied = True
-    for k, v in RUNTIME_CONFS.items():
+    confs = dict(RUNTIME_CONFS)
+    try:
+        sc = spark.sparkContext
+        if sc.master.startswith("local"):
+            # derive from THIS session's core count (the driver benches
+            # the same code at several --cpus values; a constant here
+            # would make core count a non-binding resource for every
+            # wide exchange). Off-local the deployment's own setting
+            # stands — a library forcing a global reducer count onto a
+            # shared cluster session would be the same bug inverted.
+            confs["spark.sql.shuffle.partitions"] = _shuffle_partitions_for(
+                sc.defaultParallelism
+            )
+    except Exception:
+        all_applied = False
+    for k, v in confs.items():
         try:
             spark.conf.set(k, v)
         except Exception as ex:

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from assignment4_spark import api
 
 
+@pytest.mark.slow
 def test_chunk_and_embed_compose(spark):
     docs = spark.createDataFrame(
         [(7, "alpha beta gamma " * 30)], "doc_id long, text string"

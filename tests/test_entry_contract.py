@@ -5,6 +5,8 @@ window) must fail CI here rather than surface as a driver ERR."""
 
 from __future__ import annotations
 
+import pytest
+
 import __spark_entry__ as entry
 from assignment4_spark import registry
 
@@ -57,6 +59,7 @@ def test_entry_query_registered():
     assert "agg_groupby_basic" in registry.QUERIES
 
 
+@pytest.mark.slow
 def test_oracled_outputs_are_driver_canonicalizable(spark):
     """The driver's value-hash canonicalizer sorts collected rows via
     pandas, which dies on unhashable cells: an ORACLED query emitting an

@@ -2005,6 +2005,7 @@ def test_restore_expired_version_refused(spark, tmp_path):
         restore_table(base, 1)
 
 
+@pytest.mark.slow
 def test_stream_expectations_slicing_invariance(spark, tmp_path):
     """The gated merge-sink fold is slicing-invariant on BOTH halves:
     any slicing of the feed into micro-batches converges to the same
@@ -3016,7 +3017,10 @@ def test_file_versions_recorded_and_carried(spark, tmp_path):
         assert m2["file_versions"][f] == 1
 
 
-@pytest.mark.parametrize("seed", [11, 42, 1337])
+@pytest.mark.parametrize(
+    "seed",
+    [pytest.param(11, marks=pytest.mark.slow), 42, 1337],
+)
 def test_protocol_model_fuzz(spark, tmp_path, seed):
     """Model-based fuzz of the full commit-protocol interaction matrix:
     a seeded random sequence of MERGE / tombstone-DELETE / MOR-DELETE /
@@ -3218,7 +3222,14 @@ def test_protocol_model_fuzz(spark, tmp_path, seed):
         check(step)
 
 
-@pytest.mark.parametrize("seed", [7, 23, 4242])
+@pytest.mark.parametrize(
+    "seed",
+    [
+        7,
+        pytest.param(23, marks=pytest.mark.slow),
+        pytest.param(4242, marks=pytest.mark.slow),
+    ],
+)
 def test_protocol_two_writer_fuzz(spark, tmp_path, seed):
     """Two-writer CAS-race fuzz: every step, writer A (merge / tombstone
     / PATCH / MOR delete / OPTIMIZE) starts a commit and writer B
@@ -4021,3 +4032,164 @@ def test_concurrent_commit_writes_restore_aqe(spark, tmp_path):
         t.join()
     assert errs == []
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_fused_latest_wins_single_exchange_and_parity(spark, tmp_path):
+    """The merge write's fused winner selection (window PARTITION BY
+    (bucket, key) riding the write's own bucket exchange) must plan
+    exactly ONE Exchange where the two-step form (window by key, then
+    repartition by bucket) plans TWO — and pick byte-identical
+    winners, plain and salted."""
+    import re
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from assignment4_spark.operators.lakehouse import (
+        _bucket_of,
+        _fused_latest_wins,
+    )
+
+    def n_exchanges(df):
+        return len(
+            re.findall(
+                r"\bExchange\b",
+                df._jdf.queryExecution().executedPlan().toString(),
+            )
+        )
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # 300 keys x ~7 versions: real latest-wins work in every group
+        df = spark.range(2000).select(
+            (F.col("id") % 300).alias("k"),
+            (F.col("id") % 7).alias("ver"),
+            F.col("id").alias("tb"),
+            (F.col("id") * 2).alias("val"),
+        ).withColumn("bucket", _bucket_of("k", 8))
+
+        w = Window.partitionBy("k").orderBy(F.col("ver").desc(), F.col("tb"))
+        two_step = (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .drop("rn")
+            .repartition(8, F.col("bucket"))
+        )
+        fused = _fused_latest_wins(
+            df.repartition(8, F.col("bucket")),
+            [F.col("bucket"), F.col("k")],
+            ("ver", "tb"),
+        )
+        assert n_exchanges(two_step) == 2
+        assert n_exchanges(fused) == 1
+        expect = sorted(map(tuple, two_step.collect()))
+        assert sorted(map(tuple, fused.collect())) == expect
+
+        # salted: (bucket, salt) are both key-derived, so partitioning
+        # the window by (bucket, salt, key) reuses the salted exchange
+        salt_expr = F.pmod(F.xxhash64(F.col("k"), F.lit("salt")), F.lit(4))
+        fused_salt = _fused_latest_wins(
+            df.repartition(32, F.col("bucket"), salt_expr),
+            [F.col("bucket"), salt_expr, F.col("k")],
+            ("ver", "tb"),
+        )
+        assert n_exchanges(fused_salt) == 1
+        assert sorted(map(tuple, fused_salt.collect())) == expect
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_staged_blooms_explicit_schema_matches_inferred(spark, tmp_path):
+    """The bloom sidecar's explicit-schema scan (no inference job) must
+    produce bit-identical filters to the inferring read it replaced."""
+    from pyspark.sql import functions as F
+
+    from assignment4_spark.operators.lakehouse import (
+        _bucket_of,
+        _staged_file_blooms,
+        _write_clustered,
+    )
+
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 11 == 0, None)
+        .otherwise(F.concat(F.lit("u"), F.col("id")))
+        .alias("u"),
+    ).withColumn("bucket", _bucket_of("k", 4))
+    staging = str(tmp_path / "staged")
+    _write_clustered(df, staging, "k", 1, 4)
+    fast = _staged_file_blooms(spark, staging, "u", 1024, 3, bloom_type="string")
+    slow = _staged_file_blooms(spark, staging, "u", 1024, 3)
+    assert fast == slow and fast  # non-empty and identical bits
+
+
+def test_footer_stats_unreadable_file_falls_back(spark, tmp_path):
+    """A file pyarrow cannot open must route the WHOLE stats call to
+    the distributed fallback, never abort the commit (ADVICE r11)."""
+    from pyspark.sql import functions as F
+
+    from assignment4_spark.operators.lakehouse import (
+        _bucket_of,
+        _footer_col_max,
+        _footer_column_stats,
+        _list_bucket_files,
+        _write_clustered,
+    )
+
+    df = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    ).withColumn("bucket", _bucket_of("k", 2))
+    staging = str(tmp_path / "staged")
+    _write_clustered(df, staging, "k", 1, 2)
+    files = [f for fs in _list_bucket_files(staging).values() for f in fs]
+    bad = str(tmp_path / "staged" / "bucket=0" / "zz-corrupt.parquet")
+    with open(bad, "wb") as f:
+        f.write(b"not a parquet file")
+    stats, fallback = _footer_column_stats(files + [bad], ["k", "v"])
+    assert stats == {} and fallback == {"k", "v"}
+    maxes, usable = _footer_col_max(files + [bad], "v")
+    assert maxes == {} and usable is False
+
+
+def test_uniform_schema_read_case_variant_column(spark, tmp_path):
+    """Spark resolves parquet columns case-insensitively by default, so
+    a physical column differing only in case from a manifest column
+    must still pass the footer type-parity gate: a case-variant with a
+    DIVERGENT type forces the per-group fallback instead of binding
+    unvalidated bytes (ADVICE r11)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from assignment4_spark.operators.lakehouse import _uniform_schema_read
+
+    d = tmp_path / "cv"
+    d.mkdir()
+    f_bad = str(d / "upper_int.parquet")
+    # physical 'K' is int32; the manifest wants bigint 'k'
+    pq.write_table(pa.table({"K": pa.array([1, 2], type=pa.int32())}), f_bad)
+    assert (
+        _uniform_schema_read(
+            spark, {str(d): [f_bad]}, ["k"], {"k": "bigint"}
+        )
+        is None
+    )
+    # matching type under a case variant: fast path stays available
+    f_ok = str(d / "upper_ok.parquet")
+    pq.write_table(pa.table({"K": pa.array([1, 2], type=pa.int64())}), f_ok)
+    fast = _uniform_schema_read(
+        spark, {str(d): [f_ok]}, ["k"], {"k": "bigint"}
+    )
+    assert fast is not None
+    assert sorted(r.k for r in fast.collect()) == [1, 2]
+
+
+def test_shuffle_partitions_derived_from_cores(spark):
+    """Local sessions must size shuffle partitions from their OWN core
+    count (~2x), not a constant tuned for one machine (VERDICT r11:
+    the 16-pin made core count a non-binding resource for every wide
+    exchange)."""
+    cores = spark.sparkContext.defaultParallelism
+    assert int(spark.conf.get("spark.sql.shuffle.partitions")) == max(
+        2 * cores, 2
+    )

@@ -22,7 +22,27 @@ def con(sf_oracle):
     c.close()
 
 
-@pytest.mark.parametrize("name", ORACLE_NAMES)
+# The handful of multi-second parity rows (heavy protocol/dedup ops)
+# run in the slow tier so the driver-budget pytest fits (pytest.ini);
+# they remain verified by the driver's own oracle gate and by the
+# in-repo full-contract verify, and `-m slow` runs them here too.
+_SLOW_PARITY = {
+    "dedup_pipeline_survivors", "dedup_minhash_lsh",
+    "dedup_incremental_index", "stream_index_admission",
+    "dedup_cluster_representative", "dedup_connected_components",
+    "ts_interpolate_linear", "scan_manifest_history",
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow)
+        if n in _SLOW_PARITY
+        else n
+        for n in ORACLE_NAMES
+    ],
+)
 def test_oracle_parity(name, spark, sf_oracle, con):
     df = registry.QUERIES[name](spark, sf_oracle)
     assert_match(name, df, con, registry.ORACLES[name])

@@ -8,6 +8,8 @@ still an independent example, the engine just evaluates them together
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -53,6 +55,7 @@ def test_chunk_reassembly_roundtrip(spark, texts, size, overlap):
         max_size=12,
     )
 )
+@pytest.mark.slow
 def test_cosine_symmetry_and_self_similarity(spark, vecs):
     """sim(a,b) == sim(b,a) within 1e-9; sim(a,a) == 1 for nonzero a."""
     rows = [(i, v) for i, v in enumerate(vecs)]
@@ -628,6 +631,7 @@ def test_embedding_drift_numpy_replay(spark, sf_oracle):
         assert abs(r.centroid_cosine - cos) < 1e-9
 
 
+@pytest.mark.slow
 def test_cluster_representative_is_max_quality_member(spark, sf_oracle):
     """Each cluster's representative is a member of that cluster with
     the maximum quality (min doc_id on ties), and cluster membership /
@@ -720,6 +724,7 @@ def test_label_propagation_pure_python_replay(spark, sf_oracle):
     assert [(r.n_vertices, r.community) for r in out] == want
 
 
+@pytest.mark.slow
 def test_cluster_holdout_no_straddling_edges(spark, sf_oracle):
     """sample_cluster_holdout's leak-freedom invariant: no edge of the
     near-dup match graph (the dedup_connected_components clusters) may

@@ -253,6 +253,7 @@ def test_connected_components_long_chain_log_rounds(spark):
     assert rounds and rounds[0] <= 12, rounds
 
 
+@pytest.mark.slow
 def test_connected_components_random_vs_union_find(spark):
     """Seeded random graphs cross-checked against a plain Python
     union-find — independent evidence the star contraction computes the

@@ -41,18 +41,21 @@ def test_stream_tumbling_count(spark, replay):
     assert_frames_equal(got, want)
 
 
+@pytest.mark.slow
 def test_stream_sliding_avg(spark, replay):
     got = si.run_to_table(si.sliding_avg(si.read_stream(spark, replay)), "complete")
     want = registry.QUERIES["stream_sliding_avg"](spark, SF)
     assert_frames_equal(got, want)
 
 
+@pytest.mark.slow
 def test_stream_session_window(spark, replay):
     got = si.run_to_table(si.session_window(si.read_stream(spark, replay)), "complete")
     want = registry.QUERIES["stream_session_window"](spark, SF)
     assert_frames_equal(got, want)
 
 
+@pytest.mark.slow
 def test_stream_dedup_ids(spark, replay):
     deduped = si.run_to_table(si.dedup_ids(si.read_stream(spark, replay)), "append")
     got = sorted(
@@ -68,12 +71,14 @@ def test_stream_dedup_ids(spark, replay):
     assert got == want
 
 
+@pytest.mark.slow
 def test_stream_stateful_running(spark, replay):
     got = si.run_to_table(si.stateful_running(si.read_stream(spark, replay)), "append")
     want = registry.QUERIES["stream_stateful_running"](spark, SF)
     assert_frames_equal(got, want)
 
 
+@pytest.mark.slow
 def test_stream_stateful_running_multichunk_groups(spark, replay):
     """A group larger than the Arrow batch size reaches _running as
     SEVERAL pandas chunks in shuffled-partition (not timestamp) order;
@@ -93,6 +98,7 @@ def test_stream_stateful_running_multichunk_groups(spark, replay):
         spark.conf.set(key, old)
 
 
+@pytest.mark.slow
 def test_foreachbatch_parquet_sink(spark, replay):
     """Production sink path: drain the dedup stream through foreachBatch
     into a parquet table (idempotent per-batch append) and verify the
@@ -132,6 +138,7 @@ def test_foreachbatch_parquet_sink(spark, replay):
     assert got == want
 
 
+@pytest.mark.slow
 def test_stream_stream_join(spark, replay):
     """Watermarked stream-stream interval join must equal the same join
     over the static frames at end-of-stream."""
@@ -244,6 +251,7 @@ def test_rate_micro_batch_continuous_source_resume(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_stream_tumbling_topk(spark, replay):
     """agg runs IN the stream (complete mode), rank on the emitted
     table — end-of-stream result must equal the batch declaration."""
@@ -255,6 +263,7 @@ def test_stream_tumbling_topk(spark, replay):
     assert_frames_equal(got, want)
 
 
+@pytest.mark.slow
 def test_stream_tv_drift_daily(spark, replay):
     """The windowed (day, bin) counts maintained by a real readStream in
     complete mode, pushed through the SAME on-emit derivation as the
@@ -269,6 +278,7 @@ def test_stream_tv_drift_daily(spark, replay):
     assert_frames_equal(got, want)
 
 
+@pytest.mark.slow
 def test_stream_neardup_gate(spark):
     """Odd-doc_id documents replayed through a 4-micro-batch file
     stream, each batch gated against the static even-doc_id reference
@@ -308,6 +318,7 @@ def test_stream_profile_enrich_transform_with_state(spark, replay):
             spark.conf.set(key, prior)
 
 
+@pytest.mark.slow
 def test_stream_rest_feed_source(spark):
     """The Python streaming DataSource face of the REST feed must
     converge to the batch declaration: tail the 6-page feed at 2 pages
@@ -362,6 +373,7 @@ def test_stream_rest_feed_source(spark):
         q.stop()
 
 
+@pytest.mark.slow
 def test_stream_rest_feed_restart_no_duplicates(spark, tmp_path):
     """Restart contract of RestFeedStreamReader: drain half the feed,
     stop, restart from the same checkpoint, drain the rest — the
@@ -441,6 +453,7 @@ def test_stream_rest_feed_restart_no_duplicates(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_idempotent_sink_replayed_batch(spark, tmp_path):
     """Exactly-once END TO END for stream_rest_feed, with the batch
     replay actually forced: drain the feed through
@@ -605,6 +618,7 @@ def test_stream_dedup_drops_real_duplicate_across_batches(spark, tmp_path):
     assert ids == [1, 2, 3, 4], f"duplicate not suppressed (or row lost): {ids}"
 
 
+@pytest.mark.slow
 def test_stream_merge_sink(spark, replay, tmp_path):
     """Micro-batches MERGEd into the manifest table via foreachBatch
     (ts-range replay slicing, 8 buckets) must reproduce the batch
@@ -698,6 +712,7 @@ def _cdf_expected(spark, base, v_lo, v_hi):
     return out
 
 
+@pytest.mark.slow
 def test_stream_changes_feed_source_multibatch(spark, tmp_path):
     """The lakehouse_cdf streaming source must deliver exactly the
     union of per-commit diffs, tagged per commit, across MULTIPLE
@@ -970,6 +985,7 @@ def test_stream_cdf_materialize_exactly_once_replay(spark, tmp_path):
     assert rows1 == rows2, "replayed stream mutated the maintained table"
 
 
+@pytest.mark.slow
 def test_stream_index_admission(spark, tmp_path):
     """Micro-batch slices admitted against the persisted LSH index via
     foreachBatch must reproduce the batch declaration's arrival-order
@@ -1041,6 +1057,7 @@ def test_stream_index_admission(spark, tmp_path):
     assert content2 == content, "replayed admission must not change the index"
 
 
+@pytest.mark.slow
 def test_stream_expectations_gate_twin(spark, replay, tmp_path):
     """The GATED merge sink's readStream twin must reproduce the batch
     declaration on BOTH halves — the clean latest-wins table AND the
@@ -1121,6 +1138,7 @@ def test_cumulative_quarantine_survives_vacuum_and_empty(spark, tmp_path):
     assert q2.count() == 1 and q2.collect()[0].k == 2
 
 
+@pytest.mark.slow
 def test_stream_cdf_surfaces_mor_delete_commit(spark, tmp_path):
     """The streaming CDF source must emit a merge-on-read delete
     commit's rows even though the commit touched NO data file — the
@@ -1190,6 +1208,7 @@ def test_stream_cdf_surfaces_mor_delete_commit(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.slow
 def test_stream_cdf_band_pruned_planning_and_equivalence(spark, tmp_path):
     """Band-filtered CDC (prune_column/lo/hi): (1) PLANNING — the
     pruned reader ships strictly fewer files than the unpruned one for
