@@ -570,7 +570,6 @@ def _write_clustered_body(
     cluster_bins: int,
     latest_wins: tuple[str, str] | None = None,
 ) -> None:
-    persisted = None
     if cluster_col is not None:
         if n_buckets is None:
             raise ValueError("cluster-binned write requires n_buckets")
@@ -579,18 +578,15 @@ def _write_clustered_body(
                 "latest_wins cannot fuse into a cluster-binned write "
                 "(a key's rows span range bins); pre-dedup the input"
             )
-        # the bin bounds need a full pass over df BEFORE the write can
-        # even plan — without a persist the write job recomputes the
-        # whole input lineage (base read + union + merge window) a
-        # second time (guide §5: reuse beats recompute when the
-        # recompute is a full pass). MEMORY_AND_DESERIALIZED would be
-        # the local pick; MEMORY_AND_DISK keeps the lineage for
-        # fault-tolerant recompute on a cluster (localCheckpoint would
-        # fail the commit on any executor loss). Unpersisted in the
-        # finally below — nothing outlives the commit write.
-        from pyspark import StorageLevel
-
-        persisted = df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        # the bin bounds pay a full pass over df before the write can
+        # even plan, so cluster-binned commits compute their input
+        # lineage twice. A persist(MEMORY_AND_DISK) between the two was
+        # tried and measured SLOWER (paired, +0.5-2 s per clustered
+        # face): DataFrame persist materializes a compressed columnar
+        # InMemoryRelation, which costs more than re-running the
+        # bucket-pruned read + window at fixture scale. Left as
+        # recompute deliberately; at cluster scale the trade reverses
+        # only when the rewrite lineage is much wider than the cache.
         bounds = df.agg(
             F.min(cluster_col).alias("lo"), F.max(cluster_col).alias("hi")
         ).first()
@@ -653,15 +649,11 @@ def _write_clustered_body(
             clustered = _fused_latest_wins(
                 clustered, [F.col("bucket"), F.col(key_col)], latest_wins
             )
-    try:
-        (
-            clustered.write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(staging)
-        )
-    finally:
-        if persisted is not None:
-            persisted.unpersist()
+    (
+        clustered.write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(staging)
+    )
 
 
 def _fused_latest_wins(

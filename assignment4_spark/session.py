@@ -34,13 +34,17 @@ RUNTIME_CONFS = {
 
 
 def _shuffle_partitions_for(cores: int) -> str:
-    """Initial shuffle-partition count for a session with ``cores``
-    threads: ~2× cores (guide §2.2 — enough reducers that every core
-    holds work through stage tails, few enough that fixture-scale
-    exchanges aren't dominated by task launches). AQE's partition
-    coalescing shrinks small shuffles below this at runtime either
-    way, so the derived number is the ceiling, not the target."""
-    return str(max(2 * cores, 2))
+    """Initial shuffle-partition count for a LOCAL session with
+    ``cores`` threads: one reducer per core, floored at 16 (guide
+    §2.2). Measured on the fixture (paired, order-alternated A/B):
+    2× cores (64 at 32 threads) costs +3-4 s on every multi-action
+    protocol op — dozens of tiny jobs each paying the task-launch
+    floor, plus localCheckpoint'ed frames that pin the inflated count
+    against AQE coalescing — while 1× cores is within noise of the old
+    16-pin everywhere and lets reducer counts follow the session's
+    size. Non-local masters are never touched (ensure_confs): a
+    cluster deployment sizes its own reducers."""
+    return str(max(cores, 16))
 
 
 def get_spark(app_name: str = "assignment4_spark", cpus: int | None = None) -> SparkSession:

@@ -36,14 +36,19 @@ def main() -> None:
     results: dict[str, dict[str, list[float]]] = {
         op: {a: [], b: []} for op in ops
     }
-    for _ in range(N_ROUNDS):
+    for r in range(N_ROUNDS):
         for op in ops:
-            for val in (a, b):
+            # alternate the within-pair order every round: the first
+            # run after clearCache pays cold file/status caches that
+            # the second inherits — a fixed order silently biases the
+            # comparison toward whichever variant runs second
+            order = (a, b) if r % 2 == 0 else (b, a)
+            for val in order:
                 spark.conf.set("spark.sql.shuffle.partitions", val)
                 t0 = time.perf_counter()
                 registry.QUERIES[op](spark, SF).count()
                 results[op][val].append(time.perf_counter() - t0)
-            spark.catalog.clearCache()
+                spark.catalog.clearCache()
     for op in ops:
         ma = statistics.median(results[op][a])
         mb = statistics.median(results[op][b])
