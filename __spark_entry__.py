@@ -35,38 +35,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # committed constant — fully reproducible, independent of any files
 # present at run time; unknown names are ignored (robust to renames).
 _PRIORITY = [
-    # Round-11 restage, computed from the committed CORRECTNESS_r01-r10
-    # union (294/294 have driver rows; zero never-checked). Pure staleness
-    # rotation: oracled ops ordered by their LATEST fully-green (hash)
-    # driver round ascending (r5 block leads), then name; rows-only-by-
-    # design ops at the BACK (they cannot earn a hash row; re-checking
-    # burns a window slot -- VERDICT r6). New round-11 ops, when added,
-    # go at the FRONT (never-driver-checked outranks stale).
-    # round-11 additions: never driver-checked, oracled
-    "merge_delete_dv", "stream_cdf_pruned", "scan_time_travel_ts",
-    "merge_replace_where", "merge_delete_where",
-    "scan_partition_overwrite",
-    "dedup_exact_substring", "dedup_pipeline_survivors",
-    "dedup_semantic_cluster", "graph_bfs_layers", "graph_degree_hist",
-    "graph_jaccard_neighbors", "graph_pagerank", "graph_triangle_count",
-    "join_spatial_epsilon", "multimodal_audio_windows",
-    "multimodal_binary_meta", "multimodal_frame_sample",
-    "multimodal_image_phash", "multimodal_resize_plan",
-    "multimodal_scene_cuts", "rag_chunk_text", "rag_metadata_project",
-    "rag_search_format", "report_compose", "report_pdf_sink",
-    "sample_class_balance", "sample_group_holdout", "sample_mix_proportions",
-    "sample_shuffle_hash", "scan_file_skipping_stats", "scan_rest_datasource",
-    "scan_snapshot_time_travel", "text_bigram_logprob",
-    "text_bpe_pair_counts", "text_char_entropy", "text_lang_id_eval",
-    "text_pack_sequences", "text_quality_bucket", "text_rake_keywords",
-    "text_repetition_filter", "ts_cdc_apply", "ts_changepoint_cusum",
-    "ts_downsample_ltob", "ts_seasonal_profile", "vec_ann_ivf_pq_topk",
-    "vec_hard_negatives", "vec_ivf_build_stats", "vec_pq_quantize",
-    "vec_sign_binary_hamming", "vec_upsert_merge", "agg_cms_heavy_hitters",
-    "agg_incremental_merge", "agg_mutual_information", "agg_ttest_ab",
-    "dedup_cluster_representative", "dedup_paragraph_rewrite",
-    "graph_label_propagation", "join_nearest_spatial", "json_variant_shred",
-    "rag_answer_select", "report_markdown_sink", "sample_cluster_holdout",
+    # Round-12 rotation: pure staleness policy, no additions (this is
+    # an optimization round — the surface is frozen at 300). The 50
+    # names the round-11 driver window hash-verified (CORRECTNESS_r11,
+    # 50/50 green) move to the BACK; everything else keeps the r11
+    # restage order, which was already last-green-round ascending — so
+    # the front of this list is exactly the ops whose latest driver
+    # check is oldest. Rows-only-by-design ops stay at the back of
+    # their block (they cannot earn a hash row).
+    "vec_upsert_merge", "agg_cms_heavy_hitters", "agg_incremental_merge",
+    "agg_mutual_information", "agg_ttest_ab", "dedup_cluster_representative",
+    "dedup_paragraph_rewrite", "graph_label_propagation",
+    "join_nearest_spatial", "json_variant_shred", "rag_answer_select",
+    "report_markdown_sink", "sample_cluster_holdout",
     "sample_curriculum_order", "scan_expectations_gate", "scan_table_profile",
     "scan_zorder_cluster", "stream_dedup_ids", "stream_late_data",
     "stream_neardup_gate", "stream_profile_enrich", "stream_rest_feed",
@@ -148,7 +129,26 @@ _PRIORITY = [
     "rag_embed_hash", "text_bpe_train", "vec_ann_ivf_topk",
     "vec_ann_recall_report", "vec_ann_rp_lsh_multiprobe",
     "vec_ann_rp_lsh_topk", "vec_kmeans_train", "vec_mmr_rerank",
-    "vec_pca_project",
+    "vec_pca_project", "merge_delete_dv", "stream_cdf_pruned",
+    "scan_time_travel_ts", "merge_replace_where", "merge_delete_where",
+    "scan_partition_overwrite", "dedup_exact_substring",
+    "dedup_pipeline_survivors", "dedup_semantic_cluster", "graph_bfs_layers",
+    "graph_degree_hist", "graph_jaccard_neighbors", "graph_pagerank",
+    "graph_triangle_count", "join_spatial_epsilon",
+    "multimodal_audio_windows", "multimodal_binary_meta",
+    "multimodal_frame_sample", "multimodal_image_phash",
+    "multimodal_resize_plan", "multimodal_scene_cuts", "rag_chunk_text",
+    "rag_metadata_project", "rag_search_format", "report_compose",
+    "report_pdf_sink", "sample_class_balance", "sample_group_holdout",
+    "sample_mix_proportions", "sample_shuffle_hash",
+    "scan_file_skipping_stats", "scan_rest_datasource",
+    "scan_snapshot_time_travel", "text_bigram_logprob",
+    "text_bpe_pair_counts", "text_char_entropy", "text_lang_id_eval",
+    "text_pack_sequences", "text_quality_bucket", "text_rake_keywords",
+    "text_repetition_filter", "ts_cdc_apply", "ts_changepoint_cusum",
+    "ts_downsample_ltob", "ts_seasonal_profile", "vec_ann_ivf_pq_topk",
+    "vec_hard_negatives", "vec_ivf_build_stats", "vec_pq_quantize",
+    "vec_sign_binary_hamming",
 ]
 
 
