@@ -4393,6 +4393,20 @@ def merge_delete_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _feed_stats(feed: DataFrame, expected_type: str) -> tuple[int, int]:
+    """(total rows, rows whose change_type != ``expected_type``) of a
+    CDF feed in ONE aggregation pass. Every action over the feed is a
+    full changes_between recomputation — manifest-pruned reads of both
+    sides plus the full-outer diff join — so two scalar asserts must
+    not each run that O(changed data) pass (guide §1.2: don't compute
+    the same thing twice)."""
+    r = feed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("change_type") != expected_type).alias("n_off"),
+    ).first()
+    return r.n, r.n_off
+
+
 def changes_between(
     spark: SparkSession, base_dir: str, v_from: int, v_to: int
 ) -> DataFrame:
@@ -5193,9 +5207,10 @@ def merge_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError("history must stamp the delete commit")
     feed = changes_between(spark, base_dir, 1, 2)
     n_del = doomed_keys.count()
-    if feed.filter(F.col("change_type") != "delete").count() != 0:
+    n_feed, n_off = _feed_stats(feed, "delete")
+    if n_off != 0:
         raise AssertionError("the delete commit's CDF must be pure deletes")
-    if feed.count() != n_del:
+    if n_feed != n_del:
         raise AssertionError("CDF must surface every MOR-deleted key")
 
     u = orders.filter(F.col("k") % 1000 == 0).select(
@@ -5316,9 +5331,10 @@ def merge_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError("history must stamp the delete commit")
     feed = changes_between(spark, base_dir, 1, 2)
     n_del = doomed_keys.count()
-    if feed.filter(F.col("change_type") != "delete").count() != 0:
+    n_feed, n_off = _feed_stats(feed, "delete")
+    if n_off != 0:
         raise AssertionError("the DV commit's CDF must be pure deletes")
-    if feed.count() != n_del:
+    if n_feed != n_del:
         raise AssertionError("CDF must surface every DV-deleted key")
 
     u = orders.filter(F.col("k") % 1500 == 0).select(
@@ -5630,9 +5646,10 @@ def merge_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError("history must stamp kind='replace'")
     feed = changes_between(spark, base_dir, 1, 2)
     n_slice = batch.count()
-    if feed.filter(F.col("change_type") != "update").count() != 0:
+    n_feed, n_off = _feed_stats(feed, "update")
+    if n_off != 0:
         raise AssertionError("replace CDF must be pure updates here")
-    if feed.count() != n_slice:
+    if n_feed != n_slice:
         raise AssertionError(
             "CDF must cover exactly the slice keys (no invented "
             "changes from carried/rewritten file churn)"
@@ -5728,9 +5745,10 @@ def merge_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"rest: carried {carried} of {total}"
         )
     feed = changes_between(spark, base_dir, 1, 2)
-    if feed.filter(F.col("change_type") != "delete").count() != 0:
+    n_feed, n_off = _feed_stats(feed, "delete")
+    if n_off != 0:
         raise AssertionError("DELETE WHERE CDF must be pure deletes")
-    if feed.count() != n_slice:
+    if n_feed != n_slice:
         raise AssertionError("CDF must cover exactly the slice keys")
 
     return (
@@ -6438,14 +6456,20 @@ def merge_identity_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         writer_id="u1", patch_cols=["price"],
     )
     snap = read_snapshot(spark, base_dir)
-    n_rows = snap.count()
+    # row count + id-uniqueness in ONE snapshot pass (count then
+    # distinct-count was two full reads of the table for two scalars)
+    st = snap.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col("sid")).alias("n_sid"),
+    ).first()
+    n_rows = st.n
     man = load_manifest(base_dir)
     if man["identity_high_water"] != n_rows:
         raise AssertionError(
             f"mark {man['identity_high_water']} must equal row count "
             f"{n_rows} (dense ids, no gaps in this scenario)"
         )
-    if snap.select("sid").distinct().count() != n_rows:
+    if st.n_sid != n_rows:
         raise AssertionError("identity ids must be unique")
 
     return (
@@ -6973,14 +6997,25 @@ def merge_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
     rv, tries = restore_table(base_dir, 2)
     if (rv, tries) != (4, 1):
         raise AssertionError(f"restore must land as v4 first-try: {(rv, tries)}")
-    n_u3_restored = (
-        read_snapshot(spark, base_dir).filter(F.col("src") == "u3").count()
-    )
-    n_u3_history = (
-        read_snapshot(spark, base_dir, version=3)
+    # both probe counts in ONE job: tag each AS-OF read and aggregate
+    # the union once (two sequential count() jobs paid the per-job
+    # floor twice for two scalars over tiny filtered reads)
+    u3 = (
+        read_snapshot(spark, base_dir)
         .filter(F.col("src") == "u3")
-        .count()
+        .select(F.lit("cur").alias("_side"))
+        .unionAll(
+            read_snapshot(spark, base_dir, version=3)
+            .filter(F.col("src") == "u3")
+            .select(F.lit("v3").alias("_side"))
+        )
+        .agg(
+            F.count_if(F.col("_side") == "cur").alias("n_cur"),
+            F.count_if(F.col("_side") == "v3").alias("n_v3"),
+        )
+        .first()
     )
+    n_u3_restored, n_u3_history = u3.n_cur, u3.n_v3
     if n_u3_restored != 0 or n_u3_history == 0:
         raise AssertionError(
             f"restore must undo u3 logically ({n_u3_restored} rows) while "
@@ -7099,11 +7134,26 @@ def scan_manifest_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebucket_table(spark, base_dir, 16, writer_id="maint")
 
     hist = table_history(base_dir)
+    # live counts for ALL versions in ONE job: a per-version count()
+    # is a full job each (six sequential jobs at the local job floor;
+    # six sequential passes on a cluster) — tag each AS-OF read with
+    # its version and aggregate the union once
+    tagged = None
+    for h in hist:
+        s = read_snapshot(spark, base_dir, version=h["version"]).select(
+            F.lit(int(h["version"])).alias("_v")
+        )
+        tagged = s if tagged is None else tagged.unionAll(s)
+    n_live = {
+        r["_v"]: r["n"]
+        for r in tagged.groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
     rows = [
         (
             h["version"], h["kind"], h["writer_id"], h["quarantined"],
-            h["restored_from"],
-            read_snapshot(spark, base_dir, version=h["version"]).count(),
+            h["restored_from"], n_live.get(h["version"], 0),
         )
         for h in hist
     ]
