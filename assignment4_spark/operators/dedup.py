@@ -1490,7 +1490,12 @@ def admit_batch_into_index(
             ).alias("docs"),
         )
     )
+    # upd's key set IS batch_post's band_key set (groupBy + left join
+    # keep every key), so the bucket set collected above for index
+    # pruning doubles as the merge's bucket probe — one fewer full
+    # pass over the batch-vs-index join lineage per admission
     v, _ = merge_upsert_manifest(
-        base_dir, upd, ver_col="ver", tiebreak_col="src", writer_id=src
+        base_dir, upd, ver_col="ver", tiebreak_col="src", writer_id=src,
+        bucket_hint=(n_buckets, touched),
     )
     return pairs, v

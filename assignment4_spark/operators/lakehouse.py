@@ -2611,6 +2611,7 @@ def merge_upsert_manifest(
     patch_cols: list[str] | None = None,
     expectations: dict[str, str] | None = None,
     isolation: str = "latest_wins",
+    bucket_hint: tuple[int, list[int]] | None = None,
 ) -> tuple[int, int]:
     """MERGE INTO the manifest table at ``base_dir``: latest-wins per
     key across (pinned snapshot ∪ updates), ordered by ``ver_col`` DESC
@@ -2684,6 +2685,15 @@ def merge_upsert_manifest(
     ``before_commit(attempt)`` is a test seam invoked after the new
     files are written but before the CAS — the window in which a
     competing commit causes this writer to lose the race and retry.
+
+    ``bucket_hint=(n_buckets, bucket_ids)`` lets a caller that already
+    collected the batch's bucket set (the LSH admission path prunes
+    its index read with exactly that set) skip the per-commit
+    bucket-probe job — one fewer full pass over the batch lineage.
+    Ignored (recomputed) when the pinned snapshot's n_buckets differs
+    from the hint's or the batch carries a tombstone column; a wrong
+    hint is caught by the staged-bucket validation before publish, so
+    it can abort a commit but never corrupt one.
 
     Retention interaction (the same contract Delta documents for
     VACUUM): the retention window must exceed the longest-running
@@ -2849,21 +2859,44 @@ def merge_upsert_manifest(
             # one pass over the (small) batch keys plans BOTH the bucket
             # pruning and the tombstone bookkeeping the manifest carries
             # for compact_tombstones — no second job
-            tomb_flag = (
-                F.coalesce(F.col(TOMBSTONE_COL).cast("boolean"), F.lit(False))
-                if TOMBSTONE_COL in upd.columns
-                else F.lit(False)
-            )
-            bucket_info = (
-                upd.groupBy("bucket")
-                .agg(F.max(tomb_flag).alias("has_tomb"))
-                .collect()
-            )
-            touched = sorted(r.bucket for r in bucket_info)
-            tomb_buckets = sorted(
-                set(int(b) for b in snap.get("tombstone_buckets", []))
-                | {r.bucket for r in bucket_info if r.has_tomb}
-            )
+            if (
+                bucket_hint is not None
+                and TOMBSTONE_COL not in upd.columns
+                and int(bucket_hint[0]) == n_buckets
+            ):
+                # caller already knows the batch's bucket set (e.g. the
+                # LSH admission path collected it for its own index
+                # pruning) — skip the bucket-probe job, which otherwise
+                # re-runs the whole batch lineage once before the write
+                # re-runs it again. Honored only when the hint was
+                # derived under the SAME n_buckets (a racing rebucket
+                # re-pins to a different count and the mapping moves)
+                # and the batch carries no tombstone column (the probe
+                # doubles as tombstone bookkeeping). A stale/short hint
+                # cannot corrupt: the staged-bucket validation below
+                # aborts the commit before publish.
+                touched = sorted({int(b) for b in bucket_hint[1]})
+                tomb_buckets = sorted(
+                    set(int(b) for b in snap.get("tombstone_buckets", []))
+                )
+            else:
+                tomb_flag = (
+                    F.coalesce(
+                        F.col(TOMBSTONE_COL).cast("boolean"), F.lit(False)
+                    )
+                    if TOMBSTONE_COL in upd.columns
+                    else F.lit(False)
+                )
+                bucket_info = (
+                    upd.groupBy("bucket")
+                    .agg(F.max(tomb_flag).alias("has_tomb"))
+                    .collect()
+                )
+                touched = sorted(r.bucket for r in bucket_info)
+                tomb_buckets = sorted(
+                    set(int(b) for b in snap.get("tombstone_buckets", []))
+                    | {r.bucket for r in bucket_info if r.has_tomb}
+                )
             base_files = [
                 f for b in touched for f in snap["buckets"].get(str(b), [])
             ]
@@ -3043,6 +3076,19 @@ def merge_upsert_manifest(
                 continue
             raise
         new_files = _list_bucket_files(staging)
+        # every staged bucket must be in the touched set: the manifest
+        # update below only replaces touched buckets, so a stray staged
+        # bucket (stale/short bucket_hint, or a bucket-derivation bug)
+        # would orphan its file while the bucket's base rows survive —
+        # losing the batch's rows for that bucket. Abort pre-publish.
+        stray = sorted(set(new_files) - set(touched))
+        if stray:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise AssertionError(
+                f"commit staged buckets {stray} outside the touched set "
+                f"{touched} (stale bucket_hint?); publishing would lose "
+                "those buckets' batch rows"
+            )
         buckets = dict(snap["buckets"])
         for b in touched:
             buckets[str(b)] = new_files.get(b, [])
@@ -6025,6 +6071,13 @@ def apply_cdf_deltas(
     watermark = (cur.agg(F.max("ver")).first()[0]) or 0
     if thru_version <= watermark:
         return "skipped"
+    # materialize the batch's deltas ONCE: the lineage behind them is
+    # typically a full changes_between diff + fold, and it otherwise
+    # re-runs three times (this emptiness probe, the merge's bucket
+    # probe, the commit write) — guide §5 reuse-vs-recompute. O(changed
+    # groups) rows, so the checkpoint blocks are tiny; scoped to this
+    # invocation (freed on GC), never a cross-run cache.
+    deltas = deltas.localCheckpoint(eager=True)
     if deltas.isEmpty():
         return "empty"
     merged = (

@@ -47,6 +47,49 @@ def test_sequential_merge_latest_wins(spark, tmp_path):
     assert rows[4] == (1, "p4")
 
 
+def test_bucket_hint_matches_probe_path_and_rejects_short_hint(spark, tmp_path):
+    """bucket_hint (the admission path's probe-job skip): same
+    committed state as the probe path; a SHORT hint aborts before
+    publish (manifest unchanged); a stale-n_buckets hint is ignored
+    and the probe path commits normally."""
+    from assignment4_spark.operators.lakehouse import _bucket_of
+
+    base = _mk_table(spark, tmp_path)
+    keys = [3, 50, 199, 777]
+    upd = _upd(spark, keys, 2, "u")
+    n_buckets = load_manifest(base)["n_buckets"]
+    hint = sorted(
+        r.b
+        for r in upd.select(_bucket_of("k", n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    )
+    assert len(hint) >= 2, "fixture keys must span buckets for the short-hint probe"
+    v, tries = merge_upsert_manifest(
+        base, upd, "ver", "payload", bucket_hint=(n_buckets, hint)
+    )
+    assert (v, tries) == (2, 1)
+    rows = {r.k: (r.ver, r.payload) for r in read_snapshot(spark, base).collect()}
+    assert len(rows) == 201
+    assert rows[3] == (2, "u3") and rows[777] == (2, "u777")
+    assert rows[4] == (1, "p4")
+
+    m2 = load_manifest(base)
+    upd3 = _upd(spark, keys, 3, "w")
+    with pytest.raises(AssertionError, match="outside the touched set"):
+        merge_upsert_manifest(
+            base, upd3, "ver", "payload", bucket_hint=(n_buckets, hint[:1])
+        )
+    assert load_manifest(base) == m2, "aborted commit must not publish"
+
+    v3, _ = merge_upsert_manifest(
+        base, upd3, "ver", "payload", bucket_hint=(n_buckets + 1, [0])
+    )
+    assert v3 == 3
+    rows3 = {r.k: r.payload for r in read_snapshot(spark, base).collect()}
+    assert rows3[3] == "w3" and rows3[50] == "w50"
+
+
 def test_untouched_buckets_carry_over_file_identical(spark, tmp_path):
     """The pruning invariant that makes MERGE affordable at 100 TB:
     buckets without an updated key keep the SAME file objects across
