@@ -432,7 +432,9 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (saturation — on this graph depth 4 is empty), and a
     frontier-size-adaptive join strategy (broadcast the frontier into
     the edge join while it fits, shuffle join once it doesn't — the
-    decision AQE would make, taken with an exact count). At 100 TB the
+    decision AQE would make, taken with an exact count; a lazy
+    checkpoint + count-as-materializer variant measured SLOWER than
+    the eager form — paired ABBA 3.34 -> 4.10 s — and was reverted). At 100 TB the
     joins shuffle on vertex id and 4 rounds = ≤4 bounded shuffle
     rounds, no driver-side data beyond one count per round.
 

@@ -335,14 +335,18 @@ def _read_files_aligned(
     if not guard:
         fast = _uniform_schema_read(spark, groups, columns, column_types)
         if fast is not None:
-            sel = [F.col(c) for c in columns]
-            if carry_positions:
-                sel += [
-                    F.regexp_replace(
-                        F.col("_metadata.file_path"), "^file:", ""
-                    ).alias(DV_FILE_COL),
-                    F.col("_metadata.row_index").alias(DV_POS_COL),
-                ]
+            if not carry_positions:
+                # the explicit-schema relation already carries exactly
+                # `columns` in manifest order — an identity select here
+                # is one py4j Column round-trip per column per snapshot
+                # read for a Project that Catalyst collapses anyway
+                return fast
+            sel = [F.col(c) for c in columns] + [
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:", ""
+                ).alias(DV_FILE_COL),
+                F.col("_metadata.row_index").alias(DV_POS_COL),
+            ]
             return fast.select(*sel)
     parts = []
     for gdir, fs in sorted(groups.items()):
