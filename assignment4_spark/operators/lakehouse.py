@@ -1037,6 +1037,44 @@ def prune_files_by_null(
     return kept, skipped
 
 
+#: integer column types whose manifest stats are stored as exact
+#: Python ints (no isoformat/float re-encoding) — the only types the
+#: driver-side watermark fast path trusts for an EXACT max
+_EXACT_INT_STAT_TYPES = frozenset(
+    {"tinyint", "smallint", "int", "integer", "bigint", "long"}
+)
+
+
+def _manifest_col_max(manifest: dict, col: str):
+    """Exact max(``col``) over the VISIBLE snapshot, computed
+    driver-side from the manifest's per-file column stats — zero Spark
+    jobs — or None when exactness cannot be proven (caller falls back
+    to the distributed aggregate). Exactness requires that no stored
+    row is hidden from the read (no tombstone column, no pending
+    MOR/DV sidecars), that ``col`` is an integer type (stats hold the
+    exact value, not a string/float re-encoding), and that EVERY live
+    file has a stats entry for the column (an absent entry is
+    ambiguous between all-NULL and stats-less). An empty file set
+    returns None like an empty aggregate would."""
+    if TOMBSTONE_COL in (manifest.get("columns") or []):
+        return None
+    if _mor_delete_files(manifest) or _dv_sidecar_files(manifest):
+        return None
+    ctype = (manifest.get("column_types") or {}).get(col, "")
+    if ctype.lower() not in _EXACT_INT_STAT_TYPES:
+        return None
+    stats = manifest.get("column_stats") or {}
+    mx = None
+    for fs in manifest["buckets"].values():
+        for f in fs:
+            s = stats.get(f, {}).get(col)
+            if s is None or s[1] is None:
+                return None
+            if mx is None or s[1] > mx:
+                mx = s[1]
+    return mx
+
+
 def read_snapshot_null(
     spark: SparkSession,
     base_dir: str,
@@ -6071,8 +6109,18 @@ def apply_cdf_deltas(
     Cost shape: read current aggregate (O(groups)), outer-join the
     batch's deltas (O(groups changed)), one merge commit — state lives
     in the target TABLE, the stream holds none."""
-    cur = read_snapshot(spark, target_dir)
-    watermark = (cur.agg(F.max("ver")).first()[0]) or 0
+    # the watermark is max(ver) over the target — read it from the
+    # manifest's per-file column stats when that is provably exact
+    # (guide §1.2: the answer already sits in driver-side metadata;
+    # this was one full Spark aggregate job per apply call, including
+    # every replayed/skipped batch). Load the manifest ONCE and pin
+    # the merge's read to the same version so the watermark and the
+    # frame it guards can never straddle a concurrent commit.
+    manifest = load_manifest(target_dir)
+    cur = read_snapshot(spark, target_dir, version=manifest["version"])
+    watermark = _manifest_col_max(manifest, "ver")
+    if watermark is None:
+        watermark = (cur.agg(F.max("ver")).first()[0]) or 0
     if thru_version <= watermark:
         return "skipped"
     # materialize the batch's deltas ONCE: the lineage behind them is

@@ -4236,3 +4236,53 @@ def test_shuffle_partitions_derived_from_cores(spark):
     assert int(spark.conf.get("spark.sql.shuffle.partitions")) == max(
         cores, 16
     )
+
+
+def test_manifest_watermark_exact_and_gated(spark, tmp_path):
+    """apply_cdf_deltas's watermark fast path: _manifest_col_max must
+    equal the distributed max(ver) whenever it answers, and must
+    REFUSE (None -> Spark fallback) whenever exactness is unprovable —
+    a tombstone column (hidden rows could hold the max), pending
+    MOR/DV sidecars, a missing per-file stats entry, or a non-integer
+    column type (stats re-encode those)."""
+    from assignment4_spark.operators.lakehouse import (
+        _manifest_col_max,
+        delete_keys_mor,
+        init_table,
+        load_manifest,
+        merge_upsert_manifest,
+        read_snapshot,
+    )
+
+    base = str(tmp_path / "wm_tbl")
+    seed = spark.createDataFrame(
+        [(k, 1, "a", float(k)) for k in range(40)],
+        "k int, ver int, src string, price double",
+    )
+    init_table(seed, base, key_col="k", n_buckets=4)
+    up = spark.createDataFrame(
+        [(k, 3, "b", float(k)) for k in range(0, 40, 5)],
+        "k int, ver int, src string, price double",
+    )
+    merge_upsert_manifest(base, up, ver_col="ver", tiebreak_col="src")
+
+    m = load_manifest(base)
+    fast = _manifest_col_max(m, "ver")
+    slow = read_snapshot(spark, base).agg(F.max("ver")).first()[0]
+    assert fast == slow == 3
+
+    # non-integer column: stats may re-encode -> must refuse
+    assert _manifest_col_max(m, "price") is None
+    # missing stats entry for one live file -> must refuse
+    m2 = load_manifest(base)
+    first_file = next(iter(next(iter(m2["buckets"].values()))))
+    m2["column_stats"].get(first_file, {}).pop("ver", None)
+    assert _manifest_col_max(m2, "ver") is None
+    # pending MOR delete sidecar: hidden rows could hold the max
+    delete_keys_mor(spark, base, spark.createDataFrame([(0,)], "k int"))
+    m3 = load_manifest(base)
+    assert _manifest_col_max(m3, "ver") is None
+    # tombstone column present -> must refuse
+    m4 = dict(m3, columns=list(m3["columns"]) + ["_deleted"])
+    m4["delete_files"] = {}
+    assert _manifest_col_max(m4, "ver") is None
