@@ -33,6 +33,18 @@ RUNTIME_CONFS = {
 }
 
 
+def _listing_threshold() -> str:
+    """Path count above which Spark launches a DISTRIBUTED job just to
+    stat the input files ("Listing leaf files and directories for N
+    paths"). The default (32) is sized for object-store latency
+    (~10-100 ms per stat); on a local filesystem a stat is ~10 µs, so
+    the listing job's fixed cost (~0.1-0.4 s scheduling floor) can
+    never win below ~10^4 paths — yet every >32-file snapshot read
+    (cluster-binned tables are 64 files) pays it. Applied to LOCAL
+    masters only; a cluster deployment's own threshold stands."""
+    return os.environ.get("SPARK_GRAFT_LIST_THRESHOLD", "4096")
+
+
 def _shuffle_partitions_for(cores: int) -> str:
     """Initial shuffle-partition count for a LOCAL session with
     ``cores`` threads: one reducer per core, floored at 16 (guide
@@ -61,6 +73,10 @@ def get_spark(app_name: str = "assignment4_spark", cpus: int | None = None) -> S
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.sql.shuffle.partitions", _shuffle_partitions_for(cpus))
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            _listing_threshold(),
+        )
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
@@ -99,6 +115,9 @@ def ensure_confs(spark: SparkSession) -> SparkSession:
             confs["spark.sql.shuffle.partitions"] = _shuffle_partitions_for(
                 sc.defaultParallelism
             )
+            confs[
+                "spark.sql.sources.parallelPartitionDiscovery.threshold"
+            ] = _listing_threshold()
     except Exception:
         all_applied = False
     for k, v in confs.items():

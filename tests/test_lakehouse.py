@@ -4286,3 +4286,16 @@ def test_manifest_watermark_exact_and_gated(spark, tmp_path):
     m4 = dict(m3, columns=list(m3["columns"]) + ["_deleted"])
     m4["delete_files"] = {}
     assert _manifest_col_max(m4, "ver") is None
+
+
+def test_listing_threshold_raised_for_local_fs(spark):
+    """Local sessions must not launch a distributed listing job for
+    every >32-file snapshot read: on a local filesystem a path stat is
+    ~10 us, so the job's fixed scheduling floor can never win at the
+    file counts manifests produce (cluster tables are 64 files). The
+    threshold is env-overridable and applied to local masters only."""
+    assert int(
+        spark.conf.get(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold"
+        )
+    ) >= 4096
