@@ -2601,6 +2601,7 @@ def _check_serializable(
     updates: DataFrame,
     key_col: str,
     writer_id: str,
+    bucket_hint: tuple[int, list[int]] | None = None,
 ) -> None:
     """Serializable-mode gate run after a lost CAS, BEFORE rebasing:
     diff the manifests committed since the pinned version
@@ -2613,7 +2614,14 @@ def _check_serializable(
     comparison would deadlock maintenance against every writer."""
     current = latest_version(base_dir)
     try:
-        delta = changes_between(spark, base_dir, pinned_version, current)
+        # the probe only cares about keys THIS writer touches, whose
+        # buckets the merge loop already knows — scope the diff's read
+        # to them (exact: key→bucket is deterministic; changes_between
+        # ignores the hint across a rebucket)
+        delta = changes_between(
+            spark, base_dir, pinned_version, current,
+            within_buckets=bucket_hint,
+        )
     except (FileNotFoundError, OSError) as ex:
         raise SerializationConflictError(
             f"serializable merge by {writer_id!r}: retention expired "
@@ -3205,7 +3213,7 @@ def merge_upsert_manifest(
             # never commit, so they cannot lose an update either
             _check_serializable(
                 spark, base_dir, snap["version"], updates, key_col,
-                writer_id,
+                writer_id, bucket_hint=(n_buckets, touched),
             )
     raise MergeConflictError(
         f"merge by {writer_id} lost the commit race {max_retries + 1} times"
@@ -4496,7 +4504,11 @@ def _feed_stats(feed: DataFrame, expected_type: str) -> tuple[int, int]:
 
 
 def changes_between(
-    spark: SparkSession, base_dir: str, v_from: int, v_to: int
+    spark: SparkSession,
+    base_dir: str,
+    v_from: int,
+    v_to: int,
+    within_buckets: tuple[int, list[int]] | None = None,
 ) -> DataFrame:
     """Change-data-feed between two committed versions, computed the
     way the manifests allow at 100 TB: a bucket whose FILE SET is
@@ -4554,6 +4566,24 @@ def changes_between(
         or d_from.get(b, []) != d_to.get(b, [])
         or v_from.get(b, []) != v_to.get(b, [])
     ]
+    if within_buckets is not None:
+        # caller-scoped diff (the serializable conflict probe): the
+        # caller only cares about keys whose bucket — a pure function
+        # pmod(xxhash64(key), n_buckets) — falls in its own touched
+        # set, so changed buckets outside it provably cannot hold a
+        # key the caller writes. Honored ONLY when both manifests
+        # record the same n_buckets as the hint was derived under (a
+        # rebucket between the versions moves the key→bucket mapping,
+        # making the restriction unsound — fall back to the full
+        # diff). At 100 TB this turns the probe's read from O(all
+        # concurrent churn) into O(churn ∩ writer's buckets).
+        nb, ids = within_buckets
+        if (
+            m_from.get("n_buckets") == nb
+            and m_to.get("n_buckets") == nb
+        ):
+            keep = {str(b) for b in ids}
+            changed = [b for b in changed if str(b) in keep]
     files_from = [f for b in changed for f in m_from["buckets"].get(b, [])]
     files_to = [f for b in changed for f in m_to["buckets"].get(b, [])]
 

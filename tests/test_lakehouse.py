@@ -4299,3 +4299,53 @@ def test_listing_threshold_raised_for_local_fs(spark):
             "spark.sql.sources.parallelPartitionDiscovery.threshold"
         )
     ) >= 4096
+
+
+def test_serializable_probe_scoped_to_writer_buckets(spark, tmp_path):
+    """changes_between's within_buckets restriction (the serializable
+    conflict probe's scope): a hint covering every bucket changes
+    nothing, an empty hint proves the prune actually applies, and a
+    hint derived under a DIFFERENT n_buckets is ignored (rebucket
+    soundness) — the full diff is the fallback, never a wrong one."""
+    from assignment4_spark.operators.lakehouse import (
+        changes_between,
+        init_table,
+        load_manifest,
+        merge_upsert_manifest,
+    )
+
+    base = str(tmp_path / "ser_scope")
+    seed = spark.createDataFrame(
+        [(k, 1, "s", float(k)) for k in range(200)],
+        "k int, ver int, src string, price double",
+    )
+    init_table(seed, base, key_col="k", n_buckets=8)
+    up = spark.createDataFrame(
+        [(k, 2, "b", float(k)) for k in range(0, 200, 20)],
+        "k int, ver int, src string, price double",
+    )
+    merge_upsert_manifest(base, up, ver_col="ver", tiebreak_col="src")
+
+    nb = load_manifest(base)["n_buckets"]
+    full = changes_between(spark, base, 1, 2)
+    n_full = full.count()
+    assert n_full == 10
+    all_b = changes_between(
+        spark, base, 1, 2, within_buckets=(nb, list(range(nb)))
+    )
+    assert sorted(map(tuple, all_b.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    assert (
+        changes_between(
+            spark, base, 1, 2, within_buckets=(nb, [])
+        ).count()
+        == 0
+    )
+    # wrong n_buckets: hint ignored, full diff returned
+    assert (
+        changes_between(
+            spark, base, 1, 2, within_buckets=(nb + 1, [])
+        ).count()
+        == n_full
+    )
