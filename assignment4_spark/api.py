@@ -23,11 +23,13 @@ from __future__ import annotations
 
 from .operators.dedup import (  # noqa: F401
     admit_batch_into_index,
+    admit_candidates_into_index,
     canonical_url,
     connected_components,
     minhash_band_postings,
     minhash_lsh_pairs,
     simhash_pairs,
+    verify_jaccard_pairs,
 )
 from .operators.lakehouse import (  # noqa: F401
     MergeConflictError,
@@ -140,6 +142,8 @@ __all__ = [
     "bottomk_by_hash",
     "bpe_train",
     "admit_batch_into_index",
+    "admit_candidates_into_index",
+    "verify_jaccard_pairs",
     "canonical_url",
     "apply_cdf_deltas",
     "cdf_deltas",

@@ -1104,6 +1104,15 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", F.xxhash64(F.expr("substring(text, pos, 40)")).alias("h")
         )
+        # ONE exchange serves both shuffles: hash-partitioning on h
+        # satisfies the (h, doc_id) aggregate's clustering (h is a
+        # subset of its keys) AND the n_docs window's partitioning, so
+        # the explicit repartition replaces the aggregate exchange and
+        # the window exchange (2 Exchange → 1, verified in the plan
+        # gate). Bytes drop too: the single exchange carries each gram
+        # once, where the two-exchange form shuffled the (h, doc_id)
+        # aggregate twice.
+        .repartition(F.col("h"))
         .groupBy("h", "doc_id")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -1175,7 +1184,12 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_cap² per shingle. Docs need ≥5 discriminative shingles to
     score, killing trivial 1-shingle full-containments. Both
     directions emerge naturally (C(A,B) and C(B,A) differ by the
-    denominator).
+    denominator). (A groupBy(sh) + in-task pair-expansion form — one
+    exchange instead of the join — was tried and measured SLOWER
+    paired min-of-3, 4.10 → 4.50 s: at fixture scale AQE broadcasts
+    the small postings side, beating the collect_list + HOF expansion;
+    at 100 TB AQE falls back to the same shuffled join either way, so
+    the join form is kept.)
     """
     d = table(spark, sf_dir, "documents")
     postings = d.select(
@@ -1411,23 +1425,21 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("doc_a", "doc_b")
 
 
-def admit_batch_into_index(
+def admit_candidates_into_index(
     spark: SparkSession,
     base_dir: str,
     batch_post: DataFrame,
-    s: DataFrame,
     ver: int,
     src: str,
 ) -> tuple[DataFrame, int]:
-    """One admission step against the persisted LSH index (the body
-    dedup_incremental_index and stream_index_admission share):
-    (1) bucket-pruned read of the index for the batch's band keys,
-    (2) candidate pairs (index doc, batch doc) via posting explode,
-    (3) exact-Jaccard verification at J>=threshold over the shared
-    shingle-set frame ``s``, (4) index MERGE of old ∪ batch per
-    touched band at version ``ver``. Returns (pairs, committed
-    version); pairs stay valid after the merge because committed files
-    are immutable (the plan pins the pre-merge file list eagerly)."""
+    """Admission WITHOUT the verification join — steps (1), (2) and
+    (4) of admit_batch_into_index: bucket-pruned index read, candidate
+    (doc_a, doc_b) pairs, index MERGE at version ``ver``. Returns
+    (cand, committed version). Callers admitting SEVERAL slices defer
+    the exact-Jaccard join and verify the UNION of candidates in one
+    pass over the shingle frame (the join distributes over the union,
+    and a pair is generated only in its batch doc's own slice, so the
+    deferred result is row-identical to per-slice verification)."""
     from .lakehouse import (
         _bucket_of,
         _read_files_aligned,
@@ -1461,17 +1473,6 @@ def admit_batch_into_index(
             F.explode("docs").alias("doc_a"), F.col("doc_id").alias("doc_b")
         )
         .distinct()
-    )
-    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    jac = inter.cast("double") / union
-    pairs = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
     # maintain the index: old ∪ batch per touched band, one commit;
@@ -1507,4 +1508,48 @@ def admit_batch_into_index(
         base_dir, upd, ver_col="ver", tiebreak_col="src", writer_id=src,
         bucket_hint=(n_buckets, touched),
     )
-    return pairs, v
+    return cand, v
+
+
+def verify_jaccard_pairs(cand: DataFrame, s: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs at
+    J >= threshold over the shared shingle-set frame ``s`` — step (3)
+    of the admission, factored out so several slices' candidates
+    verify in ONE pass over ``s``."""
+    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter.cast("double") / union
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def admit_batch_into_index(
+    spark: SparkSession,
+    base_dir: str,
+    batch_post: DataFrame,
+    s: DataFrame,
+    ver: int,
+    src: str,
+) -> tuple[DataFrame, int]:
+    """One admission step against the persisted LSH index (the body
+    dedup_incremental_index and the streaming twin share):
+    (1) bucket-pruned read of the index for the batch's band keys,
+    (2) candidate pairs (index doc, batch doc) via posting explode,
+    (3) exact-Jaccard verification at J>=threshold over the shared
+    shingle-set frame ``s``, (4) index MERGE of old ∪ batch per
+    touched band at version ``ver``. Returns (pairs, committed
+    version); pairs stay valid after the merge because committed files
+    are immutable (the plan pins the pre-merge file list eagerly).
+    Multi-slice admitters (stream_index_admission) use
+    admit_candidates_into_index + one verify_jaccard_pairs over the
+    unioned candidates instead."""
+    cand, v = admit_candidates_into_index(
+        spark, base_dir, batch_post, ver, src
+    )
+    return verify_jaccard_pairs(cand, s), v

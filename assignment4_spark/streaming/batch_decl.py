@@ -1185,8 +1185,9 @@ def stream_index_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.dedup import (
         _shingles,
-        admit_batch_into_index,
+        admit_candidates_into_index,
         minhash_band_postings,
+        verify_jaccard_pairs,
     )
     from ..operators.lakehouse import init_table
     from ..operators.scans import _adir
@@ -1204,18 +1205,24 @@ def stream_index_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     init_table(idx_seed, base_dir, key_col="band_key", n_buckets=16)
 
-    out = None
+    # admit each slice (detection candidates pin the pre-merge index
+    # files eagerly), but defer the exact-Jaccard verification: the
+    # join distributes over the union and a pair is generated only in
+    # its batch doc's own slice, so verifying the UNIONED candidates
+    # is row-identical to per-slice verification — and costs ONE pass
+    # over the cached shingle frame instead of three (guide §1.2)
+    cands = None
     for i, sl in enumerate((0, 3, 6)):
         batch_post = minhash_band_postings(
             s.filter(F.col("doc_id") % 9 == sl)
         ).persist()
-        pairs, v = admit_batch_into_index(
-            spark, base_dir, batch_post, s, ver=2 + i, src=f"slice{sl}"
+        cand, v = admit_candidates_into_index(
+            spark, base_dir, batch_post, ver=2 + i, src=f"slice{sl}"
         )
         if v != 2 + i:
             raise AssertionError(f"slice {sl} must commit v{2 + i}, got {v}")
-        out = pairs if out is None else out.unionByName(pairs)
-    return out.orderBy("doc_a", "doc_b")
+        cands = cand if cands is None else cands.unionByName(cand)
+    return verify_jaccard_pairs(cands, s).orderBy("doc_a", "doc_b")
 
 
 @register(

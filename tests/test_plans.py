@@ -493,6 +493,10 @@ def test_exact_substring_no_allpairs(spark, sf_oracle):
     assert "CartesianProduct" not in body, body
     assert "BroadcastNestedLoopJoin" not in body, body
     assert "HashAggregate" in body, body
+    # the explicit repartition on h is the ONE exchange serving both
+    # the (h, doc_id) aggregate and the n_docs window (2 Exchange → 1);
+    # losing it silently reintroduces the second gram shuffle
+    assert "REPARTITION_BY_COL" in body, body
 
 
 def test_semantic_cluster_pair_join_is_equi(spark, sf_oracle):
