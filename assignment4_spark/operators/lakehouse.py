@@ -1060,6 +1060,14 @@ def _manifest_col_max(manifest: dict, col: str):
         return None
     if _mor_delete_files(manifest) or _dv_sidecar_files(manifest):
         return None
+    epochs = manifest.get("column_epochs") or {}
+    if any(int(v) > 1 for v in epochs.values()):
+        # a column (re-)born after v1 reads as NULL from files older
+        # than its epoch even when those files hold PHYSICAL values —
+        # the footer stats would overestimate the visible max. Same
+        # guard condition as _read_files_aligned's epoch alignment:
+        # never-evolved tables (every epoch 1) stay on the fast path.
+        return None
     ctype = (manifest.get("column_types") or {}).get(col, "")
     if ctype.lower() not in _EXACT_INT_STAT_TYPES:
         return None

@@ -4286,6 +4286,11 @@ def test_manifest_watermark_exact_and_gated(spark, tmp_path):
     m4 = dict(m3, columns=list(m3["columns"]) + ["_deleted"])
     m4["delete_files"] = {}
     assert _manifest_col_max(m4, "ver") is None
+    # column epochs present -> must refuse (pre-epoch files hold
+    # physical values the aligned read NULLs out; stats would
+    # overestimate the visible max)
+    m5 = dict(m3, column_epochs={"ver": 2}, delete_files={})
+    assert _manifest_col_max(m5, "ver") is None
 
 
 def test_listing_threshold_raised_for_local_fs(spark):
