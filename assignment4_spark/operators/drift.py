@@ -164,7 +164,10 @@ def psi_binned(
     hash-agg). See agg_psi_drift for the registry/oracle instance.
     """
     spark = binned.sparkSession
-    seed = spark.range(n_bins).select(
+    # numPartitions pinned to 1: a bare range(n) inherits
+    # defaultParallelism slices, unioning ~32 near-empty tasks into
+    # the scan stage for a handful of seed rows
+    seed = spark.range(0, n_bins, 1, 1).select(
         F.col("id").cast("int").alias("bin_id"),
         F.lit(0).alias("w_ref"),
         F.lit(0).alias("w_cur"),

@@ -1230,9 +1230,12 @@ def _bloom_positions(
     value cast to the table's recorded column type — xxhash64(5L) !=
     xxhash64('5') != xxhash64(5 int), so hashing probe-side in Python
     (or at a drifted type) would silently never match the build-side
-    bits. One 1-row local job; returns k ints."""
+    bits. One 1-row local job; returns k ints. numPartitions is
+    pinned to 1: a bare range(1) inherits defaultParallelism slices
+    (32 tasks, 31 empty — measured ~0.2 s of pure task-launch per
+    probe), and the probe is one row by construction."""
     row = (
-        spark.range(1)
+        spark.range(0, 1, 1, 1)
         .select(
             *[
                 F.pmod(
